@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Scale posture (designed for a 1000-executor cluster, tested on
+  * `local[N]`):
+  *   - AQE on: runtime partition coalescing, skew-join splitting, and
+  *     dynamic join-strategy switches replace the reference's manual
+  *     split-size tuning (`/root/reference/trace-insertindex-job/src/main/
+  *     java/org/example/TraceInsertIndexJob.java:58-63`).
+  *   - `spark.sql.shuffle.partitions` defaults to the local core count;
+  *     on a real cluster this is overridden to ~2-3x total cores and AQE
+  *     coalesces down.
+  *   - UTC session time zone so timestamp semantics are stable across
+  *     engines (the DuckDB oracle is TZ-naive).
+  */
+object GraftSession {
+
+  def cpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

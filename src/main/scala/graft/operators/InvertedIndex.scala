@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inverted index: `(word, docId)` pairs → `word → sorted distinct doc
+  * list`.
+  *
+  * Reference semantics: reducer folds values into a `HashSet` then
+  * comma-joins (`/root/reference/trace-insertindex-job/src/main/java/org/
+  * example/TraceInsertIndexReducer.java:132-145`). The reference's posting
+  * order is HashSet iteration order (nondeterministic); we sort the
+  * posting list — a documented semantic improvement that makes output
+  * deterministic and oracle-checkable (SURVEY §7.4).
+  *
+  * Scale notes:
+  *   - `collect_set` does partial aggregation: per-partition sets merge
+  *     map-side, so a word appearing k times in one partition ships one
+  *     set entry, not k rows.
+  *   - Hot keys (the reference's own `zebra`/heavy-key experiment) can
+  *     still blow up a single reducer's set at 100 TB; [[saltedPostings]]
+  *     is the two-phase salted variant for that regime.
+  */
+object InvertedIndex {
+
+  /** Parse reference-format `word \t docId` lines, dropping malformed
+    * rows (blank or tab-less — `TraceInsertIndexMapper.java:103-115`). */
+  def parsePairs(lines: DataFrame, textCol: String = "value"): DataFrame = {
+    val parts = split(col(textCol), "\t", 2)
+    lines
+      .filter(length(trim(col(textCol))) > 0 && col(textCol).contains("\t"))
+      .select(parts.getItem(0).as("word"), parts.getItem(1).as("doc_id"))
+  }
+
+  /** `word → "d1,d2,..."` with the posting list deduplicated and sorted. */
+  def apply(pairs: DataFrame, word: String = "word", docId: String = "doc_id"): DataFrame =
+    postings(pairs, col(word), col(docId))
+
+  def postings(pairs: DataFrame, word: Column, docId: Column): DataFrame =
+    pairs
+      .groupBy(word.as("word"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_set(docId)), _.cast("string"))).as("doc_ids"))
+      .orderBy("word")
+
+  /** Two-phase salted aggregation for heavy keys: partial collect_set per
+    * (word, salt), then merge — bounds any single task's set size during
+    * the first (wide) phase. Use when a key's posting list exceeds what
+    * one task should buffer. */
+  def saltedPostings(pairs: DataFrame, word: Column, docId: Column,
+                     salts: Int = 16): DataFrame =
+    pairs
+      .withColumn("_salt", pmod(hash(docId), lit(salts)))
+      .groupBy(word.as("word"), col("_salt"))
+      .agg(collect_set(docId).as("_partial"))
+      .groupBy("word")
+      .agg(concat_ws(",",
+        transform(sort_array(array_distinct(flatten(collect_list(col("_partial"))))),
+          _.cast("string"))).as("doc_ids"))
+      .orderBy("word")
+}

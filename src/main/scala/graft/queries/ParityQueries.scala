@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GlobalSort, InvertedIndex, WordCount}
+import graft.sources.Tables
+
+/** The reference's three kernels (SURVEY §2: P1-P6, A1-A3, O1) evaluated
+  * over the driver's `documents` table, with DuckDB oracle SQL.
+  *
+  * The reference runs these over line-text files; the oracle harness runs
+  * over the shared parquet tables, so the text pipelines here take
+  * `documents.text` as the line source (one "line" per document).
+  */
+object ParityQueries extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1-P3 + A1 + O3: tokenize/normalize/filter/group-count/sort-by-key.
+    "q_wordcount" -> ((s, d) =>
+      WordCount(Tables.documents(s, d), "text")),
+
+    // O1: global sort (range partition + per-partition sort = total order).
+    "q_sort" -> ((s, d) =>
+      GlobalSort(Tables.documents(s, d).select("doc_id", "text"),
+        "text").orderBy("text", "doc_id")),
+
+    // P4-P5 + A2: inverted index word → sorted distinct doc ids.
+    "q_inverted_index" -> ((s, d) => {
+      val toks = WordCount.tokens(Tables.documents(s, d), "text", "doc_id")
+      InvertedIndex.postings(toks, col("word"), col("doc_id"))
+    }),
+
+    // A2 variant at scale: salted two-phase collect_set (heavy-key path).
+    // Same semantics as q_inverted_index — the oracle is identical SQL.
+    "q_inverted_index_salted" -> ((s, d) => {
+      val toks = WordCount.tokens(Tables.documents(s, d), "text", "doc_id")
+      InvertedIndex.saltedPostings(toks, col("word"), col("doc_id"))
+    })
+  )
+
+  private val tokenSub =
+    """SELECT doc_id, regexp_replace(lower(unnest(string_split_regex(text, '\s+'))), '[^a-z]', '', 'g') AS word
+      | FROM documents""".stripMargin.replace("\n", "")
+
+  private val indexSql =
+    s"""SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids
+       | FROM ($tokenSub) t WHERE length(word) > 0
+       | GROUP BY word ORDER BY word""".stripMargin.replace("\n", "")
+
+  def oracle: Map[String, String] = Map(
+    "q_wordcount" ->
+      s"""SELECT word, count(*) AS cnt FROM ($tokenSub) t
+         | WHERE length(word) > 0 GROUP BY word ORDER BY word"""
+        .stripMargin.replace("\n", ""),
+    "q_sort" ->
+      "SELECT doc_id, text FROM documents ORDER BY text, doc_id",
+    "q_inverted_index" -> indexSql,
+    "q_inverted_index_salted" -> indexSql
+  )
+}

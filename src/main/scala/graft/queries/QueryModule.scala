@@ -1,0 +1,18 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named batch of oracle-checked queries. Each query takes the session
+  * and the scale-factor directory (parquet tables per TESTDATA.md) and
+  * returns a deterministic DataFrame; `oracle` holds per-query ANSI SQL
+  * that DuckDB evaluates over the same tables for the hash compare.
+  *
+  * Contract (driver compare): column NAMES must match between the Spark
+  * result and the oracle result — alias every computed column on both
+  * sides. Results must be deterministic: stable ORDER BY with a unique
+  * tiebreaker, and floating aggregates rounded.
+  */
+trait QueryModule {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracle: Map[String, String]
+}
