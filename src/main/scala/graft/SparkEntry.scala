@@ -13,7 +13,10 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    ParityQueries
+    ParityQueries,
+    RelationalQueries,
+    ScalarQueries,
+    EventQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

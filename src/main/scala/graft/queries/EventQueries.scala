@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Event-stream analytics over the `events` table: JSON extraction,
+  * gap-based sessionization, per-type tumbling-window rollups. These are
+  * the batch twins of the Structured Streaming pipelines in
+  * [[graft.streaming]] — same logical plan, bounded source.
+  *
+  * Timestamp discipline: events `ts` is µs-aligned; comparisons are done
+  * on `unix_micros` so Spark (µs) and DuckDB (ns) agree exactly. Never
+  * emit raw ns timestamps.
+  */
+object EventQueries extends QueryModule {
+
+  /** 30-minute inactivity gap. */
+  private val SessionGapUs = 1800L * 1000000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_json_extract" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    // Gap-based sessionization via window lag — one shuffle on user_id,
+    // then per-user linear scan; scales as long as a single user's
+    // events fit a partition (true for any realistic user).
+    "q_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("_prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("_new_s",
+          when(col("_prev_us").isNotNull &&
+               (unix_micros(col("ts")) - col("_prev_us")) > SessionGapUs, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+             (sum("_new_s") + 1).cast("long").as("n_sessions"))
+        .orderBy("user_id")
+    }),
+
+    // Tumbling hourly window per event type (batch twin of the streaming
+    // windowed aggregation).
+    "q_event_window_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             round(sum("value"), 4).as("sum_value"))
+        .orderBy("hour_start", "event_type"))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_json_extract" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        | FROM events ORDER BY event_id""".stripMargin.replace("\n", ""),
+    "q_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |         PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_s
+        | FROM events)
+        | SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions
+        | FROM g GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replace("\n", ""),
+    "q_event_window_agg" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        | event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        | FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
+        .stripMargin.replace("\n", "")
+  )
+}

@@ -1,0 +1,392 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational operator inventory over the TPC-H-ish star schema:
+  * aggregation, filter pushdown, all join shapes, windows, top-k,
+  * set ops, rollup/cube/grouping-sets, pivot, subqueries.
+  *
+  * Scale design notes (verified via `.explain("formatted")`):
+  *   - dim joins (region/nation/supplier/customer) are explicitly
+  *     `broadcast()` — at 100 TB the fact side never shuffles for them;
+  *   - fact-fact joins (lineitem ⋈ orders) shuffle on the join key once,
+  *     and AQE handles skew/coalescing;
+  *   - aggregates ride partial → final HashAggregate (map-side combine);
+  *   - filters/projections sit directly over the scan so Parquet gets
+  *     `PushedFilters` + pruned `ReadSchema`;
+  *   - top-k is `orderBy(...).limit(k)` → `TakeOrderedAndProject` (no
+  *     global sort materialization).
+  *
+  * Determinism contract: every query ends in a total ORDER BY (unique
+  * tiebreaker) and floating aggregates are rounded, so the DuckDB hash
+  * compare is stable.
+  */
+object RelationalQueries extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- aggregation -----------------------------------------------------
+    // TPC-H Q1 shape: scan-heavy group-agg with arithmetic; partial agg
+    // shuffles |groups| rows per partition, not |input|.
+    "q1_agg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q6 shape: highly selective predicates — all three reach the
+    // Parquet scan as PushedFilters.
+    "q6_filter_pushdown" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.06) &&
+          col("l_quantity") < 25)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
+
+    "q_distinct_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    "q_agg_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    "q_having" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 40)
+        .orderBy("l_partkey")),
+
+    // ---- joins -----------------------------------------------------------
+    // Small dim side broadcast: zero shuffle of the 15k/“100 TB” fact side.
+    "q_join_broadcast" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // TPC-H Q5 shape: one fact-fact shuffle join (lineitem ⋈ orders),
+    // everything else broadcast.
+    "q_join_multi" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val n  = Tables.nation(s, d)
+      val r  = Tables.region(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su),
+          li("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r),
+          n("n_regionkey") === r("r_regionkey") && r("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    "q_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q_outer_join_count" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- windows ---------------------------------------------------------
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_total", round(sum("o_totalprice").over(w), 2))
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d)
+        .withColumn("prev_price", round(coalesce(lag("o_totalprice", 1).over(w), lit(0.0)), 2))
+        .select("o_custkey", "o_orderkey", "prev_price")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- sorts / top-k ---------------------------------------------------
+    // orderBy(...).limit(k) plans as TakeOrderedAndProject: per-partition
+    // heap + driver merge of k rows — no global sort at any scale.
+    "q_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // ---- set operations --------------------------------------------------
+    "q_union" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy("nk")),
+
+    "q_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("ck"))
+        .intersect(Tables.orders(s, d).select(col("o_custkey").as("ck")))
+        .orderBy("ck")),
+
+    "q_except" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("ck")).distinct()
+        .except(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("ck")))
+        .orderBy("ck")),
+
+    // ---- grouping sets / rollup / cube / pivot ---------------------------
+    "q_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
+              | FROM lineitem
+              | GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              | ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+        .stripMargin)
+    }),
+
+    "q_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .orderBy("l_returnflag")),
+
+    // ---- subqueries ------------------------------------------------------
+    // Scalar subquery as a broadcast of a 1-row aggregate.
+    "q_scalar_subquery" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val avgP = o.agg(avg("o_totalprice").as("_avg"))
+      o.crossJoin(broadcast(avgP))
+        .filter(col("o_totalprice") > col("_avg"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    "q_corr_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT o_custkey, o_orderkey, o_totalprice
+              | FROM orders o
+              | WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+              |                       FROM orders o2
+              |                       WHERE o2.o_custkey = o.o_custkey)
+              | ORDER BY o_custkey, o_orderkey""".stripMargin)
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-30'
+        | GROUP BY l_returnflag, l_linestatus
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", ""),
+    "q6_filter_pushdown" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1997-01-01'
+        |   AND l_discount BETWEEN 0.02 AND 0.06
+        |   AND l_quantity < 25""".stripMargin.replace("\n", ""),
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replace("\n", ""),
+    "q_agg_stats" ->
+      """SELECT l_returnflag, min(l_extendedprice) AS min_price,
+        | max(l_extendedprice) AS max_price,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        | count(*) AS n
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replace("\n", ""),
+    "q_having" ->
+      """SELECT l_partkey, count(*) AS cnt FROM lineitem
+        | GROUP BY l_partkey HAVING count(*) >= 40 ORDER BY l_partkey"""
+        .stripMargin.replace("\n", ""),
+    "q_join_broadcast" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+        | count(*) AS n_orders
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+        .stripMargin.replace("\n", ""),
+    "q_join_multi" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | FROM lineitem
+        | JOIN orders   ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation   ON s_nationkey = n_nationkey
+        | JOIN region   ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        | GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", ""),
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        | ORDER BY c_custkey""".stripMargin.replace("\n", ""),
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        | ORDER BY c_custkey""".stripMargin.replace("\n", ""),
+    "q_outer_join_count" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY c_custkey ORDER BY c_custkey""".stripMargin.replace("\n", ""),
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"""
+        .stripMargin.replace("\n", ""),
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        | FROM orders ORDER BY o_custkey, o_orderkey"""
+        .stripMargin.replace("\n", ""),
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(coalesce(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS prev_price
+        | FROM orders ORDER BY o_custkey, o_orderkey"""
+        .stripMargin.replace("\n", ""),
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+        .stripMargin.replace("\n", ""),
+    "q_union" ->
+      """SELECT c_nationkey AS nk FROM customer
+        | UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk"""
+        .stripMargin.replace("\n", ""),
+    "q_intersect" ->
+      """SELECT c_custkey AS ck FROM customer
+        | INTERSECT SELECT o_custkey AS ck FROM orders ORDER BY ck"""
+        .stripMargin.replace("\n", ""),
+    "q_except" ->
+      """SELECT DISTINCT o_custkey AS ck FROM orders
+        | EXCEPT SELECT c_custkey AS ck FROM customer
+        |   WHERE c_mktsegment = 'BUILDING'
+        | ORDER BY ck""".stripMargin.replace("\n", ""),
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | round(sum(l_quantity), 2) AS sum_qty
+        | FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        | ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+        .stripMargin.replace("\n", ""),
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        | FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        | ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+        .stripMargin.replace("\n", ""),
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        | FROM lineitem
+        | GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        | ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+        .stripMargin.replace("\n", ""),
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        | CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replace("\n", ""),
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        | ORDER BY o_orderkey""".stripMargin.replace("\n", ""),
+    "q_corr_subquery" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+        | WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                       WHERE o2.o_custkey = o.o_custkey)
+        | ORDER BY o_custkey, o_orderkey""".stripMargin.replace("\n", "")
+  )
+}

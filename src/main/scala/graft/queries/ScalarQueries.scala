@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Scalar function surface (SURVEY §2.8): string, date/time, math,
+  * conditional/null handling. All expressions are Spark built-ins —
+  * whole-stage-codegen'd, no UDFs — and chosen so semantics match ANSI /
+  * DuckDB exactly (same 1-based substring, same HALF-UP rounding on
+  * positive values, same null propagation).
+  *
+  * Output types are normalized to the oracle's (e.g. `length` → BIGINT)
+  * so the driver's schema compare is stable.
+  */
+object ScalarQueries extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_string_funcs" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_type"), 1, 6).as("type6"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_brand"), "Brand", "B").as("brand_short"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        reverse(col("p_name")).as("rname"),
+        instr(col("p_name"), "e").cast("long").as("pos_e"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("first_word"))
+        .orderBy("p_partkey")),
+
+    "q_date_funcs" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mon"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        col("o_orderdate").cast("date").as("ord_date"))
+        .orderBy("o_orderkey")),
+
+    "q_math_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 200)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(abs(col("l_extendedprice") - 50000.0), 2).as("abs_diff"),
+          floor(col("l_quantity")).as("floor_q"),
+          ceil(col("l_quantity")).as("ceil_q"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_p"),
+          round(log(col("l_extendedprice")), 6).as("ln_p"),
+          round(exp(col("l_discount")), 6).as("exp_d"),
+          round(pow(col("l_quantity"), 2.0), 2).as("pow_q"),
+          (col("l_orderkey") % 7).as("mod_k"),
+          greatest(col("l_tax"), col("l_discount")).as("gr"),
+          least(col("l_tax"), col("l_discount")).as("le"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_case_null" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "finished")
+          .when(col("o_orderstatus") === "O", "open")
+          .otherwise("other").as("status_label"),
+        coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")), lit("urgent"))
+          .as("prio"),
+        when(col("o_totalprice") >= 250000, "big")
+          .when(col("o_totalprice") >= 100000, "mid")
+          .otherwise("small").as("size_class"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_or_null"))
+        .orderBy("o_orderkey"))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+        | substr(p_type, 1, 6) AS type6,
+        | length(p_name) AS name_len,
+        | regexp_replace(p_brand, 'Brand', 'B', 'g') AS brand_short,
+        | concat(p_brand, ':', p_type) AS brand_type,
+        | lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        | reverse(p_name) AS rname,
+        | strpos(p_name, 'e') AS pos_e,
+        | split_part(p_name, ' ', 1) AS first_word
+        | FROM part ORDER BY p_partkey""".stripMargin.replace("\n", ""),
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(month(o_orderdate) AS BIGINT) AS mon,
+        | CAST(day(o_orderdate) AS BIGINT) AS dom,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | last_day(o_orderdate) AS month_end,
+        | CAST(o_orderdate AS DATE) AS ord_date
+        | FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", ""),
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(abs(l_extendedprice - 50000.0), 2) AS abs_diff,
+        | CAST(floor(l_quantity) AS BIGINT) AS floor_q,
+        | CAST(ceil(l_quantity) AS BIGINT) AS ceil_q,
+        | round(sqrt(l_extendedprice), 6) AS sqrt_p,
+        | round(ln(l_extendedprice), 6) AS ln_p,
+        | round(exp(l_discount), 6) AS exp_d,
+        | round(pow(l_quantity, 2.0), 2) AS pow_q,
+        | l_orderkey % 7 AS mod_k,
+        | greatest(l_tax, l_discount) AS gr,
+        | least(l_tax, l_discount) AS le
+        | FROM lineitem WHERE l_orderkey <= 200
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", ""),
+    "q_case_null" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderstatus = 'F' THEN 'finished'
+        |      WHEN o_orderstatus = 'O' THEN 'open'
+        |      ELSE 'other' END AS status_label,
+        | coalesce(nullif(o_orderpriority, '1-URGENT'), 'urgent') AS prio,
+        | CASE WHEN o_totalprice >= 250000 THEN 'big'
+        |      WHEN o_totalprice >= 100000 THEN 'mid'
+        |      ELSE 'small' END AS size_class,
+        | nullif(o_orderstatus, 'P') AS status_or_null
+        | FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", "")
+  )
+}

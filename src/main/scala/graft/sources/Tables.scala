@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Parquet source helpers over the driver's synthetic star schema
   * (see /root/repo/TESTDATA.md).
@@ -26,7 +28,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects outright. Sessions must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[graft.GraftSession]]
+    * / Verify / Bench); the ns longs are then converted to µs timestamps
+    * here with exact integral division (the data is µs-aligned, and the
+    * DuckDB oracle compares at µs via `epoch_us`). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = apply(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
