@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for LLM-data pipelines, as pure Column
+  * expressions (whole-stage-codegen'd higher-order functions — no UDFs,
+  * so Catalyst can push/prune around them and nothing leaves the codegen
+  * hot path).
+  *
+  * Every function here has an exact ANSI-SQL mirror (see the oracle SQL
+  * in graft.queries.*) built on the same md5-based hashing, so results
+  * are engine-independent and deterministic — a requirement for
+  * reproducible dedup decisions when a 100 TB corpus is re-sharded.
+  */
+object TextFunctions {
+
+  /** Lowercase, strip non-alphanumerics, collapse whitespace. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normalizeText(c), " ")
+
+  /** Deterministic 60-bit hash of a string: first 15 hex chars of md5.
+    * Mirror: `('0x' || substr(md5(s), 1, 15))::BIGINT`. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash family member `seed`. */
+  def hash60(seed: Int, c: Column): Column =
+    hash60(concat(lit(s"$seed:"), c))
+
+  /** `n`-token shingles ("a b c" strings). Empty array when the doc has
+    * fewer than `n` tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** One MinHash signature component: min over shingles of hash family
+    * member `seed`. Null for empty shingle sets. */
+  def minhash(shin: Column, seed: Int): Column =
+    array_min(transform(shin, s => hash60(seed, s)))
+
+  /** k-bit SimHash over tokens: bit b is the sign of the ±1 vote sum of
+    * each token's hash bit b. The per-bit fold stays inside codegen;
+    * `bits` ≤ 32 keeps expression size sane (64-bit production variant
+    * is the same shape over two 32-bit halves). */
+  def simhash(toks: Column, bits: Int): Column =
+    (0 until bits).map { b =>
+      when(aggregate(toks, lit(0L),
+        (acc, t) => acc + when((shiftright(hash60(t), b) % 2) === 1, 1L).otherwise(-1L)
+      ) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Count of tokens present in `stopwords` (multiset semantics). */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(stopwords))).cast("long")
+
+  /** Exact-content fingerprint: md5 of the normalized text. */
+  def fingerprintExact(c: Column): Column = md5(normalizeText(c))
+
+  /** Order/duplication-insensitive fingerprint: md5 over the sorted
+    * distinct token set — detects shuffled near-copies. */
+  def fingerprintShuffle(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
+}
