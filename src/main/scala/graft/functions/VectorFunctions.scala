@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
   * expressions.
   *
   * Accumulation discipline: every reduction is a sequential left fold in
-  * DOUBLE (`aggregate` / `zip_with`), which is bit-identical to DuckDB's
-  * `list_sum(list_transform(...))` on `::DOUBLE` — verified empirically —
-  * so similarity thresholds cut identically in both engines. Don't swap
-  * in float SIMD kernels on the oracle path.
+  * DOUBLE (`aggregate` / `zip_with`), which matches DuckDB's
+  * `list_sum(list_transform(...))` on `::DOUBLE` operands, so similarity
+  * thresholds cut identically in both engines. Don't swap in float SIMD
+  * kernels on the oracle path.
   */
 object VectorFunctions {
 
@@ -25,26 +25,42 @@ object VectorFunctions {
   /** Cosine similarity in double precision. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Deterministic pseudo-random hyperplane component for plane `j`,
-    * dimension `i` (1-based Column): md5-hash mapped to [-1, 1].
-    * At production scale you'd materialize the planes once and broadcast
-    * them; the inline-expression form keeps the operator fully
-    * declarative and oracle-mirrorable. */
-  def planeComponent(j: Int, i: Column): Column =
-    ((TextFunctions.hash60(concat(lit(s"p$j:"), i.cast("string"))) % 2001L)
-      - 1000L).cast("double") / 1000.0
+  /** Pure-Scala md5-based 60-bit hash — same value as
+    * [[TextFunctions.hash60]] so driver-side constants and executor-side
+    * expressions share one hash family. */
+  def hash60Scala(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
 
-  /** Σ vᵢ·planeⱼᵢ — projection of `v` (array<float>, `dim` components)
-    * onto deterministic hyperplane `j`. */
-  def planeDot(v: Column, j: Int, dim: Int): Column =
-    aggregate(
-      transform(sequence(lit(1), lit(dim)),
-        i => element_at(v, i).cast("double") * planeComponent(j, i)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Deterministic random-hyperplane matrix, materialized ONCE on the
+    * driver (components in [-1, 1], 3 exact decimal digits so literals
+    * parse to identical doubles in any engine). Shipped to executors as
+    * plan literals — i.e. broadcast with the serialized plan, never
+    * recomputed per row. This replaces the earlier per-row md5 scheme
+    * (2048 md5 evals/row at 128-dim × 16 planes) that would have been the
+    * slowest scan stage in the pipeline. */
+  def planeMatrix(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (j, i0) =>
+      ((hash60Scala(s"p$j:${i0 + 1}") % 2001L) - 1000L) / 1000.0
+    }
 
-  /** `nPlanes`-bit random-hyperplane LSH bucket id (sign signature). */
-  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
-    (0 until nPlanes).map { j =>
-      when(planeDot(v, j, dim) > 0, lit(1L << j)).otherwise(lit(0L))
+  /** Projection of `v` (array<float>) onto one materialized plane,
+    * rounded to 6 dp so the sign test is stable across engines. */
+  def planeDot(v: Column, plane: Array[Double]): Column =
+    round(aggregate(
+      zip_with(v, typedLit(plane.toSeq), (x, p) => x.cast("double") * p),
+      lit(0.0), (acc, x) => acc + x), 6)
+
+  /** Sign-signature LSH bucket id over the materialized plane matrix:
+    * bit j set ⇔ v · planeⱼ > 0. Collision probability between two
+    * vectors decays with their angle — vectors in the same bucket are
+    * cosine-similar candidates, so ANN search only compares within
+    * buckets (the 100 TB path: a bucket-key shuffle instead of an
+    * all-pairs cross join). */
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(planeDot(v, p) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 }
