@@ -16,7 +16,10 @@ object SparkEntry {
     ParityQueries,
     RelationalQueries,
     ScalarQueries,
-    EventQueries
+    EventQueries,
+    DedupQueries,
+    VectorQueries,
+    TextStatsQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

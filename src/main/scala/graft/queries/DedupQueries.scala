@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** Deduplication operators for LLM-data pipelines over the `documents`
+  * table — the north-star extension band (SURVEY §7.1 M6; the reference
+  * has no dedup, its closest artifact is the inverted index's in-reducer
+  * `HashSet` dedup, `trace-insertindex-job/.../TraceInsertIndexReducer.java:132-135`).
+  *
+  * Every pipeline here is bucketed, never all-pairs: candidate pairs come
+  * from equality joins on deterministic keys (fingerprints, MinHash
+  * bands, sampled shingle hashes, SimHash halves), so at 100 TB each is
+  * one hash-shuffle on the candidate key followed by a verify join —
+  * the same shape Spark would use for any large equi-join, AQE-coalesced
+  * and skew-splittable. The hash family is md5-based ([[TextFunctions]])
+  * and engine-independent, so dedup decisions are reproducible when the
+  * corpus is re-sharded, and DuckDB mirrors them bit-for-bit.
+  */
+object DedupQueries extends QueryModule {
+
+  /** 3-token shingles, deduplicated — the unit of near-dup similarity. */
+  private def shingleSet(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"),
+        array_distinct(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3))
+          .as("shin"))
+      .filter(size(col("shin")) > 0)
+  }
+
+  /** Rounded shingle-set Jaccard of a candidate pair. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    round(inter / (size(a) + size(b) - inter), 6)
+  }
+
+  /** Verify join: attach both shingle sets to candidate (doc_a, doc_b)
+    * pairs and keep those with Jaccard ≥ `thresh`. */
+  private def verifyPairs(cand: DataFrame, base: DataFrame, thresh: Double): DataFrame =
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("shin").as("shin_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("shin").as("shin_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("shin_a"), col("shin_b")).as("jaccard"))
+      .filter(col("jaccard") >= thresh)
+      .orderBy("doc_a", "doc_b")
+
+  private val minhashSeeds = 8 // 4 bands × 2 rows
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group by content fingerprint, keep the min doc_id.
+    // One shuffle on the fingerprint (window ≡ groupBy partitioning).
+    "q_dedup_exact" -> ((s, d) => {
+      val w = Window.partitionBy("fp")
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.fingerprintExact(col("text")).as("fp"))
+        .withColumn("keeper_id", min("doc_id").over(w))
+        .withColumn("is_keeper", col("doc_id") === col("keeper_id"))
+        .orderBy("doc_id")
+    }),
+
+    // Order/duplication-insensitive dedup: docs whose sorted distinct
+    // token sets collide (detects shuffled copies). Report groups ≥ 2.
+    "q_dedup_shuffled" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.fingerprintShuffle(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(count("*").as("dup_count"), min("doc_id").as("keeper_id"),
+          concat_ws(",", transform(array_sort(collect_list(col("doc_id"))),
+            _.cast("string"))).as("doc_ids"))
+        .filter(col("dup_count") >= 2)
+        .orderBy("fp")),
+
+    // MinHash + banded LSH near-dup: 8 signature components in 4 bands
+    // of 2; docs agreeing on any band become candidates (bucket join on
+    // the band key — never all-pairs), then exact Jaccard ≥ 0.5 verify.
+    "q_near_dup_minhash" -> ((s, d) => {
+      val base = shingleSet(s, d)
+      val sigs = base.select(
+        col("doc_id") +: col("shin") +:
+          (0 until minhashSeeds).map(i =>
+            TextFunctions.minhash(col("shin"), i).as(s"sig$i")): _*)
+      val bands = sigs.select(col("doc_id"),
+        explode(array((0 until minhashSeeds / 2).map(j =>
+          concat_ws(":", lit(j.toString),
+            col(s"sig${2 * j}").cast("string"),
+            col(s"sig${2 * j + 1}").cast("string"))): _*)).as("bkey"))
+      val cand = bands.as("a")
+        .join(bands.as("b"), col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      verifyPairs(cand, base, 0.5)
+    }),
+
+    // n-gram Jaccard near-dup with sampled-shingle candidates: shingles
+    // whose hash ≡ 0 (mod 8) act as candidate keys (~1/8 of shingles;
+    // a J≥0.5 pair shares dozens, so the miss probability is <0.2% —
+    // and identical in the oracle since the sampling is deterministic).
+    "q_ngram_jaccard" -> ((s, d) => {
+      val base = shingleSet(s, d)
+      val sampled = base
+        .select(col("doc_id"), explode(col("shin")).as("sh"))
+        .select(col("doc_id"), TextFunctions.hash60(col("sh")).as("h"))
+        .filter(col("h") % 8 === 0)
+        .distinct()
+      val cand = sampled.as("a")
+        .join(sampled.as("b"), col("a.h") === col("b.h")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      verifyPairs(cand, base, 0.5)
+    }),
+
+    // SimHash near-dup: 32-bit token-vote signature; candidates share a
+    // 16-bit half (any hamming-≤16 pair must agree on one half — exact
+    // recall for the ≤8 cutoff would need 4×8-bit bands; halves keep the
+    // candidate volume low and the miss deterministic), verified by
+    // hamming distance ≤ 8.
+    "q_near_dup_simhash" -> ((s, d) => {
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.simhash(TextFunctions.tokens(col("text")), 32).as("sh"))
+      val bands = sh.select(col("doc_id"), explode(array(
+        concat_ws(":", lit("0"), (col("sh").bitwiseAND(lit(0xFFFFL))).cast("string")),
+        concat_ws(":", lit("1"), shiftright(col("sh"), 16).cast("string"))))
+        .as("bkey"))
+      val cand = bands.as("a")
+        .join(bands.as("b"), col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 8)
+        .orderBy("doc_a", "doc_b")
+    })
+  )
+
+  import OracleSql._
+
+  /** Shared CTE prefix: tokens → distinct 3-shingles per doc. */
+  private val baseCte =
+    s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+       | base AS (SELECT doc_id,
+       |   list_distinct(list_transform(generate_series(1, len(t)-2),
+       |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shin
+       |  FROM tok WHERE len(t) >= 3)""".stripMargin.replace("\n", "")
+
+  private def jaccardSql(a: String, b: String): String =
+    s"round(len(list_intersect($a,$b))::DOUBLE / (len($a)+len($b)-len(list_intersect($a,$b))), 6)"
+
+  private val verifySql =
+    s""", pairs AS (SELECT doc_a, doc_b, ${jaccardSql("sa.shin", "sb.shin")} AS jaccard
+       |  FROM cand JOIN base sa ON sa.doc_id = cand.doc_a
+       |            JOIN base sb ON sb.doc_id = cand.doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", "")
+
+  def oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""SELECT doc_id, md5(${norm("text")}) AS fp,
+         | min(doc_id) OVER (PARTITION BY md5(${norm("text")})) AS keeper_id,
+         | doc_id = min(doc_id) OVER (PARTITION BY md5(${norm("text")})) AS is_keeper
+         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    "q_dedup_shuffled" ->
+      s"""SELECT fp, count(*) AS dup_count, min(doc_id) AS keeper_id,
+         | array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+         | FROM (SELECT doc_id,
+         |   md5(array_to_string(list_sort(list_distinct(${toks("text")})), ' ')) AS fp
+         |  FROM documents) GROUP BY fp HAVING count(*) >= 2 ORDER BY fp"""
+        .stripMargin.replace("\n", ""),
+
+    "q_near_dup_minhash" -> {
+      val sigCols = (0 until minhashSeeds).map(i =>
+        s"list_min(list_transform(shin, s -> ${hash60(s"'$i:' || s")})) AS sig$i")
+        .mkString(", ")
+      val bandList = (0 until minhashSeeds / 2).map(j =>
+        s"'$j:' || sig${2 * j}::VARCHAR || ':' || sig${2 * j + 1}::VARCHAR")
+        .mkString("[", ", ", "]")
+      s"""$baseCte,
+         | sig AS (SELECT doc_id, $sigCols FROM base WHERE len(shin) > 0),
+         | bands AS (SELECT doc_id, unnest($bandList) AS bkey FROM sig),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |   FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |$verifySql""".stripMargin.replace("\n", "")
+    },
+
+    "q_ngram_jaccard" ->
+      s"""$baseCte,
+         | sampled AS (SELECT DISTINCT doc_id, h FROM (
+         |    SELECT doc_id, ${hash60("unnest(shin)")} AS h FROM base)
+         |   WHERE h % 8 = 0),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |   FROM sampled a JOIN sampled b ON a.h = b.h AND a.doc_id < b.doc_id)
+         |$verifySql""".stripMargin.replace("\n", ""),
+
+    "q_near_dup_simhash" -> {
+      val bitVotes = (0 until 32).map(b =>
+        s"(CASE WHEN list_sum(list_transform(t, x -> CASE WHEN (${hash60("x")} >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString("(", " + ", ")::BIGINT")
+      s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+         | sh AS (SELECT doc_id, $bitVotes AS sh FROM tok),
+         | bands AS (SELECT doc_id, unnest([
+         |    '0:' || (sh & 65535)::VARCHAR, '1:' || (sh >> 16)::VARCHAR]) AS bkey FROM sh),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |   FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(sa.sh, sb.sh))::BIGINT AS hamming
+         | FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+         |           JOIN sh sb ON sb.doc_id = cand.doc_b
+         | WHERE bit_count(xor(sa.sh, sb.sh)) <= 8
+         | ORDER BY doc_a, doc_b""".stripMargin.replace("\n", "")
+    }
+  )
+}

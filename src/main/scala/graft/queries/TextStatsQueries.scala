@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** Text-analysis operators for LLM-data pipelines over `documents`:
+  * language ID, quality scoring, token counting, document
+  * fingerprinting (north-star band, SURVEY §7.1 M6).
+  *
+  * All pure per-row Column expressions — no shuffle at all except the
+  * final presentation ORDER BY, so at 100 TB each is a single
+  * map-only scan pass that Catalyst fuses into one codegen stage with
+  * column pruning down to (doc_id, text).
+  */
+object TextStatsQueries extends QueryModule {
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "y", "las"))
+
+  /** Marker-token language scores with a deterministic arg-max
+    * (first-listed language wins ties); CJK codepoints short-circuit
+    * to zh. A real lang-ID model would use char n-gram profiles — the
+    * plumbing (per-row scoring, no shuffle) is identical. */
+  private def langId(text: Column, toks: Column): Column = {
+    // arg-max chain: en ≥ all → en; else de ≥ rest → de; else fr ≥ es → fr.
+    val Seq(en, de, fr, es) =
+      markers.map { case (_, ws) => TextFunctions.stopwordHits(toks, ws) }
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"), col("lang"),
+          langId(col("text"), TextFunctions.tokens(col("text"))).as("pred_lang"))
+        .withColumn("is_match", col("pred_lang") === col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Heuristic quality signals: token count, mean token length,
+    // stopword ratio, alphabetic-character ratio, bucketed verdict.
+    "q_quality_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = TextFunctions.tokens(col("text"))
+      val normed = TextFunctions.normalizeText(col("text"))
+      val nToks = size(toks).cast("long")
+      val stopHits = TextFunctions.stopwordHits(toks,
+        Seq("the", "a", "of", "and", "to", "in"))
+      docs.select(col("doc_id"),
+          nToks.as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          round(length(regexp_replace(normed, " ", "")).cast("double") / nToks, 6)
+            .as("avg_token_len"),
+          round(stopHits.cast("double") / nToks, 6).as("stopword_ratio"),
+          round(length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+            .cast("double") / length(col("text")), 6).as("alpha_ratio"))
+        .withColumn("quality",
+          when(col("n_tokens") >= 20 && col("stopword_ratio").between(0.01, 0.6), "good")
+            .when(col("n_tokens") >= 5, "fair")
+            .otherwise("poor"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting under three tokenizers: raw whitespace, a BPE-ish
+    // word/punctuation regex, and the normalized pipeline tokenizer.
+    "q_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"))
+            .cast("long").as("re_tokens"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("norm_tokens"))
+        .orderBy("doc_id")),
+
+    // Mod-p sampled k-gram fingerprint (winnowing-style): the sorted set
+    // of shingle hashes ≡ 0 (mod 8), digested to one md5. Two docs share
+    // sampled hashes ⇔ they share shingles — a compact sketch for
+    // containment checks that needs no shuffle to compute.
+    "q_doc_fingerprint" -> ((s, d) => {
+      val shin = array_distinct(
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3))
+      val sampled = array_sort(array_distinct(filter(
+        transform(shin, sh => TextFunctions.hash60(sh)), h => h % 8 === 0)))
+      Tables.documents(s, d).select(col("doc_id"),
+          size(shin).cast("long").as("n_shingles"),
+          size(sampled).cast("long").as("n_sampled"),
+          md5(concat_ws(",", transform(sampled, _.cast("string")))).as("fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  import OracleSql._
+
+  def oracle: Map[String, String] = {
+    val markerSql = markers.map { case (lang, ws) =>
+      lang -> s"len(list_filter(t, x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
+    }.toMap
+    Map(
+      "q_lang_id" ->
+        s"""SELECT doc_id, lang,
+           | CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           |   WHEN ${markerSql("en")} >= ${markerSql("de")} AND ${markerSql("en")} >= ${markerSql("fr")} AND ${markerSql("en")} >= ${markerSql("es")} THEN 'en'
+           |   WHEN ${markerSql("de")} >= ${markerSql("fr")} AND ${markerSql("de")} >= ${markerSql("es")} THEN 'de'
+           |   WHEN ${markerSql("fr")} >= ${markerSql("es")} THEN 'fr'
+           |   ELSE 'es' END AS pred_lang,
+           | pred_lang = lang AS is_match
+           | FROM (SELECT doc_id, lang, text, ${toks("text")} AS t FROM documents)
+           | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+      "q_quality_score" ->
+        s"""SELECT doc_id, len(t)::BIGINT AS n_tokens, length(text)::BIGINT AS n_chars,
+           | round(length(replace(n, ' ', ''))::DOUBLE / len(t), 6) AS avg_token_len,
+           | round(len(list_filter(t, x -> x IN ('the','a','of','and','to','in')))::DOUBLE / len(t), 6) AS stopword_ratio,
+           | round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text), 6) AS alpha_ratio,
+           | CASE WHEN len(t) >= 20 AND round(len(list_filter(t, x -> x IN ('the','a','of','and','to','in')))::DOUBLE / len(t), 6) BETWEEN 0.01 AND 0.6 THEN 'good'
+           |   WHEN len(t) >= 5 THEN 'fair' ELSE 'poor' END AS quality
+           | FROM (SELECT doc_id, text, ${norm("text")} AS n, ${toks("text")} AS t FROM documents)
+           | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+      "q_token_count" ->
+        s"""SELECT doc_id,
+           | len(string_split_regex(text, '\\s+'))::BIGINT AS ws_tokens,
+           | len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS re_tokens,
+           | len(${toks("text")})::BIGINT AS norm_tokens
+           | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+      "q_doc_fingerprint" ->
+        s"""WITH base AS (SELECT doc_id,
+           |   list_distinct(list_transform(generate_series(1, len(t)-2),
+           |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shin
+           |  FROM (SELECT doc_id, ${toks("text")} AS t FROM documents)),
+           | samp AS (SELECT doc_id, len(shin)::BIGINT AS n_shingles,
+           |   list_sort(list_distinct(list_filter(
+           |     list_transform(shin, s -> ${hash60("s")}), h -> h % 8 = 0))) AS sampled
+           |  FROM base)
+           |SELECT doc_id, n_shingles, len(sampled)::BIGINT AS n_sampled,
+           | md5(coalesce(array_to_string(list_transform(sampled, x -> x::VARCHAR), ','), '')) AS fp
+           | FROM samp ORDER BY doc_id""".stripMargin.replace("\n", "")
+    )
+  }
+}

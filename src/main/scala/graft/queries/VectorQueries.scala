@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim `array<float>`), the similarity-search band of the north-star
+  * extension set (SURVEY §7.1 M6; absent from the reference).
+  *
+  * Two plans for the same question:
+  *  - `q_ann_brute`: exact top-k for a probe subset, broadcast probes ×
+  *    full scan. The 100 TB shape for "search the corpus with a small
+  *    query batch": the corpus is scanned once, never shuffled, and the
+  *    probe batch rides along in the broadcast.
+  *  - `q_ann_lsh`: random-hyperplane LSH buckets; top-k within bucket.
+  *    The 100 TB shape for all-vectors self-search: one hash-shuffle on
+  *    the bucket id replaces the quadratic cross join. Recall trades off
+  *    with plane count; planes are a driver-side literal matrix
+  *    ([[VectorFunctions.planeMatrix]]), so both engines hash identically.
+  *
+  * All cosine arithmetic is the shared sequential-double fold of
+  * [[VectorFunctions]], rounded to 6 dp before ranking so order and
+  * threshold cuts are engine-independent.
+  */
+object VectorQueries extends QueryModule {
+
+  private val dim = 64
+  private val nPlanes = 6
+  private lazy val planes = VectorFunctions.planeMatrix(nPlanes, dim)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact cosine top-3 for probes (vec_id ≡ 0 mod 25), probes broadcast
+    // against one pass over the corpus.
+    "q_ann_brute" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val scored = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("cand_id"),
+          round(VectorFunctions.cosine(col("pv"), col("embedding")), 6).as("cos_sim"))
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("cand_id"))))
+        .filter(col("rnk") <= 3)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // LSH-bucketed top-3 neighbors for every vector: join within bucket.
+    "q_ann_lsh" -> ((s, d) => {
+      val b = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        VectorFunctions.lshBucket(col("embedding"), planes).as("bucket"))
+      val probes = b.select(col("bucket"), col("vec_id").as("probe_id"),
+        col("embedding").as("pv"))
+      val cands = b.select(col("bucket"), col("vec_id").as("cand_id"),
+        col("embedding").as("cv"))
+      probes.join(cands, "bucket")
+        .filter(col("probe_id") =!= col("cand_id"))
+        .select(col("probe_id"), col("cand_id"),
+          round(VectorFunctions.cosine(col("pv"), col("cv")), 6).as("cos_sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("cand_id"))))
+        .filter(col("rnk") <= 3)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Embedding-cosine near-dup pairs: same LSH bucket ∧ cosine ≥ 0.35.
+    "q_embed_near_dup" -> ((s, d) => {
+      val b = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        VectorFunctions.lshBucket(col("embedding"), planes).as("bucket"))
+      val l = b.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("va"))
+      val r = b.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+      l.join(r, "bucket")
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.35)
+        .orderBy("vec_a", "vec_b")
+    })
+  )
+
+  import OracleSql.{dot, l2Norm, lshBucket}
+
+  private def cosSql(a: String, b: String): String =
+    s"round(${dot(a, b, dim)} / (${l2Norm(a, dim)} * ${l2Norm(b, dim)}), 6)"
+
+  private val bucketCte =
+    s"WITH buck AS (SELECT vec_id, embedding, ${lshBucket("embedding", planes, dim)} AS bucket FROM embeddings)"
+
+  def oracle: Map[String, String] = Map(
+    "q_ann_brute" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv
+         |   FROM embeddings WHERE vec_id % 25 = 0),
+         | scored AS (SELECT probe_id, e.vec_id AS cand_id,
+         |   ${cosSql("pv", "e.embedding")} AS cos_sim
+         |  FROM p, embeddings e WHERE e.vec_id != probe_id),
+         | r AS (SELECT probe_id, cand_id, cos_sim, row_number() OVER
+         |   (PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id) AS rnk FROM scored)
+         |SELECT probe_id, cand_id, cos_sim, rnk FROM r WHERE rnk <= 3
+         |ORDER BY probe_id, rnk""".stripMargin.replace("\n", ""),
+
+    "q_ann_lsh" ->
+      s"""$bucketCte,
+         | scored AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+         |   ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+         |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+         | r AS (SELECT probe_id, cand_id, cos_sim, row_number() OVER
+         |   (PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id) AS rnk FROM scored)
+         |SELECT probe_id, cand_id, cos_sim, rnk FROM r WHERE rnk <= 3
+         |ORDER BY probe_id, rnk""".stripMargin.replace("\n", ""),
+
+    "q_embed_near_dup" ->
+      s"""$bucketCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |   ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+         | FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         | WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+         | ORDER BY vec_a, vec_b""".stripMargin.replace("\n", "")
+  )
+}
