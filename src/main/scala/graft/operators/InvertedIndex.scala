@@ -24,12 +24,16 @@ import org.apache.spark.sql.functions._
 object InvertedIndex {
 
   /** Parse reference-format `word \t docId` lines, dropping malformed
-    * rows (blank or tab-less — `TraceInsertIndexMapper.java:103-115`). */
+    * rows. Mirrors `TraceInsertIndexMapper.java:103-115` exactly:
+    * Java-trim the line (strips tabs too, so a lone "\t" is blank, not a
+    * pair), drop if empty, split on the first tab, drop if no tab
+    * remains. */
   def parsePairs(lines: DataFrame, textCol: String = "value"): DataFrame = {
-    val parts = split(col(textCol), "\t", 2)
     lines
-      .filter(length(trim(col(textCol))) > 0 && col(textCol).contains("\t"))
-      .select(parts.getItem(0).as("word"), parts.getItem(1).as("doc_id"))
+      .select(trim(col(textCol), " \t\r\n\u000B\f").as("_line"))
+      .filter(length(col("_line")) > 0 && col("_line").contains("\t"))
+      .select(split(col("_line"), "\t", 2).getItem(0).as("word"),
+        split(col("_line"), "\t", 2).getItem(1).as("doc_id"))
   }
 
   /** `word → "d1,d2,..."` with the posting list deduplicated and sorted. */

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Unit tests for the LLM-pipeline building blocks: shingles, hashing,
+  * MinHash/SimHash, and vector math — including the driver-side /
+  * executor-side hash-family consistency the dedup oracle mirrors rely
+  * on. */
+class FunctionsSpec extends AnyFunSuite with SparkSpec {
+
+  private def one[T](c: org.apache.spark.sql.Column): T = {
+    spark.range(1).select(c.as("v")).collect()(0).getAs[T]("v")
+  }
+
+  test("hash60 expression equals hash60Scala for the same input") {
+    for (s <- Seq("", "a", "p3:17", "the quick brown fox", "ω unicode")) {
+      assert(one[Long](TextFunctions.hash60(lit(s))) == VectorFunctions.hash60Scala(s),
+        s"mismatch for '$s'")
+    }
+  }
+
+  test("normalizeText lowercases, strips punctuation, collapses whitespace") {
+    assert(one[String](TextFunctions.normalizeText(lit("The  quick, brown FOX!"))) ==
+      "the quick brown fox")
+    assert(one[String](TextFunctions.normalizeText(lit("  a1 b2  "))) == "a1 b2")
+    assert(one[String](TextFunctions.normalizeText(lit("..."))) == "")
+  }
+
+  test("shingles: n-grams of tokens; empty when fewer than n tokens") {
+    val toks = TextFunctions.tokens(lit("a b c d"))
+    assert(one[scala.collection.Seq[String]](TextFunctions.shingles(toks, 3)).toSeq ==
+      Seq("a b c", "b c d"))
+    assert(one[scala.collection.Seq[String]](
+      TextFunctions.shingles(TextFunctions.tokens(lit("a b")), 3)).toSeq ==
+      Seq.empty[String])
+  }
+
+  test("minhash is the min of the seeded shingle hashes") {
+    val shin = Seq("a b c", "b c d")
+    val expected = shin.map(s => VectorFunctions.hash60Scala(s"7:$s")).min
+    val got = one[Long](TextFunctions.minhash(
+      typedLit(shin), 7))
+    assert(got == expected)
+  }
+
+  test("simhash of identical token lists is identical; fits in `bits` bits") {
+    val a = one[Long](TextFunctions.simhash(TextFunctions.tokens(lit("x y z x")), 32))
+    val b = one[Long](TextFunctions.simhash(TextFunctions.tokens(lit("x  y z x ")), 32))
+    assert(a == b) // normalization makes them the same token list
+    assert(a >= 0 && a < (1L << 32))
+  }
+
+  test("fingerprintExact collides exactly on normalization-equivalent text") {
+    val f1 = one[String](TextFunctions.fingerprintExact(lit("The fox!")))
+    val f2 = one[String](TextFunctions.fingerprintExact(lit("the   fox")))
+    val f3 = one[String](TextFunctions.fingerprintExact(lit("the fox jumps")))
+    assert(f1 == f2 && f1 != f3)
+  }
+
+  test("fingerprintShuffle is order- and duplication-insensitive") {
+    val f1 = one[String](TextFunctions.fingerprintShuffle(lit("b a c a")))
+    val f2 = one[String](TextFunctions.fingerprintShuffle(lit("a b c")))
+    assert(f1 == f2)
+  }
+
+  test("cosine: 1 for identical vectors, 0 for orthogonal, symmetric") {
+    val v = typedLit(Seq(1.0f, 2.0f, 3.0f))
+    val w = typedLit(Seq(-2.0f, 1.0f, 0.0f))
+    assert(math.abs(one[Double](VectorFunctions.cosine(v, v)) - 1.0) < 1e-12)
+    assert(math.abs(one[Double](VectorFunctions.cosine(v, w))) < 1e-12)
+    assert(one[Double](VectorFunctions.cosine(v, w)) ==
+      one[Double](VectorFunctions.cosine(w, v)))
+  }
+
+  test("planeMatrix is deterministic with entries in [-1, 1]") {
+    val p1 = VectorFunctions.planeMatrix(4, 8)
+    val p2 = VectorFunctions.planeMatrix(4, 8)
+    assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq)
+    assert(p1.flatten.forall(x => x >= -1.0 && x <= 1.0))
+  }
+
+  test("lshBucket lands in [0, 2^nPlanes) and identical vectors share a bucket") {
+    val planes = VectorFunctions.planeMatrix(4, 3)
+    val v = typedLit(Seq(0.5f, -0.25f, 0.125f))
+    val b1 = one[Long](VectorFunctions.lshBucket(v, planes))
+    val b2 = one[Long](VectorFunctions.lshBucket(v, planes))
+    assert(b1 == b2 && b1 >= 0 && b1 < 16)
+  }
+}

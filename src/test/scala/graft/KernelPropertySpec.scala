@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GlobalSort, InvertedIndex, WordCount}
+
+/** Property-based kernel checks (SURVEY §5): each kernel against an
+  * independent plain-Scala model, plus invariance under input
+  * repartitioning (the property the reference relies on implicitly when
+  * it splits input across part files).
+  *
+  * Uses raw ScalaCheck generators with fixed seeds (the offline cache has
+  * no scalatestplus bridge); deterministic across runs by construction.
+  */
+class KernelPropertySpec extends AnyFunSuite with SparkSpec {
+
+  /** Deterministic samples of `gen`. */
+  private def samples[A](gen: Gen[A], n: Int = 10, size: Int = 40): Seq[A] =
+    (1 to n).map(i =>
+      gen.pureApply(Gen.Parameters.default.withSize(size), Seed(i.toLong)))
+
+  private def df(ls: Seq[String]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ls.toDF("value")
+  }
+
+  private val lineGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(6)),
+      Gen.oneOf("The", "fox!", "123", "don't", "", "  ")))
+      .map(_.mkString(" "))
+
+  private val linesGen: Gen[List[String]] = Gen.listOf(lineGen)
+
+  test("wordcount == brute-force token multiset count") {
+    for (ls <- samples(linesGen)) {
+      val model = ls.flatMap(_.split("\\s+"))
+        .map(_.toLowerCase.replaceAll("[^a-z]", ""))
+        .filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = WordCount(df(ls)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == model, s"input: $ls")
+    }
+  }
+
+  test("wordcount is invariant under input partitioning") {
+    for (ls <- samples(linesGen, n = 5)) {
+      val base = WordCount(df(ls)).collect().toSeq
+      val re = WordCount(df(ls).repartition(7)).collect().toSeq
+      assert(base == re, s"input: $ls")
+    }
+  }
+
+  test("global sort is an ordered permutation of its input") {
+    for (ls <- samples(linesGen)) {
+      val got = GlobalSort(df(ls), "value").collect().map(_.getString(0)).toSeq
+      assert(got == ls.sorted, s"input: $ls")
+    }
+  }
+
+  private val pairLineGen: Gen[String] = Gen.oneOf(
+    for {
+      w <- Gen.oneOf("apple", "banana", "cat", "zebra", "ω")
+      d <- Gen.choose(1, 9)
+    } yield s"$w\tdoc$d",
+    Gen.oneOf("", "   ", "notab", "a b c", "\t"))
+
+  test("inverted index == brute-force group-by-set of well-formed pairs") {
+    for (ls <- samples(Gen.listOf(pairLineGen))) {
+      val model = ls
+        .map(_.replaceAll("^\\s+|\\s+$", "")) // Java-trim incl. tabs
+        .filter(l => l.nonEmpty && l.contains("\t"))
+        .map { l => val p = l.split("\t", 2); (p(0), p(1)) }
+        .distinct
+        .groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted.mkString(",")).toMap
+      val got = InvertedIndex(InvertedIndex.parsePairs(df(ls)))
+        .collect().map(r => r.getString(0) -> r.getString(1))
+      assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+      assert(got.toMap == model, s"input: $ls")
+    }
+  }
+
+  test("salted postings ≡ plain postings on skewed input") {
+    for (ls <- samples(Gen.listOf(pairLineGen), n = 5)) {
+      val pairs = InvertedIndex.parsePairs(df(ls ++ Seq.fill(50)("hot\tdocX")))
+      val plain = InvertedIndex.postings(pairs, col("word"), col("doc_id")).collect().toSeq
+      val salted = InvertedIndex.saltedPostings(pairs, col("word"), col("doc_id")).collect().toSeq
+      assert(plain == salted, s"input: $ls")
+    }
+  }
+}
