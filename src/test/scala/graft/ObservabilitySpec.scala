@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.observe._
+import graft.operators.WordCount
+
+/** Observability layer tests (SURVEY §7.1 M2): signature stability,
+  * trace propagation, and span/metric emission for a real query. */
+class ObservabilitySpec extends AnyFunSuite with SparkSpec {
+
+  private def lines(ls: Seq[String]) = {
+    val s = spark
+    import s.implicits._
+    ls.toDF("value")
+  }
+
+  private val fixture = Seq("the quick brown fox", "the lazy dog")
+
+  test("sigv1 is stable across identical pipelines and runs") {
+    val a = PlanSignature.sigv1(WordCount(lines(fixture)))
+    val b = PlanSignature.sigv1(WordCount(lines(fixture)))
+    assert(a == b)
+    assert(a.matches("[0-9a-f]{64}"))
+  }
+
+  test("sigv1 ignores literal values and data location but sees structure") {
+    // Same pipeline, different data → same shape (≙ reference signature
+    // excluding input paths).
+    val a = PlanSignature.sigv1(WordCount(lines(fixture)))
+    val b = PlanSignature.sigv1(WordCount(lines(Seq("entirely different words here"))))
+    assert(a == b)
+    // Different pipeline → different signature.
+    val c = PlanSignature.sigv1(WordCount(lines(fixture)).limit(5))
+    assert(a != c)
+  }
+
+  test("traceparent round-trips W3C format and propagates to tasks") {
+    val ctx = TraceContext.create()
+    assert(ctx.traceparent.matches("00-[0-9a-f]{32}-[0-9a-f]{16}-01"))
+    assert(TraceContext.parse(ctx.traceparent).contains(ctx))
+    assert(TraceContext.parse("garbage").isEmpty)
+
+    TraceContext.inject(spark, ctx)
+    val s = spark
+    import s.implicits._
+    // Executor-side extraction (T3 analog): read the local property
+    // inside a task.
+    val seen = spark.range(0, 4, 1, 2).mapPartitions { _ =>
+      Iterator(TraceContext.fromTask().map(_.traceId).getOrElse("missing"))
+    }.collect().toSet
+    assert(seen == Set(ctx.traceId))
+    spark.sparkContext.setLocalProperty(TraceContext.PropertyKey, null)
+  }
+
+  test("TraceListener emits job/task/query spans with TaskMetrics for q_wordcount") {
+    val exporter = new InMemoryExporter
+    val h = Trace.install(spark, exporter)
+    try {
+      Trace.rootSpan(spark, exporter, "graft.job.submit", h.ctx) {
+        WordCount(lines(fixture)).collect()
+      }
+      // Listener bus is async: poll up to 10 s.
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline &&
+             (exporter.named("spark.task").isEmpty ||
+              exporter.named("spark.job").isEmpty ||
+              exporter.named("graft.query").isEmpty)) Thread.sleep(100)
+
+      val root = exporter.named("graft.job.submit")
+      assert(root.size == 1 && root.head.ok && root.head.kind == "CLIENT")
+
+      val jobs = exporter.named("spark.job")
+      assert(jobs.nonEmpty && jobs.forall(_.ok))
+      assert(jobs.forall(_.traceId == h.ctx.traceId))
+
+      val tasks = exporter.named("spark.task")
+      assert(tasks.nonEmpty)
+      assert(tasks.forall(s => s.attributes.contains("records.read")))
+      // Something actually flowed: a local-relation scan reports no
+      // inputMetrics, but the groupBy's exchange must show shuffle
+      // records on both sides.
+      assert(tasks.map(_.attributes("shuffle.write.records").toLong).sum > 0)
+      assert(tasks.map(_.attributes("shuffle.read.records").toLong).sum > 0)
+      assert(tasks.forall(s => s.attributes("spark.task.host").nonEmpty))
+
+      val queries = exporter.named("graft.query")
+      assert(queries.nonEmpty)
+      val sig = queries.last.attributes("graft.signature")
+      assert(sig == PlanSignature.sigv1(WordCount(lines(fixture))))
+    } finally Trace.uninstall(spark, h)
+  }
+
+  test("span JSON serialization is well-formed") {
+    val sp = Span("t" * 32, "s" * 16, Some("p" * 16), "x\"y", "CLIENT",
+      1L, 2L, Map("k" -> "v\nw"), ok = true)
+    val j = sp.json
+    assert(j.contains("\"name\":\"x\\\"y\""))
+    assert(j.contains("\"k\":\"v\\nw\""))
+    // Parse with the JVM's built-in nashorn-free check: count braces.
+    assert(j.startsWith("{") && j.endsWith("}"))
+  }
+}
