@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.chaos.SlowInject
+import graft.observe.{JsonFileExporter, Trace, TraceContext}
+import graft.operators.{GlobalSort, InvertedIndex, WordCount}
+import graft.sources.TextIO
+
+/** CLI entry point with the reference's argument shapes
+  * (`/root/reference/trace-sort-job/src/main/java/org/example/
+  * TraceSortJob.java:44-54`: `<input> <output> [--reducers N]`, exit 1
+  * on bad args, job success → exit 0):
+  *
+  * {{{
+  *   graft.Main wordcount   <in> <out> [--reducers N] [--overwrite] [--trace FILE]
+  *   graft.Main sort        <in> <out> [--reducers N] [--overwrite] [--trace FILE]
+  *   graft.Main insertindex <in> <out>               [--overwrite] [--trace FILE]
+  * }}}
+  *
+  * `--reducers N` for sort reproduces the reference's two modes: N == 1
+  * (its default) → total order; N > 1 → hash-partitioned sorted runs.
+  * Our total order comes from a range shuffle at ANY parallelism, so
+  * unlike the reference it needs no single reducer. `--trace FILE`
+  * wires the full observability layer (job/task/query spans +
+  * traceparent propagation) to a JSON-lines sink. Chaos injection is
+  * honored from `spark.graft.slow.*` confs exactly like the reference's
+  * `-D insertindex.slow.*` flags.
+  */
+object Main {
+
+  final case class Args(kernel: String, in: String, out: String,
+                        reducers: Int = 1, overwrite: Boolean = false,
+                        trace: Option[String] = None)
+
+  def parse(argv: Array[String]): Either[String, Args] = {
+    if (argv.length < 3)
+      return Left("usage: graft.Main <wordcount|sort|insertindex> <in> <out> " +
+        "[--reducers N] [--overwrite] [--trace FILE]")
+    var a = Args(argv(0), argv(1), argv(2))
+    if (!Set("wordcount", "sort", "insertindex").contains(a.kernel))
+      return Left(s"unknown kernel: ${a.kernel}")
+    var i = 3
+    while (i < argv.length) {
+      argv(i) match {
+        case "--reducers" if i + 1 < argv.length =>
+          val n = argv(i + 1).toIntOption.getOrElse(-1)
+          if (n < 1) return Left(s"--reducers must be a positive int")
+          a = a.copy(reducers = n); i += 2
+        case "--overwrite" => a = a.copy(overwrite = true); i += 1
+        case "--trace" if i + 1 < argv.length =>
+          a = a.copy(trace = Some(argv(i + 1))); i += 2
+        case other => return Left(s"unknown argument: $other")
+      }
+    }
+    Right(a)
+  }
+
+  /** Run a kernel file-to-file; returns the process exit code. */
+  def run(spark: SparkSession, a: Args): Int = {
+    val exporter = a.trace.map(new JsonFileExporter(_))
+    val handle = exporter.map(Trace.install(spark, _))
+    val ctx = handle.map(_.ctx).getOrElse(TraceContext.create())
+
+    def body(): Unit = {
+      val input = SlowInject.slowMap(TextIO.readLines(spark, a.in)).df
+      a.kernel match {
+        case "wordcount" =>
+          val (counts, inObs, outObs) = WordCount.counted(input)
+          TextIO.writeTsv(counts, a.out, a.overwrite)
+          System.err.println(s"[graft] counters in=${inObs.get} out=${outObs.get}")
+        case "sort" =>
+          val sorted =
+            if (a.reducers <= 1) GlobalSort(input, "value")
+            else GlobalSort.sortedRuns(input, a.reducers, "value")
+          TextIO.writeTsv(sorted, a.out, a.overwrite)
+        case "insertindex" =>
+          val (pairs, parseObs) = InvertedIndex.parsePairsCounted(input)
+          val (index, reduceObs) = InvertedIndex.postingsCounted(
+            pairs, org.apache.spark.sql.functions.col("word"),
+            org.apache.spark.sql.functions.col("doc_id"))
+          TextIO.writeTsv(index, a.out, a.overwrite)
+          System.err.println(
+            s"[graft] counters parse=${parseObs.get} reduce=${reduceObs.get}")
+      }
+    }
+
+    try {
+      exporter match {
+        case Some(e) => Trace.rootSpan(spark, e, "graft.job.submit", ctx)(body())
+        case None    => body()
+      }
+      0
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[graft] job failed: ${e.getMessage}")
+        1
+    } finally handle.foreach(Trace.uninstall(spark, _))
+  }
+
+  def main(argv: Array[String]): Unit = parse(argv) match {
+    case Left(msg) =>
+      System.err.println(msg)
+      sys.exit(1)
+    case Right(a) =>
+      val spark = GraftSession.getOrCreate(s"graft-${a.kernel}")
+      val rc = run(spark, a)
+      spark.stop()
+      sys.exit(rc)
+  }
+}

@@ -25,7 +25,9 @@ object GlobalSort {
   def apply(df: DataFrame, key: String): DataFrame = df.orderBy(col(key))
 
   /** Reference `--reducers N>1` emulation: hash-partitioned sorted runs
-    * (each output partition sorted, no global order). */
-  def sortedRuns(df: DataFrame, n: Int, key: String): DataFrame =
-    df.repartition(n, col(key)).sortWithinPartitions(col(key))
+    * (each output partition sorted by `keys`, no global order). The
+    * first key is the partitioning key (≙ the MR HashPartitioner on the
+    * map-output key). */
+  def sortedRuns(df: DataFrame, n: Int, keys: String*): DataFrame =
+    df.repartition(n, col(keys.head)).sortWithinPartitions(keys.map(col): _*)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Inverted index: `(word, docId)` pairs → `word → sorted distinct doc
@@ -46,6 +46,49 @@ object InvertedIndex {
       .agg(concat_ws(",",
         transform(sort_array(collect_set(docId)), _.cast("string"))).as("doc_ids"))
       .orderBy("word")
+
+  /** [[parsePairs]] with the reference's mapper counters observed
+    * (`TraceInsertIndexMapper.java:105,112`: `RAW_PAIRS_IN`,
+    * `MALFORMED_LINES`), via `Dataset.observe` — computed inline during
+    * the scan, no extra pass. Read the counts from the returned
+    * [[Observation]] after an action. */
+  def parsePairsCounted(lines: DataFrame, textCol: String = "value")
+      : (DataFrame, Observation) = {
+    val obs = Observation("graft.index.parse")
+    val malformed = length(col("_line")) === 0 || !col("_line").contains("\t")
+    val observed = lines
+      .select(trim(col(textCol), " \t\r\n\u000B\f").as("_line"))
+      .observe(obs,
+        count(lit(1)).as("RAW_PAIRS_IN"),
+        sum(when(malformed, 1L).otherwise(0L)).as("MALFORMED_LINES"))
+    val parsed = observed
+      .filter(!malformed)
+      .select(split(col("_line"), "\t", 2).getItem(0).as("word"),
+        split(col("_line"), "\t", 2).getItem(1).as("doc_id"))
+    (parsed, obs)
+  }
+
+  /** [[postings]] with the reference's reducer counters observed
+    * (`TraceInsertIndexReducer.java:136-138`: `KEYS_DISTINCT`,
+    * `REDUCER_LIST_EMIT`, `UNIQUE_DOCIDS_OUT`). */
+  def postingsCounted(pairs: DataFrame, word: Column, docId: Column)
+      : (DataFrame, Observation) = {
+    val obs = Observation("graft.index.reduce")
+    // Metrics attach ABOVE the sort: orderBy's range-boundary sampling
+    // re-executes the sort's child, so a metrics node below it would
+    // double-count.
+    val out = pairs
+      .groupBy(word.as("word"))
+      .agg(sort_array(collect_set(docId)).as("_set"))
+      .orderBy("word")
+      .observe(obs,
+        count(lit(1)).as("KEYS_DISTINCT"),
+        count(lit(1)).as("REDUCER_LIST_EMIT"),
+        sum(size(col("_set"))).cast("long").as("UNIQUE_DOCIDS_OUT"))
+      .select(col("word"),
+        concat_ws(",", transform(col("_set"), _.cast("string"))).as("doc_ids"))
+    (out, obs)
+  }
 
   /** Two-phase salted aggregation for heavy keys: partial collect_set per
     * (word, salt), then merge — bounds any single task's set size during

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Word count: tokenize → normalize → filter → group-count.
@@ -45,4 +45,29 @@ object WordCount {
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("word")
+
+  /** [[apply]] with kernel counters observed via `Dataset.observe`
+    * (SURVEY §2.4 A4; ≙ the reference's `RAW_LINES` counter,
+    * `TraceSortMapper.java:117`, and the framework's MAP_OUTPUT /
+    * REDUCE_INPUT_GROUPS counts the job span reads): `RAW_LINES` on the
+    * scan, `WORDS_EMITTED` after normalize+filter, `KEYS_DISTINCT` on
+    * the aggregated output. Counters are computed inline — no extra
+    * pass, no extra shuffle. */
+  def counted(lines: DataFrame, textCol: String = "value")
+      : (DataFrame, Observation, Observation) = {
+    val inObs = Observation("graft.wc.in")
+    val outObs = Observation("graft.wc.out")
+    val observed = lines.observe(inObs, count(lit(1)).as("RAW_LINES"))
+    // Output metrics attach ABOVE the sort: orderBy's range-boundary
+    // sampling pass re-executes the sort's child, so a metrics node
+    // below it would double-count.
+    val out = tokens(observed, textCol)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+      .observe(outObs,
+        count(lit(1)).as("KEYS_DISTINCT"),
+        sum(col("cnt")).as("WORDS_EMITTED"))
+    (out, inObs, outObs)
+  }
 }

@@ -36,6 +36,34 @@ object ParityQueries extends QueryModule {
     "q_inverted_index_salted" -> ((s, d) => {
       val toks = WordCount.tokens(Tables.documents(s, d), "text", "doc_id")
       InvertedIndex.saltedPostings(toks, col("word"), col("doc_id"))
+    }),
+
+    // P4-P5 end-to-end through the reference line-format parser: build
+    // `word \t docId` lines from documents, inject malformed rows
+    // (tab-less / whitespace-only), and index what survives. The oracle
+    // states the SEMANTICS (malformed rows excluded) rather than
+    // mirroring the parse, so a parser that leaked bad rows would fail.
+    "q_parse_pairs_index" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val firstTok = element_at(graft.functions.TextFunctions.tokens(col("text")), 1)
+      val lines = docs.select(
+        when(col("doc_id") % 10 === 0, lit("malformed line with no tab"))
+          .when(col("doc_id") % 10 === 1, lit("   "))
+          .otherwise(concat(firstTok, lit("\t"), concat(lit("doc"), col("doc_id"))))
+          .as("value"))
+      InvertedIndex(InvertedIndex.parsePairs(lines))
+    }),
+
+    // O2: hash-partitioned sorted runs (reference `--reducers N>1`).
+    // run_id is an engine-independent hash so the oracle can mirror the
+    // run assignment; the trailing orderBy is harness determinism only —
+    // the operator's contract is per-partition order.
+    "q_sorted_runs" -> ((s, d) => {
+      val withRun = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          (graft.functions.TextFunctions.hash60(col("text")) % 4).as("run_id"))
+      GlobalSort.sortedRuns(withRun, 4, "run_id", "text", "doc_id")
+        .orderBy("run_id", "text", "doc_id")
     })
   )
 
@@ -56,6 +84,16 @@ object ParityQueries extends QueryModule {
     "q_sort" ->
       "SELECT doc_id, text FROM documents ORDER BY text, doc_id",
     "q_inverted_index" -> indexSql,
-    "q_inverted_index_salted" -> indexSql
+    "q_inverted_index_salted" -> indexSql,
+    "q_parse_pairs_index" ->
+      s"""SELECT word, array_to_string(list_sort(list(DISTINCT doc)), ',') AS doc_ids
+         | FROM (SELECT t[1] AS word, 'doc' || doc_id::VARCHAR AS doc
+         |        FROM (SELECT doc_id, ${OracleSql.toks("text")} AS t FROM documents)
+         |        WHERE doc_id % 10 NOT IN (0, 1))
+         | GROUP BY word ORDER BY word""".stripMargin.replace("\n", ""),
+    "q_sorted_runs" ->
+      s"""SELECT doc_id, text, ${OracleSql.hash60("text")} % 4 AS run_id
+         | FROM documents ORDER BY run_id, text, doc_id"""
+        .stripMargin.replace("\n", "")
   )
 }

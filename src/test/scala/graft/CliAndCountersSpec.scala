@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{InvertedIndex, WordCount}
+import graft.sources.TextIO
+
+/** End-to-end file-to-file runs of the three kernels through the CLI
+  * (S1/S4/S5 + M4), plus observe()-counter parity (A4). */
+class CliAndCountersSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmpDir(): Path = Files.createTempDirectory("graft-test")
+
+  private def writeLines(dir: Path, name: String, ls: Seq[String]): Path = {
+    val f = dir.resolve(name)
+    Files.write(f, ls.asJava)
+    f
+  }
+
+  private def readOut(out: Path): Seq[String] =
+    Files.list(out).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .toSeq
+
+  private val indexFixture: Seq[String] =
+    (1 to 5).flatMap(i => Seq(s"apple\tdoc$i", s"banana\tdoc$i", s"cat\tdoc$i")) :+
+      "zebra\tdoc6"
+
+  test("CLI wordcount: file in, sorted key\\tcount lines out") {
+    val dir = tmpDir()
+    writeLines(dir, "in.txt", Seq("the quick fox", "the dog"))
+    val rc = Main.run(spark, Main.Args("wordcount",
+      dir.resolve("in.txt").toString, dir.resolve("out").toString))
+    assert(rc == 0)
+    val got = readOut(dir.resolve("out"))
+    assert(got.sorted == Seq("dog\t1", "fox\t1", "quick\t1", "the\t2"))
+  }
+
+  test("CLI sort: total order with duplicates preserved") {
+    val dir = tmpDir()
+    val in = Seq("orange", "apple", "banana", "apple")
+    writeLines(dir, "in.txt", in)
+    val rc = Main.run(spark, Main.Args("sort",
+      dir.resolve("in.txt").toString, dir.resolve("out").toString))
+    assert(rc == 0)
+    // A text sink writes one file per range partition; file name order
+    // follows partition order, so concatenation IS the total order.
+    val got = readOut(dir.resolve("out"))
+    assert(got == in.sorted)
+  }
+
+  test("CLI insertindex: reference fixture → reference index") {
+    val dir = tmpDir()
+    writeLines(dir, "in.txt", indexFixture ++ Seq("", "notab"))
+    val rc = Main.run(spark, Main.Args("insertindex",
+      dir.resolve("in.txt").toString, dir.resolve("out").toString))
+    assert(rc == 0)
+    assert(readOut(dir.resolve("out")) == Seq(
+      "apple\tdoc1,doc2,doc3,doc4,doc5",
+      "banana\tdoc1,doc2,doc3,doc4,doc5",
+      "cat\tdoc1,doc2,doc3,doc4,doc5",
+      "zebra\tdoc6"))
+  }
+
+  test("CLI: output dir exists → fails (ErrorIfExists) unless --overwrite") {
+    val dir = tmpDir()
+    writeLines(dir, "in.txt", Seq("x"))
+    val out = dir.resolve("out").toString
+    assert(Main.run(spark, Main.Args("sort", dir.resolve("in.txt").toString, out)) == 0)
+    assert(Main.run(spark, Main.Args("sort", dir.resolve("in.txt").toString, out)) == 1)
+    assert(Main.run(spark, Main.Args("sort", dir.resolve("in.txt").toString, out,
+      overwrite = true)) == 0)
+  }
+
+  test("CLI: bad args are rejected with the reference's arg contract") {
+    assert(Main.parse(Array("wordcount", "in")).isLeft)
+    assert(Main.parse(Array("nope", "in", "out")).isLeft)
+    assert(Main.parse(Array("sort", "in", "out", "--reducers", "0")).isLeft)
+    assert(Main.parse(Array("sort", "in", "out", "--reducers", "3"))
+      .exists(_.reducers == 3))
+  }
+
+  test("CLI --trace emits JSON-line spans to the file") {
+    val dir = tmpDir()
+    writeLines(dir, "in.txt", Seq("a b", "c"))
+    val trace = dir.resolve("spans.jsonl")
+    val rc = Main.run(spark, Main.Args("wordcount",
+      dir.resolve("in.txt").toString, dir.resolve("out").toString,
+      trace = Some(trace.toString)))
+    assert(rc == 0)
+    val lines = Files.readAllLines(trace).asScala
+    assert(lines.exists(_.contains("\"graft.job.submit\"")))
+    assert(lines.exists(_.contains("\"spark.task\"")))
+  }
+
+  test("observe counters: wordcount RAW_LINES / KEYS_DISTINCT / WORDS_EMITTED") {
+    val s = spark
+    import s.implicits._
+    val (df, inObs, outObs) = WordCount.counted(
+      Seq("the quick fox", "the dog!").toDF("value"))
+    df.collect()
+    assert(inObs.get("RAW_LINES") == 2L)
+    assert(outObs.get("KEYS_DISTINCT") == 4L) // the, quick, fox, dog
+    assert(outObs.get("WORDS_EMITTED") == 5L) // "the" appears twice
+  }
+
+  test("observe counters: index RAW_PAIRS_IN / MALFORMED_LINES / UNIQUE_DOCIDS_OUT") {
+    val s = spark
+    import s.implicits._
+    val noisy = indexFixture ++ Seq("", "   ", "notab")
+    val (pairs, parseObs) = InvertedIndex.parsePairsCounted(noisy.toDF("value"))
+    val (index, reduceObs) = InvertedIndex.postingsCounted(
+      pairs, col("word"), col("doc_id"))
+    index.collect()
+    assert(parseObs.get("RAW_PAIRS_IN") == noisy.size.toLong)
+    assert(parseObs.get("MALFORMED_LINES") == 3L)
+    assert(reduceObs.get("KEYS_DISTINCT") == 4L)
+    assert(reduceObs.get("REDUCER_LIST_EMIT") == 4L)
+    assert(reduceObs.get("UNIQUE_DOCIDS_OUT") == 16L)
+  }
+
+  test("TextIO.writeTsv renders nulls as empty strings") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    val df = Seq(("a", Some(1)), ("b", None)).toDF("k", "v")
+    TextIO.writeTsv(df, dir.resolve("out").toString)
+    assert(readOut(dir.resolve("out")).sorted == Seq("a\t1", "b\t"))
+  }
+}
