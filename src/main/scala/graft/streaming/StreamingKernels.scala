@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{InvertedIndex, WordCount}
+
+/** Structured-Streaming variants of the engine's kernels (SURVEY §2.9).
+  *
+  * The reference is batch-only; these exist because the same logical
+  * plans run incrementally on Spark: a `readStream` source swaps in, the
+  * transform graph is IDENTICAL (the batch functions are reused below —
+  * one definition, two execution modes), and state is bounded by
+  * watermarks. At 100 TB/day the streaming path is how the pipeline
+  * keeps up: incremental aggregation state instead of daily re-scans.
+  *
+  * State-boundedness notes (what survives unbounded input):
+  *  - word count / inverted index: keyed state grows with |vocabulary|,
+  *    not |input| — safe for complete/update output of bounded key
+  *    domains; for unbounded keys switch to windowed variants.
+  *  - windowed/session aggregates: watermark expires state; late rows
+  *    beyond the watermark are dropped (documented trade).
+  *  - streaming dedup: `dropDuplicates` keyed on (id, event-time) with a
+  *    watermark keeps exactly the in-horizon fingerprint set.
+  */
+object StreamingKernels {
+
+  /** Streaming word count — same transform graph as the batch kernel
+    * minus the global sort (a total order over an infinite stream is
+    * meaningless; sort at query time over the complete-mode sink). */
+  def wordCount(lines: DataFrame, textCol: String = "value"): DataFrame =
+    WordCount.tokens(lines, textCol)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Streaming inverted index: same parse + collect_set aggregation. */
+  def invertedIndex(lines: DataFrame, textCol: String = "value"): DataFrame =
+    InvertedIndex.parsePairs(lines, textCol)
+      .groupBy("word")
+      .agg(concat_ws(",",
+        transform(sort_array(collect_set(col("doc_id"))), _.cast("string")))
+        .as("doc_ids"))
+
+  /** Watermarked tumbling-window counts over an event stream (the
+    * streaming twin of the batch `q_event_window_agg`). */
+  def windowedCounts(events: DataFrame, tsCol: String, eventType: Column,
+                     watermark: String = "1 hour",
+                     windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), eventType.as("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Gap-based sessionization via `session_window` (streaming twin of
+    * the batch lag-based `q_sessionize`). */
+  def sessionCounts(events: DataFrame, tsCol: String, userId: Column,
+                    watermark: String = "1 hour",
+                    gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), userId.as("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup within the watermark horizon: state holds one
+    * fingerprint per in-horizon document, never the corpus. */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String,
+                           watermark: String, keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicates(keys :+ tsCol)
+}

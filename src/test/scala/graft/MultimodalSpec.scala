@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.MediaCodec
+
+/** Multimodal plumbing tests: binary+meta schema round-trips parquet,
+  * the batched decode stub is deterministic and batch-shaped, frame
+  * sampling explodes with correct slices. */
+class MultimodalSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs() = {
+    val s = spark
+    import s.implicits._
+    Seq((0L, "hello world"), (1L, "abc"), (2L, "media bytes here"), (3L, "x"))
+      .toDF("doc_id", "text")
+  }
+
+  test("fromDocuments builds binary + typed meta struct") {
+    val m = Multimodal.fromDocuments(docs())
+    val r = m.orderBy("media_id").collect()
+    assert(r.map(_.getString(1)).toSeq == Seq("image", "audio", "video", "image"))
+    assert(new String(r(0).getAs[Array[Byte]]("bytes"), "UTF-8") == "hello world")
+    val meta = r(1).getStruct(3)
+    assert(meta.getAs[Int]("width") == 512 && meta.getAs[String]("format") == "wav")
+  }
+
+  test("media table round-trips parquet with blob and struct intact") {
+    val dir = Files.createTempDirectory("graft-media").resolve("media").toString
+    Multimodal.fromDocuments(docs()).write.parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("bytes").dataType.typeName == "binary")
+    assert(back.schema("meta").dataType == Multimodal.metaType)
+    val r = back.filter(col("media_id") === 2).collect()(0)
+    assert(new String(r.getAs[Array[Byte]]("bytes"), "UTF-8") == "media bytes here")
+  }
+
+  test("metadata predicates prune without touching blobs (pushed filters)") {
+    val dir = Files.createTempDirectory("graft-media").resolve("media").toString
+    Multimodal.fromDocuments(docs()).write.parquet(dir)
+    val plan = spark.read.parquet(dir)
+      .filter(col("meta.width") > 300).select("media_id", "meta.width")
+      .queryExecution.executedPlan.toString
+    // The scan must read only the projected/filtered columns, not bytes.
+    assert(plan.contains("PushedFilters") && !plan.contains("bytes"))
+  }
+
+  test("decode stub: deterministic unit-sum histogram with the batch signature") {
+    val f1 = MediaCodec.features("hello".getBytes("UTF-8"))
+    val f2 = MediaCodec.features("hello".getBytes("UTF-8"))
+    assert(f1.toSeq == f2.toSeq)
+    assert(math.abs(f1.sum - 1.0f) < 1e-5)
+    assert(MediaCodec.features(Array.emptyByteArray).toSeq.sum == 0f)
+
+    val out = Multimodal.extractFeatures(Multimodal.fromDocuments(docs()))
+    val r = out.orderBy("media_id").collect()
+    assert(r.forall(_.getAs[scala.collection.Seq[Float]]("features").length == 16))
+    val hello = r(0).getAs[scala.collection.Seq[Float]]("features")
+    assert(hello.toSeq == MediaCodec.features("hello world".getBytes("UTF-8")).toSeq)
+  }
+
+  test("frameSample explodes each video into n in-order slices") {
+    val frames = Multimodal.frameSample(
+      Multimodal.fromDocuments(docs()).filter(col("media_id") === 2), 4)
+    val r = frames.orderBy("frame_idx").collect()
+    assert(r.length == 4)
+    val joined = r.map(x => new String(x.getAs[Array[Byte]]("frame_bytes"), "UTF-8")).mkString
+    // 16 bytes / 4 frames = 4-byte slices covering the prefix.
+    assert(joined == "media bytes here")
+  }
+
+  test("resizeStub updates meta for real while stubbing the byte transform") {
+    val out = Multimodal.resizeStub(Multimodal.fromDocuments(docs()), 64, 64)
+    val r = out.filter(col("media_id") === 0).collect()(0)
+    assert(r.getStruct(r.fieldIndex("meta")).getAs[Int]("width") == 64)
+    assert(r.getAs[Array[Byte]]("bytes").length == 5) // 11/2 = 5
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingKernels
+
+/** Structured-Streaming kernel tests over MemoryStream sources: the
+  * batch transform graphs run incrementally and agree with their batch
+  * twins; watermarks emit closed windows. */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming word count agrees with the batch kernel (complete mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val q = StreamingKernels.wordCount(source.toDF())
+      .writeStream.format("memory").queryName("wc_stream")
+      .outputMode("complete").start()
+    try {
+      source.addData("the quick fox", "the dog")
+      q.processAllAvailable()
+      val got = spark.table("wc_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("the" -> 2L, "quick" -> 1L, "fox" -> 1L, "dog" -> 1L))
+
+      // Incremental update: new batch revises existing keys.
+      source.addData("the fox jumps")
+      q.processAllAvailable()
+      val got2 = spark.table("wc_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got2("the") == 3L && got2("jumps") == 1L)
+    } finally q.stop()
+  }
+
+  test("streaming inverted index builds the reference fixture incrementally") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[String]
+    val q = StreamingKernels.invertedIndex(source.toDF())
+      .writeStream.format("memory").queryName("idx_stream")
+      .outputMode("complete").start()
+    try {
+      source.addData((1 to 3).map(i => s"apple\tdoc$i"): _*)
+      source.addData("apple\tdoc1", "zebra\tdoc6", "notab", "")
+      q.processAllAvailable()
+      val got = spark.table("idx_stream").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map("apple" -> "doc1,doc2,doc3", "zebra" -> "doc6"))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed counts emit a window once the watermark passes it") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val df = source.toDF().toDF("ts", "event_type")
+    val q = StreamingKernels.windowedCounts(df, "ts", col("event_type"))
+      .writeStream.format("memory").queryName("win_stream")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        (ts("2026-01-01 10:05:00"), "click"),
+        (ts("2026-01-01 10:40:00"), "click"),
+        (ts("2026-01-01 10:50:00"), "view"))
+      q.processAllAvailable()
+      // Advance event time far enough that the 10:00 window closes
+      // (watermark = max event time - 1 h).
+      source.addData((ts("2026-01-01 12:30:00"), "click"))
+      q.processAllAvailable()
+      val got = spark.table("win_stream").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got.contains(("2026-01-01 10:00:00.0", "click", 2L)))
+      assert(got.contains(("2026-01-01 10:00:00.0", "view", 1L)))
+      // The 12:00 window is still open: nothing emitted for it yet.
+      assert(!got.exists(_._1.startsWith("2026-01-01 12")))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops in-horizon duplicates") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val df = source.toDF().toDF("ts", "fp")
+    val q = StreamingKernels.dedupWithinWatermark(df, "ts", "1 hour", Seq("fp"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      val t = ts("2026-01-01 10:00:00")
+      source.addData((t, "a"), (t, "a"), (t, "b"))
+      q.processAllAvailable()
+      source.addData((t, "a")) // same batch-horizon duplicate, dropped
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").collect().map(_.getString(1)).sorted
+      assert(got.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+}
