@@ -40,18 +40,59 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
 
   /** One MinHash signature component: min over shingles of hash family
-    * member `seed`. Null for empty shingle sets. */
+    * member `seed`. Null for empty shingle sets.
+    *
+    * NOTE: md5-per-(shingle × seed) — k seeds cost k md5 passes. Kept as
+    * the didactic form; production pipelines use [[minhashMixed]] over a
+    * once-computed [[hash60]] array (1 md5 pass + k arithmetic mixes). */
   def minhash(shin: Column, seed: Int): Column =
     array_min(transform(shin, s => hash60(seed, s)))
+
+  /** Mersenne prime 2³¹−1: the universal-hash modulus. Products stay
+    * under 2⁶² so the arithmetic is overflow-free in any engine with
+    * 64-bit integers (DuckDB raises on BIGINT overflow — this family is
+    * chosen to be safe there too). */
+  val MixP = 2147483647L
+
+  /** Driver-side constants for universal-hash member `seed`, derived
+    * from the same md5 hash family so both engines can regenerate them. */
+  def mixConsts(seed: Int): (Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    ((h60(s"a:$seed") % (MixP - 1)) + 1, h60(s"b:$seed") % MixP)
+  }
+
+  /** Universal-hash re-mix of a base hash: `(a·(h mod p) + b) mod p`.
+    * One md5 per shingle total, k cheap mixes — the scale form of a
+    * k-member hash family. */
+  def mix(h: Column, seed: Int): Column = {
+    val (a, b) = mixConsts(seed)
+    ((h % MixP) * a + b) % MixP
+  }
+
+  /** MinHash component `seed` over a PRE-COMPUTED hash array (stage
+    * `transform(shin, hash60)` as a real column first so the md5 pass
+    * runs once per row, not once per reference). */
+  def minhashMixed(shinHashes: Column, seed: Int): Column =
+    array_min(transform(shinHashes, h => mix(h, seed)))
 
   /** k-bit SimHash over tokens: bit b is the sign of the ±1 vote sum of
     * each token's hash bit b. The per-bit fold stays inside codegen;
     * `bits` ≤ 32 keeps expression size sane (64-bit production variant
     * is the same shape over two 32-bit halves). */
   def simhash(toks: Column, bits: Int): Column =
+    simhashOnHashes(transform(toks, t => hash60(t)), bits)
+
+  /** SimHash over a PRE-COMPUTED token-hash array. Stage the hash array
+    * as a real column first: the `bits` per-bit folds then traverse a
+    * small long array instead of re-running md5 per (token × bit). */
+  def simhashOnHashes(tokHashes: Column, bits: Int): Column =
     (0 until bits).map { b =>
-      when(aggregate(toks, lit(0L),
-        (acc, t) => acc + when((shiftright(hash60(t), b) % 2) === 1, 1L).otherwise(-1L)
+      when(aggregate(tokHashes, lit(0L),
+        (acc, h) => acc + when((shiftright(h, b) % 2) === 1, 1L).otherwise(-1L)
       ) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -23,30 +23,45 @@ import graft.sources.Tables
   */
 object DedupQueries extends QueryModule {
 
-  /** 3-token shingles, deduplicated — the unit of near-dup similarity. */
-  private def shingleSet(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    d.select(col("doc_id"),
-        array_distinct(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3))
-          .as("shin"))
-      .filter(size(col("shin")) > 0)
-  }
+  /** doc_id + DISTINCT 60-bit hashes of the 3-token shingles — the unit
+    * of near-dup similarity. The whole near-dup band runs on hashed
+    * shingles, never shingle strings: Jaccard over 60-bit hash sets
+    * equals string-set Jaccard up to vanishing collision probability,
+    * the arrays are 8-byte longs instead of ~20-byte strings (cheaper
+    * intersects at verify time), and DuckDB mirrors the hashing exactly.
+    *
+    * Staging discipline (measured at sf0.1):
+    *  - `toks` is a real projection column — a lambda body referencing
+    *    an inlined `split(regexp_…)` re-runs the tokenizer per array
+    *    element (70+ s before staging, ~2 s after);
+    *  - the emptiness filter sits on the CHEAP token stage: Catalyst
+    *    pushes filters below projections by substituting aliases, so a
+    *    size-of-shingles predicate would inline the whole shingle tree
+    *    into the filter (10.7 s vs 0.2 s). */
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(TextFunctions.shingles(col("toks"), 3),
+          sh => TextFunctions.hash60(sh))).as("hs"))
 
-  /** Rounded shingle-set Jaccard of a candidate pair. */
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    round(inter / (size(a) + size(b) - inter), 6)
-  }
-
-  /** Verify join: attach both shingle sets to candidate (doc_a, doc_b)
-    * pairs and keep those with Jaccard ≥ `thresh`. */
+  /** Verify join: attach both hashed-shingle sets to candidate
+    * (doc_a, doc_b) pairs and keep those with Jaccard ≥ `thresh`. */
   private def verifyPairs(cand: DataFrame, base: DataFrame, thresh: Double): DataFrame =
     cand
-      .join(base.select(col("doc_id").as("doc_a"), col("shin").as("shin_a")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("shin").as("shin_b")), "doc_b")
+      .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("_inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
       .select(col("doc_a"), col("doc_b"),
-        jaccard(col("shin_a"), col("shin_b")).as("jaccard"))
+        round(col("_inter") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("_inter")), 6).as("jaccard"))
+      // Non-deterministic column = pushdown barrier: without it Catalyst
+      // pushes the threshold filter below the projection, substituting
+      // the alias and evaluating the intersect twice per pair.
+      .withColumn("_bar", monotonically_increasing_id())
       .filter(col("jaccard") >= thresh)
+      .drop("_bar")
       .orderBy("doc_a", "doc_b")
 
   private val minhashSeeds = 8 // 4 bands × 2 rows
@@ -75,15 +90,20 @@ object DedupQueries extends QueryModule {
         .filter(col("dup_count") >= 2)
         .orderBy("fp")),
 
-    // MinHash + banded LSH near-dup: 8 signature components in 4 bands
-    // of 2; docs agreeing on any band become candidates (bucket join on
-    // the band key — never all-pairs), then exact Jaccard ≥ 0.5 verify.
+    // MinHash + banded LSH near-dup: 8 signature components (one md5
+    // pass per doc + 8 universal-hash mixes) in 4 bands of 2; docs
+    // agreeing on any band become candidates (bucket join on the band
+    // key — never all-pairs), then exact Jaccard ≥ 0.5 verify.
     "q_near_dup_minhash" -> ((s, d) => {
-      val base = shingleSet(s, d)
+      // Materialize the hashed-shingle table once: it feeds signature
+      // generation AND both sides of the verify join, whose differing
+      // projections defeat exchange reuse. At 100 TB this is the staged
+      // signature table a production dedup writes to storage.
+      val base = hashedShingles(s, d).persist()
       val sigs = base.select(
-        col("doc_id") +: col("shin") +:
+        col("doc_id") +:
           (0 until minhashSeeds).map(i =>
-            TextFunctions.minhash(col("shin"), i).as(s"sig$i")): _*)
+            TextFunctions.minhashMixed(col("hs"), i).as(s"sig$i")): _*)
       val bands = sigs.select(col("doc_id"),
         explode(array((0 until minhashSeeds / 2).map(j =>
           concat_ws(":", lit(j.toString),
@@ -102,10 +122,10 @@ object DedupQueries extends QueryModule {
     // a J≥0.5 pair shares dozens, so the miss probability is <0.2% —
     // and identical in the oracle since the sampling is deterministic).
     "q_ngram_jaccard" -> ((s, d) => {
-      val base = shingleSet(s, d)
+      // Same staged-table materialization as q_near_dup_minhash.
+      val base = hashedShingles(s, d).persist()
       val sampled = base
-        .select(col("doc_id"), explode(col("shin")).as("sh"))
-        .select(col("doc_id"), TextFunctions.hash60(col("sh")).as("h"))
+        .select(col("doc_id"), explode(col("hs")).as("h"))
         .filter(col("h") % 8 === 0)
         .distinct()
       val cand = sampled.as("a")
@@ -122,8 +142,15 @@ object DedupQueries extends QueryModule {
     // candidate volume low and the miss deterministic), verified by
     // hamming distance ≤ 8.
     "q_near_dup_simhash" -> ((s, d) => {
-      val sh = Tables.documents(s, d).select(col("doc_id"),
-        TextFunctions.simhash(TextFunctions.tokens(col("text")), 32).as("sh"))
+      // Stage tokens then token hashes as real columns: one tokenizer
+      // pass + one md5 pass per row; the 32 bit-folds are arithmetic
+      // over the staged long array.
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          transform(col("toks"), t => TextFunctions.hash60(t)).as("thashes"))
+        .select(col("doc_id"),
+          TextFunctions.simhashOnHashes(col("thashes"), 32).as("sh"))
       val bands = sh.select(col("doc_id"), explode(array(
         concat_ws(":", lit("0"), (col("sh").bitwiseAND(lit(0xFFFFL))).cast("string")),
         concat_ws(":", lit("1"), shiftright(col("sh"), 16).cast("string"))))
@@ -145,19 +172,22 @@ object DedupQueries extends QueryModule {
 
   import OracleSql._
 
-  /** Shared CTE prefix: tokens → distinct 3-shingles per doc. */
+  /** Shared CTE prefix: tokens → distinct hashed 3-shingles per doc
+    * (mirror of [[hashedShingles]]). */
   private val baseCte =
     s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
        | base AS (SELECT doc_id,
-       |   list_distinct(list_transform(generate_series(1, len(t)-2),
-       |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shin
+       |   list_distinct(list_transform(
+       |     list_transform(generate_series(1, len(t)-2),
+       |       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+       |     s -> ${hash60("s")})) AS hs
        |  FROM tok WHERE len(t) >= 3)""".stripMargin.replace("\n", "")
 
   private def jaccardSql(a: String, b: String): String =
     s"round(len(list_intersect($a,$b))::DOUBLE / (len($a)+len($b)-len(list_intersect($a,$b))), 6)"
 
   private val verifySql =
-    s""", pairs AS (SELECT doc_a, doc_b, ${jaccardSql("sa.shin", "sb.shin")} AS jaccard
+    s""", pairs AS (SELECT doc_a, doc_b, ${jaccardSql("sa.hs", "sb.hs")} AS jaccard
        |  FROM cand JOIN base sa ON sa.doc_id = cand.doc_a
        |            JOIN base sb ON sb.doc_id = cand.doc_b)
        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
@@ -179,14 +209,16 @@ object DedupQueries extends QueryModule {
         .stripMargin.replace("\n", ""),
 
     "q_near_dup_minhash" -> {
-      val sigCols = (0 until minhashSeeds).map(i =>
-        s"list_min(list_transform(shin, s -> ${hash60(s"'$i:' || s")})) AS sig$i")
-        .mkString(", ")
+      val p = TextFunctions.MixP
+      val sigCols = (0 until minhashSeeds).map { i =>
+        val (a, b) = TextFunctions.mixConsts(i)
+        s"list_min(list_transform(hs, h -> ((h % $p) * $a + $b) % $p)) AS sig$i"
+      }.mkString(", ")
       val bandList = (0 until minhashSeeds / 2).map(j =>
         s"'$j:' || sig${2 * j}::VARCHAR || ':' || sig${2 * j + 1}::VARCHAR")
         .mkString("[", ", ", "]")
       s"""$baseCte,
-         | sig AS (SELECT doc_id, $sigCols FROM base WHERE len(shin) > 0),
+         | sig AS (SELECT doc_id, $sigCols FROM base),
          | bands AS (SELECT doc_id, unnest($bandList) AS bkey FROM sig),
          | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |   FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
@@ -196,7 +228,7 @@ object DedupQueries extends QueryModule {
     "q_ngram_jaccard" ->
       s"""$baseCte,
          | sampled AS (SELECT DISTINCT doc_id, h FROM (
-         |    SELECT doc_id, ${hash60("unnest(shin)")} AS h FROM base)
+         |    SELECT doc_id, unnest(hs) AS h FROM base)
          |   WHERE h % 8 = 0),
          | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |   FROM sampled a JOIN sampled b ON a.h = b.h AND a.doc_id < b.doc_id)

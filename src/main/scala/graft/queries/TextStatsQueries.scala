@@ -39,27 +39,32 @@ object TextStatsQueries extends QueryModule {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_lang_id" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      docs.select(col("doc_id"), col("lang"),
-          langId(col("text"), TextFunctions.tokens(col("text"))).as("pred_lang"))
+    // Tokens are staged as a real projection column before any
+    // multi-reference use: an inlined tokenizer expression would re-run
+    // its regexes once per reference (4 marker sets here).
+    "q_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"),
+          langId(col("text"), col("toks")).as("pred_lang"))
         .withColumn("is_match", col("pred_lang") === col("lang"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Heuristic quality signals: token count, mean token length,
     // stopword ratio, alphabetic-character ratio, bucketed verdict.
     "q_quality_score" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val toks = TextFunctions.tokens(col("text"))
-      val normed = TextFunctions.normalizeText(col("text"))
-      val nToks = size(toks).cast("long")
-      val stopHits = TextFunctions.stopwordHits(toks,
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.normalizeText(col("text")).as("_norm"))
+        .withColumn("toks", split(col("_norm"), " "))
+      val nToks = size(col("toks")).cast("long")
+      val stopHits = TextFunctions.stopwordHits(col("toks"),
         Seq("the", "a", "of", "and", "to", "in"))
-      docs.select(col("doc_id"),
+      staged.select(col("doc_id"),
           nToks.as("n_tokens"),
           length(col("text")).cast("long").as("n_chars"),
-          round(length(regexp_replace(normed, " ", "")).cast("double") / nToks, 6)
+          round(length(regexp_replace(col("_norm"), " ", "")).cast("double") / nToks, 6)
             .as("avg_token_len"),
           round(stopHits.cast("double") / nToks, 6).as("stopword_ratio"),
           round(length(regexp_replace(lower(col("text")), "[^a-z]", ""))
@@ -85,17 +90,21 @@ object TextStatsQueries extends QueryModule {
     // of shingle hashes ≡ 0 (mod 8), digested to one md5. Two docs share
     // sampled hashes ⇔ they share shingles — a compact sketch for
     // containment checks that needs no shuffle to compute.
-    "q_doc_fingerprint" -> ((s, d) => {
-      val shin = array_distinct(
-        TextFunctions.shingles(TextFunctions.tokens(col("text")), 3))
-      val sampled = array_sort(array_distinct(filter(
-        transform(shin, sh => TextFunctions.hash60(sh)), h => h % 8 === 0)))
-      Tables.documents(s, d).select(col("doc_id"),
-          size(shin).cast("long").as("n_shingles"),
-          size(sampled).cast("long").as("n_sampled"),
-          md5(concat_ws(",", transform(sampled, _.cast("string")))).as("fp"))
-        .orderBy("doc_id")
-    })
+    "q_doc_fingerprint" -> ((s, d) =>
+      // Every intermediate (tokens → shingles → hashes → sample) is a
+      // staged column: each md5/regex pass runs exactly once per row.
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_distinct(TextFunctions.shingles(col("toks"), 3)).as("shin"))
+        .withColumn("sampled", array_sort(array_distinct(filter(
+          transform(col("shin"), sh => TextFunctions.hash60(sh)),
+          h => h % 8 === 0))))
+        .select(col("doc_id"),
+          size(col("shin")).cast("long").as("n_shingles"),
+          size(col("sampled")).cast("long").as("n_sampled"),
+          md5(concat_ws(",", transform(col("sampled"), _.cast("string")))).as("fp"))
+        .orderBy("doc_id"))
   )
 
   import OracleSql._

@@ -34,15 +34,20 @@ object VectorQueries extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact cosine top-3 for probes (vec_id ≡ 0 mod 25), probes broadcast
-    // against one pass over the corpus.
+    // against one pass over the corpus. Norms are staged per side BEFORE
+    // the join: each pair then costs one dot-product fold instead of
+    // three (cosine's two norm folds would otherwise re-run per pair).
     "q_ann_brute" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
+        .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
       val probes = e.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          col("nrm").as("pnrm"))
       val scored = e.crossJoin(broadcast(probes))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("cand_id"),
-          round(VectorFunctions.cosine(col("pv"), col("embedding")), 6).as("cos_sim"))
+          round(VectorFunctions.dot(col("pv"), col("embedding"))
+            / (col("pnrm") * col("nrm")), 6).as("cos_sim"))
       scored
         .withColumn("rnk", row_number().over(
           Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("cand_id"))))
@@ -53,15 +58,17 @@ object VectorQueries extends QueryModule {
     // LSH-bucketed top-3 neighbors for every vector: join within bucket.
     "q_ann_lsh" -> ((s, d) => {
       val b = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-        VectorFunctions.lshBucket(col("embedding"), planes).as("bucket"))
+        VectorFunctions.lshBucket(col("embedding"), planes).as("bucket"),
+        VectorFunctions.l2Norm(col("embedding")).as("nrm"))
       val probes = b.select(col("bucket"), col("vec_id").as("probe_id"),
-        col("embedding").as("pv"))
+        col("embedding").as("pv"), col("nrm").as("pnrm"))
       val cands = b.select(col("bucket"), col("vec_id").as("cand_id"),
-        col("embedding").as("cv"))
+        col("embedding").as("cv"), col("nrm").as("cnrm"))
       probes.join(cands, "bucket")
         .filter(col("probe_id") =!= col("cand_id"))
         .select(col("probe_id"), col("cand_id"),
-          round(VectorFunctions.cosine(col("pv"), col("cv")), 6).as("cos_sim"))
+          round(VectorFunctions.dot(col("pv"), col("cv"))
+            / (col("pnrm") * col("cnrm")), 6).as("cos_sim"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("cand_id"))))
         .filter(col("rnk") <= 3)
@@ -71,13 +78,17 @@ object VectorQueries extends QueryModule {
     // Embedding-cosine near-dup pairs: same LSH bucket ∧ cosine ≥ 0.35.
     "q_embed_near_dup" -> ((s, d) => {
       val b = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-        VectorFunctions.lshBucket(col("embedding"), planes).as("bucket"))
-      val l = b.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("va"))
-      val r = b.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+        VectorFunctions.lshBucket(col("embedding"), planes).as("bucket"),
+        VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+      val l = b.select(col("bucket"), col("vec_id").as("vec_a"),
+        col("embedding").as("va"), col("nrm").as("na"))
+      val r = b.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
       l.join(r, "bucket")
         .filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+          round(VectorFunctions.dot(col("va"), col("vb"))
+            / (col("na") * col("nb")), 6).as("cos_sim"))
         .filter(col("cos_sim") >= 0.35)
         .orderBy("vec_a", "vec_b")
     })
