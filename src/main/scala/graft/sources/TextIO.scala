@@ -27,9 +27,26 @@ object TextIO {
   def readLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
-  /** S2 analog: read with an explicit target split size. */
-  def readLines(spark: SparkSession, path: String, maxSplitBytes: Long): DataFrame =
-    spark.read.option("maxPartitionBytes", maxSplitBytes.toString).text(path)
+  /** S2 analog: read with an explicit target split size. Split sizing
+    * is a session conf, not a per-read option, so it is set for the
+    * duration of PLANNING this read and restored after — the scan
+    * captures the value when the DataFrame is constructed. (≙ the
+    * reference's `dfs.blocksize`/`minsize` tuning,
+    * `TraceInsertIndexJob.java:58-63`.) */
+  def readLines(spark: SparkSession, path: String, maxSplitBytes: Long): DataFrame = {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, maxSplitBytes.toString)
+    try {
+      // Physical planning re-reads the conf per action, so pin the split
+      // decision by materializing the scan's RDD lineage now and
+      // re-wrapping it (line text has no pushdown to lose).
+      val rdd = spark.read.text(path).rdd
+      spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+    } finally spark.conf.set(key, prev)
+  }
 
   /** S4/S5: write all columns as `c1 \t c2 \t ...` lines.
     * `overwrite = false` preserves the reference's fail-if-exists

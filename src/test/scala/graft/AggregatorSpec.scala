@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions.udaf
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Aggregators
+import graft.operators.InvertedIndex
+import graft.sources.TextIO
+
+/** Typed-Aggregator surface (§2.10) + S2 split-size control tests. */
+class AggregatorSpec extends AnyFunSuite with SparkSpec {
+
+  private val indexFixture: Seq[String] =
+    (1 to 5).flatMap(i => Seq(s"apple\tdoc$i", s"banana\tdoc$i", s"cat\tdoc$i")) :+
+      "zebra\tdoc6"
+
+  test("PostingList Aggregator reproduces the collect_set posting pipeline") {
+    val s = spark
+    import s.implicits._
+    val pairs = InvertedIndex.parsePairs(indexFixture.toDF("value"))
+    // Typed path: groupByKey + the Aggregator as a TypedColumn.
+    val typed = pairs.as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(Aggregators.PostingList.toColumn.name("doc_ids"))
+      .toDF("word", "doc_ids")
+      .orderBy("word")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+    val builtin = InvertedIndex(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+    assert(typed == builtin)
+  }
+
+  test("PostingList registered as a SQL udaf works in spark.sql") {
+    spark.udf.register("posting_list", udaf(Aggregators.PostingList))
+    val s = spark
+    import s.implicits._
+    InvertedIndex.parsePairs(indexFixture.toDF("value"))
+      .createOrReplaceTempView("pairs_v")
+    val got = spark.sql(
+      "SELECT word, posting_list(doc_id) AS doc_ids FROM pairs_v GROUP BY word ORDER BY word")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+    assert(got == Seq(
+      "apple" -> "doc1,doc2,doc3,doc4,doc5",
+      "banana" -> "doc1,doc2,doc3,doc4,doc5",
+      "cat" -> "doc1,doc2,doc3,doc4,doc5",
+      "zebra" -> "doc6"))
+  }
+
+  test("Summarize Aggregator merges partial summaries correctly") {
+    val s = spark
+    import s.implicits._
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 10.0)
+    val got = xs.toDS().repartition(3)
+      .select(Aggregators.Summarize.toColumn.name("s"))
+      .collect()(0)
+    assert(got.n == 5L)
+    assert(got.sum == 20.0)
+    assert(got.min == 1.0 && got.max == 10.0)
+    assert(math.abs(got.mean - 4.0) < 1e-12)
+  }
+
+  test("S2: explicit split size yields more partitions for the same file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-split")
+    val f = dir.resolve("big.txt")
+    java.nio.file.Files.write(f, (1 to 20000).map(i => s"line-$i-padding-padding")
+      .mkString("\n").getBytes)
+    val coarse = TextIO.readLines(spark, f.toString).rdd.getNumPartitions
+    val fine = TextIO.readLines(spark, f.toString, 32 * 1024).rdd.getNumPartitions
+    assert(fine > coarse)
+    assert(TextIO.readLines(spark, f.toString, 32 * 1024).count() == 20000)
+  }
+}
