@@ -22,6 +22,13 @@ object VectorFunctions {
   /** ‖v‖₂ in double precision. */
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Σ (aᵢ−bᵢ)² — squared Euclidean distance, double precision.
+    * Subtraction-then-multiply (no pow) so DuckDB mirrors bit-for-bit. */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity in double precision. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 

@@ -75,6 +75,41 @@ object VectorQueries extends QueryModule {
         .orderBy("probe_id", "rnk")
     }),
 
+    // IVF (inverted-file) ANN, nprobe=1: a coarse quantizer assigns every
+    // vector to its nearest of K=16 centroids (here: the first 16 vectors,
+    // a deterministic stand-in for trained centroids — at 100 TB the
+    // quantizer is a small driver-side artifact trained on a sample);
+    // probes search only their own cell. Complements q_ann_lsh: IVF
+    // partitions by data geometry, LSH by random projection. Fully
+    // declarative: assignment is a broadcast join + argmin window, the
+    // search one equi-join on cell id — both linear shapes.
+    "q_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assign = e.crossJoin(broadcast(cent))
+        .withColumn("d", round(VectorFunctions.dist2(col("embedding"), col("cv")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+      val probes = assign.filter(col("vec_id") % 25 === 0)
+        .select(col("cell"), col("vec_id").as("probe_id"),
+          col("embedding").as("pv"), col("nrm").as("pnrm"))
+      val cands = assign.select(col("cell"), col("vec_id").as("cand_id"),
+        col("embedding").as("cv"), col("nrm").as("cnrm"))
+      probes.join(cands, "cell")
+        .filter(col("probe_id") =!= col("cand_id"))
+        .select(col("probe_id"), col("cand_id"),
+          round(VectorFunctions.dot(col("pv"), col("cv"))
+            / (col("pnrm") * col("cnrm")), 6).as("cos_sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("cand_id"))))
+        .filter(col("rnk") <= 3)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Embedding-cosine near-dup pairs: same LSH bucket ∧ cosine ≥ 0.35.
     "q_embed_near_dup" -> ((s, d) => {
       val b = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
@@ -123,6 +158,27 @@ object VectorQueries extends QueryModule {
          |   (PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id) AS rnk FROM scored)
          |SELECT probe_id, cand_id, cos_sim, rnk FROM r WHERE rnk <= 3
          |ORDER BY probe_id, rnk""".stripMargin.replace("\n", ""),
+
+    "q_ann_ivf" -> {
+      val dist2 = s"list_sum(list_transform(generate_series(1, $dim), " +
+        "i -> (e.embedding[i]::DOUBLE - cv[i]::DOUBLE) * (e.embedding[i]::DOUBLE - cv[i]::DOUBLE)))"
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+         |   FROM embeddings WHERE vec_id < 16),
+         | dist AS (SELECT e.vec_id, e.embedding, cid, round($dist2, 6) AS d
+         |   FROM embeddings e CROSS JOIN cent),
+         | cells AS (SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM dist) WHERE rn = 1),
+         | probes AS (SELECT cell, vec_id AS probe_id, embedding AS pv
+         |   FROM cells WHERE vec_id % 25 = 0),
+         | scored AS (SELECT probe_id, c.vec_id AS cand_id,
+         |   ${cosSql("pv", "c.embedding")} AS cos_sim
+         |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id != p.probe_id),
+         | r AS (SELECT probe_id, cand_id, cos_sim, row_number() OVER
+         |   (PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id) AS rnk FROM scored)
+         |SELECT probe_id, cand_id, cos_sim, rnk FROM r WHERE rnk <= 3
+         |ORDER BY probe_id, rnk""".stripMargin.replace("\n", "")
+    },
 
     "q_embed_near_dup" ->
       s"""$bucketCte

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 
 import graft.operators.{InvertedIndex, WordCount}
 
@@ -70,4 +71,23 @@ object StreamingKernels {
                            watermark: String, keys: Seq[String]): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
+
+  /** Custom keyed state via `mapGroupsWithState` (the fully general
+    * stateful extension point — the streaming twin of the reference's
+    * Reducer-with-setup()-state surface, SURVEY §2.10): a running
+    * per-key event count that survives across micro-batches. State is
+    * one long per key; use GroupStateTimeout in production to expire
+    * idle keys. */
+  def runningCounts(events: org.apache.spark.sql.Dataset[(String, Long)])
+      : org.apache.spark.sql.Dataset[(String, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state) =>
+          val total = state.getOption.getOrElse(0L) + rows.map(_._2).sum
+          state.update(total)
+          (key, total)
+      }
+  }
 }

@@ -60,6 +60,19 @@ class AggregatorSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got.mean - 4.0) < 1e-12)
   }
 
+  test("S3: many small files combine into few partitions (native packing)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-smallfiles")
+    (1 to 40).foreach { i =>
+      java.nio.file.Files.write(dir.resolve(s"part-$i.txt"), s"line-$i\n".getBytes)
+    }
+    val df = TextIO.readLines(spark, dir.toString)
+    // 40 tiny files must NOT become 40 partitions — Spark packs them by
+    // maxPartitionBytes/openCostInBytes (the reference left this to a
+    // commented-out CombineTextInputFormat).
+    assert(df.rdd.getNumPartitions < 40)
+    assert(df.count() == 40)
+  }
+
   test("S2: explicit split size yields more partitions for the same file") {
     val dir = java.nio.file.Files.createTempDirectory("graft-split")
     val f = dir.resolve("big.txt")

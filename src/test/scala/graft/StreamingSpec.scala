@@ -86,6 +86,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows close after the gap and count their events") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val df = source.toDF().toDF("ts", "user_id")
+    val q = StreamingKernels.sessionCounts(df, "ts", col("user_id"),
+      watermark = "1 hour", gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // u1: two events 10 min apart (one session); u2: one event.
+      source.addData(
+        (ts("2026-01-01 10:00:00"), "u1"),
+        (ts("2026-01-01 10:10:00"), "u1"),
+        (ts("2026-01-01 10:05:00"), "u2"))
+      q.processAllAvailable()
+      // Advance watermark past the sessions' close.
+      source.addData((ts("2026-01-01 13:00:00"), "u3"))
+      q.processAllAvailable()
+      val got = spark.table("sess_stream").collect()
+        .map(r => (r.getString(1), r.getLong(2))).toSet
+      assert(got == Set(("u1", 2L), ("u2", 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running counts across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, Long)]
+    val q = StreamingKernels.runningCounts(source.toDS())
+      .toDF("user", "total")
+      .writeStream.format("memory").queryName("state_stream")
+      .outputMode("update").start()
+    try {
+      source.addData(("a", 2L), ("a", 3L), ("b", 1L))
+      q.processAllAvailable()
+      source.addData(("a", 5L))
+      q.processAllAvailable()
+      val last = spark.table("state_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      // State carried over: a = 2+3 then +5 = 10.
+      assert(last == Map("a" -> 10L, "b" -> 1L))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon duplicates") {
     val s = spark
     import s.implicits._
