@@ -31,6 +31,7 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized
       // reader rejects; read as ns-longs and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -23,8 +23,14 @@ object TextFunctions {
   def tokens(c: Column): Column = split(normalizeText(c), " ")
 
   /** Deterministic 60-bit hash of a string: first 15 hex chars of md5.
-    * Mirror: `('0x' || substr(md5(s), 1, 15))::BIGINT`. */
-  def hash60(c: Column): Column =
+    * Mirror: `('0x' || substr(md5(s), 1, 15))::BIGINT`. Backed by the
+    * native codegen'd [[Hash60Expr]]; [[hash60Legacy]] is the built-in
+    * composition it replaced (kept for the equivalence test). */
+  def hash60(c: Column): Column = Hash60Expr(c)
+
+  /** The original composite form of [[hash60]] — same value, slower
+    * (hex-string materialization + BigInteger radix conversion). */
+  def hash60Legacy(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Seeded variant: independent hash family member `seed`. */

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal accessor for the `private[sql]` Column ⇄ Expression bridge —
+  * the standard technique for third-party Catalyst expressions (the
+  * public API intentionally hides Expression since the Connect split).
+  * Nothing else from the private surface is touched. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

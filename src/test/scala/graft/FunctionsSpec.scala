@@ -22,6 +22,31 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("native Hash60Expr ≡ legacy conv(substring(md5)) composition") {
+    val inputs = Seq("", "x", "a b c", "doc42", "ω∂ƒ unicode ≠ ascii",
+      "\t tab", "0123456789abcdef" * 8) ++
+      (1 to 50).map(i => s"generated-input-$i")
+    val s = spark
+    import s.implicits._
+    val df = inputs.toDF("v")
+    val rows = df.select(TextFunctions.hash60(col("v")).as("native"),
+      TextFunctions.hash60Legacy(col("v")).as("legacy")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("hash60 is registered in SQL via GraftExtensions") {
+    // The shared test session doesn't load extensions; register directly
+    // through the same builder the extension uses.
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("hash60"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.Hash60Expr].getName, "hash60"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.Hash60Expr(children.head))
+    val got = spark.sql("SELECT hash60('abc') AS h").collect()(0).getLong(0)
+    assert(got == VectorFunctions.hash60Scala("abc"))
+  }
+
   test("normalizeText lowercases, strips punctuation, collapses whitespace") {
     assert(one[String](TextFunctions.normalizeText(lit("The  quick, brown FOX!"))) ==
       "the quick brown fox")
