@@ -20,7 +20,8 @@ object SparkEntry {
     DedupQueries,
     VectorQueries,
     TextStatsQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    CorpusQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

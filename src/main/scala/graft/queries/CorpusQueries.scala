@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** Corpus-level training-data operations over `documents`: deterministic
+  * train/valid/test splitting, per-source quality rollups, global corpus
+  * statistics, TF-IDF term ranking. The ops a 100 TB pretraining
+  * pipeline runs after dedup/quality filtering — all single-shuffle
+  * aggregation shapes, no driver-side state.
+  */
+object CorpusQueries extends QueryModule {
+
+  /** Tokens staged per doc (see PLANS.md on staging discipline). */
+  private def tokenRows(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("word"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic hash-based 80/10/10 split: assignment is a pure
+    // function of doc_id, so it is stable under re-sharding, engine
+    // changes, and incremental corpus growth — the property that makes
+    // a training split reproducible. No shuffle at all (map-only).
+    "q_split_train_test" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          pmod(TextFunctions.hash60(concat(lit("split:"), col("doc_id").cast("string"))),
+            lit(100L)).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid")
+            .otherwise("test"))
+        .orderBy("doc_id")),
+
+    // Per-source quality rollup: the filtering report a data pipeline
+    // emits per upstream feed. One shuffle on source.
+    "q_quality_by_source" -> ((s, d) => {
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("is_good", (col("n_tokens") >= 20).cast("long"))
+      staged.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_tokens")), 6).as("avg_tokens"),
+          sum(col("is_good")).as("n_good"),
+          round(sum(col("is_good")).cast("double") / count(lit(1)), 6).as("good_ratio"))
+        .orderBy("source")
+    }),
+
+    // Global corpus statistics in one aggregation pass.
+    "q_corpus_stats" -> ((s, d) =>
+      tokenRows(s, d)
+        .agg(count(lit(1)).as("total_tokens"),
+          countDistinct(col("word")).as("vocab_size"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .withColumn("avg_doc_tokens",
+          round(col("total_tokens").cast("double") / col("n_docs"), 6))),
+
+    // Top-5 TF-IDF terms per source: tf = term count within source,
+    // idf = ln(#sources / #sources containing term). Two shuffles
+    // (term-level agg, source-level window) — both on bounded key
+    // domains (vocabulary), independent of corpus row count.
+    "q_tfidf_top_terms" -> ((s, d) => {
+      val tf = tokenRows(s, d).groupBy("source", "word")
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val nSources = Tables.documents(s, d)
+        .agg(countDistinct(col("source")).as("n_sources"))
+      tf.join(df_, "word")
+        .crossJoin(broadcast(nSources))
+        .withColumn("score",
+          round(col("tf") * log(col("n_sources").cast("double") / col("df")), 6))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("source").orderBy(col("score").desc, col("word"))))
+        .filter(col("rnk") <= 5)
+        .select(col("source"), col("word"), col("tf"), col("df"), col("score"), col("rnk"))
+        .orderBy("source", "rnk")
+    })
+  )
+
+  import OracleSql._
+
+  private val tokenRowsSql =
+    s"SELECT doc_id, source, unnest(${toks("text")}) AS word FROM documents"
+
+  def oracle: Map[String, String] = Map(
+    "q_split_train_test" ->
+      s"""SELECT doc_id,
+         | ${hash60("'split:' || doc_id::VARCHAR")} % 100 AS bucket,
+         | CASE WHEN ${hash60("'split:' || doc_id::VARCHAR")} % 100 < 80 THEN 'train'
+         |   WHEN ${hash60("'split:' || doc_id::VARCHAR")} % 100 < 90 THEN 'valid'
+         |   ELSE 'test' END AS split
+         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    "q_quality_by_source" ->
+      s"""SELECT source, count(*) AS n_docs,
+         | round(avg(n_tokens), 6) AS avg_tokens,
+         | sum(is_good) AS n_good,
+         | round(sum(is_good)::DOUBLE / count(*), 6) AS good_ratio
+         | FROM (SELECT source, len(${toks("text")})::BIGINT AS n_tokens,
+         |        (len(${toks("text")}) >= 20)::BIGINT AS is_good FROM documents)
+         | GROUP BY source ORDER BY source""".stripMargin.replace("\n", ""),
+
+    "q_corpus_stats" ->
+      s"""SELECT total_tokens, vocab_size, n_docs,
+         | round(total_tokens::DOUBLE / n_docs, 6) AS avg_doc_tokens
+         | FROM (SELECT count(*)::BIGINT AS total_tokens,
+         |        count(DISTINCT word)::BIGINT AS vocab_size,
+         |        count(DISTINCT doc_id)::BIGINT AS n_docs
+         |       FROM ($tokenRowsSql))""".stripMargin.replace("\n", ""),
+
+    "q_tfidf_top_terms" ->
+      s"""WITH tf AS (SELECT source, word, count(*)::BIGINT AS tf
+         |   FROM ($tokenRowsSql) GROUP BY source, word),
+         | df AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word),
+         | ns AS (SELECT count(DISTINCT source)::BIGINT AS n_sources FROM documents),
+         | scored AS (SELECT source, tf.word AS word, tf, df.df AS df,
+         |   round(tf * ln(n_sources::DOUBLE / df.df), 6) AS score
+         |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN ns),
+         | r AS (SELECT *, row_number() OVER
+         |   (PARTITION BY source ORDER BY score DESC, word) AS rnk FROM scored)
+         |SELECT source, word, tf, df, score, rnk FROM r WHERE rnk <= 5
+         |ORDER BY source, rnk""".stripMargin.replace("\n", "")
+  )
+}
