@@ -20,5 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hash60"),
       new ExpressionInfo(classOf[Hash60Expr].getName, "hash60"),
       (children: Seq[Expression]) => Hash60Expr(children.head)))
+    ext.injectPlannerStrategy(_ =>
+      org.apache.spark.sql.graftasof.AsOfJoinStrategy)
   }
 }

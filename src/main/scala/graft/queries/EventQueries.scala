@@ -22,6 +22,8 @@ object EventQueries extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q_asof_join" -> (asofQuery _),
+
     "q_json_extract" -> ((s, d) =>
       Tables.events(s, d).select(
         col("event_id"),
@@ -57,7 +59,32 @@ object EventQueries extends QueryModule {
         .orderBy("hour_start", "event_type"))
   )
 
+  /** Custom-operator query: each purchase joined to the user's latest
+    * click at or before it ([[graft.operators.AsOf]] — custom
+    * LogicalPlan/Strategy/SparkPlan; the DuckDB oracle uses its native
+    * ASOF LEFT JOIN, making this an engine-vs-engine semantic check). */
+  private def asofQuery(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    graft.operators.AsOf.join(purchases, clicks,
+        "user_id", "c_user", "ts", "click_ts")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_id"), col("click_ts"))
+      .orderBy("event_id")
+  }
+
   def oracle: Map[String, String] = Map(
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        | c.event_id AS click_id, c.ts AS click_ts
+        | FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        | ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |   ON p.user_id = c.user_id AND p.ts >= c.ts
+        | ORDER BY p.event_id""".stripMargin.replace("\n", ""),
     "q_json_extract" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
