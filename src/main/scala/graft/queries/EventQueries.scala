@@ -20,9 +20,42 @@ object EventQueries extends QueryModule {
   /** 30-minute inactivity gap. */
   private val SessionGapUs = 1800L * 1000000L
 
+  /** Bounded range join via time-bucketing: for every error event, the
+    * number of same-user clicks within ±5 minutes. A naive inequality
+    * join plans as BroadcastNestedLoopJoin (quadratic); bucketing the
+    * time axis at the window width and exploding one side to its three
+    * candidate buckets turns it into an equi-join on (user, bucket) —
+    * one linear hash shuffle — with an exact |Δt| filter after. Every
+    * (error, click) pair matches in exactly one bucket (click's own),
+    * so no dedup is needed. */
+  private def rangeJoinQuery(s: SparkSession, d: String): DataFrame = {
+    val winUs = 300L * 1000000L // 5 minutes in µs
+    val e = Tables.events(s, d)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
+      .withColumn("e_us", unix_micros(col("err_ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
+      .withColumn("c_bucket", expr(s"c_us DIV $winUs"))
+    val counted = errors
+      .withColumn("e_bucket0", expr(s"e_us DIV $winUs"))
+      .withColumn("e_bucket", explode(array(
+        col("e_bucket0") - 1, col("e_bucket0"), col("e_bucket0") + 1)))
+      .join(clicks, col("user_id") === col("c_user")
+        && col("e_bucket") === col("c_bucket"))
+      .filter(abs(col("e_us") - col("c_us")) <= winUs)
+      .groupBy("err_id").agg(count(lit(1)).as("n_clicks"))
+    errors.select(col("err_id"), col("user_id"), col("err_ts"))
+      .join(counted, Seq("err_id"), "left")
+      .withColumn("n_clicks", coalesce(col("n_clicks"), lit(0L)))
+      .orderBy("err_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_asof_join" -> (asofQuery _),
+
+    "q_range_join" -> (rangeJoinQuery _),
 
     "q_json_extract" -> ((s, d) =>
       Tables.events(s, d).select(
@@ -78,6 +111,19 @@ object EventQueries extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH errors AS (SELECT event_id AS err_id, user_id, ts AS err_ts
+        |   FROM events WHERE event_type = 'error'),
+        | clicks AS (SELECT user_id AS c_user, ts AS click_ts
+        |   FROM events WHERE event_type = 'click'),
+        | agg AS (SELECT err_id, count(*)::BIGINT AS n_clicks
+        |  FROM errors e JOIN clicks c ON e.user_id = c.c_user
+        |   AND abs(epoch_us(e.err_ts) - epoch_us(c.click_ts)) <= 300000000
+        |  GROUP BY err_id)
+        |SELECT e.err_id, e.user_id, e.err_ts, coalesce(a.n_clicks, 0) AS n_clicks
+        | FROM errors e LEFT JOIN agg a USING (err_id) ORDER BY err_id"""
+        .stripMargin.replace("\n", ""),
+
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value,
         | c.event_id AS click_id, c.ts AS click_ts
