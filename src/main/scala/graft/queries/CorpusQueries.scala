@@ -62,6 +62,21 @@ object CorpusQueries extends QueryModule {
         .withColumn("avg_doc_tokens",
           round(col("total_tokens").cast("double") / col("n_docs"), 6))),
 
+    // Deterministic stratified sample: the k docs per source with the
+    // smallest content-independent hash — a reproducible uniform sample
+    // (same selection on any engine, any sharding, any run), the way a
+    // training pipeline samples eval/inspection subsets. One shuffle.
+    "q_group_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.hash60(concat(lit("sample:"), col("doc_id").cast("string")))
+            .as("h"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("source"), col("doc_id"), col("rnk"))
+        .orderBy("source", "rnk")),
+
     // Top-5 TF-IDF terms per source: tf = term count within source,
     // idf = ln(#sources / #sources containing term). Two shuffles
     // (term-level agg, source-level window) — both on bounded key
@@ -114,6 +129,13 @@ object CorpusQueries extends QueryModule {
          |        count(DISTINCT word)::BIGINT AS vocab_size,
          |        count(DISTINCT doc_id)::BIGINT AS n_docs
          |       FROM ($tokenRowsSql))""".stripMargin.replace("\n", ""),
+
+    "q_group_sample" ->
+      s"""SELECT source, doc_id, rnk FROM (
+         |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+         |    ORDER BY ${hash60("'sample:' || doc_id::VARCHAR")}, doc_id) AS rnk
+         |  FROM documents) WHERE rnk <= 5 ORDER BY source, rnk"""
+        .stripMargin.replace("\n", ""),
 
     "q_tfidf_top_terms" ->
       s"""WITH tf AS (SELECT source, word, count(*)::BIGINT AS tf
