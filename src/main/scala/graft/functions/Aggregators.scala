@@ -43,6 +43,28 @@ object Aggregators {
     def variance: Double = if (n < 2) 0.0 else (sumSq - sum * sum / n) / (n - 1)
   }
 
+  /** Bottom-k values per group with MAP-SIDE partial aggregation: each
+    * partition ships at most k values per key into the shuffle, where
+    * the window/row_number formulation of top-k shuffles EVERY row and
+    * sorts each group. At 100 TB this is the difference between a
+    * k-bounded and an unbounded per-key shuffle — the aggregate form is
+    * the scale path for group-wise sampling/top-k. Buffer is kept
+    * sorted and bounded at k. */
+  final case class BottomK(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(k > 0)
+    def zero: Seq[Long] = Vector.empty
+    def reduce(b: Seq[Long], v: Long): Seq[Long] =
+      if (b.size < k) (b :+ v).sorted
+      else if (v < b.last) (b.init :+ v).sorted
+      else b
+    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = (a ++ b).sorted.take(k)
+    def finish(b: Seq[Long]): Seq[Long] = b
+    def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   object Summarize extends Aggregator[Double, NumSummary, NumSummary] {
     def zero: NumSummary =
       NumSummary(0L, 0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity)

@@ -18,6 +18,19 @@ object ScalarQueries extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`: linear interpolation between closest ranks). At
+    // 100 TB switch to approx_percentile — exact percentile buffers per
+    // group; documented trade, same query shape.
+    "q_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("qty_p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("qty_p75"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("price_p90"))
+        .orderBy("l_returnflag")),
+
     "q_string_funcs" -> ((s, d) =>
       Tables.part(s, d).select(
         col("p_partkey"),
@@ -76,6 +89,14 @@ object ScalarQueries extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+        | round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+        | round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replace("\n", ""),
     "q_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS uname,
         | substr(p_type, 1, 6) AS type6,

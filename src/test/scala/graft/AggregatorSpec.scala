@@ -60,6 +60,31 @@ class AggregatorSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(got.mean - 4.0) < 1e-12)
   }
 
+  test("BottomK aggregate selects the same docs as the window formulation") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("source"),
+        graft.functions.TextFunctions.hash60(
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("sample:"),
+            org.apache.spark.sql.functions.col("doc_id").cast("string"))).as("h"))
+    // Aggregate form: k-bounded partial aggregation.
+    val viaAgg = docs.as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(Aggregators.BottomK(5).toColumn.name("hs"))
+      .collect().map { case (src, hs) => src -> hs.toList }.toMap
+    // Window form: full shuffle + per-group sort (the non-scale path).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h")
+    val viaWindow = docs
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(org.apache.spark.sql.functions.col("rnk") <= 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted.toList }
+    assert(viaAgg == viaWindow)
+  }
+
   test("S3: many small files combine into few partitions (native packing)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-smallfiles")
     (1 to 40).foreach { i =>
