@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ in double precision — native codegen'd expression
+    * ([[DotProductExpr]]); [[dotHof]] is the declarative form it
+    * replaced (same fold, interpreted — kept for the equivalence
+    * test). */
+  def dot(a: Column, b: Column): Column = DotProductExpr(a, b)
+
+  /** Higher-order-function form of [[dot]] (identical arithmetic). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

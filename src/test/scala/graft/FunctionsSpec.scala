@@ -91,6 +91,19 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(f1 == f2)
   }
 
+  test("native DotProductExpr ≡ HOF fold on real embeddings, bit-for-bit") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(50).select(col("embedding"))
+    val pairs = emb.crossJoin(emb.select(col("embedding").as("e2")))
+    val rows = pairs.select(
+      VectorFunctions.dot(col("embedding"), col("e2")).as("native"),
+      VectorFunctions.dotHof(col("embedding"), col("e2")).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
+  }
+
   test("cosine: 1 for identical vectors, 0 for orthogonal, symmetric") {
     val v = typedLit(Seq(1.0f, 2.0f, 3.0f))
     val w = typedLit(Seq(-2.0f, 1.0f, 0.0f))
