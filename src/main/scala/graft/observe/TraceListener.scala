@@ -71,7 +71,13 @@ final class TraceListener(exporter: SpanExporter, ctx: TraceContext)
       "spill.memory.bytes" -> m.memoryBytesSpilled.toString,
       "spill.disk.bytes" -> m.diskBytesSpilled.toString,
       "executor.run.ms" -> m.executorRunTime.toString,
-      "jvm.gc.ms" -> m.jvmGCTime.toString))
+      "jvm.gc.ms" -> m.jvmGCTime.toString)) ++
+      // Engine accumulators (chaos-injection hit counters etc.) ride on
+      // the task span — ≙ the reference stamping SLOW_INJECT_* counters
+      // alongside its span attributes (TraceInsertIndexMapper.java:131).
+      ev.taskInfo.accumulables
+        .filter(a => a.name.exists(_.startsWith("graft.")))
+        .map(a => a.name.get -> a.update.map(_.toString).getOrElse("0"))
     exporter.export(Span(ctx.traceId, TraceContext.randomHex(16),
       parent.orElse(Some(ctx.spanId)),
       name = "spark.task", kind = "CONSUMER",

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.operators.{InvertedIndex, WordCount}
 
@@ -88,6 +88,33 @@ object StreamingKernels {
           val total = state.getOption.getOrElse(0L) + rows.map(_._2).sum
           state.update(total)
           (key, total)
+      }
+  }
+
+  /** `flatMapGroupsWithState` with a processing-time timeout: emits a
+    * final per-key summary row when the key goes idle, then expires its
+    * state — the 0..n-rows-out + state-expiry half of the custom-state
+    * surface ([[runningCounts]] covers the 1-row-out half). State per
+    * key is one counter; expired keys cost nothing. */
+  def idleKeySummaries(events: org.apache.spark.sql.Dataset[(String, Long)],
+                       idleMs: Long)
+      : org.apache.spark.sql.Dataset[(String, Long, Boolean)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Boolean)](
+        OutputMode.Update(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (key, rows, state) =>
+          if (state.hasTimedOut) {
+            val total = state.getOption.getOrElse(0L)
+            state.remove()
+            Iterator((key, total, true)) // final summary on expiry
+          } else {
+            val total = state.getOption.getOrElse(0L) + rows.map(_._2).sum
+            state.update(total)
+            state.setTimeoutDuration(idleMs)
+            Iterator((key, total, false)) // running update
+          }
       }
   }
 }

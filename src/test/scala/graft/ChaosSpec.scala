@@ -79,6 +79,28 @@ class ChaosSpec extends AnyFunSuite with SparkSpec {
     } finally SlowInject.reset(spark)
   }
 
+  test("chaos hits surface as graft.* attributes on task spans") {
+    import graft.observe.{InMemoryExporter, Trace}
+    SlowInject.reset(spark)
+    spark.conf.set("spark.graft.slow.map.sleep.ms", "1")
+    val exporter = new InMemoryExporter
+    val h = Trace.install(spark, exporter)
+    try {
+      val inj = SlowInject.slowMap(lines(indexFixture))
+      InvertedIndex(InvertedIndex.parsePairs(inj.df)).collect()
+      val deadline = System.currentTimeMillis() + 10000
+      def hitSpans = exporter.named("spark.task")
+        .filter(_.attributes.get("graft.slow.map.hits").exists(_.toLong > 0))
+      while (System.currentTimeMillis() < deadline && hitSpans.isEmpty)
+        Thread.sleep(100)
+      assert(hitSpans.nonEmpty,
+        "expected task spans carrying the chaos hit accumulator")
+    } finally {
+      Trace.uninstall(spark, h)
+      SlowInject.reset(spark)
+    }
+  }
+
   test("chaos composes with wordcount without changing counts") {
     SlowInject.reset(spark)
     spark.conf.set("spark.graft.slow.map.sleep.ms", "1")

@@ -99,6 +99,27 @@ class CliAndCountersSpec extends AnyFunSuite with SparkSpec {
     assert(lines.exists(_.contains("\"spark.task\"")))
   }
 
+  test("CLI integration: chaos confs + trace sink work together end-to-end") {
+    import graft.chaos.SlowInject
+    SlowInject.reset(spark)
+    spark.conf.set("spark.graft.slow.map.sleep.ms", "1")
+    try {
+      val dir = tmpDir()
+      writeLines(dir, "in.txt", indexFixture)
+      val trace = dir.resolve("spans.jsonl")
+      val rc = Main.run(spark, Main.Args("insertindex",
+        dir.resolve("in.txt").toString, dir.resolve("out").toString,
+        trace = Some(trace.toString)))
+      assert(rc == 0)
+      // Results unchanged under chaos.
+      assert(readOut(dir.resolve("out")).head == "apple\tdoc1,doc2,doc3,doc4,doc5")
+      // Spans written, including task spans with metrics.
+      val spans = java.nio.file.Files.readAllLines(trace)
+      assert(spans.toString.contains("graft.job.submit"))
+      assert(spans.toString.contains("spark.task"))
+    } finally SlowInject.reset(spark)
+  }
+
   test("observe counters: wordcount RAW_LINES / KEYS_DISTINCT / WORDS_EMITTED") {
     val s = spark
     import s.implicits._

@@ -134,6 +134,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState emits a final summary and expires idle keys") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, Long)]
+    val q = StreamingKernels.idleKeySummaries(source.toDS(), idleMs = 50)
+      .toDF("user", "total", "expired")
+      .writeStream.format("memory").queryName("idle_stream")
+      .outputMode("update").start()
+    try {
+      // NOTE: processAllAvailable() must not be used with
+      // processing-time timeouts — the engine keeps scheduling
+      // timeout-check batches and the call never observes quiescence
+      // (it hangs). Poll the sink with a deadline instead.
+      def rows() = spark.table("idle_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+      def awaitRow(want: (String, Long, Boolean)): Unit = {
+        val deadline = System.currentTimeMillis() + 30000
+        while (System.currentTimeMillis() < deadline && !rows().contains(want)) {
+          assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+          Thread.sleep(100)
+        }
+        assert(rows().contains(want), s"timed out waiting for $want; have ${rows()}")
+      }
+      source.addData(("a", 2L), ("a", 3L))
+      awaitRow(("a", 5L, false)) // running update
+      source.addData(("b", 1L)) // keeps batches flowing past a's idle gap
+      awaitRow(("a", 5L, true)) // expiry summary with final total
+      awaitRow(("b", 1L, false))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon duplicates") {
     val s = spark
     import s.implicits._
