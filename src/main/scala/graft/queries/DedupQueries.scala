@@ -150,7 +150,7 @@ object DedupQueries extends QueryModule {
         .select(col("doc_id"),
           transform(col("toks"), t => TextFunctions.hash60(t)).as("thashes"))
         .select(col("doc_id"),
-          TextFunctions.simhashOnHashes(col("thashes"), 32).as("sh"))
+          graft.functions.SimHashExpr(col("thashes")).as("sh"))
       val bands = sh.select(col("doc_id"), explode(array(
         concat_ws(":", lit("0"), (col("sh").bitwiseAND(lit(0xFFFFL))).cast("string")),
         concat_ws(":", lit("1"), shiftright(col("sh"), 16).cast("string"))))

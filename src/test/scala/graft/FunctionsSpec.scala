@@ -104,6 +104,17 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
         java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
   }
 
+  test("native SimHashExpr ≡ declarative 32-fold form on real documents") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(transform(col("toks"), t => TextFunctions.hash60(t)).as("th"))
+    val rows = docs.select(
+      graft.functions.SimHashExpr(col("th")).as("native"),
+      TextFunctions.simhashOnHashes(col("th"), 32).as("declarative")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("cosine: 1 for identical vectors, 0 for orthogonal, symmetric") {
     val v = typedLit(Seq(1.0f, 2.0f, 3.0f))
     val w = typedLit(Seq(-2.0f, 1.0f, 0.0f))
