@@ -91,6 +91,43 @@ object StreamingKernels {
       }
   }
 
+  /** Custom sessionization with EVENT-time expiry: per-user state
+    * (count, last event time) whose timeout is the session gap past the
+    * last event in EVENT time — the watermark closes sessions, so late
+    * data within the watermark still extends them (semantics
+    * `session_window` gives declaratively; this is the custom-state
+    * form for when per-session state must be richer than an
+    * aggregate). One closed-session summary row per expiry, append
+    * mode. Watermark-driven timeouts fire on batch boundaries — unlike
+    * processing-time timeouts they are processAllAvailable-safe. */
+  def sessionizeWithState(
+      events: org.apache.spark.sql.Dataset[(java.sql.Timestamp, String)],
+      watermark: String = "1 hour", gapMs: Long = 30 * 60 * 1000L)
+      : org.apache.spark.sql.Dataset[(String, Long, java.sql.Timestamp)] = {
+    import events.sparkSession.implicits._
+    events
+      .toDF("ts", "user_id").withWatermark("ts", watermark)
+      .as[(java.sql.Timestamp, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Long), (String, Long, java.sql.Timestamp)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state) =>
+          if (state.hasTimedOut) {
+            val (n, lastMs) = state.get
+            state.remove()
+            Iterator((user, n, new java.sql.Timestamp(lastMs)))
+          } else {
+            val (n0, last0) = state.getOption.getOrElse((0L, 0L))
+            val batch = rows.toSeq
+            val n = n0 + batch.size
+            val last = math.max(last0, batch.map(_._1.getTime).max)
+            state.update((n, last))
+            state.setTimeoutTimestamp(last + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** `flatMapGroupsWithState` with a processing-time timeout: emits a
     * final per-key summary row when the key goes idle, then expires its
     * state — the 0..n-rows-out + state-expiry half of the custom-state

@@ -134,6 +134,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time custom sessionization closes sessions at the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val q = StreamingKernels.sessionizeWithState(source.toDS())
+      .toDF("user", "n_events", "session_end")
+      .writeStream.format("memory").queryName("custom_sess")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        (ts("2026-01-01 10:00:00"), "u1"),
+        (ts("2026-01-01 10:10:00"), "u1"),
+        (ts("2026-01-01 10:05:00"), "u2"))
+      q.processAllAvailable()
+      assert(spark.table("custom_sess").count() == 0) // nothing closed yet
+      // Watermark advance (1h behind max event time) past both
+      // sessions' gap deadlines closes them.
+      source.addData((ts("2026-01-01 13:00:00"), "u3"))
+      q.processAllAvailable()
+      source.addData((ts("2026-01-01 13:00:01"), "u3")) // extra batch applies timeouts
+      q.processAllAvailable()
+      val got = spark.table("custom_sess").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2).toString)).toSet
+      assert(got == Set(
+        ("u1", 2L, "2026-01-01 10:10:00.0"),
+        ("u2", 1L, "2026-01-01 10:05:00.0")))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits a final summary and expires idle keys") {
     val s = spark
     import s.implicits._
