@@ -42,26 +42,24 @@ object DedupQueries extends QueryModule {
     Tables.documents(s, dir)
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
+      // Sorted so the verify join can use the native sorted-merge
+      // Jaccard ([[graft.functions.JaccardExpr]]); sortedness changes
+      // no set semantics (minhash/sampling are order-independent).
       .select(col("doc_id"),
-        array_distinct(transform(TextFunctions.shingles(col("toks"), 3),
-          sh => TextFunctions.hash60(sh))).as("hs"))
+        array_sort(array_distinct(transform(TextFunctions.shingles(col("toks"), 3),
+          sh => TextFunctions.hash60(sh)))).as("hs"))
 
-  /** Verify join: attach both hashed-shingle sets to candidate
-    * (doc_a, doc_b) pairs and keep those with Jaccard ≥ `thresh`. */
+  /** Verify join: attach both (sorted) hashed-shingle sets to candidate
+    * (doc_a, doc_b) pairs and keep those with Jaccard ≥ `thresh`. The
+    * similarity is the native sorted-merge [[graft.functions.JaccardExpr]]
+    * — O(n+m) per pair, no per-pair hash-set build. */
   private def verifyPairs(cand: DataFrame, base: DataFrame, thresh: Double): DataFrame =
     cand
       .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      .withColumn("_inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("_inter") /
-          (size(col("hs_a")) + size(col("hs_b")) - col("_inter")), 6).as("jaccard"))
-      // Non-deterministic column = pushdown barrier: without it Catalyst
-      // pushes the threshold filter below the projection, substituting
-      // the alias and evaluating the intersect twice per pair.
-      .withColumn("_bar", monotonically_increasing_id())
+        round(graft.functions.JaccardExpr(col("hs_a"), col("hs_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= thresh)
-      .drop("_bar")
       .orderBy("doc_a", "doc_b")
 
   private val minhashSeeds = 8 // 4 bands × 2 rows

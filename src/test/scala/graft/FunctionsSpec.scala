@@ -115,6 +115,27 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("native sorted-merge Jaccard ≡ array_intersect formulation") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(3L, 5L, 7L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq.empty[Long], Seq(1L, 2L)))
+      .toDF("a", "b")
+    val rows = pairs.select(
+      graft.functions.JaccardExpr(col("a"), col("b")).as("native"),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        (size(col("a")) + size(col("b")) -
+          size(array_intersect(col("a"), col("b"))))).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // Empty ∪ empty is undefined for the division form; native defines 0.
+    val emptyBoth = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+      .select(graft.functions.JaccardExpr(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(emptyBoth == 0.0)
+  }
+
   test("cosine: 1 for identical vectors, 0 for orthogonal, symmetric") {
     val v = typedLit(Seq(1.0f, 2.0f, 3.0f))
     val w = typedLit(Seq(-2.0f, 1.0f, 0.0f))
