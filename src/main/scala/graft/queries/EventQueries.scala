@@ -51,11 +51,35 @@ object EventQueries extends QueryModule {
       .orderBy("err_id")
   }
 
+  /** Ordered conversion funnel signup → click → purchase: stage n+1
+    * counts only events strictly after the user's stage-n anchor. Three
+    * stage aggregations, each one hash shuffle on user_id — the funnel
+    * shape that stays linear at any event volume (no self-join over the
+    * whole event stream, no window over all events per user). */
+  private def funnelQuery(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val signup = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+    val click = e.filter(col("event_type") === "click")
+      .join(signup, "user_id")
+      .filter(col("ts") > col("signup_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("click_ts"))
+    val purchase = e.filter(col("event_type") === "purchase")
+      .join(click, "user_id")
+      .filter(col("ts") > col("click_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("purchase_ts"))
+    signup.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(click.agg(count(lit(1)).as("n_signup_click")))
+      .crossJoin(purchase.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_asof_join" -> (asofQuery _),
 
     "q_range_join" -> (rangeJoinQuery _),
+
+    "q_funnel" -> (funnelQuery _),
 
     "q_json_extract" -> ((s, d) =>
       Tables.events(s, d).select(
@@ -111,6 +135,20 @@ object EventQueries extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+        |   WHERE event_type = 'signup' GROUP BY user_id),
+        | c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+        |   JOIN s ON e.user_id = s.user_id AND e.ts > s.signup_ts
+        |   WHERE e.event_type = 'click' GROUP BY e.user_id),
+        | p AS (SELECT e.user_id FROM events e
+        |   JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+        |   WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s)::BIGINT AS n_signup,
+        | (SELECT count(*) FROM c)::BIGINT AS n_signup_click,
+        | (SELECT count(*) FROM p)::BIGINT AS n_full_funnel"""
+        .stripMargin.replace("\n", ""),
+
     "q_range_join" ->
       """WITH errors AS (SELECT event_id AS err_id, user_id, ts AS err_ts
         |   FROM events WHERE event_type = 'error'),
