@@ -174,6 +174,24 @@ object RelationalQueries extends QueryModule {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Window frames + distribution functions: a 30-day RANGE frame
+    // (value-based, not row-based — late/sparse orders widen or narrow
+    // the frame correctly) plus ntile/percent_rank. Range frames need a
+    // numeric order key: days since epoch.
+    "q_window_frames" -> ((s, d) => {
+      val withDay = Tables.orders(s, d)
+        .withColumn("day_no", datediff(col("o_orderdate"), lit("1990-01-01").cast("date")))
+      val wRange = Window.partitionBy("o_custkey").orderBy("day_no")
+        .rangeBetween(-30, Window.currentRow)
+      val wRank = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      withDay.select(col("o_orderkey"), col("o_custkey"),
+          round(sum(col("o_totalprice")).over(wRange), 2).as("sum_30d"),
+          ntile(4).over(wRank).cast("long").as("price_quartile"),
+          round(percent_rank().over(wRank), 6).as("pct_rank"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- sorts / top-k ---------------------------------------------------
     // orderBy(...).limit(k) plans as TakeOrderedAndProject: per-partition
     // heap + driver merge of k rows — no global sort at any scale.
@@ -333,6 +351,17 @@ object RelationalQueries extends QueryModule {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
         | FROM orders ORDER BY o_custkey, o_orderkey"""
         .stripMargin.replace("\n", ""),
+    "q_window_frames" ->
+      """SELECT o_orderkey, o_custkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY
+        |   date_diff('day', DATE '1990-01-01', o_orderdate::DATE)
+        |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS sum_30d,
+        | ntile(4) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice, o_orderkey)::BIGINT AS price_quartile,
+        | round(percent_rank() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank
+        | FROM orders ORDER BY o_orderkey""".stripMargin.replace("\n", ""),
+
     "q_window_lag" ->
       """SELECT o_custkey, o_orderkey,
         | round(coalesce(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
