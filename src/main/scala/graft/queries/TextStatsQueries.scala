@@ -76,6 +76,20 @@ object TextStatsQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Array-function surface over the token arrays (slice, distinct,
+    // membership, position, reverse) — map-only, single codegen stage.
+    "q_array_funcs" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          concat_ws(",", slice(col("toks"), 1, 3)).as("first3"),
+          size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+          array_contains(col("toks"), "the").as("has_the"),
+          element_at(reverse(col("toks")), 1).as("last_tok"),
+          array_position(col("toks"), "the").as("pos_the"))
+        .orderBy("doc_id")),
+
     // Token counting under three tokenizers: raw whitespace, a BPE-ish
     // word/punctuation regex, and the normalized pipeline tokenizer.
     "q_token_count" -> ((s, d) =>
@@ -133,6 +147,16 @@ object TextStatsQueries extends QueryModule {
            | CASE WHEN len(t) >= 20 AND round(len(list_filter(t, x -> x IN ('the','a','of','and','to','in')))::DOUBLE / len(t), 6) BETWEEN 0.01 AND 0.6 THEN 'good'
            |   WHEN len(t) >= 5 THEN 'fair' ELSE 'poor' END AS quality
            | FROM (SELECT doc_id, text, ${norm("text")} AS n, ${toks("text")} AS t FROM documents)
+           | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+      "q_array_funcs" ->
+        s"""SELECT doc_id, len(t)::BIGINT AS n_toks,
+           | array_to_string(t[1:3], ',') AS first3,
+           | len(list_distinct(t))::BIGINT AS n_uniq,
+           | list_contains(t, 'the') AS has_the,
+           | t[-1] AS last_tok,
+           | coalesce(list_position(t, 'the'), 0)::BIGINT AS pos_the
+           | FROM (SELECT doc_id, ${toks("text")} AS t FROM documents)
            | ORDER BY doc_id""".stripMargin.replace("\n", ""),
 
       "q_token_count" ->
