@@ -36,7 +36,7 @@ object Bench {
         case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
+      } finally graft.queries.StagedCache.releaseAll()
     }
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

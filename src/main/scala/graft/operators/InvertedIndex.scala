@@ -48,10 +48,12 @@ object InvertedIndex {
       .orderBy("word")
 
   /** [[parsePairs]] with the reference's mapper counters observed
-    * (`TraceInsertIndexMapper.java:105,112`: `RAW_PAIRS_IN`,
-    * `MALFORMED_LINES`), via `Dataset.observe` — computed inline during
-    * the scan, no extra pass. Read the counts from the returned
-    * [[Observation]] after an action. */
+    * (`TraceInsertIndexMapper.java:105,112`): `RAW_PAIRS_IN` counts only
+    * well-formed pairs — malformed lines increment only
+    * `MALFORMED_LINES`, mirroring the reference exactly. `LINES_IN`
+    * (total lines scanned) is a graft addition. Computed inline via
+    * `Dataset.observe` during the scan, no extra pass. Read the counts
+    * from the returned [[Observation]] after an action. */
   def parsePairsCounted(lines: DataFrame, textCol: String = "value")
       : (DataFrame, Observation) = {
     val obs = Observation("graft.index.parse")
@@ -59,7 +61,8 @@ object InvertedIndex {
     val observed = lines
       .select(trim(col(textCol), " \t\r\n\u000B\f").as("_line"))
       .observe(obs,
-        count(lit(1)).as("RAW_PAIRS_IN"),
+        count(lit(1)).as("LINES_IN"),
+        sum(when(!malformed, 1L).otherwise(0L)).as("RAW_PAIRS_IN"),
         sum(when(malformed, 1L).otherwise(0L)).as("MALFORMED_LINES"))
     val parsed = observed
       .filter(!malformed)

@@ -38,7 +38,10 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")),
 
     // Per-source quality rollup: the filtering report a data pipeline
-    // emits per upstream feed. One shuffle on source.
+    // emits per upstream feed. One shuffle on source. All outputs are
+    // exact BIGINTs — means/ratios are micro-scaled integer divisions
+    // ((sum * 1e6) div n) — so no float (whose accumulation order and
+    // canonical form are engine-dependent) ever reaches a result hash.
     "q_quality_by_source" -> ((s, d) => {
       val staged = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
@@ -47,9 +50,11 @@ object CorpusQueries extends QueryModule {
         .withColumn("is_good", (col("n_tokens") >= 20).cast("long"))
       staged.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          round(avg(col("n_tokens")), 6).as("avg_tokens"),
-          sum(col("is_good")).as("n_good"),
-          round(sum(col("is_good")).cast("double") / count(lit(1)), 6).as("good_ratio"))
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("is_good")).as("n_good"))
+        .select(col("source"), col("n_docs"), col("sum_tokens"), col("n_good"),
+          expr("(sum_tokens * 1000000L) div n_docs").as("avg_tokens_micro"),
+          expr("(n_good * 1000000L) div n_docs").as("good_ratio_micro"))
         .orderBy("source")
     }),
 
@@ -114,10 +119,11 @@ object CorpusQueries extends QueryModule {
          | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
 
     "q_quality_by_source" ->
-      s"""SELECT source, count(*) AS n_docs,
-         | round(avg(n_tokens), 6) AS avg_tokens,
-         | sum(is_good) AS n_good,
-         | round(sum(is_good)::DOUBLE / count(*), 6) AS good_ratio
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         | sum(n_tokens)::BIGINT AS sum_tokens,
+         | sum(is_good)::BIGINT AS n_good,
+         | ((sum(n_tokens)::BIGINT * 1000000) // count(*))::BIGINT AS avg_tokens_micro,
+         | ((sum(is_good)::BIGINT * 1000000) // count(*))::BIGINT AS good_ratio_micro
          | FROM (SELECT source, len(${toks("text")})::BIGINT AS n_tokens,
          |        (len(${toks("text")}) >= 20)::BIGINT AS is_good FROM documents)
          | GROUP BY source ORDER BY source""".stripMargin.replace("\n", ""),

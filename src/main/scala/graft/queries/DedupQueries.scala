@@ -96,8 +96,9 @@ object DedupQueries extends QueryModule {
       // Materialize the hashed-shingle table once: it feeds signature
       // generation AND both sides of the verify join, whose differing
       // projections defeat exchange reuse. At 100 TB this is the staged
-      // signature table a production dedup writes to storage.
-      val base = hashedShingles(s, d).persist()
+      // signature table a production dedup writes to storage. Tracked in
+      // StagedCache so harnesses release it after the query's action.
+      val base = StagedCache.persist(hashedShingles(s, d))
       val sigs = base.select(
         col("doc_id") +:
           (0 until minhashSeeds).map(i =>
@@ -121,7 +122,7 @@ object DedupQueries extends QueryModule {
     // and identical in the oracle since the sampling is deterministic).
     "q_ngram_jaccard" -> ((s, d) => {
       // Same staged-table materialization as q_near_dup_minhash.
-      val base = hashedShingles(s, d).persist()
+      val base = StagedCache.persist(hashedShingles(s, d))
       val sampled = base
         .select(col("doc_id"), explode(col("hs")).as("h"))
         .filter(col("h") % 8 === 0)
@@ -135,10 +136,12 @@ object DedupQueries extends QueryModule {
     }),
 
     // SimHash near-dup: 32-bit token-vote signature; candidates share a
-    // 16-bit half (any hamming-≤16 pair must agree on one half — exact
-    // recall for the ≤8 cutoff would need 4×8-bit bands; halves keep the
-    // candidate volume low and the miss deterministic), verified by
-    // hamming distance ≤ 8.
+    // 16-bit half, verified by hamming distance ≤ 8. Banding here is a
+    // deterministic heuristic candidate filter: 2 halves guarantee full
+    // recall only for hamming ≤ 1 (pigeonhole — 2 differing bits can
+    // split 1/1 across the halves); recall for hamming 2..8 is < 1, and
+    // exact recall at the ≤8 cutoff would need 9 bands. The oracle uses
+    // identical banding, so the miss set is identical on both engines.
     "q_near_dup_simhash" -> ((s, d) => {
       // Stage tokens then token hashes as real columns: one tokenizer
       // pass + one md5 pass per row; the 32 bit-folds are arithmetic

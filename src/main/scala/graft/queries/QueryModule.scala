@@ -16,3 +16,19 @@ trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracle: Map[String, String]
 }
+
+/** Tracks DataFrames persisted as staged intermediates inside a query
+  * (e.g. the hashed-shingle table both sides of a dedup verify join
+  * read). A long-lived session running many queries (Bench, Verify, a
+  * notebook) must release them between queries or cached blocks
+  * accumulate; harnesses call [[releaseAll]] after each query's action.
+  */
+object StagedCache {
+  private val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  def persist(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist(); staged += p; p
+  }
+  def releaseAll(): Unit = synchronized {
+    staged.foreach(_.unpersist(false)); staged.clear()
+  }
+}

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftasof
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -72,8 +72,13 @@ case class AsOfJoinExec(
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
     val nRight = right.output.length
+    val outputAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      new Iterator[InternalRow] {
+      // Parent operators (e.g. a ShuffleExchangeExec placed directly
+      // above) may require UnsafeRow; JoinedRow is not one, so convert —
+      // same result-projection discipline as SortMergeJoinExec.
+      val resultProj = UnsafeProjection.create(outputAttrs, outputAttrs)
+      val joinedIter = new Iterator[InternalRow] {
         private val joined = new JoinedRow
         private val nullRow = new GenericInternalRow(nRight)
         private var rHead: InternalRow =
@@ -114,6 +119,7 @@ case class AsOfJoinExec(
           joined(l, m)
         }
       }
+      joinedIter.map(resultProj)
     }
   }
 }

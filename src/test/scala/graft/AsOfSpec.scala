@@ -55,6 +55,24 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(run(trades.repartition(1), quotes.repartition(7)) == expected)
   }
 
+  test("as-of join output survives a shuffle placed directly above it") {
+    // Regression: the exec must emit UnsafeRow — a ShuffleExchangeExec
+    // right above the join (no Project in between) casts rows to
+    // UnsafeRow, which threw ClassCastException on raw JoinedRow output.
+    val (trades, quotes) = frames()
+    val shuffled = AsOf.join(trades, quotes, "t_sym", "q_sym", "t_ts", "q_ts")
+      .repartition(4)
+    val got = shuffled.collect()
+      .map(r => r.getLong(r.fieldIndex("tid")) ->
+        (if (r.isNullAt(r.fieldIndex("qid"))) None
+         else Some(r.getLong(r.fieldIndex("qid"))))).toMap
+    assert(got == expected)
+    // Sort directly above exercises the same row-format requirement.
+    val sorted = AsOf.join(trades, quotes, "t_sym", "q_sym", "t_ts", "q_ts")
+      .orderBy("qid")
+    assert(sorted.count() == 5L)
+  }
+
   test("as-of join rejects overlapping column names") {
     val (trades, quotes) = frames()
     intercept[IllegalArgumentException] {

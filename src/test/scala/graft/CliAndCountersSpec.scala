@@ -139,7 +139,10 @@ class CliAndCountersSpec extends AnyFunSuite with SparkSpec {
     val (index, reduceObs) = InvertedIndex.postingsCounted(
       pairs, col("word"), col("doc_id"))
     index.collect()
-    assert(parseObs.get("RAW_PAIRS_IN") == noisy.size.toLong)
+    // Reference semantics (TraceInsertIndexMapper.java:112): RAW_PAIRS_IN
+    // counts only well-formed pairs; malformed lines count separately.
+    assert(parseObs.get("LINES_IN") == noisy.size.toLong)
+    assert(parseObs.get("RAW_PAIRS_IN") == (noisy.size - 3).toLong)
     assert(parseObs.get("MALFORMED_LINES") == 3L)
     assert(reduceObs.get("KEYS_DISTINCT") == 4L)
     assert(reduceObs.get("REDUCER_LIST_EMIT") == 4L)
