@@ -12,9 +12,12 @@ import graft.sources.Tables
   * `q_multimodal_meta` is fully oracle-checked (binary sizes + struct
   * metadata are engine-independent arithmetic). `q_multimodal_features`
   * exercises the batched binary → feature path (mapPartitions decode
-  * stub), which is not SQL-expressible — the driver records the weaker
-  * rows-only check for it, and FunctionsSpec/MultimodalSpec pin the
-  * feature values.
+  * stub) and IS oracle-checked despite the float features: each
+  * normalized bin is c/len at float precision (relative error 2⁻²⁴), so
+  * `round(bin * len)` recovers the exact integer byte count (error ≤
+  * len·2⁻²⁴ ≪ 0.5), and the emitted columns are all exact BIGINTs.
+  * DuckDB rebuilds the same counts from `ord()` over the text, byte =
+  * codepoint because the corpus is pure ASCII.
   */
 object MultimodalQueries extends QueryModule {
 
@@ -31,11 +34,21 @@ object MultimodalQueries extends QueryModule {
 
     "q_multimodal_features" -> ((s, d) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
+      // Exact count of bytes in histogram bin i, recovered from the
+      // float-normalized feature: round(bin_i * n_bytes).
+      def cnt(i: Int) =
+        round(element_at(col("features"), i + 1).cast("double") * col("n_bytes"), 0)
+          .cast("long")
       Multimodal.extractFeatures(media)
         .select(col("media_id"), col("kind"),
-          round(element_at(col("features"), 1).cast("double"), 6).as("bin0"),
-          round(aggregate(col("features"), lit(0.0),
-            (acc, x) => acc + x.cast("double")), 6).as("feature_sum"))
+          octet_length(col("bytes")).cast("long").as("n_bytes"),
+          col("features"))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          cnt(2).as("bin2_count"), // bytes 0x20–0x2F: space + punctuation
+          // Position-weighted checksum over ALL 16 bins — pins the whole
+          // histogram, not just one bin.
+          (0 until Multimodal.MediaCodec.bins)
+            .map(i => cnt(i) * lit((i + 1).toLong)).reduce(_ + _).as("checksum"))
         .orderBy("media_id")
     })
   )
@@ -50,7 +63,17 @@ object MultimodalQueries extends QueryModule {
         | ((doc_id % 2) * 22050 + 22050)::INT AS sample_rate,
         | ((doc_id % 7) * 1000 + 1000)::BIGINT AS duration_ms,
         | ['png','wav','mp4'][(doc_id % 3)::INT + 1] AS format
-        | FROM documents ORDER BY media_id""".stripMargin.replace("\n", "")
-    // q_multimodal_features: mapPartitions decode stub — rows-only check.
+        | FROM documents ORDER BY media_id""".stripMargin.replace("\n", ""),
+
+    "q_multimodal_features" ->
+      """WITH b AS (SELECT doc_id, text,
+        |   list_transform(range(1, strlen(text)+1), i -> ord(text[i])) AS bytes
+        |  FROM documents)
+        | SELECT doc_id AS media_id,
+        |  ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
+        |  strlen(text)::BIGINT AS n_bytes,
+        |  coalesce(len(list_filter(bytes, x -> x // 16 = 2)), 0)::BIGINT AS bin2_count,
+        |  coalesce(list_sum(list_transform(bytes, x -> (x // 16) + 1)), 0)::BIGINT AS checksum
+        | FROM b ORDER BY media_id""".stripMargin.replace("\n", "")
   )
 }
