@@ -67,6 +67,30 @@ object CorpusQueries extends QueryModule {
         .withColumn("avg_doc_tokens",
           round(col("total_tokens").cast("double") / col("n_docs"), 6))),
 
+    // Sketch-based distinct counting: the 100 TB replacement for exact
+    // countDistinct (whose hash set holds every distinct value). The
+    // KMV TypedImperativeAggregate keeps a BOUNDED k-long buffer per
+    // group, partial-aggregates map-side, and ships ≤ k longs per
+    // (group, partition) through the shuffle. n_exact (the expensive
+    // twin) stays in the query as the accuracy witness — at production
+    // scale you run only the sketch columns.
+    "q_corpus_stats_sketch" -> ((s, d) => {
+      val k = 128
+      val hs = Tables.documents(s, d)
+        .select(col("source"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("source"), explode(TextFunctions.shingles(col("toks"), 3)).as("sh"))
+        .select(col("source"), TextFunctions.hash60(col("sh")).as("h"))
+      hs.groupBy("source")
+        .agg(countDistinct(col("h")).as("n_exact"),
+          graft.functions.KmvDistinctAgg(col("h"), k).as("sk"))
+        .select(col("source"), col("n_exact"),
+          col("sk.n_filled").as("n_filled"),
+          col("sk.kth_min").as("kth_min"),
+          col("sk.est").as("est_distinct"))
+        .orderBy("source")
+    }),
+
     // Deterministic stratified sample: the k docs per source with the
     // smallest content-independent hash — a reproducible uniform sample
     // (same selection on any engine, any sharding, any run), the way a
@@ -135,6 +159,22 @@ object CorpusQueries extends QueryModule {
          |        count(DISTINCT word)::BIGINT AS vocab_size,
          |        count(DISTINCT doc_id)::BIGINT AS n_docs
          |       FROM ($tokenRowsSql))""".stripMargin.replace("\n", ""),
+
+    "q_corpus_stats_sketch" ->
+      s"""WITH tok AS (SELECT doc_id, source, ${toks("text")} AS t FROM documents),
+         | sgl AS (SELECT source, unnest(${shingles("t", 3)}) AS sh
+         |   FROM tok WHERE len(t) >= 3),
+         | h AS (SELECT DISTINCT source, ${hash60("sh")} AS h FROM sgl),
+         | r AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n FROM h)
+         |SELECT source, max(n)::BIGINT AS n_exact,
+         | least(max(n), 128)::BIGINT AS n_filled,
+         | max(CASE WHEN rn = least(n, 128) THEN h END)::BIGINT AS kth_min,
+         | (CASE WHEN max(n) < 128 THEN max(n)
+         |   ELSE round(127.0 * 1152921504606846976.0 /
+         |     max(CASE WHEN rn = least(n, 128) THEN h END), 0) END)::BIGINT AS est_distinct
+         | FROM r GROUP BY source ORDER BY source""".stripMargin.replace("\n", ""),
 
     "q_group_sample" ->
       s"""SELECT source, doc_id, rnk FROM (

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -30,6 +30,39 @@ object ScalarQueries extends QueryModule {
           round(expr("percentile(l_quantity, 0.75)"), 6).as("qty_p75"),
           round(expr("percentile(l_extendedprice, 0.9)"), 6).as("price_p90"))
         .orderBy("l_returnflag")),
+
+    // The scale-safe percentile: approx_percentile's GK sketch holds
+    // bounded state per group (vs. exact percentile buffering every
+    // value). The approx VALUES are engine-internal (not mirrorable),
+    // but the GUARANTEE is: the returned element's rank must sit within
+    // ±n/accuracy of the target rank. So the query emits the rank-bound
+    // BOOLEANS (plus exact counts) and the oracle emits TRUE — a
+    // tolerance oracle both engines agree on. The rank check itself is
+    // one broadcast join + one aggregation, no per-group buffering.
+    "q_percentiles_approx" -> ((s, d) => {
+      val acc = 1000
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val approx = li.groupBy("l_returnflag")
+        .agg(expr(s"approx_percentile(l_extendedprice, array(0.5D, 0.9D), $acc)").as("ap"))
+        .select(col("l_returnflag").as("rf"),
+          element_at(col("ap"), 1).as("a50"), element_at(col("ap"), 2).as("a90"))
+      val eps = lit(1.0 / acc)
+      def rankOk(lt: Column, le: Column, n: Column, p: Double): Column =
+        (le.cast("double") >= n.cast("double") * p - n.cast("double") * eps - 1.0) &&
+        (lt.cast("double") <= n.cast("double") * p + n.cast("double") * eps + 1.0)
+      val counted = li.join(broadcast(approx), col("l_returnflag") === col("rf"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("l_extendedprice") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("l_extendedprice") < col("a90"), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("l_extendedprice") <= col("a90"), 1L).otherwise(0L)).as("le90"))
+      counted.select(col("l_returnflag"), col("n"),
+          rankOk(col("lt50"), col("le50"), col("n"), 0.5).as("p50_rank_ok"),
+          rankOk(col("lt90"), col("le90"), col("n"), 0.9).as("p90_rank_ok"))
+        .orderBy("l_returnflag")
+    }),
 
     "q_string_funcs" -> ((s, d) =>
       Tables.part(s, d).select(
@@ -89,6 +122,12 @@ object ScalarQueries extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_percentiles_approx" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        | true AS p50_rank_ok, true AS p90_rank_ok
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replace("\n", ""),
+
     "q_percentiles" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{KmvDistinctAgg, VectorFunctions}
+
+/** Tests for the KMV distinct-count TypedImperativeAggregate: exact
+  * path (buffer not full), estimation accuracy, partitioning invariance
+  * (partial buffers serialize + merge through the shuffle), per-group
+  * independence, and SQL registration. */
+class KmvSketchSpec extends AnyFunSuite with SparkSpec {
+
+  private def hashes(prefix: String, n: Int): Seq[Long] =
+    (1 to n).map(i => VectorFunctions.hash60Scala(s"$prefix-$i"))
+
+  private def sketchRow(df: DataFrame, k: Int): Row =
+    df.agg(KmvDistinctAgg(col("h"), k).as("sk"))
+      .select(col("sk.n_filled"), col("sk.kth_min"), col("sk.est"))
+      .collect()(0)
+
+  test("exact path: n_distinct < k reports the exact count") {
+    val s = spark
+    import s.implicits._
+    val df = (hashes("v", 50) ++ hashes("v", 50)).toDF("h") // dups collapse
+    val r = sketchRow(df, 128)
+    assert(r.getLong(0) == 50L)
+    assert(r.getLong(2) == 50L)
+  }
+
+  test("estimation path: relative error well under 3/sqrt(k) for n >> k") {
+    val s = spark
+    import s.implicits._
+    val n = 20000
+    val r = sketchRow(hashes("item", n).toDF("h"), 128)
+    assert(r.getLong(0) == 128L)
+    val est = r.getLong(2).toDouble
+    assert(math.abs(est - n) / n < 3.0 / math.sqrt(128),
+      s"estimate $est too far from $n")
+  }
+
+  test("sketch is invariant to input partitioning and duplication") {
+    val s = spark
+    import s.implicits._
+    val base = hashes("x", 5000)
+    val dupd = base ++ base.take(1234)
+    val a = sketchRow(base.toDF("h").repartition(1), 64)
+    val b = sketchRow(base.toDF("h").repartition(13), 64)
+    val c = sketchRow(dupd.toDF("h").repartition(7), 64)
+    assert(a == b && b == c)
+  }
+
+  test("per-group buffers are independent and exact below k") {
+    val s = spark
+    import s.implicits._
+    val df = (hashes("g1", 30).map(("g1", _)) ++ hashes("g2", 70).map(("g2", _)))
+      .toDF("g", "h").repartition(5)
+    val got = df.groupBy("g").agg(KmvDistinctAgg(col("h"), 128).as("sk"))
+      .select(col("g"), col("sk.est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("g1" -> 30L, "g2" -> 70L))
+  }
+
+  test("kmv_distinct is registered in SQL via GraftExtensions") {
+    // Shared test session loads no extensions; register through the same
+    // builder shape the extension uses (bare AggregateFunction — the
+    // analyzer wraps it).
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_distinct"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[KmvDistinctAgg].getName, "kmv_distinct"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KmvDistinctAgg(children.head,
+          children(1).eval().asInstanceOf[Number].intValue()))
+    val s = spark
+    import s.implicits._
+    hashes("sql", 40).toDF("h").createOrReplaceTempView("kmv_in")
+    val r = spark.sql(
+      "SELECT (kmv_distinct(h, 16)).n_filled AS f, (kmv_distinct(h, 64)).est AS e FROM kmv_in")
+      .collect()(0)
+    assert(r.getLong(0) == 16L)
+    assert(r.getLong(1) == 40L)
+  }
+}
