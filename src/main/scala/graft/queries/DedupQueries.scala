@@ -152,10 +152,14 @@ object DedupQueries extends QueryModule {
           transform(col("toks"), t => TextFunctions.hash60(t)).as("thashes"))
         .select(col("doc_id"),
           graft.functions.SimHashExpr(col("thashes")).as("sh"))
-      val bands = sh.select(col("doc_id"), explode(array(
+      val bands0 = sh.select(col("doc_id"), explode(array(
         concat_ws(":", lit("0"), (col("sh").bitwiseAND(lit(0xFFFFL))).cast("string")),
         concat_ws(":", lit("1"), shiftright(col("sh"), 16).cast("string"))))
         .as("bkey"))
+      // Half-buckets hold ~n/65k docs each — linear in corpus size, so
+      // the within-bucket pair join is quadratic in the skewiest bucket
+      // at scale; the deterministic cap bounds it (SkewGuard scaladoc).
+      val bands = graft.operators.SkewGuard.capBuckets(bands0, "bkey", col("doc_id"), 64)
       val cand = bands.as("a")
         .join(bands.as("b"), col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))
@@ -241,8 +245,12 @@ object DedupQueries extends QueryModule {
         .mkString("(", " + ", ")::BIGINT")
       s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
          | sh AS (SELECT doc_id, $bitVotes AS sh FROM tok),
-         | bands AS (SELECT doc_id, unnest([
-         |    '0:' || (sh & 65535)::VARCHAR, '1:' || (sh >> 16)::VARCHAR]) AS bkey FROM sh),
+         | bands0 AS (SELECT doc_id, unnest([
+         |    '0:' || (sh & 65535)::VARCHAR, '1:' || (sh >> 16)::VARCHAR]) AS bkey0 FROM sh),
+         | sized AS (SELECT doc_id, bkey0,
+         |    count(*) OVER (PARTITION BY bkey0) AS bsz FROM bands0),
+         | bands AS (SELECT doc_id,
+         |    ${OracleSql.cappedBucket("bkey0", "doc_id", "bsz", 64)} AS bkey FROM sized),
          | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |   FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, bit_count(xor(sa.sh, sb.sh))::BIGINT AS hamming

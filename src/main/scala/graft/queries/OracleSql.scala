@@ -38,6 +38,14 @@ object OracleSql {
   /** Mirror of `VectorFunctions.l2Norm`. */
   def l2Norm(v: String, dim: Int): String = s"sqrt(${dot(v, v, dim)})"
 
+  /** Mirror of `graft.operators.SkewGuard.capBuckets`: the capped
+    * sub-bucket key `"<bucket>:<salt>"`, given the bucket expression,
+    * the member-id expression, a per-bucket size expression (e.g. a
+    * `count(*) OVER (PARTITION BY bucket)` alias), and the cap. */
+  def cappedBucket(bucket: String, id: String, bsz: String, cap: Int): String =
+    s"(($bucket)::VARCHAR || ':' || ((${hash60(s"'split:' || ($id)::VARCHAR")}) " +
+      s"% ceil(($bsz) / $cap.0)::BIGINT)::VARCHAR)"
+
   /** A DuckDB DOUBLE[] literal for a materialized hyperplane. */
   def planeLiteral(plane: Array[Double]): String =
     plane.mkString("([", ", ", "]::DOUBLE[])")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
+import graft.operators.SkewGuard
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -32,6 +33,21 @@ object VectorQueries extends QueryModule {
   private val nPlanes = 6
   private lazy val planes = VectorFunctions.planeMatrix(nPlanes, dim)
 
+  /** Per-bucket size cap for the LSH self-joins (see
+    * [[graft.operators.SkewGuard]]): with 2⁶ hyperplane buckets, bucket
+    * population grows linearly with the corpus and pair enumeration
+    * quadratically in the skewiest bucket — the cap keeps the join
+    * O(n·cap) at any scale. */
+  private val bucketCap = 64
+
+  /** Bucketed-and-capped embedding table shared by the LSH queries. */
+  private def cappedBuckets(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      VectorFunctions.lshBucket(col("embedding"), planes).as("bucket"),
+      VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+    SkewGuard.capBuckets(b, "bucket", col("vec_id"), bucketCap)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact cosine top-3 for probes (vec_id ≡ 0 mod 25), probes broadcast
     // against one pass over the corpus. Norms are staged per side BEFORE
@@ -55,11 +71,10 @@ object VectorQueries extends QueryModule {
         .orderBy("probe_id", "rnk")
     }),
 
-    // LSH-bucketed top-3 neighbors for every vector: join within bucket.
+    // LSH-bucketed top-3 neighbors for every vector: join within
+    // (size-capped) bucket.
     "q_ann_lsh" -> ((s, d) => {
-      val b = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-        VectorFunctions.lshBucket(col("embedding"), planes).as("bucket"),
-        VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+      val b = cappedBuckets(s, d)
       val probes = b.select(col("bucket"), col("vec_id").as("probe_id"),
         col("embedding").as("pv"), col("nrm").as("pnrm"))
       val cands = b.select(col("bucket"), col("vec_id").as("cand_id"),
@@ -110,11 +125,10 @@ object VectorQueries extends QueryModule {
         .orderBy("probe_id", "rnk")
     }),
 
-    // Embedding-cosine near-dup pairs: same LSH bucket ∧ cosine ≥ 0.35.
+    // Embedding-cosine near-dup pairs: same (capped) LSH bucket ∧
+    // cosine ≥ 0.35.
     "q_embed_near_dup" -> ((s, d) => {
-      val b = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-        VectorFunctions.lshBucket(col("embedding"), planes).as("bucket"),
-        VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+      val b = cappedBuckets(s, d)
       val l = b.select(col("bucket"), col("vec_id").as("vec_a"),
         col("embedding").as("va"), col("nrm").as("na"))
       val r = b.select(col("bucket"), col("vec_id").as("vec_b"),
@@ -129,13 +143,19 @@ object VectorQueries extends QueryModule {
     })
   )
 
-  import OracleSql.{dot, l2Norm, lshBucket}
+  import OracleSql.{cappedBucket, dot, l2Norm, lshBucket}
 
   private def cosSql(a: String, b: String): String =
     s"round(${dot(a, b, dim)} / (${l2Norm(a, dim)} * ${l2Norm(b, dim)}), 6)"
 
   private val bucketCte =
-    s"WITH buck AS (SELECT vec_id, embedding, ${lshBucket("embedding", planes, dim)} AS bucket FROM embeddings)"
+    s"""WITH buck0 AS (SELECT vec_id, embedding,
+       |   ${lshBucket("embedding", planes, dim)} AS bucket0 FROM embeddings),
+       | sized AS (SELECT vec_id, embedding, bucket0,
+       |   count(*) OVER (PARTITION BY bucket0) AS bsz FROM buck0),
+       | buck AS (SELECT vec_id, embedding,
+       |   ${cappedBucket("bucket0", "vec_id", "bsz", bucketCap)} AS bucket FROM sized)"""
+      .stripMargin.replace("\n", "")
 
   def oracle: Map[String, String] = Map(
     "q_ann_brute" ->

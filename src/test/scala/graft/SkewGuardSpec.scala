@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewGuard
+
+/** Planted heavy-bucket tests for the LSH bucket-size cap: a degenerate
+  * bucket holding most of the corpus must split into bounded sub-buckets
+  * so candidate-pair enumeration stays O(n·cap) instead of O(n²). */
+class SkewGuardSpec extends AnyFunSuite with SparkSpec {
+
+  test("planted heavy bucket: sub-bucket sizes and pair counts are bounded") {
+    val s = spark
+    import s.implicits._
+    val cap = 50
+    // 4000 members in one hot bucket + 10 light buckets of 20.
+    val rows = (1 to 4000).map(i => (i.toLong, "hot")) ++
+      (1 to 200).map(i => (10000L + i, s"light${i % 10}"))
+    val df = rows.toDF("id", "bucket").repartition(8)
+    val capped = SkewGuard.capBuckets(df, "bucket", col("id"), cap)
+
+    val sizes = capped.groupBy("bucket").agg(count(lit(1)).as("sz"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // Hot bucket split into ceil(4000/50)=80 salts; hash-uniform sizes
+    // concentrate near 50 — assert a generous 3x bound, and that the
+    // split actually happened.
+    val hot = sizes.filter(_._1.startsWith("hot:"))
+    assert(hot.length == 80, s"expected 80 hot sub-buckets, got ${hot.length}")
+    assert(hot.map(_._2).max <= 3L * cap)
+    // Light buckets stay intact (single salt 0).
+    val light = sizes.filter(_._1.startsWith("light"))
+    assert(light.length == 10 && light.forall(_._2 == 20L))
+    assert(light.forall(_._1.endsWith(":0")))
+
+    // Candidate volume: Σ sz² ≈ n·cap instead of n².
+    val pairSum = sizes.map { case (_, sz) => sz * sz }.sum
+    assert(pairSum < 3L * 4200 * cap,
+      s"pair enumeration $pairSum not linear-bounded")
+  }
+
+  test("cap assignment is deterministic and partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 1000).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+    def run(parts: Int) =
+      SkewGuard.capBuckets(rows.toDF("id", "bucket").repartition(parts),
+        "bucket", col("id"), 10)
+        .select("id", "bucket")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(run(1) == run(17))
+  }
+}
