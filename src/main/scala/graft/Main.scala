@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.chaos.SlowInject
-import graft.observe.{JsonFileExporter, Trace, TraceContext}
+import graft.observe.{JsonFileExporter, Trace, TraceContext, ZipkinFileExporter}
 import graft.operators.{GlobalSort, InvertedIndex, WordCount}
 import graft.sources.TextIO
 
@@ -23,7 +23,9 @@ import graft.sources.TextIO
   * Our total order comes from a range shuffle at ANY parallelism, so
   * unlike the reference it needs no single reducer. `--trace FILE`
   * wires the full observability layer (job/task/query spans +
-  * traceparent propagation) to a JSON-lines sink. Chaos injection is
+  * traceparent propagation) to a JSON-lines sink — or, when FILE ends
+  * in `.zipkin.json`, to a Zipkin-v2 array document (the reference's
+  * sink format, ready to POST to `/api/v2/spans`). Chaos injection is
   * honored from `spark.graft.slow.*` confs exactly like the reference's
   * `-D insertindex.slow.*` flags.
   */
@@ -58,7 +60,10 @@ object Main {
 
   /** Run a kernel file-to-file; returns the process exit code. */
   def run(spark: SparkSession, a: Args): Int = {
-    val exporter = a.trace.map(new JsonFileExporter(_))
+    val exporter = a.trace.map {
+      case p if p.endsWith(".zipkin.json") => new ZipkinFileExporter(p)
+      case p                               => new JsonFileExporter(p)
+    }
     val handle = exporter.map(Trace.install(spark, _))
     val ctx = handle.map(_.ctx).getOrElse(TraceContext.create())
 

@@ -91,6 +91,48 @@ class ObservabilitySpec extends AnyFunSuite with SparkSpec {
     } finally Trace.uninstall(spark, h)
   }
 
+  test("ZipkinFileExporter writes a parseable Zipkin v2 payload for a traced job") {
+    val path = java.nio.file.Files.createTempDirectory("zipkin")
+      .resolve("spans.json").toString
+    val exporter = new ZipkinFileExporter(path, "graft-test")
+    val h = Trace.install(spark, exporter)
+    try {
+      Trace.rootSpan(spark, exporter, "graft.job.submit", h.ctx) {
+        WordCount(lines(fixture)).collect()
+      }
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline &&
+             !(exporter.document.contains("spark.task") &&
+               exporter.document.contains("graft.query"))) Thread.sleep(100)
+    } finally Trace.uninstall(spark, h)
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(new java.io.File(path))
+    assert(root.isArray && root.size() > 0)
+    import scala.jdk.CollectionConverters._
+    val spans = root.elements().asScala.toSeq
+    val ids = spans.map(_.get("id").asText()).toSet
+    spans.foreach { s =>
+      assert(s.get("traceId").asText() == h.ctx.traceId)
+      assert(s.get("id").asText().matches("[0-9a-f]{16}"))
+      assert(s.get("timestamp").asLong() > 0L)
+      assert(s.get("duration").asLong() >= 1L)
+      assert(s.get("localEndpoint").get("serviceName").asText() == "graft-test")
+      // Zipkin admits only these kinds; INTERNAL spans must be unkinded.
+      if (s.has("kind"))
+        assert(Set("CLIENT", "SERVER", "PRODUCER", "CONSUMER")(s.get("kind").asText()))
+      // Every parent link resolves inside the document.
+      if (s.has("parentId")) assert(ids(s.get("parentId").asText()))
+    }
+    val queries = spans.filter(_.get("name").asText() == "graft.query")
+    assert(queries.nonEmpty && queries.forall(!_.has("kind")))
+    assert(spans.exists(s => !s.has("parentId") &&
+      s.get("name").asText() == "graft.job.submit")) // the root
+    val tasks = spans.filter(_.get("name").asText() == "spark.task")
+    assert(tasks.nonEmpty &&
+      tasks.forall(_.get("tags").has("records.read")))
+  }
+
   test("span JSON serialization is well-formed") {
     val sp = Span("t" * 32, "s" * 16, Some("p" * 16), "x\"y", "CLIENT",
       1L, 2L, Map("k" -> "v\nw"), ok = true)
