@@ -128,6 +128,61 @@ object StreamingKernels {
       }
   }
 
+  /** Event-time streaming funnel — the streaming twin of the batch
+    * `q_funnel` (first signup → first click strictly after it → first
+    * purchase strictly after that). Stage transitions depend on event
+    * ORDER, so no monotone accumulator can finalize early under
+    * out-of-order arrival (a click is only "after signup" once the
+    * earliest signup is known); the correct streaming form buffers each
+    * user's in-horizon events in state and finalizes when the user has
+    * been quiet for `quietMs` in EVENT time — i.e. when the watermark
+    * proves no earlier event can still arrive. One summary row per
+    * user, append mode. State is bounded by the watermark horizon ×
+    * per-user event rate, the same bound `sessionizeWithState` carries.
+    */
+  def funnelWithState(
+      events: org.apache.spark.sql.Dataset[(java.sql.Timestamp, String, String)],
+      watermark: String = "1 hour", quietMs: Long = 30 * 60 * 1000L)
+      : org.apache.spark.sql.Dataset[(String, Boolean, Boolean, Boolean)] = {
+    import events.sparkSession.implicits._
+    events
+      .toDF("ts", "user_id", "event_type").withWatermark("ts", watermark)
+      .as[(java.sql.Timestamp, String, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[List[(Long, String)], (String, Boolean, Boolean, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state) =>
+          if (state.hasTimedOut) {
+            val evs = state.get
+            state.remove()
+            // Finalize exactly as the batch funnel does, over the
+            // complete buffered (in-horizon) event set.
+            def firstAfter(tpe: String, after: Long): Option[Long] = {
+              val c = evs.collect { case (t, `tpe`) if t > after => t }
+              if (c.isEmpty) None else Some(c.min)
+            }
+            val signup = {
+              val ss = evs.collect { case (t, "signup") => t }
+              if (ss.isEmpty) None else Some(ss.min)
+            }
+            val click = signup.flatMap(firstAfter("click", _))
+            val purchase = click.flatMap(firstAfter("purchase", _))
+            Iterator((user, signup.isDefined, click.isDefined, purchase.isDefined))
+          } else {
+            val buffered = state.getOption.getOrElse(Nil) ++
+              rows.map(r => (r._1.getTime, r._3))
+            state.update(buffered)
+            val last = buffered.map(_._1).max
+            // The timeout timestamp must sit beyond the current
+            // watermark (late-arriving batches could otherwise compute
+            // one behind it).
+            state.setTimeoutTimestamp(
+              math.max(last + quietMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** `flatMapGroupsWithState` with a processing-time timeout: emits a
     * final per-key summary row when the key goes idle, then expires its
     * state — the 0..n-rows-out + state-expiry half of the custom-state

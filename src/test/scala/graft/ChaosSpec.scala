@@ -101,6 +101,64 @@ class ChaosSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("planted heavy key: chaos hits it and AQE splits its skewed join partition") {
+    // T9 (heavy key) meets the engine's actual skew remedy: the chaos
+    // gate marks the hot key's rows (accumulator-visible), and AQE's
+    // skew-join optimization — enabled in GraftSession — splits the
+    // oversized shuffle partition into advisory-sized sub-reads, which
+    // is what bounds a straggler reducer at 100 TB. Thresholds are
+    // lowered to demonstration scale; the payload is per-row hashes
+    // because shuffle partition sizes are measured on COMPRESSED bytes
+    // (a constant payload would compress ~100x and never trip the
+    // detector).
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val savedKeys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = savedKeys.map(k => k -> s.conf.getOption(k)).toMap
+    SlowInject.reset(s)
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.graft.slow.reduce.heavy.key", "0")
+      s.conf.set("spark.graft.slow.reduce.heavy.sleep.ms", "1")
+
+      // Half the rows share key 0 (the planted skew), each carrying
+      // ~512 B of incompressible payload.
+      val payload = concat((1 to 8).map(i =>
+        sha2(concat(col("id").cast("string"), lit(s"#$i")), 256)): _*)
+      val left0 = s.range(0, 4000).select(
+        when(col("id") % 2 === 0, 0L).otherwise(col("id")).as("k"),
+        payload.as("v"))
+      val inj = SlowInject.slowReduce(left0, "k")
+      val right = s.range(0, 4000).select(col("id").as("k"), lit("r").as("rv"))
+      val joined = inj.df.join(right, "k")
+      val rows = joined.collect()
+      assert(rows.length == 4000) // 2000 key-0 matches + 2000 distinct
+      assert(inj.hits.value == 2000L, "chaos heavy-key gate should hit every hot row")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew split did not fire; final plan:\n$plan")
+    } finally {
+      SlowInject.reset(s)
+      saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    }
+  }
+
   test("chaos composes with wordcount without changing counts") {
     SlowInject.reset(spark)
     spark.conf.set("spark.graft.slow.map.sleep.ms", "1")

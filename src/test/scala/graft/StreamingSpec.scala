@@ -164,6 +164,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time streaming funnel finalizes stages from out-of-order input") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String, String)]
+    val q = StreamingKernels.funnelWithState(source.toDS())
+      .toDF("user", "signup", "click", "purchase")
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      // u1's click arrives BEFORE its signup (out of order, across
+      // batches) — a monotone accumulator would miss the funnel.
+      source.addData((ts("2026-01-01 10:05:00"), "u1", "click"))
+      q.processAllAvailable()
+      source.addData(
+        (ts("2026-01-01 10:00:00"), "u1", "signup"), // late, in horizon
+        (ts("2026-01-01 10:10:00"), "u1", "purchase"),
+        (ts("2026-01-01 10:02:00"), "u2", "purchase"), // no signup first
+        (ts("2026-01-01 10:03:00"), "u3", "signup")) // stalls at stage 1
+      q.processAllAvailable()
+      assert(spark.table("funnel_stream").count() == 0) // nothing final yet
+      // Watermark (1 h behind max event time) passes every user's quiet
+      // deadline; the extra batch applies the timeouts.
+      source.addData((ts("2026-01-01 14:00:00"), "wm", "view"))
+      q.processAllAvailable()
+      source.addData((ts("2026-01-01 14:00:01"), "wm", "view"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream").collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2),
+          r.getBoolean(3))).toSet
+      assert(got.contains(("u1", true, true, true)))
+      assert(got.contains(("u2", false, false, false)))
+      assert(got.contains(("u3", true, false, false)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits a final summary and expires idle keys") {
     val s = spark
     import s.implicits._
