@@ -101,6 +101,34 @@ object Multimodal {
         col("meta.duration_ms").as("duration_ms"),
         col("meta.format").as("format")))
 
+  /** Audio resample stub: models a sample-rate conversion on `audio`
+    * rows — payload length rescales by targetRate/sample_rate (a real
+    * resampler changes the sample count by exactly that ratio),
+    * `meta.sample_rate` updates to the target, `duration_ms` is
+    * preserved (resampling never changes duration). Non-audio rows pass
+    * through untouched. The byte content is a deterministic prefix
+    * slice standing in for the interpolation kernel (no audio codec in
+    * this container); everything else — the meta arithmetic, the typed
+    * struct rebuild, the per-row expressions — is the real Spark
+    * plumbing, fully codegen'd, no UDF. */
+  def resampleAudio(df: DataFrame, targetRate: Int): DataFrame = {
+    val isAudio = col("kind") === "audio"
+    df
+      // _rlen reads meta BEFORE the struct rebuild below.
+      .withColumn("_rlen",
+        floor(octet_length(col("bytes")).cast("double") * targetRate /
+          col("meta.sample_rate")).cast("int"))
+      .withColumn("bytes",
+        when(isAudio, expr("substring(bytes, 1, _rlen)")).otherwise(col("bytes")))
+      .withColumn("meta",
+        when(isAudio, struct(
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          lit(targetRate).as("sample_rate"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.format").as("format"))).otherwise(col("meta")))
+      .drop("_rlen")
+  }
+
   /** Frame sampling stub: explode a video blob into `n` frame blobs
     * (deterministic byte slices) with a frame index — the shape a real
     * frame sampler produces (one row per frame, meta carried along). */

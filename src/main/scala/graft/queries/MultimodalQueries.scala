@@ -32,6 +32,22 @@ object MultimodalQueries extends QueryModule {
           col("meta.format").as("format"))
         .orderBy("media_id")),
 
+    // Audio resample chain: blob rescaled by targetRate/sample_rate,
+    // meta updated, duration preserved. n_bytes_out is measured from
+    // the ACTUAL resampled blob (octet_length after the substring), so
+    // the oracle checks the operator, not just its arithmetic.
+    "q_multimodal_audio" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(Tables.documents(s, d))
+        .withColumn("n_bytes_in", octet_length(col("bytes")).cast("long"))
+      Multimodal.resampleAudio(media, 16000)
+        .filter(col("kind") === "audio")
+        .select(col("media_id"), col("n_bytes_in"),
+          octet_length(col("bytes")).cast("long").as("n_bytes_out"),
+          col("meta.sample_rate").cast("long").as("sample_rate_out"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy("media_id")
+    }),
+
     "q_multimodal_features" -> ((s, d) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
       // Exact count of bytes in histogram bin i, recovered from the
@@ -64,6 +80,17 @@ object MultimodalQueries extends QueryModule {
         | ((doc_id % 7) * 1000 + 1000)::BIGINT AS duration_ms,
         | ['png','wav','mp4'][(doc_id % 3)::INT + 1] AS format
         | FROM documents ORDER BY media_id""".stripMargin.replace("\n", ""),
+
+    // kind = audio ⟺ doc_id % 3 = 1 (fromDocuments arithmetic); the
+    // resampled length mirrors floor(len * 16000 / rate) in double.
+    "q_multimodal_audio" ->
+      """SELECT doc_id AS media_id,
+        | strlen(text)::BIGINT AS n_bytes_in,
+        | floor(strlen(text)::DOUBLE * 16000 / ((doc_id % 2) * 22050 + 22050))::BIGINT AS n_bytes_out,
+        | 16000::BIGINT AS sample_rate_out,
+        | ((doc_id % 7) * 1000 + 1000)::BIGINT AS duration_ms
+        | FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id"""
+        .stripMargin.replace("\n", ""),
 
     "q_multimodal_features" ->
       """WITH b AS (SELECT doc_id, text,

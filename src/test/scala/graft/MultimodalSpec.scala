@@ -73,6 +73,26 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(joined == "media bytes here")
   }
 
+  test("resampleAudio rescales audio payloads, retargets rate, preserves duration") {
+    val m = Multimodal.fromDocuments(docs())
+    val before = m.orderBy("media_id").collect()
+    val r = Multimodal.resampleAudio(m, 16000).orderBy("media_id").collect()
+    // doc 1 is the audio row ("abc", sample_rate = (1%2)*22050+22050 = 44100).
+    val audio = r(1)
+    val audioMeta = audio.getStruct(3)
+    assert(audioMeta.getAs[Int]("sample_rate") == 16000)
+    assert(audioMeta.getAs[Long]("duration_ms") ==
+      before(1).getStruct(3).getAs[Long]("duration_ms"))
+    // len 3 * 16000/44100 = 1.088 → floor 1 byte.
+    assert(audio.getAs[Array[Byte]]("bytes").length == 1)
+    // Non-audio rows are untouched, bytes and meta.
+    for (i <- Seq(0, 2, 3)) {
+      assert(r(i).getAs[Array[Byte]]("bytes").toSeq ==
+        before(i).getAs[Array[Byte]]("bytes").toSeq)
+      assert(r(i).getStruct(3) == before(i).getStruct(3))
+    }
+  }
+
   test("resizeStub updates meta for real while stubbing the byte transform") {
     val out = Multimodal.resizeStub(Multimodal.fromDocuments(docs()), 64, 64)
     val r = out.filter(col("media_id") === 0).collect()(0)
