@@ -39,7 +39,11 @@ object SkewGuard {
   def capBuckets(df: DataFrame, bucketCol: String, idCol: Column, cap: Int): DataFrame = {
     require(cap >= 2, s"cap must be >= 2, got $cap")
     val sizes = df.groupBy(col(bucketCol)).agg(count(lit(1)).as("_bsz"))
-    df.join(sizes, bucketCol)
+    // One row per DISTINCT bucket — small even when the data is huge
+    // (bucket-key domains are design-bounded: 2^planes, 2×2^16, …), so
+    // broadcast keeps the big side unshuffled. For an operator with an
+    // unbounded bucket domain drop the hint and let AQE pick.
+    df.join(broadcast(sizes), bucketCol)
       .withColumn("_nsplit", ceil(col("_bsz") / lit(cap.toDouble)).cast("long"))
       .withColumn(bucketCol,
         concat(col(bucketCol).cast("string"), lit(":"),

@@ -81,8 +81,13 @@ object CorpusQueries extends QueryModule {
         .filter(size(col("toks")) >= 3)
         .select(col("source"), explode(TextFunctions.shingles(col("toks"), 3)).as("sh"))
         .select(col("source"), TextFunctions.hash60(col("sh")).as("h"))
+        // Explicit distinct (partial-aggregated map-side) instead of a
+        // countDistinct alongside the sketch: a mixed distinct/plain
+        // aggregate would force Catalyst's Expand-based double-pass.
+        // KMV over the distinct set is identical by construction.
+        .distinct()
       hs.groupBy("source")
-        .agg(countDistinct(col("h")).as("n_exact"),
+        .agg(count(lit(1)).as("n_exact"),
           graft.functions.KmvDistinctAgg(col("h"), k).as("sk"))
         .select(col("source"), col("n_exact"),
           col("sk.n_filled").as("n_filled"),
