@@ -128,6 +128,28 @@ object StreamingKernels {
       }
   }
 
+  /** Watermarked stream-stream interval join: each purchase matched to
+    * the same user's clicks in the `joinWindow` before it (the
+    * streaming twin of the batch range join `q_range_join`). BOTH
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so each side's buffered state is exactly the
+    * watermark+interval horizon — the only state-bounded form of a
+    * stream-stream join Spark admits in append mode; rows outside the
+    * horizon are evicted, late rows beyond the watermark dropped. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       watermark: String = "1 hour",
+                       joinWindow: String = "30 minutes"): DataFrame =
+    clicks // expected columns: (c_user, click_ts)
+      .withWatermark("click_ts", watermark)
+      .join(
+        purchases // expected columns: (p_user, p_id, p_ts)
+          .withWatermark("p_ts", watermark),
+        expr(s"c_user = p_user AND " +
+          s"click_ts >= p_ts - INTERVAL $joinWindow AND click_ts <= p_ts"),
+        "inner")
+      .select(col("p_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("click_ts"))
+
   /** Event-time streaming funnel — the streaming twin of the batch
     * `q_funnel` (first signup → first click strictly after it → first
     * purchase strictly after that). Stage transitions depend on event

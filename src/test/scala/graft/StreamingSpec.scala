@@ -164,6 +164,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to in-window clicks") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(String, Timestamp)]
+    val purchases = MemoryStream[(String, Long, Timestamp)]
+    val q = StreamingKernels.clickAttribution(
+      clicks.toDF().toDF("c_user", "click_ts"),
+      purchases.toDF().toDF("p_user", "p_id", "p_ts"))
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        ("u1", ts("2026-01-01 10:00:00")), // in window for p1 (25 min before)
+        ("u1", ts("2026-01-01 09:40:00")), // outside the 30-min window
+        ("u2", ts("2026-01-01 10:20:00"))) // wrong user for p1
+      purchases.addData(("u1", 1L, ts("2026-01-01 10:25:00")))
+      q.processAllAvailable()
+      // Inner interval join emits as soon as both sides are present.
+      val got = spark.table("attr_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(3).toString))
+        .toSet
+      assert(got == Set((1L, "u1", "2026-01-01 10:00:00.0")))
+      // A second purchase joins a click that arrived EARLIER — state
+      // held it within the watermark horizon.
+      purchases.addData(("u2", 2L, ts("2026-01-01 10:30:00")))
+      q.processAllAvailable()
+      val got2 = spark.table("attr_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got2 == Set((1L, "u1"), (2L, "u2")))
+    } finally q.stop()
+  }
+
   test("event-time streaming funnel finalizes stages from out-of-order input") {
     val s = spark
     import s.implicits._
