@@ -90,6 +90,47 @@ object VectorQueries extends QueryModule {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Multi-probe LSH for the probe-batch shape: each probe searches its
+    // own bucket AND the nPlanes buckets at hamming distance 1 in sign
+    // space — the standard recall-restoring complement to the bucket
+    // cap (more probes instead of more candidates per bucket). Composes
+    // with SkewGuard: the corpus is capped into sub-buckets; probes
+    // learn each probed bucket's split count from the broadcast size
+    // table and fan out across ALL its salts, so no candidate is lost
+    // to capping while enumeration stays O(probes · (planes+1) · cap).
+    "q_ann_lsh_multiprobe" -> ((s, d) => {
+      val b = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        VectorFunctions.lshBucket(col("embedding"), planes).as("bucket"),
+        VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+      val sizes = b.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+      val corpus = SkewGuard.capBuckets(b, "bucket", col("vec_id"), bucketCap)
+        .select(col("bucket"), col("vec_id").as("cand_id"),
+          col("embedding").as("cv"), col("nrm").as("cnrm"))
+      val probeBuckets = array(
+        col("bucket") +: (0 until nPlanes).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j))): _*)
+      val probes = b.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          col("nrm").as("pnrm"), explode(probeBuckets).as("pbucket"))
+        .join(broadcast(sizes.withColumnRenamed("bucket", "pbucket")), "pbucket")
+        .withColumn("salt", explode(sequence(lit(0L),
+          ceil(col("bsz") / lit(bucketCap.toDouble)).cast("long") - 1)))
+        .select(concat(col("pbucket").cast("string"), lit(":"),
+            col("salt").cast("string")).as("bucket"),
+          col("probe_id"), col("pv"), col("pnrm"))
+      // A candidate lives in exactly one (bucket, salt) and the probed
+      // buckets are distinct, so (probe, cand) pairs are already unique.
+      probes.join(corpus, "bucket")
+        .filter(col("probe_id") =!= col("cand_id"))
+        .select(col("probe_id"), col("cand_id"),
+          round(VectorFunctions.dot(col("pv"), col("cv"))
+            / (col("pnrm") * col("cnrm")), 6).as("cos_sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("cand_id"))))
+        .filter(col("rnk") <= 3)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // IVF (inverted-file) ANN, nprobe=1: a coarse quantizer assigns every
     // vector to its nearest of K=16 centroids (here: the first 16 vectors,
     // a deterministic stand-in for trained centroids — at 100 TB the
@@ -178,6 +219,30 @@ object VectorQueries extends QueryModule {
          |   (PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id) AS rnk FROM scored)
          |SELECT probe_id, cand_id, cos_sim, rnk FROM r WHERE rnk <= 3
          |ORDER BY probe_id, rnk""".stripMargin.replace("\n", ""),
+
+    "q_ann_lsh_multiprobe" -> {
+      val neighborList = ("bucket0" +: (0 until nPlanes).map(j =>
+        s"xor(bucket0, ${1L << j})")).mkString("[", ", ", "]")
+      s"""$bucketCte,
+         | sizes AS (SELECT bucket0 AS pbucket, count(*) AS bsz
+         |   FROM buck0 GROUP BY bucket0),
+         | pk AS (SELECT vec_id AS probe_id, embedding AS pv,
+         |    unnest($neighborList) AS pbucket
+         |   FROM buck0 WHERE vec_id % 25 = 0),
+         | pexp AS (SELECT probe_id, pv, pbucket,
+         |    unnest(generate_series(0, ceil(bsz / 64.0)::BIGINT - 1)) AS salt
+         |   FROM pk JOIN sizes USING (pbucket)),
+         | probes AS (SELECT probe_id, pv,
+         |    pbucket::VARCHAR || ':' || salt::VARCHAR AS bucket FROM pexp),
+         | scored AS (SELECT probe_id, c.vec_id AS cand_id,
+         |   ${cosSql("pv", "c.embedding")} AS cos_sim
+         |  FROM probes p JOIN buck c ON c.bucket = p.bucket
+         |   AND c.vec_id != p.probe_id),
+         | r AS (SELECT probe_id, cand_id, cos_sim, row_number() OVER
+         |   (PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id) AS rnk FROM scored)
+         |SELECT probe_id, cand_id, cos_sim, rnk FROM r WHERE rnk <= 3
+         |ORDER BY probe_id, rnk""".stripMargin.replace("\n", "")
+    },
 
     "q_ann_ivf" -> {
       val dist2 = s"list_sum(list_transform(generate_series(1, $dim), " +
