@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the scale-invariant properties audited
+  * in PLANS.md (pushdown, pruning, broadcast choice, no unbounded
+  * cross joins) asserted as tests so they cannot silently rot. Static
+  * plans are inspected — no query is executed. */
+class PlanAuditSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("no query plans a CartesianProduct — ever") {
+    // Broadcast nested-loop joins (explicit broadcast() of a small
+    // probe/centroid batch) are the admissible cross-join form; a
+    // CartesianProduct means both sides were large and unkeyed — the
+    // one shape that can never survive scale.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      formatted(name).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
+
+  test("q6 range predicates are pushed into the parquet scan") {
+    val plan = formatted("q6_filter_pushdown")
+    assert(plan.contains("PushedFilters:"))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("GreaterThan") || pushed.contains("GreaterThanOrEqual"),
+      s"range predicates not pushed:\n$pushed")
+    assert(pushed.contains("LessThan"), s"range predicates not pushed:\n$pushed")
+  }
+
+  test("q_wordcount scans exactly the text column of documents") {
+    val plan = formatted("q_wordcount")
+    val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.nonEmpty)
+    assert(schemas.forall(_.contains("struct<text:string>")),
+      s"wordcount should read only text:\n${schemas.mkString("\n")}")
+  }
+
+  test("q_join_multi broadcasts every dimension") {
+    val plan = formatted("q_join_multi")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+    assert(!plan.contains("SortMergeJoin"),
+      "dimension chain should not sort-merge at this scale")
+  }
+
+  test("multimodal meta query never reads the blob column") {
+    val plan = formatted("q_multimodal_meta")
+    val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!schemas.contains("bytes"), s"blob column scanned:\n$schemas")
+  }
+
+  test("ANN brute-force broadcasts the probe batch, not the corpus") {
+    val plan = formatted("q_ann_brute")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    // The corpus side must not be shuffled for the join itself: the only
+    // Exchange nodes admissible are for the top-k window + final sort.
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    assert(exchanges <= 2, s"corpus unexpectedly shuffled ($exchanges exchanges)")
+  }
+
+  test("skew-guarded LSH queries join on the capped key") {
+    for (name <- Seq("q_ann_lsh", "q_embed_near_dup", "q_near_dup_simhash")) {
+      val plan = formatted(name)
+      // The size table rides a broadcast; the capped key is a concat of
+      // bucket and salt (visible as concat in the join-side projection).
+      assert(plan.contains("BroadcastExchange"), s"$name: size table not broadcast")
+      assert(plan.contains("concat"), s"$name: capped bucket key missing")
+    }
+  }
+}
