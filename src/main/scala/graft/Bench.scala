@@ -4,16 +4,32 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every SparkEntry query at the sf dir in
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * The timed action is a noop-format write (`format("noop")`), which
-  * consumes every output column — unlike `count()`, under which Catalyst
-  * prunes unreferenced projections and a 10-column compute benches as a
-  * bare scan. Failures are reported in `failed`, never as timings.
+  * Methodology (each defends against a measured failure mode):
+  *  - The timed action is a noop-format write (`format("noop")`), which
+  *    consumes every output column — unlike `count()`, under which
+  *    Catalyst prunes unreferenced projections and a 10-column compute
+  *    benches as a bare scan.
+  *  - Every query gets ONE untimed warm-up run before its timed runs:
+  *    a single-pass harness conflates JIT/codegen compilation and
+  *    suite-position JVM state with the query's cost (observed: a
+  *    code-unchanged query swinging 2.15× round-over-round).
+  *  - Each query is then timed `iters` times (default 3) and the MEDIAN
+  *    is reported — robust to one GC pause or compilation stall in a
+  *    way a single sample or a mean is not. Per-query min/max spread is
+  *    emitted alongside so a noisy median is visible as such.
+  *  - Staged caches are released between runs, so every timed run pays
+  *    the query's full staging cost (the number reported is the
+  *    cold-cache cost of one query execution, not an artifact of
+  *    cross-run cache reuse).
+  *
+  * Failures are reported in `failed`, never as timings.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,28 +37,41 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up codegen/JIT/scan paths on the smallest sf so the first
-    // timed query doesn't absorb session startup.
+    // Session-level warm-up: codegen/JIT/scan paths on the smallest sf so
+    // the first query's warm-up run doesn't absorb session startup.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
-    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      finally graft.queries.StagedCache.releaseAll()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val timings = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
     val failed = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        runOnce(fn) // warm-up: JIT + codegen compile, discarded
+        val samples = Array.fill(iters)(runOnce(fn)).sorted
+        val median = samples(samples.length / 2)
+        timings(name) = (median, samples.head, samples.last)
       } catch {
         case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      } finally graft.queries.StagedCache.releaseAll()
+      }
     }
-    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double) = f"$v%.4f"
+    val qs = timings.map { case (k, (med, _, _)) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
+    val spread = timings.map { case (k, (_, lo, hi)) =>
+      "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]"
+    }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    val total = timings.values.map(_._1).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -110,14 +110,23 @@ object Multimodal {
     * slice standing in for the interpolation kernel (no audio codec in
     * this container); everything else — the meta arithmetic, the typed
     * struct rebuild, the per-row expressions — is the real Spark
-    * plumbing, fully codegen'd, no UDF. */
+    * plumbing, fully codegen'd, no UDF.
+    *
+    * DOWNSAMPLE-ONLY contract: the prefix-slice stand-in cannot extend
+    * bytes, so `targetRate` must not exceed any row's source rate —
+    * `_rlen` is clamped to the payload length as defense (meta and
+    * bytes then stay consistent: a clamped row keeps its full payload),
+    * and upsampling stays out of contract until a real interpolation
+    * kernel replaces the slice. */
   def resampleAudio(df: DataFrame, targetRate: Int): DataFrame = {
     val isAudio = col("kind") === "audio"
     df
       // _rlen reads meta BEFORE the struct rebuild below.
       .withColumn("_rlen",
-        floor(octet_length(col("bytes")).cast("double") * targetRate /
-          col("meta.sample_rate")).cast("int"))
+        least(
+          floor(octet_length(col("bytes")).cast("double") * targetRate /
+            col("meta.sample_rate")).cast("int"),
+          octet_length(col("bytes"))))
       .withColumn("bytes",
         when(isAudio, expr("substring(bytes, 1, _rlen)")).otherwise(col("bytes")))
       .withColumn("meta",

@@ -92,30 +92,101 @@ final class JsonFileExporter(path: String) extends SpanExporter {
   }
 }
 
-/** Zipkin-v2 batch exporter: accumulates spans and maintains `path` as a
-  * complete Zipkin v2 JSON array — byte-for-byte the payload a real
-  * deployment POSTs to `/api/v2/spans` (the reference's endpoint,
-  * `run.sh:5`). File-backed because no HTTP client/server belongs in
-  * this environment; swapping the file write for an HTTP POST of
-  * [[document]] is the only delta to go live. Rewrite-per-export is fine
-  * at span volumes (per task, not per record — SURVEY §7.4); a real
-  * exporter batches on a timer the same way the OTel agent does. */
-final class ZipkinFileExporter(path: String, serviceName: String = "graft")
+/** Zipkin-v2 batch exporter: maintains `path` as a complete Zipkin v2
+  * JSON array — byte-for-byte the payload a real deployment POSTs to
+  * `/api/v2/spans` (the reference's endpoint, `run.sh:5`; the live POST
+  * form is [[ZipkinHttpExporter]]).
+  *
+  * Batching discipline (this IS the OTel agent's shape): spans buffer
+  * in memory and every `batchSize` spans the batch is APPENDED to the
+  * file and the buffer cleared — heap is bounded by one batch and
+  * total file I/O is O(spans), not O(spans²) (appending inside the
+  * array rewrites only the trailing `]`, via RandomAccessFile). Call
+  * [[flush]] at job end for a complete document; [[document]] flushes
+  * and returns the file contents. */
+final class ZipkinFileExporter(path: String, serviceName: String = "graft",
+                               batchSize: Int = 64)
     extends SpanExporter {
+  require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
   new File(path).getParentFile match {
     case null => ()
     case d    => d.mkdirs()
   }
   private val buf = mutable.ArrayBuffer.empty[Span]
 
-  /** The complete Zipkin v2 payload for everything exported so far. */
-  def document: String = synchronized {
-    buf.map(_.zipkinJson(serviceName)).mkString("[", ",", "]")
+  def export(span: Span): Unit = synchronized {
+    buf += span
+    if (buf.size >= batchSize) flushLocked()
   }
+
+  def flush(): Unit = synchronized { flushLocked() }
+
+  /** The complete Zipkin v2 payload exported so far (flushes first). */
+  def document: String = synchronized {
+    flushLocked()
+    val f = new File(path)
+    if (!f.exists() || f.length() == 0) "[]"
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+  }
+
+  private def flushLocked(): Unit = {
+    if (buf.isEmpty) return
+    val batch = buf.map(_.zipkinJson(serviceName)).mkString(",")
+    buf.clear()
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    try {
+      if (raf.length() == 0) raf.write(s"[$batch]".getBytes("UTF-8"))
+      else { // overwrite the trailing ']' with ',batch]'
+        raf.seek(raf.length() - 1)
+        raf.write(s",$batch]".getBytes("UTF-8"))
+      }
+    } finally raf.close()
+  }
+}
+
+/** Live Zipkin-v2 HTTP exporter: POSTs span batches to a collector
+  * endpoint (`http://…/api/v2/spans`) with `Content-Type:
+  * application/json` — the reference's actual sink wiring
+  * (`trace-wordcount-job/run.sh:5,82-83`: the OTel agent exporting to a
+  * Zipkin all-in-one). Same bounded batching as [[ZipkinFileExporter]];
+  * a failed POST logs and drops the batch — telemetry must never fail
+  * the job it observes. */
+final class ZipkinHttpExporter(endpoint: String, serviceName: String = "graft",
+                               batchSize: Int = 64)
+    extends SpanExporter {
+  require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+  private val buf = mutable.ArrayBuffer.empty[Span]
 
   def export(span: Span): Unit = synchronized {
     buf += span
-    val w = new FileWriter(path, false)
-    try w.write(document) finally w.close()
+    if (buf.size >= batchSize) flushLocked()
+  }
+
+  def flush(): Unit = synchronized { flushLocked() }
+
+  private def flushLocked(): Unit = {
+    if (buf.isEmpty) return
+    val payload = buf.map(_.zipkinJson(serviceName)).mkString("[", ",", "]")
+    buf.clear()
+    try {
+      val conn = new java.net.URL(endpoint).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(5000)
+      val out = conn.getOutputStream
+      try out.write(payload.getBytes("UTF-8")) finally out.close()
+      val code = conn.getResponseCode // a real Zipkin answers 202
+      val in = if (code / 100 == 2) conn.getInputStream else conn.getErrorStream
+      if (in != null) try { while (in.read() != -1) () } finally in.close()
+      if (code / 100 != 2)
+        System.err.println(s"[zipkin] POST $endpoint -> $code (batch dropped)")
+      conn.disconnect()
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[zipkin] POST $endpoint failed: ${e.getMessage} (batch dropped)")
+    }
   }
 }

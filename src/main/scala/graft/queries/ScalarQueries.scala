@@ -16,6 +16,33 @@ import graft.sources.Tables
   */
 object ScalarQueries extends QueryModule {
 
+  /** The rank-bound gate behind q_percentiles_approx: given per-group
+    * claimed quantiles `approx(rf, a50, a90)` and the raw values
+    * `li(l_returnflag, l_extendedprice)`, emit per-group booleans
+    * asserting each claimed value's rank sits within ±n·eps+1 of its
+    * target rank — the GK sketch's published guarantee. Public so the
+    * negative test (FunctionsSpec) can feed a POISONED approx table
+    * through the same gate and prove it trips; the oracle for the query
+    * is a tolerance self-check, so falsifiability must be demonstrated
+    * test-side. */
+  def rankGate(li: DataFrame, approx: DataFrame, epsVal: Double): DataFrame = {
+    val eps = lit(epsVal)
+    def rankOk(lt: Column, le: Column, n: Column, p: Double): Column =
+      (le.cast("double") >= n.cast("double") * p - n.cast("double") * eps - 1.0) &&
+      (lt.cast("double") <= n.cast("double") * p + n.cast("double") * eps + 1.0)
+    val counted = li.join(broadcast(approx), col("l_returnflag") === col("rf"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("l_extendedprice") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_extendedprice") < col("a90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("l_extendedprice") <= col("a90"), 1L).otherwise(0L)).as("le90"))
+    counted.select(col("l_returnflag"), col("n"),
+        rankOk(col("lt50"), col("le50"), col("n"), 0.5).as("p50_rank_ok"),
+        rankOk(col("lt90"), col("le90"), col("n"), 0.9).as("p90_rank_ok"))
+      .orderBy("l_returnflag")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
@@ -37,8 +64,13 @@ object ScalarQueries extends QueryModule {
     // but the GUARANTEE is: the returned element's rank must sit within
     // ±n/accuracy of the target rank. So the query emits the rank-bound
     // BOOLEANS (plus exact counts) and the oracle emits TRUE — a
-    // tolerance oracle both engines agree on. The rank check itself is
-    // one broadcast join + one aggregation, no per-group buffering.
+    // TOLERANCE SELF-CHECK, not a value mirror (GK internals aren't
+    // reproducible in SQL): the DuckDB side only pins that Spark's rank
+    // booleans came out true. That the gate can actually FAIL is proven
+    // by the negative test in FunctionsSpec, which feeds a poisoned
+    // "approx" value through the same rank check and asserts it trips.
+    // The rank check itself is one broadcast join + one aggregation, no
+    // per-group buffering.
     "q_percentiles_approx" -> ((s, d) => {
       val acc = 1000
       val li = Tables.lineitem(s, d)
@@ -47,21 +79,7 @@ object ScalarQueries extends QueryModule {
         .agg(expr(s"approx_percentile(l_extendedprice, array(0.5D, 0.9D), $acc)").as("ap"))
         .select(col("l_returnflag").as("rf"),
           element_at(col("ap"), 1).as("a50"), element_at(col("ap"), 2).as("a90"))
-      val eps = lit(1.0 / acc)
-      def rankOk(lt: Column, le: Column, n: Column, p: Double): Column =
-        (le.cast("double") >= n.cast("double") * p - n.cast("double") * eps - 1.0) &&
-        (lt.cast("double") <= n.cast("double") * p + n.cast("double") * eps + 1.0)
-      val counted = li.join(broadcast(approx), col("l_returnflag") === col("rf"))
-        .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("l_extendedprice") < col("a50"), 1L).otherwise(0L)).as("lt50"),
-          sum(when(col("l_extendedprice") <= col("a50"), 1L).otherwise(0L)).as("le50"),
-          sum(when(col("l_extendedprice") < col("a90"), 1L).otherwise(0L)).as("lt90"),
-          sum(when(col("l_extendedprice") <= col("a90"), 1L).otherwise(0L)).as("le90"))
-      counted.select(col("l_returnflag"), col("n"),
-          rankOk(col("lt50"), col("le50"), col("n"), 0.5).as("p50_rank_ok"),
-          rankOk(col("lt90"), col("le90"), col("n"), 0.9).as("p90_rank_ok"))
-        .orderBy("l_returnflag")
+      rankGate(li, approx, 1.0 / acc)
     }),
 
     "q_string_funcs" -> ((s, d) =>

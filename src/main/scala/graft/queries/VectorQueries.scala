@@ -12,7 +12,7 @@ import graft.sources.Tables
   * (64-dim `array<float>`), the similarity-search band of the north-star
   * extension set (SURVEY §7.1 M6; absent from the reference).
   *
-  * Two plans for the same question:
+  * Plans for the same question, by query shape:
   *  - `q_ann_brute`: exact top-k for a probe subset, broadcast probes ×
   *    full scan. The 100 TB shape for "search the corpus with a small
   *    query batch": the corpus is scanned once, never shuffled, and the
@@ -22,6 +22,10 @@ import graft.sources.Tables
   *    the bucket id replaces the quadratic cross join. Recall trades off
   *    with plane count; planes are a driver-side literal matrix
   *    ([[VectorFunctions.planeMatrix]]), so both engines hash identically.
+  *  - `q_ann_lsh_multiprobe` / `q_ann_lsh_mp_self`: the recall-restoring
+  *    hamming-1 fan-out, for a probe batch and for every vector.
+  *  - `q_ann_ivf`: trained coarse quantizer (one Lloyd iteration),
+  *    nprobe=2.
   *
   * All cosine arithmetic is the shared sequential-double fold of
   * [[VectorFunctions]], rounded to 6 dp before ranking so order and
@@ -40,13 +44,32 @@ object VectorQueries extends QueryModule {
     * O(n·cap) at any scale. */
   private val bucketCap = 64
 
-  /** Bucketed-and-capped embedding table shared by the LSH queries. */
-  private def cappedBuckets(s: SparkSession, d: String): DataFrame = {
-    val b = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-      VectorFunctions.lshBucket(col("embedding"), planes).as("bucket"),
-      VectorFunctions.l2Norm(col("embedding")).as("nrm"))
-    SkewGuard.capBuckets(b, "bucket", col("vec_id"), bucketCap)
-  }
+  /** Bucketed embedding table (vec_id, embedding, bucket, nrm), staged
+    * via [[StagedCache]]: the LSH family consumes it several times per
+    * query (SkewGuard's size aggregation + its join input, and both
+    * sides of the pair join), and differing projections defeat
+    * exchange reuse — without the cache each consumer re-runs the
+    * 6-plane projection over the corpus. At 100 TB this is the
+    * signature table a production pipeline materializes to storage. */
+  private def bucketedBase(s: SparkSession, d: String): DataFrame =
+    StagedCache.persist(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        VectorFunctions.lshBucket(col("embedding"), planes).as("bucket"),
+        VectorFunctions.l2Norm(col("embedding")).as("nrm")))
+
+  /** Size-capped buckets over [[bucketedBase]], also staged: every
+    * consumer (probe and candidate side of the self-joins) reads the
+    * capped table from cache instead of re-deriving it. */
+  private def capped(b: DataFrame): DataFrame =
+    StagedCache.persist(SkewGuard.capBuckets(b, "bucket", col("vec_id"), bucketCap))
+
+  /** Rank candidate pairs by cosine and keep the top-3 per probe. */
+  private def topK(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("cand_id"))))
+      .filter(col("rnk") <= 3)
+      .orderBy("probe_id", "rnk")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact cosine top-3 for probes (vec_id ≡ 0 mod 25), probes broadcast
@@ -64,30 +87,22 @@ object VectorQueries extends QueryModule {
         .select(col("probe_id"), col("vec_id").as("cand_id"),
           round(VectorFunctions.dot(col("pv"), col("embedding"))
             / (col("pnrm") * col("nrm")), 6).as("cos_sim"))
-      scored
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("cand_id"))))
-        .filter(col("rnk") <= 3)
-        .orderBy("probe_id", "rnk")
+      topK(scored)
     }),
 
     // LSH-bucketed top-3 neighbors for every vector: join within
     // (size-capped) bucket.
     "q_ann_lsh" -> ((s, d) => {
-      val b = cappedBuckets(s, d)
+      val b = capped(bucketedBase(s, d))
       val probes = b.select(col("bucket"), col("vec_id").as("probe_id"),
         col("embedding").as("pv"), col("nrm").as("pnrm"))
       val cands = b.select(col("bucket"), col("vec_id").as("cand_id"),
         col("embedding").as("cv"), col("nrm").as("cnrm"))
-      probes.join(cands, "bucket")
+      topK(probes.join(cands, "bucket")
         .filter(col("probe_id") =!= col("cand_id"))
         .select(col("probe_id"), col("cand_id"),
           round(VectorFunctions.dot(col("pv"), col("cv"))
-            / (col("pnrm") * col("cnrm")), 6).as("cos_sim"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("cand_id"))))
-        .filter(col("rnk") <= 3)
-        .orderBy("probe_id", "rnk")
+            / (col("pnrm") * col("cnrm")), 6).as("cos_sim")))
     }),
 
     // Multi-probe LSH for the probe-batch shape: each probe searches its
@@ -99,11 +114,9 @@ object VectorQueries extends QueryModule {
     // table and fan out across ALL its salts, so no candidate is lost
     // to capping while enumeration stays O(probes · (planes+1) · cap).
     "q_ann_lsh_multiprobe" -> ((s, d) => {
-      val b = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-        VectorFunctions.lshBucket(col("embedding"), planes).as("bucket"),
-        VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+      val b = bucketedBase(s, d)
       val sizes = b.groupBy("bucket").agg(count(lit(1)).as("bsz"))
-      val corpus = SkewGuard.capBuckets(b, "bucket", col("vec_id"), bucketCap)
+      val corpus = capped(b)
         .select(col("bucket"), col("vec_id").as("cand_id"),
           col("embedding").as("cv"), col("nrm").as("cnrm"))
       val probeBuckets = array(
@@ -120,56 +133,103 @@ object VectorQueries extends QueryModule {
           col("probe_id"), col("pv"), col("pnrm"))
       // A candidate lives in exactly one (bucket, salt) and the probed
       // buckets are distinct, so (probe, cand) pairs are already unique.
-      probes.join(corpus, "bucket")
+      topK(probes.join(corpus, "bucket")
         .filter(col("probe_id") =!= col("cand_id"))
         .select(col("probe_id"), col("cand_id"),
           round(VectorFunctions.dot(col("pv"), col("cv"))
-            / (col("pnrm") * col("cnrm")), 6).as("cos_sim"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("cand_id"))))
-        .filter(col("rnk") <= 3)
-        .orderBy("probe_id", "rnk")
+            / (col("pnrm") * col("cnrm")), 6).as("cos_sim")))
     }),
 
-    // IVF (inverted-file) ANN, nprobe=1: a coarse quantizer assigns every
-    // vector to its nearest of K=16 centroids (here: the first 16 vectors,
-    // a deterministic stand-in for trained centroids — at 100 TB the
-    // quantizer is a small driver-side artifact trained on a sample);
-    // probes search only their own cell. Complements q_ann_lsh: IVF
-    // partitions by data geometry, LSH by random projection. Fully
-    // declarative: assignment is a broadcast join + argmin window, the
-    // search one equi-join on cell id — both linear shapes.
-    "q_ann_ivf" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-        VectorFunctions.l2Norm(col("embedding")).as("nrm"))
-      val cent = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val assign = e.crossJoin(broadcast(cent))
-        .withColumn("d", round(VectorFunctions.dist2(col("embedding"), col("cv")), 6))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("d"), col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
-      val probes = assign.filter(col("vec_id") % 25 === 0)
-        .select(col("cell"), col("vec_id").as("probe_id"),
-          col("embedding").as("pv"), col("nrm").as("pnrm"))
-      val cands = assign.select(col("cell"), col("vec_id").as("cand_id"),
-        col("embedding").as("cv"), col("nrm").as("cnrm"))
-      probes.join(cands, "cell")
+    // Multi-probe LSH for the ALL-vectors self-search shape: every
+    // vector fans out over its home bucket plus the nPlanes hamming-1
+    // buckets (× each probed bucket's salt splits), searching the same
+    // capped corpus as q_ann_lsh. Candidate enumeration grows from
+    // O(n·cap) to O(n·(planes+1)·cap) — still linear in the corpus —
+    // and recall@3 vs the exact q_ann_brute rises accordingly (numbers
+    // in PLANS.md, measured by `runMain graft.Recall`).
+    "q_ann_lsh_mp_self" -> ((s, d) => {
+      val b = bucketedBase(s, d)
+      val sizes = b.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+      val corpus = capped(b)
+        .select(col("bucket"), col("vec_id").as("cand_id"),
+          col("embedding").as("cv"), col("nrm").as("cnrm"))
+      val probeBuckets = array(
+        col("bucket") +: (0 until nPlanes).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j))): _*)
+      val probes = b
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          col("nrm").as("pnrm"), explode(probeBuckets).as("pbucket"))
+        .join(broadcast(sizes.withColumnRenamed("bucket", "pbucket")), "pbucket")
+        .withColumn("salt", explode(sequence(lit(0L),
+          ceil(col("bsz") / lit(bucketCap.toDouble)).cast("long") - 1)))
+        .select(concat(col("pbucket").cast("string"), lit(":"),
+            col("salt").cast("string")).as("bucket"),
+          col("probe_id"), col("pv"), col("pnrm"))
+      topK(probes.join(corpus, "bucket")
         .filter(col("probe_id") =!= col("cand_id"))
         .select(col("probe_id"), col("cand_id"),
           round(VectorFunctions.dot(col("pv"), col("cv"))
-            / (col("pnrm") * col("cnrm")), 6).as("cos_sim"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("cand_id"))))
-        .filter(col("rnk") <= 3)
-        .orderBy("probe_id", "rnk")
+            / (col("pnrm") * col("cnrm")), 6).as("cos_sim")))
+    }),
+
+    // IVF (inverted-file) ANN with a TRAINED coarse quantizer and
+    // nprobe=2. Seed centroids are the first K=16 vectors; one
+    // deterministic Lloyd iteration refines them: argmin-assign every
+    // vector to its nearest seed, then per-cell mean — computed in
+    // exact integer micro-units (round(v·1e6) summed as longs), so the
+    // mean is order-independent and DuckDB mirrors it bit-for-bit (a
+    // naive float sum would hash-diverge under Spark's parallel
+    // aggregation order). Probes then search their 2 nearest trained
+    // cells (nprobe=2), candidates their 1 nearest — at 100 TB the
+    // quantizer trains on a sample as a small driver-side artifact and
+    // the search stays one broadcast-assign + equi-join per probe
+    // batch, both linear shapes.
+    "q_ann_ivf" -> ((s, d) => {
+      val k = 16
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+      def nearest(cent: DataFrame, keep: Int): DataFrame =
+        e.crossJoin(broadcast(cent))
+          .withColumn("dd", round(VectorFunctions.dist2(col("embedding"), col("cv")), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("dd"), col("cid"))))
+          .filter(col("rn") <= keep)
+      val seed = e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val trained = nearest(seed, 1)
+        .select(col("cid").as("cell0"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell0", "pos")
+        .agg(sum(round(col("v").cast("double") * 1e6).cast("long")).as("sq"),
+          count(lit(1)).as("n"))
+        .select(col("cell0"), col("pos"),
+          round(col("sq").cast("double") / col("n") / 1e6, 6).as("cvp"))
+        .groupBy("cell0")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cvp")))),
+          x => x.getField("cvp")).as("cv"))
+        .select(col("cell0").as("cid"), col("cv"))
+      // Reassignment against the trained centroids, staged: the probe
+      // side (rn ≤ 2) and candidate side (rn = 1) both read it, and its
+      // lineage embeds the whole training job.
+      val r1 = StagedCache.persist(nearest(trained, 2)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("cid").as("cell"), col("rn")))
+      val probesR = r1.filter(col("vec_id") % 25 === 0)
+        .select(col("cell"), col("vec_id").as("probe_id"),
+          col("embedding").as("pv"), col("nrm").as("pnrm"))
+      val cands = r1.filter(col("rn") === 1)
+        .select(col("cell"), col("vec_id").as("cand_id"),
+          col("embedding").as("cv2"), col("nrm").as("cnrm"))
+      topK(probesR.join(cands, "cell")
+        .filter(col("probe_id") =!= col("cand_id"))
+        .select(col("probe_id"), col("cand_id"),
+          round(VectorFunctions.dot(col("pv"), col("cv2"))
+            / (col("pnrm") * col("cnrm")), 6).as("cos_sim")))
     }),
 
     // Embedding-cosine near-dup pairs: same (capped) LSH bucket ∧
     // cosine ≥ 0.35.
     "q_embed_near_dup" -> ((s, d) => {
-      val b = cappedBuckets(s, d)
+      val b = capped(bucketedBase(s, d))
       val l = b.select(col("bucket"), col("vec_id").as("vec_a"),
         col("embedding").as("va"), col("nrm").as("na"))
       val r = b.select(col("bucket"), col("vec_id").as("vec_b"),
@@ -198,6 +258,35 @@ object VectorQueries extends QueryModule {
        |   ${cappedBucket("bucket0", "vec_id", "bsz", bucketCap)} AS bucket FROM sized)"""
       .stripMargin.replace("\n", "")
 
+  private val topKSql =
+    """ r AS (SELECT probe_id, cand_id, cos_sim, row_number() OVER
+      |   (PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id) AS rnk FROM scored)
+      |SELECT probe_id, cand_id, cos_sim, rnk FROM r WHERE rnk <= 3
+      |ORDER BY probe_id, rnk""".stripMargin.replace("\n", "")
+
+  /** Shared multi-probe CTE chain: probes (from `probeSrc`) fan out
+    * over home + hamming-1 buckets × the probed bucket's salt count. */
+  private def multiProbeSql(probeFilter: String): String = {
+    val neighborList = ("bucket0" +: (0 until nPlanes).map(j =>
+      s"xor(bucket0, ${1L << j})")).mkString("[", ", ", "]")
+    s"""$bucketCte,
+       | sizes AS (SELECT bucket0 AS pbucket, count(*) AS bsz
+       |   FROM buck0 GROUP BY bucket0),
+       | pk AS (SELECT vec_id AS probe_id, embedding AS pv,
+       |    unnest($neighborList) AS pbucket
+       |   FROM buck0 $probeFilter),
+       | pexp AS (SELECT probe_id, pv, pbucket,
+       |    unnest(generate_series(0, ceil(bsz / ${bucketCap.toDouble})::BIGINT - 1)) AS salt
+       |   FROM pk JOIN sizes USING (pbucket)),
+       | probes AS (SELECT probe_id, pv,
+       |    pbucket::VARCHAR || ':' || salt::VARCHAR AS bucket FROM pexp),
+       | scored AS (SELECT probe_id, c.vec_id AS cand_id,
+       |   ${cosSql("pv", "c.embedding")} AS cos_sim
+       |  FROM probes p JOIN buck c ON c.bucket = p.bucket
+       |   AND c.vec_id != p.probe_id),
+       |$topKSql""".stripMargin.replace("\n", "")
+  }
+
   def oracle: Map[String, String] = Map(
     "q_ann_brute" ->
       s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pv
@@ -205,64 +294,53 @@ object VectorQueries extends QueryModule {
          | scored AS (SELECT probe_id, e.vec_id AS cand_id,
          |   ${cosSql("pv", "e.embedding")} AS cos_sim
          |  FROM p, embeddings e WHERE e.vec_id != probe_id),
-         | r AS (SELECT probe_id, cand_id, cos_sim, row_number() OVER
-         |   (PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id) AS rnk FROM scored)
-         |SELECT probe_id, cand_id, cos_sim, rnk FROM r WHERE rnk <= 3
-         |ORDER BY probe_id, rnk""".stripMargin.replace("\n", ""),
+         |$topKSql""".stripMargin.replace("\n", ""),
 
     "q_ann_lsh" ->
       s"""$bucketCte,
          | scored AS (SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
          |   ${cosSql("a.embedding", "b.embedding")} AS cos_sim
          |  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
-         | r AS (SELECT probe_id, cand_id, cos_sim, row_number() OVER
-         |   (PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id) AS rnk FROM scored)
-         |SELECT probe_id, cand_id, cos_sim, rnk FROM r WHERE rnk <= 3
-         |ORDER BY probe_id, rnk""".stripMargin.replace("\n", ""),
+         |$topKSql""".stripMargin.replace("\n", ""),
 
-    "q_ann_lsh_multiprobe" -> {
-      val neighborList = ("bucket0" +: (0 until nPlanes).map(j =>
-        s"xor(bucket0, ${1L << j})")).mkString("[", ", ", "]")
-      s"""$bucketCte,
-         | sizes AS (SELECT bucket0 AS pbucket, count(*) AS bsz
-         |   FROM buck0 GROUP BY bucket0),
-         | pk AS (SELECT vec_id AS probe_id, embedding AS pv,
-         |    unnest($neighborList) AS pbucket
-         |   FROM buck0 WHERE vec_id % 25 = 0),
-         | pexp AS (SELECT probe_id, pv, pbucket,
-         |    unnest(generate_series(0, ceil(bsz / 64.0)::BIGINT - 1)) AS salt
-         |   FROM pk JOIN sizes USING (pbucket)),
-         | probes AS (SELECT probe_id, pv,
-         |    pbucket::VARCHAR || ':' || salt::VARCHAR AS bucket FROM pexp),
-         | scored AS (SELECT probe_id, c.vec_id AS cand_id,
-         |   ${cosSql("pv", "c.embedding")} AS cos_sim
-         |  FROM probes p JOIN buck c ON c.bucket = p.bucket
-         |   AND c.vec_id != p.probe_id),
-         | r AS (SELECT probe_id, cand_id, cos_sim, row_number() OVER
-         |   (PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id) AS rnk FROM scored)
-         |SELECT probe_id, cand_id, cos_sim, rnk FROM r WHERE rnk <= 3
-         |ORDER BY probe_id, rnk""".stripMargin.replace("\n", "")
-    },
+    "q_ann_lsh_multiprobe" -> multiProbeSql("WHERE vec_id % 25 = 0"),
+
+    "q_ann_lsh_mp_self" -> multiProbeSql(""),
 
     "q_ann_ivf" -> {
-      val dist2 = s"list_sum(list_transform(generate_series(1, $dim), " +
-        "i -> (e.embedding[i]::DOUBLE - cv[i]::DOUBLE) * (e.embedding[i]::DOUBLE - cv[i]::DOUBLE)))"
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+      def dist2(v: String, c: String) =
+        s"list_sum(list_transform(generate_series(1, $dim), " +
+          s"i -> ($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i])))"
+      s"""WITH seed AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
          |   FROM embeddings WHERE vec_id < 16),
-         | dist AS (SELECT e.vec_id, e.embedding, cid, round($dist2, 6) AS d
-         |   FROM embeddings e CROSS JOIN cent),
-         | cells AS (SELECT vec_id, embedding, cid AS cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-         |    FROM dist) WHERE rn = 1),
+         | d0 AS (SELECT e.vec_id, e.embedding, cid,
+         |    round(${dist2("e.embedding", "cv")}, 6) AS dd
+         |   FROM embeddings e CROSS JOIN seed),
+         | a0 AS (SELECT vec_id, embedding, cid AS cell0 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+         |    FROM d0) WHERE rn = 1),
+         | expl AS (SELECT cell0, unnest(embedding) AS v,
+         |    unnest(generate_series(1, $dim)) AS pos FROM a0),
+         | msum AS (SELECT cell0, pos,
+         |    sum(CAST(round(v::DOUBLE * 1e6) AS BIGINT)) AS sq, count(*) AS n
+         |   FROM expl GROUP BY cell0, pos),
+         | tcent AS (SELECT cell0 AS cid,
+         |    list(round(sq::DOUBLE / n / 1e6, 6) ORDER BY pos) AS cv
+         |   FROM msum GROUP BY cell0),
+         | d1 AS (SELECT e.vec_id, e.embedding, cid,
+         |    round(${dist2("e.embedding", "cv")}, 6) AS dd
+         |   FROM embeddings e CROSS JOIN tcent),
+         | r1 AS (SELECT vec_id, embedding, cid AS cell, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM d1),
          | probes AS (SELECT cell, vec_id AS probe_id, embedding AS pv
-         |   FROM cells WHERE vec_id % 25 = 0),
-         | scored AS (SELECT probe_id, c.vec_id AS cand_id,
-         |   ${cosSql("pv", "c.embedding")} AS cos_sim
-         |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id != p.probe_id),
-         | r AS (SELECT probe_id, cand_id, cos_sim, row_number() OVER
-         |   (PARTITION BY probe_id ORDER BY cos_sim DESC, cand_id) AS rnk FROM scored)
-         |SELECT probe_id, cand_id, cos_sim, rnk FROM r WHERE rnk <= 3
-         |ORDER BY probe_id, rnk""".stripMargin.replace("\n", "")
+         |   FROM r1 WHERE vec_id % 25 = 0 AND rn <= 2),
+         | cands AS (SELECT cell, vec_id AS cand_id, embedding AS cv2
+         |   FROM r1 WHERE rn = 1),
+         | scored AS (SELECT probe_id, cand_id,
+         |   ${cosSql("pv", "cv2")} AS cos_sim
+         |  FROM probes p JOIN cands c ON c.cell = p.cell
+         |   AND c.cand_id != p.probe_id),
+         |$topKSql""".stripMargin.replace("\n", "")
     },
 
     "q_embed_near_dup" ->

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
+import graft.functions.TextFunctions
 import graft.operators.{InvertedIndex, WordCount}
 
 /** Structured-Streaming variants of the engine's kernels (SURVEY §2.9).
@@ -159,8 +160,13 @@ object StreamingKernels {
     * user's in-horizon events in state and finalizes when the user has
     * been quiet for `quietMs` in EVENT time — i.e. when the watermark
     * proves no earlier event can still arrive. One summary row per
-    * user, append mode. State is bounded by the watermark horizon ×
-    * per-user event rate, the same bound `sessionizeWithState` carries.
+    * QUIET PERIOD, append mode: as with sessionization, a user whose
+    * events resume after a quiet gap starts fresh state and produces a
+    * second summary row — the downstream consumer reconciles by taking
+    * the OR/latest per user (the only alternative, keeping state
+    * forever, is unbounded). State is bounded by the watermark horizon
+    * × per-user event rate, the same bound `sessionizeWithState`
+    * carries.
     */
   def funnelWithState(
       events: org.apache.spark.sql.Dataset[(java.sql.Timestamp, String, String)],
@@ -191,8 +197,11 @@ object StreamingKernels {
             val purchase = click.flatMap(firstAfter("purchase", _))
             Iterator((user, signup.isDefined, click.isDefined, purchase.isDefined))
           } else {
-            val buffered = state.getOption.getOrElse(Nil) ++
-              rows.map(r => (r._1.getTime, r._3))
+            // PREPEND the batch (finalization is order-insensitive):
+            // appending with ++ to a List re-walks the whole buffer
+            // every batch — O(n²) per user across a long horizon.
+            val buffered = rows.map(r => (r._1.getTime, r._3)).toList reverse_:::
+              state.getOption.getOrElse(Nil)
             state.update(buffered)
             val last = buffered.map(_._1).max
             // The timeout timestamp must sit beyond the current
@@ -201,6 +210,92 @@ object StreamingKernels {
             state.setTimeoutTimestamp(
               math.max(last + quietMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming MinHash near-dup detection — the streaming twin of the
+    * batch `q_near_dup_minhash` (same tokens → hashed 3-shingles → 8
+    * minhash components → 4 band keys pipeline, via the SAME
+    * [[TextFunctions]] columns — one definition, two execution modes).
+    *
+    * Shape: band keys are exploded and the stream grouped per band key;
+    * per-band state holds the in-horizon REPRESENTATIVE docs (id +
+    * hashed shingles). Each arriving doc is verified (exact Jaccard)
+    * against its band's representatives: a match ≥ `thresh` emits a dup
+    * verdict `(doc_id, keeper_id, jaccard)` and the doc is NOT added
+    * (dups don't become keepers); a miss adds it as a representative.
+    * Keeper preference is ARRIVAL order (the only order a stream has):
+    * an out-of-order earlier-event-time twin arriving later is flagged
+    * against the already-seen doc. Docs with no verdict in any band are
+    * the deduped survivors.
+    *
+    * Bounds, mirroring the batch design at 100 TB:
+    *  - state per band key expires `quietMs` past its last event in
+    *    EVENT time (watermark-driven — processAllAvailable-safe), so
+    *    state is the watermark horizon's bands, never the corpus;
+    *  - representatives per band are capped at `capPerBand` — the
+    *    streaming twin of [[graft.operators.SkewGuard.capBuckets]]:
+    *    a degenerate hot band stops absorbing representatives instead
+    *    of growing O(n) state (docs beyond the cap can only be flagged
+    *    against the first `capPerBand` keepers; same recall trade,
+    *    same rationale).
+    *
+    * A doc matching representatives in several bands emits one verdict
+    * per band (band groups share no state); downstream reconciliation
+    * is a stateless `dropDuplicates(doc_id)` / min-keeper per doc. */
+  def nearDupMinhash(docs: DataFrame, watermark: String = "1 hour",
+                     quietMs: Long = 60 * 60 * 1000L, thresh: Double = 0.5,
+                     capPerBand: Int = 64)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import docs.sparkSession.implicits._
+    val nSeeds = 8 // 4 bands × 2 rows, as in the batch query
+    val base = docs // expected columns: (doc_id long, ts timestamp, text string)
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("ts"),
+        array_sort(array_distinct(transform(TextFunctions.shingles(col("toks"), 3),
+          sh => TextFunctions.hash60(sh)))).as("hs"))
+    val sigs = base.select(
+      Seq(col("doc_id"), col("ts"), col("hs")) ++
+        (0 until nSeeds).map(i =>
+          TextFunctions.minhashMixed(col("hs"), i).as(s"sig$i")): _*)
+    val bands = sigs.select(
+      explode(array((0 until nSeeds / 2).map(j =>
+        concat_ws(":", lit(j.toString), col(s"sig${2 * j}").cast("string"),
+          col(s"sig${2 * j + 1}").cast("string"))): _*)).as("bkey"),
+      col("doc_id"), col("ts"), col("hs"))
+      .as[(String, Long, java.sql.Timestamp, Seq[Long])]
+    bands.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var reps = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double)]
+            var lastMs = 0L
+            // Deterministic within-batch order: event time then id.
+            rows.toSeq.sortBy(r => (r._3.getTime, r._2)).foreach {
+              case (_, docId, ts, hs) =>
+                lastMs = math.max(lastMs, ts.getTime)
+                val hsSet = hs.toSet
+                val hit = reps.iterator.map { case (rid, rhs) =>
+                  val inter = rhs.count(hsSet)
+                  (rid, inter.toDouble / (rhs.size + hs.size - inter))
+                }.find(_._2 >= thresh)
+                hit match {
+                  case Some((rid, j)) =>
+                    out += ((docId, rid, math.rint(j * 1e6) / 1e6))
+                  case None =>
+                    if (reps.size < capPerBand) reps = reps :+ ((docId, hs))
+                }
+            }
+            state.update(reps)
+            state.setTimeoutTimestamp(
+              math.max(lastMs + quietMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
       }
   }

@@ -159,4 +159,32 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     val b2 = one[Long](VectorFunctions.lshBucket(v, planes))
     assert(b1 == b2 && b1 >= 0 && b1 < 16)
   }
+
+  test("approx-percentile rank gate is falsifiable: a poisoned quantile trips it") {
+    // q_percentiles_approx's DuckDB oracle is a tolerance SELF-check
+    // (hard-coded TRUE), so the gate's ability to fail must be proven
+    // here: feed claims through the same rankGate the query uses.
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+
+    // Positive control: the real GK sketch passes at its published eps.
+    val real = li.groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 1000)").as("ap"))
+      .select(col("l_returnflag").as("rf"),
+        element_at(col("ap"), 1).as("a50"), element_at(col("ap"), 2).as("a90"))
+    val ok = graft.queries.ScalarQueries.rankGate(li, real, 1.0 / 1000).collect()
+    assert(ok.nonEmpty && ok.forall(r => r.getBoolean(2) && r.getBoolean(3)),
+      "real sketch should pass its own guarantee")
+
+    // Poisoned claim: the group MINIMUM offered as both p50 and p90 —
+    // rank 0, nowhere near the n/2 and 9n/10 targets. Every group's
+    // gate must trip (deterministic: no sketch involved).
+    val poisoned = li.groupBy("l_returnflag")
+      .agg(min("l_extendedprice").as("a50"), min("l_extendedprice").as("a90"))
+      .select(col("l_returnflag").as("rf"), col("a50"), col("a90"))
+    val bad = graft.queries.ScalarQueries.rankGate(li, poisoned, 1.0 / 1000).collect()
+    assert(bad.nonEmpty && bad.forall(r => !r.getBoolean(2) && !r.getBoolean(3)),
+      "poisoned quantiles must fail the rank gate")
+  }
 }

@@ -133,6 +133,71 @@ class ObservabilitySpec extends AnyFunSuite with SparkSpec {
       tasks.forall(_.get("tags").has("records.read")))
   }
 
+  test("ZipkinHttpExporter POSTs v2 batches a loopback collector accepts") {
+    // The reference's live wire behavior (run.sh:5,82-83): span batches
+    // POSTed to /api/v2/spans as application/json. A loopback
+    // HttpServer stands in for the Zipkin all-in-one; it must receive
+    // payloads that parse as v2 arrays.
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/v2/spans", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        received.add((ex.getRequestHeaders.getFirst("Content-type"), body))
+        ex.sendResponseHeaders(202, -1) // Zipkin answers 202 Accepted
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val exporter = new ZipkinHttpExporter(
+        s"http://127.0.0.1:$port/api/v2/spans", "graft-test", batchSize = 2)
+      def mk(i: Int) = Span("0123456789abcdef0123456789abcdef", f"$i%016x",
+        if (i > 1) Some(f"${1}%016x") else None, s"graft.span$i", "INTERNAL",
+        1000L + i, 2000L + i, Map("batch" -> s"$i"), ok = true)
+      exporter.export(mk(1))
+      exporter.export(mk(2)) // batchSize reached -> auto-flush (POST #1)
+      exporter.export(mk(3))
+      exporter.flush()       // end-of-job flush (POST #2)
+      assert(received.size == 2, s"expected 2 POSTs, got ${received.size}")
+
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      import scala.jdk.CollectionConverters._
+      val allSpans = received.asScala.toSeq.flatMap { case (ct, body) =>
+        assert(ct != null && ct.startsWith("application/json"), s"bad content type $ct")
+        val root = mapper.readTree(body)
+        assert(root.isArray && root.size() > 0, s"payload not a span array: $body")
+        root.elements().asScala.toSeq
+      }
+      assert(allSpans.size == 3)
+      assert(allSpans.map(_.get("name").asText()).toSet ==
+        Set("graft.span1", "graft.span2", "graft.span3"))
+      allSpans.foreach { s =>
+        assert(s.get("traceId").asText() == "0123456789abcdef0123456789abcdef")
+        assert(s.get("id").asText().matches("[0-9a-f]{16}"))
+        assert(s.get("timestamp").asLong() > 0L && s.get("duration").asLong() >= 1L)
+        assert(s.get("localEndpoint").get("serviceName").asText() == "graft-test")
+        assert(!s.has("kind")) // INTERNAL spans are unkinded in Zipkin
+      }
+    } finally server.stop(0)
+  }
+
+  test("ZipkinHttpExporter survives a dead collector without failing the job") {
+    // Telemetry must never fail the job: POST to a closed port logs and
+    // drops the batch instead of throwing.
+    val port = { // a port with nothing listening
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
+    val exporter = new ZipkinHttpExporter(
+      s"http://127.0.0.1:$port/api/v2/spans", "graft-test", batchSize = 1)
+    exporter.export(Span("0" * 32, "1" * 16, None, "s", "INTERNAL",
+      1L, 2L, Map.empty, ok = true)) // must not throw
+    exporter.flush()
+  }
+
   test("span JSON serialization is well-formed") {
     val sp = Span("t" * 32, "s" * 16, Some("p" * 16), "x\"y", "CLIENT",
       1L, 2L, Map("k" -> "v\nw"), ok = true)

@@ -69,12 +69,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("skew-guarded LSH queries join on the capped key") {
-    for (name <- Seq("q_ann_lsh", "q_embed_near_dup", "q_near_dup_simhash")) {
+    for (name <- Seq("q_ann_lsh", "q_embed_near_dup", "q_near_dup_simhash",
+      "q_ann_lsh_mp_self")) {
+      // The capped key (a concat of bucket and salt) is visible in the
+      // ANALYZED plan even when the staged table hides it behind an
+      // InMemoryRelation in the physical plan.
+      val analyzed = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.analyzed.toString()
+      assert(analyzed.contains("concat"), s"$name: capped bucket key missing")
+    }
+    // For the unstaged pipeline the size table's broadcast is in the
+    // visible physical plan.
+    val plan = formatted("q_near_dup_simhash")
+    assert(plan.contains("BroadcastExchange"), "simhash: size table not broadcast")
+  }
+
+  test("LSH-family staged tables are cached once and read at every consumer") {
+    // Round-3 finding: cappedBuckets was recomputed per consumer. Both
+    // self-join sides (and SkewGuard's size aggregation + join input
+    // underneath) must now read the staged table via InMemoryTableScan.
+    for (name <- Seq("q_ann_lsh", "q_embed_near_dup", "q_ann_lsh_mp_self",
+      "q_ann_lsh_multiprobe", "q_ann_ivf")) {
       val plan = formatted(name)
-      // The size table rides a broadcast; the capped key is a concat of
-      // bucket and salt (visible as concat in the join-side projection).
-      assert(plan.contains("BroadcastExchange"), s"$name: size table not broadcast")
-      assert(plan.contains("concat"), s"$name: capped bucket key missing")
+      val scans = "InMemoryTableScan".r.findAllIn(plan).length
+      assert(scans >= 2, s"$name: expected >=2 InMemoryTableScans, got $scans")
     }
   }
 }

@@ -39,6 +39,30 @@ class SkewGuardSpec extends AnyFunSuite with SparkSpec {
       s"pair enumeration $pairSum not linear-bounded")
   }
 
+  test("pair recall lost to sub-bucket splitting is ~1/nsplit on an over-cap bucket") {
+    val s = spark
+    import s.implicits._
+    val cap = 64
+    val n = 256 // one hot bucket -> ceil(256/64) = 4 sub-buckets
+    val df = (1 to n).map(i => (i.toLong, "hot")).toDF("id", "bucket")
+    val capped = SkewGuard.capBuckets(df, "bucket", col("id"), cap)
+    val sizes = capped.groupBy("bucket").count().collect().map(_.getLong(1))
+    assert(sizes.length == 4)
+    // A within-bucket pair survives capping iff both members hash into
+    // the same sub-bucket: expected recall for an s-way uniform split
+    // is 1/s. Deterministic (content-independent hash), so the exact
+    // number is stable; assert it near the 1/4 expectation. The
+    // remaining 3/4 is the documented cap trade: an over-cap bucket is
+    // near-degenerate for similarity, and production re-bands overflow
+    // with more planes rather than enumerating its pairs (SkewGuard
+    // scaladoc; multi-probe restores recall from the PROBE side).
+    val kept = sizes.map(sz => sz * (sz - 1) / 2).sum
+    val total = n.toLong * (n - 1) / 2
+    val recall = kept.toDouble / total
+    info(f"pair recall after 4-way split: $recall%.4f (expected ~0.25)")
+    assert(math.abs(recall - 0.25) < 0.05, s"pair recall $recall not ~1/4")
+  }
+
   test("cap assignment is deterministic and partitioning-invariant") {
     val s = spark
     import s.implicits._

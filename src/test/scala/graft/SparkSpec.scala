@@ -1,16 +1,25 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.scalatest.BeforeAndAfterAll
+import org.scalatest.{BeforeAndAfterAll, BeforeAndAfterEach}
 import org.scalatest.Suite
 
 /** Shared local SparkSession for specs. One session per suite; small
   * shuffle parallelism keeps tiny-fixture tests fast. */
-trait SparkSpec extends BeforeAndAfterAll { self: Suite =>
+trait SparkSpec extends BeforeAndAfterAll with BeforeAndAfterEach { self: Suite =>
 
   lazy val spark: SparkSession = SparkSpec.session
 
   override def afterAll(): Unit = super.afterAll()
+
+  /** Queries that stage intermediates register them in
+    * [[graft.queries.StagedCache]]; Bench/Verify release per query, and
+    * tests must too — the session is JVM-wide, so an unreleased persist
+    * would leak InMemoryRelations into every later suite's plans. */
+  override def afterEach(): Unit = {
+    graft.queries.StagedCache.releaseAll()
+    super.afterEach()
+  }
 }
 
 object SparkSpec {

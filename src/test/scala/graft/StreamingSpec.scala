@@ -284,4 +284,62 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(got.toSeq == Seq("a", "b"))
     } finally q.stop()
   }
+
+  test("streaming minhash near-dup flags out-of-order near-duplicates across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val docs = source.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingKernels.nearDupMinhash(docs, watermark = "1 hour")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      val docA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+      val docB = docA.replace("upsilon", "phi") // 1 of 18 shingles differs
+      val other = "one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+
+      // Batch 1: the keeper and an unrelated doc.
+      source.addData((1L, ts("2026-01-01 10:00:00"), docA),
+        (2L, ts("2026-01-01 10:01:00"), other))
+      q.processAllAvailable()
+      assert(spark.table("neardup_stream").isEmpty)
+
+      // Batch 2: a near-duplicate of doc 1 arriving LATER with an
+      // EARLIER event time (out-of-order, inside the watermark) — it
+      // must be flagged against the already-seen keeper (arrival-order
+      // semantics), with the exact Jaccard of the verify step.
+      source.addData((3L, ts("2026-01-01 09:55:00"), docB))
+      q.processAllAvailable()
+      val verdicts = spark.table("neardup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // One verdict per agreeing band; distinct pairs reconcile downstream.
+      assert(verdicts.nonEmpty)
+      assert(verdicts.map(v => (v._1, v._2)).distinct.toSeq == Seq((3L, 1L)))
+      // J = 17/19 (20 tokens, 18 shingles, last shingle differs... with
+      // the changed token in the final 3-shingle only): |∩|=17, |∪|=19.
+      verdicts.foreach(v => assert(math.abs(v._3 - 17.0 / 19) < 1e-6, s"J=${v._3}"))
+
+      // Batches 3-4: unrelated docs 3 hours later advance the watermark
+      // past every earlier band's quiet timeout; their state expires.
+      source.addData((10L, ts("2026-01-01 13:00:00"),
+        "red orange yellow green blue indigo violet pink black white " +
+          "gold silver bronze copper iron tin lead zinc nickel chrome"))
+      q.processAllAvailable()
+      source.addData((11L, ts("2026-01-01 13:05:00"),
+        "car bus train plane boat bike scooter truck van tram " +
+          "ferry rocket glider subway monorail cab sled barge yacht canoe"))
+      q.processAllAvailable()
+      // Batch 5: an exact copy of doc 1 — its band state is gone, so no
+      // verdict: state is the watermark horizon, never the corpus.
+      source.addData((5L, ts("2026-01-01 13:10:00"), docA))
+      q.processAllAvailable()
+      val after = spark.table("neardup_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(!after.exists(_._1 == 5L),
+        s"doc 5 flagged against expired state: ${after.toSeq}")
+    } finally q.stop()
+  }
 }
