@@ -51,7 +51,12 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
     val failed = scala.collection.mutable.ListBuffer[String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Optional subset (comma-separated names) for targeted A/B runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try {
         runOnce(fn) // warm-up: JIT + codegen compile, discarded
         val samples = Array.fill(iters)(runOnce(fn)).sorted

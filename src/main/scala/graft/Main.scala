@@ -100,6 +100,9 @@ object Main {
       case e: Exception =>
         System.err.println(s"[graft] job failed: ${e.getMessage}")
         1
+    // uninstall flushes the exporter: the batching Zipkin sink holds up
+    // to one batch in memory, and a short job would otherwise exit with
+    // its spans unwritten.
     } finally handle.foreach(Trace.uninstall(spark, _))
   }
 

@@ -68,6 +68,12 @@ final case class Span(
 
 trait SpanExporter {
   def export(span: Span): Unit
+
+  /** Deliver anything buffered. Batching exporters override; immediate
+    * exporters are already durable, so the default is a no-op. Called
+    * by `Trace.uninstall` so an installed exporter never loses its tail
+    * batch at job end. */
+  def flush(): Unit = ()
 }
 
 /** Thread-safe buffer exporter for tests and programmatic inspection. */
@@ -119,7 +125,7 @@ final class ZipkinFileExporter(path: String, serviceName: String = "graft",
     if (buf.size >= batchSize) flushLocked()
   }
 
-  def flush(): Unit = synchronized { flushLocked() }
+  override def flush(): Unit = synchronized { flushLocked() }
 
   /** The complete Zipkin v2 payload exported so far (flushes first). */
   def document: String = synchronized {
@@ -162,7 +168,7 @@ final class ZipkinHttpExporter(endpoint: String, serviceName: String = "graft",
     if (buf.size >= batchSize) flushLocked()
   }
 
-  def flush(): Unit = synchronized { flushLocked() }
+  override def flush(): Unit = synchronized { flushLocked() }
 
   private def flushLocked(): Unit = {
     if (buf.isEmpty) return

@@ -118,7 +118,8 @@ final class QueryTraceListener(exporter: SpanExporter, ctx: TraceContext)
 object Trace {
 
   final case class Handle(ctx: TraceContext, listener: TraceListener,
-                          queryListener: QueryTraceListener)
+                          queryListener: QueryTraceListener,
+                          exporter: SpanExporter)
 
   def install(spark: SparkSession, exporter: SpanExporter,
               parent: Option[TraceContext] = None): Handle = {
@@ -128,12 +129,14 @@ object Trace {
     val ql = new QueryTraceListener(exporter, ctx)
     spark.sparkContext.addSparkListener(l)
     spark.listenerManager.register(ql)
-    Handle(ctx, l, ql)
+    Handle(ctx, l, ql, exporter)
   }
 
   def uninstall(spark: SparkSession, h: Handle): Unit = {
     spark.sparkContext.removeSparkListener(h.listener)
     spark.listenerManager.unregister(h.queryListener)
+    // A batching exporter (Zipkin file/HTTP) may hold a tail batch.
+    h.exporter.flush()
   }
 
   /** Run `body` under a root CLIENT span (≙ `mr.job.submit`,

@@ -116,8 +116,11 @@ object CorpusQueries extends QueryModule {
     // (term-level agg, source-level window) — both on bounded key
     // domains (vocabulary), independent of corpus row count.
     "q_tfidf_top_terms" -> ((s, d) => {
-      val tf = tokenRows(s, d).groupBy("source", "word")
-        .agg(count(lit(1)).as("tf"))
+      // Staged: tf feeds both the score join and the df aggregation —
+      // unstaged, the tokenize + explode + count pass runs once per
+      // consumer (their projections defeat exchange reuse).
+      val tf = StagedCache.persist(tokenRows(s, d).groupBy("source", "word")
+        .agg(count(lit(1)).as("tf")))
       val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
       val nSources = Tables.documents(s, d)
         .agg(countDistinct(col("source")).as("n_sources"))

@@ -103,11 +103,13 @@ object DedupQueries extends QueryModule {
         col("doc_id") +:
           (0 until minhashSeeds).map(i =>
             TextFunctions.minhashMixed(col("hs"), i).as(s"sig$i")): _*)
-      val bands = sigs.select(col("doc_id"),
+      // Staged too: both candidate-join sides read the band table, and
+      // recomputing it would re-run the 8 minhash folds per side.
+      val bands = StagedCache.persist(sigs.select(col("doc_id"),
         explode(array((0 until minhashSeeds / 2).map(j =>
           concat_ws(":", lit(j.toString),
             col(s"sig${2 * j}").cast("string"),
-            col(s"sig${2 * j + 1}").cast("string"))): _*)).as("bkey"))
+            col(s"sig${2 * j + 1}").cast("string"))): _*)).as("bkey")))
       val cand = bands.as("a")
         .join(bands.as("b"), col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))
@@ -123,6 +125,10 @@ object DedupQueries extends QueryModule {
     "q_ngram_jaccard" -> ((s, d) => {
       // Same staged-table materialization as q_near_dup_minhash.
       val base = StagedCache.persist(hashedShingles(s, d))
+      // NOT staged (measured): both candidate-join sides share the
+      // exchange of the .distinct() aggregation (identical plans up to
+      // aliasing), so caching the wide exploded table costs more than
+      // it saves — 1.80 s → 2.56 s when persisted at sf0.1.
       val sampled = base
         .select(col("doc_id"), explode(col("hs")).as("h"))
         .filter(col("h") % 8 === 0)
@@ -146,12 +152,15 @@ object DedupQueries extends QueryModule {
       // Stage tokens then token hashes as real columns: one tokenizer
       // pass + one md5 pass per row; the 32 bit-folds are arithmetic
       // over the staged long array.
-      val sh = Tables.documents(s, d)
+      // Staged: the signature table is read three times (band
+      // generation + both verify-join sides) — one tokenizer + md5 +
+      // bit-fold pass instead of three.
+      val sh = StagedCache.persist(Tables.documents(s, d)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           transform(col("toks"), t => TextFunctions.hash60(t)).as("thashes"))
         .select(col("doc_id"),
-          graft.functions.SimHashExpr(col("thashes")).as("sh"))
+          graft.functions.SimHashExpr(col("thashes")).as("sh")))
       val bands0 = sh.select(col("doc_id"), explode(array(
         concat_ws(":", lit("0"), (col("sh").bitwiseAND(lit(0xFFFFL))).cast("string")),
         concat_ws(":", lit("1"), shiftright(col("sh"), 16).cast("string"))))
@@ -159,7 +168,10 @@ object DedupQueries extends QueryModule {
       // Half-buckets hold ~n/65k docs each — linear in corpus size, so
       // the within-bucket pair join is quadratic in the skewiest bucket
       // at scale; the deterministic cap bounds it (SkewGuard scaladoc).
-      val bands = graft.operators.SkewGuard.capBuckets(bands0, "bkey", col("doc_id"), 64)
+      // Staged: SkewGuard scans its input twice (sizes + join) and the
+      // pair join reads the capped table from both sides.
+      val bands = StagedCache.persist(
+        graft.operators.SkewGuard.capBuckets(bands0, "bkey", col("doc_id"), 64))
       val cand = bands.as("a")
         .join(bands.as("b"), col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))

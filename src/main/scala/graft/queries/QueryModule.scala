@@ -31,4 +31,15 @@ object StagedCache {
   def releaseAll(): Unit = synchronized {
     staged.foreach(_.unpersist(false)); staged.clear()
   }
+
+  /** Loan pattern for direct API users: run `body` (build a query AND
+    * execute its action inside), then release every intermediate it
+    * staged — so a notebook or service calling query builders directly
+    * cannot leak InMemoryRelations into the shared session. Bench,
+    * Verify, and the test harness release per query/test themselves.
+    * The registry is process-global and NOT scope-nested: releaseAll
+    * drops everything currently staged, so run scopes sequentially
+    * (the same discipline the harnesses follow). */
+  def withScope[A](body: => A): A =
+    try body finally releaseAll()
 }

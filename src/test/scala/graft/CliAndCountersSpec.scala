@@ -99,6 +99,25 @@ class CliAndCountersSpec extends AnyFunSuite with SparkSpec {
     assert(lines.exists(_.contains("\"spark.task\"")))
   }
 
+  test("CLI --trace *.zipkin.json flushes the batching exporter at job end") {
+    // Regression guard for the bounded-batch exporter: a short job
+    // emits fewer spans than one batch, so without the end-of-job
+    // flush the file would be empty.
+    val dir = tmpDir()
+    writeLines(dir, "in.txt", Seq("a b", "c"))
+    val trace = dir.resolve("spans.zipkin.json")
+    val rc = Main.run(spark, Main.Args("wordcount",
+      dir.resolve("in.txt").toString, dir.resolve("out").toString,
+      trace = Some(trace.toString)))
+    assert(rc == 0)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(trace.toFile)
+    assert(root.isArray && root.size() > 0, "zipkin document empty or invalid")
+    import scala.jdk.CollectionConverters._
+    val names = root.elements().asScala.map(_.get("name").asText()).toSet
+    assert(names.contains("graft.job.submit"))
+  }
+
   test("CLI integration: chaos confs + trace sink work together end-to-end") {
     import graft.chaos.SlowInject
     SlowInject.reset(spark)

@@ -78,18 +78,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         .queryExecution.analyzed.toString()
       assert(analyzed.contains("concat"), s"$name: capped bucket key missing")
     }
-    // For the unstaged pipeline the size table's broadcast is in the
-    // visible physical plan.
-    val plan = formatted("q_near_dup_simhash")
-    assert(plan.contains("BroadcastExchange"), "simhash: size table not broadcast")
+    // The size-table broadcast is a SkewGuard property; assert it on a
+    // raw (unstaged) capBuckets plan where it is physically visible.
+    val raw = graft.operators.SkewGuard.capBuckets(
+      spark.range(100).selectExpr("id", "cast(id % 3 as string) as bucket"),
+      "bucket", org.apache.spark.sql.functions.col("id"), 10)
+    val rawPlan = raw.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(rawPlan.contains("BroadcastExchange"), "SkewGuard size table not broadcast")
   }
 
-  test("LSH-family staged tables are cached once and read at every consumer") {
+  test("LSH/dedup-family staged tables are cached once and read at every consumer") {
     // Round-3 finding: cappedBuckets was recomputed per consumer. Both
     // self-join sides (and SkewGuard's size aggregation + join input
     // underneath) must now read the staged table via InMemoryTableScan.
     for (name <- Seq("q_ann_lsh", "q_embed_near_dup", "q_ann_lsh_mp_self",
-      "q_ann_lsh_multiprobe", "q_ann_ivf")) {
+      "q_ann_lsh_multiprobe", "q_ann_ivf",
+      "q_near_dup_minhash", "q_ngram_jaccard", "q_near_dup_simhash")) {
       val plan = formatted(name)
       val scans = "InMemoryTableScan".r.findAllIn(plan).length
       assert(scans >= 2, s"$name: expected >=2 InMemoryTableScans, got $scans")
