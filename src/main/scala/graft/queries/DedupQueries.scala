@@ -99,17 +99,19 @@ object DedupQueries extends QueryModule {
       // signature table a production dedup writes to storage. Tracked in
       // StagedCache so harnesses release it after the query's action.
       val base = StagedCache.persist(hashedShingles(s, d))
-      val sigs = base.select(
-        col("doc_id") +:
-          (0 until minhashSeeds).map(i =>
-            TextFunctions.minhashMixed(col("hs"), i).as(s"sig$i")): _*)
+      // The k signature components come from the native one-pass
+      // MinHashExpr (vs k interpreted folds over the same array);
+      // component values are bit-identical to minhashMixed, so the
+      // oracle is unchanged (equivalence asserted in FunctionsSpec).
+      val sigs = base.select(col("doc_id"),
+        graft.functions.MinHashExpr(col("hs"), minhashSeeds).as("sig"))
       // Staged too: both candidate-join sides read the band table, and
-      // recomputing it would re-run the 8 minhash folds per side.
+      // recomputing it would re-run the signature pass per side.
       val bands = StagedCache.persist(sigs.select(col("doc_id"),
         explode(array((0 until minhashSeeds / 2).map(j =>
           concat_ws(":", lit(j.toString),
-            col(s"sig${2 * j}").cast("string"),
-            col(s"sig${2 * j + 1}").cast("string"))): _*)).as("bkey")))
+            element_at(col("sig"), 2 * j + 1).cast("string"),
+            element_at(col("sig"), 2 * j + 2).cast("string"))): _*)).as("bkey")))
       val cand = bands.as("a")
         .join(bands.as("b"), col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))

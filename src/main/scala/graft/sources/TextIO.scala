@@ -54,7 +54,7 @@ object TextIO {
     * emits nulls; Hadoop TextOutputFormat would print "null"). */
   def writeTsv(df: DataFrame, path: String, overwrite: Boolean = false): Unit =
     df.select(concat_ws("\t",
-        df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+        df.columns.toIndexedSeq.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
         .as("value"))
       .write
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)

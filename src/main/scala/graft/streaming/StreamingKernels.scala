@@ -257,14 +257,13 @@ object StreamingKernels {
       .select(col("doc_id"), col("ts"),
         array_sort(array_distinct(transform(TextFunctions.shingles(col("toks"), 3),
           sh => TextFunctions.hash60(sh)))).as("hs"))
-    val sigs = base.select(
-      Seq(col("doc_id"), col("ts"), col("hs")) ++
-        (0 until nSeeds).map(i =>
-          TextFunctions.minhashMixed(col("hs"), i).as(s"sig$i")): _*)
+    val sigs = base.select(col("doc_id"), col("ts"), col("hs"),
+      graft.functions.MinHashExpr(col("hs"), nSeeds).as("sig"))
     val bands = sigs.select(
       explode(array((0 until nSeeds / 2).map(j =>
-        concat_ws(":", lit(j.toString), col(s"sig${2 * j}").cast("string"),
-          col(s"sig${2 * j + 1}").cast("string"))): _*)).as("bkey"),
+        concat_ws(":", lit(j.toString),
+          element_at(col("sig"), 2 * j + 1).cast("string"),
+          element_at(col("sig"), 2 * j + 2).cast("string"))): _*)).as("bkey"),
       col("doc_id"), col("ts"), col("hs"))
       .as[(String, Long, java.sql.Timestamp, Seq[Long])]
     bands.groupByKey(_._1)

@@ -160,6 +160,30 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(b1 == b2 && b1 >= 0 && b1 < 16)
   }
 
+  test("native MinHashExpr ≡ per-component minhashMixed folds") {
+    val s = spark
+    import s.implicits._
+    val k = 8
+    // Real-ish inputs: distinct hash60 values of generated shingles,
+    // plus edge shapes (single element, repeated mins).
+    val inputs: Seq[Seq[Long]] =
+      (1 to 30).map(i => (0 until (i % 7) + 1)
+        .map(j => VectorFunctions.hash60Scala(s"sh-$i-$j")).toSeq) :+
+        Seq(0L) :+ Seq(TextFunctions.MixP - 1, 0L, 5L)
+    val df = inputs.toDF("hs")
+    val rows = df.select(
+      graft.functions.MinHashExpr(col("hs"), k).as("native"),
+      array((0 until k).map(i => TextFunctions.minhashMixed(col("hs"), i)): _*)
+        .as("legacy")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch: $r")
+    }
+    // Empty input: null, matching array_min over an empty transform.
+    val empty = Seq(Seq.empty[Long]).toDF("hs")
+      .select(graft.functions.MinHashExpr(col("hs"), k)).collect()(0)
+    assert(empty.isNullAt(0))
+  }
+
   test("approx-percentile rank gate is falsifiable: a poisoned quantile trips it") {
     // q_percentiles_approx's DuckDB oracle is a tolerance SELF-check
     // (hard-coded TRUE), so the gate's ability to fail must be proven

@@ -68,6 +68,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(exchanges <= 2, s"corpus unexpectedly shuffled ($exchanges exchanges)")
   }
 
+  test("aggregations run map-side partial combine") {
+    // The reference ships every raw pair through its shuffle (no
+    // combiner); the Spark plans must always show partial aggregation
+    // — only per-partition partials may cross the exchange.
+    for (name <- Seq("q_wordcount", "q1_agg", "q_quality_by_source")) {
+      val plan = formatted(name)
+      assert(plan.contains("partial_"),
+        s"$name: no partial (map-side) aggregation in plan")
+    }
+  }
+
+  test("global sort range-partitions instead of single-task sorting") {
+    val plan = formatted("q_sort")
+    assert(plan.contains("rangepartitioning"),
+      "q_sort should sample range boundaries and sort per partition")
+  }
+
   test("skew-guarded LSH queries join on the capped key") {
     for (name <- Seq("q_ann_lsh", "q_embed_near_dup", "q_near_dup_simhash",
       "q_ann_lsh_mp_self")) {
