@@ -22,6 +22,40 @@ object CorpusQueries extends QueryModule {
       .select(col("doc_id"), col("source"), explode(col("toks")).as("word"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The composed end-to-end cleaning pipeline a corpus user actually
+    // runs — exact dedup → quality gate → deterministic split →
+    // per-split report — as ONE oracle-checked DAG built from stages
+    // that are each verified standalone (q_dedup_exact,
+    // q_quality_score's token gate, q_split_train_test). Plan shape:
+    // one document scan, one fingerprint shuffle (dedup window), then
+    // a two-level (split, source) → (split) aggregation — partial
+    // combine at every level and no Expand (countDistinct alongside
+    // plain aggregates would plan Catalyst's double-pass; the nested
+    // groupBy is the scale-clean form).
+    "q_pipeline_clean" -> ((s, d) => {
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.fingerprintExact(col("text")).as("fp"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+      val keepers = staged
+        .withColumn("keeper", min("doc_id").over(Window.partitionBy("fp")))
+        .filter(col("doc_id") === col("keeper"))
+      val good = keepers.filter(col("n_tokens") >= 20)
+      val bucket = pmod(TextFunctions.hash60(
+        concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+      good
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("nd"), sum("n_tokens").as("st"),
+          min("doc_id").as("md"))
+        .groupBy("split")
+        .agg(sum("nd").as("n_docs"), sum("st").as("sum_tokens"),
+          count(lit(1)).as("n_sources"), min("md").as("min_doc_id"))
+        .orderBy("split")
+    }),
+
     // Deterministic hash-based 80/10/10 split: assignment is a pure
     // function of doc_id, so it is stable under re-sharding, engine
     // changes, and incremental corpus growth — the property that makes
@@ -142,6 +176,25 @@ object CorpusQueries extends QueryModule {
     s"SELECT doc_id, source, unnest(${toks("text")}) AS word FROM documents"
 
   def oracle: Map[String, String] = Map(
+    "q_pipeline_clean" ->
+      s"""WITH staged AS (SELECT doc_id, source,
+         |    md5(${norm("text")}) AS fp, len(${toks("text")})::BIGINT AS n_tokens
+         |   FROM documents),
+         | keep AS (SELECT * FROM (SELECT *,
+         |    min(doc_id) OVER (PARTITION BY fp) AS keeper FROM staged)
+         |   WHERE doc_id = keeper),
+         | good AS (SELECT * FROM keep WHERE n_tokens >= 20),
+         | sp AS (SELECT *, CASE
+         |    WHEN ${hash60("'split:' || doc_id::VARCHAR")} % 100 < 80 THEN 'train'
+         |    WHEN ${hash60("'split:' || doc_id::VARCHAR")} % 100 < 90 THEN 'valid'
+         |    ELSE 'test' END AS split FROM good),
+         | persrc AS (SELECT split, source, count(*)::BIGINT AS nd,
+         |    sum(n_tokens)::BIGINT AS st, min(doc_id) AS md
+         |   FROM sp GROUP BY split, source)
+         |SELECT split, sum(nd)::BIGINT AS n_docs, sum(st)::BIGINT AS sum_tokens,
+         |  count(*)::BIGINT AS n_sources, min(md) AS min_doc_id
+         | FROM persrc GROUP BY split ORDER BY split""".stripMargin.replace("\n", ""),
+
     "q_split_train_test" ->
       s"""SELECT doc_id,
          | ${hash60("'split:' || doc_id::VARCHAR")} % 100 AS bucket,
