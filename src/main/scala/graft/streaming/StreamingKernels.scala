@@ -214,6 +214,34 @@ object StreamingKernels {
       }
   }
 
+  /** Streaming ingest twin of the batch `q_pipeline_clean` DAG: exact
+    * dedup on the content fingerprint within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — state holds one fingerprint
+    * per in-horizon doc and expires with the watermark, vs. the batch
+    * window over the full corpus), then the same token-count quality
+    * gate and deterministic hash split, all map-only. First-arrival
+    * wins on duplicates (the only order a stream has — the batch twin
+    * keeps min doc_id); docs re-ingested after the horizon pass
+    * again, the standard horizon trade of every streaming dedup here.
+    * Emits the cleaned, split-labelled stream ready for a partitioned
+    * sink (`writeStream.partitionBy("split")`). */
+  def cleanIngest(docs: DataFrame, watermark: String = "1 hour",
+                  minTokens: Int = 20): DataFrame = {
+    val staged = docs // expected columns: (doc_id long, ts timestamp, source, text)
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), col("source"),
+        TextFunctions.fingerprintExact(col("text")).as("fp"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    val bucket = pmod(TextFunctions.hash60(
+      concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+    staged
+      .dropDuplicatesWithinWatermark("fp")
+      .filter(col("n_tokens") >= minTokens)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+      .select("doc_id", "ts", "source", "split", "n_tokens")
+  }
+
   /** Streaming MinHash near-dup detection — the streaming twin of the
     * batch `q_near_dup_minhash` (same tokens → hashed 3-shingles → 8
     * minhash components → 4 band keys pipeline, via the SAME

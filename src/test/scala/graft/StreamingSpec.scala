@@ -285,6 +285,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming clean-ingest pipeline dedups, quality-gates, and splits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp, String, String)]
+    val docs = source.toDF().toDF("doc_id", "ts", "source", "text")
+    val q = StreamingKernels.cleanIngest(docs)
+      .writeStream.format("memory").queryName("clean_stream")
+      .outputMode("append").start()
+    try {
+      val goodText = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+      source.addData(
+        (1L, ts("2026-01-01 10:00:00"), "web", goodText),
+        (2L, ts("2026-01-01 10:01:00"), "web", goodText), // exact dup: dropped
+        (3L, ts("2026-01-01 10:02:00"), "web", "too short")) // quality: dropped
+      q.processAllAvailable()
+      source.addData(
+        (4L, ts("2026-01-01 10:10:00"), "books", goodText), // in-horizon dup
+        (5L, ts("2026-01-01 10:11:00"), "books",
+          goodText.replace("alpha", "omega"))) // new content: kept
+      q.processAllAvailable()
+      val got = spark.table("clean_stream").collect()
+        .map(r => (r.getLong(0), r.getString(3), r.getLong(4))).sortBy(_._1)
+      assert(got.map(_._1).toSeq == Seq(1L, 5L), s"got ${got.toSeq}")
+      // Split labels must equal the deterministic driver-side hash —
+      // the same family the batch split query is oracle-checked on.
+      def expSplit(id: Long): String = {
+        val b = graft.functions.VectorFunctions.hash60Scala(s"split:$id") % 100
+        if (b < 80) "train" else if (b < 90) "valid" else "test"
+      }
+      got.foreach { case (id, split, n) =>
+        assert(split == expSplit(id) && n == 20L, s"doc $id: ($split, $n)")
+      }
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dup flags out-of-order near-duplicates across batches") {
     val s = spark
     import s.implicits._
