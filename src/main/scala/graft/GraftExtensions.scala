@@ -23,24 +23,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinctAgg].getName, "kmv_distinct"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2 && children(1).foldable,
-          "usage: kmv_distinct(hash_col, k) with literal k")
-        // A NULL or non-integral k must fail as a clean analysis-time
-        // error, not an executor NPE/ClassCastException.
-        val k = children(1).eval() match {
-          case n: java.lang.Byte    => n.intValue()
-          case n: java.lang.Short   => n.intValue()
-          case n: java.lang.Integer => n.intValue()
-          case n: java.lang.Long if n.longValue() == n.intValue() => n.intValue()
-          case bad => throw new IllegalArgumentException(
-            s"usage: kmv_distinct(hash_col, k) with a non-null integral k; got $bad")
-        }
-        // Bare AggregateFunction: the analyzer wraps it in an
-        // AggregateExpression (and handles DISTINCT/FILTER) itself.
-        KmvDistinctAgg(children.head, k)
-      }))
+      GraftExtensions.kmvBuilder))
     ext.injectPlannerStrategy(_ =>
       org.apache.spark.sql.graftasof.AsOfJoinStrategy)
+  }
+}
+
+object GraftExtensions {
+  /** SQL builder for `kmv_distinct(hash_col, k)`. A NULL or
+    * non-integral k must fail as a clean analysis-time error with the
+    * usage string, not an executor NPE/ClassCastException. Returns the
+    * bare AggregateFunction: the analyzer wraps it in an
+    * AggregateExpression (and handles DISTINCT/FILTER) itself. */
+  private[graft] def kmvBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2 && children(1).foldable,
+      "usage: kmv_distinct(hash_col, k) with literal k")
+    val k = children(1).eval() match {
+      case n: java.lang.Byte    => n.intValue()
+      case n: java.lang.Short   => n.intValue()
+      case n: java.lang.Integer => n.intValue()
+      case n: java.lang.Long if n.longValue() == n.intValue() => n.intValue()
+      case bad => throw new IllegalArgumentException(
+        s"usage: kmv_distinct(hash_col, k) with a non-null integral k; got $bad")
+    }
+    KmvDistinctAgg(children.head, k)
   }
 }

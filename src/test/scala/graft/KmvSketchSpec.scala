@@ -70,9 +70,7 @@ class KmvSketchSpec extends AnyFunSuite with SparkSpec {
       org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_distinct"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[KmvDistinctAgg].getName, "kmv_distinct"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        KmvDistinctAgg(children.head,
-          children(1).eval().asInstanceOf[Number].intValue()))
+      graft.GraftExtensions.kmvBuilder _) // the extension's real builder
     val s = spark
     import s.implicits._
     hashes("sql", 40).toDF("h").createOrReplaceTempView("kmv_in")
@@ -81,5 +79,25 @@ class KmvSketchSpec extends AnyFunSuite with SparkSpec {
       .collect()(0)
     assert(r.getLong(0) == 16L)
     assert(r.getLong(1) == 40L)
+  }
+
+  test("kmv_distinct rejects NULL and non-integral k with the usage message") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    val h = Literal(1L)
+    def usageError(k: Literal): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        graft.GraftExtensions.kmvBuilder(Seq(h, k))
+      }
+      assert(e.getMessage.contains("usage: kmv_distinct"), e.getMessage)
+    }
+    usageError(Literal(null, IntegerType))       // NULL -> clean error, not NPE
+    usageError(Literal(2.5, DoubleType))         // non-integral -> not a cast crash
+    usageError(Literal(Long.MaxValue))           // out of Int range
+    // Valid literals still build.
+    assert(graft.GraftExtensions.kmvBuilder(Seq(h, Literal(64)))
+      .isInstanceOf[KmvDistinctAgg])
+    assert(graft.GraftExtensions.kmvBuilder(Seq(h, Literal(64L)))
+      .isInstanceOf[KmvDistinctAgg])
   }
 }

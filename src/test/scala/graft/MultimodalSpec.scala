@@ -93,6 +93,19 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("resampleAudio clamps out-of-contract upsampling to the payload length") {
+    // The prefix-slice stand-in cannot extend bytes; a target rate above
+    // the source rate must keep the full payload (clamped _rlen), never
+    // a silently short one with a meta that claims more samples.
+    val m = Multimodal.fromDocuments(docs())
+    val before = m.orderBy("media_id").collect()
+    val up = Multimodal.resampleAudio(m, 96000).orderBy("media_id").collect()
+    val audio = up(1) // doc 1: audio, sample_rate 44100 < 96000
+    assert(audio.getAs[Array[Byte]]("bytes").toSeq ==
+      before(1).getAs[Array[Byte]]("bytes").toSeq)
+    assert(audio.getStruct(3).getAs[Int]("sample_rate") == 96000)
+  }
+
   test("resizeStub updates meta for real while stubbing the byte transform") {
     val out = Multimodal.resizeStub(Multimodal.fromDocuments(docs()), 64, 64)
     val r = out.filter(col("media_id") === 0).collect()(0)
