@@ -186,16 +186,26 @@ object VectorQueries extends QueryModule {
     // batch, both linear shapes.
     "q_ann_ivf" -> ((s, d) => {
       val k = 16
+      // Squared norms staged once per side; assignment distance uses
+      // the norm identity ‖e−c‖² = n2 + c2 − 2·e·c — ONE native dot
+      // fold per (vector, centroid) pair instead of an interpreted
+      // subtract-square fold over the dims (the same staging trick
+      // q_ann_brute uses for cosine; assignment is the 100 TB scan
+      // stage of IVF). The oracle computes the identical form, so the
+      // 6-dp rounding cuts identically in both engines.
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-        VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+        VectorFunctions.dot(col("embedding"), col("embedding")).as("n2"))
+        .withColumn("nrm", sqrt(col("n2")))
       def nearest(cent: DataFrame, keep: Int): DataFrame =
         e.crossJoin(broadcast(cent))
-          .withColumn("dd", round(VectorFunctions.dist2(col("embedding"), col("cv")), 6))
+          .withColumn("dd", round(col("n2") + col("c2")
+            - lit(2.0) * VectorFunctions.dot(col("embedding"), col("cv")), 6))
           .withColumn("rn", row_number().over(
             Window.partitionBy("vec_id").orderBy(col("dd"), col("cid"))))
           .filter(col("rn") <= keep)
       val seed = e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+          col("n2").as("c2"))
       val trained = nearest(seed, 1)
         .select(col("cid").as("cell0"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cell0", "pos")
@@ -206,7 +216,8 @@ object VectorQueries extends QueryModule {
         .groupBy("cell0")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cvp")))),
           x => x.getField("cvp")).as("cv"))
-        .select(col("cell0").as("cid"), col("cv"))
+        .select(col("cell0").as("cid"), col("cv"),
+          VectorFunctions.dot(col("cv"), col("cv")).as("c2"))
       // Reassignment against the trained centroids, staged: the probe
       // side (rn ≤ 2) and candidate side (rn = 1) both read it, and its
       // lineage embeds the whole training job.
@@ -307,17 +318,17 @@ object VectorQueries extends QueryModule {
 
     "q_ann_lsh_mp_self" -> multiProbeSql(""),
 
-    "q_ann_ivf" -> {
-      def dist2(v: String, c: String) =
-        s"list_sum(list_transform(generate_series(1, $dim), " +
-          s"i -> ($v[i]::DOUBLE - $c[i]) * ($v[i]::DOUBLE - $c[i])))"
-      s"""WITH seed AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-         |   FROM embeddings WHERE vec_id < 16),
-         | d0 AS (SELECT e.vec_id, e.embedding, cid,
-         |    round(${dist2("e.embedding", "cv")}, 6) AS dd
-         |   FROM embeddings e CROSS JOIN seed),
-         | a0 AS (SELECT vec_id, embedding, cid AS cell0 FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+    "q_ann_ivf" ->
+      s"""WITH base AS (SELECT vec_id, embedding,
+         |    ${dot("embedding", "embedding", dim)} AS n2 FROM embeddings),
+         | seed AS (SELECT vec_id AS cid, embedding AS cv, n2 AS c2
+         |   FROM base WHERE vec_id < 16),
+         | d0 AS (SELECT b.vec_id, b.embedding, b.n2, cid,
+         |    round(b.n2 + c2 - 2.0 * ${dot("b.embedding", "cv", dim)}, 6) AS dd
+         |   FROM base b CROSS JOIN seed),
+         | a0 AS (SELECT vec_id, embedding, cell0 FROM (
+         |    SELECT vec_id, embedding, cid AS cell0, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY dd, cid) AS rn
          |    FROM d0) WHERE rn = 1),
          | expl AS (SELECT cell0, unnest(embedding) AS v,
          |    unnest(generate_series(1, $dim)) AS pos FROM a0),
@@ -327,9 +338,10 @@ object VectorQueries extends QueryModule {
          | tcent AS (SELECT cell0 AS cid,
          |    list(round(sq::DOUBLE / n / 1e6, 6) ORDER BY pos) AS cv
          |   FROM msum GROUP BY cell0),
-         | d1 AS (SELECT e.vec_id, e.embedding, cid,
-         |    round(${dist2("e.embedding", "cv")}, 6) AS dd
-         |   FROM embeddings e CROSS JOIN tcent),
+         | tc AS (SELECT cid, cv, ${dot("cv", "cv", dim)} AS c2 FROM tcent),
+         | d1 AS (SELECT b.vec_id, b.embedding, cid,
+         |    round(b.n2 + c2 - 2.0 * ${dot("b.embedding", "cv", dim)}, 6) AS dd
+         |   FROM base b CROSS JOIN tc),
          | r1 AS (SELECT vec_id, embedding, cid AS cell, row_number() OVER
          |    (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM d1),
          | probes AS (SELECT cell, vec_id AS probe_id, embedding AS pv
@@ -340,8 +352,7 @@ object VectorQueries extends QueryModule {
          |   ${cosSql("pv", "cv2")} AS cos_sim
          |  FROM probes p JOIN cands c ON c.cell = p.cell
          |   AND c.cand_id != p.probe_id),
-         |$topKSql""".stripMargin.replace("\n", "")
-    },
+         |$topKSql""".stripMargin.replace("\n", ""),
 
     "q_embed_near_dup" ->
       s"""$bucketCte
