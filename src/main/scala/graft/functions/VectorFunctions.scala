@@ -71,8 +71,15 @@ object VectorFunctions {
     * vectors decays with their angle — vectors in the same bucket are
     * cosine-similar candidates, so ANN search only compares within
     * buckets (the 100 TB path: a bucket-key shuffle instead of an
-    * all-pairs cross join). */
+    * all-pairs cross join). Native one-pass expression
+    * ([[PlaneBucketExpr]]); [[lshBucketHof]] is the declarative form
+    * it replaced (bit-identity asserted in FunctionsSpec). */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    PlaneBucketExpr(v, planes)
+
+  /** Higher-order-function form of [[lshBucket]] (identical
+    * arithmetic: per-plane sequential fold, 6-dp round, sign bit). */
+  def lshBucketHof(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       when(planeDot(v, p) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)

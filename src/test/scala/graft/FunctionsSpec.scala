@@ -160,6 +160,24 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(b1 == b2 && b1 >= 0 && b1 < 16)
   }
 
+  test("native PlaneBucketExpr ≡ declarative lshBucket over real embeddings") {
+    // Bit-identity on every vector of the sf0.01 embeddings table (the
+    // exact input the LSH queries bucket), plus the zero vector (all
+    // projections 0.0 -> no bit set: round(0)=0 is not > 0).
+    val planes = VectorFunctions.planeMatrix(6, 64)
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val diff = e.select(
+      VectorFunctions.lshBucket(org.apache.spark.sql.functions.col("embedding"), planes).as("native"),
+      VectorFunctions.lshBucketHof(org.apache.spark.sql.functions.col("embedding"), planes).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+    val s = spark
+    import s.implicits._
+    val zero = Seq(Seq.fill(64)(0.0f)).toDF("v")
+      .select(VectorFunctions.lshBucket(col("v"), planes)).collect()(0).getLong(0)
+    assert(zero == 0L)
+  }
+
   test("native MinHashExpr ≡ per-component minhashMixed folds") {
     val s = spark
     import s.implicits._
