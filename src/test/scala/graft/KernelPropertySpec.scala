@@ -95,4 +95,32 @@ class KernelPropertySpec extends AnyFunSuite with SparkSpec {
       assert(plain == salted, s"input: $ls")
     }
   }
+
+  test("capBuckets preserves membership and splits exactly the over-cap buckets") {
+    val s = spark
+    import s.implicits._
+    val cap = 10
+    val rowsGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(0, 120)
+      buckets <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "hot"))
+    } yield buckets.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+    for (rows <- samples(rowsGen, n = 8, size = 60)) {
+      val sizes = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val capped = graft.operators.SkewGuard
+        .capBuckets(rows.toDF("id", "bucket"), "bucket", col("id"), cap)
+        .select("id", "bucket")
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      // No row lost or duplicated; every id keeps its original bucket
+      // as the key prefix with a salt below the split count.
+      assert(capped.length == rows.length, s"input: $rows")
+      val orig = rows.toMap
+      capped.foreach { case (id, key) =>
+        val Array(b, salt) = key.split(":", 2)
+        assert(b == orig(id), s"id $id moved bucket: $key")
+        val nsplit = math.ceil(sizes(b).toDouble / cap).toLong
+        assert(salt.toLong >= 0 && salt.toLong < nsplit, s"salt out of range: $key")
+        if (sizes(b) <= cap) assert(salt == "0", s"sub-cap bucket split: $key")
+      }
+    }
+  }
 }
