@@ -127,14 +127,17 @@ object DedupQueries extends QueryModule {
     "q_ngram_jaccard" -> ((s, d) => {
       // Same staged-table materialization as q_near_dup_minhash.
       val base = StagedCache.persist(hashedShingles(s, d))
-      // NOT staged (measured): both candidate-join sides share the
-      // exchange of the .distinct() aggregation (identical plans up to
-      // aliasing), so caching the wide exploded table costs more than
-      // it saves — 1.80 s → 2.56 s when persisted at sf0.1.
+      // No distinct here: `hs` is array_distinct per doc, so the
+      // exploded (doc_id, h) pairs are already unique — a distinct()
+      // would add a full shuffle for nothing (removed after plan
+      // review; the pair-level distinct below is still required, since
+      // two docs can share several sampled hashes). NOT staged
+      // (measured): both candidate-join sides share the exchange of
+      // the same subplan, so caching the wide exploded table costs
+      // more than it saves — 1.80 s → 2.56 s when persisted at sf0.1.
       val sampled = base
         .select(col("doc_id"), explode(col("hs")).as("h"))
         .filter(col("h") % 8 === 0)
-        .distinct()
       val cand = sampled.as("a")
         .join(sampled.as("b"), col("a.h") === col("b.h")
           && col("a.doc_id") < col("b.doc_id"))
@@ -246,7 +249,7 @@ object DedupQueries extends QueryModule {
 
     "q_ngram_jaccard" ->
       s"""$baseCte,
-         | sampled AS (SELECT DISTINCT doc_id, h FROM (
+         | sampled AS (SELECT doc_id, h FROM (
          |    SELECT doc_id, unnest(hs) AS h FROM base)
          |   WHERE h % 8 = 0),
          | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
