@@ -85,6 +85,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "q_sort should sample range boundaries and sort per partition")
   }
 
+  test("pipeline query reads documents once and plans no Expand") {
+    val plan = formatted("q_pipeline_clean")
+    // countDistinct alongside plain aggregates would plan Catalyst's
+    // Expand double-pass; the two-level groupBy must avoid it.
+    assert(!plan.contains("Expand"), "Expand double-pass planned")
+    // Count scan nodes in the plain tree string (the FORMATTED text
+    // lists each node twice — tree + detail section — and AQE hides
+    // leaves from collectLeaves).
+    val tree = SparkEntry.queries("q_pipeline_clean")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(tree).length
+    assert(scans == 1, s"expected a single documents scan, got $scans in:\n$tree")
+  }
+
   test("skew-guarded LSH queries join on the capped key") {
     for (name <- Seq("q_ann_lsh", "q_embed_near_dup", "q_near_dup_simhash",
       "q_ann_lsh_mp_self")) {
