@@ -136,6 +136,11 @@ object Trace {
     spark.sparkContext.removeSparkListener(h.listener)
     spark.listenerManager.unregister(h.queryListener)
     // A batching exporter (Zipkin file/HTTP) may hold a tail batch.
+    // Listener-bus events are async: anything still in flight at this
+    // point lands in the buffer and goes out on the next batch
+    // boundary or flush/document call — harnesses that need the very
+    // last task span poll the exporter (as ObservabilitySpec does)
+    // before uninstalling.
     h.exporter.flush()
   }
 

@@ -146,6 +146,36 @@ object DedupQueries extends QueryModule {
       verifyPairs(cand, base, 0.5)
     }),
 
+    // Benchmark decontamination: flag train docs whose hashed-shingle
+    // containment against any eval-set doc reaches 0.5 — the check a
+    // training pipeline runs so benchmark text doesn't leak into the
+    // corpus. The eval set here is the deterministic 10% slice
+    // doc_id ≡ 7 (mod 10) standing in for a real benchmark table. The
+    // 100 TB shape: eval sets are small (benchmarks, not corpora), so
+    // their exploded shingle-key table BROADCASTS — the train corpus
+    // is scanned once and never shuffled to find candidates; only the
+    // (train, eval) candidate pairs (bounded by eval size × shared
+    // keys) reach the pair aggregation. Containment = |∩| / |eval
+    // shingles| (not Jaccard: a short benchmark fully contained in a
+    // long train doc must flag even though its Jaccard is low).
+    "q_decontaminate" -> ((s, d) => {
+      val base = StagedCache.persist(hashedShingles(s, d))
+      val ev = base.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id").as("eval_id"), col("hs").as("ehs"))
+      val evalKeys = ev.select(col("eval_id"), explode(col("ehs")).as("h"))
+      val trainKeys = base.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
+      trainKeys.join(broadcast(evalKeys), "h")
+        .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(ev.select(col("eval_id"),
+          size(col("ehs")).cast("long").as("n_eval"))), "eval_id")
+        .withColumn("containment",
+          round(col("n_shared").cast("double") / col("n_eval"), 6))
+        .filter(col("containment") >= 0.5)
+        .select(col("train_id"), col("eval_id"), col("n_shared"), col("containment"))
+        .orderBy("train_id", "eval_id")
+    }),
+
     // SimHash near-dup: 32-bit token-vote signature; candidates share a
     // 16-bit half, verified by hamming distance ≤ 8. Banding here is a
     // deterministic heuristic candidate filter: 2 halves guarantee full
@@ -255,6 +285,21 @@ object DedupQueries extends QueryModule {
          | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |   FROM sampled a JOIN sampled b ON a.h = b.h AND a.doc_id < b.doc_id)
          |$verifySql""".stripMargin.replace("\n", ""),
+
+    "q_decontaminate" ->
+      s"""$baseCte,
+         | ev AS (SELECT doc_id AS eval_id, hs AS ehs FROM base WHERE doc_id % 10 = 7),
+         | ek AS (SELECT eval_id, unnest(ehs) AS h FROM ev),
+         | tk AS (SELECT doc_id AS train_id, unnest(hs) AS h FROM base
+         |   WHERE doc_id % 10 != 7),
+         | ov AS (SELECT train_id, eval_id, count(*)::BIGINT AS n_shared
+         |   FROM tk JOIN ek USING (h) GROUP BY train_id, eval_id),
+         | sz AS (SELECT eval_id, len(ehs)::BIGINT AS n_eval FROM ev)
+         |SELECT train_id, eval_id, n_shared,
+         |  round(n_shared::DOUBLE / n_eval, 6) AS containment
+         | FROM ov JOIN sz USING (eval_id)
+         | WHERE round(n_shared::DOUBLE / n_eval, 6) >= 0.5
+         | ORDER BY train_id, eval_id""".stripMargin.replace("\n", ""),
 
     "q_near_dup_simhash" -> {
       val bitVotes = (0 until 32).map(b =>
