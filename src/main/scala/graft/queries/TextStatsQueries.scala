@@ -100,6 +100,24 @@ object TextStatsQueries extends QueryModule {
           size(TextFunctions.tokens(col("text"))).cast("long").as("norm_tokens"))
         .orderBy("doc_id")),
 
+    // Intra-doc repetition score (the Gopher-style corpus-quality rule:
+    // heavily self-repeating documents are low-quality boilerplate):
+    // fraction of duplicate 3-shingles within each doc. Map-only, no
+    // shuffle — at 100 TB this is a pure scan-stage gate like the
+    // other quality signals.
+    "q_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), TextFunctions.shingles(col("toks"), 3).as("shin"))
+        .select(col("doc_id"),
+          size(col("shin")).cast("long").as("n_shingles"),
+          size(array_distinct(col("shin"))).cast("long").as("n_distinct"))
+        .withColumn("dup_ratio", round(lit(1.0)
+          - col("n_distinct").cast("double") / col("n_shingles"), 6))
+        .withColumn("is_repetitive", col("dup_ratio") > 0.2)
+        .orderBy("doc_id")),
+
     // Mod-p sampled k-gram fingerprint (winnowing-style): the sorted set
     // of shingle hashes ≡ 0 (mod 8), digested to one md5. Two docs share
     // sampled hashes ⇔ they share shingles — a compact sketch for
@@ -165,6 +183,16 @@ object TextStatsQueries extends QueryModule {
            | len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS re_tokens,
            | len(${toks("text")})::BIGINT AS norm_tokens
            | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+      "q_repetition" ->
+        s"""WITH sh AS (SELECT doc_id, ${shingles("t", 3)} AS shin
+           |  FROM (SELECT doc_id, ${toks("text")} AS t FROM documents)
+           |  WHERE len(t) >= 3)
+           |SELECT doc_id, len(shin)::BIGINT AS n_shingles,
+           | len(list_distinct(shin))::BIGINT AS n_distinct,
+           | round(1.0 - len(list_distinct(shin))::DOUBLE / len(shin), 6) AS dup_ratio,
+           | round(1.0 - len(list_distinct(shin))::DOUBLE / len(shin), 6) > 0.2 AS is_repetitive
+           | FROM sh ORDER BY doc_id""".stripMargin.replace("\n", ""),
 
       "q_doc_fingerprint" ->
         s"""WITH base AS (SELECT doc_id,
