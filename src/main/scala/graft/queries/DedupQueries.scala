@@ -64,6 +64,32 @@ object DedupQueries extends QueryModule {
 
   private val minhashSeeds = 8 // 4 bands × 2 rows
 
+  /** MinHash banded candidates + exact-Jaccard verify over a STAGED
+    * hashed-shingle table (`base` must already be in StagedCache: it
+    * feeds signature generation AND both verify-join sides, whose
+    * differing projections defeat exchange reuse — at 100 TB this is
+    * the staged signature table a production dedup writes to storage).
+    * Signature components come from the native one-pass
+    * [[graft.functions.MinHashExpr]] (bit-identical to the
+    * per-component folds, so the oracle mirrors them unchanged). */
+  private def minhashPairs(base: DataFrame): DataFrame = {
+    val sigs = base.select(col("doc_id"),
+      graft.functions.MinHashExpr(col("hs"), minhashSeeds).as("sig"))
+    // Staged too: both candidate-join sides read the band table, and
+    // recomputing it would re-run the signature pass per side.
+    val bands = StagedCache.persist(sigs.select(col("doc_id"),
+      explode(array((0 until minhashSeeds / 2).map(j =>
+        concat_ws(":", lit(j.toString),
+          element_at(col("sig"), 2 * j + 1).cast("string"),
+          element_at(col("sig"), 2 * j + 2).cast("string"))): _*)).as("bkey")))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.bkey") === col("b.bkey")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cand, base, 0.5)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content fingerprint, keep the min doc_id.
     // One shuffle on the fingerprint (window ≡ groupBy partitioning).
@@ -92,32 +118,49 @@ object DedupQueries extends QueryModule {
     // pass per doc + 8 universal-hash mixes) in 4 bands of 2; docs
     // agreeing on any band become candidates (bucket join on the band
     // key — never all-pairs), then exact Jaccard ≥ 0.5 verify.
-    "q_near_dup_minhash" -> ((s, d) => {
-      // Materialize the hashed-shingle table once: it feeds signature
-      // generation AND both sides of the verify join, whose differing
-      // projections defeat exchange reuse. At 100 TB this is the staged
-      // signature table a production dedup writes to storage. Tracked in
-      // StagedCache so harnesses release it after the query's action.
+    "q_near_dup_minhash" -> ((s, d) =>
+      minhashPairs(StagedCache.persist(hashedShingles(s, d)))),
+
+    // Near-dup CLUSTER resolution: connected components over the
+    // verified minhash pairs, labels = component-min doc_id — the step
+    // that turns pairwise verdicts into "keep one doc per cluster"
+    // (pairs alone can't: a~b and b~c must collapse to ONE keeper even
+    // when a~c was never a candidate). Iterate-to-convergence min-label
+    // propagation: each round is one distributed join + aggregation;
+    // the DRIVER only coordinates rounds and checks the converged
+    // count (O(cluster diameter) rounds — near-dup clusters are
+    // shallow; a 20-round cap guards pathological chains). The DuckDB
+    // mirror is a recursive CTE computing the same component minima
+    // exactly, so convergence — not round count — defines the result.
+    "q_dedup_clusters" -> ((s, d) => {
       val base = StagedCache.persist(hashedShingles(s, d))
-      // The k signature components come from the native one-pass
-      // MinHashExpr (vs k interpreted folds over the same array);
-      // component values are bit-identical to minhashMixed, so the
-      // oracle is unchanged (equivalence asserted in FunctionsSpec).
-      val sigs = base.select(col("doc_id"),
-        graft.functions.MinHashExpr(col("hs"), minhashSeeds).as("sig"))
-      // Staged too: both candidate-join sides read the band table, and
-      // recomputing it would re-run the signature pass per side.
-      val bands = StagedCache.persist(sigs.select(col("doc_id"),
-        explode(array((0 until minhashSeeds / 2).map(j =>
-          concat_ws(":", lit(j.toString),
-            element_at(col("sig"), 2 * j + 1).cast("string"),
-            element_at(col("sig"), 2 * j + 2).cast("string"))): _*)).as("bkey")))
-      val cand = bands.as("a")
-        .join(bands.as("b"), col("a.bkey") === col("b.bkey")
-          && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      verifyPairs(cand, base, 0.5)
+      val pairs = minhashPairs(base).select(col("doc_a"), col("doc_b"))
+      val sym = StagedCache.persist(pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      var labels = StagedCache.persist(
+        sym.select(col("src").as("doc_id")).distinct()
+          .withColumn("cluster_id", col("doc_id")))
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val viaNbr = sym
+          .join(labels.select(col("doc_id").as("dst"), col("cluster_id")), "dst")
+          .select(col("src").as("doc_id"), col("cluster_id"))
+        val next = StagedCache.persist(
+          labels.select(col("doc_id"), col("cluster_id")).union(viaNbr)
+            .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")))
+        val changed = next
+          .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+          .filter(col("cluster_id") =!= col("prev")).count()
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
     }),
 
     // n-gram Jaccard near-dup with sampled-shingle candidates: shingles
@@ -245,6 +288,25 @@ object DedupQueries extends QueryModule {
        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", "")
 
+  /** Shared CTE chain baseCte → minhash signatures → band keys →
+    * candidate pairs (mirror of [[minhashPairs]] up to the verify). */
+  private lazy val minhashCandCtes = {
+    val p = TextFunctions.MixP
+    val sigCols = (0 until minhashSeeds).map { i =>
+      val (a, b) = TextFunctions.mixConsts(i)
+      s"list_min(list_transform(hs, h -> ((h % $p) * $a + $b) % $p)) AS sig$i"
+    }.mkString(", ")
+    val bandList = (0 until minhashSeeds / 2).map(j =>
+      s"'$j:' || sig${2 * j}::VARCHAR || ':' || sig${2 * j + 1}::VARCHAR")
+      .mkString("[", ", ", "]")
+    s"""$baseCte,
+       | sig AS (SELECT doc_id, $sigCols FROM base),
+       | bands AS (SELECT doc_id, unnest($bandList) AS bkey FROM sig),
+       | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |   FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+      .stripMargin.replace("\n", "")
+  }
+
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       s"""SELECT doc_id, md5(${norm("text")}) AS fp,
@@ -260,22 +322,31 @@ object DedupQueries extends QueryModule {
          |  FROM documents) GROUP BY fp HAVING count(*) >= 2 ORDER BY fp"""
         .stripMargin.replace("\n", ""),
 
-    "q_near_dup_minhash" -> {
-      val p = TextFunctions.MixP
-      val sigCols = (0 until minhashSeeds).map { i =>
-        val (a, b) = TextFunctions.mixConsts(i)
-        s"list_min(list_transform(hs, h -> ((h % $p) * $a + $b) % $p)) AS sig$i"
-      }.mkString(", ")
-      val bandList = (0 until minhashSeeds / 2).map(j =>
-        s"'$j:' || sig${2 * j}::VARCHAR || ':' || sig${2 * j + 1}::VARCHAR")
-        .mkString("[", ", ", "]")
-      s"""$baseCte,
-         | sig AS (SELECT doc_id, $sigCols FROM base),
-         | bands AS (SELECT doc_id, unnest($bandList) AS bkey FROM sig),
-         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |   FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
-         |$verifySql""".stripMargin.replace("\n", "")
-    },
+    "q_near_dup_minhash" ->
+      s"""$minhashCandCtes
+         |$verifySql""".stripMargin.replace("\n", ""),
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE ${minhashCandCtes.stripPrefix("WITH ")},
+         | vpairs AS (SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b, ${jaccardSql("sa.hs", "sb.hs")} AS jaccard
+         |     FROM cand JOIN base sa ON sa.doc_id = cand.doc_a
+         |               JOIN base sb ON sb.doc_id = cand.doc_b)
+         |   WHERE jaccard >= 0.5),
+         | sym AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+         |   UNION ALL SELECT doc_b, doc_a FROM vpairs),
+         | nodes AS (SELECT DISTINCT src AS doc_id FROM sym),
+         | reach(doc_id, lab) AS (
+         |   SELECT doc_id, doc_id FROM nodes
+         |   UNION
+         |   SELECT s.src, r.lab FROM reach r JOIN sym s ON s.dst = r.doc_id),
+         | labels AS (SELECT doc_id, min(lab) AS cluster_id
+         |   FROM reach GROUP BY doc_id),
+         | sizes AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+         |   FROM labels GROUP BY cluster_id)
+         |SELECT doc_id, cluster_id, cluster_size
+         | FROM labels JOIN sizes USING (cluster_id)
+         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
 
     "q_ngram_jaccard" ->
       s"""$baseCte,
