@@ -56,6 +56,43 @@ object CorpusQueries extends QueryModule {
         .orderBy("split")
     }),
 
+    // Sequence-packing manifest: assign every doc a position in the
+    // stream of fixed-length (2048-token) training sequences — doc
+    // order is doc_id, a doc starts at global token offset cum_before,
+    // in sequence seq_id at offset_in_seq. The global running sum is
+    // computed the SCALABLE way: range-partition by doc_id, partition-
+    // LOCAL cumulative window, then one tiny aggregation of per-
+    // partition totals whose exclusive prefix broadcasts back — no
+    // single-task global window over the corpus (the naive
+    // Window.orderBy form serializes 100 TB through one task; here
+    // only the #partitions-row prefix table is single-task). The
+    // result is a pure function of doc_id order — independent of
+    // partition count or sampled range boundaries — which is what the
+    // DuckDB mirror (a plain ordered window) checks.
+    "q_pack_sequences" -> ((s, d) => {
+      val seqLen = 2048L
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+        .repartitionByRange(col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy("pid").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = t.withColumn("local_before",
+        coalesce(sum("n_tokens").over(wLocal), lit(0L)))
+      val wPrefix = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefixes = local.groupBy("pid").agg(sum("n_tokens").as("ptot"))
+        .withColumn("prefix", coalesce(sum("ptot").over(wPrefix), lit(0L)))
+        .select(col("pid"), col("prefix"))
+      local.join(broadcast(prefixes), "pid")
+        .withColumn("cum_before", col("local_before") + col("prefix"))
+        .select(col("doc_id"), col("n_tokens"), col("cum_before"),
+          expr(s"cum_before div $seqLen").as("seq_id"),
+          (col("cum_before") % seqLen).as("offset_in_seq"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic hash-based 80/10/10 split: assignment is a pure
     // function of doc_id, so it is stable under re-sharding, engine
     // changes, and incremental corpus growth — the property that makes
@@ -194,6 +231,18 @@ object CorpusQueries extends QueryModule {
          |SELECT split, sum(nd)::BIGINT AS n_docs, sum(st)::BIGINT AS sum_tokens,
          |  count(*)::BIGINT AS n_sources, min(md) AS min_doc_id
          | FROM persrc GROUP BY split ORDER BY split""".stripMargin.replace("\n", ""),
+
+    "q_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, len(${toks("text")})::BIGINT AS n_tokens
+         |   FROM documents),
+         | c AS (SELECT doc_id, n_tokens,
+         |   coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |     AS cum_before FROM t)
+         |SELECT doc_id, n_tokens, cum_before,
+         |  cum_before // 2048 AS seq_id,
+         |  cum_before % 2048 AS offset_in_seq
+         | FROM c ORDER BY doc_id""".stripMargin.replace("\n", ""),
 
     "q_split_train_test" ->
       s"""SELECT doc_id,
