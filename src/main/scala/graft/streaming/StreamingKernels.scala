@@ -242,6 +242,25 @@ object StreamingKernels {
       .select("doc_id", "ts", "source", "split", "n_tokens")
   }
 
+  /** Incremental-ingest dedup against a HISTORICAL corpus: the
+    * production pattern where today's stream must not re-admit
+    * anything already in yesterday's corpus. Two dedup layers:
+    * within-stream (`dropDuplicatesWithinWatermark` — watermark-bounded
+    * state) and against the static fingerprint table via a
+    * STREAM-STATIC left-anti join — the static side is a plain
+    * DataFrame (at scale: the corpus fingerprint index on storage,
+    * broadcast if small, shuffled-hash otherwise), re-planned per
+    * micro-batch, holding NO streaming state. `corpusFps` must expose
+    * an `fp` column (e.g. `q_dedup_exact`'s fingerprints). */
+  def dedupAgainstCorpus(docs: DataFrame, corpusFps: DataFrame,
+                         watermark: String = "1 hour"): DataFrame =
+    docs // expected columns: (doc_id long, ts timestamp, text)
+      .withWatermark("ts", watermark)
+      .withColumn("fp", TextFunctions.fingerprintExact(col("text")))
+      .dropDuplicatesWithinWatermark("fp")
+      .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("ts"), col("fp"))
+
   /** Streaming MinHash near-dup detection — the streaming twin of the
     * batch `q_near_dup_minhash` (same tokens → hashed 3-shingles → 8
     * minhash components → 4 band keys pipeline, via the SAME

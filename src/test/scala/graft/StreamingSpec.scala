@@ -363,6 +363,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental ingest dedups against the static historical corpus") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Yesterday's corpus: fingerprints of already-admitted docs.
+    val historical = Seq("seen before text", "also seen")
+      .toDF("text")
+      .select(graft.functions.TextFunctions.fingerprintExact(col("text")).as("fp"))
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val docs = source.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingKernels.dedupAgainstCorpus(docs, historical)
+      .writeStream.format("memory").queryName("ingest_stream")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        (1L, ts("2026-01-01 10:00:00"), "seen before text"), // in corpus: dropped
+        (2L, ts("2026-01-01 10:01:00"), "brand new text"),   // admitted
+        (3L, ts("2026-01-01 10:02:00"), "brand new text"))   // in-stream dup: dropped
+      q.processAllAvailable()
+      source.addData(
+        (4L, ts("2026-01-01 10:10:00"), "also seen"),        // in corpus: dropped
+        (5L, ts("2026-01-01 10:11:00"), "another new one"))  // admitted
+      q.processAllAvailable()
+      val got = spark.table("ingest_stream").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(2L, 5L), s"got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dup flags out-of-order near-duplicates across batches") {
     val s = spark
     import s.implicits._
