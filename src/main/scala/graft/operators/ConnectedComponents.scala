@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.StagedCache
+
+/** Connected components over an undirected edge list by
+  * iterate-to-convergence min-label propagation: every node's label
+  * converges to its component's minimum node id.
+  *
+  * Scale shape: each round is ONE distributed equi-join (edges ×
+  * labels) plus ONE aggregation (min label per node) — the standard
+  * large-graph CC kernel (≙ GraphX's connectedComponents, which is not
+  * on this classpath). The driver only coordinates rounds and checks
+  * the changed-count; rounds = O(component diameter), which for
+  * near-dup clusters is shallow. `maxRounds` guards pathological
+  * chains — on cap-out the labels are still a valid refinement
+  * (over-segmented, never wrongly merged), and the caller can resume.
+  *
+  * Deterministic: labels are pure min-aggregations of node ids — no
+  * partitioning dependence — so a sequential model (or a recursive SQL
+  * CTE, see `q_dedup_clusters`'s oracle) reproduces them exactly.
+  *
+  * Each round's labels go through `localCheckpoint` — lineage
+  * TRUNCATION, not just caching: persist() alone keeps the logical
+  * plan, which references the previous round twice (union + change
+  * check) and therefore doubles per round — an 8-round chain OOMs the
+  * driver on plan analysis alone. Checkpointing keeps plans O(1) per
+  * round; the checkpointed blocks are freed by the context cleaner.
+  * The edge table persists through [[StagedCache]]; run inside a
+  * harness that releases per query (Bench/Verify/tests) or under
+  * `StagedCache.withScope`.
+  */
+object ConnectedComponents {
+
+  /** @param edges DataFrame with two long node-id columns
+    * @return (node_id, cluster_id = component-min node id) */
+  def apply(edges: DataFrame, srcCol: String, dstCol: String,
+            maxRounds: Int = 20): DataFrame = {
+    val sym = StagedCache.persist(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
+    var labels = sym.select(col("src").as("node_id")).distinct()
+      .withColumn("cluster_id", col("node_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val viaNbr = sym
+        .join(labels.select(col("node_id").as("dst"), col("cluster_id")), "dst")
+        .select(col("src").as("node_id"), col("cluster_id"))
+      val next = labels.select(col("node_id"), col("cluster_id")).union(viaNbr)
+        .groupBy("node_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "node_id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels
+  }
+}

@@ -135,28 +135,8 @@ object DedupQueries extends QueryModule {
     "q_dedup_clusters" -> ((s, d) => {
       val base = StagedCache.persist(hashedShingles(s, d))
       val pairs = minhashPairs(base).select(col("doc_a"), col("doc_b"))
-      val sym = StagedCache.persist(pairs.union(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-      var labels = StagedCache.persist(
-        sym.select(col("src").as("doc_id")).distinct()
-          .withColumn("cluster_id", col("doc_id")))
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 20) {
-        val viaNbr = sym
-          .join(labels.select(col("doc_id").as("dst"), col("cluster_id")), "dst")
-          .select(col("src").as("doc_id"), col("cluster_id"))
-        val next = StagedCache.persist(
-          labels.select(col("doc_id"), col("cluster_id")).union(viaNbr)
-            .groupBy("doc_id").agg(min("cluster_id").as("cluster_id")))
-        val changed = next
-          .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-          .filter(col("cluster_id") =!= col("prev")).count()
-        labels = next
-        converged = changed == 0
-        rounds += 1
-      }
+      val labels = graft.operators.ConnectedComponents(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("node_id", "doc_id")
       val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
