@@ -48,6 +48,22 @@ object MultimodalQueries extends QueryModule {
         .orderBy("media_id")
     }),
 
+    // Frame sampling: each video blob explodes into 4 deterministic
+    // frame slices (one row per frame, meta carried) — the shape a real
+    // frame sampler produces. The frames are byte slices of the blob,
+    // so the oracle rebuilds them with substr over the source text
+    // (ASCII corpus: byte ≡ character) — checking the actual slice
+    // CONTENT, not just its length.
+    "q_multimodal_frames" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(Tables.documents(s, d))
+        .filter(col("kind") === "video")
+      Multimodal.frameSample(media, 4)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          octet_length(col("frame_bytes")).cast("long").as("n_frame_bytes"),
+          col("frame_bytes").cast("string").as("frame_text"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     "q_multimodal_features" -> ((s, d) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
       // Exact count of bytes in histogram bin i, recovered from the
@@ -70,6 +86,20 @@ object MultimodalQueries extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_multimodal_frames" ->
+      """WITH v AS (SELECT doc_id AS media_id, text, strlen(text)::BIGINT AS len
+        |   FROM documents WHERE doc_id % 3 = 2),
+        | f AS (SELECT media_id, unnest(generate_series(0, 3)) AS frame_idx,
+        |   text, len FROM v),
+        | sl AS (SELECT media_id, frame_idx,
+        |    substr(text, (frame_idx * greatest(len // 4, 1) + 1)::INT,
+        |      greatest(len // 4, 1)::INT) AS frame_text
+        |   FROM f)
+        |SELECT media_id, frame_idx, strlen(frame_text)::BIGINT AS n_frame_bytes,
+        |  frame_text
+        | FROM sl WHERE strlen(frame_text) > 0
+        | ORDER BY media_id, frame_idx""".stripMargin.replace("\n", ""),
+
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         | ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
