@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
   *    is reported — robust to one GC pause or compilation stall in a
   *    way a single sample or a mean is not. Per-query min/max spread is
   *    emitted alongside so a noisy median is visible as such.
+  *  - ADAPTIVE extension: if the spread is wide relative to the median
+  *    ((max−min)/median > 0.35 — the regime of sub-second queries,
+  *    whose absolute noise floor on a busy host rivals their cost),
+  *    up to `maxIters` (default 7) total samples are taken before the
+  *    median is read. Measured: without this, identical code showed
+  *    2× run-over-run ratios on ~0.3 s queries while totals moved 1%.
   *  - Staged caches are released between runs, so every timed run pays
   *    the query's full staging cost (the number reported is the
   *    cold-cache cost of one query execution, not an artifact of
@@ -30,6 +36,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val maxIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ITERS", "7").toInt
+      .max(iters)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,9 +67,15 @@ object Bench {
       .foreach { case (name, fn) =>
       try {
         runOnce(fn) // warm-up: JIT + codegen compile, discarded
-        val samples = Array.fill(iters)(runOnce(fn)).sorted
-        val median = samples(samples.length / 2)
-        timings(name) = (median, samples.head, samples.last)
+        val samples = scala.collection.mutable.ArrayBuffer.fill(iters)(runOnce(fn))
+        def spreadRatio = {
+          val s = samples.sorted
+          (s.last - s.head) / s(s.length / 2)
+        }
+        while (samples.length < maxIters && spreadRatio > 0.35)
+          samples += runOnce(fn)
+        val sorted = samples.sorted
+        timings(name) = (sorted(sorted.length / 2), sorted.head, sorted.last)
       } catch {
         case e: Throwable =>
           failed += name
