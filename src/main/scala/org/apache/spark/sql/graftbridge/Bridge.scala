@@ -19,4 +19,28 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Apply an extensions installer and materialize its function
+    * injections into a fresh registry (`registerFunctions` is
+    * `private[sql]`) — lets tests exercise the REAL
+    * `spark.sql.extensions` wiring without a new SparkContext (the
+    * test JVM's shared session can't reload extensions). */
+  def registeredFunctions(installer: org.apache.spark.sql.SparkSessionExtensions => Unit)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    installer(ext)
+    val reg = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    ext.registerFunctions(reg)
+  }
+
+  /** Materialize an extensions installer's planner-strategy injections
+    * (`buildPlannerStrategies` is `private[sql]`). */
+  def plannerStrategies(spark: org.apache.spark.sql.SparkSession,
+                        installer: org.apache.spark.sql.SparkSessionExtensions => Unit)
+      : Seq[org.apache.spark.sql.execution.SparkStrategy] = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    installer(ext)
+    ext.buildPlannerStrategies(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+  }
 }

@@ -202,6 +202,26 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(empty.isNullAt(0))
   }
 
+  test("GraftExtensions wiring registers the native functions and the as-of strategy") {
+    // The real spark.sql.extensions path (a fresh session would load
+    // GraftExtensions via config); the shared test JVM can't restart
+    // its context, so materialize the injections directly.
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftbridge.Bridge
+    val installer = new graft.GraftExtensions
+    val reg = Bridge.registeredFunctions(installer)
+    assert(reg.functionExists(FunctionIdentifier("hash60")))
+    assert(reg.functionExists(FunctionIdentifier("kmv_distinct")))
+    val h = reg.lookupFunction(FunctionIdentifier("hash60"), Seq(Literal("x")))
+    assert(h.isInstanceOf[graft.functions.Hash60Expr])
+    val k = reg.lookupFunction(FunctionIdentifier("kmv_distinct"),
+      Seq(Literal(1L), Literal(16)))
+    assert(k.isInstanceOf[graft.functions.KmvDistinctAgg])
+    val strategies = Bridge.plannerStrategies(spark, installer)
+    assert(strategies.contains(org.apache.spark.sql.graftasof.AsOfJoinStrategy))
+  }
+
   test("approx-percentile rank gate is falsifiable: a poisoned quantile trips it") {
     // q_percentiles_approx's DuckDB oracle is a tolerance SELF-check
     // (hard-coded TRUE), so the gate's ability to fail must be proven
