@@ -184,6 +184,62 @@ class ObservabilitySpec extends AnyFunSuite with SparkSpec {
     } finally server.stop(0)
   }
 
+  test("a traced job's spans arrive at the loopback collector over HTTP") {
+    // End-to-end wire parity with the reference (run.sh:5,82-83): run a
+    // REAL traced wordcount job with the HTTP exporter installed and
+    // assert the collector receives its spans — root span, query spans,
+    // task spans with metrics — as parseable v2 batches.
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/v2/spans", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        received.add(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+        ex.sendResponseHeaders(202, -1)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val exporter = new ZipkinHttpExporter(
+        s"http://127.0.0.1:${server.getAddress.getPort}/api/v2/spans",
+        "graft-test", batchSize = 4)
+      val h = Trace.install(spark, exporter)
+      try {
+        Trace.rootSpan(spark, exporter, "graft.job.submit", h.ctx) {
+          WordCount(lines(fixture)).collect()
+        }
+        // Listener bus is async: poll, flushing, until the collector
+        // has both the root and a task span (or the deadline passes).
+        val deadline = System.currentTimeMillis() + 10000
+        def seen(s: String) = received.asScalaText.contains(s)
+        while (System.currentTimeMillis() < deadline &&
+               !(seen("graft.job.submit") && seen("spark.task"))) {
+          exporter.flush(); Thread.sleep(100)
+        }
+      } finally Trace.uninstall(spark, h)
+
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      import scala.jdk.CollectionConverters._
+      val spans = received.asScala.toSeq.flatMap { body =>
+        val root = mapper.readTree(body)
+        assert(root.isArray, s"payload not an array: $body")
+        root.elements().asScala.toSeq
+      }
+      val names = spans.map(_.get("name").asText())
+      assert(names.contains("graft.job.submit"))
+      assert(names.contains("spark.task"))
+      assert(spans.forall(_.get("traceId").asText() == h.ctx.traceId))
+    } finally server.stop(0)
+  }
+
+  private implicit class QueueText(q: java.util.concurrent.ConcurrentLinkedQueue[String]) {
+    def asScalaText: String = {
+      import scala.jdk.CollectionConverters._
+      q.asScala.mkString("\n")
+    }
+  }
+
   test("ZipkinHttpExporter survives a dead collector without failing the job") {
     // Telemetry must never fail the job: POST to a closed port logs and
     // drops the batch instead of throwing.
