@@ -99,6 +99,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(scans == 1, s"expected a single documents scan, got $scans in:\n$tree")
   }
 
+  test("decontamination broadcasts the eval keys, never shuffling the corpus for candidates") {
+    val plan = formatted("q_decontaminate")
+    assert(plan.contains("BroadcastExchange"), "eval shingle keys not broadcast")
+  }
+
+  test("sequence packing: only the tiny prefix table passes a single-partition exchange") {
+    // The naive global-window form would funnel the whole corpus
+    // through one task; the two-phase form may single-partition ONLY
+    // the #partitions-row totals table (one such exchange admissible).
+    val plan = formatted("q_pack_sequences")
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(single <= 1, s"corpus-sized single-partition exchange planned ($single)")
+    assert(plan.contains("hashpartitioning") || plan.contains("rangepartitioning"),
+      "partition-local cumsum window missing")
+  }
+
   test("skew-guarded LSH queries join on the capped key") {
     for (name <- Seq("q_ann_lsh", "q_embed_near_dup", "q_near_dup_simhash",
       "q_ann_lsh_mp_self")) {
