@@ -100,6 +100,39 @@ object TextStatsQueries extends QueryModule {
           size(TextFunctions.tokens(col("text"))).cast("long").as("norm_tokens"))
         .orderBy("doc_id")),
 
+    // Quality-weighted data mixing: the curation step that DOWNSAMPLES
+    // by quality tier instead of hard-filtering — good docs keep rate
+    // 1000‰, fair 300‰, poor 50‰, decided by a deterministic hash of
+    // doc_id (reproducible under re-sharding and incremental growth,
+    // like the train/test split). Map-only; tiers reuse
+    // q_quality_score's rules exactly. Output is the kept subset with
+    // its tier and mix bucket — the manifest a mixing recipe produces.
+    "q_quality_sample" -> ((s, d) => {
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.normalizeText(col("text")).as("_norm"))
+        .withColumn("toks", split(col("_norm"), " "))
+      val nToks = size(col("toks")).cast("long")
+      val stopHits = TextFunctions.stopwordHits(col("toks"),
+        Seq("the", "a", "of", "and", "to", "in"))
+      val tiered = staged.select(col("doc_id"),
+          nToks.as("n_tokens"),
+          round(stopHits.cast("double") / nToks, 6).as("stopword_ratio"))
+        .withColumn("quality",
+          when(col("n_tokens") >= 20 && col("stopword_ratio").between(0.01, 0.6), "good")
+            .when(col("n_tokens") >= 5, "fair")
+            .otherwise("poor"))
+        .withColumn("mix_bucket", pmod(TextFunctions.hash60(
+          concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000L)))
+      tiered
+        .withColumn("keep_permille",
+          when(col("quality") === "good", 1000L)
+            .when(col("quality") === "fair", 300L).otherwise(50L))
+        .filter(col("mix_bucket") < col("keep_permille"))
+        .select(col("doc_id"), col("quality"), col("mix_bucket"), col("keep_permille"))
+        .orderBy("doc_id")
+    }),
+
     // Intra-doc repetition score (the Gopher-style corpus-quality rule:
     // heavily self-repeating documents are low-quality boilerplate):
     // fraction of duplicate 3-shingles within each doc. Map-only, no
@@ -183,6 +216,21 @@ object TextStatsQueries extends QueryModule {
            | len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS re_tokens,
            | len(${toks("text")})::BIGINT AS norm_tokens
            | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+      "q_quality_sample" -> {
+        val stopSql = "len(list_filter(t, x -> x IN ('the','a','of','and','to','in')))"
+        s"""WITH q AS (SELECT doc_id,
+           |    CASE WHEN len(t) >= 20 AND round($stopSql::DOUBLE / len(t), 6)
+           |        BETWEEN 0.01 AND 0.6 THEN 'good'
+           |      WHEN len(t) >= 5 THEN 'fair' ELSE 'poor' END AS quality,
+           |    ${hash60("'mix:' || doc_id::VARCHAR")} % 1000 AS mix_bucket
+           |   FROM (SELECT doc_id, ${toks("text")} AS t FROM documents)),
+           | r AS (SELECT *, CASE quality WHEN 'good' THEN 1000
+           |    WHEN 'fair' THEN 300 ELSE 50 END AS keep_permille FROM q)
+           |SELECT doc_id, quality, mix_bucket, keep_permille::BIGINT AS keep_permille
+           | FROM r WHERE mix_bucket < keep_permille
+           | ORDER BY doc_id""".stripMargin.replace("\n", "")
+      },
 
       "q_repetition" ->
         s"""WITH sh AS (SELECT doc_id, ${shingles("t", 3)} AS shin
