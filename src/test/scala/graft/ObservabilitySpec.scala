@@ -254,6 +254,41 @@ class ObservabilitySpec extends AnyFunSuite with SparkSpec {
     exporter.flush()
   }
 
+  test("streaming queries emit batch-progress spans with input/state metrics") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val exporter = new InMemoryExporter
+    val h = StreamingTrace.install(spark, exporter)
+    val source = MemoryStream[String]
+    val q = graft.streaming.StreamingKernels.wordCount(source.toDF())
+      .writeStream.format("memory").queryName("obs_stream")
+      .outputMode("complete").start()
+    try {
+      source.addData("the quick fox", "the dog")
+      q.processAllAvailable()
+      // Listener bus is async.
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline &&
+             exporter.named("stream.batch").isEmpty) Thread.sleep(100)
+      assert(exporter.named("stream.query.start").nonEmpty)
+      val batches = exporter.named("stream.batch")
+      assert(batches.nonEmpty)
+      assert(batches.map(_.attributes("stream.input.rows").toLong).sum >= 2L,
+        s"input rows missing: ${batches.map(_.attributes)}")
+      assert(batches.forall(_.attributes.contains("stream.state.rows")))
+      assert(batches.forall(_.traceId == h.ctx.traceId))
+    } finally {
+      q.stop()
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline &&
+             exporter.named("stream.query").isEmpty) Thread.sleep(100)
+      StreamingTrace.uninstall(spark, h)
+    }
+    assert(exporter.named("stream.query").nonEmpty) // termination span
+  }
+
   test("span JSON serialization is well-formed") {
     val sp = Span("t" * 32, "s" * 16, Some("p" * 16), "x\"y", "CLIENT",
       1L, 2L, Map("k" -> "v\nw"), ok = true)
