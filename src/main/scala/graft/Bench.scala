@@ -52,9 +52,15 @@ object Bench {
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      finally graft.queries.StagedCache.releaseAll()
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } finally
+        // OUTSIDE the timed interval, and blocking: cache teardown must
+        // neither count against the sample nor bleed into the next one
+        // (async unpersist would remove blocks concurrently with the
+        // following timed run).
+        graft.queries.StagedCache.releaseAll(blocking = true)
     }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
@@ -82,7 +88,10 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
     }
-    def fmt(v: Double) = f"$v%.4f"
+    // Locale-pinned: f"%.4f" under a comma-decimal default locale would
+    // emit invalid JSON.
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.4f",
+      java.lang.Double.valueOf(v))
     val qs = timings.map { case (k, (med, _, _)) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     val spread = timings.map { case (k, (_, lo, hi)) =>

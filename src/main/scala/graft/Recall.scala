@@ -23,6 +23,10 @@ object Recall {
 
     def pairs(name: String): Set[(Long, Long)] =
       try SparkEntry.queries(name)(spark, sfDir)
+        // Restrict to the probe subset BEFORE collecting: the
+        // self-search queries emit top-k for EVERY vector, and an
+        // unfiltered collect would be O(corpus) driver memory.
+        .filter("probe_id % 25 = 0")
         .selectExpr("cast(probe_id as long)", "cast(cand_id as long)")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       finally graft.queries.StagedCache.releaseAll()

@@ -118,6 +118,11 @@ final class ZipkinFileExporter(path: String, serviceName: String = "graft",
     case null => ()
     case d    => d.mkdirs()
   }
+  // Each exporter instance OWNS the file: truncate any previous run's
+  // document at construction (append-style flushes would otherwise
+  // merge stale spans — or corrupt the array if an earlier process
+  // died mid-write and left no trailing ']').
+  new FileWriter(path, false).close()
   private val buf = mutable.ArrayBuffer.empty[Span]
 
   def export(span: Span): Unit = synchronized {

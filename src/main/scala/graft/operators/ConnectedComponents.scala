@@ -15,8 +15,10 @@ import graft.queries.StagedCache
   * on this classpath). The driver only coordinates rounds and checks
   * the changed-count; rounds = O(component diameter), which for
   * near-dup clusters is shallow. `maxRounds` guards pathological
-  * chains — on cap-out the labels are still a valid refinement
-  * (over-segmented, never wrongly merged), and the caller can resume.
+  * chains — a cap-out is LOGGED to stderr, never silent: the labels
+  * are then a valid refinement (over-segmented, never wrongly merged)
+  * but not the exact component minima, and an exact-oracle compare
+  * would catch the divergence. Raise `maxRounds` to resolve exactly.
   *
   * Deterministic: labels are pure min-aggregations of node ids — no
   * partitioning dependence — so a sequential model (or a recursive SQL
@@ -60,6 +62,10 @@ object ConnectedComponents {
       converged = changed == 0
       rounds += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] ConnectedComponents: NOT converged after " +
+        s"$maxRounds rounds — labels are over-segmented (component diameter " +
+        "exceeds the round cap); raise maxRounds to resolve exactly")
     labels
   }
 }

@@ -52,7 +52,10 @@ object DedupQueries extends QueryModule {
   /** Verify join: attach both (sorted) hashed-shingle sets to candidate
     * (doc_a, doc_b) pairs and keep those with Jaccard ≥ `thresh`. The
     * similarity is the native sorted-merge [[graft.functions.JaccardExpr]]
-    * — O(n+m) per pair, no per-pair hash-set build. */
+    * — O(n+m) per pair, no per-pair hash-set build. UNORDERED: the
+    * presentation sort is the output queries' concern — an operator
+    * consuming pairs (q_dedup_clusters) must not inherit a range
+    * shuffle + sort its union immediately destroys. */
   private def verifyPairs(cand: DataFrame, base: DataFrame, thresh: Double): DataFrame =
     cand
       .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
@@ -60,7 +63,6 @@ object DedupQueries extends QueryModule {
       .select(col("doc_a"), col("doc_b"),
         round(graft.functions.JaccardExpr(col("hs_a"), col("hs_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= thresh)
-      .orderBy("doc_a", "doc_b")
 
   private val minhashSeeds = 8 // 4 bands × 2 rows
 
@@ -119,7 +121,8 @@ object DedupQueries extends QueryModule {
     // agreeing on any band become candidates (bucket join on the band
     // key — never all-pairs), then exact Jaccard ≥ 0.5 verify.
     "q_near_dup_minhash" -> ((s, d) =>
-      minhashPairs(StagedCache.persist(hashedShingles(s, d)))),
+      minhashPairs(StagedCache.persist(hashedShingles(s, d)))
+        .orderBy("doc_a", "doc_b")),
 
     // Near-dup CLUSTER resolution: connected components over the
     // verified minhash pairs, labels = component-min doc_id — the step
@@ -166,7 +169,7 @@ object DedupQueries extends QueryModule {
           && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      verifyPairs(cand, base, 0.5)
+      verifyPairs(cand, base, 0.5).orderBy("doc_a", "doc_b")
     }),
 
     // Benchmark decontamination: flag train docs whose hashed-shingle

@@ -28,8 +28,11 @@ object StagedCache {
   def persist(df: DataFrame): DataFrame = synchronized {
     val p = df.persist(); staged += p; p
   }
-  def releaseAll(): Unit = synchronized {
-    staged.foreach(_.unpersist(false)); staged.clear()
+  /** Release every staged table. `blocking = true` waits for block
+    * removal — benchmark harnesses use it so one sample's teardown
+    * cannot bleed into the next sample's timing. */
+  def releaseAll(blocking: Boolean = false): Unit = synchronized {
+    staged.foreach(_.unpersist(blocking)); staged.clear()
   }
 
   /** Loan pattern for direct API users: run `body` (build a query AND

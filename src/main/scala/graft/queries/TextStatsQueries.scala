@@ -38,6 +38,29 @@ object TextStatsQueries extends QueryModule {
       .otherwise("es")
   }
 
+  /** Shared staging + tier rules for the quality queries — ONE
+    * definition (tokens staged, 6-stopword list, good/fair/poor
+    * thresholds) so q_quality_score and q_quality_sample cannot
+    * desynchronize from each other or their oracles. Output keeps
+    * text/_norm/toks so callers derive their extra signals without
+    * re-tokenizing. */
+  private def qualityTiered(s: SparkSession, d: String): DataFrame = {
+    val staged = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        TextFunctions.normalizeText(col("text")).as("_norm"))
+      .withColumn("toks", split(col("_norm"), " "))
+    val nToks = size(col("toks")).cast("long")
+    val stopHits = TextFunctions.stopwordHits(col("toks"),
+      Seq("the", "a", "of", "and", "to", "in"))
+    staged
+      .withColumn("n_tokens", nToks)
+      .withColumn("stopword_ratio", round(stopHits.cast("double") / nToks, 6))
+      .withColumn("quality",
+        when(col("n_tokens") >= 20 && col("stopword_ratio").between(0.01, 0.6), "good")
+          .when(col("n_tokens") >= 5, "fair")
+          .otherwise("poor"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tokens are staged as a real projection column before any
     // multi-reference use: an inlined tokenizer expression would re-run
@@ -53,28 +76,17 @@ object TextStatsQueries extends QueryModule {
 
     // Heuristic quality signals: token count, mean token length,
     // stopword ratio, alphabetic-character ratio, bucketed verdict.
-    "q_quality_score" -> ((s, d) => {
-      val staged = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          TextFunctions.normalizeText(col("text")).as("_norm"))
-        .withColumn("toks", split(col("_norm"), " "))
-      val nToks = size(col("toks")).cast("long")
-      val stopHits = TextFunctions.stopwordHits(col("toks"),
-        Seq("the", "a", "of", "and", "to", "in"))
-      staged.select(col("doc_id"),
-          nToks.as("n_tokens"),
+    "q_quality_score" -> ((s, d) =>
+      qualityTiered(s, d)
+        .select(col("doc_id"), col("n_tokens"),
           length(col("text")).cast("long").as("n_chars"),
-          round(length(regexp_replace(col("_norm"), " ", "")).cast("double") / nToks, 6)
-            .as("avg_token_len"),
-          round(stopHits.cast("double") / nToks, 6).as("stopword_ratio"),
+          round(length(regexp_replace(col("_norm"), " ", "")).cast("double")
+            / col("n_tokens"), 6).as("avg_token_len"),
+          col("stopword_ratio"),
           round(length(regexp_replace(lower(col("text")), "[^a-z]", ""))
-            .cast("double") / length(col("text")), 6).as("alpha_ratio"))
-        .withColumn("quality",
-          when(col("n_tokens") >= 20 && col("stopword_ratio").between(0.01, 0.6), "good")
-            .when(col("n_tokens") >= 5, "fair")
-            .otherwise("poor"))
-        .orderBy("doc_id")
-    }),
+            .cast("double") / length(col("text")), 6).as("alpha_ratio"),
+          col("quality"))
+        .orderBy("doc_id")),
 
     // Array-function surface over the token arrays (slice, distinct,
     // membership, position, reverse) — map-only, single codegen stage.
@@ -107,31 +119,16 @@ object TextStatsQueries extends QueryModule {
     // like the train/test split). Map-only; tiers reuse
     // q_quality_score's rules exactly. Output is the kept subset with
     // its tier and mix bucket — the manifest a mixing recipe produces.
-    "q_quality_sample" -> ((s, d) => {
-      val staged = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          TextFunctions.normalizeText(col("text")).as("_norm"))
-        .withColumn("toks", split(col("_norm"), " "))
-      val nToks = size(col("toks")).cast("long")
-      val stopHits = TextFunctions.stopwordHits(col("toks"),
-        Seq("the", "a", "of", "and", "to", "in"))
-      val tiered = staged.select(col("doc_id"),
-          nToks.as("n_tokens"),
-          round(stopHits.cast("double") / nToks, 6).as("stopword_ratio"))
-        .withColumn("quality",
-          when(col("n_tokens") >= 20 && col("stopword_ratio").between(0.01, 0.6), "good")
-            .when(col("n_tokens") >= 5, "fair")
-            .otherwise("poor"))
+    "q_quality_sample" -> ((s, d) =>
+      qualityTiered(s, d)
         .withColumn("mix_bucket", pmod(TextFunctions.hash60(
           concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000L)))
-      tiered
         .withColumn("keep_permille",
           when(col("quality") === "good", 1000L)
             .when(col("quality") === "fair", 300L).otherwise(50L))
         .filter(col("mix_bucket") < col("keep_permille"))
         .select(col("doc_id"), col("quality"), col("mix_bucket"), col("keep_permille"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Intra-doc repetition score (the Gopher-style corpus-quality rule:
     // heavily self-repeating documents are low-quality boilerplate):

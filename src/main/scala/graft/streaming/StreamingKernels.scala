@@ -333,7 +333,11 @@ object StreamingKernels {
                 }.find(_._2 >= thresh)
                 hit match {
                   case Some((rid, j)) =>
-                    out += ((docId, rid, math.rint(j * 1e6) / 1e6))
+                    // HALF_UP at 6 dp — the same rounding as the batch
+                    // verify's round(...,6) (math.rint would round
+                    // half-to-even and diverge on exact half-ulp ties).
+                    out += ((docId, rid, BigDecimal(j)
+                      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
                   case None =>
                     if (reps.size < capPerBand) reps = reps :+ ((docId, hs))
                 }
