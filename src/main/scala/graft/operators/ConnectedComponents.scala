@@ -43,8 +43,13 @@ object ConnectedComponents {
     val sym = StagedCache.persist(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
-    var labels = sym.select(col("src").as("node_id")).distinct()
-      .withColumn("cluster_id", col("node_id"))
+    // Initial labels already fold in one propagation step — min(self,
+    // direct neighbors) — without a changed-count job: star-shaped
+    // components (the common near-dup cluster) converge immediately
+    // and pay only the single confirming round.
+    var labels = sym.select(col("src").as("node_id"), col("dst").as("cluster_id"))
+      .union(sym.select(col("src").as("node_id"), col("src").as("cluster_id")))
+      .groupBy("node_id").agg(min("cluster_id").as("cluster_id"))
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
