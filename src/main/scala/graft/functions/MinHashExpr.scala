@@ -47,6 +47,21 @@ final case class MinHashExpr(child: Expression, a: Array[Long], b: Array[Long])
 
   override def nullable: Boolean = true
 
+  // Array params compare by reference under the synthesized case-class
+  // equals, so two structurally identical expressions built from
+  // separate Column calls would never canonicalize equal — defeating
+  // Catalyst CSE and exchange reuse. Compare the constant tables by
+  // value instead (asserted in FunctionsSpec).
+  override def equals(other: Any): Boolean = other match {
+    case that: MinHashExpr =>
+      child == that.child &&
+        java.util.Arrays.equals(a, that.a) && java.util.Arrays.equals(b, that.b)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + java.util.Arrays.hashCode(a)) +
+      java.util.Arrays.hashCode(b)
+
   override protected def withNewChildInternal(newChild: Expression): MinHashExpr =
     copy(child = newChild)
 }

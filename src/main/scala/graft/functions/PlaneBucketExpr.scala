@@ -41,6 +41,21 @@ final case class PlaneBucketExpr(child: Expression, planes: Array[Array[Double]]
     defineCodeGen(ctx, ev, c => s"graft.functions.PlaneBucketImpl.bucket($c, $pRef)")
   }
 
+  // Value-semantics equality for the plane matrix (the synthesized
+  // case-class equals compares Array by reference), so structurally
+  // identical bucket expressions canonicalize equal and Catalyst can
+  // CSE / reuse exchanges across separately-built columns.
+  override def equals(other: Any): Boolean = other match {
+    case that: PlaneBucketExpr =>
+      child == that.child &&
+        java.util.Arrays.deepEquals(
+          planes.asInstanceOf[Array[AnyRef]], that.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
+
   override protected def withNewChildInternal(newChild: Expression): PlaneBucketExpr =
     copy(child = newChild)
 }

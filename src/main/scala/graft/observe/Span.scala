@@ -143,15 +143,27 @@ final class ZipkinFileExporter(path: String, serviceName: String = "graft",
   private def flushLocked(): Unit = {
     if (buf.isEmpty) return
     val batch = buf.map(_.zipkinJson(serviceName)).mkString(",")
-    buf.clear()
-    val raf = new java.io.RandomAccessFile(path, "rw")
+    // Write-then-clear under [[ZipkinHttpExporter]]'s log-and-drop
+    // policy: an IOException must neither propagate into the caller
+    // (telemetry never fails the job it observes) nor — as the
+    // clear-first form did — silently lose a batch that was never
+    // written. The batch is dropped only AFTER the write attempt, so
+    // heap stays bounded by one batch either way.
     try {
-      if (raf.length() == 0) raf.write(s"[$batch]".getBytes("UTF-8"))
-      else { // overwrite the trailing ']' with ',batch]'
-        raf.seek(raf.length() - 1)
-        raf.write(s",$batch]".getBytes("UTF-8"))
-      }
-    } finally raf.close()
+      val raf = new java.io.RandomAccessFile(path, "rw")
+      try {
+        if (raf.length() == 0) raf.write(s"[$batch]".getBytes("UTF-8"))
+        else { // overwrite the trailing ']' with ',batch]'
+          raf.seek(raf.length() - 1)
+          raf.write(s",$batch]".getBytes("UTF-8"))
+        }
+      } finally raf.close()
+      buf.clear()
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[zipkin] write $path failed: ${e.getMessage} (batch dropped)")
+        buf.clear()
+    }
   }
 }
 

@@ -15,10 +15,12 @@ import graft.queries.StagedCache
   * on this classpath). The driver only coordinates rounds and checks
   * the changed-count; rounds = O(component diameter), which for
   * near-dup clusters is shallow. `maxRounds` guards pathological
-  * chains — a cap-out is LOGGED to stderr, never silent: the labels
-  * are then a valid refinement (over-segmented, never wrongly merged)
-  * but not the exact component minima, and an exact-oracle compare
-  * would catch the divergence. Raise `maxRounds` to resolve exactly.
+  * chains — a cap-out is machine-detectable, never silent: [[run]]
+  * returns a `converged` flag (and the round count), and [[apply]]
+  * with `strict = true` throws instead of returning over-segmented
+  * labels. Capped labels remain a valid refinement (over-segmented,
+  * never wrongly merged) but are not the exact component minima.
+  * Raise `maxRounds` to resolve exactly.
   *
   * Deterministic: labels are pure min-aggregations of node ids — no
   * partitioning dependence — so a sequential model (or a recursive SQL
@@ -36,10 +38,34 @@ import graft.queries.StagedCache
   */
 object ConnectedComponents {
 
+  /** Labels plus the convergence outcome: `converged = false` means the
+    * round cap was hit and `labels` are over-segmented (a refinement of
+    * the true components — never a wrong merge). `rounds` counts the
+    * propagation rounds actually executed after initialization. */
+  final case class Result(labels: DataFrame, converged: Boolean, rounds: Int)
+
   /** @param edges DataFrame with two long node-id columns
-    * @return (node_id, cluster_id = component-min node id) */
+    * @return (node_id, cluster_id = component-min node id)
+    * @param strict throw [[IllegalStateException]] instead of returning
+    *               over-segmented labels when `maxRounds` is exhausted —
+    *               for callers that cannot tolerate silent refinements;
+    *               flag-inspecting callers use [[run]]. */
   def apply(edges: DataFrame, srcCol: String, dstCol: String,
-            maxRounds: Int = 20): DataFrame = {
+            maxRounds: Int = 20, strict: Boolean = false): DataFrame = {
+    val r = run(edges, srcCol, dstCol, maxRounds)
+    if (!r.converged) {
+      val msg = s"ConnectedComponents: NOT converged after $maxRounds rounds — " +
+        "labels are over-segmented (component diameter exceeds the round cap); " +
+        "raise maxRounds to resolve exactly"
+      if (strict) throw new IllegalStateException(msg)
+      System.err.println(s"[graft] $msg")
+    }
+    r.labels
+  }
+
+  /** [[apply]] with a machine-readable outcome instead of a stderr line. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+          maxRounds: Int = 20): Result = {
     val sym = StagedCache.persist(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
@@ -67,10 +93,6 @@ object ConnectedComponents {
       converged = changed == 0
       rounds += 1
     }
-    if (!converged)
-      System.err.println(s"[graft] ConnectedComponents: NOT converged after " +
-        s"$maxRounds rounds — labels are over-segmented (component diameter " +
-        "exceeds the round cap); raise maxRounds to resolve exactly")
-    labels
+    Result(labels, converged, rounds)
   }
 }

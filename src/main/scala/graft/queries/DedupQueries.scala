@@ -175,8 +175,11 @@ object DedupQueries extends QueryModule {
     // Benchmark decontamination: flag train docs whose hashed-shingle
     // containment against any eval-set doc reaches 0.5 — the check a
     // training pipeline runs so benchmark text doesn't leak into the
-    // corpus. The eval set here is the deterministic 10% slice
-    // doc_id ≡ 7 (mod 10) standing in for a real benchmark table. The
+    // corpus. The eval set here is the deterministic slice doc_id ≡ 7
+    // (mod 10) AND doc_id < 2000 standing in for a real benchmark
+    // table — the absolute id bound keeps the stand-in FIXED-size
+    // (≤200 docs) as the corpus scale factor grows, so the broadcast
+    // below stays constant-size rather than 10%-of-corpus. The
     // 100 TB shape: eval sets are small (benchmarks, not corpora), so
     // their exploded shingle-key table BROADCASTS — the train corpus
     // is scanned once and never shuffled to find candidates; only the
@@ -186,10 +189,10 @@ object DedupQueries extends QueryModule {
     // long train doc must flag even though its Jaccard is low).
     "q_decontaminate" -> ((s, d) => {
       val base = StagedCache.persist(hashedShingles(s, d))
-      val ev = base.filter(col("doc_id") % 10 === 7)
+      val ev = base.filter(col("doc_id") % 10 === 7 && col("doc_id") < 2000)
         .select(col("doc_id").as("eval_id"), col("hs").as("ehs"))
       val evalKeys = ev.select(col("eval_id"), explode(col("ehs")).as("h"))
-      val trainKeys = base.filter(col("doc_id") % 10 =!= 7)
+      val trainKeys = base.filter(!(col("doc_id") % 10 === 7 && col("doc_id") < 2000))
         .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
       trainKeys.join(broadcast(evalKeys), "h")
         .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_shared"))
@@ -342,10 +345,11 @@ object DedupQueries extends QueryModule {
 
     "q_decontaminate" ->
       s"""$baseCte,
-         | ev AS (SELECT doc_id AS eval_id, hs AS ehs FROM base WHERE doc_id % 10 = 7),
+         | ev AS (SELECT doc_id AS eval_id, hs AS ehs FROM base
+         |   WHERE doc_id % 10 = 7 AND doc_id < 2000),
          | ek AS (SELECT eval_id, unnest(ehs) AS h FROM ev),
          | tk AS (SELECT doc_id AS train_id, unnest(hs) AS h FROM base
-         |   WHERE doc_id % 10 != 7),
+         |   WHERE NOT (doc_id % 10 = 7 AND doc_id < 2000)),
          | ov AS (SELECT train_id, eval_id, count(*)::BIGINT AS n_shared
          |   FROM tk JOIN ek USING (h) GROUP BY train_id, eval_id),
          | sz AS (SELECT eval_id, len(ehs)::BIGINT AS n_eval FROM ev)

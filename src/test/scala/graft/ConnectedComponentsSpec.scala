@@ -55,4 +55,19 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
       assert(lab <= node && node - lab <= 2, s"label $lab too far from $node")
     }
   }
+
+  test("run() reports non-convergence machine-readably; strict apply throws") {
+    val s = spark
+    import s.implicits._
+    val chain = (1L to 15L).map(i => (i + 1, i)).toDF("a", "b")
+    val capped = ConnectedComponents.run(chain, "a", "b", maxRounds = 1)
+    assert(!capped.converged && capped.rounds == 1)
+    val full = ConnectedComponents.run(chain, "a", "b")
+    assert(full.converged && full.rounds >= 2)
+    assert(full.labels.collect().map(_.getLong(1)).forall(_ == 1L))
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents(chain, "a", "b", maxRounds = 1, strict = true)
+    }
+    assert(e.getMessage.contains("NOT converged"))
+  }
 }

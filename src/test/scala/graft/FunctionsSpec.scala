@@ -202,6 +202,38 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(empty.isNullAt(0))
   }
 
+  test("array-constant expressions canonicalize equal across separate builds") {
+    // MinHashExpr/PlaneBucketExpr carry Array constants; the synthesized
+    // case-class equals compared them by REFERENCE, so two identical
+    // columns built by separate calls never canonicalized equal —
+    // defeating Catalyst CSE and exchange reuse. Value-semantics
+    // equals/hashCode restore it.
+    // Construct over a shared child, as Catalyst compares them: in a
+    // resolved plan both columns reference the same AttributeReference
+    // (unresolved Column wrappers carry per-callsite Origin and never
+    // compare equal — that is not the layer canonicalization sees).
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val hs = Literal.create(Seq(1L, 2L, 3L), ArrayType(LongType))
+    def mh(k: Int) = {
+      val consts = (0 until k).map(TextFunctions.mixConsts)
+      graft.functions.MinHashExpr(hs,
+        consts.map(_._1).toArray, consts.map(_._2).toArray)
+    }
+    val (m1, m2) = (mh(8), mh(8))
+    assert(m1 == m2 && m1.hashCode == m2.hashCode)
+    assert(m1.semanticEquals(m2))
+    val v = Literal.create(Seq(0.5f, -0.5f), ArrayType(FloatType))
+    def pb(nPlanes: Int) = graft.functions.PlaneBucketExpr(
+      v, VectorFunctions.planeMatrix(nPlanes, 64))
+    val (p1, p2) = (pb(6), pb(6))
+    assert(p1 == p2 && p1.hashCode == p2.hashCode)
+    assert(p1.semanticEquals(p2))
+    // Different constant tables must still distinguish.
+    assert(m1 != mh(4))
+    assert(p1 != pb(5))
+  }
+
   test("GraftExtensions wiring registers the native functions and the as-of strategy") {
     // The real spark.sql.extensions path (a fresh session would load
     // GraftExtensions via config); the shared test JVM can't restart

@@ -133,6 +133,30 @@ class ObservabilitySpec extends AnyFunSuite with SparkSpec {
       tasks.forall(_.get("tags").has("records.read")))
   }
 
+  test("ZipkinFileExporter log-and-drops a failed write instead of throwing") {
+    val dir = java.nio.file.Files.createTempDirectory("zipkin-io")
+    val path = dir.resolve("spans.json")
+    val exporter = new ZipkinFileExporter(path.toString, "graft-test", batchSize = 100)
+    def span(id: Char) = Span("0123456789abcdef0123456789abcdef",
+      id.toString * 16, None, "s", "INTERNAL", 1L, 2L, Map.empty, ok = true)
+    exporter.export(span('a'))
+    // Sabotage the sink: replace the file with a directory so the
+    // RandomAccessFile open fails. The flush must follow the HTTP
+    // exporter's policy — log, drop the batch, never propagate.
+    java.nio.file.Files.delete(path)
+    java.nio.file.Files.createDirectory(path)
+    exporter.flush()
+    // Restore the sink; later batches export normally and the dropped
+    // batch is not resurrected.
+    java.nio.file.Files.delete(path)
+    exporter.export(span('b'))
+    val doc = exporter.document
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(doc)
+    assert(root.isArray && root.size() == 1)
+    assert(root.get(0).get("id").asText() == "b" * 16)
+  }
+
   test("ZipkinHttpExporter POSTs v2 batches a loopback collector accepts") {
     // The reference's live wire behavior (run.sh:5,82-83): span batches
     // POSTed to /api/v2/spans as application/json. A loopback
