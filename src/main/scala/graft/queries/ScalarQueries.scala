@@ -124,6 +124,34 @@ object ScalarQueries extends QueryModule {
           least(col("l_tax"), col("l_discount")).as("le"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Map-function surface (§2.8): a per-order linenumber→quantity map
+    // built with map_from_entries over SORTED entries (collect_list
+    // order is partitioning-dependent; the sort restores determinism),
+    // then the lookup/keys/higher-order-filter/fold surface over it.
+    // The synthetic lineitem repeats (orderkey, linenumber), and
+    // map_from_entries REJECTS duplicate keys (Spark's default
+    // EXCEPTION dedup policy — the safe one), so quantities aggregate
+    // per line first. The oracle mirrors the VALUES relationally —
+    // DuckDB's MAP type need not round-trip through parquet for the
+    // compare. Quantities are whole-number doubles, so every sum here
+    // is exact under any association order.
+    "q_map_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_linenumber").cast("long").as("k"))
+        .agg(sum(col("l_quantity")).as("v"))
+        .groupBy("l_orderkey")
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("k"), col("v"))))).as("m"))
+        .select(col("l_orderkey"),
+          size(col("m")).cast("long").as("n_lines"),
+          element_at(col("m"), lit(1L)).as("qty_line1"),
+          concat_ws(",", transform(map_keys(col("m")), _.cast("string")))
+            .as("keys_csv"),
+          size(map_filter(col("m"), (_, v) => v > 25)).cast("long").as("n_heavy"),
+          round(aggregate(map_values(col("m")), lit(0.0), (a, v) => a + v), 6)
+            .as("qty_total"))
+        .orderBy("l_orderkey")),
+
     "q_case_null" -> ((s, d) =>
       Tables.orders(s, d).select(
         col("o_orderkey"),
@@ -188,6 +216,17 @@ object ScalarQueries extends QueryModule {
         | least(l_tax, l_discount) AS le
         | FROM lineitem WHERE l_orderkey <= 200
         | ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", ""),
+    "q_map_funcs" ->
+      """WITH e AS (SELECT l_orderkey, l_linenumber::BIGINT AS k,
+        |   sum(l_quantity) AS v FROM lineitem GROUP BY 1, 2)
+        |SELECT l_orderkey, count(*)::BIGINT AS n_lines,
+        | max(CASE WHEN k = 1 THEN v END) AS qty_line1,
+        | array_to_string(list_transform(list_sort(list(k)),
+        |   x -> x::VARCHAR), ',') AS keys_csv,
+        | count(CASE WHEN v > 25 THEN 1 END)::BIGINT AS n_heavy,
+        | round(sum(v), 6) AS qty_total
+        | FROM e GROUP BY l_orderkey
+        | ORDER BY l_orderkey""".stripMargin.replace("\n", ""),
     "q_case_null" ->
       """SELECT o_orderkey,
         | CASE WHEN o_orderstatus = 'F' THEN 'finished'
