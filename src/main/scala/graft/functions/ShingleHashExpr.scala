@@ -1,0 +1,110 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native sorted-distinct hashed-shingle set: the whole
+  * tokens → n-gram shingles → hash60 → distinct → sort pipeline in ONE
+  * pass per row, replacing the interpreted higher-order chain
+  * `array_sort(array_distinct(transform(shingles(toks, n), hash60)))`
+  * — the hot scan stage of every shingle-based dedup query (minhash,
+  * n-gram Jaccard, decontamination). HOFs like `transform` are
+  * CodegenFallback in Spark, so the declarative chain allocates one
+  * UTF8String per shingle plus three intermediate arrays per row; this
+  * expression streams each window's token bytes straight into a
+  * thread-local md5 (the shingle string is never materialized — md5 of
+  * the bytes of `tok₀ + ' ' + … + tokₙ₋₁` is byte-identical to md5 of
+  * the joined string) and sorts/dedups one primitive long array.
+  *
+  * Bit-exact with the declarative form: [[Hash60Impl.hash60]]'s 60-bit
+  * truncation over the same space-joined shingle text, ascending sort,
+  * first-occurrence dedup (order-irrelevant after sorting). Fewer than
+  * `n` tokens yields an EMPTY array — `shingles`' `otherwise(array())`
+  * branch — so callers need no size pre-filter for correctness. Token
+  * elements must be non-null (the tokenizer's `split` output; same
+  * domain contract as [[SimHashExpr]]'s hash input). The DuckDB oracle
+  * mirror (`OracleSql.hashedShingles`) is unchanged. */
+final case class ShingleHashExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashImpl.hashedSet(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashImpl.hashedSet($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashExpr =
+    copy(child = newChild)
+}
+
+object ShingleHashExpr {
+  def apply(toks: Column, n: Int): Column =
+    Bridge.column(ShingleHashExpr(Bridge.expression(toks), n))
+}
+
+object ShingleHashImpl {
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+  private val EmptyLongs = new GenericArrayData(Array.emptyLongArray)
+
+  /** Sorted distinct hash60 values of the `n`-token shingles of `toks`;
+    * empty for fewer than `n` tokens. */
+  def hashedSet(toks: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements()
+    if (cnt < n) return EmptyLongs
+    // Token bytes once per token (each participates in up to n windows).
+    val bytes = new Array[Array[Byte]](cnt)
+    var i = 0
+    while (i < cnt) {
+      bytes(i) = toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val md = digests.get()
+    val out = new Array[Long](cnt - n + 1)
+    var w = 0
+    while (w < out.length) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(bytes(w + j))
+        j += 1
+      }
+      val d = md.digest()
+      out(w) =
+        (((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+         ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+         ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+         ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 4
+      w += 1
+    }
+    java.util.Arrays.sort(out)
+    // In-place dedup of the sorted array.
+    var uniq = 1
+    i = 1
+    while (i < out.length) {
+      if (out(i) != out(uniq - 1)) { out(uniq) = out(i); uniq += 1 }
+      i += 1
+    }
+    if (uniq == out.length) new GenericArrayData(out)
+    else new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+  }
+}

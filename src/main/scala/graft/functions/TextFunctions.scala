@@ -45,6 +45,15 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Sorted distinct [[hash60]] set of the `n`-token shingles in one
+    * native pass ([[ShingleHashExpr]]). Value-identical to the
+    * declarative chain
+    * `array_sort(array_distinct(transform(shingles(toks, n), hash60)))`
+    * (equivalence pinned in FunctionsSpec); empty array below `n`
+    * tokens. */
+  def hashedShingleSet(toks: Column, n: Int): Column =
+    ShingleHashExpr(toks, n)
+
   /** One MinHash signature component: min over shingles of hash family
     * member `seed`. Null for empty shingle sets.
     *

@@ -45,9 +45,11 @@ object DedupQueries extends QueryModule {
       // Sorted so the verify join can use the native sorted-merge
       // Jaccard ([[graft.functions.JaccardExpr]]); sortedness changes
       // no set semantics (minhash/sampling are order-independent).
+      // One native pass (ShingleHashExpr) — the declarative
+      // shingles→hash60→distinct→sort chain it replaced is interpreted
+      // (HOFs are CodegenFallback) and allocated every shingle string.
       .select(col("doc_id"),
-        array_sort(array_distinct(transform(TextFunctions.shingles(col("toks"), 3),
-          sh => TextFunctions.hash60(sh)))).as("hs"))
+        TextFunctions.hashedShingleSet(col("toks"), 3).as("hs"))
 
   /** Verify join: attach both (sorted) hashed-shingle sets to candidate
     * (doc_a, doc_b) pairs and keep those with Jaccard ≥ `thresh`. The

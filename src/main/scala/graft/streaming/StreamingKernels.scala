@@ -302,8 +302,7 @@ object StreamingKernels {
       .select(col("doc_id"), col("ts"), TextFunctions.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("ts"),
-        array_sort(array_distinct(transform(TextFunctions.shingles(col("toks"), 3),
-          sh => TextFunctions.hash60(sh)))).as("hs"))
+        TextFunctions.hashedShingleSet(col("toks"), 3).as("hs"))
     val sigs = base.select(col("doc_id"), col("ts"), col("hs"),
       graft.functions.MinHashExpr(col("hs"), nSeeds).as("sig"))
     val bands = sigs.select(

@@ -202,6 +202,30 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(empty.isNullAt(0))
   }
 
+  test("native ShingleHashExpr ≡ declarative shingle→hash60→distinct→sort chain") {
+    // Bit-identity over every real document (the exact input of the
+    // dedup family), including short docs (< n tokens → empty array).
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val diff = docs.select(
+      TextFunctions.hashedShingleSet(col("toks"), 3).as("native"),
+      array_sort(array_distinct(transform(TextFunctions.shingles(col("toks"), 3),
+        sh => TextFunctions.hash60(sh)))).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+    val s = spark
+    import s.implicits._
+    // Edge shapes: empty, below-n, exactly-n, duplicated shingles.
+    val edges = Seq(Seq.empty[String], Seq("a"), Seq("a", "b"),
+      Seq("a", "b", "c"), Seq("x", "x", "x", "x", "x")).toDF("toks")
+    val rows = edges.select(
+      TextFunctions.hashedShingleSet(col("toks"), 3).as("native"),
+      array_sort(array_distinct(transform(TextFunctions.shingles(col("toks"), 3),
+        sh => TextFunctions.hash60(sh)))).as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"$r"))
+    assert(rows(4).getSeq[Long](0).length == 1) // "x x x" three times → one hash
+  }
+
   test("array-constant expressions canonicalize equal across separate builds") {
     // MinHashExpr/PlaneBucketExpr carry Array constants; the synthesized
     // case-class equals compared them by REFERENCE, so two identical
