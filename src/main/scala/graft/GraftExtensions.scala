@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftExtensions.kmvBuilder))
     ext.injectPlannerStrategy(_ =>
       org.apache.spark.sql.graftasof.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.GraftNativeRewrite)
   }
 }
 

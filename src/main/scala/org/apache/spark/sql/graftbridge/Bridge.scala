@@ -33,6 +33,18 @@ object Bridge {
     ext.registerFunctions(reg)
   }
 
+  /** Materialize an extensions installer's optimizer-rule injections
+    * (`buildOptimizerRules` is `private[sql]`). */
+  def optimizerRules(spark: org.apache.spark.sql.SparkSession,
+                     installer: org.apache.spark.sql.SparkSessionExtensions => Unit)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    installer(ext)
+    ext.buildOptimizerRules(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+  }
+
   /** Materialize an extensions installer's planner-strategy injections
     * (`buildPlannerStrategies` is `private[sql]`). */
   def plannerStrategies(spark: org.apache.spark.sql.SparkSession,
