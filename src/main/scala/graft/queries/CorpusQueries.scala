@@ -204,6 +204,51 @@ object CorpusQueries extends QueryModule {
         .filter(col("rnk") <= 5)
         .select(col("source"), col("word"), col("tf"), col("df"), col("score"), col("rnk"))
         .orderBy("source", "rnk")
+    }),
+
+    // BM25 retrieval scoring (Robertson/Sparck-Jones, the standard
+    // Okapi form with k1=1.2, b=0.75): score every document against a
+    // fixed query-term set and return the top 20 — the search primitive
+    // an LLM-data pipeline uses for benchmark decontamination triage
+    // and RAG-corpus audits. Scale shape: only MATCHED tokens explode
+    // (the isin filter precedes the groupBy), df and the 1-row corpus
+    // stats broadcast, and top-k is a distributed TakeOrdered — the
+    // only single-partition window runs over the 20 surviving rows.
+    // Float discipline: per-(doc,term) contributions are quantized to
+    // integer micro-units and SUMMED AS LONGS (order-independent), one
+    // divide at the end — a double sum across terms would hash-diverge
+    // under Spark's aggregation order. Every double expression is
+    // parenthesized identically in the DuckDB mirror.
+    "q_bm25" -> ((s, d) => {
+      val queryTerms = Seq("hash", "join", "query", "dup", "zorder")
+      val docs = StagedCache.persist(Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl")))
+      val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = StagedCache.persist(docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(queryTerms: _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      val idf = log(
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      val denom = col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
+      tf.join(broadcast(df_), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("cu",
+          round(idf * ((col("tf").cast("double") * lit(2.2)) / denom) * lit(1e6), 0)
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(sum(col("cu")).as("score_u"), count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("score_u").desc, col("doc_id")).limit(20)
+        .withColumn("score", round(col("score_u").cast("double") / lit(1e6), 6))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("score_u").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("n_terms_hit"), col("score"), col("rnk"))
+        .orderBy("rnk")
     })
   )
 
@@ -304,6 +349,29 @@ object CorpusQueries extends QueryModule {
          | r AS (SELECT *, row_number() OVER
          |   (PARTITION BY source ORDER BY score DESC, word) AS rnk FROM scored)
          |SELECT source, word, tf, df, score, rnk FROM r WHERE rnk <= 5
-         |ORDER BY source, rnk""".stripMargin.replace("\n", "")
+         |ORDER BY source, rnk""".stripMargin.replace("\n", ""),
+
+    "q_bm25" ->
+      s"""WITH docs AS (SELECT doc_id, t, len(t)::BIGINT AS dl
+         |   FROM (SELECT doc_id, ${toks("text")} AS t FROM documents)),
+         | stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+         |   FROM docs),
+         | tf AS (SELECT doc_id, dl, x AS term, count(*)::BIGINT AS tf
+         |   FROM (SELECT doc_id, dl, unnest(t) AS x FROM docs)
+         |   WHERE x IN ('hash','join','query','dup','zorder')
+         |   GROUP BY 1, 2, 3),
+         | df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+         | c AS (SELECT doc_id,
+         |   round(ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+         |     * ((tf::DOUBLE * 2.2) / (tf::DOUBLE
+         |       + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+         |     * 1e6, 0)::BIGINT AS cu
+         |  FROM tf JOIN df USING (term) CROSS JOIN stats),
+         | sc AS (SELECT doc_id, sum(cu)::BIGINT AS score_u,
+         |   count(*)::BIGINT AS n_terms_hit FROM c GROUP BY doc_id),
+         | top AS (SELECT * FROM sc ORDER BY score_u DESC, doc_id LIMIT 20)
+         |SELECT doc_id, n_terms_hit, round(score_u::DOUBLE / 1e6, 6) AS score,
+         | row_number() OVER (ORDER BY score_u DESC, doc_id)::BIGINT AS rnk
+         | FROM top ORDER BY rnk""".stripMargin.replace("\n", "")
   )
 }
