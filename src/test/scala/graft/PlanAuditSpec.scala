@@ -115,6 +115,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "partition-local cumsum window missing")
   }
 
+  test("bm25: term filter precedes the explode-side aggregation; stats broadcast; top-k distributed") {
+    val plan = formatted("q_bm25")
+    // df and the 1-row corpus stats reach the score join as broadcasts.
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 2,
+      s"df/stats not broadcast:\n$plan")
+    // Top-k is a distributed TakeOrdered, and the only single-partition
+    // exchange feeds the 20-row rank window — never the corpus.
+    assert(plan.contains("TakeOrderedAndProject"), "top-k not TakeOrdered")
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(single <= 1, s"corpus-sized single-partition exchange planned ($single)")
+    // The isin term filter sits directly on the explode output, so only
+    // matched tokens reach the tf aggregation.
+    assert(plan.contains("explode(toks"), "token explode missing")
+    assert(plan.contains("IN (hash,join,query,dup,zorder)"),
+      "query-term filter missing from the explode side")
+  }
+
   test("skew-guarded LSH queries join on the capped key") {
     for (name <- Seq("q_ann_lsh", "q_embed_near_dup", "q_near_dup_simhash",
       "q_ann_lsh_mp_self")) {
