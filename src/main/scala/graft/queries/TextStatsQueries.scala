@@ -134,15 +134,21 @@ object TextStatsQueries extends QueryModule {
     // heavily self-repeating documents are low-quality boilerplate):
     // fraction of duplicate 3-shingles within each doc. Map-only, no
     // shuffle — at 100 TB this is a pure scan-stage gate like the
-    // other quality signals.
+    // other quality signals. Distinctness is over hash60 of each
+    // shingle, not the shingle strings: that makes the whole stage one
+    // native ShingleHashExpr pass (no shingle-string materialization,
+    // no interpreted array_distinct), and the oracle hashes
+    // identically, so the compare stays exact. A collision would
+    // undercount by 1 in both engines alike; at ≤10³ shingles/doc the
+    // 60-bit collision probability is < 10⁻¹² per doc.
     "q_repetition" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), TextFunctions.shingles(col("toks"), 3).as("shin"))
         .select(col("doc_id"),
-          size(col("shin")).cast("long").as("n_shingles"),
-          size(array_distinct(col("shin"))).cast("long").as("n_distinct"))
+          (size(col("toks")) - 2).cast("long").as("n_shingles"),
+          size(TextFunctions.hashedShingleSet(col("toks"), 3)).cast("long")
+            .as("n_distinct"))
         .withColumn("dup_ratio", round(lit(1.0)
           - col("n_distinct").cast("double") / col("n_shingles"), 6))
         .withColumn("is_repetitive", col("dup_ratio") > 0.2)
@@ -230,13 +236,14 @@ object TextStatsQueries extends QueryModule {
       },
 
       "q_repetition" ->
-        s"""WITH sh AS (SELECT doc_id, ${shingles("t", 3)} AS shin
+        s"""WITH sh AS (SELECT doc_id, len(t)::BIGINT - 2 AS n_shingles,
+           |  len(list_distinct(list_transform(${shingles("t", 3)},
+           |    s -> ${hash60("s")})))::BIGINT AS n_distinct
            |  FROM (SELECT doc_id, ${toks("text")} AS t FROM documents)
            |  WHERE len(t) >= 3)
-           |SELECT doc_id, len(shin)::BIGINT AS n_shingles,
-           | len(list_distinct(shin))::BIGINT AS n_distinct,
-           | round(1.0 - len(list_distinct(shin))::DOUBLE / len(shin), 6) AS dup_ratio,
-           | round(1.0 - len(list_distinct(shin))::DOUBLE / len(shin), 6) > 0.2 AS is_repetitive
+           |SELECT doc_id, n_shingles, n_distinct,
+           | round(1.0 - n_distinct::DOUBLE / n_shingles, 6) AS dup_ratio,
+           | round(1.0 - n_distinct::DOUBLE / n_shingles, 6) > 0.2 AS is_repetitive
            | FROM sh ORDER BY doc_id""".stripMargin.replace("\n", ""),
 
       "q_doc_fingerprint" ->
