@@ -15,12 +15,26 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercase, strip non-alphanumerics, collapse whitespace. */
-  def normalizeText(c: Column): Column =
+  /** Lowercase, strip non-alphanumerics, collapse whitespace. By
+    * construction the normalized text is exactly the tokens joined by
+    * single spaces (tokens are the maximal kept-character runs), so
+    * this rides the native tokenizer instead of the two regex passes;
+    * the [[TokenizeExpr]] empty-token artifact joins back to the empty
+    * string the legacy chain produced. */
+  def normalizeText(c: Column): Column = array_join(TokenizeExpr(c), " ")
+
+  /** The regex chain [[normalizeText]] replaced (equivalence reference). */
+  def normalizeTextLegacy(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
-  /** Whitespace tokens of the normalized text. */
-  def tokens(c: Column): Column = split(normalizeText(c), " ")
+  /** Whitespace tokens of the normalized text — the native one-pass
+    * [[TokenizeExpr]] (two regex passes fewer per row; value-identical
+    * to [[tokensLegacy]], equivalence pinned in FunctionsSpec). */
+  def tokens(c: Column): Column = TokenizeExpr(c)
+
+  /** The declarative normalize→split chain [[tokens]] replaced — the
+    * semantic reference the native tokenizer is tested against. */
+  def tokensLegacy(c: Column): Column = split(normalizeTextLegacy(c), " ")
 
   /** Deterministic 60-bit hash of a string: first 15 hex chars of md5.
     * Mirror: `('0x' || substr(md5(s), 1, 15))::BIGINT`. Backed by the

@@ -202,6 +202,55 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(empty.isNullAt(0))
   }
 
+  test("native TokenizeExpr ≡ legacy regex chain on real documents and edges") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+    val diff = docs.select(
+      TextFunctions.tokens(col("text")).as("native"),
+      TextFunctions.tokensLegacy(col("text")).as("legacy"))
+      .filter(col("native") =!= col("legacy")).count()
+    assert(diff == 0L)
+    val ndiff = docs.select(
+      TextFunctions.normalizeText(col("text")).as("n"),
+      TextFunctions.normalizeTextLegacy(col("text")).as("l"))
+      .filter(col("n") =!= col("l")).count()
+    assert(ndiff == 0L)
+    val s = spark
+    import s.implicits._
+    // Edge shapes, including the Unicode case-mapping corners the
+    // scaladoc's case analysis names: Kelvin sign (→ k), İ (→ i +
+    // boundary: "İx" must split), one-to-one non-ASCII lowercases,
+    // supplementary characters (surrogate pairs), and the
+    // empty-normalization artifact (single empty token).
+    val edges = Seq("", "   ", "!!!", "A1 b2", "x\ty\nz", "a  b",
+      " lead trail ", "Kelvin", "İx", "Aİ B",
+      "ÀÉß", "a𝒳b", "MiXeD CaSe 42")
+    val rows = edges.toDF("text").select(
+      TextFunctions.tokens(col("text")).as("native"),
+      TextFunctions.tokensLegacy(col("text")).as("legacy")).collect()
+    rows.zip(edges).foreach { case (r, in) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"input: '$in'")
+    }
+    assert(rows(0).getSeq[String](0) == Seq("")) // split("") artifact
+    assert(rows(8).getSeq[String](0) == Seq("i", "x")) // İ boundary
+  }
+
+  test("tokenizer equivalence holds on random ASCII strings (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOf(Gen.frequency(
+      4 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '\t', '\n', '.', ',', '!'),
+      1 -> Gen.choose(0.toChar, 127.toChar))).map(_.mkString)
+    val samples = (0 until 300).map(i =>
+      gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    val diff = samples.toDF("text").select(
+      TextFunctions.tokens(col("text")).as("native"),
+      TextFunctions.tokensLegacy(col("text")).as("legacy"))
+      .filter(col("native") =!= col("legacy")).count()
+    assert(diff == 0L)
+  }
+
   test("native ShingleHashExpr ≡ declarative shingle→hash60→distinct→sort chain") {
     // Bit-identity over every real document (the exact input of the
     // dedup family), including short docs (< n tokens → empty array).
