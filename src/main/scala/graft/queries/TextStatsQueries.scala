@@ -159,17 +159,19 @@ object TextStatsQueries extends QueryModule {
     // sampled hashes ⇔ they share shingles — a compact sketch for
     // containment checks that needs no shuffle to compute.
     "q_doc_fingerprint" -> ((s, d) =>
-      // Every intermediate (tokens → shingles → hashes → sample) is a
-      // staged column: each md5/regex pass runs exactly once per row.
+      // One native pass (tokenize + shingle-hash); the distinct-shingle
+      // count is over hash60 values like q_repetition's (the oracle
+      // hashes identically — same collision argument), the mod-8 sample
+      // filters the already-sorted-distinct hash set, and the digest is
+      // md5 over the comma-joined sample. No shingle string is ever
+      // materialized.
       Tables.documents(s, d)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          array_distinct(TextFunctions.shingles(col("toks"), 3)).as("shin"))
-        .withColumn("sampled", array_sort(array_distinct(filter(
-          transform(col("shin"), sh => TextFunctions.hash60(sh)),
-          h => h % 8 === 0))))
+          TextFunctions.hashedShingleSet(col("toks"), 3).as("hs"))
+        .withColumn("sampled", filter(col("hs"), h => h % 8 === 0))
         .select(col("doc_id"),
-          size(col("shin")).cast("long").as("n_shingles"),
+          size(col("hs")).cast("long").as("n_shingles"),
           size(col("sampled")).cast("long").as("n_sampled"),
           md5(concat_ws(",", transform(col("sampled"), _.cast("string")))).as("fp"))
         .orderBy("doc_id"))
@@ -248,12 +250,13 @@ object TextStatsQueries extends QueryModule {
 
       "q_doc_fingerprint" ->
         s"""WITH base AS (SELECT doc_id,
-           |   list_distinct(list_transform(generate_series(1, len(t)-2),
-           |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shin
+           |   list_distinct(list_transform(
+           |     list_transform(generate_series(1, len(t)-2),
+           |       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+           |     s -> ${hash60("s")})) AS hs
            |  FROM (SELECT doc_id, ${toks("text")} AS t FROM documents)),
-           | samp AS (SELECT doc_id, len(shin)::BIGINT AS n_shingles,
-           |   list_sort(list_distinct(list_filter(
-           |     list_transform(shin, s -> ${hash60("s")}), h -> h % 8 = 0))) AS sampled
+           | samp AS (SELECT doc_id, len(hs)::BIGINT AS n_shingles,
+           |   list_sort(list_filter(hs, h -> h % 8 = 0)) AS sampled
            |  FROM base)
            |SELECT doc_id, n_shingles, len(sampled)::BIGINT AS n_sampled,
            | md5(coalesce(array_to_string(list_transform(sampled, x -> x::VARCHAR), ','), '')) AS fp
