@@ -150,8 +150,12 @@ object CorpusQueries extends QueryModule {
       val hs = Tables.documents(s, d)
         .select(col("source"), TextFunctions.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 3)
-        .select(col("source"), explode(TextFunctions.shingles(col("toks"), 3)).as("sh"))
-        .select(col("source"), TextFunctions.hash60(col("sh")).as("h"))
+        // Native per-doc sorted-distinct hash set, exploded: same
+        // distinct set as hashing every shingle occurrence, with
+        // within-doc duplicates already gone BEFORE the explode — fewer
+        // rows into the cross-doc distinct's exchange.
+        .select(col("source"),
+          explode(TextFunctions.hashedShingleSet(col("toks"), 3)).as("h"))
         // Explicit distinct (partial-aggregated map-side) instead of a
         // countDistinct alongside the sketch: a mixed distinct/plain
         // aggregate would force Catalyst's Expand-based double-pass.
