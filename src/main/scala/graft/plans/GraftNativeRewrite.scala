@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, FloatType, LongType, StringType}
 
-import graft.functions.{DotProductExpr, Hash60Expr}
+import graft.functions.{DotProductExpr, Hash60Expr, TokenizeExpr}
 
 /** Optimizer rule rewriting two declarative hot-path idioms to the
   * engine's native codegen'd expressions, so user-written DataFrame/SQL
@@ -21,7 +21,15 @@ import graft.functions.{DotProductExpr, Hash60Expr}
   *    and both forms propagate null identically (bit-identity pinned by
   *    FunctionsSpec's legacy-equivalence test).
   *
-  * 2. The declarative dot product
+  * 2. The documented tokenizer chain
+  *    `split(trim(regexp_replace(regexp_replace(lower(x), "[^a-z0-9 ]",
+  *    " "), " +", " ")), " ")` → [[TokenizeExpr]], and the bare
+  *    normalize chain → the tokens re-joined by single spaces
+  *    (value-identical by construction). Matched by the exact regex
+  *    literals, so a similar-but-different chain never rewrites; the
+  *    equivalence case analysis lives on [[TokenizeExpr]].
+  *
+  * 3. The declarative dot product
   *    `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0.0,
   *    (acc, v) -> acc + v)` → `if (size(a) = size(b))
   *    dot_product(a, b) else null`. Soundness guards, each necessary:
@@ -46,6 +54,19 @@ import graft.functions.{DotProductExpr, Hash60Expr}
   *    any rewritten query is unchanged.
   */
 object GraftNativeRewrite extends Rule[LogicalPlan] {
+
+  /** The engine's documented normalize chain:
+    * `trim(regexp_replace(regexp_replace(lower(x), "[^a-z0-9 ]", " "),
+    * " +", " "))` — matched by its exact regex literals, so nothing
+    * resembling-but-different rewrites. */
+  private object NormalizeChain {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case StringTrim(RegExpReplace(RegExpReplace(Lower(x),
+            StringLiteral("[^a-z0-9 ]"), StringLiteral(" "), _),
+            StringLiteral(" +"), StringLiteral(" "), _), None) => Some(x)
+      case _ => None
+    }
+  }
 
   /** `Cast(e, double)` or an `e` that is already double. */
   private object AsDouble {
@@ -78,6 +99,16 @@ object GraftNativeRewrite extends Rule[LogicalPlan] {
             IntegerLiteral(16), IntegerLiteral(10), _), LongType, _, _)
           if x.dataType.isInstanceOf[StringType] =>
         Hash60Expr(x)
+
+      // The normalize→split tokenizer chain → the one-pass native
+      // tokenizer (TokenizeExpr's scaladoc carries the per-code-point
+      // equivalence analysis). A bare normalize chain becomes the
+      // tokens joined back by single spaces — the same value by
+      // construction (tokens are the maximal kept-character runs).
+      case StringSplit(NormalizeChain(x), StringLiteral(" "), IntegerLiteral(-1)) =>
+        TokenizeExpr(x)
+      case NormalizeChain(x) =>
+        ArrayJoin(TokenizeExpr(x), Literal(" "), None)
 
       case ArrayAggregate(
             ZipWith(a, b, LambdaFunction(

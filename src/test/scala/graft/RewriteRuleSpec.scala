@@ -73,6 +73,25 @@ class RewriteRuleSpec extends AnyFunSuite with SparkSpec {
     assert(got == Seq(0.5 * 2.0 + 1.0 * 0.5 + 1.5 * 1.0, null, 0.0, null))
   }
 
+  test("the declarative tokenizer chain rewrites to the native tokenizer") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("A1 b2!", "", "x  Y").toDF("t").repartition(2)
+      .select(col("t"),
+        TextFunctions.tokensLegacy(col("t")).as("toks"),
+        TextFunctions.normalizeTextLegacy(col("t")).as("norm"))
+    val plan = rewrite(df)
+    assert(has(plan, _.isInstanceOf[graft.functions.TokenizeExpr]))
+    assert(!has(plan, _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.StringSplit]))
+    assert(!has(plan, _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace]))
+    assert(Bridge.ofRows(spark, plan).collect().toSeq == df.collect().toSeq)
+    // A similar-but-different chain (other regex) must NOT rewrite.
+    val other = Seq("A1 b2!").toDF("t").repartition(2)
+      .select(split(trim(regexp_replace(
+        regexp_replace(lower(col("t")), "[^a-z ]", " "), " +", " ")), " ").as("x"))
+    assert(!has(rewrite(other), _.isInstanceOf[graft.functions.TokenizeExpr]))
+  }
+
   test("nullable-element arrays are NOT rewritten (density guard)") {
     val s = spark
     import s.implicits._
