@@ -113,7 +113,38 @@ object EventQueries extends QueryModule {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
              round(sum("value"), 4).as("sum_value"))
-        .orderBy("hour_start", "event_type"))
+        .orderBy("hour_start", "event_type")),
+
+    // Time-series gap-fill + forward fill: a per-user hourly spine over
+    // the user's observed range, empty hours get n_events = 0 and carry
+    // the last observed value forward — the resampling step feeding any
+    // downstream time-series model. Scale shape: the spine is GENERATED
+    // per user (sequence + explode — its size is the time range, not
+    // the event count), the per-hour pick is max_by on the globally
+    // unique event_id (deterministic, no ts-precision dependence), and
+    // the forward fill is a user-PARTITIONED running window — no global
+    // single-partition stage anywhere. The value is copied verbatim
+    // (no float arithmetic), so the hash compare is exact.
+    "q_gap_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+          col("event_id"), col("value"))
+      val hourly = ev.groupBy("user_id", "hr")
+        .agg(count(lit(1)).as("n_events"),
+          max_by(col("value"), col("event_id")).as("last_val"))
+      val spine = ev.groupBy("user_id")
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+      spine.join(hourly, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("last_val"), ignoreNulls = true).over(
+            Window.partitionBy("user_id").orderBy("hr")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("filled_value"))
+        .orderBy("user_id", "hr")
+    })
   )
 
   /** Custom-operator query: each purchase joined to the user's latest
@@ -188,6 +219,22 @@ object EventQueries extends QueryModule {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
         | event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         | FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
-        .stripMargin.replace("\n", "")
+        .stripMargin.replace("\n", ""),
+
+    "q_gap_fill" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+        |   event_id, value FROM events),
+        | hourly AS (SELECT user_id, hr, count(*)::BIGINT AS n_events,
+        |   arg_max(value, event_id) AS last_val FROM ev GROUP BY 1, 2),
+        | bounds AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM ev GROUP BY 1),
+        | spine AS (SELECT user_id,
+        |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM bounds),
+        | j AS (SELECT s.user_id, s.hr,
+        |   coalesce(h.n_events, 0)::BIGINT AS n_events, h.last_val
+        |  FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr)
+        |SELECT user_id, hr, n_events,
+        | last_value(last_val IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        | FROM j ORDER BY user_id, hr""".stripMargin.replace("\n", "")
   )
 }
