@@ -146,6 +146,25 @@ object RelationalQueries extends QueryModule {
     }),
 
     // ---- windows ---------------------------------------------------------
+    // Distribution window functions (ntile / percent_rank / cume_dist)
+    // over a TOTAL order (price, then the unique orderkey tiebreak):
+    // ntile assigns by row position, so an ordering with ties would be
+    // partitioning-dependent; the unique suffix makes all three
+    // deterministic on any engine. percent_rank's (r-1)/(n-1) and
+    // cume_dist's r/n are single divisions of identical integers on
+    // both engines — rounded to 6dp anyway, the float-parity rule.
+    "q_window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 3000)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     "q_window_rank" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -249,6 +268,22 @@ object RelationalQueries extends QueryModule {
         .agg(count(lit(1)))
         .orderBy("l_returnflag")),
 
+    // Unpivot/melt: four metric columns to (metric, val) rows. Map-only
+    // (Expand, no shuffle). The four-column id prefix is a verified
+    // unique key of the synthetic lineitem, so the presentation order
+    // is total and values are copied verbatim — no float arithmetic.
+    "q_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 300)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "metric")),
+
     // ---- subqueries ------------------------------------------------------
     // Scalar subquery as a broadcast of a 1-row aggregate.
     "q_scalar_subquery" -> ((s, d) => {
@@ -337,6 +372,16 @@ object RelationalQueries extends QueryModule {
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         | GROUP BY c_custkey ORDER BY c_custkey""".stripMargin.replace("\n", ""),
+    "q_window_ntile" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        | ntile(4) OVER w::BIGINT AS quartile,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cdist
+        | FROM orders WHERE o_orderkey <= 3000
+        | WINDOW w AS (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice, o_orderkey)
+        | ORDER BY o_orderpriority, o_orderkey"""
+        .stripMargin.replace("\n", ""),
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         | SELECT o_custkey, o_orderkey, o_totalprice,
@@ -407,6 +452,19 @@ object RelationalQueries extends QueryModule {
         | CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
         | CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replace("\n", ""),
+    "q_unpivot" ->
+      """WITH b AS (SELECT * FROM lineitem WHERE l_orderkey <= 300)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, metric, val FROM (
+        | SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |   'l_quantity' AS metric, l_quantity AS val FROM b
+        | UNION ALL SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |   'l_extendedprice', l_extendedprice FROM b
+        | UNION ALL SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |   'l_discount', l_discount FROM b
+        | UNION ALL SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |   'l_tax', l_tax FROM b) u
+        | ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, metric"""
         .stripMargin.replace("\n", ""),
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice FROM orders
