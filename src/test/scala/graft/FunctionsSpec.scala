@@ -275,6 +275,26 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(rows(4).getSeq[Long](0).length == 1) // "x x x" three times → one hash
   }
 
+  test("shingle-hash equivalence holds on random token arrays (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s = spark
+    import s.implicits._
+    // Small alphabet forces repeated tokens (and thus repeated
+    // shingles, exercising the dedup path); lengths 0..9 cross the
+    // below-n boundary.
+    val gen = Gen.choose(0, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "x1")))
+    val samples = (0 until 300).map(i =>
+      gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    val diff = samples.toDF("toks").select(
+      TextFunctions.hashedShingleSet(col("toks"), 3).as("native"),
+      array_sort(array_distinct(transform(TextFunctions.shingles(col("toks"), 3),
+        sh => TextFunctions.hash60(sh)))).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0L)
+  }
+
   test("array-constant expressions canonicalize equal across separate builds") {
     // MinHashExpr/PlaneBucketExpr carry Array constants; the synthesized
     // case-class equals compared them by REFERENCE, so two identical

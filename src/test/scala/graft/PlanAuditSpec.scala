@@ -132,6 +132,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "query-term filter missing from the explode side")
   }
 
+  test("the text scan stage is native: no regex chain or interpreted HOF in reworked queries") {
+    // The round-5 native expressions (tokenize, shingle_hashes) replace
+    // the two-regex normalize chain and the transform/array_distinct
+    // HOFs in the scan stage. These queries' plans must stay free of
+    // them — a reappearing regexp_replace means an interpreted
+    // CodegenFallback chain crept back into the hot path.
+    // (q_wordcount is excluded: its kernel mirrors the REFERENCE's
+    // tokenizer — whitespace split then per-token [^a-z] strip — which
+    // is a different semantic from the normalize chain, not a legacy
+    // form of it.)
+    for (name <- Seq("q_repetition", "q_doc_fingerprint",
+      "q_near_dup_minhash", "q_decontaminate")) {
+      val plan = formatted(name)
+      assert(!plan.contains("regexp_replace"),
+        s"$name: regex tokenizer chain back in the plan")
+      assert(!plan.contains("array_distinct"),
+        s"$name: interpreted distinct back in the plan")
+    }
+  }
+
   test("skew-guarded LSH queries join on the capped key") {
     for (name <- Seq("q_ann_lsh", "q_embed_near_dup", "q_near_dup_simhash",
       "q_ann_lsh_mp_self")) {
