@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) curve key for multi-dimensional data layout: sort
+  * or range-partition by [[zvalue]] and BOTH dimensions get bounded
+  * per-file ranges, so parquet min/max row-group stats prune scans with
+  * predicates on EITHER dimension — the standard lakehouse clustering
+  * technique for 100 TB tables queried along more than one axis (a 1-D
+  * sort gives perfect pruning on its key and none on any other).
+  *
+  * Pure declarative integer arithmetic (the classic magic-number bit
+  * spread: 4 shift-or-mask steps per operand), fully codegen'd, and
+  * mirrored digit-for-digit in ANSI SQL by `OracleSql`-style `<<`/`&`
+  * chains — no custom expression needed, preference tier (a) of the
+  * build brief. Inputs must be non-negative; only the low 16 bits of
+  * each operand participate (callers bucket/clamp wider domains first,
+  * e.g. minute-of-day, a 16-bit id, a quantile bucket of a float).
+  *
+  * ZOrderSpec proves the locality property on real data: range-writing
+  * events by `zvalue(user_id, minute)` bounds BOTH per-file spans,
+  * while the 1-D layout leaves the second dimension spanning its whole
+  * domain in every file. */
+object ZOrder {
+
+  /** Spread the low 16 bits of `c` to the even bit positions 0,2,…,30. */
+  private def spread16(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton interleave of two non-negative 16-bit values:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1. */
+  def zvalue(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+}

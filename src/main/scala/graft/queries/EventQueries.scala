@@ -144,7 +144,21 @@ object EventQueries extends QueryModule {
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .as("filled_value"))
         .orderBy("user_id", "hr")
-    })
+    }),
+
+    // Z-order layout key over (user_id, minute-of-day): the clustering
+    // column a 100 TB table is range-written by so scans filtering on
+    // EITHER dimension prune row groups (locality proven on real files
+    // in ZOrderSpec; this query oracle-checks the key arithmetic
+    // digit-for-digit — pure integer shifts and masks both engines
+    // compute identically).
+    "q_zorder_key" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("(unix_micros(ts) DIV 60000000) % 1440").as("minute"))
+        .select(col("event_id"), col("user_id"), col("minute"),
+          graft.functions.ZOrder.zvalue(col("user_id"), col("minute")).as("z"))
+        .orderBy("event_id"))
   )
 
   /** Custom-operator query: each purchase joined to the user's latest
@@ -235,6 +249,26 @@ object EventQueries extends QueryModule {
         |SELECT user_id, hr, n_events,
         | last_value(last_val IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
-        | FROM j ORDER BY user_id, hr""".stripMargin.replace("\n", "")
+        | FROM j ORDER BY user_id, hr""".stripMargin.replace("\n", ""),
+
+    "q_zorder_key" -> {
+      // The 4-step magic-number bit spread, mirrored step by step.
+      def spread(in: String, pfx: String): Seq[String] = Seq(
+        s"($in & 65535) AS ${pfx}0",
+        s"((${pfx}0 | (${pfx}0 << 8)) & 16711935) AS ${pfx}1",
+        s"((${pfx}1 | (${pfx}1 << 4)) & 252645135) AS ${pfx}2",
+        s"((${pfx}2 | (${pfx}2 << 2)) & 858993459) AS ${pfx}3",
+        s"((${pfx}3 | (${pfx}3 << 1)) & 1431655765) AS ${pfx}4")
+      val steps = (spread("user_id", "a") ++ spread("minute", "b"))
+        .map(sel => s"SELECT *, $sel")
+      val chain = steps.zipWithIndex.map { case (sel, i) =>
+        s"s$i AS ($sel FROM ${if (i == 0) "m" else s"s${i - 1}"})"
+      }.mkString(", ")
+      s"""WITH m AS (SELECT event_id, user_id,
+         |   (epoch_us(ts) // 60000000) % 1440 AS minute FROM events),
+         | $chain
+         |SELECT event_id, user_id, minute, (a4 | (b4 << 1)) AS z
+         | FROM s9 ORDER BY event_id""".stripMargin.replace("\n", "")
+    }
   )
 }
