@@ -18,10 +18,18 @@ import org.apache.spark.sql.functions._
   * each operand participate (callers bucket/clamp wider domains first,
   * e.g. minute-of-day, a 16-bit id, a quantile bucket of a float).
   *
+  * The dimensions must be scaled to the SAME effective bit width
+  * before interleaving (e.g. `v * 65535 div v_max`): the curve
+  * alternates bit significance, so interleaving an 8-bit domain with
+  * an 11-bit domain leaves the top occupied bits all belonging to the
+  * wider dimension and the layout degenerates toward a 1-D sort on it
+  * (measured in ZOrderSpec: raw inputs scored no better than the 1-D
+  * baseline; 16-bit-scaled inputs bound both spans).
+  *
   * ZOrderSpec proves the locality property on real data: range-writing
-  * events by `zvalue(user_id, minute)` bounds BOTH per-file spans,
-  * while the 1-D layout leaves the second dimension spanning its whole
-  * domain in every file. */
+  * events by the scaled `zvalue` bounds BOTH per-file spans, while the
+  * 1-D layout leaves the second dimension spanning its whole domain in
+  * every file. */
 object ZOrder {
 
   /** Spread the low 16 bits of `c` to the even bit positions 0,2,…,30. */
