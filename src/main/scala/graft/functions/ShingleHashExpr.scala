@@ -27,10 +27,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * truncation over the same space-joined shingle text, ascending sort,
   * first-occurrence dedup (order-irrelevant after sorting). Fewer than
   * `n` tokens yields an EMPTY array — `shingles`' `otherwise(array())`
-  * branch — so callers need no size pre-filter for correctness. Token
-  * elements must be non-null (the tokenizer's `split` output; same
-  * domain contract as [[SimHashExpr]]'s hash input). The DuckDB oracle
-  * mirror (`OracleSql.hashedShingles`) is unchanged. */
+  * branch — so callers need no size pre-filter for correctness. Null
+  * token elements are SKIPPED within their window exactly as the
+  * chain's `concat_ws` skips them (a window of [a, null, b] hashes
+  * "a b"). The DuckDB oracle mirror (`OracleSql.hashedShingles`) is
+  * unchanged. */
 final case class ShingleHashExpr(child: Expression, n: Int)
     extends UnaryExpression {
   require(n >= 1, s"shingle size must be >= 1, got $n")
@@ -70,11 +71,15 @@ object ShingleHashImpl {
   def hashedSet(toks: ArrayData, n: Int): ArrayData = {
     val cnt = toks.numElements()
     if (cnt < n) return EmptyLongs
-    // Token bytes once per token (each participates in up to n windows).
+    // Token bytes once per token (each participates in up to n
+    // windows); null elements stay null and are skipped per window
+    // below, matching concat_ws.
     val bytes = new Array[Array[Byte]](cnt)
     var i = 0
     while (i < cnt) {
-      bytes(i) = toks.getUTF8String(i).getBytes
+      // isNullAt first: unsafe-backed arrays return garbage, not null,
+      // from a typed getter on a null slot.
+      bytes(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i).getBytes
       i += 1
     }
     val md = digests.get()
@@ -83,9 +88,14 @@ object ShingleHashImpl {
     while (w < out.length) {
       md.reset()
       var j = 0
+      var emitted = 0
       while (j < n) {
-        if (j > 0) md.update(' '.toByte)
-        md.update(bytes(w + j))
+        val b = bytes(w + j)
+        if (b != null) {
+          if (emitted > 0) md.update(' '.toByte)
+          md.update(b)
+          emitted += 1
+        }
         j += 1
       }
       val d = md.digest()

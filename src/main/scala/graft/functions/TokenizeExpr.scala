@@ -59,7 +59,11 @@ final case class TokenizeExpr(child: Expression) extends UnaryExpression {
 }
 
 object TokenizeExpr {
-  def apply(c: Column): Column = Bridge.column(TokenizeExpr(Bridge.expression(c)))
+  /** The cast keeps the Column surface as permissive as the legacy
+    * chain's `lower()` (which implicitly cast atomic inputs);
+    * string→string is a no-op the optimizer removes. */
+  def apply(c: Column): Column =
+    Bridge.column(TokenizeExpr(Bridge.expression(c.cast("string"))))
 }
 
 object TokenizeImpl {

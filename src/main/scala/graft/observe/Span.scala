@@ -124,6 +124,9 @@ final class ZipkinFileExporter(path: String, serviceName: String = "graft",
   // died mid-write and left no trailing ']').
   new FileWriter(path, false).close()
   private val buf = mutable.ArrayBuffer.empty[Span]
+  // Set when a write failed mid-batch: the document may be torn, so the
+  // next successful flush truncates and rewrites instead of appending.
+  private var rewriteNeeded = false
 
   def export(span: Span): Unit = synchronized {
     buf += span
@@ -148,20 +151,32 @@ final class ZipkinFileExporter(path: String, serviceName: String = "graft",
     // (telemetry never fails the job it observes) nor — as the
     // clear-first form did — silently lose a batch that was never
     // written. The batch is dropped only AFTER the write attempt, so
-    // heap stays bounded by one batch either way.
+    // heap stays bounded by one batch either way. A failed write also
+    // marks the document suspect: the append protocol assumes the last
+    // byte is ']', which a partial write may have left untrue, so the
+    // NEXT flush truncates and starts a fresh array rather than
+    // appending onto a possibly-torn payload (spans already in the file
+    // are dropped with a log line — this is telemetry, not data).
     try {
       val raf = new java.io.RandomAccessFile(path, "rw")
       try {
+        if (rewriteNeeded && raf.length() > 0) {
+          System.err.println(s"[zipkin] $path: truncating possibly-torn " +
+            "document after a failed write; previously flushed spans dropped")
+          raf.setLength(0)
+        }
         if (raf.length() == 0) raf.write(s"[$batch]".getBytes("UTF-8"))
         else { // overwrite the trailing ']' with ',batch]'
           raf.seek(raf.length() - 1)
           raf.write(s",$batch]".getBytes("UTF-8"))
         }
       } finally raf.close()
+      rewriteNeeded = false
       buf.clear()
     } catch {
       case e: java.io.IOException =>
         System.err.println(s"[zipkin] write $path failed: ${e.getMessage} (batch dropped)")
+        rewriteNeeded = true
         buf.clear()
     }
   }

@@ -61,11 +61,27 @@ object GraftNativeRewrite extends Rule[LogicalPlan] {
     * resembling-but-different rewrites. */
   private object NormalizeChain {
     def unapply(e: Expression): Option[Expression] = e match {
+      // pos is pinned to 1: a replace starting at an explicit later
+      // position is a DIFFERENT function (prefix preserved), not a
+      // legacy spelling of the chain.
       case StringTrim(RegExpReplace(RegExpReplace(Lower(x),
-            StringLiteral("[^a-z0-9 ]"), StringLiteral(" "), _),
-            StringLiteral(" +"), StringLiteral(" "), _), None) => Some(x)
+            StringLiteral("[^a-z0-9 ]"), StringLiteral(" "), IntegerLiteral(1)),
+            StringLiteral(" +"), StringLiteral(" "), IntegerLiteral(1)), None) =>
+        Some(x)
       case _ => None
     }
+  }
+
+  /** The tokenizer-chain rewrite is locale-guarded: for strings
+    * containing non-ASCII characters the chain's `lower` falls through
+    * to the JVM default locale's full case mapping, and under a
+    * Turkish/Azerbaijani default locale ASCII `I` maps to dotless `ı`
+    * (a boundary) — a divergence [[TokenizeExpr]] does not reproduce.
+    * Everywhere else the two are value-identical (the case analysis on
+    * [[TokenizeExpr]]). */
+  private def rootLikeLocale: Boolean = {
+    val lang = java.util.Locale.getDefault.getLanguage
+    lang != "tr" && lang != "az"
   }
 
   /** `Cast(e, double)` or an `e` that is already double. */
@@ -105,9 +121,10 @@ object GraftNativeRewrite extends Rule[LogicalPlan] {
       // equivalence analysis). A bare normalize chain becomes the
       // tokens joined back by single spaces — the same value by
       // construction (tokens are the maximal kept-character runs).
-      case StringSplit(NormalizeChain(x), StringLiteral(" "), IntegerLiteral(-1)) =>
+      case StringSplit(NormalizeChain(x), StringLiteral(" "), IntegerLiteral(-1))
+          if rootLikeLocale =>
         TokenizeExpr(x)
-      case NormalizeChain(x) =>
+      case NormalizeChain(x) if rootLikeLocale =>
         ArrayJoin(TokenizeExpr(x), Literal(" "), None)
 
       case ArrayAggregate(

@@ -273,6 +273,16 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
         sh => TextFunctions.hash60(sh)))).as("hof")).collect()
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"$r"))
     assert(rows(4).getSeq[Long](0).length == 1) // "x x x" three times → one hash
+    // Null elements are skipped within their window exactly like the
+    // chain's concat_ws ([a, null, b] hashes "a b"; all-null hashes "").
+    val withNulls = Seq(
+      Seq(Some("a"), None, Some("b"), Some("c")),
+      Seq[Option[String]](None, None, None)).toDF("toks")
+    val nrows = withNulls.select(
+      TextFunctions.hashedShingleSet(col("toks"), 3).as("native"),
+      array_sort(array_distinct(transform(TextFunctions.shingles(col("toks"), 3),
+        sh => TextFunctions.hash60(sh)))).as("hof")).collect()
+    nrows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"$r"))
   }
 
   test("shingle-hash equivalence holds on random token arrays (property)") {

@@ -90,6 +90,12 @@ class RewriteRuleSpec extends AnyFunSuite with SparkSpec {
       .select(split(trim(regexp_replace(
         regexp_replace(lower(col("t")), "[^a-z ]", " "), " +", " ")), " ").as("x"))
     assert(!has(rewrite(other), _.isInstanceOf[graft.functions.TokenizeExpr]))
+    // Nor a chain whose replace starts at an explicit later position
+    // (prefix preserved — a different function, SQL-only surface).
+    val pos2 = Seq("#ab").toDF("t").repartition(2)
+      .selectExpr("split(trim(regexp_replace(regexp_replace(lower(t), " +
+        "'[^a-z0-9 ]', ' ', 2), ' +', ' ', 1)), ' ') AS x")
+    assert(!has(rewrite(pos2), _.isInstanceOf[graft.functions.TokenizeExpr]))
   }
 
   test("nullable-element arrays are NOT rewritten (density guard)") {
