@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Hash60Expr, KmvDistinctAgg}
+import graft.functions._
 
 /** Session extensions registering the engine's native expressions with
   * the SQL function registry, so `spark.sql("SELECT hash60(text) ...")`
@@ -16,14 +16,10 @@ import graft.functions.{Hash60Expr, KmvDistinctAgg}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("hash60"),
-      new ExpressionInfo(classOf[Hash60Expr].getName, "hash60"),
-      (children: Seq[Expression]) => Hash60Expr(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("kmv_distinct"),
-      new ExpressionInfo(classOf[KmvDistinctAgg].getName, "kmv_distinct"),
-      GraftExtensions.kmvBuilder))
+    GraftExtensions.functionBuilders.foreach { case (name, cls, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(cls, name), builder))
+    }
     ext.injectPlannerStrategy(_ =>
       org.apache.spark.sql.graftasof.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.GraftNativeRewrite)
@@ -31,22 +27,66 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  /** SQL builder for `kmv_distinct(hash_col, k)`. A NULL or
-    * non-integral k must fail as a clean analysis-time error with the
-    * usage string, not an executor NPE/ClassCastException. Returns the
-    * bare AggregateFunction: the analyzer wraps it in an
-    * AggregateExpression (and handles DISTINCT/FILTER) itself. */
-  private[graft] def kmvBuilder(children: Seq[Expression]): Expression = {
-    require(children.length == 2 && children(1).foldable,
-      "usage: kmv_distinct(hash_col, k) with literal k")
-    val k = children(1).eval() match {
+
+  /** Fold a literal argument to Int with a clean analysis-time error
+    * (never an executor NPE/ClassCastException). */
+  private def literalInt(e: Expression, usage: String): Int = {
+    require(e.foldable, usage)
+    e.eval() match {
       case n: java.lang.Byte    => n.intValue()
       case n: java.lang.Short   => n.intValue()
       case n: java.lang.Integer => n.intValue()
       case n: java.lang.Long if n.longValue() == n.intValue() => n.intValue()
-      case bad => throw new IllegalArgumentException(
-        s"usage: kmv_distinct(hash_col, k) with a non-null integral k; got $bad")
+      case bad => throw new IllegalArgumentException(s"$usage; got $bad")
     }
-    KmvDistinctAgg(children.head, k)
   }
+
+  private def arity(n: Int, usage: String)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => { require(children.length == n, usage); f(children) }
+
+  /** SQL builder for `kmv_distinct(hash_col, k)`. Returns the bare
+    * AggregateFunction: the analyzer wraps it in an AggregateExpression
+    * (and handles DISTINCT/FILTER) itself. */
+  private[graft] def kmvBuilder(children: Seq[Expression]): Expression =
+    arity(2, "usage: kmv_distinct(hash_col, k) with literal k") { c =>
+      KmvDistinctAgg(c.head,
+        literalInt(c(1), "usage: kmv_distinct(hash_col, k) with literal integral k"))
+    }(children)
+
+  /** The full native-function SQL surface: every Column-API kernel is
+    * also callable from `spark.sql` under these names. Constant-table
+    * expressions (minhash signatures, LSH planes) take their size
+    * parameters as literals and build the driver-side constants exactly
+    * as the Column API does, so SQL and Column results are identical. */
+  private[graft] val functionBuilders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("hash60", classOf[Hash60Expr].getName,
+      arity(1, "usage: hash60(text)")(c => Hash60Expr(c.head))),
+    ("kmv_distinct", classOf[KmvDistinctAgg].getName, kmvBuilder(_)),
+    ("tokenize", classOf[TokenizeExpr].getName,
+      arity(1, "usage: tokenize(text)")(c => TokenizeExpr(c.head))),
+    ("shingle_hashes", classOf[ShingleHashExpr].getName,
+      arity(2, "usage: shingle_hashes(tokens, n literal)") { c =>
+        ShingleHashExpr(c.head,
+          literalInt(c(1), "usage: shingle_hashes(tokens, n literal)"))
+      }),
+    ("dot_product", classOf[DotProductExpr].getName,
+      arity(2, "usage: dot_product(a, b)")(c => DotProductExpr(c(0), c(1)))),
+    ("simhash32", classOf[SimHashExpr].getName,
+      arity(1, "usage: simhash32(token_hashes)")(c => SimHashExpr(c.head))),
+    ("jaccard_sorted", classOf[JaccardExpr].getName,
+      arity(2, "usage: jaccard_sorted(a_sorted, b_sorted)")(
+        c => JaccardExpr(c(0), c(1)))),
+    ("minhash_sig", classOf[MinHashExpr].getName,
+      arity(2, "usage: minhash_sig(hashes, k literal)") { c =>
+        val k = literalInt(c(1), "usage: minhash_sig(hashes, k literal)")
+        val consts = (0 until k).map(TextFunctions.mixConsts)
+        MinHashExpr(c.head, consts.map(_._1).toArray, consts.map(_._2).toArray)
+      }),
+    ("lsh_bucket", classOf[PlaneBucketExpr].getName,
+      arity(3, "usage: lsh_bucket(vec, n_planes literal, dim literal)") { c =>
+        val u = "usage: lsh_bucket(vec, n_planes literal, dim literal)"
+        PlaneBucketExpr(c.head,
+          VectorFunctions.planeMatrix(literalInt(c(1), u), literalInt(c(2), u)))
+      }))
 }

@@ -346,13 +346,28 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.graftbridge.Bridge
     val installer = new graft.GraftExtensions
     val reg = Bridge.registeredFunctions(installer)
-    assert(reg.functionExists(FunctionIdentifier("hash60")))
-    assert(reg.functionExists(FunctionIdentifier("kmv_distinct")))
+    for (name <- Seq("hash60", "kmv_distinct", "tokenize", "shingle_hashes",
+      "dot_product", "simhash32", "jaccard_sorted", "minhash_sig", "lsh_bucket"))
+      assert(reg.functionExists(FunctionIdentifier(name)), name)
     val h = reg.lookupFunction(FunctionIdentifier("hash60"), Seq(Literal("x")))
     assert(h.isInstanceOf[graft.functions.Hash60Expr])
     val k = reg.lookupFunction(FunctionIdentifier("kmv_distinct"),
       Seq(Literal(1L), Literal(16)))
     assert(k.isInstanceOf[graft.functions.KmvDistinctAgg])
+    // Constant-table builders construct the same driver-side constants
+    // as the Column API (SQL ≡ Column results).
+    val mh = reg.lookupFunction(FunctionIdentifier("minhash_sig"),
+      Seq(Literal.create(Seq(1L), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)), Literal(4)))
+    val mhDirect = Bridge.expression(
+      graft.functions.MinHashExpr(org.apache.spark.sql.functions.col("hs"), 4))
+    assert(mh.asInstanceOf[graft.functions.MinHashExpr].a.toSeq ==
+      mhDirect.asInstanceOf[graft.functions.MinHashExpr].a.toSeq)
+    // A non-literal size parameter fails at analysis, not on executors.
+    intercept[IllegalArgumentException] {
+      reg.lookupFunction(FunctionIdentifier("shingle_hashes"),
+        Seq(Literal("x"), Literal("x")))
+    }
     val strategies = Bridge.plannerStrategies(spark, installer)
     assert(strategies.contains(org.apache.spark.sql.graftasof.AsOfJoinStrategy))
   }
