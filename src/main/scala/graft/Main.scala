@@ -16,7 +16,13 @@ import graft.sources.TextIO
   *   graft.Main wordcount   <in> <out> [--reducers N] [--overwrite] [--trace FILE]
   *   graft.Main sort        <in> <out> [--reducers N] [--overwrite] [--trace FILE]
   *   graft.Main insertindex <in> <out>               [--overwrite] [--trace FILE]
+  *   graft.Main query <name> <table-dir> <out>       [--overwrite] [--trace FILE]
   * }}}
+  *
+  * `query` runs any named engine query from [[SparkEntry.queries]]
+  * (the full relational + LLM-pipeline surface) against a table
+  * directory and writes the result as parquet — the switch-over path
+  * for a reference user driving the engine from a shell.
   *
   * `--reducers N` for sort reproduces the reference's two modes: N == 1
   * (its default) → total order; N > 1 → hash-partitioned sorted runs.
@@ -33,16 +39,26 @@ object Main {
 
   final case class Args(kernel: String, in: String, out: String,
                         reducers: Int = 1, overwrite: Boolean = false,
-                        trace: Option[String] = None)
+                        trace: Option[String] = None,
+                        query: Option[String] = None)
 
   def parse(argv: Array[String]): Either[String, Args] = {
     if (argv.length < 3)
       return Left("usage: graft.Main <wordcount|sort|insertindex> <in> <out> " +
+        "| query <name> <table-dir> <out> " +
         "[--reducers N] [--overwrite] [--trace FILE]")
     var a = Args(argv(0), argv(1), argv(2))
-    if (!Set("wordcount", "sort", "insertindex").contains(a.kernel))
-      return Left(s"unknown kernel: ${a.kernel}")
     var i = 3
+    if (a.kernel == "query") {
+      if (argv.length < 4) return Left("usage: graft.Main query <name> <table-dir> <out>")
+      val name = argv(1)
+      if (!SparkEntry.queries.contains(name))
+        return Left(s"unknown query: $name (available: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", ") + ")")
+      a = Args("query", argv(2), argv(3), query = Some(name))
+      i = 4
+    } else if (!Set("wordcount", "sort", "insertindex").contains(a.kernel))
+      return Left(s"unknown kernel: ${a.kernel}")
     while (i < argv.length) {
       argv(i) match {
         case "--reducers" if i + 1 < argv.length =>
@@ -68,7 +84,7 @@ object Main {
     val ctx = handle.map(_.ctx).getOrElse(TraceContext.create())
 
     def body(): Unit = {
-      val input = SlowInject.slowMap(TextIO.readLines(spark, a.in)).df
+      lazy val input = SlowInject.slowMap(TextIO.readLines(spark, a.in)).df
       a.kernel match {
         case "wordcount" =>
           val (counts, inObs, outObs) = WordCount.counted(input)
@@ -87,6 +103,13 @@ object Main {
           TextIO.writeTsv(index, a.out, a.overwrite)
           System.err.println(
             s"[graft] counters parse=${parseObs.get} reduce=${reduceObs.get}")
+        case "query" =>
+          // a.in is the table directory; release staged intermediates
+          // like Bench/Verify do.
+          try SparkEntry.queries(a.query.get)(spark, a.in).write
+            .mode(if (a.overwrite) "overwrite" else "errorifexists")
+            .parquet(a.out)
+          finally graft.queries.StagedCache.releaseAll()
       }
     }
 

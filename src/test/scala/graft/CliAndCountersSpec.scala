@@ -78,6 +78,20 @@ class CliAndCountersSpec extends AnyFunSuite with SparkSpec {
       overwrite = true)) == 0)
   }
 
+  test("CLI query: any named engine query runs table-dir to parquet") {
+    val dir = tmpDir()
+    val rc = Main.run(spark, Main.Args("query", "/root/testdata/sf0.001",
+      dir.resolve("out").toString, query = Some("q_topk")))
+    assert(rc == 0)
+    val got = spark.read.parquet(dir.resolve("out").toString)
+    assert(got.count() == 10)
+    // Parse path: positional name, unknown names rejected with the list.
+    val parsed = Main.parse(Array("query", "q_topk", "/t", "/o", "--overwrite"))
+    assert(parsed == Right(Main.Args("query", "/t", "/o",
+      overwrite = true, query = Some("q_topk"))))
+    assert(Main.parse(Array("query", "nope", "/t", "/o")).isLeft)
+  }
+
   test("CLI: bad args are rejected with the reference's arg contract") {
     assert(Main.parse(Array("wordcount", "in")).isLeft)
     assert(Main.parse(Array("nope", "in", "out")).isLeft)
