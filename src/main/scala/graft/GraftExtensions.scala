@@ -83,6 +83,11 @@ object GraftExtensions {
         val consts = (0 until k).map(TextFunctions.mixConsts)
         MinHashExpr(c.head, consts.map(_._1).toArray, consts.map(_._2).toArray)
       }),
+    ("heavy_hitters", classOf[SpaceSavingAgg].getName,
+      arity(3, "usage: heavy_hitters(term, capacity literal, k literal)") { c =>
+        val u = "usage: heavy_hitters(term, capacity literal, k literal)"
+        SpaceSavingAgg(c.head, literalInt(c(1), u), literalInt(c(2), u))
+      }),
     ("lsh_bucket", classOf[PlaneBucketExpr].getName,
       arity(3, "usage: lsh_bucket(vec, n_planes literal, dim literal)") { c =>
         val u = "usage: lsh_bucket(vec, n_planes literal, dim literal)"

@@ -210,6 +210,25 @@ object CorpusQueries extends QueryModule {
         .orderBy("source", "rnk")
     }),
 
+    // Heavy-hitters sketch: the bounded-state twin of exact top-k term
+    // counting (SpaceSaving TypedImperativeAggregate — ≤ capacity
+    // entries per partition and through the merge, where an exact
+    // top-k ships the whole term domain). Capacity 64 exceeds the
+    // corpus vocabulary, so no eviction happens and the estimates are
+    // exact with err = 0 — the regime the oracle mirrors with plain
+    // GROUP BY counts (same self-check structure as the KMV sketch);
+    // the eviction guarantees are asserted in SpaceSavingSpec.
+    "q_topk_sketch" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .agg(graft.functions.SpaceSavingAgg(col("word"), 64, 10).as("hh"))
+        .select(posexplode(col("hh")).as(Seq("i", "e")))
+        .select((col("i") + 1).cast("long").as("rnk"),
+          col("e.term").as("term"), col("e.est").as("est"),
+          col("e.err").as("err"))
+        .orderBy("rnk")),
+
     // BM25 retrieval scoring (Robertson/Sparck-Jones, the standard
     // Okapi form with k1=1.2, b=0.75): score every document against a
     // fixed query-term set and return the top 20 — the search primitive
@@ -354,6 +373,15 @@ object CorpusQueries extends QueryModule {
          |   (PARTITION BY source ORDER BY score DESC, word) AS rnk FROM scored)
          |SELECT source, word, tf, df, score, rnk FROM r WHERE rnk <= 5
          |ORDER BY source, rnk""".stripMargin.replace("\n", ""),
+
+    "q_topk_sketch" ->
+      s"""WITH w AS (SELECT unnest(${toks("text")}) AS word FROM documents),
+         | f AS (SELECT word FROM w WHERE len(word) > 0),
+         | c AS (SELECT word AS term, count(*)::BIGINT AS est FROM f GROUP BY word),
+         | r AS (SELECT term, est, 0::BIGINT AS err,
+         |   row_number() OVER (ORDER BY est DESC, term)::BIGINT AS rnk FROM c)
+         |SELECT rnk, term, est, err FROM r WHERE rnk <= 10
+         | ORDER BY rnk""".stripMargin.replace("\n", ""),
 
     "q_bm25" ->
       s"""WITH docs AS (SELECT doc_id, t, len(t)::BIGINT AS dl

@@ -347,7 +347,8 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     val installer = new graft.GraftExtensions
     val reg = Bridge.registeredFunctions(installer)
     for (name <- Seq("hash60", "kmv_distinct", "tokenize", "shingle_hashes",
-      "dot_product", "simhash32", "jaccard_sorted", "minhash_sig", "lsh_bucket"))
+      "dot_product", "simhash32", "jaccard_sorted", "minhash_sig", "lsh_bucket",
+      "heavy_hitters"))
       assert(reg.functionExists(FunctionIdentifier(name)), name)
     val h = reg.lookupFunction(FunctionIdentifier("hash60"), Seq(Literal("x")))
     assert(h.isInstanceOf[graft.functions.Hash60Expr])

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SpaceSavingAgg
+
+/** SpaceSaving heavy-hitters: exact in the no-eviction regime (the
+  * oracle-checked q_topk_sketch path), guarantee-bounded under
+  * eviction, and correct through multi-partition merges. */
+class SpaceSavingSpec extends AnyFunSuite with SparkSpec {
+
+  private def trueCounts(terms: Seq[String]): Map[String, Long] =
+    terms.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("capacity above cardinality: exact counts, zero error, any partitioning") {
+    val s = spark
+    import s.implicits._
+    val terms = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(10)("c") ++
+      (1 to 20).map(i => s"t$i")
+    val out = terms.toDF("w").repartition(7)
+      .agg(SpaceSavingAgg(col("w"), 64, 5).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.est"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = trueCounts(terms)
+    assert(out.length == 5)
+    assert(out(0) == ("a", 40L, 0L) && out(1) == ("b", 25L, 0L) &&
+      out(2) == ("c", 10L, 0L))
+    out.foreach { case (t, est, err) => assert(err == 0L && est == want(t)) }
+  }
+
+  test("under eviction: est >= true >= est - err, heavy keys retained") {
+    val s = spark
+    import s.implicits._
+    // 250 observations, 102 distinct terms, capacity 8: any term with
+    // true count > 250/8 ≈ 31 is guaranteed retained.
+    val terms = Seq.fill(100)("heavy") ++ Seq.fill(50)("warm") ++
+      (1 to 100).map(i => s"noise$i")
+    val want = trueCounts(terms)
+    val out = terms.toDF("w").repartition(5)
+      .agg(SpaceSavingAgg(col("w"), 8, 8).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.est"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.length <= 8)
+    out.foreach { case (t, est, err) =>
+      val truth = want.getOrElse(t, 0L)
+      assert(est >= truth, s"$t: est $est < true $truth")
+      assert(est - err <= truth, s"$t: lower bound ${est - err} > true $truth")
+    }
+    // The guaranteed heavy key leads the summary.
+    assert(out(0)._1 == "heavy" && out(0)._2 >= 100L)
+    assert(out.map(_._1).contains("warm"))
+  }
+}
