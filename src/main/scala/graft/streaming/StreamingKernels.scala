@@ -92,6 +92,40 @@ object StreamingKernels {
       }
   }
 
+  /** Streaming heavy hitters: per-group top terms with
+    * SpaceSaving-BOUNDED state ([[graft.functions.SpaceSavingBuffer]] —
+    * the same summary the batch `heavy_hitters` aggregate keeps), ≤
+    * `capacity` (term, est, err) entries per group key no matter how
+    * many distinct terms stream through. Each micro-batch folds its
+    * rows into the summary and emits the current top `k` — the
+    * unbounded-cardinality-safe form of a streaming
+    * `groupBy(term).count().orderBy(desc)` whose state would otherwise
+    * grow with the term domain. Update-mode output; the exact regime
+    * (capacity ≥ distinct terms) matches batch counts exactly, same as
+    * the oracle-checked q_topk_sketch. */
+  def streamingHeavyHitters(
+      events: org.apache.spark.sql.Dataset[(String, String)], // (group, term)
+      capacity: Int, k: Int)
+      : org.apache.spark.sql.Dataset[(String, String, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, (Long, Long)],
+        (String, String, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (group, rows, state) =>
+          val buf = new graft.functions.SpaceSavingBuffer(capacity)
+          state.getOption.foreach(_.foreach { case (t, ce) =>
+            buf.entries.put(t, ce)
+          })
+          rows.foreach(r => buf.offer(r._2))
+          state.update(buf.entries.toMap)
+          buf.entries.toSeq.sortBy { case (t, (c, e)) => (-c, e, t) }
+            .take(k).iterator
+            .map { case (t, (c, e)) => (group, t, c, e) }
+      }
+  }
+
   /** Custom sessionization with EVENT-time expiry: per-user state
     * (count, last event time) whose timeout is the session gap past the
     * last event in EVENT time — the watermark closes sessions, so late

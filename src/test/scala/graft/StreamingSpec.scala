@@ -134,6 +134,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: bounded state, exact in the no-eviction regime") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, String)]
+    val q = StreamingKernels.streamingHeavyHitters(source.toDS(),
+        capacity = 8, k = 3)
+      .toDF("grp", "term", "est", "err")
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("update").start()
+    try {
+      source.addData(("g", "a"), ("g", "a"), ("g", "b"), ("g", "c"))
+      q.processAllAvailable()
+      source.addData(("g", "a"), ("g", "b"), ("g", "b"), ("g", "b"))
+      q.processAllAvailable()
+      // State carried across batches; capacity 8 > 3 distinct terms, so
+      // counts are exact with zero error: a=3, b=4, c=1.
+      val rows = spark.table("hh_stream").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      val latest = rows.groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).max }
+      assert(latest == Map("a" -> 3L, "b" -> 4L, "c" -> 1L))
+      assert(rows.forall(_._3 == 0L))
+    } finally q.stop()
+  }
+
   test("event-time custom sessionization closes sessions at the watermark") {
     val s = spark
     import s.implicits._
