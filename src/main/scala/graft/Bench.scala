@@ -102,7 +102,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timings.values.map(_._1).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"failed":$fs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"failed":$fs,"sf":"$sfDir"}"""
+    println(json)
+    // Self-emitted artifact: the driver captures only the tail of sbt
+    // output, which has truncated per-query numbers two rounds running
+    // (24 of 81 queries unrecoverable from BENCH_r05.json). Writing the
+    // complete line to a file makes every per-query median+spread
+    // independently verifiable regardless of how stdout is captured.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -3,8 +3,6 @@ package graft.functions
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -79,7 +77,7 @@ case class SpaceSavingAgg(
   }
 
   override def eval(buffer: SpaceSavingBuffer): Any = {
-    val top = buffer.entries.toSeq
+    val top = buffer.toSeq
       .sortBy { case (t, (c, e)) => (-c, e, t) }
       .take(outK)
       .map { case (t, (c, e)) =>
@@ -89,7 +87,7 @@ case class SpaceSavingAgg(
   }
 
   override def serialize(buffer: SpaceSavingBuffer): Array[Byte] = {
-    val items = buffer.entries.toSeq.map { case (t, (c, e)) =>
+    val items = buffer.toSeq.map { case (t, (c, e)) =>
       (t.getBytes(StandardCharsets.UTF_8), c, e)
     }
     val bb = ByteBuffer.allocate(4 + items.map(_._1.length + 20).sum)
@@ -103,14 +101,16 @@ case class SpaceSavingAgg(
   override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new SpaceSavingBuffer(capacity)
+    val items = Seq.newBuilder[(String, (Long, Long))]
     var i = 0
     while (i < n) {
       val len = bb.getInt
       val b = new Array[Byte](len); bb.get(b)
-      buf.entries.put(new String(b, StandardCharsets.UTF_8), (bb.getLong, bb.getLong))
+      items += ((new String(b, StandardCharsets.UTF_8), (bb.getLong, bb.getLong)))
       i += 1
     }
+    val buf = new SpaceSavingBuffer(capacity)
+    buf.load(items.result())
     buf
   }
 
@@ -122,39 +122,156 @@ case class SpaceSavingAgg(
     copy(child = newChild)
 }
 
-/** Bounded (term → (count, err)) summary. */
+/** Bounded (term → (count, err)) summary, held in the Stream-Summary
+  * structure of the original SpaceSaving paper: a doubly-linked list of
+  * count-buckets in ascending count order, each holding the FIFO list
+  * of its entries. Every `offer` is O(1) — an increment moves a node to
+  * the adjacent bucket, an eviction pops the stalest node of the min
+  * bucket — where the previous map-only layout paid an O(capacity)
+  * min-scan per post-saturation insert (O(rows × capacity) worst case
+  * on high-cardinality streams; measurable at production capacities of
+  * 4–64k even though invisible at the tested 64). */
 final class SpaceSavingBuffer(val capacity: Int) {
-  val entries: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
 
-  /** One observation of `term`. Eviction picks a deterministic victim
-    * under count ties (largest err, then smallest term) so identical
-    * buffers evolve identically. */
-  def offer(term: String): Unit = entries.get(term) match {
-    case Some((c, e)) => entries.update(term, (c + 1, e))
-    case None if entries.size < capacity => entries.update(term, (1L, 0L))
-    case None =>
-      val (victim, (vc, _)) = entries.minBy { case (t, (c, e)) => (c, -e, t) }
-      entries.remove(victim)
-      entries.update(term, (vc + 1, vc))
+  private final class Node(val term: String, var count: Long, var err: Long) {
+    var bucket: Bucket = _
+    var prev: Node = _ // toward bucket head (most recently placed)
+    var next: Node = _ // toward bucket tail (stalest; evicted first)
+  }
+
+  private final class Bucket(val count: Long) {
+    var prevB: Bucket = _ // lower-count neighbor
+    var nextB: Bucket = _ // higher-count neighbor
+    var head: Node = _
+    var tail: Node = _
+  }
+
+  private val map = new java.util.HashMap[String, Node]()
+  private var minB: Bucket = _ // lowest-count bucket; null iff empty
+
+  def size: Int = map.size
+
+  /** O(1) smallest retained count (0 when empty). */
+  def minCount: Long = if (minB == null) 0L else minB.count
+
+  def toSeq: Seq[(String, (Long, Long))] = {
+    val out = Seq.newBuilder[(String, (Long, Long))]
+    var b = minB
+    while (b != null) {
+      var n = b.head
+      while (n != null) { out += ((n.term, (n.count, n.err))); n = n.next }
+      b = b.nextB
+    }
+    out.result()
+  }
+
+  def get(term: String): Option[(Long, Long)] =
+    Option(map.get(term)).map(n => (n.count, n.err))
+
+  private def attach(n: Node, b: Bucket): Unit = {
+    n.bucket = b; n.prev = null; n.next = b.head
+    if (b.head != null) b.head.prev = n else b.tail = n
+    b.head = n
+  }
+
+  /** Unlink `n` from its bucket; an emptied bucket leaves the bucket
+    * list (callers capture its neighbors first when they need them). */
+  private def detach(n: Node): Unit = {
+    val b = n.bucket
+    if (n.prev != null) n.prev.next = n.next else b.head = n.next
+    if (n.next != null) n.next.prev = n.prev else b.tail = n.prev
+    if (b.head == null) {
+      if (b.prevB != null) b.prevB.nextB = b.nextB else minB = b.nextB
+      if (b.nextB != null) b.nextB.prevB = b.prevB
+    }
+    n.bucket = null; n.prev = null; n.next = null
+  }
+
+  /** New bucket of `count` spliced between `lo` and `hi` (either may be
+    * null: lo == null → new minimum). */
+  private def spliceBucket(count: Long, lo: Bucket, hi: Bucket): Bucket = {
+    val b = new Bucket(count)
+    b.prevB = lo; b.nextB = hi
+    if (lo != null) lo.nextB = b else minB = b
+    if (hi != null) hi.prevB = b
+    b
+  }
+
+  /** Place a node with an arbitrary (count, err) — used by increments
+    * (target is an adjacent bucket) and rebuilds. `from` is a bucket
+    * known to be ≤ target (or null to scan from the minimum). */
+  private def place(n: Node, from: Bucket): Unit = {
+    var lo: Bucket = null
+    var cur = if (from != null) from else minB
+    while (cur != null && cur.count < n.count) { lo = cur; cur = cur.nextB }
+    val target =
+      if (cur != null && cur.count == n.count) cur
+      else spliceBucket(n.count, lo, cur)
+    attach(n, target)
+  }
+
+  /** One observation of `term`, O(1). The eviction victim is the
+    * stalest entry of the minimum-count bucket (FIFO within bucket) —
+    * deterministic: identical buffers fed identical sequences evolve
+    * identically. */
+  def offer(term: String): Unit = {
+    val existing = map.get(term)
+    if (existing != null) {
+      // Move to the count+1 bucket. Capture neighbors before detach:
+      // the old bucket may empty and unlink itself.
+      val b = existing.bucket
+      val lo = b.prevB
+      val hadSiblings = (b.head ne b.tail)
+      val hi = b.nextB
+      detach(existing)
+      existing.count += 1
+      val anchor = if (hadSiblings) b else lo
+      if (hi != null && hi.count == existing.count) attach(existing, hi)
+      else if (anchor != null) place(existing, anchor)
+      else place(existing, null)
+    } else if (map.size < capacity) {
+      val n = new Node(term, 1L, 0L)
+      map.put(term, n)
+      if (minB != null && minB.count == 1L) attach(n, minB)
+      else attach(n, spliceBucket(1L, null, minB))
+    } else {
+      val victim = minB.tail
+      val vc = victim.count
+      detach(victim)
+      map.remove(victim.term)
+      val n = new Node(term, vc + 1, vc)
+      map.put(term, n)
+      place(n, null)
+    }
+  }
+
+  /** Discard current contents and bulk-load `items` (rebuilds the
+    * bucket list in one ascending pass). */
+  def load(items: Seq[(String, (Long, Long))]): Unit = {
+    map.clear(); minB = null
+    var tailB: Bucket = null
+    items.sortBy(_._2._1).foreach { case (t, (c, e)) =>
+      val n = new Node(t, c, e)
+      map.put(t, n)
+      if (tailB == null || tailB.count != c) tailB = spliceBucket(c, tailB, null)
+      attach(n, tailB)
+    }
   }
 
   /** Mergeable-summaries rule: an absent key on one side assumes that
     * side's minimum count (its maximum possible unseen count) as both
     * count and error contribution; then truncate back to capacity. */
   def mergeIn(other: SpaceSavingBuffer): Unit = {
-    val minSelf = if (entries.size < capacity) 0L
-      else entries.valuesIterator.map(_._1).min
-    val minOther = if (other.entries.size < other.capacity) 0L
-      else other.entries.valuesIterator.map(_._1).min
-    val keys = entries.keySet ++ other.entries.keySet
-    val merged = keys.toSeq.map { k =>
-      val (ca, ea) = entries.getOrElse(k, (minSelf, minSelf))
-      val (cb, eb) = other.entries.getOrElse(k, (minOther, minOther))
+    val self = toSeq.toMap
+    val that = other.toSeq.toMap
+    val minSelf = if (self.size < capacity) 0L else minCount
+    val minOther = if (that.size < other.capacity) 0L else other.minCount
+    val merged = (self.keySet ++ that.keySet).toSeq.map { k =>
+      val (ca, ea) = self.getOrElse(k, (minSelf, minSelf))
+      val (cb, eb) = that.getOrElse(k, (minOther, minOther))
       k -> (ca + cb, ea + eb)
     }
-    entries.clear()
-    merged.sortBy { case (t, (c, e)) => (-c, e, t) }.take(capacity)
-      .foreach { case (k, v) => entries.put(k, v) }
+    load(merged.sortBy { case (t, (c, e)) => (-c, e, t) }.take(capacity))
   }
 }
 

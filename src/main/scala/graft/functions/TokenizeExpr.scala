@@ -67,8 +67,48 @@ object TokenizeExpr {
 }
 
 object TokenizeImpl {
+
+  /** Dispatch: an ASCII-only input (the overwhelmingly common case in
+    * the target corpora) is tokenized directly over the UTF8String's
+    * bytes \u2014 no java.lang.String, no StringBuilder, no per-char
+    * decoding \u2014 and only inputs containing a non-ASCII byte take the
+    * String path (whose case analysis needs code points: U+212A /
+    * U+0130 handling). For ASCII the two paths are byte-identical:
+    * every ASCII byte is one code point, lowercase is `+32`, and both
+    * collapse boundary runs and trim ends the same way. */
   def tokenize(s: UTF8String): ArrayData = {
-    val str = s.toString
+    val nb = s.numBytes
+    var i = 0
+    while (i < nb) {
+      if ((s.getByte(i) & 0x80) != 0) return tokenizeGeneric(s.toString)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    var buf = new Array[Byte](16)
+    var len = 0
+    i = 0
+    while (i < nb) {
+      val b = s.getByte(i)
+      val emit: Int =
+        if (b >= 'A' && b <= 'Z') b + 32
+        else if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) b
+        else -1
+      if (emit >= 0) {
+        if (len == buf.length) buf = java.util.Arrays.copyOf(buf, len * 2)
+        buf(len) = emit.toByte
+        len += 1
+      } else if (len > 0) {
+        out += UTF8String.fromBytes(java.util.Arrays.copyOf(buf, len))
+        len = 0
+      }
+      i += 1
+    }
+    if (len > 0) out += UTF8String.fromBytes(java.util.Arrays.copyOf(buf, len))
+    if (out.isEmpty) out += UTF8String.EMPTY_UTF8
+    new GenericArrayData(out.toArray)
+  }
+
+  private def tokenizeGeneric(str: String): ArrayData = {
     val n = str.length
     val out = new scala.collection.mutable.ArrayBuffer[Any](8)
     val sb = new java.lang.StringBuilder(16)

@@ -15,12 +15,15 @@ import org.apache.spark.sql.types._
   *    column-separated from the metadata, so `WHERE meta.width > 512`
   *    prunes pages without touching a single media byte (filter pushdown
   *    on the struct fields; verify with `.explain` → PushedFilters).
-  *  - **Batched decode.** [[extractFeatures]] is a `mapPartitions` pass:
-  *    per-partition codec initialization amortized over the batch — the
-  *    Scala twin of a Pandas UDF over `mapInPandas` on PySpark (same
-  *    batch shape, same schema contract). THE DECODE ITSELF IS A STUB:
-  *    no image/audio codecs ship in this container, so a deterministic
-  *    byte-histogram stands in for "decode + embed"; swapping in a real
+  *  - **Batched decode.** [[extractFeatures]] and [[decodeImages]] are
+  *    `mapPartitions` passes: per-partition codec initialization
+  *    amortized over the batch — the Scala twin of a Pandas UDF over
+  *    `mapInPandas` on PySpark (same batch shape, same schema
+  *    contract). IMAGE DECODE IS REAL ([[ImageCodec]], JDK ImageIO —
+  *    PNG encode on the fixture side, pixel-exact decode on the query
+  *    side, oracle-checked in `q_image_decode`). Audio/video codecs
+  *    genuinely don't ship in this container, so their feature path
+  *    keeps the deterministic byte-histogram [[MediaCodec]]; a real
   *    codec changes only the body of [[MediaCodec.features]].
   *  - **Never collect blobs.** All media paths are executor-side; the
   *    driver only ever sees metadata.
@@ -136,6 +139,102 @@ object Multimodal {
           col("meta.duration_ms").as("duration_ms"),
           col("meta.format").as("format"))).otherwise(col("meta")))
       .drop("_rlen")
+  }
+
+  /** REAL image codec — JDK `javax.imageio` (PNG ships in every JDK, so
+    * no new dependency): encode on the fixture side, decode on the
+    * query side. Retires the round-3/4 "no codecs in this container"
+    * justification for stubbing image decode — the byte-histogram
+    * [[MediaCodec]] remains only as the generic featurizer for
+    * modalities whose codecs genuinely are absent (audio/video). */
+  object ImageCodec {
+
+    /** Deterministic tiny RGB PNG: solid fill (r,g,b) with the (0,0)
+      * corner offset by +128 per channel — the corner forces a decoder
+      * to read actual pixels (a metadata passthrough or a solid-color
+      * shortcut gets the per-pixel sums wrong). Real ImageIO encode;
+      * PNG is lossless so decode recovers every pixel exactly,
+      * regardless of encoder byte-layout differences across JDKs. */
+    def encodePng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val fill = (r << 16) | (g << 8) | b
+      val corner = (((r + 128) % 256) << 16) | (((g + 128) % 256) << 8) | ((b + 128) % 256)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, if (x == 0 && y == 0) corner else fill); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream(256)
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode + per-channel pixel sums. Null for undecodable bytes. */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+      if (bytes == null) return None
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      Some((img.getWidth, img.getHeight, sr, sg, sb))
+    }
+  }
+
+  /** Image-table fixture: one REAL PNG per document, dimensions and
+    * fill colors planted as pure doc_id arithmetic (mirrored by the
+    * DuckDB oracle), encoded executor-side in a batched partition pass
+    * — the driver never sees a blob. */
+  def imagesFromDocuments(docs: DataFrame): DataFrame = {
+    val in = docs.select(col("doc_id").cast("long"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("png", BinaryType),
+      StructField("meta", metaType)))
+    in.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val w = (id % 5 + 1).toInt
+        val h = (id % 3 + 1).toInt
+        val r = ((id * 37) % 256).toInt
+        val g = ((id * 59) % 256).toInt
+        val b = ((id * 83) % 256).toInt
+        Row(id, ImageCodec.encodePng(w, h, r, g, b), Row(w, h, null, null, "png"))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Batched real decode: adds decoded dimensions and per-channel pixel
+    * sums (exact longs — PNG is lossless) to each row. Same batch shape
+    * as [[extractFeatures]]; per-partition reader initialization is
+    * where a heavier codec would amortize. */
+  def decodeImages(df: DataFrame, bytesCol: String = "png"): DataFrame = {
+    val outSchema = df.schema
+      .add("width_dec", IntegerType).add("height_dec", IntegerType)
+      .add("sum_r", LongType).add("sum_g", LongType).add("sum_b", LongType)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        // Boxed explicitly: a bare Seq(w, h, sr, …) would widen the Ints
+        // to Long by weak conformance and break the row encoder.
+        val extra: Seq[Any] = ImageCodec.decode(row.getAs[Array[Byte]](idx)) match {
+          case Some((w, h, sr, sg, sb)) =>
+            Seq[Any](Int.box(w), Int.box(h), Long.box(sr), Long.box(sg), Long.box(sb))
+          case None => Seq(null, null, null, null, null)
+        }
+        Row.fromSeq(row.toSeq ++ extra)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Frame sampling stub: explode a video blob into `n` frame blobs

@@ -102,10 +102,17 @@ object ConnectedComponents {
       // delivering observed metrics (an internal-wiring property, not a
       // contract), fall back to the explicit count rather than hanging
       // on a blocking get() or mis-reporting convergence.
+      // NonFatal, not just TimeoutException: a SparkException delivered
+      // through the metrics future must also take the fallback path, and an
+      // interrupt falls back too after restoring the thread's interrupt
+      // status (NonFatal deliberately excludes InterruptedException).
       val changed: Long = (try {
         Option(scala.concurrent.Await.result(obs.future,
           scala.concurrent.duration.Duration(30, "s")).getAs[Any]("changed"))
-      } catch { case _: java.util.concurrent.TimeoutException => None }) match {
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+        case _: InterruptedException => Thread.currentThread().interrupt(); None
+      }) match {
         case Some(n: java.lang.Long) => n.longValue()
         case _ => next
           .join(labels.withColumnRenamed("cluster_id", "prev"), "node_id")

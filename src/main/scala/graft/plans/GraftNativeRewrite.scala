@@ -55,6 +55,16 @@ import graft.functions.{DotProductExpr, Hash60Expr, TokenizeExpr}
   */
 object GraftNativeRewrite extends Rule[LogicalPlan] {
 
+  /** Kill switch (default on). Deployments that cannot guarantee a shared
+    * driver/executor locale family — the soundness premise of the
+    * tokenizer rewrite, see [[rootLikeLocale]] — set this to `false` per
+    * session; the md5-hash and dot-product rewrites are locale-independent
+    * but share the switch for operational simplicity. */
+  val EnabledKey = "spark.graft.nativeRewrite.enabled"
+
+  private def enabled: Boolean =
+    conf.getConfString(EnabledKey, "true").toBoolean
+
   /** The engine's documented normalize chain:
     * `trim(regexp_replace(regexp_replace(lower(x), "[^a-z0-9 ]", " "),
     * " +", " "))` — matched by its exact regex literals, so nothing
@@ -78,7 +88,18 @@ object GraftNativeRewrite extends Rule[LogicalPlan] {
     * Turkish/Azerbaijani default locale ASCII `I` maps to dotless `ı`
     * (a boundary) — a divergence [[TokenizeExpr]] does not reproduce.
     * Everywhere else the two are value-identical (the case analysis on
-    * [[TokenizeExpr]]). */
+    * [[TokenizeExpr]]).
+    *
+    * DRIVER-LOCALE ASSUMPTION: this predicate reads the default locale of
+    * the JVM running the optimizer (the driver), while the legacy `lower`
+    * it licenses replacing executes under each EXECUTOR's default locale.
+    * The rewrite is therefore only sound when driver and executors share a
+    * locale family — true in local mode and in any sanely-provisioned
+    * cluster (mixed-locale executor fleets already produce
+    * nondeterministic `lower()` results with or without this rule, since
+    * the same row may be mapped by different executors across retries).
+    * Deployments that cannot guarantee this disable the rule via
+    * [[EnabledKey]]. */
   private def rootLikeLocale: Boolean = {
     val lang = java.util.Locale.getDefault.getLanguage
     lang != "tr" && lang != "az"
@@ -105,7 +126,7 @@ object GraftNativeRewrite extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
+    if (!enabled) plan else plan.transformAllExpressions {
 
       // The md5() API wraps its string argument in a cast to binary;
       // Hash60Expr takes the string itself (same UTF-8 bytes), so the

@@ -64,6 +64,25 @@ object MultimodalQueries extends QueryModule {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // REAL image decode (JDK ImageIO): the fixture encodes one genuine
+    // tiny PNG per document (dimensions + fill colors planted as doc_id
+    // arithmetic), the query decodes the PNG BYTES ALONE — meta is
+    // dropped before the decode pass, so the decoded dimensions and
+    // per-channel pixel sums can only come from actually parsing the
+    // image — and the oracle recomputes the planted values in DuckDB.
+    // The (0,0) corner pixel is offset +128 per channel: a decoder that
+    // shortcuts per-pixel reads gets the sums wrong.
+    "q_image_decode" -> ((s, d) => {
+      val imgs = Multimodal.imagesFromDocuments(Tables.documents(s, d))
+        .select(col("media_id"), col("png")) // provably no meta passthrough
+      Multimodal.decodeImages(imgs)
+        .select(col("media_id"),
+          col("width_dec").cast("long").as("width_dec"),
+          col("height_dec").cast("long").as("height_dec"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    }),
+
     "q_multimodal_features" -> ((s, d) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
       // Exact count of bytes in histogram bin i, recovered from the
@@ -86,6 +105,22 @@ object MultimodalQueries extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    // Planted-value mirror of the real PNG round-trip: w∈1..5, h∈1..3,
+    // fill channel c = (doc_id * k) % 256 for k ∈ {37, 59, 83}, corner
+    // pixel offset +128 (mod 256) per channel, so
+    // sum_c = (w*h − 1) * c + (c + 128) % 256.
+    "q_image_decode" ->
+      """WITH p AS (SELECT doc_id,
+        |   (doc_id % 5 + 1)::BIGINT AS w, (doc_id % 3 + 1)::BIGINT AS h,
+        |   (doc_id * 37) % 256 AS r, (doc_id * 59) % 256 AS g,
+        |   (doc_id * 83) % 256 AS b
+        |  FROM documents)
+        |SELECT doc_id AS media_id, w AS width_dec, h AS height_dec,
+        |  ((w * h - 1) * r + (r + 128) % 256)::BIGINT AS sum_r,
+        |  ((w * h - 1) * g + (g + 128) % 256)::BIGINT AS sum_g,
+        |  ((w * h - 1) * b + (b + 128) % 256)::BIGINT AS sum_b
+        | FROM p ORDER BY media_id""".stripMargin.replace("\n", ""),
+
     "q_multimodal_frames" ->
       """WITH v AS (SELECT doc_id AS media_id, text, strlen(text)::BIGINT AS len
         |   FROM documents WHERE doc_id % 3 = 2),

@@ -38,11 +38,15 @@ object ParityQueries extends QueryModule {
       InvertedIndex.saltedPostings(toks, col("word"), col("doc_id"))
     }),
 
-    // P4-P5 end-to-end through the reference line-format parser: build
-    // `word \t docId` lines from documents, inject malformed rows
-    // (tab-less / whitespace-only), and index what survives. The oracle
-    // states the SEMANTICS (malformed rows excluded) rather than
-    // mirroring the parse, so a parser that leaked bad rows would fail.
+    // P4-P5 end-to-end through the reference's NATIVE on-disk format:
+    // build `word \t docId` lines from documents (with injected
+    // malformed rows — tab-less / whitespace-only), write them through
+    // the TSV line sink, then read them back via the [[graft.sources.TsvPairSource]]
+    // DataSourceV2 — a first-class (word, doc_id) table with column
+    // pruning and the malformed-line count as a scan metric — and index
+    // what survives. The oracle states the SEMANTICS (malformed rows
+    // excluded) rather than mirroring the parse, so a source that
+    // leaked bad rows would fail.
     "q_parse_pairs_index" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val firstTok = element_at(graft.functions.TextFunctions.tokens(col("text")), 1)
@@ -51,7 +55,26 @@ object ParityQueries extends QueryModule {
           .when(col("doc_id") % 10 === 1, lit("   "))
           .otherwise(concat(firstTok, lit("\t"), concat(lit("doc"), col("doc_id"))))
           .as("value"))
-      InvertedIndex(InvertedIndex.parsePairs(lines))
+      val out = s"${sys.props("java.io.tmpdir")}/graft_tsv_${new java.io.File(d).getName}/pairs"
+      lines.write.mode("overwrite").text(out)
+      InvertedIndex(s.read.format("tsvpair").load(out))
+    }),
+
+    // S4/S5 at 100 TB: partitioned-dataset sink + partition-pruned scan
+    // — the first thing a large table hits in production (write once
+    // partitioned by lang; every downstream job reads only its
+    // partition's directories, a metadata decision that never opens the
+    // other partitions' files). The query round-trips the WHOLE path:
+    // partitioned write, pruned read (PlanAuditSpec pins the predicate
+    // as a PartitionFilter, not a data filter), oracle-checked values.
+    "q_partition_prune" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_part_${new java.io.File(d).getName}/docs"
+      Tables.documents(s, d)
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     }),
 
     // O2: hash-partitioned sorted runs (reference `--reducers N>1`).
@@ -94,6 +117,9 @@ object ParityQueries extends QueryModule {
     "q_sorted_runs" ->
       s"""SELECT doc_id, text, ${OracleSql.hash60("text")} % 4 AS run_id
          | FROM documents ORDER BY run_id, text, doc_id"""
-        .stripMargin.replace("\n", "")
+        .stripMargin.replace("\n", ""),
+    "q_partition_prune" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        | WHERE lang = 'en' ORDER BY doc_id""".stripMargin.replace("\n", "")
   )
 }

@@ -115,12 +115,11 @@ object StreamingKernels {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (group, rows, state) =>
           val buf = new graft.functions.SpaceSavingBuffer(capacity)
-          state.getOption.foreach(_.foreach { case (t, ce) =>
-            buf.entries.put(t, ce)
-          })
+          state.getOption.foreach(m => buf.load(m.toSeq))
           rows.foreach(r => buf.offer(r._2))
-          state.update(buf.entries.toMap)
-          buf.entries.toSeq.sortBy { case (t, (c, e)) => (-c, e, t) }
+          val snapshot = buf.toSeq
+          state.update(snapshot.toMap)
+          snapshot.sortBy { case (t, (c, e)) => (-c, e, t) }
             .take(k).iterator
             .map { case (t, (c, e)) => (group, t, c, e) }
       }

@@ -112,4 +112,39 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(r.getStruct(r.fieldIndex("meta")).getAs[Int]("width") == 64)
     assert(r.getAs[Array[Byte]]("bytes").length == 5) // 11/2 = 5
   }
+
+  test("ImageCodec: real PNG encode → decode recovers every planted pixel") {
+    import Multimodal.ImageCodec
+    // Corner-offset fill: decode must read actual pixels, not metadata.
+    val bytes = ImageCodec.encodePng(4, 3, 10, 200, 255)
+    // A real PNG container, not our arithmetic: magic bytes.
+    assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    val Some((w, h, sr, sg, sb)) = ImageCodec.decode(bytes)
+    assert(w == 4 && h == 3)
+    assert(sr == 11L * 10 + (10 + 128) % 256)
+    assert(sg == 11L * 200 + (200 + 128) % 256)
+    assert(sb == 11L * 255 + (255 + 128) % 256)
+    // 1×1: the lone pixel IS the corner.
+    assert(ImageCodec.decode(ImageCodec.encodePng(1, 1, 7, 8, 9))
+      .contains((1, 1, 135L, 136L, 137L)))
+    // Undecodable bytes are None, not a task failure.
+    assert(ImageCodec.decode("not a png".getBytes("UTF-8")).isEmpty)
+    assert(ImageCodec.decode(null).isEmpty)
+  }
+
+  test("decodeImages: distributed round-trip matches planted doc_id arithmetic") {
+    val imgs = Multimodal.imagesFromDocuments(docs())
+      .select(col("media_id"), col("png")) // no meta available to cheat from
+      .repartition(3)
+    val out = Multimodal.decodeImages(imgs).orderBy("media_id").collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      val id = r.getLong(r.fieldIndex("media_id"))
+      val (w, h) = ((id % 5 + 1).toInt, (id % 3 + 1).toInt)
+      val rr = (id * 37) % 256
+      assert(r.getInt(r.fieldIndex("width_dec")) == w)
+      assert(r.getInt(r.fieldIndex("height_dec")) == h)
+      assert(r.getLong(r.fieldIndex("sum_r")) == (w * h - 1) * rr + (rr + 128) % 256)
+    }
+  }
 }

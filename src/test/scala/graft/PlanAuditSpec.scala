@@ -171,6 +171,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(rawPlan.contains("BroadcastExchange"), "SkewGuard size table not broadcast")
   }
 
+  test("q_partition_prune: the lang predicate is a partition filter, not a data filter") {
+    // The query both writes the partitioned dataset and reads it back,
+    // so materialize the executed plan of the read side.
+    val df = SparkEntry.queries("q_partition_prune")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang predicate not pruning partitions:\n$plan")
+    // The data/pushed filters must NOT re-check lang: pruning is a
+    // metadata decision, and filtering rows for it would mean
+    // partitions were opened after all. (Extract the bracket contents —
+    // the FileScan line also carries the PartitionFilters, which DO
+    // name lang.)
+    for (kind <- Seq("DataFilters", "PushedFilters")) {
+      val insides = s"$kind: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(insides.nonEmpty, s"$kind not found in:\n$plan")
+      assert(insides.forall(!_.contains("lang")),
+        s"lang leaked into $kind: $insides")
+    }
+  }
+
   test("LSH/dedup-family staged tables are cached once and read at every consumer") {
     // Round-3 finding: cappedBuckets was recomputed per consumer. Both
     // self-join sides (and SkewGuard's size aggregation + join input

@@ -125,4 +125,20 @@ class RewriteRuleSpec extends AnyFunSuite with SparkSpec {
     val plan = rewrite(df)
     assert(!has(plan, _.isInstanceOf[DotProductExpr]))
   }
+
+  test("the session kill switch disables every rewrite") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("A1 b2!").toDF("t").repartition(2)
+      .select(TextFunctions.hash60Legacy(col("t")).as("h"),
+        TextFunctions.tokensLegacy(col("t")).as("toks"))
+    spark.conf.set(GraftNativeRewrite.EnabledKey, "false")
+    try {
+      val off = rewrite(df)
+      assert(!has(off, _.isInstanceOf[Hash60Expr]))
+      assert(!has(off, _.isInstanceOf[graft.functions.TokenizeExpr]))
+    } finally spark.conf.unset(GraftNativeRewrite.EnabledKey)
+    // and back on by default
+    assert(has(rewrite(df), _.isInstanceOf[Hash60Expr]))
+  }
 }

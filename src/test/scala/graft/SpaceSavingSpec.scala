@@ -53,4 +53,27 @@ class SpaceSavingSpec extends AnyFunSuite with SparkSpec {
     assert(out(0)._1 == "heavy" && out(0)._2 >= 100L)
     assert(out.map(_._1).contains("warm"))
   }
+
+  test("q_topk_sketch exact-regime invariant: corpus vocabulary stays under capacity with margin") {
+    // The oracle parity of q_topk_sketch depends on capacity 64 exceeding
+    // the documents-table vocabulary at EVERY scale factor the gates run
+    // (eviction would make estimates arrival-order dependent and flake the
+    // hash compare). The generator draws from a fixed word list, so the
+    // vocabulary is sf-invariant; this pins it with a 25% margin so a
+    // generator change that grows the vocabulary fails HERE, loudly,
+    // instead of nondeterministically in CORRECTNESS.
+    import graft.functions.TextFunctions
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(dir).isDirectory) {
+        val vocab = graft.sources.Tables.documents(spark, dir)
+          .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+          .filter(length(col("word")) > 0)
+          .agg(countDistinct(col("word")))
+          .head().getLong(0)
+        assert(vocab <= 48, s"$sf vocabulary $vocab exceeds 48 (capacity 64 minus margin): " +
+          "raise SpaceSavingAgg capacity in q_topk_sketch before trusting its oracle gate")
+      }
+    }
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference-format `word \t doc_id` DataSourceV2
+  * ([[graft.sources.TsvPairSource]]): mapper-exact parse semantics,
+  * column pruning visible in the plan, malformed-line scan metric,
+  * small-file packing. */
+class TsvPairSourceSpec extends AnyFunSuite with SparkSpec {
+
+  private def writeLines(lines: Seq[String], parts: Int = 2): String = {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-tsv").resolve("pairs").toString
+    lines.toDF("value").repartition(parts).write.text(dir)
+    dir
+  }
+
+  test("parses well-formed pairs, drops malformed with mapper-exact semantics") {
+    val dir = writeLines(Seq(
+      "alpha\tdoc1", "beta\tdoc2", "alpha\tdoc3",
+      "no tab here",       // malformed: no tab
+      "   ",               // malformed: whitespace-only
+      "\t",                // Java-trim eats the lone tab → empty → malformed
+      "  gamma\tdoc4  ",   // outer trim, inner tab preserved
+      "delta\tdoc5\textra" // split on FIRST tab: remainder stays in doc_id
+    ))
+    val rows = spark.read.format("tsvpair").load(dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(
+      ("alpha", "doc1"), ("beta", "doc2"), ("alpha", "doc3"),
+      ("gamma", "doc4"), ("delta", "doc5\textra")))
+  }
+
+  test("column pruning reaches the reader: ReadSchema shows only the selected column") {
+    val dir = writeLines(Seq("a\t1", "b\t2"))
+    val df = spark.read.format("tsvpair").load(dir).select("word")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("word") && !plan.contains("doc_id"),
+      s"doc_id not pruned:\n$plan")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+    // count(*) prunes everything and still counts only well-formed pairs
+    assert(spark.read.format("tsvpair").load(dir).count() == 2)
+  }
+
+  test("malformed-line count surfaces as a scan metric") {
+    val dir = writeLines(Seq("a\t1", "malformed", "b\t2", "  ", "c\t3"))
+    val df = spark.read.format("tsvpair").load(dir)
+    df.collect()
+    val metrics = df.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics).toMap
+    assert(metrics.contains("tsvMalformedLines"), s"metric missing: ${metrics.keys}")
+    assert(metrics("tsvMalformedLines").value == 2)
+    assert(metrics("tsvLinesIn").value == 5)
+  }
+
+  test("small files pack into few partitions (CombineTextInputFormat semantic)") {
+    val dir = writeLines((1 to 64).map(i => s"w$i\td$i"), parts = 16)
+    val df = spark.read.format("tsvpair").load(dir)
+    // 16 tiny part files, default 128m bin size → one packed partition.
+    assert(df.rdd.getNumPartitions == 1,
+      s"expected 1 packed partition, got ${df.rdd.getNumPartitions}")
+    assert(df.count() == 64)
+  }
+}
