@@ -54,6 +54,11 @@ final class TraceListener(exporter: SpanExporter, ctx: TraceContext)
       "spark.stage.id" -> ev.stageId.toString,
       "spark.task.partition" -> ev.taskInfo.index.toString,
       "spark.task.attempt" -> ev.taskInfo.attemptNumber.toString,
+      // ≙ the reference recording attempt ids for straggler analysis
+      // (TraceWordCountMapper.java:70-72): a speculative win shows as a
+      // successful attempt > 0 span with this flag set.
+      "spark.task.speculative" -> ev.taskInfo.speculative.toString,
+      "spark.task.status" -> ev.taskInfo.status,
       "spark.task.host" -> ev.taskInfo.host,
       "task.type" -> ev.taskType) ++ (if (m == null) Map.empty[String, String] else Map(
       // ≙ MAP_INPUT_RECORDS / FILE_BYTES_READ fallback chain

@@ -35,15 +35,18 @@ object SkewGuard {
 
   /** Replace `bucketCol` with a capped sub-bucket key (STRING
     * `"<bucket>:<salt>"`). Buckets of size ≤ cap keep salt 0 (key
-    * `"b:0"`), so sub-cap behavior is identical modulo the rename. */
-  def capBuckets(df: DataFrame, bucketCol: String, idCol: Column, cap: Int): DataFrame = {
+    * `"b:0"`), so sub-cap behavior is identical modulo the rename.
+    *
+    * `broadcastSizes = true` (the default) is for design-bounded bucket
+    * domains (2^planes, 2×2^16, …) where the one-row-per-bucket size
+    * table is provably tiny; pass `false` for UNBOUNDED key domains
+    * (e.g. sampled shingle hashes) — the sizes join is then a plain
+    * equi-join AQE can plan either way. */
+  def capBuckets(df: DataFrame, bucketCol: String, idCol: Column, cap: Int,
+      broadcastSizes: Boolean = true): DataFrame = {
     require(cap >= 2, s"cap must be >= 2, got $cap")
     val sizes = df.groupBy(col(bucketCol)).agg(count(lit(1)).as("_bsz"))
-    // One row per DISTINCT bucket — small even when the data is huge
-    // (bucket-key domains are design-bounded: 2^planes, 2×2^16, …), so
-    // broadcast keeps the big side unshuffled. For an operator with an
-    // unbounded bucket domain drop the hint and let AQE pick.
-    df.join(broadcast(sizes), bucketCol)
+    df.join(if (broadcastSizes) broadcast(sizes) else sizes, bucketCol)
       .withColumn("_nsplit", ceil(col("_bsz") / lit(cap.toDouble)).cast("long"))
       .withColumn(bucketCol,
         concat(col(bucketCol).cast("string"), lit(":"),

@@ -163,9 +163,17 @@ object DedupQueries extends QueryModule {
       // (measured): both candidate-join sides share the exchange of
       // the same subplan, so caching the wide exploded table costs
       // more than it saves — 1.80 s → 2.56 s when persisted at sf0.1.
-      val sampled = base
-        .select(col("doc_id"), explode(col("hs")).as("h"))
-        .filter(col("h") % 8 === 0)
+      // SkewGuard-capped candidate keys (round-6 scaling-curve finding:
+      // uncapped, a popular sampled shingle's group grows linearly with
+      // the corpus and its pair count quadratically — the measured 10×
+      // run put the uncapped form at ~n^1.5). The shingle-hash domain
+      // is unbounded, so the size table is NOT broadcast-hinted. Sub-cap
+      // groups are byte-identical to the uncapped form (salt 0), which
+      // is every group at the oracle scale factors.
+      val sampled = graft.operators.SkewGuard.capBuckets(
+        base.select(col("doc_id"), explode(col("hs")).as("h"))
+          .filter(col("h") % 8 === 0),
+        "h", col("doc_id"), 64, broadcastSizes = false)
       val cand = sampled.as("a")
         .join(sampled.as("b"), col("a.h") === col("b.h")
           && col("a.doc_id") < col("b.doc_id"))
@@ -338,9 +346,13 @@ object DedupQueries extends QueryModule {
 
     "q_ngram_jaccard" ->
       s"""$baseCte,
-         | sampled AS (SELECT doc_id, h FROM (
+         | raw AS (SELECT doc_id, h FROM (
          |    SELECT doc_id, unnest(hs) AS h FROM base)
          |   WHERE h % 8 = 0),
+         | hsz AS (SELECT h, count(*) AS bsz FROM raw GROUP BY h),
+         | sampled AS (SELECT doc_id,
+         |    ${OracleSql.cappedBucket("raw.h", "doc_id", "bsz", 64)} AS h
+         |   FROM raw JOIN hsz USING (h)),
          | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |   FROM sampled a JOIN sampled b ON a.h = b.h AND a.doc_id < b.doc_id)
          |$verifySql""".stripMargin.replace("\n", ""),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{TextFunctions, VectorFunctions}
 import graft.operators.SkewGuard
 import graft.sources.Tables
 
@@ -63,6 +63,22 @@ object VectorQueries extends QueryModule {
   private def capped(b: DataFrame): DataFrame =
     StagedCache.persist(SkewGuard.capBuckets(b, "bucket", col("vec_id"), bucketCap))
 
+  /** One deterministic salt per (probe, probed bucket) — a uniform
+    * 1/nsplit sample of an over-cap bucket's sub-buckets. The round-6
+    * measured scaling curve caught the previous all-salts fan-out
+    * visiting the WHOLE probed bucket (per-probe work ∝ bucket size →
+    * O(n²/2^planes) for self-search, measured ~n^1.6 at 10×); sampling
+    * one sub-bucket restores the claimed O(probes·(planes+1)·cap).
+    * Sub-cap buckets have one salt, so behavior at the oracle scale
+    * factors is unchanged. `bsz` must be in scope (the broadcast size
+    * join). */
+  private def probeSalt(probeId: org.apache.spark.sql.Column,
+      pbucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(
+      TextFunctions.hash60(concat(lit("probe:"), probeId.cast("string"),
+        lit(":"), pbucket.cast("string"))),
+      ceil(col("bsz") / lit(bucketCap.toDouble)).cast("long"))
+
   /** Rank candidate pairs by cosine and keep the top-3 per probe. */
   private def topK(pairs: DataFrame): DataFrame =
     pairs
@@ -111,8 +127,10 @@ object VectorQueries extends QueryModule {
     // cap (more probes instead of more candidates per bucket). Composes
     // with SkewGuard: the corpus is capped into sub-buckets; probes
     // learn each probed bucket's split count from the broadcast size
-    // table and fan out across ALL its salts, so no candidate is lost
-    // to capping while enumeration stays O(probes · (planes+1) · cap).
+    // table and sample ONE deterministic sub-bucket per probed bucket
+    // ([[probeSalt]]), keeping enumeration O(probes · (planes+1) · cap)
+    // — over-cap buckets trade recall 1/nsplit, the documented
+    // SkewGuard trade, identical in the oracle.
     "q_ann_lsh_multiprobe" -> ((s, d) => {
       val b = bucketedBase(s, d)
       val sizes = b.groupBy("bucket").agg(count(lit(1)).as("bsz"))
@@ -126,8 +144,7 @@ object VectorQueries extends QueryModule {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
           col("nrm").as("pnrm"), explode(probeBuckets).as("pbucket"))
         .join(broadcast(sizes.withColumnRenamed("bucket", "pbucket")), "pbucket")
-        .withColumn("salt", explode(sequence(lit(0L),
-          ceil(col("bsz") / lit(bucketCap.toDouble)).cast("long") - 1)))
+        .withColumn("salt", probeSalt(col("probe_id"), col("pbucket")))
         .select(concat(col("pbucket").cast("string"), lit(":"),
             col("salt").cast("string")).as("bucket"),
           col("probe_id"), col("pv"), col("pnrm"))
@@ -142,8 +159,8 @@ object VectorQueries extends QueryModule {
 
     // Multi-probe LSH for the ALL-vectors self-search shape: every
     // vector fans out over its home bucket plus the nPlanes hamming-1
-    // buckets (× each probed bucket's salt splits), searching the same
-    // capped corpus as q_ann_lsh. Candidate enumeration grows from
+    // buckets (ONE sampled salt each, [[probeSalt]]), searching the
+    // same capped corpus as q_ann_lsh. Candidate enumeration grows from
     // O(n·cap) to O(n·(planes+1)·cap) — still linear in the corpus —
     // and recall@3 vs the exact q_ann_brute rises accordingly (numbers
     // in PLANS.md, measured by `runMain graft.Recall`).
@@ -160,8 +177,7 @@ object VectorQueries extends QueryModule {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
           col("nrm").as("pnrm"), explode(probeBuckets).as("pbucket"))
         .join(broadcast(sizes.withColumnRenamed("bucket", "pbucket")), "pbucket")
-        .withColumn("salt", explode(sequence(lit(0L),
-          ceil(col("bsz") / lit(bucketCap.toDouble)).cast("long") - 1)))
+        .withColumn("salt", probeSalt(col("probe_id"), col("pbucket")))
         .select(concat(col("pbucket").cast("string"), lit(":"),
             col("salt").cast("string")).as("bucket"),
           col("probe_id"), col("pv"), col("pnrm"))
@@ -276,18 +292,21 @@ object VectorQueries extends QueryModule {
       |ORDER BY probe_id, rnk""".stripMargin.replace("\n", "")
 
   /** Shared multi-probe CTE chain: probes (from `probeSrc`) fan out
-    * over home + hamming-1 buckets × the probed bucket's salt count. */
+    * over home + hamming-1 buckets, ONE hash-sampled salt per probed
+    * bucket (the mirror of [[probeSalt]]). */
   private def multiProbeSql(probeFilter: String): String = {
     val neighborList = ("bucket0" +: (0 until nPlanes).map(j =>
       s"xor(bucket0, ${1L << j})")).mkString("[", ", ", "]")
+    val saltSql = s"(${OracleSql.hash60(
+      "'probe:' || probe_id::VARCHAR || ':' || pbucket::VARCHAR")} " +
+      s"% ceil(bsz / ${bucketCap.toDouble})::BIGINT)"
     s"""$bucketCte,
        | sizes AS (SELECT bucket0 AS pbucket, count(*) AS bsz
        |   FROM buck0 GROUP BY bucket0),
        | pk AS (SELECT vec_id AS probe_id, embedding AS pv,
        |    unnest($neighborList) AS pbucket
        |   FROM buck0 $probeFilter),
-       | pexp AS (SELECT probe_id, pv, pbucket,
-       |    unnest(generate_series(0, ceil(bsz / ${bucketCap.toDouble})::BIGINT - 1)) AS salt
+       | pexp AS (SELECT probe_id, pv, pbucket, $saltSql AS salt
        |   FROM pk JOIN sizes USING (pbucket)),
        | probes AS (SELECT probe_id, pv,
        |    pbucket::VARCHAR || ':' || salt::VARCHAR AS bucket FROM pexp),
