@@ -43,24 +43,102 @@ object ScalarQueries extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** EXACT interpolated percentiles by distributed rank selection —
+    * the scale-safe form of `percentile()`. The built-in exact
+    * aggregate buffers EVERY value per group (unbounded state, the one
+    * scale-killer flagged in the round-5 review), and the obvious
+    * window-rank replacement still funnels each whole GROUP through
+    * one task (the window contract). This form has neither limit:
+    *
+    *  1. range-partition by (group, value) — a group's sort order is
+    *     SPLIT ACROSS partitions, each bounded by data/numPartitions;
+    *  2. per-(partition, group) row counts (a tiny table) become
+    *     global rank offsets via a prefix sum over partition ids —
+    *     the same two-phase shape as q_pack_sequences' token
+    *     prefix-sum, broadcast back;
+    *  3. local row_number within (partition, group) + offset = exact
+    *     global rank; each percentile needs only the rows at ranks
+    *     ⌊p·(n−1)⌋ / ⌈p·(n−1)⌉, filtered before any aggregation.
+    *
+    * The interpolation reproduces `Percentile.getPercentile`
+    * bit-for-bit — the products `(higher−pos)·v_lo` / `(pos−lower)·v_hi`
+    * and their one sum are the same IEEE operations (multiplication
+    * and a single addition are commutative; only reassociation would
+    * diverge) — so the DuckDB `quantile_cont` mirror is unchanged.
+    * Ties straddling a range boundary are safe: equal values get
+    * arbitrary adjacent ranks and contribute the same value. */
+  private def exactPercentilesByRank(df: DataFrame, group: String,
+      v: String, ps: Seq[(Double, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.filter(col(v).isNotNull)
+      .select(col(group), col(v).cast("double").as("_v"))
+      .repartitionByRange(nPart, col(group), col("_v"))
+      .withColumn("_pid", spark_partition_id())
+    // Tiny: ≤ numPartitions × groups rows. Offset of a (pid, group)
+    // block = rows of the group in earlier partitions; _n = group total.
+    val wGroup = Window.partitionBy(group).orderBy("_pid")
+    val offsets = ranged.groupBy("_pid", group).agg(count(lit(1)).as("_c"))
+      .withColumn("_off",
+        coalesce(sum(col("_c")).over(wGroup.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("_n",
+        sum(col("_c")).over(Window.partitionBy(group)).cast("double"))
+      .drop("_c")
+    val base = ranged
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy("_pid", group).orderBy(col("_v"))))
+      .join(broadcast(offsets), Seq("_pid", group))
+      .withColumn("_rn", (col("_lrn") - 1 + col("_off")).cast("double"))
+    def pos(p: Double) = lit(p) * (col("_n") - 1)
+    // Keep only the ≤ 2·|ps| boundary rows per group before aggregating.
+    val boundary = ps.map { case (p, _) =>
+      col("_rn") === floor(pos(p)) || col("_rn") === ceil(pos(p))
+    }.reduce(_ || _)
+    val aggs = ps.map { case (p, name) =>
+      val position = pos(p)
+      val lower = floor(position)
+      val higher = ceil(position)
+      sum(
+        when(lower === higher,
+          when(col("_rn") === lower, col("_v")).otherwise(lit(0.0)))
+        .otherwise(
+          when(col("_rn") === lower, (higher - position) * col("_v"))
+          .when(col("_rn") === higher, (position - lower) * col("_v"))
+          .otherwise(lit(0.0)))).as(name)
+    }
+    base.filter(boundary)
+      .groupBy(group).agg(aggs.head, aggs.tail: _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-    // `quantile_cont`: linear interpolation between closest ranks). At
-    // 100 TB switch to approx_percentile — exact percentile buffers per
-    // group; documented trade, same query shape.
-    "q_percentiles" -> ((s, d) =>
-      Tables.lineitem(s, d).groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_quantity, 0.25)"), 6).as("qty_p25"),
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
-          round(expr("percentile(l_quantity, 0.75)"), 6).as("qty_p75"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("price_p90"))
-        .orderBy("l_returnflag")),
+    // Exact interpolated percentiles (≡ DuckDB `quantile_cont`: linear
+    // interpolation between closest ranks), computed SCALE-SAFELY by
+    // [[exactPercentilesByRank]] instead of the built-in `percentile`
+    // aggregate whose buffer holds every group value. Two sorted
+    // windows (one per value column), boundary-rank selection, a
+    // 3-row broadcast join to stitch the columns.
+    "q_percentiles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val qty = exactPercentilesByRank(li, "l_returnflag", "l_quantity",
+        Seq(0.25 -> "_q25", 0.5 -> "_q50", 0.75 -> "_q75"))
+      val price = exactPercentilesByRank(li, "l_returnflag", "l_extendedprice",
+        Seq(0.9 -> "_p90"))
+      qty.join(broadcast(price), "l_returnflag")
+        .select(col("l_returnflag"),
+          round(col("_q25"), 6).as("qty_p25"),
+          round(col("_q50"), 6).as("qty_p50"),
+          round(col("_q75"), 6).as("qty_p75"),
+          round(col("_p90"), 6).as("price_p90"))
+        .orderBy("l_returnflag")
+    }),
 
-    // The scale-safe percentile: approx_percentile's GK sketch holds
-    // bounded state per group (vs. exact percentile buffering every
-    // value). The approx VALUES are engine-internal (not mirrorable),
+    // The sketch percentile: approx_percentile's GK sketch holds
+    // bounded state per group — one scan, no sort, where the exact
+    // rank form above pays a per-group sort shuffle (both scale; the
+    // sketch is the cheaper production default when ±n/acc rank error
+    // is acceptable). The approx VALUES are engine-internal (not mirrorable),
     // but the GUARANTEE is: the returned element's rank must sit within
     // ±n/accuracy of the target rank. So the query emits the rank-bound
     // BOOLEANS (plus exact counts) and the oracle emits TRUE — a
