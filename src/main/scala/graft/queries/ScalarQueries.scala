@@ -67,7 +67,7 @@ object ScalarQueries extends QueryModule {
     * diverge) — so the DuckDB `quantile_cont` mirror is unchanged.
     * Ties straddling a range boundary are safe: equal values get
     * arbitrary adjacent ranks and contribute the same value. */
-  private def exactPercentilesByRank(df: DataFrame, group: String,
+  private[queries] def exactPercentilesByRank(df: DataFrame, group: String,
       v: String, ps: Seq[(Double, String)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
