@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,7 +21,44 @@ object CorpusQueries extends QueryModule {
       .select(col("doc_id"), col("source"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"), explode(col("toks")).as("word"))
 
+  /** The q_hll_distinct tolerance gate: an HLL++ estimate must sit
+    * within `sigmas` standard errors of the exact count. Public so the
+    * negative test (AggregatorSpec) can push a POISONED estimate
+    * through the same predicate and prove the gate can fail — the
+    * oracle side is a TRUE constant, so falsifiability must be
+    * demonstrated test-side (same structure as the approx-percentile
+    * rank gate). */
+  def hllOk(approx: Column, exact: Column, rsd: Double, sigmas: Double = 5.0): Column =
+    abs(approx.cast("double") / exact.cast("double") - 1.0) <= lit(sigmas * rsd)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // HLL++ distinct counting with a falsifiable tolerance self-check —
+    // the fourth sketch in the family (KMV k-min values, GK quantiles,
+    // SpaceSaving heavy hitters, HLL++ cardinality). The estimate's
+    // VALUE is engine-internal (like GK's), so the oracle pins the
+    // GATE: |est/exact − 1| ≤ 5·rsd, with the exact side recomputed by
+    // DuckDB. 100 TB shape: the sketch is one scan with 2^p registers
+    // per group through the shuffle — production runs ONLY the sketch
+    // column; the exact twin here is the accuracy witness, computed as
+    // distinct→count (two clean partial-aggregated levels, no
+    // mixed-distinct Expand pass) and joined back by a 20-row
+    // broadcast.
+    "q_hll_distinct" -> ((s, d) => {
+      val rsd = 0.02
+      val toks = tokenRows(s, d)
+        .filter(length(col("word")) > 0)
+        .select(col("source"), col("word"))
+      val exact = toks.distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_distinct"))
+      val approx = toks.groupBy("source")
+        .agg(approx_count_distinct(col("word"), rsd).as("_est"))
+      exact.join(broadcast(approx), "source")
+        .select(col("source"), col("n_distinct"),
+          hllOk(col("_est"), col("n_distinct"), rsd).as("approx_ok"))
+        .orderBy("source")
+    }),
+
     // The composed end-to-end cleaning pipeline a corpus user actually
     // runs — exact dedup → quality gate → deterministic split →
     // per-split report — as ONE oracle-checked DAG built from stages
@@ -281,6 +318,15 @@ object CorpusQueries extends QueryModule {
     s"SELECT doc_id, source, unnest(${toks("text")}) AS word FROM documents"
 
   def oracle: Map[String, String] = Map(
+    // Tolerance self-check: the oracle recomputes the exact side and
+    // asserts the gate came out TRUE (falsifiability proven test-side,
+    // AggregatorSpec's poisoned-estimate case).
+    "q_hll_distinct" ->
+      s"""SELECT source, count(DISTINCT word)::BIGINT AS n_distinct,
+         | TRUE AS approx_ok
+         | FROM ($tokenRowsSql) WHERE length(word) > 0
+         | GROUP BY source ORDER BY source""".stripMargin.replace("\n", ""),
+
     "q_pipeline_clean" ->
       s"""WITH staged AS (SELECT doc_id, source,
          |    md5(${norm("text")}) AS fp, len(${toks("text")})::BIGINT AS n_tokens

@@ -98,6 +98,21 @@ class AggregatorSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() == 40)
   }
 
+  test("q_hll_distinct's tolerance gate is falsifiable: a poisoned estimate trips it") {
+    // The oracle side of q_hll_distinct is a TRUE constant, so the
+    // gate's ability to FAIL must be proven here: an estimate 50% off
+    // a 1000-cardinality exact count must come out false under the
+    // same predicate the query uses, while a within-tolerance one
+    // passes.
+    import org.apache.spark.sql.functions._
+    val row = spark.range(1).select(
+      graft.queries.CorpusQueries.hllOk(lit(1500L), lit(1000L), 0.02).as("poisoned"),
+      graft.queries.CorpusQueries.hllOk(lit(1010L), lit(1000L), 0.02).as("close"))
+      .head()
+    assert(!row.getBoolean(0), "a 50%-off estimate must trip the gate")
+    assert(row.getBoolean(1), "a 1%-off estimate must pass the gate")
+  }
+
   test("S2: explicit split size yields more partitions for the same file") {
     val dir = java.nio.file.Files.createTempDirectory("graft-split")
     val f = dir.resolve("big.txt")
