@@ -27,17 +27,73 @@ import org.apache.spark.sql.SparkSession
   *    the query's full staging cost (the number reported is the
   *    cold-cache cost of one query execution, not an artifact of
   *    cross-run cache reuse).
+  *  - CRASH-SAFE artifact: the JSON artifact file is rewritten after
+  *    EVERY completed query (complete=false until the suite ends), so
+  *    an external kill at any point leaves a parseable file with every
+  *    finished query's median+spread. Round 6's driver bench died to a
+  *    host-steal timeout (rc 124) with zero machine-readable output —
+  *    this flush is the fix.
+  *  - WALL-CLOCK BUDGET: SPARK_GRAFT_BENCH_BUDGET_SEC (default 480)
+  *    bounds the whole run from JVM start. When the deadline passes,
+  *    no new query or extra adaptive sample is started; queries with
+  *    at least one timed sample report the median of what they have,
+  *    untouched queries land in `skipped`, and the final line carries
+  *    "budget_exceeded":true. A slow host now degrades the artifact
+  *    instead of destroying it.
+  *  - DE-SHADOWED ordering: a GC + settle pause runs between queries
+  *    (outside any timed interval) so one query's garbage is not
+  *    collected inside its alphabetical neighbor's samples — round 6
+  *    saw the two new heavy queries elevate six code-unchanged
+  *    neighbors. SPARK_GRAFT_BENCH_SEED additionally shuffles suite
+  *    order deterministically, so two runs with different seeds
+  *    put different neighbors adjacent: position-dependent noise then
+  *    shows up as cross-seed disagreement instead of masquerading as a
+  *    per-query regression.
   *
   * Failures are reported in `failed`, never as timings.
   */
 object Bench {
+  /** Render the artifact line. Pure — spec'd by BenchArtifactSpec so the
+    * "always parseable, at every prefix of the suite" property is pinned
+    * without running Spark.
+    */
+  def renderJson(
+      timings: collection.Map[String, (Double, Double, Double)],
+      failed: Seq[String],
+      skipped: Seq[String],
+      iters: Int,
+      sfDir: String,
+      budgetExceeded: Boolean,
+      complete: Boolean): String = {
+    // Locale-pinned: f"%.4f" under a comma-decimal default locale would
+    // emit invalid JSON.
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.4f",
+      java.lang.Double.valueOf(v))
+    val qs = timings.map { case (k, (med, _, _)) => "\"" + k + "\":" + fmt(med) }
+      .mkString("{", ",", "}")
+    val spread = timings.map { case (k, (_, lo, hi)) =>
+      "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]"
+    }.mkString("{", ",", "}")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = timings.values.map(_._1).sum
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"failed":$fs,"skipped":$sk,"budget_exceeded":$budgetExceeded,"complete":$complete,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
+    val startNanos = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val maxIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ITERS", "7").toInt
       .max(iters)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
+    val settleMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "150").toLong
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+    def elapsedSec = (System.nanoTime() - startNanos) / 1e9
+    def overBudget = budgetSec > 0 && elapsedSec > budgetSec
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -68,51 +124,68 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
     val failed = scala.collection.mutable.ListBuffer[String]()
+    val skipped = scala.collection.mutable.ListBuffer[String]()
+    var budgetExceeded = false
+    def flush(complete: Boolean): String = {
+      val json = renderJson(timings, failed.toSeq, skipped.toSeq, iters, sfDir,
+        budgetExceeded, complete)
+      // Write-temp-then-move so a kill mid-write can't leave a truncated
+      // (unparseable) artifact — the previous complete flush survives.
+      try {
+        val p = java.nio.file.Paths.get(outPath)
+        val tmp = java.nio.file.Paths.get(outPath + ".tmp")
+        java.nio.file.Files.write(tmp,
+          (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
+      json
+    }
+
     // Optional subset (comma-separated names) for targeted A/B runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    val alphabetical = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (name, fn) =>
-      try {
+    val suite = sys.env.get("SPARK_GRAFT_BENCH_SEED") match {
+      case Some(seed) => new scala.util.Random(seed.toLong).shuffle(alphabetical)
+      case None       => alphabetical
+    }
+    suite.foreach { case (name, fn) =>
+      if (overBudget) { budgetExceeded = true; skipped += name }
+      else try {
         runOnce(fn) // warm-up: JIT + codegen compile, discarded
-        val samples = scala.collection.mutable.ArrayBuffer.fill(iters)(runOnce(fn))
+        val samples = scala.collection.mutable.ArrayBuffer(runOnce(fn))
+        // Budget is honored between samples too: a query keeps what it
+        // has measured rather than losing the whole suite to one slow
+        // straggler (first sample always completes so the query isn't
+        // silently half-skipped).
+        while (samples.length < iters && !overBudget) samples += runOnce(fn)
         def spreadRatio = {
           val s = samples.sorted
           (s.last - s.head) / s(s.length / 2)
         }
-        while (samples.length < maxIters && spreadRatio > 0.35)
+        while (samples.length < maxIters && spreadRatio > 0.35 && !overBudget)
           samples += runOnce(fn)
         val sorted = samples.sorted
         timings(name) = (sorted(sorted.length / 2), sorted.head, sorted.last)
+        // De-shadow: collect this query's garbage now, outside any timed
+        // interval, so it isn't collected inside the next query's samples.
+        System.gc()
+        if (settleMs > 0) Thread.sleep(settleMs)
       } catch {
         case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
+      // Self-emitted artifact, flushed per query: the driver captures only
+      // the tail of sbt output (truncated numbers two rounds running) and
+      // round 6's timeout left nothing at all. After every query the file
+      // holds a complete, parseable snapshot.
+      flush(complete = false)
     }
-    // Locale-pinned: f"%.4f" under a comma-decimal default locale would
-    // emit invalid JSON.
-    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.4f",
-      java.lang.Double.valueOf(v))
-    val qs = timings.map { case (k, (med, _, _)) => "\"" + k + "\":" + fmt(med) }
-      .mkString("{", ",", "}")
-    val spread = timings.map { case (k, (_, lo, hi)) =>
-      "\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]"
-    }.mkString("{", ",", "}")
-    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = timings.values.map(_._1).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"failed":$fs,"sf":"$sfDir"}"""
+    val json = flush(complete = true)
     println(json)
-    // Self-emitted artifact: the driver captures only the tail of sbt
-    // output, which has truncated per-query numbers two rounds running
-    // (24 of 81 queries unrecoverable from BENCH_r05.json). Writing the
-    // complete line to a file makes every per-query median+spread
-    // independently verifiable regardless of how stdout is captured.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -52,7 +52,13 @@ object Inflate {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, in, out, factor)
+    spark.stop()
+  }
 
+  /** The inflation itself, session-supplied — shared by this main and
+    * the `graft.Main inflate` CLI subcommand. */
+  def run(spark: SparkSession, in: String, out: String, factor: Int): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$in/$t.parquet")
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
@@ -160,6 +166,5 @@ object Inflate {
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[inflate] $t -> $out/$t.parquet")
     }
-    spark.stop()
   }
 }

@@ -17,12 +17,23 @@ import graft.sources.TextIO
   *   graft.Main sort        <in> <out> [--reducers N] [--overwrite] [--trace FILE]
   *   graft.Main insertindex <in> <out>               [--overwrite] [--trace FILE]
   *   graft.Main query <name> <table-dir> <out>       [--overwrite] [--trace FILE]
+  *   graft.Main tsvpair <in> <out>                   [--overwrite] [--trace FILE]
+  *   graft.Main inflate <table-dir> <out> [--factor N]           [--trace FILE]
   * }}}
   *
   * `query` runs any named engine query from [[SparkEntry.queries]]
   * (the full relational + LLM-pipeline surface) against a table
   * directory and writes the result as parquet — the switch-over path
   * for a reference user driving the engine from a shell.
+  *
+  * `tsvpair` is the ingest job for the reference's native on-disk
+  * format: read a `word \t docId` line directory through the
+  * [[graft.sources.TsvPairSource]] DataSourceV2 (malformed lines
+  * dropped with mapper-exact semantics) and write it as a columnar
+  * parquet table; the pair count is reported like the kernels'
+  * counters. `inflate` shell-exposes the [[Inflate]] scaling harness
+  * (deterministic `--factor N` inflation of a testdata directory, its
+  * linearity invariants pinned by InflateSpec).
   *
   * `--reducers N` for sort reproduces the reference's two modes: N == 1
   * (its default) → total order; N > 1 → hash-partitioned sorted runs.
@@ -40,12 +51,14 @@ object Main {
   final case class Args(kernel: String, in: String, out: String,
                         reducers: Int = 1, overwrite: Boolean = false,
                         trace: Option[String] = None,
-                        query: Option[String] = None)
+                        query: Option[String] = None,
+                        factor: Int = 10)
 
   def parse(argv: Array[String]): Either[String, Args] = {
     if (argv.length < 3)
-      return Left("usage: graft.Main <wordcount|sort|insertindex> <in> <out> " +
+      return Left("usage: graft.Main <wordcount|sort|insertindex|tsvpair> <in> <out> " +
         "| query <name> <table-dir> <out> " +
+        "| inflate <table-dir> <out> [--factor N] " +
         "[--reducers N] [--overwrite] [--trace FILE]")
     var a = Args(argv(0), argv(1), argv(2))
     var i = 3
@@ -57,7 +70,8 @@ object Main {
           SparkEntry.queries.keys.toSeq.sorted.mkString(", ") + ")")
       a = Args("query", argv(2), argv(3), query = Some(name))
       i = 4
-    } else if (!Set("wordcount", "sort", "insertindex").contains(a.kernel))
+    } else if (!Set("wordcount", "sort", "insertindex", "tsvpair", "inflate")
+        .contains(a.kernel))
       return Left(s"unknown kernel: ${a.kernel}")
     while (i < argv.length) {
       argv(i) match {
@@ -68,6 +82,11 @@ object Main {
         case "--overwrite" => a = a.copy(overwrite = true); i += 1
         case "--trace" if i + 1 < argv.length =>
           a = a.copy(trace = Some(argv(i + 1))); i += 2
+        case "--factor" if i + 1 < argv.length =>
+          val n = argv(i + 1).toIntOption.getOrElse(-1)
+          if (n < 1) return Left(s"--factor must be a positive int")
+          if (a.kernel != "inflate") return Left("--factor only applies to inflate")
+          a = a.copy(factor = n); i += 2
         case other => return Left(s"unknown argument: $other")
       }
     }
@@ -110,6 +129,20 @@ object Main {
             .mode(if (a.overwrite) "overwrite" else "errorifexists")
             .parquet(a.out)
           finally graft.queries.StagedCache.releaseAll()
+        case "tsvpair" =>
+          // Ingest the reference's native format into a columnar table:
+          // one pass through the DataSourceV2 (malformed lines dropped,
+          // counted as a scan metric), observed pair count reported
+          // like the kernels' counters.
+          val obs = new org.apache.spark.sql.Observation()
+          spark.read.format("tsvpair").load(a.in)
+            .observe(obs, org.apache.spark.sql.functions
+              .count(org.apache.spark.sql.functions.lit(1)).as("PAIRS_OUT"))
+            .write.mode(if (a.overwrite) "overwrite" else "errorifexists")
+            .parquet(a.out)
+          System.err.println(s"[graft] counters pairs=${obs.get("PAIRS_OUT")}")
+        case "inflate" =>
+          Inflate.run(spark, a.in, a.out, a.factor)
       }
     }
 

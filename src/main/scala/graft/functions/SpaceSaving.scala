@@ -174,6 +174,18 @@ final class SpaceSavingBuffer(val capacity: Int) {
     b.head = n
   }
 
+  /** Append at the bucket TAIL — used by [[load]], which replays a
+    * `toSeq` dump emitted head→tail (newest→stalest): head-attach would
+    * reverse within-bucket FIFO order on every serialize→deserialize
+    * round trip, making the NEWEST entry the eviction victim across
+    * Spark's partial-aggregate ser/deser boundary — the opposite of the
+    * documented stalest-first contract. */
+  private def attachTail(n: Node, b: Bucket): Unit = {
+    n.bucket = b; n.next = null; n.prev = b.tail
+    if (b.tail != null) b.tail.next = n else b.head = n
+    b.tail = n
+  }
+
   /** Unlink `n` from its bucket; an emptied bucket leaves the bucket
     * list (callers capture its neighbors first when they need them). */
   private def detach(n: Node): Unit = {
@@ -254,7 +266,7 @@ final class SpaceSavingBuffer(val capacity: Int) {
       val n = new Node(t, c, e)
       map.put(t, n)
       if (tailB == null || tailB.count != c) tailB = spliceBucket(c, tailB, null)
-      attach(n, tailB)
+      attachTail(n, tailB)
     }
   }
 

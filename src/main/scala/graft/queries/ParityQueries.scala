@@ -55,7 +55,9 @@ object ParityQueries extends QueryModule {
           .when(col("doc_id") % 10 === 1, lit("   "))
           .otherwise(concat(firstTok, lit("\t"), concat(lit("doc"), col("doc_id"))))
           .as("value"))
-      val out = s"${sys.props("java.io.tmpdir")}/graft_tsv_${new java.io.File(d).getName}/pairs"
+      // applicationId in the path: two concurrent runs on one host at
+      // the same sf would otherwise race on overwrite-while-read.
+      val out = s"${sys.props("java.io.tmpdir")}/graft_tsv_${s.sparkContext.applicationId}_${new java.io.File(d).getName}/pairs"
       lines.write.mode("overwrite").text(out)
       InvertedIndex(s.read.format("tsvpair").load(out))
     }),
@@ -68,7 +70,7 @@ object ParityQueries extends QueryModule {
     // partitioned write, pruned read (PlanAuditSpec pins the predicate
     // as a PartitionFilter, not a data filter), oracle-checked values.
     "q_partition_prune" -> ((s, d) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_part_${new java.io.File(d).getName}/docs"
+      val out = s"${sys.props("java.io.tmpdir")}/graft_part_${s.sparkContext.applicationId}_${new java.io.File(d).getName}/docs"
       Tables.documents(s, d)
         .write.mode("overwrite").partitionBy("lang").parquet(out)
       s.read.parquet(out)

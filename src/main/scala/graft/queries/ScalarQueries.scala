@@ -66,15 +66,44 @@ object ScalarQueries extends QueryModule {
     * and a single addition are commutative; only reassociation would
     * diverge) — so the DuckDB `quantile_cont` mirror is unchanged.
     * Ties straddling a range boundary are safe: equal values get
-    * arbitrary adjacent ranks and contribute the same value. */
+    * arbitrary adjacent ranks and contribute the same value.
+    *
+    * TIE SKEW: the range key carries a unique tiebreaker (`_tb`) after
+    * the value, because `repartitionByRange` cannot split equal keys —
+    * without it, a group that is 90% one value lands 90% of its rows in
+    * ONE partition and the "bounded by data/numPartitions" claim dies
+    * exactly on the adversarial distributions that need it. With the
+    * tiebreaker, equal values spread across partitions; cross-partition
+    * rank order among ties follows `_tb` (a total order consistent with
+    * `_v`), and the interpolation is tie-invariant, so results are
+    * unchanged. PercentileRankSpec pins both properties: bit-identity,
+    * and max-partition-rows ≈ n/nPart on a 90%-tied column.
+    *
+    * The ranged frame is PERSISTED before the two consumers below
+    * derive from it: `_pid` (spark_partition_id) and `_tb`
+    * (monotonically_increasing_id) are both recomputation-unstable, and
+    * the offsets branch and the base branch must observe the SAME
+    * partition layout. Without the persist that agreement silently
+    * rides on exchange reuse (one canonicalization miss, or
+    * spark.sql.exchange.reuse=false, and the inner join on
+    * (_pid, group) drops rows with no error). The persist is two narrow
+    * columns plus the key — not the full input width. */
+  /** Phase-1 layout of [[exactPercentilesByRank]], split out so the
+    * spec can assert the tie-skew balance property on the exact frame
+    * the percentile path uses (not a reimplementation). */
+  private[queries] def rangedByValue(df: DataFrame, group: String, v: String,
+      nPart: Int): DataFrame =
+    df.filter(col(v).isNotNull)
+      .select(col(group), col(v).cast("double").as("_v"))
+      .withColumn("_tb", monotonically_increasing_id())
+      .repartitionByRange(nPart, col(group), col("_v"), col("_tb"))
+      .withColumn("_pid", spark_partition_id())
+
   private[queries] def exactPercentilesByRank(df: DataFrame, group: String,
       v: String, ps: Seq[(Double, String)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.filter(col(v).isNotNull)
-      .select(col(group), col(v).cast("double").as("_v"))
-      .repartitionByRange(nPart, col(group), col("_v"))
-      .withColumn("_pid", spark_partition_id())
+    val ranged = StagedCache.persist(rangedByValue(df, group, v, nPart))
     // Tiny: ≤ numPartitions × groups rows. Offset of a (pid, group)
     // block = rows of the group in earlier partitions; _n = group total.
     val wGroup = Window.partitionBy(group).orderBy("_pid")
@@ -87,7 +116,7 @@ object ScalarQueries extends QueryModule {
       .drop("_c")
     val base = ranged
       .withColumn("_lrn", row_number().over(
-        Window.partitionBy("_pid", group).orderBy(col("_v"))))
+        Window.partitionBy("_pid", group).orderBy(col("_v"), col("_tb"))))
       .join(broadcast(offsets), Seq("_pid", group))
       .withColumn("_rn", (col("_lrn") - 1 + col("_off")).cast("double"))
     def pos(p: Double) = lit(p) * (col("_n") - 1)

@@ -63,21 +63,30 @@ object VectorQueries extends QueryModule {
   private def capped(b: DataFrame): DataFrame =
     StagedCache.persist(SkewGuard.capBuckets(b, "bucket", col("vec_id"), bucketCap))
 
-  /** One deterministic salt per (probe, probed bucket) — a uniform
-    * 1/nsplit sample of an over-cap bucket's sub-buckets. The round-6
-    * measured scaling curve caught the previous all-salts fan-out
-    * visiting the WHOLE probed bucket (per-probe work ∝ bucket size →
-    * O(n²/2^planes) for self-search, measured ~n^1.6 at 10×); sampling
-    * one sub-bucket restores the claimed O(probes·(planes+1)·cap).
-    * Sub-cap buckets have one salt, so behavior at the oracle scale
-    * factors is unchanged. `bsz` must be in scope (the broadcast size
-    * join). */
-  private def probeSalt(probeId: org.apache.spark.sql.Column,
-      pbucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(
+  /** TWO deterministic salts per (probe, probed bucket) — the hashed
+    * sub-bucket of an over-cap bucket plus its cyclic neighbor, a
+    * uniform 2/nsplit sample. The round-6 measured scaling curve caught
+    * the original all-salts fan-out visiting the WHOLE probed bucket
+    * (per-probe work ∝ bucket size → O(n²/2^planes) for self-search,
+    * measured ~n^1.6 at 10×); sampling a CONSTANT number of sub-buckets
+    * restores the claimed O(probes·(planes+1)·cap) — and two samples
+    * double the candidate pool of the round-6 single-salt form at the
+    * same bound (recall@3 numbers in PLANS.md, `runMain graft.Recall`).
+    * Sub-bucket membership is itself hash-assigned, so the adjacent
+    * sub-bucket is as unbiased a second sample as a second hash draw —
+    * and `array_distinct` collapses the pair when nsplit = 1, so
+    * sub-cap buckets (every bucket at the oracle scale factors) see
+    * exactly the round-6 single-salt behavior. `bsz` must be in scope
+    * (the broadcast size join). */
+  private def probeSalts(probeId: org.apache.spark.sql.Column,
+      pbucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nsplit = ceil(col("bsz") / lit(bucketCap.toDouble)).cast("long")
+    val s1 = pmod(
       TextFunctions.hash60(concat(lit("probe:"), probeId.cast("string"),
         lit(":"), pbucket.cast("string"))),
-      ceil(col("bsz") / lit(bucketCap.toDouble)).cast("long"))
+      nsplit)
+    array_distinct(array(s1, pmod(s1 + 1, nsplit)))
+  }
 
   /** Rank candidate pairs by cosine and keep the top-3 per probe. */
   private def topK(pairs: DataFrame): DataFrame =
@@ -127,9 +136,9 @@ object VectorQueries extends QueryModule {
     // cap (more probes instead of more candidates per bucket). Composes
     // with SkewGuard: the corpus is capped into sub-buckets; probes
     // learn each probed bucket's split count from the broadcast size
-    // table and sample ONE deterministic sub-bucket per probed bucket
-    // ([[probeSalt]]), keeping enumeration O(probes · (planes+1) · cap)
-    // — over-cap buckets trade recall 1/nsplit, the documented
+    // table and sample TWO deterministic sub-buckets per probed bucket
+    // ([[probeSalts]]), keeping enumeration O(probes · (planes+1) · cap)
+    // — over-cap buckets trade recall 2/nsplit, the documented
     // SkewGuard trade, identical in the oracle.
     "q_ann_lsh_multiprobe" -> ((s, d) => {
       val b = bucketedBase(s, d)
@@ -144,12 +153,13 @@ object VectorQueries extends QueryModule {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
           col("nrm").as("pnrm"), explode(probeBuckets).as("pbucket"))
         .join(broadcast(sizes.withColumnRenamed("bucket", "pbucket")), "pbucket")
-        .withColumn("salt", probeSalt(col("probe_id"), col("pbucket")))
+        .withColumn("salt", explode(probeSalts(col("probe_id"), col("pbucket"))))
         .select(concat(col("pbucket").cast("string"), lit(":"),
             col("salt").cast("string")).as("bucket"),
           col("probe_id"), col("pv"), col("pnrm"))
-      // A candidate lives in exactly one (bucket, salt) and the probed
-      // buckets are distinct, so (probe, cand) pairs are already unique.
+      // A candidate lives in exactly one (bucket, salt), the probed
+      // buckets are distinct, and the two salts per bucket are distinct,
+      // so (probe, cand) pairs are already unique.
       topK(probes.join(corpus, "bucket")
         .filter(col("probe_id") =!= col("cand_id"))
         .select(col("probe_id"), col("cand_id"),
@@ -159,7 +169,7 @@ object VectorQueries extends QueryModule {
 
     // Multi-probe LSH for the ALL-vectors self-search shape: every
     // vector fans out over its home bucket plus the nPlanes hamming-1
-    // buckets (ONE sampled salt each, [[probeSalt]]), searching the
+    // buckets (TWO sampled salts each, [[probeSalts]]), searching the
     // same capped corpus as q_ann_lsh. Candidate enumeration grows from
     // O(n·cap) to O(n·(planes+1)·cap) — still linear in the corpus —
     // and recall@3 vs the exact q_ann_brute rises accordingly (numbers
@@ -177,7 +187,7 @@ object VectorQueries extends QueryModule {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
           col("nrm").as("pnrm"), explode(probeBuckets).as("pbucket"))
         .join(broadcast(sizes.withColumnRenamed("bucket", "pbucket")), "pbucket")
-        .withColumn("salt", probeSalt(col("probe_id"), col("pbucket")))
+        .withColumn("salt", explode(probeSalts(col("probe_id"), col("pbucket"))))
         .select(concat(col("pbucket").cast("string"), lit(":"),
             col("salt").cast("string")).as("bucket"),
           col("probe_id"), col("pv"), col("pnrm"))
@@ -292,8 +302,10 @@ object VectorQueries extends QueryModule {
       |ORDER BY probe_id, rnk""".stripMargin.replace("\n", "")
 
   /** Shared multi-probe CTE chain: probes (from `probeSrc`) fan out
-    * over home + hamming-1 buckets, ONE hash-sampled salt per probed
-    * bucket (the mirror of [[probeSalt]]). */
+    * over home + hamming-1 buckets, TWO hash-sampled salts per probed
+    * bucket (the mirror of [[probeSalts]]: the hashed sub-bucket and
+    * its cyclic neighbor, collapsed to one when the bucket isn't
+    * split). */
   private def multiProbeSql(probeFilter: String): String = {
     val neighborList = ("bucket0" +: (0 until nPlanes).map(j =>
       s"xor(bucket0, ${1L << j})")).mkString("[", ", ", "]")
@@ -306,8 +318,12 @@ object VectorQueries extends QueryModule {
        | pk AS (SELECT vec_id AS probe_id, embedding AS pv,
        |    unnest($neighborList) AS pbucket
        |   FROM buck0 $probeFilter),
-       | pexp AS (SELECT probe_id, pv, pbucket, $saltSql AS salt
+       | psalt AS (SELECT probe_id, pv, pbucket, $saltSql AS salt1,
+       |    ceil(bsz / ${bucketCap.toDouble})::BIGINT AS nsplit
        |   FROM pk JOIN sizes USING (pbucket)),
+       | pexp AS (SELECT probe_id, pv, pbucket,
+       |    unnest(list_distinct([salt1, (salt1 + 1) % nsplit])) AS salt
+       |   FROM psalt),
        | probes AS (SELECT probe_id, pv,
        |    pbucket::VARCHAR || ':' || salt::VARCHAR AS bucket FROM pexp),
        | scored AS (SELECT probe_id, c.vec_id AS cand_id,

@@ -110,12 +110,24 @@ final class TsvPairScan(path: String, required: StructType) extends Scan with Ba
     val root = new Path(path)
     val fs = root.getFileSystem(hconf)
     val it = fs.listFiles(root, true)
+    // Spark's own file-index semantics: a file is hidden when ANY path
+    // component below the root starts with '_' or '.', not just the
+    // leaf — listFiles recurses, so part-files under a leftover
+    // `_temporary/attempt_*/` from a failed or concurrent write have
+    // clean basenames but must not be read as live rows.
+    val qRoot = fs.makeQualified(root).toString
+    def hidden(p: Path): Boolean = {
+      var cur = p
+      while (cur != null && cur.toString != qRoot) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
     val files = Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next())
-      .filter { st =>
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
+      .filter(st => !hidden(st.getPath))
       .map(st => (st.getPath.toString, st.getLen))
       .toSeq
     val maxBytes = JavaUtils.byteStringAsBytes(

@@ -92,6 +92,43 @@ class CliAndCountersSpec extends AnyFunSuite with SparkSpec {
     assert(Main.parse(Array("query", "nope", "/t", "/o")).isLeft)
   }
 
+  test("CLI tsvpair: reference-format lines → parquet pair table, malformed dropped") {
+    val dir = tmpDir()
+    Files.createDirectories(dir.resolve("in"))
+    Files.write(dir.resolve("in/part-0"),
+      (indexFixture ++ Seq("notab", "   ")).asJava)
+    val out = dir.resolve("out").toString
+    val rc = Main.run(spark, Main.Args("tsvpair", dir.resolve("in").toString, out))
+    assert(rc == 0)
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSeq == Seq("word", "doc_id"))
+    assert(got.count() == indexFixture.size) // the 2 malformed lines dropped
+    // ErrorIfExists honored like the kernels; --overwrite unlocks.
+    assert(Main.run(spark, Main.Args("tsvpair", dir.resolve("in").toString, out)) == 1)
+    assert(Main.run(spark, Main.Args("tsvpair", dir.resolve("in").toString, out,
+      overwrite = true)) == 0)
+  }
+
+  test("CLI inflate: factor-2 inflation doubles fact tables, keeps dims fixed") {
+    val dir = tmpDir()
+    val in = "/root/testdata/sf0.001"
+    val out = dir.resolve("inflated").toString
+    val rc = Main.run(spark, Main.Args("inflate", in, out, factor = 2))
+    assert(rc == 0)
+    def cnt(root: String, t: String): Long =
+      spark.read.parquet(s"$root/$t.parquet").count()
+    for (t <- Seq("documents", "lineitem", "events", "embeddings"))
+      assert(cnt(out, t) == 2 * cnt(in, t), s"$t not doubled")
+    // Dimension tables stay fixed (TPC-H scaling; broadcast must stay broadcast).
+    for (t <- Seq("nation", "region"))
+      assert(cnt(out, t) == cnt(in, t), s"$t should be unchanged")
+    // Parse path: --factor is inflate-only and must be positive.
+    assert(Main.parse(Array("inflate", "/t", "/o", "--factor", "3"))
+      .exists(_.factor == 3))
+    assert(Main.parse(Array("inflate", "/t", "/o", "--factor", "0")).isLeft)
+    assert(Main.parse(Array("sort", "/t", "/o", "--factor", "2")).isLeft)
+  }
+
   test("CLI: bad args are rejected with the reference's arg contract") {
     assert(Main.parse(Array("wordcount", "in")).isLeft)
     assert(Main.parse(Array("nope", "in", "out")).isLeft)

@@ -47,6 +47,28 @@ class PercentileRankSpec extends AnyFunSuite with graft.SparkSpec {
       "c" -> 1.5, "c" -> 2.5))
   }
 
+  test("90%-tied column spreads across range partitions (tiebreaker in the range key)") {
+    val s = spark
+    import s.implicits._
+    // Adversarial shape: one group, 90% a single value. Without the
+    // unique tiebreaker in the range key, repartitionByRange cannot
+    // split the tied run and ~90% of rows land in one partition.
+    val n = 4000
+    val rows = (1 to n).map(i => ("g", if (i % 10 == 0) i.toDouble else 7.0))
+    val nPart = 4
+    val perPart = ScalarQueries.rangedByValue(rows.toDF("g", "v").repartition(8),
+        "g", "v", nPart)
+      .groupBy("_pid").count().collect().map(_.getLong(1))
+    assert(perPart.length == nPart, s"expected $nPart non-empty partitions, got ${perPart.length}")
+    val maxRows = perPart.max
+    // ≈ n/nPart with sampling slack — far below the 0.9·n pile-up the
+    // tiebreaker exists to prevent.
+    assert(maxRows <= n / nPart * 1.6,
+      s"max partition rows $maxRows vs balanced ${n / nPart}")
+    // And the same adversarial data still matches the built-in bit-for-bit.
+    compare(rows)
+  }
+
   test("fixed-seed random grouped doubles match the built-in bit-for-bit") {
     val gen = for {
       n <- Gen.choose(1, 120)

@@ -54,6 +54,32 @@ class SpaceSavingSpec extends AnyFunSuite with SparkSpec {
     assert(out.map(_._1).contains("warm"))
   }
 
+  test("ser/deser round trip preserves within-bucket FIFO order and eviction choice") {
+    import graft.functions.SpaceSavingBuffer
+    // Saturate a small buffer so several entries share the minimum
+    // count bucket; the round trip (toSeq → load, exactly what the
+    // aggregate's deserialize replays) must preserve head→tail order —
+    // a reversal would silently flip the eviction victim from the
+    // stalest entry to the NEWEST across Spark's partial-aggregate
+    // ser/deser boundary.
+    def build(): SpaceSavingBuffer = {
+      val b = new SpaceSavingBuffer(6)
+      Seq("a", "a", "a", "b", "b", "c", "d", "e", "f").foreach(b.offer)
+      b
+    }
+    val direct = build()
+    val roundTripped = new SpaceSavingBuffer(6)
+    roundTripped.load(direct.toSeq)
+    assert(roundTripped.toSeq == direct.toSeq,
+      s"round trip reordered: ${roundTripped.toSeq} vs ${direct.toSeq}")
+    // Same future: drive both buffers through an evicting offer and a
+    // second round of inserts — identical summaries means identical
+    // victims were chosen.
+    Seq("g", "h", "i").foreach { t => direct.offer(t); roundTripped.offer(t) }
+    assert(roundTripped.toSeq == direct.toSeq,
+      s"post-eviction divergence: ${roundTripped.toSeq} vs ${direct.toSeq}")
+  }
+
   test("q_topk_sketch exact-regime invariant: corpus vocabulary stays under capacity with margin") {
     // The oracle parity of q_topk_sketch depends on capacity 64 exceeding
     // the documents-table vocabulary at EVERY scale factor the gates run

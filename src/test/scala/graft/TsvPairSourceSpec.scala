@@ -57,6 +57,26 @@ class TsvPairSourceSpec extends AnyFunSuite with SparkSpec {
     assert(metrics("tsvLinesIn").value == 5)
   }
 
+  test("hidden path COMPONENTS are excluded, not just hidden basenames") {
+    // A failed/concurrent write leaves `_temporary/attempt_*/part-*`
+    // whose BASENAMES look live; reading them would double-count or
+    // surface uncommitted rows. Spark's file index excludes any path
+    // with a hidden component — the source must match.
+    val dir = writeLines(Seq("live\tdoc1", "kept\tdoc2"), parts = 1)
+    val root = new java.io.File(dir)
+    val tmpAttempt = new java.io.File(root, "_temporary/attempt_001")
+    assert(tmpAttempt.mkdirs())
+    Files.write(tmpAttempt.toPath.resolve("part-00000"),
+      "uncommitted\tdocX\n".getBytes("UTF-8"))
+    val dotDir = new java.io.File(root, ".staging")
+    assert(dotDir.mkdirs())
+    Files.write(dotDir.toPath.resolve("part-00001"),
+      "staged\tdocY\n".getBytes("UTF-8"))
+    val words = spark.read.format("tsvpair").load(dir)
+      .collect().map(_.getString(0)).toSet
+    assert(words == Set("live", "kept"), s"leaked hidden-path rows: $words")
+  }
+
   test("small files pack into few partitions (CombineTextInputFormat semantic)") {
     val dir = writeLines((1 to 64).map(i => s"w$i\td$i"), parts = 16)
     val df = spark.read.format("tsvpair").load(dir)
