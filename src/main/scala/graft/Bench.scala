@@ -49,6 +49,17 @@ import org.apache.spark.sql.SparkSession
   *    put different neighbors adjacent: position-dependent noise then
   *    shows up as cross-seed disagreement instead of masquerading as a
   *    per-query regression.
+  *  - UNTIMED PREHEAT: a 4-seed cross-order A/B (PLANS.md round-7
+  *    notes) showed the flagship-only session warm-up leaves an
+  *    early-suite JIT/codegen storm that elevates WHATEVER queries a
+  *    permutation places at positions 0–5 by 2–4× — reproducibly per
+  *    order, so it masquerades as a per-query regression. Before the
+  *    timed suite, one representative of each major physical shape
+  *    (shuffle+broadcast join, window sort, hash aggregate, the
+  *    tokenize/explode/LSH text path, the custom as-of plan) runs
+  *    untimed at the benched sf, absorbing the storm
+  *    position-independently (`SPARK_GRAFT_BENCH_PREHEAT` overrides
+  *    the list; empty disables).
   *
   * Failures are reported in `failed`, never as timings.
   */
@@ -121,6 +132,21 @@ object Bench {
         // following timed run).
         graft.queries.StagedCache.releaseAll(blocking = true)
     }
+
+    // Untimed preheat at the benched sf (see scaladoc): absorb the
+    // early-suite compilation storm before any timed interval starts.
+    // Runs AFTER session warm-up, BEFORE the suite; counts against the
+    // wall-clock budget like everything else (measured ~5 s warm).
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_PREHEAT",
+        "q_join_multi,q_window_rank,q1_agg,q_near_dup_minhash,q_asof_join")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+      .foreach { n =>
+        SparkEntry.queries.get(n).foreach { fn =>
+          try runOnce(fn)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] preheat $n: ${e.getMessage}") }
+        }
+      }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
     val failed = scala.collection.mutable.ListBuffer[String]()

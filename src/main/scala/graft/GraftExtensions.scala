@@ -93,5 +93,13 @@ object GraftExtensions {
         val u = "usage: lsh_bucket(vec, n_planes literal, dim literal)"
         PlaneBucketExpr(c.head,
           VectorFunctions.planeMatrix(literalInt(c(1), u), literalInt(c(2), u)))
-      }))
+      }),
+    ("bloom_build", classOf[BloomBuildAgg].getName,
+      arity(3, "usage: bloom_build(key, num_bits literal, num_hashes literal)") { c =>
+        val u = "usage: bloom_build(key, num_bits literal, num_hashes literal)"
+        BloomBuildAgg(c.head, literalInt(c(1), u), literalInt(c(2), u))
+      }),
+    ("bloom_might_contain", classOf[BloomMightContain].getName,
+      arity(2, "usage: bloom_might_contain(filter, key)")(
+        c => BloomMightContain(c(0), c(1)))))
 }

@@ -16,7 +16,9 @@ import graft.sources.Tables
 object CorpusQueries extends QueryModule {
 
   /** Tokens staged per doc (see PLANS.md on staging discipline). */
-  private def tokenRows(s: SparkSession, d: String): DataFrame =
+  // Package-open (not private): graft.HllError measures the sketch's
+  // error on exactly this token stream.
+  private[graft] def tokenRows(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"), explode(col("toks")).as("word"))

@@ -204,4 +204,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       assert(scans >= 2, s"$name: expected >=2 InMemoryTableScans, got $scans")
     }
   }
+
+  test("q_join_bucketed: co-bucketed sort-merge join, no exchange on the join key") {
+    val plan = formatted("q_join_bucketed")
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join inputs were shuffled:\n$plan")
+  }
+
+  test("q_bloom_join: the native bloom probe survives into the physical plan") {
+    val plan = formatted("q_bloom_join")
+    assert(plan.contains("bloom_might_contain"),
+      s"bloom probe missing from physical plan:\n$plan")
+    // The probe must test the FACT side's key (pre-join reduction), not
+    // re-check the dimension: its condition line references l_orderkey.
+    val probeLines = plan.linesIterator
+      .filter(_.contains("bloom_might_contain")).mkString("\n")
+    assert(probeLines.contains("l_orderkey"),
+      s"bloom probe does not filter the fact key:\n$probeLines")
+  }
 }
