@@ -32,23 +32,25 @@ object JoinOptQueries extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Runtime Bloom pre-filter ahead of a fact⋈dim equi-join: the
     // selective side (urgent orders) aggregates its keys into one
-    // fixed-size bit array (map-side OR-merge partials), the single
-    // binary row broadcasts, and the fact scan drops non-candidates
-    // BEFORE the join shuffle — shuffle volume becomes ∝ match rate,
-    // not corpus size. False positives survive the pre-filter and are
-    // removed by the join itself, so the result (and the oracle) is
-    // exactly the plain join.
+    // fixed-size bit array (map-side OR-merge partials), the 1-row
+    // aggregate rides a SCALAR SUBQUERY — executed once, substituted
+    // as a literal into the fact-side filter (NOT cross-joined: a
+    // 1-row crossJoin concatenates the filter's bytes into every fact
+    // row — measured 2.5 s vs 0.6 s at sf0.1) — and the fact scan
+    // drops non-candidates BEFORE the join shuffle, so shuffle volume
+    // becomes ∝ match rate, not corpus size. False positives survive
+    // the pre-filter and are removed by the join itself, so the
+    // result (and the oracle) is exactly the plain join.
     "q_bloom_join" -> ((s, d) => {
       val dim = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select("o_orderkey")
-      val bloom = dim.agg(
-        BloomBuildAgg(col("o_orderkey"), bloomExpectedKeys, bloomFpp).as("bf"))
+      val bloom = org.apache.spark.sql.graftbridge.Bridge.scalarSubquery(
+        dim.agg(
+          BloomBuildAgg(col("o_orderkey"), bloomExpectedKeys, bloomFpp).as("bf")))
       val fact = Tables.lineitem(s, d)
         .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
-      val pre = fact.crossJoin(broadcast(bloom)) // 1-row build side
-        .where(BloomMightContain(col("bf"), col("l_orderkey")))
-        .drop("bf")
+      val pre = fact.where(BloomMightContain(bloom, col("l_orderkey")))
       pre.join(dim, col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("cnt"),

@@ -12,6 +12,18 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A single-row/single-column DataFrame as a scalar-subquery Column —
+    * the runtime-filter shape: the subquery runs once on the driver and
+    * its value is substituted as a LITERAL into the consuming plan.
+    * For a broadcast-able small value (a sketch, a threshold) this
+    * beats `crossJoin(broadcast(oneRowDf))`, which concatenates the
+    * value's bytes into EVERY probe-side row (measured: a 19.6 KB
+    * Bloom filter cross-joined against 600 k rows copies ~12 GB;
+    * as a subquery literal it is materialized once). */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Column =
+    column(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.queryExecution.analyzed))
+
   /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is
     * `private[sql]`). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
