@@ -258,6 +258,35 @@ object DedupQueries extends QueryModule {
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
         .filter(col("hamming") <= 8)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Incremental ingest dedup, Bloom-accelerated: an incoming batch
+    // (doc_id ≡ 0 mod 5) is deduped against the historical corpus (the
+    // rest) by content hash. The 100 TB shape: the history's
+    // fingerprints compress into ONE fixed-size Bloom filter (scalar
+    // subquery — built once, a literal thereafter); bloom-NEGATIVE
+    // incoming rows are DEFINITIVELY new (no false negatives) and
+    // bypass the anti-join entirely, so the anti-join's shuffle
+    // carries only the bloom-positive suspects (true dups + ~fpp of
+    // the batch) instead of the whole batch. Result ≡ the plain
+    // anti join — the oracle states exactly that.
+    "q_dedup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      import graft.functions.{BloomBuildAgg, BloomMightContain}
+      val fp = TextFunctions.hash60(col("text"))
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(col("doc_id") % 5 =!= 0).select(fp.as("fp"))
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), fp.as("fp"))
+      val bloom = Bridge.scalarSubquery(
+        hist.agg(BloomBuildAgg(col("fp"), 65536L, 0.01).as("bf")))
+      val definitelyNew = incoming
+        .where(!BloomMightContain(bloom, col("fp")))
+      val suspects = incoming
+        .where(BloomMightContain(bloom, col("fp")))
+        .join(hist, Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("fp"))
+      definitelyNew.unionByName(suspects).orderBy("doc_id")
     })
   )
 
@@ -392,6 +421,17 @@ object DedupQueries extends QueryModule {
          |           JOIN sh sb ON sb.doc_id = cand.doc_b
          | WHERE bit_count(xor(sa.sh, sb.sh)) <= 8
          | ORDER BY doc_a, doc_b""".stripMargin.replace("\n", "")
-    }
+    },
+
+    // The bloom pre-screen is semantically invisible: the oracle is the
+    // PLAIN anti join of incoming fingerprints against history.
+    "q_dedup_incremental" ->
+      s"""SELECT doc_id, ${OracleSql.hash60("text")} AS fp
+         | FROM documents
+         | WHERE doc_id % 5 = 0
+         |   AND NOT EXISTS (SELECT 1 FROM documents h
+         |        WHERE h.doc_id % 5 != 0
+         |          AND ${OracleSql.hash60("h.text")} = ${OracleSql.hash60("documents.text")})
+         | ORDER BY doc_id""".stripMargin.replace("\n", "")
   )
 }

@@ -100,4 +100,29 @@ class BloomFilterSpec extends AnyFunSuite with SparkSpec {
     val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey")).count()
     assert(viaBloom.map(_.getLong(1)).sum == plain)
   }
+
+  test("q_dedup_incremental equals the plain anti join; negatives bypass it") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+    val fp = graft.functions.TextFunctions.hash60(col("text"))
+    val hist = docs.filter(col("doc_id") % 5 =!= 0).select(fp.as("fp"))
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), fp.as("fp"))
+    val plainAnti = incoming.join(hist, Seq("fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaBloom = graft.SparkEntry.queries("q_dedup_incremental")(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == plainAnti)
+    // The filter's no-false-negative side lets bloom-negative rows skip
+    // the anti join; with distinct per-doc content hashes the suspect
+    // set must be far smaller than the batch (≈ true dups + fpp).
+    import org.apache.spark.sql.graftbridge.Bridge
+    val bloom = Bridge.scalarSubquery(
+      hist.agg(graft.functions.BloomBuildAgg(col("fp"), 65536L, 0.01).as("bf")))
+    val nIncoming = incoming.count()
+    val nSuspects = incoming
+      .where(graft.functions.BloomMightContain(bloom, col("fp"))).count()
+    assert(nSuspects < nIncoming,
+      s"bloom screened nothing: $nSuspects of $nIncoming flagged")
+  }
 }
