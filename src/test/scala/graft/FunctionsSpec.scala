@@ -348,8 +348,15 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     val reg = Bridge.registeredFunctions(installer)
     for (name <- Seq("hash60", "kmv_distinct", "tokenize", "shingle_hashes",
       "dot_product", "simhash32", "jaccard_sorted", "minhash_sig", "lsh_bucket",
-      "heavy_hitters"))
+      "heavy_hitters", "bloom_build", "bloom_might_contain"))
       assert(reg.functionExists(FunctionIdentifier(name)), name)
+    val bb = reg.lookupFunction(FunctionIdentifier("bloom_build"),
+      Seq(Literal(1L), Literal(1024), Literal(5)))
+    assert(bb.isInstanceOf[graft.functions.BloomBuildAgg])
+    val bm = reg.lookupFunction(FunctionIdentifier("bloom_might_contain"),
+      Seq(Literal.create(Array[Byte](0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0),
+        org.apache.spark.sql.types.BinaryType), Literal(1L)))
+    assert(bm.isInstanceOf[graft.functions.BloomMightContain])
     val h = reg.lookupFunction(FunctionIdentifier("hash60"), Seq(Literal("x")))
     assert(h.isInstanceOf[graft.functions.Hash60Expr])
     val k = reg.lookupFunction(FunctionIdentifier("kmv_distinct"),
