@@ -294,6 +294,35 @@ object StreamingKernels {
       .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
       .select(col("doc_id"), col("ts"), col("fp"))
 
+  /** Bloom-screened streaming twin of the batch `q_dedup_incremental`:
+    * the historical corpus compresses into ONE bit array built at
+    * stream setup (a literal in the plan — no per-batch rebuild), and
+    * because a Bloom filter admits no false negatives, bloom-NEGATIVE
+    * ingest rows are definitively new and take a join-free branch;
+    * only the suspects (true dups + fpp·batch) reach the stream-static
+    * anti join that re-plans per micro-batch. Trade, stated plainly:
+    * the two branches each carry the watermark-bounded within-stream
+    * dedup state (doubled, still bounded) in exchange for an anti-join
+    * input ∝ suspects — the right side of that trade whenever the
+    * corpus index dwarfs the ingest batch, which is the 100 TB shape.
+    * Fingerprints are hash60 longs ([[graft.functions.Hash60Expr]]);
+    * `corpusFps` must expose a long `fp` column, `bloom` is
+    * [[graft.functions.BloomBuildAgg]]'s serialized output over it. */
+  def dedupAgainstCorpusBloom(docs: DataFrame, corpusFps: DataFrame,
+                              bloom: Array[Byte],
+                              watermark: String = "1 hour"): DataFrame = {
+    def base = docs // expected columns: (doc_id long, ts timestamp, text)
+      .withWatermark("ts", watermark)
+      .withColumn("fp", TextFunctions.hash60(col("text")))
+      .dropDuplicatesWithinWatermark("fp")
+    val suspect = graft.functions.BloomMightContain(lit(bloom), col("fp"))
+    val definitelyNew = base.where(!suspect)
+    val suspects = base.where(suspect)
+      .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
+    definitelyNew.unionByName(suspects)
+      .select(col("doc_id"), col("ts"), col("fp"))
+  }
+
   /** Streaming MinHash near-dup detection — the streaming twin of the
     * batch `q_near_dup_minhash` (same tokens → hashed 3-shingles → 8
     * minhash components → 4 band keys pipeline, via the SAME

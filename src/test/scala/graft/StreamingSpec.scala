@@ -416,6 +416,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("bloom-screened ingest dedup admits the same set; negatives skip the join") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val historical = Seq("seen before text", "also seen").toDF("text")
+      .select(graft.functions.TextFunctions.hash60(col("text")).as("fp"))
+    // The corpus filter, built once at setup (batch side).
+    val bloom = historical
+      .agg(graft.functions.BloomBuildAgg(col("fp"), 1024L, 0.01).as("bf"))
+      .collect()(0).getAs[Array[Byte]]("bf")
+    // No false negatives: every historical fp must be flagged.
+    historical.collect().map(_.getLong(0)).foreach { fp =>
+      assert(graft.functions.BloomImpl.mightContain(bloom, fp))
+    }
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val docs = source.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingKernels.dedupAgainstCorpusBloom(docs, historical, bloom)
+      .writeStream.format("memory").queryName("ingest_bloom_stream")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        (1L, ts("2026-01-01 10:00:00"), "seen before text"), // in corpus: dropped
+        (2L, ts("2026-01-01 10:01:00"), "brand new text"),   // admitted
+        (3L, ts("2026-01-01 10:02:00"), "brand new text"))   // in-stream dup: dropped
+      q.processAllAvailable()
+      source.addData(
+        (4L, ts("2026-01-01 10:10:00"), "also seen"),        // in corpus: dropped
+        (5L, ts("2026-01-01 10:11:00"), "another new one"))  // admitted
+      q.processAllAvailable()
+      val got = spark.table("ingest_bloom_stream").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(2L, 5L), s"got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming minhash near-dup flags out-of-order near-duplicates across batches") {
     val s = spark
     import s.implicits._
