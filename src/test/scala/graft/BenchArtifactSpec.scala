@@ -62,4 +62,56 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert((j \ "sf") == JString("/root/testdata/sf0.01"))
     assert((j \ "complete") == JBool(true))
   }
+
+  test("budget ladder sheds precision before coverage, monotonically") {
+    // No budget → full sampling.
+    assert(Bench.samplingPlan(0.0, 3, 7) == ((3, 7)))
+    assert(Bench.samplingPlan(-1.0, 5, 9) == ((5, 9)))
+    // Fresh run → full sampling; then adaptive extras go first, then
+    // iters step down, and at heavy pressure every query still gets
+    // exactly one timed sample (coverage is never shed).
+    assert(Bench.samplingPlan(0.2, 3, 7) == ((3, 7)))
+    assert(Bench.samplingPlan(0.6, 3, 7) == ((3, 3)))
+    assert(Bench.samplingPlan(0.75, 3, 7) == ((2, 2)))
+    assert(Bench.samplingPlan(0.9, 3, 7) == ((1, 1)))
+    assert(Bench.samplingPlan(1.5, 3, 7) == ((1, 1)))
+    // Monotone non-increasing in pressure, and target ≤ max throughout.
+    val fracs = (0 to 24).map(_ * 0.05)
+    val plans = fracs.map(f => Bench.samplingPlan(f, 3, 7))
+    plans.sliding(2).foreach { case Seq((a1, m1), (a2, m2)) =>
+      assert(a2 <= a1 && m2 <= m1)
+    }
+    plans.foreach { case (t, m) => assert(t >= 1 && m >= t) }
+  }
+
+  test("cost projection picks the cheapest level that fits the whole suite") {
+    // No budget / no data → no degradation.
+    assert(Bench.projectedLevel(10, 0, 50, 0.5, 0.4, 3, 7) == 0)
+    assert(Bench.projectedLevel(10, 600, 50, 0.0, 0.4, 3, 7) == 0)
+    // Roomy budget: full sampling fits. 50 queries × (4×0.5+0.4)=120s.
+    assert(Bench.projectedLevel(10, 600, 50, 0.5, 0.4, 3, 7) == 0)
+    // Tight budget: two samples still fit (45+87×(3×0.6+0.4)=236 ≤ 240)
+    // but base-iters don't (45+87×2.8=289) — cheapest fitting level.
+    assert(Bench.projectedLevel(45, 240, 87, 0.6, 0.4, 3, 7) == 2)
+    // Tighter: only one sample fits (30+87×(2×0.6+0.4)=169 ≤ 180).
+    assert(Bench.projectedLevel(30, 180, 87, 0.6, 0.4, 3, 7) == 3)
+    // Mid budget: two samples fit but three don't.
+    // L1: 40×(4×1.0+0.4)=176 > 150-10; L2: 40×(3×1.0+0.4)=136 ≤ 140.
+    assert(Bench.projectedLevel(10, 150, 40, 1.0, 0.4, 3, 7) == 2)
+    // Nothing fits → deepest level (no warm-up; coverage still
+    // attempted, the between-samples budget check handles the rest).
+    assert(Bench.projectedLevel(230, 240, 87, 0.6, 0.4, 3, 7) == 4)
+    // Warm-up is shed only at the deepest level: level 4 fits where
+    // level 3's extra warm-up run does not.
+    // L3: 100+50×(2×1.0+0.4)=220 > 210; L4: 100+50×(1×1.0+0.4)=170 ≤ 210.
+    assert(Bench.projectedLevel(100, 210, 50, 1.0, 0.4, 3, 7) == 4)
+    assert(!Bench.warmupAtLevel(4))
+    (0 to 3).foreach(l => assert(Bench.warmupAtLevel(l)))
+    // Monotone: tighter budget or more remaining never lowers the level.
+    for (b <- Seq(100.0, 200.0, 400.0, 800.0).sliding(2)) {
+      val Seq(tight, roomy) = b
+      assert(Bench.projectedLevel(0, tight, 60, 0.5, 0.4, 3, 7) >=
+        Bench.projectedLevel(0, roomy, 60, 0.5, 0.4, 3, 7))
+    }
+  }
 }
