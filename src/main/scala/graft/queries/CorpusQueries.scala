@@ -23,6 +23,19 @@ object CorpusQueries extends QueryModule {
       .select(col("doc_id"), col("source"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"), explode(col("toks")).as("word"))
 
+  /** Efraimidis–Spirakis exponential sampling key: −ln(u)/w with
+    * u = (hash60("wsample:"+id)+1)/2^60 ∈ (0,1], micro-scaled (×1e6)
+    * and rounded to 6dp so an ulp of libm-ln divergence between
+    * engines cannot flip a rank order (see q_sample_weighted). Ranking
+    * ascending by this key draws a weighted sample without replacement
+    * with inclusion skewed ∝ `weight`. Package-open: SamplingSpec pins
+    * the formula against a plain-JVM model and its selection bias. */
+  private[graft] def esKey(id: Column, weight: Column): Column = {
+    val h = TextFunctions.hash60(concat(lit("wsample:"), id.cast("string")))
+    val u = (h + lit(1L)).cast("double") / lit(1152921504606846976.0)
+    round(-log(u) / greatest(weight, lit(1L)).cast("double") * lit(1e6), 6)
+  }
+
   /** The q_hll_distinct tolerance gate: an HLL++ estimate must sit
     * within `sigmas` standard errors of the exact count. Public so the
     * negative test (AggregatorSpec) can push a POISONED estimate
@@ -225,6 +238,72 @@ object CorpusQueries extends QueryModule {
         .select(col("source"), col("doc_id"), col("rnk"))
         .orderBy("source", "rnk")),
 
+    // Weighted stratified sample — Efraimidis–Spirakis exponential
+    // keys: every doc draws u ∈ (0,1] from a content-independent hash
+    // and competes with key −ln(u)/w, so the k winners per source are
+    // an exact weighted sample without replacement with inclusion
+    // skewed ∝ w (here w = n_chars: length-proportional sampling, the
+    // importance-sampling primitive a data-mixing pipeline runs).
+    // Deterministic on any engine, any sharding, any run: the
+    // "randomness" is the same md5-derived uniform on both sides —
+    // (h+1)/2^60 is bit-identical across engines because the 60-bit
+    // int→double rounding and the power-of-two scale are both IEEE —
+    // and the key is micro-scaled and rounded (6dp) before ranking
+    // with a doc_id tiebreak, so an ulp of libm-ln divergence cannot
+    // flip an order (the q_tfidf_top_terms precedent). One shuffle
+    // (the per-source window); at 100 TB the rank prunes to top-k per
+    // group before anything leaves the exchange.
+    "q_sample_weighted" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("ekey", esKey(col("doc_id"), col("n_chars")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("source").orderBy(col("ekey"), col("doc_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("ekey"),
+          col("rnk"))
+        .orderBy("source", "rnk")
+    }),
+
+    // Token-budget subset selection: stream the corpus in weighted-
+    // sample order (q_sample_weighted's key, global this time) and
+    // keep docs while the running token total stays under a fixed
+    // budget — "draw a 12k-token training mix with inclusion ∝ doc
+    // length". The global running sum is the same two-phase shape as
+    // q_pack_sequences: range-partition by the sort key, partition-
+    // LOCAL cumulative window, then only the #partitions-row prefix
+    // table crosses a single-task window and broadcasts back — no
+    // 100 TB single-task global window. The result is a pure function
+    // of (ekey, doc_id) order — independent of partition count or
+    // sampled range boundaries — which is what the DuckDB mirror (a
+    // plain ordered window) checks.
+    "q_token_budget" -> ((s, d) => {
+      val budget = 12000L
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("ekey", esKey(col("doc_id"), col("n_chars")))
+        .select("doc_id", "source", "n_tokens", "ekey")
+        .repartitionByRange(col("ekey"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy("pid").orderBy("ekey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = t.withColumn("local_before",
+        coalesce(sum("n_tokens").over(wLocal), lit(0L)))
+      val wPrefix = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefixes = local.groupBy("pid").agg(sum("n_tokens").as("ptot"))
+        .withColumn("prefix", coalesce(sum("ptot").over(wPrefix), lit(0L)))
+        .select(col("pid"), col("prefix"))
+      local.join(broadcast(prefixes), "pid")
+        .withColumn("cum_before", col("local_before") + col("prefix"))
+        .filter(col("cum_before") < budget)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("ekey"),
+          col("cum_before"))
+        .orderBy("cum_before", "doc_id")
+    }),
+
     // Top-5 TF-IDF terms per source: tf = term count within source,
     // idf = ln(#sources / #sources containing term). Two shuffles
     // (term-level agg, source-level window) — both on bounded key
@@ -407,6 +486,29 @@ object CorpusQueries extends QueryModule {
          |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
          |    ORDER BY ${hash60("'sample:' || doc_id::VARCHAR")}, doc_id) AS rnk
          |  FROM documents) WHERE rnk <= 5 ORDER BY source, rnk"""
+        .stripMargin.replace("\n", ""),
+
+    "q_sample_weighted" ->
+      s"""WITH k AS (SELECT source, doc_id, n_chars,
+         |   round(-ln((${hash60("'wsample:' || doc_id::VARCHAR")} + 1)::DOUBLE
+         |     / 1152921504606846976.0) / greatest(n_chars, 1)::DOUBLE
+         |     * 1000000.0, 6) AS ekey FROM documents),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |     ORDER BY ekey, doc_id) AS rnk FROM k)
+         |SELECT source, doc_id, n_chars, ekey, rnk FROM r WHERE rnk <= 5
+         | ORDER BY source, rnk""".stripMargin.replace("\n", ""),
+
+    "q_token_budget" ->
+      s"""WITH k AS (SELECT doc_id, source,
+         |   len(${toks("text")})::BIGINT AS n_tokens,
+         |   round(-ln((${hash60("'wsample:' || doc_id::VARCHAR")} + 1)::DOUBLE
+         |     / 1152921504606846976.0) / greatest(n_chars, 1)::DOUBLE
+         |     * 1000000.0, 6) AS ekey FROM documents),
+         | c AS (SELECT *, coalesce(sum(n_tokens) OVER (ORDER BY ekey, doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |     AS cum_before FROM k)
+         |SELECT doc_id, source, n_tokens, ekey, cum_before FROM c
+         | WHERE cum_before < 12000 ORDER BY cum_before, doc_id"""
         .stripMargin.replace("\n", ""),
 
     "q_tfidf_top_terms" ->

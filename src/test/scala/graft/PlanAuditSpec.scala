@@ -115,6 +115,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "partition-local cumsum window missing")
   }
 
+  test("token-budget selection: same two-phase shape — no corpus-sized global window") {
+    val plan = formatted("q_token_budget")
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(single <= 1, s"corpus-sized single-partition exchange planned ($single)")
+    assert(plan.contains("rangepartitioning"),
+      "range-partitioned local cumsum missing")
+    assert(plan.contains("BroadcastExchange"), "prefix table not broadcast")
+  }
+
   test("bm25: term filter precedes the explode-side aggregation; stats broadcast; top-k distributed") {
     val plan = formatted("q_bm25")
     // df and the 1-row corpus stats reach the score join as broadcasts.
