@@ -265,6 +265,40 @@ object CorpusQueries extends QueryModule {
         .orderBy("source", "rnk")
     }),
 
+    // Proportional source-mixing manifest: build a fixed-size training
+    // mix (120 docs) whose composition follows per-source mixing
+    // weights — the "30% code / 50% web / 20% books" primitive. Tiers
+    // derive deterministically from the source id (index mod 3 →
+    // weight 4/2/1); each source's quota is the integer-exact
+    // floor(k·w/Σw) (no floats touch the hash), and the quota is
+    // filled by the Efraimidis–Spirakis key, so within a source the
+    // pick is a weighted sample without replacement. Plan: one tiny
+    // distinct-source aggregate broadcast back (8-byte Σw — narrow
+    // values may ride a broadcast cross join; only WIDE ones need the
+    // scalar-subquery form, PLANS.md round-7), one window shuffle.
+    // At 100 TB the rank prunes each source to its quota before
+    // anything leaves the exchange.
+    "q_mix_manifest" -> ((s, d) => {
+      val k = 120L
+      val mod = pmod(regexp_extract(col("source"), "(\\d+)", 1).cast("long"),
+        lit(3L))
+      val srcW = when(mod === 0, 4L).when(mod === 1, 2L).otherwise(1L)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("w", srcW)
+      val sumW = docs.select(col("source"), col("w")).distinct()
+        .agg(sum("w").as("sum_w"))
+      docs.crossJoin(broadcast(sumW))
+        .withColumn("quota", expr(s"($k * w) div sum_w"))
+        .withColumn("ekey", esKey(col("doc_id"), col("n_chars")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("source").orderBy(col("ekey"), col("doc_id"))))
+        .filter(col("rnk") <= col("quota"))
+        .select(col("source"), col("w"), col("quota"), col("doc_id"),
+          col("rnk"))
+        .orderBy("source", "rnk")
+    }),
+
     // Token-budget subset selection: stream the corpus in weighted-
     // sample order (q_sample_weighted's key, global this time) and
     // keep docs while the running token total stays under a fixed
@@ -496,6 +530,22 @@ object CorpusQueries extends QueryModule {
          | r AS (SELECT *, row_number() OVER (PARTITION BY source
          |     ORDER BY ekey, doc_id) AS rnk FROM k)
          |SELECT source, doc_id, n_chars, ekey, rnk FROM r WHERE rnk <= 5
+         | ORDER BY source, rnk""".stripMargin.replace("\n", ""),
+
+    "q_mix_manifest" ->
+      s"""WITH docs AS (SELECT doc_id, source, n_chars,
+         |   (CASE regexp_extract(source, '(\\d+)', 1)::BIGINT % 3
+         |     WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END)::BIGINT AS w
+         |   FROM documents),
+         | sw AS (SELECT sum(w)::BIGINT AS sum_w
+         |   FROM (SELECT DISTINCT source, w FROM docs)),
+         | r AS (SELECT source, w, (120 * w) // sum_w AS quota, doc_id,
+         |   row_number() OVER (PARTITION BY source ORDER BY
+         |     round(-ln((${hash60("'wsample:' || doc_id::VARCHAR")} + 1)::DOUBLE
+         |       / 1152921504606846976.0) / greatest(n_chars, 1)::DOUBLE
+         |       * 1000000.0, 6), doc_id) AS rnk
+         |   FROM docs CROSS JOIN sw)
+         |SELECT source, w, quota, doc_id, rnk FROM r WHERE rnk <= quota
          | ORDER BY source, rnk""".stripMargin.replace("\n", ""),
 
     "q_token_budget" ->

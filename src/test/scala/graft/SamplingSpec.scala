@@ -66,6 +66,21 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     } finally conf.set("spark.sql.shuffle.partitions", orig)
   }
 
+  test("q_mix_manifest never overfills a source quota or the total") {
+    val rows = SparkEntry.queries("q_mix_manifest")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Per-source picks ≤ quota (a source smaller than its quota yields
+    // what it has — sf0.001 sources hold 2-3 docs), and the whole mix
+    // stays under the requested k. Exact quota arithmetic is pinned by
+    // the sf0.01 oracle (117 = 7×10 + 7×5 + 6×2 rows).
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.length <= rs.head.getLong(2), s"$src overfilled")
+      assert(rs.map(_.getInt(4)).sorted.toSeq == (1 to rs.length),
+        s"$src ranks not contiguous")
+    }
+    assert(rows.length <= 120)
+  }
+
   test("q_token_budget keeps a gapless prefix under the budget") {
     val rows = SparkEntry.queries("q_token_budget")(spark, sf).collect()
     assert(rows.nonEmpty)
