@@ -263,6 +263,21 @@ object VectorQueries extends QueryModule {
             / (col("pnrm") * col("cnrm")), 6).as("cos_sim")))
     }),
 
+    // Full k-means trainer (K=16, 3 Lloyd iterations) — the model-
+    // training twin of q_ann_ivf's 1-iteration quantizer, reporting
+    // the trained model per cell: size, inertia (Σ‖e−c‖² in exact
+    // micro-units), and a centroid checksum. Every arithmetic step
+    // that crosses an aggregation is integer micro-units summed as
+    // longs, so the result is order-independent and DuckDB mirrors
+    // the whole 3-iteration training run bit-for-bit. 100 TB shape:
+    // each iteration is ONE broadcast-assign scan (K centroids ride
+    // the broadcast; the argmin is a native dot fold per pair via the
+    // norm identity) + ONE partial-aggregated shuffle keyed on
+    // (cell, pos) — K·dim keys, independent of corpus size; the
+    // trained 16-row model is staged once and both final consumers
+    // (assignment report, checksum join) read it.
+    "q_kmeans" -> ((s, d) => kmeansReport(s, d, iters = 3)),
+
     // Embedding-cosine near-dup pairs: same (capped) LSH bucket ∧
     // cosine ≥ 0.35.
     "q_embed_near_dup" -> ((s, d) => {
@@ -280,6 +295,50 @@ object VectorQueries extends QueryModule {
         .orderBy("vec_a", "vec_b")
     })
   )
+
+  /** The q_kmeans trainer, iteration count exposed so KMeansSpec can
+    * pin Lloyd monotonicity (total inertia non-increasing in `iters`).
+    */
+  private[graft] def kmeansReport(s: SparkSession, d: String,
+      iters: Int): DataFrame = {
+      val k = 16
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        VectorFunctions.dot(col("embedding"), col("embedding")).as("n2"))
+      def assign(cent: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cent))
+          .withColumn("dd", round(col("n2") + col("c2")
+            - lit(2.0) * VectorFunctions.dot(col("embedding"), col("cv")), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("dd"), col("cid"))))
+          .filter(col("rn") === 1)
+      def recompute(assigned: DataFrame): DataFrame =
+        assigned.select(col("cid").as("cell0"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cell0", "pos")
+          .agg(sum(round(col("v").cast("double") * 1e6).cast("long")).as("sq"),
+            count(lit(1)).as("n"))
+          .select(col("cell0"), col("pos"),
+            round(col("sq").cast("double") / col("n") / 1e6, 6).as("cvp"))
+          .groupBy("cell0")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cvp")))),
+              x => x.getField("cvp")).as("cv"),
+            sum(round(col("cvp") * 1e6).cast("long")).as("csum"))
+          .select(col("cell0").as("cid"), col("cv"), col("csum"),
+            VectorFunctions.dot(col("cv"), col("cv")).as("c2"))
+      val seed = e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+          col("n2").as("c2"))
+      val trained = StagedCache.persist(
+        (1 to iters).foldLeft(seed) { (c, _) => recompute(assign(c)) })
+      assign(trained)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("dd") * 1e6).cast("long")).as("inertia_u"))
+        .join(broadcast(trained.select(col("cid"), col("csum").as("cent_sum_u"))),
+          "cid")
+        .select(col("cid"), col("n"), col("inertia_u"), col("cent_sum_u"))
+        .orderBy("cid")
+  }
 
   import OracleSql.{cappedBucket, dot, l2Norm, lshBucket}
 
@@ -388,6 +447,55 @@ object VectorQueries extends QueryModule {
          |  FROM probes p JOIN cands c ON c.cell = p.cell
          |   AND c.cand_id != p.probe_id),
          |$topKSql""".stripMargin.replace("\n", ""),
+
+    "q_kmeans" -> {
+      // One Lloyd iteration as a CTE block: assign every vector to its
+      // nearest centroid from `prev` (argmin on the same rounded norm-
+      // identity distance), then the integer-micro-unit per-cell mean
+      // and the rounded-centroid checksum — the same expression
+      // sequence the Spark side runs, so all three iterations match
+      // bit-for-bit.
+      def iter(i: Int, prev: String): String =
+        s""" d$i AS (SELECT b.vec_id, b.embedding, b.n2, cid,
+           |    round(b.n2 + c2 - 2.0 * ${dot("b.embedding", "cv", dim)}, 6) AS dd
+           |   FROM base b CROSS JOIN $prev),
+           | a$i AS (SELECT vec_id, embedding, cell0, dd FROM (
+           |    SELECT vec_id, embedding, cid AS cell0, dd, row_number() OVER
+           |      (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+           |    FROM d$i) WHERE rn = 1),
+           | m$i AS (SELECT cell0, pos,
+           |    sum(CAST(round(v::DOUBLE * 1e6) AS BIGINT)) AS sq, count(*) AS n
+           |   FROM (SELECT cell0, unnest(embedding) AS v,
+           |      unnest(generate_series(1, $dim)) AS pos FROM a$i)
+           |   GROUP BY cell0, pos),
+           | c$i AS (SELECT cell0 AS cid,
+           |    list(round(sq::DOUBLE / n / 1e6, 6) ORDER BY pos) AS cv,
+           |    sum(CAST(round(round(sq::DOUBLE / n / 1e6, 6) * 1e6) AS BIGINT))
+           |      AS csum
+           |   FROM m$i GROUP BY cell0),
+           | t$i AS (SELECT cid, cv, csum, ${dot("cv", "cv", dim)} AS c2
+           |   FROM c$i)""".stripMargin
+      val train = (1 to 3).map(i => iter(i, if (i == 1) "seed" else s"t${i - 1}"))
+        .mkString(",")
+      s"""WITH base AS (SELECT vec_id, embedding,
+         |    ${dot("embedding", "embedding", dim)} AS n2 FROM embeddings),
+         | seed AS (SELECT vec_id AS cid, embedding AS cv, n2 AS c2
+         |   FROM base WHERE vec_id < 16),
+         |$train,
+         | df AS (SELECT b.vec_id, cid,
+         |    round(b.n2 + c2 - 2.0 * ${dot("b.embedding", "cv", dim)}, 6) AS dd
+         |   FROM base b CROSS JOIN t3),
+         | af AS (SELECT vec_id, cid, dd FROM (
+         |    SELECT vec_id, cid, dd, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM df)
+         |   WHERE rn = 1),
+         | rep AS (SELECT cid, count(*)::BIGINT AS n,
+         |    sum(CAST(round(dd * 1e6) AS BIGINT)) AS inertia_u
+         |   FROM af GROUP BY cid)
+         |SELECT rep.cid AS cid, n, inertia_u, t3.csum AS cent_sum_u
+         | FROM rep JOIN t3 ON rep.cid = t3.cid
+         | ORDER BY cid""".stripMargin.replace("\n", "")
+    },
 
     "q_embed_near_dup" ->
       s"""$bucketCte
