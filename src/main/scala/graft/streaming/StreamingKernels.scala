@@ -437,4 +437,36 @@ object StreamingKernels {
           }
       }
   }
+
+  /** Streaming per-source quota admission — the streaming twin of
+    * `q_mix_manifest`'s quota fill: each source admits at most `quota`
+    * docs across the whole stream, then drops the rest. The batch twin
+    * fills its quota by weighted sampling key; a stream cannot rank
+    * what it has not yet seen, so the streaming form admits in arrival
+    * order — the standard online relaxation of a quota'd mix, used as
+    * the admission-control stage in front of an ingest pipeline.
+    * State per key is ONE counter, so total state is bounded by
+    * #sources regardless of stream length — no watermark needed, and
+    * a source that exceeded its quota costs one long forever rather
+    * than a growing buffer. Emits (source, doc_id, admit_idx) for
+    * admitted docs only, admit_idx contiguous from 1 per source.
+    */
+  def quotaFill(docs: org.apache.spark.sql.Dataset[(Long, String)],
+                quota: Long)
+      : org.apache.spark.sql.Dataset[(String, Long, Long)] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (source, rows, state) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[(String, Long, Long)]
+          rows.foreach { case (docId, _) =>
+            if (n < quota) { n += 1; out += ((source, docId, n)) }
+          }
+          state.update(n)
+          out.result().iterator
+      }
+  }
 }

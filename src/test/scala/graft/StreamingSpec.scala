@@ -507,4 +507,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         s"doc 5 flagged against expired state: ${after.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming quota admission fills each source's quota then drops forever") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingKernels.quotaFill(source.toDS(), quota = 3)
+      .toDF("source", "doc_id", "admit_idx")
+      .writeStream.format("memory").queryName("quota_stream")
+      .outputMode("append").start()
+    try {
+      // Quota crossings land in separate micro-batches so the test
+      // depends only on batch arrival order, never intra-batch order.
+      source.addData((1L, "a"), (2L, "a"), (3L, "b"))
+      q.processAllAvailable()
+      source.addData((4L, "a"), (6L, "b"))
+      q.processAllAvailable()
+      source.addData((5L, "a"), (8L, "b")) // a is full: 5 dropped
+      q.processAllAvailable()
+      source.addData((7L, "a"), (9L, "b")) // both full now
+      q.processAllAvailable()
+      val rows = spark.table("quota_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._3))
+      assert(rows.filter(_._1 == "a").map(_._2).toSeq == Seq(1L, 2L, 4L))
+      assert(rows.filter(_._1 == "b").map(_._2).toSeq == Seq(3L, 6L, 8L))
+      // Admission indices are contiguous per source.
+      assert(rows.filter(_._1 == "a").map(_._3).toSeq == Seq(1L, 2L, 3L))
+      assert(rows.filter(_._1 == "b").map(_._3).toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
