@@ -118,6 +118,33 @@ object DedupQueries extends QueryModule {
         .filter(col("dup_count") >= 2)
         .orderBy("fp")),
 
+    // Keep-BEST dedup policy: where q_dedup_exact/shuffled keep the
+    // min-doc_id member of each duplicate group, production pipelines
+    // keep the highest-QUALITY member (here: most tokens — shuffled
+    // copies share a distinct-token set but differ in repetition, so
+    // the policy genuinely chooses) and report the tokens the drop
+    // saves. Plan shape: the rank window and the group aggregate key
+    // on the SAME column, so Catalyst plans ONE fp exchange reused by
+    // both — still the single-shuffle dedup.
+    "q_dedup_keep_best" -> ((s, d) => {
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.fingerprintShuffle(col("text")).as("fp"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("fp")
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      staged
+        .withColumn("rnk", row_number().over(w))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("dup_count"),
+          max(when(col("rnk") === 1, col("doc_id"))).as("keeper_id"),
+          max(when(col("rnk") === 1, col("n_tokens"))).as("keeper_tokens"),
+          sum(when(col("rnk") > 1, col("n_tokens")).otherwise(0L))
+            .as("tokens_dropped"))
+        .filter(col("dup_count") >= 2)
+        .orderBy("fp")
+    }),
+
     // MinHash + banded LSH near-dup: 8 signature components (one md5
     // pass per doc + 8 universal-hash mixes) in 4 bands of 2; docs
     // agreeing on any band become candidates (bucket join on the band
@@ -345,6 +372,21 @@ object DedupQueries extends QueryModule {
          | FROM (SELECT doc_id,
          |   md5(array_to_string(list_sort(list_distinct(${toks("text")})), ' ')) AS fp
          |  FROM documents) GROUP BY fp HAVING count(*) >= 2 ORDER BY fp"""
+        .stripMargin.replace("\n", ""),
+
+    "q_dedup_keep_best" ->
+      s"""WITH t AS (SELECT doc_id,
+         |   md5(array_to_string(list_sort(list_distinct(${toks("text")})), ' '))
+         |     AS fp,
+         |   len(${toks("text")})::BIGINT AS n_tokens FROM documents),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY fp
+         |     ORDER BY n_tokens DESC, doc_id) AS rnk FROM t)
+         |SELECT fp, count(*)::BIGINT AS dup_count,
+         | max(CASE WHEN rnk = 1 THEN doc_id END) AS keeper_id,
+         | max(CASE WHEN rnk = 1 THEN n_tokens END) AS keeper_tokens,
+         | sum(CASE WHEN rnk > 1 THEN n_tokens ELSE 0 END)::BIGINT
+         |   AS tokens_dropped
+         | FROM r GROUP BY fp HAVING count(*) >= 2 ORDER BY fp"""
         .stripMargin.replace("\n", ""),
 
     "q_near_dup_minhash" ->

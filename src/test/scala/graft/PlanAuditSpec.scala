@@ -115,6 +115,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "partition-local cumsum window missing")
   }
 
+  test("keep-best dedup: the rank window and group aggregate share one fp exchange") {
+    val plan = formatted("q_dedup_keep_best")
+    val fpEx = "Exchange hashpartitioning\\(fp".r.findAllIn(plan).length
+    assert(fpEx <= 1, s"fp shuffled $fpEx times — window/agg exchange not reused")
+  }
+
   test("token-budget selection: same two-phase shape — no corpus-sized global window") {
     val plan = formatted("q_token_budget")
     val single = "Exchange SinglePartition".r.findAllIn(plan).length
