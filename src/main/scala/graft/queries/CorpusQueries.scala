@@ -265,6 +265,31 @@ object CorpusQueries extends QueryModule {
         .orderBy("source", "rnk")
     }),
 
+    // Overlapping-chunk manifest: split every doc into 64-token chunks
+    // at stride 48 (16-token overlap) — the context-window prep an LLM
+    // pipeline runs before sequence packing, with a per-chunk content
+    // fingerprint (md5 of the chunk's tokens) so chunk-level dedup can
+    // run downstream. Map-side only: one tokenize, one sequence/
+    // explode ∝ output chunks, no shuffle at all before the ordered
+    // dump — at 100 TB this is the embarrassingly-parallel shape.
+    "q_chunk_docs" -> ((s, d) => {
+      val chunkLen = 64L
+      val stride = 48L
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .select(col("doc_id"), col("toks"), col("n"),
+          posexplode(sequence(lit(0L), col("n") - 1, lit(stride)))
+            .as(Seq("chunk_idx", "start_tok")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("start_tok"),
+          least(lit(chunkLen), col("n") - col("start_tok")).as("chunk_tokens"),
+          md5(concat_ws(" ",
+            slice(col("toks"), (col("start_tok") + 1).cast("int"),
+              lit(chunkLen.toInt)))).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Proportional source-mixing manifest: build a fixed-size training
     // mix (120 docs) whose composition follows per-source mixing
     // weights — the "30% code / 50% web / 20% books" primitive. Tiers
@@ -531,6 +556,18 @@ object CorpusQueries extends QueryModule {
          |     ORDER BY ekey, doc_id) AS rnk FROM k)
          |SELECT source, doc_id, n_chars, ekey, rnk FROM r WHERE rnk <= 5
          | ORDER BY source, rnk""".stripMargin.replace("\n", ""),
+
+    "q_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, ${toks("text")} AS toks,
+         |   len(${toks("text")})::BIGINT AS n FROM documents),
+         | c AS (SELECT doc_id, toks, n,
+         |   unnest(generate_series(0, n - 1, 48)) AS start_tok FROM t)
+         |SELECT doc_id, (start_tok // 48)::BIGINT AS chunk_idx,
+         | start_tok::BIGINT AS start_tok,
+         | least(64, n - start_tok)::BIGINT AS chunk_tokens,
+         | md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 64),
+         |   ' ')) AS chunk_fp
+         | FROM c ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", ""),
 
     "q_mix_manifest" ->
       s"""WITH docs AS (SELECT doc_id, source, n_chars,
