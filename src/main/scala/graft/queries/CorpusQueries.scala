@@ -265,6 +265,36 @@ object CorpusQueries extends QueryModule {
         .orderBy("source", "rnk")
     }),
 
+    // Vocabulary build + token-id encoding — the "train a tokenizer,
+    // encode the corpus" stage: the top-16 words by corpus frequency
+    // become ids 1..16 (rank order, word tiebreak), everything else is
+    // OOV id 0, and each doc reports its token count, OOV count, and
+    // an order-weighted encode checksum Σ(pos+1)·id — integer-exact,
+    // so a single transposed token anywhere in the corpus flips the
+    // hash. Scale shape: the vocab build is a partial-agg count +
+    // distributed TakeOrdered (the q_bm25 pattern — only the ≤16-row
+    // top table crosses a single-partition rank window), and encoding
+    // is a broadcast join: the corpus shuffles once (doc_id agg),
+    // never on the word domain.
+    "q_vocab_encode" -> ((s, d) => {
+      val vocabSize = 16
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "word")))
+      val top = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(vocabSize)
+      val vocab = top.withColumn("id", row_number().over(
+          Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
+        .select(col("word"), col("id"))
+      toks.join(broadcast(vocab), Seq("word"), "left")
+        .withColumn("tid", coalesce(col("id"), lit(0L)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum((col("tid") === 0L).cast("long")).as("n_oov"),
+          sum((col("pos") + 1) * col("tid")).as("encode_sum"))
+        .orderBy("doc_id")
+    }),
+
     // Overlapping-chunk manifest: split every doc into 64-token chunks
     // at stride 48 (16-token overlap) — the context-window prep an LLM
     // pipeline runs before sequence packing, with a per-chunk content
@@ -556,6 +586,21 @@ object CorpusQueries extends QueryModule {
          |     ORDER BY ekey, doc_id) AS rnk FROM k)
          |SELECT source, doc_id, n_chars, ekey, rnk FROM r WHERE rnk <= 5
          | ORDER BY source, rnk""".stripMargin.replace("\n", ""),
+
+    "q_vocab_encode" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(toks) AS word,
+         |   unnest(generate_series(1, len(toks))) AS pos1
+         |   FROM (SELECT doc_id, ${toks("text")} AS toks FROM documents)),
+         | cnt AS (SELECT word, count(*)::BIGINT AS cnt FROM tok GROUP BY word),
+         | top AS (SELECT word, cnt FROM cnt ORDER BY cnt DESC, word LIMIT 16),
+         | voc AS (SELECT word, row_number() OVER (ORDER BY cnt DESC, word)
+         |     ::BIGINT AS id FROM top),
+         | enc AS (SELECT doc_id, pos1, coalesce(id, 0)::BIGINT AS tid
+         |   FROM tok LEFT JOIN voc USING (word))
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         | sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+         | sum(pos1 * tid)::BIGINT AS encode_sum
+         | FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", ""),
 
     "q_chunk_docs" ->
       s"""WITH t AS (SELECT doc_id, ${toks("text")} AS toks,
