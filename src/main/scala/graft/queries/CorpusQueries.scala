@@ -278,6 +278,12 @@ object CorpusQueries extends QueryModule {
     // never on the word domain.
     "q_vocab_encode" -> ((s, d) => {
       val vocabSize = 16
+      // Deliberately UNstaged: the vocab build and the encode each scan
+      // the corpus (two tokenize passes). A/B'd against staging the
+      // token arrays at ×100 — medians 5.2 (unstaged) vs 6.0 (staged),
+      // min-spreads overlapping — because the native tokenize rides
+      // the scan while a persist writes an input-sized cache. Two
+      // cheap scans beat one corpus-sized cache at 100 TB.
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
           posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "word")))
