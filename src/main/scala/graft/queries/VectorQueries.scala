@@ -278,6 +278,36 @@ object VectorQueries extends QueryModule {
     // (assignment report, checksum join) read it.
     "q_kmeans" -> ((s, d) => kmeansReport(s, d, iters = 3)),
 
+    // Symmetric int8 vector quantization — the storage/serving format
+    // an ANN index actually holds: per vector, scale = max|xᵢ| and
+    // qᵢ = round(xᵢ/scale·127) ∈ [−127,127]. Reported per vector:
+    // the micro-unit scale, the saturated-component count, and an
+    // order-weighted integer checksum Σ i·qᵢ — one transposed or
+    // mis-rounded component anywhere flips the hash. Entirely map-side
+    // (higher-order folds over the array, no explode, no shuffle
+    // before the ordered dump) — the embarrassingly-parallel shape at
+    // any scale. The float→double widenings and the power-of-127
+    // scaling are computed in the same order DuckDB computes them, so
+    // the rounding cuts identically.
+    "q_quantize_embed" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val absMax = array_max(transform(col("embedding"),
+        x => abs(x.cast("double"))))
+      val scale = greatest(absMax, lit(1e-30))
+      val q = transform(col("embedding"),
+        x => round(x.cast("double") / col("_scale") * 127).cast("long"))
+      e.withColumn("_scale", scale)
+        .withColumn("_q", q)
+        .select(col("vec_id"),
+          round(col("_scale") * 1e6).cast("long").as("scale_u"),
+          size(filter(col("_q"), x => abs(x) === 127L)).cast("long")
+            .as("n_sat"),
+          aggregate(
+            zip_with(col("_q"), sequence(lit(1), lit(dim)), (qi, i) => qi * i),
+            lit(0L), (acc, x) => acc + x).as("encode_sum"))
+        .orderBy("vec_id")
+    }),
+
     // Embedding-cosine near-dup pairs: same (capped) LSH bucket ∧
     // cosine ≥ 0.35.
     "q_embed_near_dup" -> ((s, d) => {
@@ -496,6 +526,20 @@ object VectorQueries extends QueryModule {
          | FROM rep JOIN t3 ON rep.cid = t3.cid
          | ORDER BY cid""".stripMargin.replace("\n", "")
     },
+
+    "q_quantize_embed" ->
+      s"""WITH t AS (SELECT vec_id, embedding,
+         |   greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))),
+         |     1e-30) AS scale FROM embeddings),
+         | q AS (SELECT vec_id, scale,
+         |   list_transform(generate_series(1, $dim),
+         |     i -> CAST(round(embedding[i]::DOUBLE / scale * 127) AS BIGINT))
+         |     AS qv FROM t)
+         |SELECT vec_id, CAST(round(scale * 1e6) AS BIGINT) AS scale_u,
+         | len(list_filter(qv, x -> abs(x) = 127))::BIGINT AS n_sat,
+         | CAST(list_sum(list_transform(generate_series(1, $dim), i -> qv[i] * i))
+         |   AS BIGINT) AS encode_sum
+         | FROM q ORDER BY vec_id""".stripMargin.replace("\n", ""),
 
     "q_embed_near_dup" ->
       s"""$bucketCte
