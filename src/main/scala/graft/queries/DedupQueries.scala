@@ -175,6 +175,37 @@ object DedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Canonical-doc selection per NEAR-dup cluster — the step after
+    // cluster resolution: within each connected component of the
+    // verified near-dup graph, keep the highest-quality member (most
+    // tokens, doc_id tiebreak) and report what the drop saves. This is
+    // q_dedup_keep_best lifted from exact-fingerprint groups to
+    // transitive near-dup clusters: the full composition a production
+    // dedup runs (LSH candidates → Jaccard verify → connected
+    // components → keep-best). Plan adds one doc_id join (labels are
+    // only the docs in verified pairs — tiny next to the corpus) and
+    // reuses the cluster_id exchange between window and aggregate.
+    "q_cluster_keep_best" -> ((s, d) => {
+      val base = StagedCache.persist(hashedShingles(s, d))
+      val pairs = minhashPairs(base).select(col("doc_a"), col("doc_b"))
+      val labels = graft.operators.ConnectedComponents(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("node_id", "doc_id")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      labels.join(toks, "doc_id")
+        .withColumn("rnk", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"),
+          max(when(col("rnk") === 1, col("doc_id"))).as("keeper_id"),
+          max(when(col("rnk") === 1, col("n_tokens"))).as("keeper_tokens"),
+          sum(when(col("rnk") > 1, col("n_tokens")).otherwise(0L))
+            .as("tokens_dropped"))
+        .orderBy("cluster_id")
+    }),
+
     // n-gram Jaccard near-dup with sampled-shingle candidates: shingles
     // whose hash ≡ 0 (mod 8) act as candidate keys (~1/8 of shingles;
     // a J≥0.5 pair shares dozens, so the miss probability is <0.2% —
@@ -414,6 +445,36 @@ object DedupQueries extends QueryModule {
          |SELECT doc_id, cluster_id, cluster_size
          | FROM labels JOIN sizes USING (cluster_id)
          | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    "q_cluster_keep_best" ->
+      s"""WITH RECURSIVE ${minhashCandCtes.stripPrefix("WITH ")},
+         | vpairs AS (SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b, ${jaccardSql("sa.hs", "sb.hs")} AS jaccard
+         |     FROM cand JOIN base sa ON sa.doc_id = cand.doc_a
+         |               JOIN base sb ON sb.doc_id = cand.doc_b)
+         |   WHERE jaccard >= 0.5),
+         | sym AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+         |   UNION ALL SELECT doc_b, doc_a FROM vpairs),
+         | nodes AS (SELECT DISTINCT src AS doc_id FROM sym),
+         | reach(doc_id, lab) AS (
+         |   SELECT doc_id, doc_id FROM nodes
+         |   UNION
+         |   SELECT s.src, r.lab FROM reach r JOIN sym s ON s.dst = r.doc_id),
+         | labels AS (SELECT doc_id, min(lab) AS cluster_id
+         |   FROM reach GROUP BY doc_id),
+         | tk AS (SELECT doc_id, len(${toks("text")})::BIGINT AS n_tokens
+         |   FROM documents),
+         | jn AS (SELECT cluster_id, labels.doc_id AS doc_id, n_tokens
+         |   FROM labels JOIN tk USING (doc_id)),
+         | rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |     ORDER BY n_tokens DESC, doc_id) AS rnk FROM jn)
+         |SELECT cluster_id, count(*)::BIGINT AS cluster_size,
+         | max(CASE WHEN rnk = 1 THEN doc_id END) AS keeper_id,
+         | max(CASE WHEN rnk = 1 THEN n_tokens END) AS keeper_tokens,
+         | sum(CASE WHEN rnk > 1 THEN n_tokens ELSE 0 END)::BIGINT
+         |   AS tokens_dropped
+         | FROM rk GROUP BY cluster_id ORDER BY cluster_id"""
+        .stripMargin.replace("\n", ""),
 
     "q_ngram_jaccard" ->
       s"""$baseCte,
