@@ -278,6 +278,44 @@ object VectorQueries extends QueryModule {
     // (assignment report, checksum join) read it.
     "q_kmeans" -> ((s, d) => kmeansReport(s, d, iters = 3)),
 
+    // Quantized ANN search — q_quantize_embed put to WORK, the SQ8
+    // serving pattern: every vector carries its int8 codes; per probe,
+    // candidates are first ranked by the DEQUANTIZED approximate
+    // cosine (an integer-exact int8·int8 dot — products ≤ 127²·dim
+    // are exactly representable, so the fold is deterministic — scaled
+    // back by the two scales), the top-10 survivors are reranked by
+    // EXACT cosine, and the final top-3 is the answer. At 100 TB the
+    // approx pass is the memory-bandwidth win (codes are 4× smaller
+    // than floats) and the exact rerank touches only 10 candidates per
+    // probe; the plan is the q_ann_brute shape — probes broadcast
+    // against ONE corpus scan, rank pruning inside the exchange.
+    "q_ann_quantized" -> ((s, d) => {
+      val sc = greatest(array_max(transform(col("embedding"),
+        x => abs(x.cast("double")))), lit(1e-30))
+      val qz = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+        .withColumn("scale", sc)
+        .withColumn("qv", transform(col("embedding"),
+          x => round(x.cast("double") / col("scale") * 127)))
+      val probes = qz.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          col("nrm").as("pnrm"), col("scale").as("ps"), col("qv").as("pq"))
+      val cands = qz.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv"), col("nrm").as("cnrm"),
+        col("scale").as("cs"), col("qv").as("cq"))
+      val shortlist = cands.crossJoin(broadcast(probes))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .withColumn("score_q", round(VectorFunctions.dot(col("pq"), col("cq"))
+          * col("ps") * col("cs") / lit(16129.0) / col("pnrm") / col("cnrm"), 6))
+        .withColumn("rq", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("score_q").desc, col("cand_id"))))
+        .filter(col("rq") <= 10)
+      topK(shortlist.select(col("probe_id"), col("cand_id"),
+        round(VectorFunctions.dot(col("pv"), col("cv"))
+          / (col("pnrm") * col("cnrm")), 6).as("cos_sim")))
+    }),
+
     // Symmetric int8 vector quantization — the storage/serving format
     // an ANN index actually holds: per vector, scale = max|xᵢ| and
     // qᵢ = round(xᵢ/scale·127) ∈ [−127,127]. Reported per vector:
@@ -526,6 +564,28 @@ object VectorQueries extends QueryModule {
          | FROM rep JOIN t3 ON rep.cid = t3.cid
          | ORDER BY cid""".stripMargin.replace("\n", "")
     },
+
+    "q_ann_quantized" ->
+      s"""WITH s0 AS (SELECT vec_id, embedding, ${l2Norm("embedding", dim)} AS nrm,
+         |   greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))),
+         |     1e-30) AS scale FROM embeddings),
+         | qz AS (SELECT vec_id, embedding, nrm, scale,
+         |   list_transform(generate_series(1, $dim),
+         |     i -> round(embedding[i]::DOUBLE / scale * 127)) AS qv FROM s0),
+         | pr AS (SELECT vec_id AS probe_id, embedding AS pv, nrm AS pnrm,
+         |   scale AS ps, qv AS pq FROM qz WHERE vec_id % 25 = 0),
+         | ca AS (SELECT vec_id AS cand_id, embedding AS cv, nrm AS cnrm,
+         |   scale AS cs, qv AS cq FROM qz),
+         | ap AS (SELECT probe_id, cand_id, pv, cv, pnrm, cnrm,
+         |   round(${dot("pq", "cq", dim)} * ps * cs / 16129.0 / pnrm / cnrm, 6)
+         |     AS score_q
+         |  FROM ca CROSS JOIN pr WHERE cand_id != probe_id),
+         | t10 AS (SELECT * FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY score_q DESC, cand_id) AS rq
+         |   FROM ap) WHERE rq <= 10),
+         | scored AS (SELECT probe_id, cand_id, ${cosSql("pv", "cv")} AS cos_sim
+         |   FROM t10),
+         |$topKSql""".stripMargin.replace("\n", ""),
 
     "q_quantize_embed" ->
       s"""WITH t AS (SELECT vec_id, embedding,

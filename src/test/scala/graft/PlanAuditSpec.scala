@@ -115,6 +115,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       "partition-local cumsum window missing")
   }
 
+  test("mix manifest: the 8-byte sum_w broadcasts; only the rank window single-partitions") {
+    val plan = formatted("q_mix_manifest")
+    assert(plan.contains("BroadcastExchange"), "sum_w not broadcast")
+    val single = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(single <= 1, s"corpus-sized single-partition exchange planned ($single)")
+  }
+
+  test("vocab encode: distributed TakeOrdered builds the vocab; encoding joins a broadcast") {
+    val plan = formatted("q_vocab_encode")
+    assert(plan.contains("TakeOrderedAndProject"), "vocab top-k not TakeOrdered")
+    assert(plan.contains("BroadcastExchange"), "vocab not broadcast into the encode join")
+  }
+
   test("keep-best dedup: the rank window and group aggregate share one fp exchange") {
     val plan = formatted("q_dedup_keep_best")
     val fpEx = "Exchange hashpartitioning\\(fp".r.findAllIn(plan).length
