@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
 
 /** Native dot product over numeric arrays — the inner loop of every
   * similarity query (cosine scoring evaluates it per candidate pair;
@@ -20,23 +20,30 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * lambda dispatch and boxing. Null/missing ELEMENTS are not supported
   * (embedding arrays are dense); lengths are folded to the shorter
   * side, matching `zip_with`'s non-null prefix behavior on dense data.
+  *
+  * Element types: float, double, and byte — the byte case is the int8
+  * quantized-code path (q_ann_quantized), where each product is an
+  * integer ≤ 127²·dim and therefore exactly representable, so the
+  * double fold stays deterministic.
   */
 final case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def elemFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _                       => false
+  /** Element accessor kind: 0 = double, 1 = float, 2 = byte. */
+  private def elemKind(e: Expression): Int = e.dataType match {
+    case ArrayType(FloatType, _) => 1
+    case ArrayType(ByteType, _)  => 2
+    case _                       => 0
   }
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _                                    => false
+      case ArrayType(FloatType | DoubleType | ByteType, _) => true
+      case _                                               => false
     }
     if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"dot requires array<float|double> args, got " +
+      s"dot requires array<float|double|tinyint> args, got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
 
@@ -44,12 +51,12 @@ final case class DotProductExpr(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    DotImpl.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
-      elemFloat(left), elemFloat(right))
+    DotImpl.dotKind(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      elemKind(left), elemKind(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.DotImpl.dot($a, $b, ${elemFloat(left)}, ${elemFloat(right)})")
+      s"graft.functions.DotImpl.dotKind($a, $b, ${elemKind(left)}, ${elemKind(right)})")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =
@@ -64,17 +71,30 @@ object DotProductExpr {
 object DotImpl {
   /** Sequential ascending-index double fold (must match the HOF form
     * and the DuckDB mirror exactly — do not reorder or vectorize into
-    * a different summation tree). */
-  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    * a different summation tree). Kinds: 0 = double, 1 = float,
+    * 2 = byte. */
+  def dotKind(a: ArrayData, b: ArrayData, aKind: Int, bKind: Int): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = aKind match {
+        case 1 => a.getFloat(i).toDouble
+        case 2 => a.getByte(i).toDouble
+        case _ => a.getDouble(i)
+      }
+      val y = bKind match {
+        case 1 => b.getFloat(i).toDouble
+        case 2 => b.getByte(i).toDouble
+        case _ => b.getDouble(i)
+      }
       s += x * y
       i += 1
     }
     s
   }
+
+  /** Back-compat boolean form (float-or-double only). */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double =
+    dotKind(a, b, if (aFloat) 1 else 0, if (bFloat) 1 else 0)
 }

@@ -279,16 +279,20 @@ object VectorQueries extends QueryModule {
     "q_kmeans" -> ((s, d) => kmeansReport(s, d, iters = 3)),
 
     // Quantized ANN search — q_quantize_embed put to WORK, the SQ8
-    // serving pattern: every vector carries its int8 codes; per probe,
-    // candidates are first ranked by the DEQUANTIZED approximate
-    // cosine (an integer-exact int8·int8 dot — products ≤ 127²·dim
-    // are exactly representable, so the fold is deterministic — scaled
-    // back by the two scales), the top-10 survivors are reranked by
-    // EXACT cosine, and the final top-3 is the answer. At 100 TB the
-    // approx pass is the memory-bandwidth win (codes are 4× smaller
-    // than floats) and the exact rerank touches only 10 candidates per
-    // probe; the plan is the q_ann_brute shape — probes broadcast
-    // against ONE corpus scan, rank pruning inside the exchange.
+    // serving pattern: every vector carries PHYSICAL int8 codes
+    // (array<tinyint> — 1 byte per component in Tungsten, 4× smaller
+    // than the float embedding); per probe, candidates are first
+    // ranked by the DEQUANTIZED approximate cosine (an integer-exact
+    // int8·int8 dot — products ≤ 127²·dim are exactly representable,
+    // so the double fold is deterministic — scaled back by the two
+    // scales), the top-10 survivors are reranked by EXACT cosine, and
+    // the final top-3 is the answer. The shortlist here scores brute
+    // pairs for oracle comparability (q_ann_brute is the documented
+    // quadratic baseline); at 100 TB the int8 scoring slots into any
+    // of the bucketed candidate generators (LSH/IVF) as the
+    // memory-bandwidth win, and the exact pass touches 10 candidates
+    // per probe regardless of corpus size. Probes broadcast against
+    // ONE corpus scan; rank pruning inside the exchange.
     "q_ann_quantized" -> ((s, d) => {
       val sc = greatest(array_max(transform(col("embedding"),
         x => abs(x.cast("double")))), lit(1e-30))
@@ -297,7 +301,7 @@ object VectorQueries extends QueryModule {
           VectorFunctions.l2Norm(col("embedding")).as("nrm"))
         .withColumn("scale", sc)
         .withColumn("qv", transform(col("embedding"),
-          x => round(x.cast("double") / col("scale") * 127)))
+          x => round(x.cast("double") / col("scale") * 127).cast("tinyint")))
       val probes = qz.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
           col("nrm").as("pnrm"), col("scale").as("ps"), col("qv").as("pq"))
@@ -571,7 +575,8 @@ object VectorQueries extends QueryModule {
          |     1e-30) AS scale FROM embeddings),
          | qz AS (SELECT vec_id, embedding, nrm, scale,
          |   list_transform(generate_series(1, $dim),
-         |     i -> round(embedding[i]::DOUBLE / scale * 127)) AS qv FROM s0),
+         |     i -> CAST(round(embedding[i]::DOUBLE / scale * 127) AS TINYINT))
+         |     AS qv FROM s0),
          | pr AS (SELECT vec_id AS probe_id, embedding AS pv, nrm AS pnrm,
          |   scale AS ps, qv AS pq FROM qz WHERE vec_id % 25 = 0),
          | ca AS (SELECT vec_id AS cand_id, embedding AS cv, nrm AS cnrm,

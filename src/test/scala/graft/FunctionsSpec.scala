@@ -104,6 +104,25 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
         java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
   }
 
+  test("native dot on array<tinyint> ≡ HOF fold over cast doubles, bit-for-bit") {
+    // The int8 quantized-code path: every product is an integer ≤ 127²·dim,
+    // exactly representable, so the byte fold must match the double fold
+    // over the cast arrays on raw bits.
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(50)
+      .select(transform(col("embedding"), x =>
+        round(x.cast("double") * 127).cast("tinyint")).as("q"))
+    val pairs = emb.crossJoin(emb.select(col("q").as("q2")))
+    val rows = pairs.select(
+      VectorFunctions.dot(col("q"), col("q2")).as("native"),
+      VectorFunctions.dotHof(col("q").cast("array<double>"),
+        col("q2").cast("array<double>")).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
+  }
+
   test("native SimHashExpr ≡ declarative 32-fold form on real documents") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
