@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.graftasof.{AsOfJoin, AsOfJoinStrategy}
 import org.apache.spark.sql.graftbridge.Bridge
 
-/** Public API for the custom backward as-of join (see
+/** Public API for the custom as-of join (see
   * [[org.apache.spark.sql.graftasof.AsOfJoinPlan]] for semantics and the
   * physical design). Column names must be disjoint between the two
   * sides (alias the right side first — same contract as `join` with a
@@ -13,10 +13,12 @@ object AsOf {
 
   /** Left as-of join: every `left` row, extended with the `right` row
     * sharing `rightKey` whose `rightTs` is the greatest value ≤
-    * `leftTs`; null-extended when none exists. */
+    * `leftTs` (backward, the default) or the smallest value ≥ `leftTs`
+    * (`forward = true`); null-extended when none exists. */
   def join(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
-           leftTs: String, rightTs: String): DataFrame = {
+           leftTs: String, rightTs: String,
+           forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     // Self-register the planner strategy so any session can use the
     // operator (GraftExtensions also injects it for sessions built with
@@ -36,6 +38,6 @@ object AsOf {
       "as-of join requires disjoint column names; alias the right side")
     Bridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTs), attr(rPlan, rightTs)))
+      attr(lPlan, leftTs), attr(rPlan, rightTs), forward))
   }
 }

@@ -77,6 +77,8 @@ object EventQueries extends QueryModule {
 
     "q_asof_join" -> (asofQuery _),
 
+    "q_asof_join_forward" -> (asofForwardQuery _),
+
     "q_range_join" -> (rangeJoinQuery _),
 
     "q_funnel" -> (funnelQuery _),
@@ -179,6 +181,25 @@ object EventQueries extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Forward variant of [[asofQuery]]: each error event joined to the
+    * user's EARLIEST click at or after it — "what did the user do next"
+    * — exercising the `forward = true` direction of the custom operator
+    * against DuckDB's `ASOF LEFT JOIN ... ON l.ts <= r.ts` form (DuckDB
+    * picks the nearest matching row for either inequality direction). */
+  private def asofForwardQuery(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    graft.operators.AsOf.join(errors, clicks,
+        "user_id", "c_user", "ts", "click_ts", forward = true)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("click_id"), col("click_ts"))
+      .orderBy("event_id")
+  }
+
   def oracle: Map[String, String] = Map(
     "q_funnel" ->
       """WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
@@ -214,6 +235,14 @@ object EventQueries extends QueryModule {
         | ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |   ON p.user_id = c.user_id AND p.ts >= c.ts
         | ORDER BY p.event_id""".stripMargin.replace("\n", ""),
+
+    "q_asof_join_forward" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        | c.event_id AS click_id, c.ts AS click_ts
+        | FROM (SELECT * FROM events WHERE event_type = 'error') e
+        | ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |   ON e.user_id = c.user_id AND e.ts <= c.ts
+        | ORDER BY e.event_id""".stripMargin.replace("\n", ""),
     "q_json_extract" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

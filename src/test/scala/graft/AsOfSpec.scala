@@ -73,6 +73,32 @@ class AsOfSpec extends AnyFunSuite with SparkSpec {
     assert(sorted.count() == 5L)
   }
 
+  private def runForward(trades: org.apache.spark.sql.DataFrame,
+                         quotes: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+    AsOf.join(trades, quotes, "t_sym", "q_sym", "t_ts", "q_ts", forward = true)
+      .select("tid", "qid")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+
+  private val expectedForward = Map(
+    100L -> Some(2L), // next A quote at 10:05:00
+    101L -> Some(2L), // equal ts → inclusive
+    102L -> None,     // no A quote after 11:00
+    103L -> Some(3L), // B quote at 10:02 is ahead of 10:00
+    104L -> None)     // no quotes for D
+
+  test("forward as-of join picks the smallest right ts >= left ts, inclusive, per key") {
+    val (trades, quotes) = frames()
+    assert(runForward(trades, quotes) == expectedForward)
+  }
+
+  test("forward as-of join is correct across arbitrary input partitioning") {
+    val (trades, quotes) = frames()
+    assert(runForward(trades.repartition(5), quotes.repartition(3)) == expectedForward)
+    assert(runForward(trades.repartition(1), quotes.repartition(7)) == expectedForward)
+  }
+
   test("as-of join rejects overlapping column names") {
     val (trades, quotes) = frames()
     intercept[IllegalArgumentException] {
