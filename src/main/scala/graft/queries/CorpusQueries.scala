@@ -301,30 +301,13 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // Overlapping-chunk manifest: split every doc into 64-token chunks
-    // at stride 48 (16-token overlap) — the context-window prep an LLM
-    // pipeline runs before sequence packing, with a per-chunk content
-    // fingerprint (md5 of the chunk's tokens) so chunk-level dedup can
-    // run downstream. Map-side only: one tokenize, one sequence/
-    // explode ∝ output chunks, no shuffle at all before the ordered
-    // dump — at 100 TB this is the embarrassingly-parallel shape.
-    "q_chunk_docs" -> ((s, d) => {
-      val chunkLen = 64L
-      val stride = 48L
-      Tables.documents(s, d)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-        .withColumn("n", size(col("toks")).cast("long"))
-        .select(col("doc_id"), col("toks"), col("n"),
-          posexplode(sequence(lit(0L), col("n") - 1, lit(stride)))
-            .as(Seq("chunk_idx", "start_tok")))
-        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-          col("start_tok"),
-          least(lit(chunkLen), col("n") - col("start_tok")).as("chunk_tokens"),
-          md5(concat_ws(" ",
-            slice(col("toks"), (col("start_tok") + 1).cast("int"),
-              lit(chunkLen.toInt)))).as("chunk_fp"))
-        .orderBy("doc_id", "chunk_idx")
-    }),
+    // Overlapping-chunk manifest (64-token chunks at stride 48) — the
+    // shared [[graft.operators.Chunker]] transform, whose streaming
+    // twin is StreamingKernels.chunkDocs; see Chunker for the plan
+    // shape (map-side only, no shuffle before the ordered dump).
+    "q_chunk_docs" -> ((s, d) =>
+      graft.operators.Chunker.manifest(Tables.documents(s, d))
+        .orderBy("doc_id", "chunk_idx")),
 
     // Proportional source-mixing manifest: build a fixed-size training
     // mix (120 docs) whose composition follows per-source mixing

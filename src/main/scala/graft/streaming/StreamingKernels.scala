@@ -451,6 +451,20 @@ object StreamingKernels {
     * than a growing buffer. Emits (source, doc_id, admit_idx) for
     * admitted docs only, admit_idx contiguous from 1 per source.
     */
+  /** Streaming twin of `q_chunk_docs`: the SAME
+    * [[graft.operators.Chunker]] transform (64-token chunks at stride
+    * 48, per-chunk md5 fingerprint), applied per micro-batch. Entirely
+    * stateless — tokenize + sequence/explode are map-side, so the
+    * operator holds NO streaming state, needs no watermark, and runs in
+    * append mode; every arriving doc emits its chunk manifest exactly
+    * once, with the event-time carried onto each chunk row for
+    * downstream windowing. The chunk-level dedup that follows in a real
+    * ingest is [[dedupWithinWatermark]] keyed on `chunk_fp`. */
+  def chunkDocs(docs: DataFrame, chunkLen: Long = 64L,
+                stride: Long = 48L): DataFrame =
+    graft.operators.Chunker.manifest(
+      docs, chunkLen, stride, passThrough = Seq("ts"))
+
   def quotaFill(docs: org.apache.spark.sql.Dataset[(Long, String)],
                 quota: Long)
       : org.apache.spark.sql.Dataset[(String, Long, Long)] = {

@@ -57,6 +57,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming chunker emits the batch chunk manifest exactly once per doc") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, ts("2026-01-01 10:00:00"), ("tok " * 100).trim), // 100 tokens → 3 chunks
+      (2L, ts("2026-01-01 10:01:00"), "alpha beta gamma"),  // 3 tokens  → 1 chunk
+      (3L, ts("2026-01-01 10:02:00"), ("word " * 64).trim)) // 64 tokens → 2 chunks
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingKernels.chunkDocs(
+        source.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      // Two micro-batches: stateless op must emit each doc's manifest
+      // exactly once, in whichever batch the doc arrived.
+      source.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      source.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("chunk_idx"))) ->
+          (r.getLong(r.fieldIndex("start_tok")), r.getLong(r.fieldIndex("chunk_tokens")),
+            r.getString(r.fieldIndex("chunk_fp")))
+      val got = spark.table("chunk_stream").collect().map(key).toMap
+      val batch = graft.operators.Chunker.manifest(
+          docs.toDF("doc_id", "ts", "text")).collect().map(key).toMap
+      assert(spark.table("chunk_stream").count() == batch.size) // no dup emission
+      assert(got == batch)
+      assert(got.keySet.map(_._1) == Set(1L, 2L, 3L))
+      assert(got.count(_._1._1 == 1L) == 3) // ceil((100-16)/48) chunks at 64/48
+    } finally q.stop()
+  }
+
   test("watermarked windowed counts emit a window once the watermark passes it") {
     val s = spark
     import s.implicits._
