@@ -45,6 +45,16 @@ object GraftExtensions {
       f: Seq[Expression] => Expression): Seq[Expression] => Expression =
     children => { require(children.length == n, usage); f(children) }
 
+  /** Fold a literal argument to Double with a clean analysis-time error. */
+  private def literalDouble(e: Expression, usage: String): Double = {
+    require(e.foldable, usage)
+    e.eval() match {
+      case n: java.lang.Number => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case bad => throw new IllegalArgumentException(s"$usage; got $bad")
+    }
+  }
+
   /** SQL builder for `kmv_distinct(hash_col, k)`. Returns the bare
     * AggregateFunction: the analyzer wraps it in an AggregateExpression
     * (and handles DISTINCT/FILTER) itself. */
@@ -63,6 +73,12 @@ object GraftExtensions {
     ("hash60", classOf[Hash60Expr].getName,
       arity(1, "usage: hash60(text)")(c => Hash60Expr(c.head))),
     ("kmv_distinct", classOf[KmvDistinctAgg].getName, kmvBuilder(_)),
+    ("tdigest", classOf[TDigestAgg].getName, { children =>
+      val u = "usage: tdigest(value, compression literal, p1 literal, ...)"
+      require(children.length >= 3, u)
+      TDigestAgg(children.head, literalInt(children(1), u),
+        children.drop(2).map(literalDouble(_, u)))
+    }),
     ("tokenize", classOf[TokenizeExpr].getName,
       arity(1, "usage: tokenize(text)")(c => TokenizeExpr(c.head))),
     ("shingle_hashes", classOf[ShingleHashExpr].getName,

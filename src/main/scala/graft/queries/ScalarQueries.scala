@@ -189,6 +189,28 @@ object ScalarQueries extends QueryModule {
       rankGate(li, approx, 1.0 / acc)
     }),
 
+    // The THIRD quantile form: the custom t-digest sketch
+    // ([[graft.functions.TDigestAgg]]) — mergeable without compounding
+    // error (what a 1000-executor partial-merge tree needs; GK merges
+    // degrade) and able to answer any quantile post-hoc from ~2δ
+    // centroids. Like q_percentiles_approx, the VALUES are order-
+    // dependent sketch internals, so the query emits the rank-bound
+    // GUARANTEE through the same rankGate (eps = 2/δ — the uniform k0
+    // cluster cap n/δ plus interpolation slack); the gate's
+    // falsifiability is proven by FunctionsSpec's poisoned negative.
+    "q_percentiles_tdigest" -> ((s, d) => {
+      val comp = 100
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val dig = li.groupBy("l_returnflag")
+        .agg(graft.functions.TDigestAgg(
+          col("l_extendedprice").cast("double"), comp, Seq(0.5, 0.9)).as("td"))
+        .select(col("l_returnflag").as("rf"),
+          element_at(col("td.qs"), 1).as("a50"),
+          element_at(col("td.qs"), 2).as("a90"))
+      rankGate(li, dig, 2.0 / comp)
+    }),
+
     "q_string_funcs" -> ((s, d) =>
       Tables.part(s, d).select(
         col("p_partkey"),
@@ -276,6 +298,12 @@ object ScalarQueries extends QueryModule {
 
   def oracle: Map[String, String] = Map(
     "q_percentiles_approx" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        | true AS p50_rank_ok, true AS p90_rank_ok
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replace("\n", ""),
+
+    "q_percentiles_tdigest" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n,
         | true AS p50_rank_ok, true AS p90_rank_ok
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
