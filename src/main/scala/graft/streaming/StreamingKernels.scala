@@ -54,6 +54,27 @@ object StreamingKernels {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Windowed quantile monitoring: per-tumbling-window value quantiles
+    * from the custom t-digest aggregate ([[graft.functions.TDigestAgg]])
+    * — the latency/quality-percentile dashboard feed. This is the
+    * sketch's mergeability doing real work: each micro-batch folds into
+    * ~2·δ centroids of streaming state per window (never the window's
+    * raw values), partial merges compound no error, and the watermark
+    * expires closed windows' state. The batch twin's rank-bound
+    * guarantee (`q_percentiles_tdigest`) carries over per window. */
+  def windowedQuantiles(events: DataFrame, tsCol: String, valueCol: String,
+                        compression: Int = 100,
+                        percentiles: Seq[Double] = Seq(0.5, 0.9),
+                        watermark: String = "1 hour",
+                        windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(graft.functions.TDigestAgg(
+        col(valueCol).cast("double"), compression, percentiles).as("td"))
+      .select(col("window.start").as("window_start"),
+        col("td.n").as("n"), col("td.qs").as("qs"))
+
   /** Gap-based sessionization via `session_window` (streaming twin of
     * the batch lag-based `q_sessionize`). */
   def sessionCounts(events: DataFrame, tsCol: String, userId: Column,

@@ -120,6 +120,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed t-digest quantiles: closed windows emit rank-sound estimates") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 10:00 window holds 1..100 spread across two micro-batches — the
+    // state between them is the serialized digest, not the raw values.
+    val w1 = (1 to 100).map(i => (ts("2026-01-01 10:30:00"), i.toDouble))
+    val source = MemoryStream[(Timestamp, Double)]
+    val q = StreamingKernels.windowedQuantiles(
+        source.toDF().toDF("ts", "v"), "ts", "v")
+      .writeStream.format("memory").queryName("quant_stream")
+      .outputMode("append").start()
+    try {
+      source.addData(w1.take(60): _*)
+      q.processAllAvailable()
+      source.addData(w1.drop(60): _*)
+      q.processAllAvailable()
+      source.addData((ts("2026-01-01 12:30:00"), 0.0)) // close 10:00 window
+      q.processAllAvailable()
+      val rows = spark.table("quant_stream").collect()
+        .map(r => r.getTimestamp(0).toString ->
+          (r.getLong(1), r.getSeq[Double](2)))
+        .toMap
+      val (n, qs) = rows("2026-01-01 10:00:00.0")
+      assert(n == 100L)
+      // n=100 ≤ δ: singleton centroids, so the estimates are exact
+      // midpoint order statistics of 1..100.
+      assert(math.abs(qs(0) - 50.5) <= 1.0, s"p50 ${qs(0)}")
+      assert(math.abs(qs(1) - 90.5) <= 1.0, s"p90 ${qs(1)}")
+      assert(!rows.contains("2026-01-01 12:00:00.0")) // still open
+    } finally q.stop()
+  }
+
   test("session windows close after the gap and count their events") {
     val s = spark
     import s.implicits._
