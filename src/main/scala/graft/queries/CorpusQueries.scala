@@ -309,6 +309,26 @@ object CorpusQueries extends QueryModule {
       graft.operators.Chunker.manifest(Tables.documents(s, d))
         .orderBy("doc_id", "chunk_idx")),
 
+    // Chunk-level dedup — the chunker put to work: duplicated text is
+    // found at CHUNK granularity (exact-duplicate docs share every
+    // chunk fp; repeated passages collide across positions and docs),
+    // the report is each doc's duplicated-chunk count. Exact-dedup
+    // scale shape one level down: one shuffle on chunk_fp (copy
+    // counts), one on doc_id (the report) — the fp domain is output
+    // chunks, so both shuffles are data-linear, and no fp table is
+    // collected or broadcast (unbounded domain).
+    "q_chunk_dedup" -> ((s, d) => {
+      val chunks = graft.operators.Chunker.manifest(Tables.documents(s, d))
+        .select(col("doc_id"), col("chunk_fp"))
+      val copies = chunks.groupBy("chunk_fp")
+        .agg(count(lit(1)).as("n_copies"))
+      chunks.join(copies, "chunk_fp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum((col("n_copies") > 1).cast("long")).as("n_dup_chunks"))
+        .orderBy("doc_id")
+    }),
+
     // Proportional source-mixing manifest: build a fixed-size training
     // mix (120 docs) whose composition follows per-source mixing
     // weights — the "30% code / 50% web / 20% books" primitive. Tiers
@@ -602,6 +622,21 @@ object CorpusQueries extends QueryModule {
          | md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 64),
          |   ' ')) AS chunk_fp
          | FROM c ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", ""),
+
+    "q_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, ${toks("text")} AS toks,
+         |   len(${toks("text")})::BIGINT AS n FROM documents),
+         | c AS (SELECT doc_id, toks, n,
+         |   unnest(generate_series(0, n - 1, 48)) AS start_tok FROM t),
+         | ch AS (SELECT doc_id,
+         |   md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 64),
+         |     ' ')) AS chunk_fp FROM c),
+         | cp AS (SELECT chunk_fp, count(*)::BIGINT AS n_copies
+         |   FROM ch GROUP BY chunk_fp)
+         |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         | sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks
+         | FROM ch JOIN cp USING (chunk_fp) GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replace("\n", ""),
 
     "q_mix_manifest" ->
       s"""WITH docs AS (SELECT doc_id, source, n_chars,

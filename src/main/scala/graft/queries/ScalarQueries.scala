@@ -163,6 +163,35 @@ object ScalarQueries extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // IQR outlier fence — the robust-statistics cleaning gate a corpus
+    // pipeline runs on a quality feature (here: doc length). Per-source
+    // exact p25/p75 via the scale-safe rank selection, Tukey fences
+    // lo/hi = q25/q75 ∓ 1.5·IQR, then one broadcast join tags each doc.
+    // The fences are oracle-checked VALUES (quantile_cont interpolation
+    // is bit-identical by the q_percentiles precedent; the ∓1.5·IQR
+    // arithmetic is two IEEE ops written identically on both sides),
+    // so the outlier COUNTS compare exactly — no tolerance needed.
+    // Scale shape: the percentile pass is the q_percentiles machinery
+    // (bounded partitions, boundary-rows-only agg); the tagging pass is
+    // one scan + a #sources-row broadcast.
+    "q_outlier_fence" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("double").as("v"))
+      val fences = exactPercentilesByRank(docs, "source", "v",
+        Seq(0.25 -> "_q25", 0.75 -> "_q75"))
+        .withColumn("lo", col("_q25") - (col("_q75") - col("_q25")) * 1.5)
+        .withColumn("hi", col("_q75") + (col("_q75") - col("_q25")) * 1.5)
+        .select(col("source"), col("lo"), col("hi"))
+      docs.join(broadcast(fences), "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("v") < col("lo") || col("v") > col("hi")).cast("long"))
+            .as("n_outliers"),
+          round(min(col("lo")), 6).as("lo_fence"),
+          round(max(col("hi")), 6).as("hi_fence"))
+        .orderBy("source")
+    }),
+
     // The sketch percentile: approx_percentile's GK sketch holds
     // bounded state per group — one scan, no sort, where the exact
     // rank form above pays a per-group sort shuffle (both scale; the
@@ -307,6 +336,21 @@ object ScalarQueries extends QueryModule {
       """SELECT l_returnflag, count(*)::BIGINT AS n,
         | true AS p50_rank_ok, true AS p90_rank_ok
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replace("\n", ""),
+
+    "q_outlier_fence" ->
+      """WITH f AS (SELECT source,
+        |   quantile_cont(n_chars::DOUBLE, 0.25) AS q25,
+        |   quantile_cont(n_chars::DOUBLE, 0.75) AS q75
+        |   FROM documents GROUP BY source),
+        | ff AS (SELECT source, q25 - (q75 - q25) * 1.5 AS lo,
+        |   q75 + (q75 - q25) * 1.5 AS hi FROM f)
+        |SELECT d.source, count(*)::BIGINT AS n_docs,
+        | sum(CASE WHEN d.n_chars::DOUBLE < lo OR d.n_chars::DOUBLE > hi
+        |   THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        | round(min(lo), 6) AS lo_fence, round(max(hi), 6) AS hi_fence
+        | FROM documents d JOIN ff USING (source)
+        | GROUP BY d.source ORDER BY d.source"""
         .stripMargin.replace("\n", ""),
 
     "q_percentiles" ->
