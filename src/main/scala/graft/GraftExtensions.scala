@@ -79,6 +79,17 @@ object GraftExtensions {
       TDigestAgg(children.head, literalInt(children(1), u),
         children.drop(2).map(literalDouble(_, u)))
     }),
+    ("tdigest_sketch", classOf[TDigestSketchAgg].getName,
+      arity(2, "usage: tdigest_sketch(value, compression literal)") { c =>
+        TDigestSketchAgg(c.head,
+          literalInt(c(1), "usage: tdigest_sketch(value, compression literal)"))
+      }),
+    ("tdigest_merge", classOf[TDigestMergeAgg].getName, { children =>
+      val u = "usage: tdigest_merge(sketch, compression literal, p1 literal, ...)"
+      require(children.length >= 3, u)
+      TDigestMergeAgg(children.head, literalInt(children(1), u),
+        children.drop(2).map(literalDouble(_, u)))
+    }),
     ("tokenize", classOf[TokenizeExpr].getName,
       arity(1, "usage: tokenize(text)")(c => TokenizeExpr(c.head))),
     ("shingle_hashes", classOf[ShingleHashExpr].getName,

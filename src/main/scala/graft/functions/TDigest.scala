@@ -75,15 +75,8 @@ case class TDigestAgg(
     buffer
   }
 
-  override def merge(buffer: TDigestBuffer, other: TDigestBuffer): TDigestBuffer = {
-    other.compress()
-    var i = 0
-    while (i < other.nCentroids) {
-      buffer.add(other.means(i), other.weights(i))
-      i += 1
-    }
-    buffer
-  }
+  override def merge(buffer: TDigestBuffer, other: TDigestBuffer): TDigestBuffer =
+    TDigestWire.mergeInto(buffer, other)
 
   override def eval(buffer: TDigestBuffer): Any = {
     buffer.compress()
@@ -96,25 +89,11 @@ case class TDigestAgg(
     }
   }
 
-  override def serialize(buffer: TDigestBuffer): Array[Byte] = {
-    buffer.compress()
-    val bb = ByteBuffer.allocate(4 + buffer.nCentroids * 16)
-    bb.putInt(buffer.nCentroids)
-    var i = 0
-    while (i < buffer.nCentroids) {
-      bb.putDouble(buffer.means(i)); bb.putLong(buffer.weights(i)); i += 1
-    }
-    bb.array()
-  }
+  override def serialize(buffer: TDigestBuffer): Array[Byte] =
+    TDigestWire.write(buffer)
 
-  override def deserialize(bytes: Array[Byte]): TDigestBuffer = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = new TDigestBuffer(compression)
-    var i = 0
-    while (i < n) { buf.add(bb.getDouble, bb.getLong); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): TDigestBuffer =
+    TDigestWire.read(bytes, compression)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TDigestAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -215,4 +194,164 @@ object TDigestAgg {
     Bridge.column(
       TDigestAgg(Bridge.expression(c), compression, percentiles)
         .toAggregateExpression())
+}
+
+/** The digest as a STORED value: aggregates raw doubles into the
+  * serialized centroid array (binary) instead of reading quantiles out
+  * — the sketch-rollup write side. Persist one row per (group, day);
+  * [[TDigestMergeAgg]] later answers any quantile over any group-set
+  * union without touching raw data again. Same buffer, same wire
+  * format as [[TDigestAgg]]'s shuffle serialization. */
+case class TDigestSketchAgg(
+    child: Expression,
+    compression: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigestBuffer] with UnaryLike[Expression] {
+
+  require(compression >= 10, s"tdigest_sketch needs compression >= 10, got $compression")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tdigest_sketch requires a DOUBLE column, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "tdigest_sketch"
+
+  override def createAggregationBuffer(): TDigestBuffer =
+    new TDigestBuffer(compression)
+  override def update(buffer: TDigestBuffer, input: InternalRow): TDigestBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Double], 1L)
+    buffer
+  }
+  override def merge(buffer: TDigestBuffer, other: TDigestBuffer): TDigestBuffer =
+    TDigestWire.mergeInto(buffer, other)
+  override def eval(buffer: TDigestBuffer): Any = TDigestWire.write(buffer)
+  override def serialize(buffer: TDigestBuffer): Array[Byte] =
+    TDigestWire.write(buffer)
+  override def deserialize(bytes: Array[Byte]): TDigestBuffer =
+    TDigestWire.read(bytes, compression)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TDigestSketchAgg =
+    copy(child = newChild)
+}
+
+object TDigestSketchAgg {
+  def apply(c: Column, compression: Int): Column =
+    Bridge.column(
+      TDigestSketchAgg(Bridge.expression(c), compression).toAggregateExpression())
+}
+
+/** The rollup read side: aggregates STORED digests (binary, from
+  * [[TDigestSketchAgg]]) by merging their centroid sets, then answers
+  * the requested percentiles — same output struct as [[TDigestAgg]].
+  * Merging compounds no error beyond the uniform cap (each merge
+  * re-clusters under the combined total's cap), so a year of daily
+  * sketches rolls up as soundly as one pass over the raw values. */
+case class TDigestMergeAgg(
+    child: Expression,
+    compression: Int,
+    percentiles: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigestBuffer] with UnaryLike[Expression] {
+
+  require(compression >= 10, s"tdigest_merge needs compression >= 10, got $compression")
+  require(percentiles.nonEmpty && percentiles.forall(p => p >= 0.0 && p <= 1.0),
+    s"tdigest_merge percentiles must lie in [0, 1], got $percentiles")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tdigest_merge requires a BINARY digest column, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("n_centroids", IntegerType, nullable = false),
+    StructField("qs", ArrayType(DoubleType, containsNull = false), nullable = true)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "tdigest_merge"
+
+  override def createAggregationBuffer(): TDigestBuffer =
+    new TDigestBuffer(compression)
+  override def update(buffer: TDigestBuffer, input: InternalRow): TDigestBuffer = {
+    val v = child.eval(input)
+    if (v != null)
+      TDigestWire.mergeInto(buffer,
+        TDigestWire.read(v.asInstanceOf[Array[Byte]], compression))
+    buffer
+  }
+  override def merge(buffer: TDigestBuffer, other: TDigestBuffer): TDigestBuffer =
+    TDigestWire.mergeInto(buffer, other)
+  override def eval(buffer: TDigestBuffer): Any = {
+    buffer.compress()
+    if (buffer.total == 0L) {
+      new GenericInternalRow(Array[Any](0L, 0, null))
+    } else {
+      val qs = percentiles.map(buffer.quantile).toArray
+      new GenericInternalRow(Array[Any](
+        buffer.total, buffer.nCentroids, new GenericArrayData(qs)))
+    }
+  }
+  override def serialize(buffer: TDigestBuffer): Array[Byte] =
+    TDigestWire.write(buffer)
+  override def deserialize(bytes: Array[Byte]): TDigestBuffer =
+    TDigestWire.read(bytes, compression)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TDigestMergeAgg =
+    copy(child = newChild)
+}
+
+object TDigestMergeAgg {
+  def apply(c: Column, compression: Int, percentiles: Seq[Double]): Column =
+    Bridge.column(
+      TDigestMergeAgg(Bridge.expression(c), compression, percentiles)
+        .toAggregateExpression())
+}
+
+/** Shared wire form: `[n_centroids, (mean double, weight long)*]` —
+  * identical for the shuffle-partial serialization and the STORED
+  * binary, so a persisted sketch is bit-compatible with the in-flight
+  * one. */
+object TDigestWire {
+  def write(buffer: TDigestBuffer): Array[Byte] = {
+    buffer.compress()
+    val bb = ByteBuffer.allocate(4 + buffer.nCentroids * 16)
+    bb.putInt(buffer.nCentroids)
+    var i = 0
+    while (i < buffer.nCentroids) {
+      bb.putDouble(buffer.means(i)); bb.putLong(buffer.weights(i)); i += 1
+    }
+    bb.array()
+  }
+
+  def read(bytes: Array[Byte], compression: Int): TDigestBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TDigestBuffer(compression)
+    var i = 0
+    while (i < n) { buf.add(bb.getDouble, bb.getLong); i += 1 }
+    buf
+  }
+
+  def mergeInto(buffer: TDigestBuffer, other: TDigestBuffer): TDigestBuffer = {
+    other.compress()
+    var i = 0
+    while (i < other.nCentroids) {
+      buffer.add(other.means(i), other.weights(i))
+      i += 1
+    }
+    buffer
+  }
 }

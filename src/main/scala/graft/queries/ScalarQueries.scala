@@ -163,6 +163,33 @@ object ScalarQueries extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // Sketch rollup — the pattern that makes digests pay at 100 TB:
+    // aggregate once into STORED per-group sketches
+    // ([[graft.functions.TDigestSketchAgg]] → binary), answer many
+    // later by MERGING the binaries ([[graft.functions.TDigestMergeAgg]])
+    // — any quantile over any group-set union without re-reading raw
+    // data. Here: per-source doc-length digests (the "daily sketch
+    // table" a pipeline persists), merged to global p50/p90, gated
+    // against the full corpus's exact ranks. eps = 3/δ: merged
+    // pre-clustered centroids can sit anywhere in their span, one
+    // extra cap of slack over the direct 2/δ.
+    "q_quantile_rollup" -> ((s, d) => {
+      val comp = 100
+      val docs = Tables.documents(s, d)
+        .select(lit("ALL").as("l_returnflag"),
+          col("source"), col("n_chars").cast("double").as("l_extendedprice"))
+      val perSource = docs.groupBy("source")
+        .agg(graft.functions.TDigestSketchAgg(
+          col("l_extendedprice"), comp).as("sk"))
+      val merged = perSource
+        .agg(graft.functions.TDigestMergeAgg(col("sk"), comp, Seq(0.5, 0.9))
+          .as("td"))
+        .select(lit("ALL").as("rf"),
+          element_at(col("td.qs"), 1).as("a50"),
+          element_at(col("td.qs"), 2).as("a90"))
+      rankGate(docs.select("l_returnflag", "l_extendedprice"), merged, 3.0 / comp)
+    }),
+
     // IQR outlier fence — the robust-statistics cleaning gate a corpus
     // pipeline runs on a quality feature (here: doc length). Per-source
     // exact p25/p75 via the scale-safe rank selection, Tukey fences
@@ -337,6 +364,11 @@ object ScalarQueries extends QueryModule {
         | true AS p50_rank_ok, true AS p90_rank_ok
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replace("\n", ""),
+
+    "q_quantile_rollup" ->
+      """SELECT 'ALL' AS l_returnflag, count(*)::BIGINT AS n,
+        | true AS p50_rank_ok, true AS p90_rank_ok
+        | FROM documents""".stripMargin.replace("\n", ""),
 
     "q_outlier_fence" ->
       """WITH f AS (SELECT source,

@@ -365,7 +365,8 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.graftbridge.Bridge
     val installer = new graft.GraftExtensions
     val reg = Bridge.registeredFunctions(installer)
-    for (name <- Seq("hash60", "kmv_distinct", "tdigest", "tokenize", "shingle_hashes",
+    for (name <- Seq("hash60", "kmv_distinct", "tdigest", "tdigest_sketch",
+      "tdigest_merge", "tokenize", "shingle_hashes",
       "dot_product", "simhash32", "jaccard_sorted", "minhash_sig", "lsh_bucket",
       "heavy_hitters", "bloom_build", "bloom_might_contain"))
       assert(reg.functionExists(FunctionIdentifier(name)), name)

@@ -96,6 +96,32 @@ class TDigestSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sketch/merge rollup: stored binaries roll up to rank-sound quantiles") {
+    val s = spark
+    import s.implicits._
+    val data = sample(20000, seed = 17L)
+    // 13 "daily" groups, sketched independently, merged from the
+    // STORED binary column — never re-reading the raw values.
+    val df = s.sparkContext.parallelize(
+      data.zipWithIndex.map { case (v, i) => (i % 13, v) }.toSeq, 8)
+      .toDF("g", "v")
+    val daily = df.groupBy("g")
+      .agg(graft.functions.TDigestSketchAgg(col("v"), Comp).as("sk"))
+    val row = daily
+      .agg(graft.functions.TDigestMergeAgg(col("sk"), Comp, Seq(0.1, 0.5, 0.9))
+        .as("td"))
+      .select(col("td.n"), col("td.n_centroids"), col("td.qs")).head()
+    assert(row.getLong(0) == data.length)
+    assert(row.getInt(1) <= 2 * Comp + 1)
+    val qs = row.getSeq[Double](2)
+    // One extra cap of slack vs the direct bound: merged pre-clustered
+    // centroids can sit anywhere within their original span.
+    val slack = 3.0 * data.length / Comp
+    assertRank(data, qs(0), 0.1, slack)
+    assertRank(data, qs(1), 0.5, slack)
+    assertRank(data, qs(2), 0.9, slack)
+  }
+
   test("SQL registration: the tdigest builder resolves literal args") {
     // The shared test JVM can't restart its context with
     // spark.sql.extensions, so materialize the injections directly
