@@ -206,6 +206,25 @@ object DedupQueries extends QueryModule {
         .orderBy("cluster_id")
     }),
 
+    // PageRank over the verified near-dup graph — "which documents sit
+    // at the center of duplication mass": node = doc, edge = verified
+    // Jaccard ≥ 0.5 pair, 3 iterations in EXACT integer micro-units
+    // (see [[graft.operators.PageRank]]: the contribution is the
+    // integer division (rank_u·85) div (100·deg), so the ITERATION is
+    // bit-reproducible on any engine/sharding — not merely the rounded
+    // presentation). The DuckDB mirror unrolls the three rounds as
+    // plain CTEs with `//`. Plan: each round is one node-keyed join
+    // against the staged (src, dst, deg) edge table + one
+    // partial-aggregated sum — data-linear per round at 100 TB.
+    "q_pagerank" -> ((s, d) => {
+      val base = StagedCache.persist(hashedShingles(s, d))
+      val pairs = minhashPairs(base).select(col("doc_a"), col("doc_b"))
+      graft.operators.PageRank(pairs, "doc_a", "doc_b", iters = 3)
+        .select(col("node_id").as("doc_id"), col("rank_u"),
+          round(col("rank_u").cast("double") / lit(1e6), 6).as("rank"))
+        .orderBy("doc_id")
+    }),
+
     // n-gram Jaccard near-dup with sampled-shingle candidates: shingles
     // whose hash ≡ 0 (mod 8) act as candidate keys (~1/8 of shingles;
     // a J≥0.5 pair shares dozens, so the miss probability is <0.2% —
@@ -475,6 +494,33 @@ object DedupQueries extends QueryModule {
          |   AS tokens_dropped
          | FROM rk GROUP BY cluster_id ORDER BY cluster_id"""
         .stripMargin.replace("\n", ""),
+
+    "q_pagerank" -> {
+      // One PageRank round as a CTE: the same integer-division
+      // contribution sum the operator runs (`//` = Spark's `div` on
+      // positive BIGINTs), summed in exact integer arithmetic.
+      def rnd(prev: String, next: String): String =
+        s""" $next AS (SELECT s.dst AS node_id,
+           |   150000 + sum((r.rank_u * 85) // (100 * g.deg))::BIGINT AS rank_u
+           |  FROM sym s JOIN $prev r ON r.node_id = s.src
+           |   JOIN deg g ON g.src = s.src GROUP BY s.dst)""".stripMargin
+      s"""WITH ${minhashCandCtes.stripPrefix("WITH ")},
+         | vpairs AS (SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b, ${jaccardSql("sa.hs", "sb.hs")} AS jaccard
+         |     FROM cand JOIN base sa ON sa.doc_id = cand.doc_a
+         |               JOIN base sb ON sb.doc_id = cand.doc_b)
+         |   WHERE jaccard >= 0.5),
+         | sym AS (SELECT doc_a AS src, doc_b AS dst FROM vpairs
+         |   UNION ALL SELECT doc_b, doc_a FROM vpairs),
+         | deg AS (SELECT src, count(*)::BIGINT AS deg FROM sym GROUP BY src),
+         | r0 AS (SELECT src AS node_id, 1000000::BIGINT AS rank_u FROM deg),
+         |${rnd("r0", "r1")},
+         |${rnd("r1", "r2")},
+         |${rnd("r2", "r3")}
+         |SELECT node_id AS doc_id, rank_u,
+         | round(rank_u / 1000000.0, 6) AS rank
+         | FROM r3 ORDER BY doc_id""".stripMargin.replace("\n", "")
+    },
 
     "q_ngram_jaccard" ->
       s"""$baseCte,
