@@ -121,6 +121,11 @@ object GraftExtensions {
         PlaneBucketExpr(c.head,
           VectorFunctions.planeMatrix(literalInt(c(1), u), literalInt(c(2), u)))
       }),
+    ("count_min", classOf[CountMinAgg].getName,
+      arity(3, "usage: count_min(term, depth literal, width literal)") { c =>
+        val u = "usage: count_min(term, depth literal, width literal)"
+        CountMinAgg(c.head, literalInt(c(1), u), literalInt(c(2), u))
+      }),
     ("bloom_build", classOf[BloomBuildAgg].getName,
       arity(3, "usage: bloom_build(key, num_bits literal, num_hashes literal)") { c =>
         val u = "usage: bloom_build(key, num_bits literal, num_hashes literal)"

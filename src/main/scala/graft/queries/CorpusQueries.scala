@@ -74,6 +74,37 @@ object CorpusQueries extends QueryModule {
         .orderBy("source")
     }),
 
+    // Count-Min point-frequency estimates — the fifth sketch
+    // ([[graft.functions.CountMinAgg]]): per-source word frequencies
+    // from depth×width bounded state, with est ≥ exact structurally.
+    // Because the sketch's hash family is the engine's own seeded
+    // hash60, the oracle recomputes every ESTIMATE exactly (a plain
+    // bucket-count join per depth row) — bit-for-bit, stronger than
+    // the HLL tolerance gate. Read path stays in built-ins:
+    // least(element_at(...)) over the emitted counter matrix. Plan:
+    // one scan builds the 20 sketches (constant shuffle bytes per
+    // group); the exact twin is the accuracy witness joined back by a
+    // broadcast of the 20-row sketch table.
+    "q_count_min" -> ((s, d) => {
+      val depth = 3
+      val width = 256
+      val toksF = tokenRows(s, d)
+        .filter(length(col("word")) > 0)
+        .select(col("source"), col("word"))
+      val exact = toksF.groupBy("source", "word")
+        .agg(count(lit(1)).as("n_exact"))
+      val sk = toksF.groupBy("source")
+        .agg(graft.functions.CountMinAgg(col("word"), depth, width).as("cms"))
+      val est = (0 until depth).map { r =>
+        element_at(element_at(col("cms"), r + 1),
+          ((TextFunctions.hash60(r, col("word")) % width) + 1L).cast("int"))
+      }.reduce(least(_, _))
+      exact.join(broadcast(sk), "source")
+        .select(col("source"), col("word"), col("n_exact"),
+          est.as("cms_est"), (est >= col("n_exact")).as("over_ok"))
+        .orderBy("source", "word")
+    }),
+
     // The composed end-to-end cleaning pipeline a corpus user actually
     // runs — exact dedup → quality gate → deterministic split →
     // per-split report — as ONE oracle-checked DAG built from stages
@@ -301,6 +332,66 @@ object CorpusQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Bigram language-model perplexity scoring — the CCNet-style
+    // quality filter: train add-one-smoothed bigram statistics on the
+    // corpus itself, score every doc by its average per-bigram negative
+    // log-likelihood (high = unusual word transitions = low-quality or
+    // out-of-domain text). The id space is the q_vocab_encode top-16
+    // vocabulary plus OOV id 0, so the COUNT TABLES ARE BOUNDED BY
+    // DESIGN (≤ 17² bigram types) no matter the corpus size — the
+    // trick that makes a trained model broadcastable at 100 TB.
+    // Determinism: each bigram type's NLL is micro-scaled to an
+    // integer once (ln 6dp precedent), and per-doc totals are exact
+    // long sums. Plan: three cheap corpus scans (vocab count, bigram
+    // count, scoring — the q_vocab_encode A/B said scans beat an
+    // input-sized cache), bigrams extracted MAP-SIDE from the token
+    // array (no window, no pos shuffle); the corpus shuffles once on
+    // doc_id for the final report.
+    "q_bigram_lm" -> ((s, d) => {
+      val vocabSize = 16
+      val vTypes = vocabSize + 1 // ids 0..16 including OOV
+      val docs = Tables.documents(s, d)
+      val words = docs.select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      val top = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(vocabSize)
+      val vocab = top.withColumn("id", row_number().over(
+          Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
+        .select(col("word"), col("id"))
+      // (doc_id, t1, t2) bigram id rows — map-side slice of the token
+      // array + two broadcast vocab joins. A def: both consumers
+      // (count and score) re-derive it from the scan.
+      def enc = docs
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+            struct(element_at(col("t"), i).as("w1"),
+              element_at(col("t"), i + 1).as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .join(broadcast(vocab.select(col("word").as("w1"), col("id").as("id1"))),
+          Seq("w1"), "left")
+        .join(broadcast(vocab.select(col("word").as("w2"), col("id").as("id2"))),
+          Seq("w2"), "left")
+        .select(col("doc_id"), coalesce(col("id1"), lit(0L)).as("t1"),
+          coalesce(col("id2"), lit(0L)).as("t2"))
+      val c2 = enc.groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+      val c1 = c2.groupBy("t1").agg(sum(col("c12")).as("c1"))
+      // -ln P(t2|t1) with Laplace smoothing, as ln((c1+V)/(c12+1)) —
+      // positive, one libm call, micro-scaled to a long per TYPE (≤289
+      // rows), so per-doc sums are exact integer arithmetic.
+      val nll = c2.join(c1, "t1")
+        .select(col("t1"), col("t2"),
+          round(log((col("c1") + lit(vTypes.toLong)).cast("double") /
+            (col("c12") + lit(1L)).cast("double")) * lit(1e6)).cast("long")
+            .as("nll_u"))
+      enc.join(broadcast(nll), Seq("t1", "t2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_u")).as("nll_sum_u"))
+        .withColumn("avg_nll",
+          round(col("nll_sum_u").cast("double") / col("n_bigrams") / lit(1e6), 6))
+        .orderBy("doc_id")
+    }),
+
     // Overlapping-chunk manifest (64-token chunks at stride 48) — the
     // shared [[graft.operators.Chunker]] transform, whose streaming
     // twin is StreamingKernels.chunkDocs; see Chunker for the plan
@@ -506,6 +597,32 @@ object CorpusQueries extends QueryModule {
          | FROM ($tokenRowsSql) WHERE length(word) > 0
          | GROUP BY source ORDER BY source""".stripMargin.replace("\n", ""),
 
+    // The estimates are recomputed from first principles: cell (r, i)
+    // of a Count-Min sketch is the count of tokens hashing to i under
+    // seed r, so each word's estimate is the min over depth rows of
+    // its bucket's total count — a bucket-count join per row.
+    "q_count_min" -> {
+      def bkt(r: Int, e: String) = s"${hash60Seeded(r, e)} % 256"
+      s"""WITH tok AS (SELECT source, word FROM ($tokenRowsSql)
+         |   WHERE length(word) > 0),
+         | ex AS (SELECT source, word, count(*)::BIGINT AS n_exact
+         |   FROM tok GROUP BY source, word),
+         | b0 AS (SELECT source, ${bkt(0, "word")} AS bkt, count(*)::BIGINT AS c
+         |   FROM tok GROUP BY source, bkt),
+         | b1 AS (SELECT source, ${bkt(1, "word")} AS bkt, count(*)::BIGINT AS c
+         |   FROM tok GROUP BY source, bkt),
+         | b2 AS (SELECT source, ${bkt(2, "word")} AS bkt, count(*)::BIGINT AS c
+         |   FROM tok GROUP BY source, bkt)
+         |SELECT e.source, e.word, e.n_exact,
+         | least(c0.c, c1.c, c2.c) AS cms_est,
+         | least(c0.c, c1.c, c2.c) >= e.n_exact AS over_ok
+         | FROM ex e
+         |  JOIN b0 c0 ON c0.source = e.source AND c0.bkt = ${bkt(0, "e.word")}
+         |  JOIN b1 c1 ON c1.source = e.source AND c1.bkt = ${bkt(1, "e.word")}
+         |  JOIN b2 c2 ON c2.source = e.source AND c2.bkt = ${bkt(2, "e.word")}
+         | ORDER BY e.source, e.word""".stripMargin.replace("\n", "")
+    },
+
     "q_pipeline_clean" ->
       s"""WITH staged AS (SELECT doc_id, source,
          |    md5(${norm("text")}) AS fp, len(${toks("text")})::BIGINT AS n_tokens
@@ -610,6 +727,32 @@ object CorpusQueries extends QueryModule {
          | sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
          | sum(pos1 * tid)::BIGINT AS encode_sum
          | FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    "q_bigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+         | w AS (SELECT unnest(t) AS word FROM tok),
+         | cnt AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY word),
+         | top AS (SELECT word, cnt FROM cnt ORDER BY cnt DESC, word LIMIT 16),
+         | voc AS (SELECT word, row_number() OVER (ORDER BY cnt DESC, word)
+         |     ::BIGINT AS id FROM top),
+         | bg0 AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+         |   FROM tok WHERE len(t) >= 2),
+         | bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM bg0),
+         | enc AS (SELECT doc_id, coalesce(v1.id, 0)::BIGINT AS t1,
+         |    coalesce(v2.id, 0)::BIGINT AS t2
+         |   FROM bg LEFT JOIN voc v1 ON v1.word = bg.w1
+         |           LEFT JOIN voc v2 ON v2.word = bg.w2),
+         | c2 AS (SELECT t1, t2, count(*)::BIGINT AS c12 FROM enc GROUP BY t1, t2),
+         | c1 AS (SELECT t1, sum(c12)::BIGINT AS c1 FROM c2 GROUP BY t1),
+         | nll AS (SELECT t1, t2,
+         |    round(ln((c1 + 17)::DOUBLE / (c12 + 1)::DOUBLE) * 1000000.0, 0)
+         |      ::BIGINT AS nll_u
+         |   FROM c2 JOIN c1 USING (t1))
+         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         | sum(nll_u)::BIGINT AS nll_sum_u,
+         | round(sum(nll_u)::DOUBLE / count(*) / 1000000.0, 6) AS avg_nll
+         | FROM enc JOIN nll USING (t1, t2) GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replace("\n", ""),
 
     "q_chunk_docs" ->
       s"""WITH t AS (SELECT doc_id, ${toks("text")} AS toks,

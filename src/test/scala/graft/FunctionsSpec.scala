@@ -368,7 +368,7 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     for (name <- Seq("hash60", "kmv_distinct", "tdigest", "tdigest_sketch",
       "tdigest_merge", "tokenize", "shingle_hashes",
       "dot_product", "simhash32", "jaccard_sorted", "minhash_sig", "lsh_bucket",
-      "heavy_hitters", "bloom_build", "bloom_might_contain"))
+      "heavy_hitters", "count_min", "bloom_build", "bloom_might_contain"))
       assert(reg.functionExists(FunctionIdentifier(name)), name)
     val bb = reg.lookupFunction(FunctionIdentifier("bloom_build"),
       Seq(Literal(1L), Literal(1024), Literal(5)))

@@ -123,4 +123,40 @@ class KernelPropertySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("bigram LM score == plain-Scala integer model at sf0.001") {
+    // Replays q_bigram_lm's arithmetic sequentially from the same token
+    // streams: top-16 vocab (count desc, word), OOV id 0, add-one
+    // smoothed -ln P(t2|t1) micro-scaled per TYPE, exact long sums per
+    // doc. Bit-identity here pins the distributed plan's determinism
+    // claim without the DuckDB oracle in the loop.
+    val sf = "/root/testdata/sf0.001"
+    val toks = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val vocab = toks.values.flatten
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(16)
+      .zipWithIndex.map { case ((w, _), i) => w -> (i + 1).toLong }.toMap
+    val encDocs = toks.view.mapValues(
+      _.map(vocab.getOrElse(_, 0L))).filter(_._2.size >= 2).toMap
+    val bigrams = encDocs.values.flatMap(ids => ids.zip(ids.tail))
+    val c2 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nllU = c2.map { case (bg @ (t1, _), c12) =>
+      bg -> math.round(math.log((c1(t1) + 17).toDouble / (c12 + 1)) * 1e6)
+    }
+    val model = encDocs.map { case (doc, ids) =>
+      val bgs = ids.zip(ids.tail)
+      val sum = bgs.map(nllU).sum
+      val avg = BigDecimal(sum.toDouble / bgs.size / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      doc -> ((bgs.size.toLong, sum, avg))
+    }
+    val got = graft.SparkEntry.queries("q_bigram_lm")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == model)
+  }
 }
