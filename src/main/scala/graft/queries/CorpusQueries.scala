@@ -36,6 +36,65 @@ object CorpusQueries extends QueryModule {
     round(-log(u) / greatest(weight, lit(1L)).cast("double") * lit(1e6), 6)
   }
 
+  /** Bigram-model id space: top-16 corpus vocabulary (ids 1..16, count
+    * desc then word — the q_vocab_encode ordering) plus OOV id 0, so
+    * every bigram-count table is bounded at 17² types BY DESIGN no
+    * matter the corpus size. Shared by q_bigram_lm and q_dsir_select. */
+  private val BigramVocabK = 16
+  private val BigramVTypes = BigramVocabK + 1
+
+  /** The dense-id vocabulary frame (word, id ∈ 1..16). */
+  private def bigramVocab(docs: DataFrame): DataFrame = {
+    val words = docs.select(explode(TextFunctions.tokens(col("text"))).as("word"))
+    words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(BigramVocabK)
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
+      .select(col("word"), col("id"))
+  }
+
+  /** (doc_id, source, t1, t2) bigram id rows — map-side slice of the
+    * token array + two broadcast vocab joins, OOV → 0. A def so each
+    * consumer re-derives it from the scan (staging discipline). */
+  private def bigramIds(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"), TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+          struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("source"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(broadcast(vocab.select(col("word").as("w1"), col("id").as("id1"))),
+        Seq("w1"), "left")
+      .join(broadcast(vocab.select(col("word").as("w2"), col("id").as("id2"))),
+        Seq("w2"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("id1"), lit(0L)).as("t1"),
+        coalesce(col("id2"), lit(0L)).as("t2"))
+
+  /** The complete 17×17 (t1, t2) grid — a TOTAL model domain, so a
+    * model trained on a subset still scores every candidate bigram
+    * (unseen contexts fall back to the uniform 1/V smoothed mass). */
+  private def bigramGrid(s: SparkSession): DataFrame =
+    s.range(0, BigramVTypes.toLong * BigramVTypes)
+      .select(expr(s"id div $BigramVTypes").as("t1"),
+        (col("id") % BigramVTypes).as("t2"))
+
+  /** Add-one-smoothed −ln P(t2|t1) over the full grid, micro-scaled to
+    * a long per TYPE (≤ 289 rows) so per-doc sums are exact integers. */
+  private def bigramNll(s: SparkSession, bg: DataFrame, out: String): DataFrame = {
+    val c2 = bg.groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+    val c1 = c2.groupBy("t1").agg(sum(col("c12")).as("c1"))
+    bigramGrid(s)
+      .join(c2, Seq("t1", "t2"), "left").join(c1, Seq("t1"), "left")
+      .select(col("t1"), col("t2"),
+        round(log((coalesce(col("c1"), lit(0L)) + lit(BigramVTypes.toLong)).cast("double") /
+          (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double")) * lit(1e6))
+          .cast("long").as(out))
+  }
+
   /** The q_hll_distinct tolerance gate: an HLL++ estimate must sit
     * within `sigmas` standard errors of the exact count. Public so the
     * negative test (AggregatorSpec) can push a POISONED estimate
@@ -348,48 +407,50 @@ object CorpusQueries extends QueryModule {
     // array (no window, no pos shuffle); the corpus shuffles once on
     // doc_id for the final report.
     "q_bigram_lm" -> ((s, d) => {
-      val vocabSize = 16
-      val vTypes = vocabSize + 1 // ids 0..16 including OOV
       val docs = Tables.documents(s, d)
-      val words = docs.select(explode(TextFunctions.tokens(col("text"))).as("word"))
-      val top = words.groupBy("word").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("word")).limit(vocabSize)
-      val vocab = top.withColumn("id", row_number().over(
-          Window.orderBy(col("cnt").desc, col("word"))).cast("long"))
-        .select(col("word"), col("id"))
-      // (doc_id, t1, t2) bigram id rows — map-side slice of the token
-      // array + two broadcast vocab joins. A def: both consumers
-      // (count and score) re-derive it from the scan.
-      def enc = docs
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
-            struct(element_at(col("t"), i).as("w1"),
-              element_at(col("t"), i + 1).as("w2")))).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        .join(broadcast(vocab.select(col("word").as("w1"), col("id").as("id1"))),
-          Seq("w1"), "left")
-        .join(broadcast(vocab.select(col("word").as("w2"), col("id").as("id2"))),
-          Seq("w2"), "left")
-        .select(col("doc_id"), coalesce(col("id1"), lit(0L)).as("t1"),
-          coalesce(col("id2"), lit(0L)).as("t2"))
-      val c2 = enc.groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
-      val c1 = c2.groupBy("t1").agg(sum(col("c12")).as("c1"))
-      // -ln P(t2|t1) with Laplace smoothing, as ln((c1+V)/(c12+1)) —
-      // positive, one libm call, micro-scaled to a long per TYPE (≤289
-      // rows), so per-doc sums are exact integer arithmetic.
-      val nll = c2.join(c1, "t1")
-        .select(col("t1"), col("t2"),
-          round(log((col("c1") + lit(vTypes.toLong)).cast("double") /
-            (col("c12") + lit(1L)).cast("double")) * lit(1e6)).cast("long")
-            .as("nll_u"))
-      enc.join(broadcast(nll), Seq("t1", "t2"))
+      val vocab = bigramVocab(docs)
+      def enc = bigramIds(docs, vocab)
+      enc.join(broadcast(bigramNll(s, enc, "nll_u")), Seq("t1", "t2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_u")).as("nll_sum_u"))
         .withColumn("avg_nll",
           round(col("nll_sum_u").cast("double") / col("n_bigrams") / lit(1e6), 6))
         .orderBy("doc_id")
+    }),
+
+    // DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): train the SAME
+    // bounded bigram model twice — on a designated target domain
+    // (src0..src3) and on the whole corpus — and rank every candidate
+    // (non-target) doc by its log-likelihood RATIO
+    // Σ (nll_raw − nll_tgt); the top-k are the raw docs that look most
+    // like the target domain. Both models live on the complete 17×17
+    // grid, so a context the target never saw still scores (uniform
+    // smoothed mass) instead of dropping the bigram. Determinism: the
+    // ratio is a difference of per-TYPE micro-scaled longs, so per-doc
+    // sums are exact and the top-k tiebreak (w desc, doc_id) is total.
+    // Plan: two bounded model aggs + one scoring scan; the only
+    // corpus-sized shuffle is the per-doc groupBy, and the final top-k
+    // is TakeOrderedAndProject (no global sort) — at 100 TB the model
+    // tables are still 289 rows.
+    "q_dsir_select" -> ((s, d) => {
+      val k = 50
+      val targets = Seq("src0", "src1", "src2", "src3")
+      val docs = Tables.documents(s, d)
+      val vocab = bigramVocab(docs)
+      def enc = bigramIds(docs, vocab)
+      val model = bigramNll(s, enc, "nll_raw_u")
+        .join(bigramNll(s, enc.filter(col("source").isin(targets: _*)), "nll_tgt_u"),
+          Seq("t1", "t2"))
+      enc.filter(!col("source").isin(targets: _*))
+        .join(broadcast(model), Seq("t1", "t2"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("nll_raw_u") - col("nll_tgt_u")).as("w_sum_u"))
+        .withColumn("avg_w",
+          round(col("w_sum_u").cast("double") / col("n_bigrams") / lit(1e6), 6))
+        .orderBy(col("w_sum_u").desc, col("doc_id"))
+        .limit(k)
     }),
 
     // Overlapping-chunk manifest (64-token chunks at stride 48) — the
@@ -752,6 +813,50 @@ object CorpusQueries extends QueryModule {
          | sum(nll_u)::BIGINT AS nll_sum_u,
          | round(sum(nll_u)::DOUBLE / count(*) / 1000000.0, 6) AS avg_nll
          | FROM enc JOIN nll USING (t1, t2) GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replace("\n", ""),
+
+    // Two grid-total models from the same encoded bigrams; the ratio is
+    // a difference of the per-type micro-scaled NLLs, summed per doc.
+    "q_dsir_select" ->
+      s"""WITH tok AS (SELECT doc_id, source, ${toks("text")} AS t FROM documents),
+         | w AS (SELECT unnest(t) AS word FROM tok),
+         | cnt AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY word),
+         | top AS (SELECT word, cnt FROM cnt ORDER BY cnt DESC, word LIMIT 16),
+         | voc AS (SELECT word, row_number() OVER (ORDER BY cnt DESC, word)
+         |     ::BIGINT AS id FROM top),
+         | bg0 AS (SELECT doc_id, source, t,
+         |    unnest(generate_series(1, len(t) - 1)) AS i
+         |   FROM tok WHERE len(t) >= 2),
+         | bg AS (SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2 FROM bg0),
+         | enc AS (SELECT doc_id, source, coalesce(v1.id, 0)::BIGINT AS t1,
+         |    coalesce(v2.id, 0)::BIGINT AS t2
+         |   FROM bg LEFT JOIN voc v1 ON v1.word = bg.w1
+         |           LEFT JOIN voc v2 ON v2.word = bg.w2),
+         | grid AS (SELECT a.i::BIGINT AS t1, b.i::BIGINT AS t2
+         |   FROM (SELECT unnest(generate_series(0, 16)) AS i) a,
+         |        (SELECT unnest(generate_series(0, 16)) AS i) b),
+         | c2r AS (SELECT t1, t2, count(*)::BIGINT AS c12 FROM enc GROUP BY t1, t2),
+         | c1r AS (SELECT t1, sum(c12)::BIGINT AS c1 FROM c2r GROUP BY t1),
+         | c2t AS (SELECT t1, t2, count(*)::BIGINT AS c12 FROM enc
+         |   WHERE source IN ('src0','src1','src2','src3') GROUP BY t1, t2),
+         | c1t AS (SELECT t1, sum(c12)::BIGINT AS c1 FROM c2t GROUP BY t1),
+         | model AS (SELECT g.t1, g.t2,
+         |    round(ln((coalesce(r1.c1, 0) + 17)::DOUBLE /
+         |      (coalesce(r2.c12, 0) + 1)::DOUBLE) * 1000000.0, 0)::BIGINT AS nr,
+         |    round(ln((coalesce(m1.c1, 0) + 17)::DOUBLE /
+         |      (coalesce(m2.c12, 0) + 1)::DOUBLE) * 1000000.0, 0)::BIGINT AS nt
+         |   FROM grid g
+         |    LEFT JOIN c2r r2 ON r2.t1 = g.t1 AND r2.t2 = g.t2
+         |    LEFT JOIN c1r r1 ON r1.t1 = g.t1
+         |    LEFT JOIN c2t m2 ON m2.t1 = g.t1 AND m2.t2 = g.t2
+         |    LEFT JOIN c1t m1 ON m1.t1 = g.t1)
+         |SELECT e.doc_id, e.source, count(*)::BIGINT AS n_bigrams,
+         | sum(m.nr - m.nt)::BIGINT AS w_sum_u,
+         | round(sum(m.nr - m.nt)::DOUBLE / count(*) / 1000000.0, 6) AS avg_w
+         | FROM enc e JOIN model m ON m.t1 = e.t1 AND m.t2 = e.t2
+         | WHERE e.source NOT IN ('src0','src1','src2','src3')
+         | GROUP BY e.doc_id, e.source
+         | ORDER BY w_sum_u DESC, e.doc_id LIMIT 50"""
         .stripMargin.replace("\n", ""),
 
     "q_chunk_docs" ->

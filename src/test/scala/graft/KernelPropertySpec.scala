@@ -159,4 +159,44 @@ class KernelPropertySpec extends AnyFunSuite with SparkSpec {
       .toMap
     assert(got == model)
   }
+
+  test("DSIR selection == plain-Scala integer model at sf0.001") {
+    // Replays q_dsir_select sequentially: both grid-total bigram models
+    // (raw corpus / target sources), per-doc exact long ratio sums, and
+    // the (w desc, doc_id) top-50 — the selected SET must match.
+    val sf = "/root/testdata/sf0.001"
+    val targets = Set("src0", "src1", "src2", "src3")
+    val rows = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toVector))
+    val vocab = rows.flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(16)
+      .zipWithIndex.map { case ((w, _), i) => w -> (i + 1).toLong }.toMap
+    val enc = rows.filter(_._3.size >= 2).map { case (id, src, t) =>
+      val ids = t.map(vocab.getOrElse(_, 0L))
+      (id, src, ids.zip(ids.tail))
+    }
+    def nllModel(bgs: Seq[(Long, Long)]): Map[(Long, Long), Long] = {
+      val c2 = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      (for (a <- 0L to 16L; b <- 0L to 16L) yield (a, b) -> math.round(
+        math.log((c1.getOrElse(a, 0L) + 17).toDouble /
+          (c2.getOrElse((a, b), 0L) + 1)) * 1e6)).toMap
+    }
+    val raw = nllModel(enc.flatMap(_._3))
+    val tgt = nllModel(enc.filter(e => targets(e._2)).flatMap(_._3))
+    val expect = enc.filterNot(e => targets(e._2)).map { case (id, src, bgs) =>
+      val w = bgs.map(bg => raw(bg) - tgt(bg)).sum
+      val avg = BigDecimal(w.toDouble / bgs.size / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, src, bgs.size.toLong, w, avg)
+    }.sortBy { case (id, _, _, w, _) => (-w, id) }.take(50).toSet
+    val got = graft.SparkEntry.queries("q_dsir_select")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got == expect)
+  }
 }

@@ -128,6 +128,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastExchange"), "vocab not broadcast into the encode join")
   }
 
+  test("bigram band: bounded models broadcast; DSIR top-k is distributed TakeOrdered") {
+    val lm = formatted("q_bigram_lm")
+    assert(lm.contains("BroadcastExchange"), "nll model not broadcast into scoring")
+    val dsir = formatted("q_dsir_select")
+    assert(dsir.contains("BroadcastExchange"), "ratio model not broadcast into scoring")
+    assert(dsir.contains("TakeOrderedAndProject"), "DSIR top-k not TakeOrdered")
+  }
+
   test("keep-best dedup: the rank window and group aggregate share one fp exchange") {
     val plan = formatted("q_dedup_keep_best")
     val fpEx = "Exchange hashpartitioning\\(fp".r.findAllIn(plan).length
