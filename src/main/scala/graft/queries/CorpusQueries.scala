@@ -42,6 +42,8 @@ object CorpusQueries extends QueryModule {
     * matter the corpus size. Shared by q_bigram_lm and q_dsir_select. */
   private val BigramVocabK = 16
   private val BigramVTypes = BigramVocabK + 1
+  /** Package-open: the streaming scorer keys its model map on t1·V+t2. */
+  private[graft] def bigramVTypes: Int = BigramVTypes
 
   /** The dense-id vocabulary frame (word, id ∈ 1..16). */
   private def bigramVocab(docs: DataFrame): DataFrame = {
@@ -93,6 +95,23 @@ object CorpusQueries extends QueryModule {
         round(log((coalesce(col("c1"), lit(0L)) + lit(BigramVTypes.toLong)).cast("double") /
           (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double")) * lit(1e6))
           .cast("long").as(out))
+  }
+
+  /** Train the bounded bigram model and collect it driver-side — the
+    * ONE legitimate collect shape: both frames are bounded BY DESIGN
+    * (≤ 16 vocab rows, ≤ 289 model rows) regardless of corpus size,
+    * like the Bloom bit-array build. Returns (word → id, t1·17+t2 →
+    * nll_u) for literal embedding into a stateless streaming scorer
+    * ([[graft.streaming.StreamingKernels.bigramScore]]). */
+  private[graft] def trainedBigramModel(
+      s: SparkSession, d: String): (Map[String, Long], Map[Long, Long]) = {
+    val docs = Tables.documents(s, d)
+    val vocab = bigramVocab(docs)
+    val nll = bigramNll(s, bigramIds(docs, vocab), "nll_u")
+    val v = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = nll.collect()
+      .map(r => (r.getLong(0) * BigramVTypes + r.getLong(1)) -> r.getLong(2)).toMap
+    (v, m)
   }
 
   /** The q_hll_distinct tolerance gate: an HLL++ estimate must sit

@@ -486,6 +486,43 @@ object StreamingKernels {
     graft.operators.Chunker.manifest(
       docs, chunkLen, stride, passThrough = Seq("ts"))
 
+  /** Streaming twin of `q_bigram_lm`'s scoring pass: every arriving doc
+    * is scored against a PRE-TRAINED bigram model
+    * ([[graft.queries.CorpusQueries.trainedBigramModel]]) embedded as
+    * two map LITERALS in the plan — the Bloom-bit-array pattern: the
+    * model is bounded by design (≤ 16 + 289 entries), so it rides in
+    * the serialized plan instead of a per-batch join. The whole scorer
+    * is map-side HOFs (transform → zip_with → aggregate over the token
+    * array): NO streaming state, no watermark, no shuffle — append
+    * mode, arbitrarily parallel. Scores are bit-identical to the batch
+    * query whenever the model was trained on the same corpus
+    * (StreamingSpec pins this), because the same micro-scaled integer
+    * NLLs are summed with exact long arithmetic.
+    *
+    * This is the production split of q_bigram_lm at 100 TB: TRAIN is a
+    * bounded batch agg run once per model refresh; SCORE is this
+    * stateless stream. */
+  def bigramScore(docs: DataFrame, vocab: Map[String, Long],
+                  nllU: Map[Long, Long]): DataFrame = {
+    val vTypes = graft.queries.CorpusQueries.bigramVTypes
+    val vocabLit = typedLit(vocab)
+    val nllLit = typedLit(nllU)
+    val ids = transform(TextFunctions.tokens(col("text")),
+      w => coalesce(element_at(vocabLit, w), lit(0L)))
+    docs // expected columns: (doc_id long, ts timestamp, text string)
+      .withColumn("ids", ids)
+      .filter(size(col("ids")) >= 2)
+      .withColumn("nlls", zip_with(
+        slice(col("ids"), lit(1), size(col("ids")) - 1),
+        slice(col("ids"), lit(2), size(col("ids")) - 1),
+        (a, b) => element_at(nllLit, a * vTypes + b)))
+      .select(col("doc_id"), col("ts"),
+        size(col("nlls")).cast("long").as("n_bigrams"),
+        aggregate(col("nlls"), lit(0L), (acc, x) => acc + x).as("nll_sum_u"))
+      .withColumn("avg_nll",
+        round(col("nll_sum_u").cast("double") / col("n_bigrams") / lit(1e6), 6))
+  }
+
   def quotaFill(docs: org.apache.spark.sql.Dataset[(Long, String)],
                 quota: Long)
       : org.apache.spark.sql.Dataset[(String, Long, Long)] = {

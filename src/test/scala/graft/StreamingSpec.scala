@@ -91,6 +91,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless bigram scorer matches the batch LM query bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // TRAIN batch-side (bounded model, collected once), SCORE streaming.
+    val (vocab, nllU) = graft.queries.CorpusQueries.trainedBigramModel(spark, sf)
+    assert(vocab.size == 16 && nllU.size == 17 * 17)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), ts("2026-01-01 10:00:00"), r.getString(1)))
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingKernels.bigramScore(
+        source.toDF().toDF("doc_id", "ts", "text"), vocab, nllU)
+      .writeStream.format("memory").queryName("bigram_stream")
+      .outputMode("append").start()
+    try {
+      // Two micro-batches; the stateless scorer emits each doc once.
+      source.addData(docs.take(200): _*)
+      q.processAllAvailable()
+      source.addData(docs.drop(200): _*)
+      q.processAllAvailable()
+      val got = spark.table("bigram_stream").collect()
+        .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+          ((r.getLong(r.fieldIndex("n_bigrams")),
+            r.getLong(r.fieldIndex("nll_sum_u")),
+            r.getDouble(r.fieldIndex("avg_nll")))))
+        .toMap
+      val batch = graft.SparkEntry.queries("q_bigram_lm")(spark, sf)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(spark.table("bigram_stream").count() == batch.size)
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("watermarked windowed counts emit a window once the watermark passes it") {
     val s = spark
     import s.implicits._
