@@ -114,6 +114,39 @@ object CorpusQueries extends QueryModule {
     (v, m)
   }
 
+  /** Per-doc Okapi BM25 scores (k1=1.2, b=0.75) for the fixed query-term
+    * set — the scoring core shared by q_bm25 (top-20 report) and
+    * q_hybrid_rrf's lexical arm. Scale shape: only MATCHED tokens
+    * explode (the isin filter precedes the groupBy), df and the 1-row
+    * corpus stats broadcast. Float discipline: per-(doc,term)
+    * contributions are quantized to integer micro-units and SUMMED AS
+    * LONGS (order-independent), one divide at the end. */
+  private[graft] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val queryTerms = Seq("hash", "join", "query", "dup", "zorder")
+    val docs = StagedCache.persist(Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl")))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = StagedCache.persist(docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val denom = col("tf").cast("double") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
+    tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("cu",
+        round(idf * ((col("tf").cast("double") * lit(2.2)) / denom) * lit(1e6), 0)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("cu")).as("score_u"), count(lit(1)).as("n_terms_hit"))
+  }
+
   /** The q_hll_distinct tolerance gate: an HLL++ estimate must sit
     * within `sigmas` standard errors of the exact count. Public so the
     * negative test (AggregatorSpec) can push a POISONED estimate
@@ -472,6 +505,69 @@ object CorpusQueries extends QueryModule {
         .limit(k)
     }),
 
+    // Naive Bayes domain classifier — the fastText-style linear quality
+    // classifier of a pretraining pipeline (class-conditional token
+    // likelihoods + a prior, argmax label), trained in-engine on the
+    // same bounded id space as the bigram band: top-16 unigram vocab +
+    // OOV 0, so each class model is ≤ 17 rows and the TRAINED MODEL
+    // BROADCASTS at 100 TB. Classes: the DSIR target domain (src0..3)
+    // vs the rest. Determinism: per-id add-one-smoothed −ln P(id|cls)
+    // micro-scaled to a long per TYPE (ln 6dp precedent), doc-count
+    // priors micro-scaled the same way, per-doc scores exact long
+    // sums; pred breaks the lo_u == 0 tie to 'rest'. Plan: vocab agg +
+    // bounded count agg (34 cells) + one-row prior agg, then ONE
+    // corpus-sized shuffle (the per-doc groupBy); the model and priors
+    // ride broadcast/cross joins (8-byte values — narrow values may
+    // ride a broadcast cross join, PLANS.md round-7).
+    "q_nb_classify" -> ((s, d) => {
+      val targets = Seq("src0", "src1", "src2", "src3")
+      val isTgt = col("source").isin(targets: _*)
+      val docs = Tables.documents(s, d)
+      val vocab = bigramVocab(docs)
+      def tids = docs
+        .select(col("doc_id"), col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("word"))
+        .join(broadcast(vocab), Seq("word"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("id"), lit(0L)).as("tid"))
+      val counts = s.range(0, BigramVTypes.toLong).select(col("id").as("tid"))
+        .join(tids.groupBy("tid").agg(
+          sum(isTgt.cast("long")).as("c_tgt"),
+          sum((!isTgt).cast("long")).as("c_rest")), Seq("tid"), "left")
+        .select(col("tid"),
+          coalesce(col("c_tgt"), lit(0L)).as("c_tgt"),
+          coalesce(col("c_rest"), lit(0L)).as("c_rest"))
+      def nll(c: Column, n: Column) = round(log(
+        (n + lit(BigramVTypes.toLong)).cast("double") /
+          (c + lit(1L)).cast("double")) * lit(1e6)).cast("long")
+      val model = counts
+        .crossJoin(broadcast(counts.agg(
+          sum("c_tgt").as("n_tgt"), sum("c_rest").as("n_rest"))))
+        .select(col("tid"),
+          nll(col("c_tgt"), col("n_tgt")).as("nll_tgt_u"),
+          nll(col("c_rest"), col("n_rest")).as("nll_rest_u"))
+      def nllPrior(dc: Column, dAll: Column) = round(log(
+        (dAll + lit(2L)).cast("double") / (dc + lit(1L)).cast("double")) *
+        lit(1e6)).cast("long")
+      val priors = docs.agg(
+        sum(isTgt.cast("long")).as("d_tgt"),
+        sum((!isTgt).cast("long")).as("d_rest"))
+        .select(
+          nllPrior(col("d_tgt"), col("d_tgt") + col("d_rest")).as("p_tgt_u"),
+          nllPrior(col("d_rest"), col("d_tgt") + col("d_rest")).as("p_rest_u"))
+      tids.join(broadcast(model), "tid")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("nll_tgt_u")).as("s_tgt"), sum(col("nll_rest_u")).as("s_rest"))
+        .crossJoin(broadcast(priors))
+        .withColumn("lo_u",
+          (col("p_rest_u") + col("s_rest")) - (col("p_tgt_u") + col("s_tgt")))
+        .withColumn("pred", when(col("lo_u") > 0, "tgt").otherwise("rest"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("lo_u"), col("pred"))
+        .orderBy("doc_id")
+    }),
+
     // Overlapping-chunk manifest (64-token chunks at stride 48) — the
     // shared [[graft.operators.Chunker]] transform, whose streaming
     // twin is StreamingKernels.chunkDocs; see Chunker for the plan
@@ -629,37 +725,14 @@ object CorpusQueries extends QueryModule {
     // divide at the end — a double sum across terms would hash-diverge
     // under Spark's aggregation order. Every double expression is
     // parenthesized identically in the DuckDB mirror.
-    "q_bm25" -> ((s, d) => {
-      val queryTerms = Seq("hash", "join", "query", "dup", "zorder")
-      val docs = StagedCache.persist(Tables.documents(s, d)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl")))
-      val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      val tf = StagedCache.persist(docs
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .filter(col("term").isin(queryTerms: _*))
-        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
-      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-      val idf = log(
-        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)) + lit(1.0))
-      val denom = col("tf").cast("double") +
-        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
-      tf.join(broadcast(df_), "term")
-        .crossJoin(broadcast(stats))
-        .withColumn("cu",
-          round(idf * ((col("tf").cast("double") * lit(2.2)) / denom) * lit(1e6), 0)
-            .cast("long"))
-        .groupBy("doc_id")
-        .agg(sum(col("cu")).as("score_u"), count(lit(1)).as("n_terms_hit"))
+    "q_bm25" -> ((s, d) =>
+      bm25Scores(s, d)
         .orderBy(col("score_u").desc, col("doc_id")).limit(20)
         .withColumn("score", round(col("score_u").cast("double") / lit(1e6), 6))
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("score_u").desc, col("doc_id"))).cast("long"))
         .select(col("doc_id"), col("n_terms_hit"), col("score"), col("rnk"))
-        .orderBy("rnk")
-    })
+        .orderBy("rnk"))
   )
 
   import OracleSql._
@@ -876,6 +949,56 @@ object CorpusQueries extends QueryModule {
          | WHERE e.source NOT IN ('src0','src1','src2','src3')
          | GROUP BY e.doc_id, e.source
          | ORDER BY w_sum_u DESC, e.doc_id LIMIT 50"""
+        .stripMargin.replace("\n", ""),
+
+    // Unigram NB replayed from first principles: grid-total per-class
+    // token counts, micro-scaled smoothed NLLs per id, doc-count
+    // priors, exact long log-odds per doc.
+    "q_nb_classify" ->
+      s"""WITH tok AS (SELECT doc_id, source, unnest(${toks("text")}) AS word
+         |   FROM documents),
+         | cnt AS (SELECT word, count(*)::BIGINT AS cnt FROM tok GROUP BY word),
+         | top AS (SELECT word, cnt FROM cnt ORDER BY cnt DESC, word LIMIT 16),
+         | voc AS (SELECT word, row_number() OVER (ORDER BY cnt DESC, word)
+         |     ::BIGINT AS id FROM top),
+         | enc AS (SELECT doc_id, source, coalesce(id, 0)::BIGINT AS tid
+         |   FROM tok LEFT JOIN voc USING (word)),
+         | grid AS (SELECT unnest(generate_series(0, 16))::BIGINT AS tid),
+         | cc AS (SELECT tid,
+         |    sum(CASE WHEN source IN ('src0','src1','src2','src3')
+         |      THEN 1 ELSE 0 END)::BIGINT AS c_tgt,
+         |    sum(CASE WHEN source NOT IN ('src0','src1','src2','src3')
+         |      THEN 1 ELSE 0 END)::BIGINT AS c_rest
+         |   FROM enc GROUP BY tid),
+         | cf AS (SELECT g.tid, coalesce(c_tgt, 0)::BIGINT AS c_tgt,
+         |    coalesce(c_rest, 0)::BIGINT AS c_rest
+         |   FROM grid g LEFT JOIN cc ON cc.tid = g.tid),
+         | tot AS (SELECT sum(c_tgt)::BIGINT AS n_tgt,
+         |    sum(c_rest)::BIGINT AS n_rest FROM cf),
+         | model AS (SELECT tid,
+         |    round(ln((n_tgt + 17)::DOUBLE / (c_tgt + 1)::DOUBLE)
+         |      * 1000000.0, 0)::BIGINT AS nll_tgt_u,
+         |    round(ln((n_rest + 17)::DOUBLE / (c_rest + 1)::DOUBLE)
+         |      * 1000000.0, 0)::BIGINT AS nll_rest_u
+         |   FROM cf, tot),
+         | pri AS (SELECT
+         |    round(ln((count(*) + 2)::DOUBLE /
+         |      (sum(CASE WHEN source IN ('src0','src1','src2','src3')
+         |        THEN 1 ELSE 0 END) + 1)::DOUBLE) * 1000000.0, 0)
+         |      ::BIGINT AS p_tgt_u,
+         |    round(ln((count(*) + 2)::DOUBLE /
+         |      (sum(CASE WHEN source NOT IN ('src0','src1','src2','src3')
+         |        THEN 1 ELSE 0 END) + 1)::DOUBLE) * 1000000.0, 0)
+         |      ::BIGINT AS p_rest_u
+         |   FROM documents)
+         |SELECT e.doc_id, e.source, count(*)::BIGINT AS n_tokens,
+         | ((p_rest_u + sum(nll_rest_u)) - (p_tgt_u + sum(nll_tgt_u)))
+         |   ::BIGINT AS lo_u,
+         | CASE WHEN ((p_rest_u + sum(nll_rest_u)) -
+         |     (p_tgt_u + sum(nll_tgt_u))) > 0 THEN 'tgt' ELSE 'rest' END AS pred
+         | FROM enc e JOIN model m ON m.tid = e.tid CROSS JOIN pri
+         | GROUP BY e.doc_id, e.source, p_tgt_u, p_rest_u
+         | ORDER BY e.doc_id"""
         .stripMargin.replace("\n", ""),
 
     "q_chunk_docs" ->

@@ -174,7 +174,36 @@ object TextStatsQueries extends QueryModule {
           size(col("hs")).cast("long").as("n_shingles"),
           size(col("sampled")).cast("long").as("n_sampled"),
           md5(concat_ws(",", transform(col("sampled"), _.cast("string")))).as("fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Per-source trigram diversity — distinct-n over total-n, the
+    // corpus-health metric that catches template/boilerplate collapse
+    // (a source whose ratio craters is emitting near-identical text;
+    // the per-DOC twin is q_repetition). Totals come map-side from the
+    // token-array length (no explode), the distinct count goes through
+    // 8-byte hash60 fingerprints, NOT shingle strings, and the two
+    // per-source aggregates are computed in SEPARATE passes joined at
+    // ≤ #sources rows — a single agg mixing count(1) with
+    // count_distinct would Expand-double the exploded stream (the
+    // q_hll_distinct lesson). Both engines hash identically, so a
+    // 60-bit collision (≈ none at any scale) subtracts the same 1 on
+    // both sides. The approximate path at 100 TB is the same shape
+    // with HLL over the hashes (q_hll_distinct).
+    "q_ngram_diversity" -> ((s, d) => {
+      def t = Tables.documents(s, d)
+        .select(col("source"), TextFunctions.tokens(col("text")).as("t"))
+      val totals = t.groupBy("source").agg(
+        sum(greatest(size(col("t")) - 2, lit(0)).cast("long")).as("n_trigrams"))
+      val distincts = t.filter(size(col("t")) >= 3)
+        .select(col("source"),
+          explode(TextFunctions.hashedShingleSet(col("t"), 3)).as("h"))
+        .distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_distinct"))
+      totals.join(distincts, "source")
+        .withColumn("diversity",
+          round(col("n_distinct").cast("double") / col("n_trigrams"), 6))
+        .orderBy("source")
+    })
   )
 
   import OracleSql._
@@ -260,7 +289,25 @@ object TextStatsQueries extends QueryModule {
            |  FROM base)
            |SELECT doc_id, n_shingles, len(sampled)::BIGINT AS n_sampled,
            | md5(coalesce(array_to_string(list_transform(sampled, x -> x::VARCHAR), ','), '')) AS fp
-           | FROM samp ORDER BY doc_id""".stripMargin.replace("\n", "")
+           | FROM samp ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+      // Same hash60 trigram fingerprints; per-doc list_distinct then a
+      // cross-doc DISTINCT, totals from the token-list length.
+      "q_ngram_diversity" ->
+        s"""WITH t AS (SELECT source, ${toks("text")} AS t FROM documents),
+           | tot AS (SELECT source, sum(greatest(len(t) - 2, 0))::BIGINT
+           |     AS n_trigrams FROM t GROUP BY source),
+           | hs AS (SELECT source, unnest(list_distinct(list_transform(
+           |     list_transform(generate_series(1, len(t)-2),
+           |       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+           |     s -> ${hash60("s")}))) AS h
+           |   FROM t WHERE len(t) >= 3),
+           | d AS (SELECT source, count(DISTINCT h)::BIGINT AS n_distinct
+           |   FROM hs GROUP BY source)
+           |SELECT source, n_trigrams, n_distinct,
+           | round(n_distinct::DOUBLE / n_trigrams, 6) AS diversity
+           | FROM tot JOIN d USING (source) ORDER BY source"""
+          .stripMargin.replace("\n", "")
     )
   }
 }

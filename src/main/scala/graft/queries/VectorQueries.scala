@@ -365,6 +365,50 @@ object VectorQueries extends QueryModule {
             / (col("na") * col("nb")), 6).as("cos_sim"))
         .filter(col("cos_sim") >= 0.35)
         .orderBy("vec_a", "vec_b")
+    }),
+
+    // Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    // the standard way a RAG pipeline combines a lexical ranker (BM25
+    // over the query terms) with a semantic one (cosine against the
+    // query embedding — vec_id 42 stands in for the encoded query).
+    // Each arm keeps only its top-50 via a distributed TakeOrdered, so
+    // the fusion itself — full-outer join + RRF sum + final rank — runs
+    // over ≤ 100 rows no matter the corpus size; the corpus is scanned
+    // once per arm and never shuffled beyond BM25's matched-token
+    // groupBy. Determinism: ranks come from total orders (score desc,
+    // id), and each rank's RRF contribution 1/(60+rnk) is micro-scaled
+    // to a long BEFORE the sum, so fused scores compare exactly; a doc
+    // missing from an arm contributes 0 (the coalesce), which is RRF's
+    // defined behavior, not a null-arithmetic accident.
+    "q_hybrid_rrf" -> ((s, d) => {
+      val kArm = 50
+      val byLex = Window.orderBy(col("score_u").desc, col("doc_id"))
+      val lex = CorpusQueries.bm25Scores(s, d)
+        .orderBy(col("score_u").desc, col("doc_id")).limit(kArm)
+        .withColumn("lex_rnk", row_number().over(byLex).cast("long"))
+        .select(col("doc_id"), col("lex_rnk"))
+      val e = Tables.embeddings(s, d)
+        .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
+      val probe = e.filter(col("vec_id") === 42)
+        .select(col("embedding").as("pv"), col("nrm").as("pnrm"))
+      val bySem = Window.orderBy(col("cos_sim").desc, col("doc_id"))
+      val sem = e.filter(col("vec_id") =!= 42).crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          round(VectorFunctions.dot(col("pv"), col("embedding"))
+            / (col("pnrm") * col("nrm")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("doc_id")).limit(kArm)
+        .withColumn("sem_rnk", row_number().over(bySem).cast("long"))
+        .select(col("doc_id"), col("sem_rnk"))
+      def contrib(r: org.apache.spark.sql.Column) =
+        coalesce(round(lit(1e6) / (lit(60L) + r)).cast("long"), lit(0L))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_u", contrib(col("lex_rnk")) + contrib(col("sem_rnk")))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("rrf_u").desc, col("doc_id"))).cast("long"))
+        .filter(col("rnk") <= 20)
+        .select(col("doc_id"), col("lex_rnk"), col("sem_rnk"),
+          col("rrf_u"), col("rnk"))
+        .orderBy("rnk")
     })
   )
 
@@ -612,6 +656,46 @@ object VectorQueries extends QueryModule {
          |   ${cosSql("a.embedding", "b.embedding")} AS cos_sim
          | FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          | WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
-         | ORDER BY vec_a, vec_b""".stripMargin.replace("\n", "")
+         | ORDER BY vec_a, vec_b""".stripMargin.replace("\n", ""),
+
+    // Both arms replayed (BM25 mirrors q_bm25's CTEs; the semantic arm
+    // is the shared cosine fold), fused with the same micro-scaled
+    // 1/(60+rnk) longs.
+    "q_hybrid_rrf" ->
+      s"""WITH docs AS (SELECT doc_id, t, len(t)::BIGINT AS dl
+         |   FROM (SELECT doc_id, ${OracleSql.toks("text")} AS t FROM documents)),
+         | stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl
+         |   FROM docs),
+         | tf AS (SELECT doc_id, dl, x AS term, count(*)::BIGINT AS tf
+         |   FROM (SELECT doc_id, dl, unnest(t) AS x FROM docs)
+         |   WHERE x IN ('hash','join','query','dup','zorder')
+         |   GROUP BY 1, 2, 3),
+         | df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+         | c AS (SELECT doc_id,
+         |   round(ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0)
+         |     * ((tf::DOUBLE * 2.2) / (tf::DOUBLE
+         |       + 1.2 * (0.25 + 0.75 * (dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE)))))
+         |     * 1e6, 0)::BIGINT AS cu
+         |  FROM tf JOIN df USING (term) CROSS JOIN stats),
+         | sc AS (SELECT doc_id, sum(cu)::BIGINT AS score_u FROM c GROUP BY doc_id),
+         | ltop AS (SELECT doc_id, row_number() OVER
+         |    (ORDER BY score_u DESC, doc_id)::BIGINT AS lex_rnk
+         |   FROM (SELECT * FROM sc ORDER BY score_u DESC, doc_id LIMIT 50)),
+         | p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 42),
+         | semsc AS (SELECT e.vec_id AS doc_id,
+         |    ${cosSql("pv", "e.embedding")} AS cos_sim
+         |   FROM embeddings e CROSS JOIN p WHERE e.vec_id != 42),
+         | stop AS (SELECT doc_id, row_number() OVER
+         |    (ORDER BY cos_sim DESC, doc_id)::BIGINT AS sem_rnk
+         |   FROM (SELECT * FROM semsc ORDER BY cos_sim DESC, doc_id LIMIT 50)),
+         | fused AS (SELECT coalesce(l.doc_id, st.doc_id) AS doc_id,
+         |    lex_rnk, sem_rnk,
+         |    (coalesce(round(1e6 / (60 + lex_rnk), 0)::BIGINT, 0)
+         |     + coalesce(round(1e6 / (60 + sem_rnk), 0)::BIGINT, 0)) AS rrf_u
+         |   FROM ltop l FULL OUTER JOIN stop st ON st.doc_id = l.doc_id)
+         |SELECT doc_id, lex_rnk, sem_rnk, rrf_u, rnk FROM (
+         |  SELECT *, row_number() OVER (ORDER BY rrf_u DESC, doc_id)
+         |    ::BIGINT AS rnk FROM fused) WHERE rnk <= 20 ORDER BY rnk"""
+        .stripMargin.replace("\n", "")
   )
 }

@@ -199,4 +199,50 @@ class KernelPropertySpec extends AnyFunSuite with SparkSpec {
       .toSet
     assert(got == expect)
   }
+
+  test("NB classifier == plain-Scala integer model at sf0.001") {
+    // Replays q_nb_classify sequentially: top-16 unigram vocab, grid-
+    // total per-class token counts, micro-scaled smoothed NLLs, doc-
+    // count priors, exact long log-odds and the 0-tie → 'rest' label.
+    val sf = "/root/testdata/sf0.001"
+    val targets = Set("src0", "src1", "src2", "src3")
+    val rows = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toVector))
+    val vocab = rows.flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(16)
+      .zipWithIndex.map { case ((w, _), i) => w -> (i + 1).toLong }.toMap
+    val enc = rows.map { case (id, src, t) =>
+      (id, src, t.map(vocab.getOrElse(_, 0L))) }
+    val tokRows = enc.flatMap { case (_, src, tids) => tids.map(src -> _) }
+    def classCounts(p: String => Boolean): Map[Long, Long] =
+      tokRows.filter(r => p(r._1)).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def nllModel(c: Map[Long, Long]): Map[Long, Long] = {
+      val n = c.values.sum
+      (0L to 16L).map(t => t -> math.round(
+        math.log((n + 17).toDouble / (c.getOrElse(t, 0L) + 1)) * 1e6)).toMap
+    }
+    val nllTgt = nllModel(classCounts(targets))
+    val nllRest = nllModel(classCounts(s => !targets(s)))
+    val dTgt = rows.count(r => targets(r._2)).toLong
+    val dRest = rows.size - dTgt
+    def prior(dc: Long) =
+      math.round(math.log((dTgt + dRest + 2).toDouble / (dc + 1)) * 1e6)
+    val expect = enc.map { case (id, src, tids) =>
+      val lo = (prior(dRest) + tids.map(nllRest).sum) -
+        (prior(dTgt) + tids.map(nllTgt).sum)
+      (id, src, tids.size.toLong, lo, if (lo > 0) "tgt" else "rest")
+    }.toSet
+    val got = graft.SparkEntry.queries("q_nb_classify")(spark, sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    assert(got == expect)
+    // The classifier separates: target-domain docs skew positive.
+    val preds = got.toSeq.groupBy(r => targets(r._2))
+      .view.mapValues(rs => rs.count(_._5 == "tgt").toDouble / rs.size).toMap
+    assert(preds(true) > preds(false))
+  }
 }
