@@ -171,6 +171,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Same extension stack as Verify: benched plans are the plans a
       // user session produces.
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -35,6 +35,11 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized
       // reader rejects; read as ns-longs and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Naive parquet timestamps (isAdjustedToUTC=false, the driver's
+      // current fixture flavor) must read as TIMESTAMP, not NTZ:
+      // unix_micros and interval arithmetic reject NTZ, and with a UTC
+      // session the two types carry identical micros anyway.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(appName: String = "graft"): SparkSession = {

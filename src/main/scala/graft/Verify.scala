@@ -12,6 +12,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // The full extension stack (native SQL functions, as-of strategy,
       // rewrite rule) is live in the correctness gate — the gate checks
       // the engine as a user session actually runs it.

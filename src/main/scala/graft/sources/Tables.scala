@@ -36,9 +36,17 @@ object Tables {
     * DuckDB oracle compares at µs via `epoch_us`). */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) fixture flavor, read as ns longs (see scaladoc).
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // Naive timestamp[us] flavor read as NTZ (a session without
+      // inferTimestampNTZ=false): cast to TIMESTAMP — identity on the
+      // underlying micros under the UTC session tz all entry points pin.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
