@@ -76,7 +76,10 @@ object DedupQueries extends QueryModule {
     * Signature components come from the native one-pass
     * [[graft.functions.MinHashExpr]] (bit-identical to the
     * per-component folds, so the oracle mirrors them unchanged). */
-  private def minhashPairs(base: DataFrame): DataFrame = {
+  /** Banded-LSH candidate pairs alone (no verify) — shared by the
+    * Jaccard-verified [[minhashPairs]] and the edit-distance-verified
+    * q_edit_near_dup, which differ only in the verify metric. */
+  private def minhashCandidates(base: DataFrame): DataFrame = {
     val sigs = base.select(col("doc_id"),
       graft.functions.MinHashExpr(col("hs"), minhashSeeds).as("sig"))
     // Staged too: both candidate-join sides read the band table, and
@@ -86,13 +89,15 @@ object DedupQueries extends QueryModule {
         concat_ws(":", lit(j.toString),
           element_at(col("sig"), 2 * j + 1).cast("string"),
           element_at(col("sig"), 2 * j + 2).cast("string"))): _*)).as("bkey")))
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"), col("a.bkey") === col("b.bkey")
         && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyPairs(cand, base, 0.5)
   }
+
+  private def minhashPairs(base: DataFrame): DataFrame =
+    verifyPairs(minhashCandidates(base), base, 0.5)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content fingerprint, keep the min doc_id.
@@ -364,6 +369,92 @@ object DedupQueries extends QueryModule {
         .join(hist, Seq("fp"), "left_anti")
         .select(col("doc_id"), col("fp"))
       definitelyNew.unionByName(suspects).orderBy("doc_id")
+    }),
+
+    // Edit-distance-verified near-dup: the SAME banded-LSH candidate
+    // generator as q_near_dup_minhash, but the verify metric is
+    // character-level Levenshtein similarity instead of shingle
+    // Jaccard — the metric that distinguishes "same words, light
+    // edits" (high) from "same vocabulary, rewritten" (low), which
+    // set-based Jaccard cannot. Scale shape: Levenshtein is O(L²) per
+    // pair, so the verify runs on a FIXED 256-char normalized prefix —
+    // bounded constant work per candidate regardless of document
+    // length (the policy a production pipeline needs at 100 TB, where
+    // a single 1 MB×1 MB pair would otherwise stall its task). Both
+    // engines compute plain Levenshtein on the identical prefix.
+    "q_edit_near_dup" -> ((s, d) => {
+      val base = StagedCache.persist(hashedShingles(s, d))
+      val cand = minhashCandidates(base)
+      val ptx = Tables.documents(s, d).select(col("doc_id"),
+        substring(TextFunctions.normalizeText(col("text")), 1, 256).as("ptxt"))
+      cand
+        .join(ptx.select(col("doc_id").as("doc_a"), col("ptxt").as("pa")), "doc_a")
+        .join(ptx.select(col("doc_id").as("doc_b"), col("ptxt").as("pb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"),
+          round(lit(1.0) - levenshtein(col("pa"), col("pb")).cast("double") /
+            greatest(length(col("pa")), length(col("pb"))), 6).as("edit_sim"))
+        .filter(col("edit_sim") >= 0.6)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Cross-source duplication audit: for every source pair, how many
+    // duplicate content groups they share (off-diagonal = one source
+    // copying another; diagonal = within-source duplication). The
+    // dup key is the order/repetition-insensitive shuffle fingerprint
+    // (this fixture's duplicates are shuffled copies — exact fps never
+    // collide across docs here). Plan shape at 100 TB: one shuffle on
+    // fp for the (fp, source) rollup; the self-join on fp is bounded —
+    // each fp group holds at most #sources rows (a few dozen), so the
+    // pair fan-out is ≤ C(#sources,2) per fp, never quadratic in docs.
+    "q_source_overlap" -> ((s, d) => {
+      val g = StagedCache.persist(Tables.documents(s, d)
+        .select(TextFunctions.fingerprintShuffle(col("text")).as("fp"), col("source"))
+        .groupBy("fp", "source").agg(count(lit(1)).as("n")))
+      g.as("a")
+        .join(g.as("b"), col("a.fp") === col("b.fp") &&
+          (col("a.source") < col("b.source") ||
+            (col("a.source") === col("b.source") && col("a.n") >= 2)))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("shared_fps"),
+          sum(col("na")).as("docs_a"), sum(col("nb")).as("docs_b"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // Duplicated-SPAN detection at stride-1 window granularity (the
+    // exact-substring dedup of Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better", arXiv:2107.06499,
+    // at token-window resolution): every 16-token window of every doc
+    // is hashed; windows appearing in ≥ 2 docs are duplicated spans,
+    // and each doc reports what fraction of its distinct windows is
+    // duplicated elsewhere. Catches PARTIAL overlap — a copied
+    // paragraph inside an otherwise-novel doc — that whole-doc
+    // fingerprints and disjoint-chunk dedup (q_chunk_dedup) both miss.
+    // Plan shape: the window table is ~tokens-per-corpus rows (stride
+    // 1 ⇒ one row per token position — data-linear, the honest cost);
+    // the dup detection is one groupBy on the window hash, and the
+    // per-doc rollups reuse that same hash-partitioned exchange for
+    // the semi-join side. No pair join exists anywhere — this scales
+    // as ONE aggregation, not as candidates × verify.
+    "q_span_dup" -> ((s, d) => {
+      val w = 16
+      val spans = StagedCache.persist(Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= w)
+        .select(col("doc_id"),
+          explode(TextFunctions.hashedShingleSet(col("toks"), w)).as("h")))
+      val dup = spans.groupBy("h").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2).select("h")
+      val perDoc = spans.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      val dupPerDoc = spans.join(dup, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+      perDoc.join(dupPerDoc, "doc_id")
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          round(col("n_dup_windows").cast("double") / col("n_windows"), 6)
+            .as("dup_frac"))
+        .orderBy("doc_id")
     })
   )
 
@@ -581,6 +672,51 @@ object DedupQueries extends QueryModule {
          |   AND NOT EXISTS (SELECT 1 FROM documents h
          |        WHERE h.doc_id % 5 != 0
          |          AND ${OracleSql.hash60("h.text")} = ${OracleSql.hash60("documents.text")})
-         | ORDER BY doc_id""".stripMargin.replace("\n", "")
+         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    "q_edit_near_dup" ->
+      s"""$minhashCandCtes,
+         | ptx AS (SELECT doc_id, substr(${norm("text")}, 1, 256) AS ptxt
+         |   FROM documents),
+         | pairs AS (SELECT doc_a, doc_b,
+         |    levenshtein(pa.ptxt, pb.ptxt)::BIGINT AS edit_dist,
+         |    round(1.0 - levenshtein(pa.ptxt, pb.ptxt)::DOUBLE /
+         |      greatest(len(pa.ptxt), len(pb.ptxt)), 6) AS edit_sim
+         |   FROM cand JOIN ptx pa ON pa.doc_id = cand.doc_a
+         |             JOIN ptx pb ON pb.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, edit_dist, edit_sim FROM pairs
+         | WHERE edit_sim >= 0.6 ORDER BY doc_a, doc_b"""
+        .stripMargin.replace("\n", ""),
+
+    "q_source_overlap" ->
+      s"""WITH g AS (SELECT
+         |   md5(array_to_string(list_sort(list_distinct(${toks("text")})), ' '))
+         |     AS fp,
+         |   source, count(*)::BIGINT AS n FROM documents GROUP BY fp, source)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         | count(*)::BIGINT AS shared_fps,
+         | sum(a.n)::BIGINT AS docs_a, sum(b.n)::BIGINT AS docs_b
+         | FROM g a JOIN g b ON a.fp = b.fp AND
+         |   (a.source < b.source OR (a.source = b.source AND a.n >= 2))
+         | GROUP BY source_a, source_b ORDER BY source_a, source_b"""
+        .stripMargin.replace("\n", ""),
+
+    "q_span_dup" -> {
+      val w16 = OracleSql.shingles("t", 16)
+      s"""WITH tok AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+         | base AS (SELECT doc_id,
+         |    list_distinct(list_transform($w16, s -> ${hash60("s")})) AS ws
+         |   FROM tok WHERE len(t) >= 16),
+         | sp AS (SELECT doc_id, unnest(ws) AS h FROM base),
+         | dup AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2),
+         | pd AS (SELECT doc_id, count(*)::BIGINT AS n_windows FROM sp
+         |   GROUP BY doc_id),
+         | dd AS (SELECT doc_id, count(*)::BIGINT AS n_dup_windows
+         |   FROM sp JOIN dup USING (h) GROUP BY doc_id)
+         |SELECT doc_id, n_windows, n_dup_windows,
+         | round(n_dup_windows::DOUBLE / n_windows, 6) AS dup_frac
+         | FROM pd JOIN dd USING (doc_id) ORDER BY doc_id"""
+        .stripMargin.replace("\n", "")
+    }
   )
 }

@@ -260,4 +260,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(probeLines.contains("l_orderkey"),
       s"bloom probe does not filter the fact key:\n$probeLines")
   }
+
+  test("span/source/edit dedup band: aggregation shapes stay staged, no regex chain") {
+    // q_span_dup is pure aggregation — the staged stride-1 window table
+    // feeds all three consumers (dup-key agg, per-doc rollup, semi-join
+    // probe side); no pair join of documents exists anywhere.
+    val span = formatted("q_span_dup")
+    assert("InMemoryTableScan".r.findAllIn(span).length >= 3,
+      s"q_span_dup: staged span table not read by all consumers:\n$span")
+    assert(!span.contains("regexp_replace"),
+      "q_span_dup: regex tokenizer chain in the plan")
+    // q_source_overlap self-joins the staged (fp, source) rollup — both
+    // join sides must read the cache, not recompute the corpus rollup.
+    val so = formatted("q_source_overlap")
+    assert("InMemoryTableScan".r.findAllIn(so).length >= 2,
+      s"q_source_overlap: staged rollup recomputed per join side:\n$so")
+    // q_edit_near_dup rides the staged minhash band tables like
+    // q_near_dup_minhash; the verify side must stay regex-free (native
+    // tokenize feeds the normalized prefix).
+    val ed = formatted("q_edit_near_dup")
+    assert("InMemoryTableScan".r.findAllIn(ed).length >= 2,
+      s"q_edit_near_dup: staged band table recomputed per join side:\n$ed")
+    assert(!ed.contains("regexp_replace"),
+      "q_edit_near_dup: regex tokenizer chain in the plan")
+  }
 }
