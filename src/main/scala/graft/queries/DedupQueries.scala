@@ -387,9 +387,17 @@ object DedupQueries extends QueryModule {
       val cand = minhashCandidates(base)
       val ptx = Tables.documents(s, d).select(col("doc_id"),
         substring(TextFunctions.normalizeText(col("text")), 1, 256).as("ptxt"))
+      // The prefix table is CORPUS-sized: merge-hint both verify sides
+      // so they shuffle on doc_id (data-linear). Without the hint,
+      // Catalyst's size estimate for the unstaged substring projection
+      // lands under the broadcast threshold and it ships the whole
+      // corpus's prefixes to every task — measured ~5× slower at 10×
+      // data, and a driver OOM at real scale.
       cand
-        .join(ptx.select(col("doc_id").as("doc_a"), col("ptxt").as("pa")), "doc_a")
-        .join(ptx.select(col("doc_id").as("doc_b"), col("ptxt").as("pb")), "doc_b")
+        .join(ptx.select(col("doc_id").as("doc_a"), col("ptxt").as("pa"))
+          .hint("merge"), "doc_a")
+        .join(ptx.select(col("doc_id").as("doc_b"), col("ptxt").as("pb"))
+          .hint("merge"), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"),
           round(lit(1.0) - levenshtein(col("pa"), col("pb")).cast("double") /
