@@ -371,6 +371,53 @@ object DedupQueries extends QueryModule {
       definitelyNew.unionByName(suspects).orderBy("doc_id")
     }),
 
+    // Triangle census of the verified near-dup graph — the structural
+    // signal the pairwise/cluster views can't give: a triangle-dense
+    // component is a genuine duplicate FAMILY (every member resembles
+    // every other), a triangle-free chain is drift (a~b~c where a and
+    // c share nothing — e.g. incremental edits), and the global
+    // clustering coefficient summarizes which regime the corpus is in.
+    // Scale shape: edges are ORIENTED from the (degree, id)-smaller
+    // endpoint, so each triangle is generated exactly once and wedge
+    // fan-out is bounded by out-degrees of the min-degree orientation —
+    // the classic O(m^1.5) triangle-enumeration bound instead of
+    // max-degree² hub explosion. Wedge closure is a pure EQUI-join on
+    // the canonicalized (least, greatest) pair key; no OR-condition
+    // join (which would plan a BroadcastNestedLoop) exists.
+    "q_triangle_count" -> ((s, d) => {
+      val base = StagedCache.persist(hashedShingles(s, d))
+      val pairs = StagedCache.persist(
+        minhashPairs(base).select(col("doc_a"), col("doc_b")))
+      val deg = StagedCache.persist(pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("deg")))
+      val oriented = pairs
+        .join(deg.select(col("v").as("doc_a"), col("deg").as("da")), "doc_a")
+        .join(deg.select(col("v").as("doc_b"), col("deg").as("db")), "doc_b")
+        // Ties fall to doc_a: pairs are canonical doc_a < doc_b, so
+        // (deg, id) is a total order and each triangle has exactly ONE
+        // all-outgoing vertex.
+        .select(when(col("da") <= col("db"), col("doc_a")).otherwise(col("doc_b")).as("src"),
+          when(col("da") <= col("db"), col("doc_b")).otherwise(col("doc_a")).as("dst"))
+      val wedges = oriented.as("x")
+        .join(oriented.as("y"), col("x.src") === col("y.src")
+          && col("x.dst") < col("y.dst"))
+        .select(least(col("x.dst"), col("y.dst")).as("doc_a"),
+          greatest(col("x.dst"), col("y.dst")).as("doc_b"))
+      val tri = wedges.join(pairs, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val ns = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("CAST(deg * (deg - 1) DIV 2 AS BIGINT)")).as("n_wedges"))
+      val es = pairs.agg(count(lit(1)).as("n_edges"))
+      // 1-row × 1-row crossJoins: broadcast-tiny by construction.
+      ns.crossJoin(broadcast(es)).crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          round(when(col("n_wedges") > 0,
+            lit(3.0) * col("n_triangles") / col("n_wedges"))
+            .otherwise(lit(0.0)), 6).as("gcc"))
+    }),
+
     // Edit-distance-verified near-dup: the SAME banded-LSH candidate
     // generator as q_near_dup_minhash, but the verify metric is
     // character-level Levenshtein similarity instead of shingle
@@ -681,6 +728,34 @@ object DedupQueries extends QueryModule {
          |        WHERE h.doc_id % 5 != 0
          |          AND ${OracleSql.hash60("h.text")} = ${OracleSql.hash60("documents.text")})
          | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    "q_triangle_count" ->
+      s"""${minhashCandCtes},
+         | vpairs AS (SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b, ${jaccardSql("sa.hs", "sb.hs")} AS jaccard
+         |     FROM cand JOIN base sa ON sa.doc_id = cand.doc_a
+         |               JOIN base sb ON sb.doc_id = cand.doc_b)
+         |   WHERE jaccard >= 0.5),
+         | deg AS (SELECT v, count(*)::BIGINT AS deg FROM (
+         |    SELECT doc_a AS v FROM vpairs
+         |    UNION ALL SELECT doc_b FROM vpairs) GROUP BY v),
+         | e AS (SELECT
+         |    CASE WHEN da.deg <= db.deg THEN doc_a ELSE doc_b END AS src,
+         |    CASE WHEN da.deg <= db.deg THEN doc_b ELSE doc_a END AS dst
+         |   FROM vpairs JOIN deg da ON da.v = doc_a
+         |               JOIN deg db ON db.v = doc_b),
+         | w AS (SELECT least(x.dst, y.dst) AS doc_a,
+         |    greatest(x.dst, y.dst) AS doc_b
+         |   FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst),
+         | tri AS (SELECT count(*)::BIGINT AS n_triangles
+         |   FROM w JOIN vpairs p USING (doc_a, doc_b)),
+         | ns AS (SELECT count(*)::BIGINT AS n_nodes,
+         |    sum(deg * (deg - 1) // 2)::BIGINT AS n_wedges FROM deg),
+         | es AS (SELECT count(*)::BIGINT AS n_edges FROM vpairs)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         | round(CASE WHEN n_wedges > 0
+         |   THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6) AS gcc
+         | FROM ns, es, tri""".stripMargin.replace("\n", ""),
 
     "q_edit_near_dup" ->
       s"""$minhashCandCtes,
