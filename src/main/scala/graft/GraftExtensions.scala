@@ -73,6 +73,11 @@ object GraftExtensions {
     ("hash60", classOf[Hash60Expr].getName,
       arity(1, "usage: hash60(text)")(c => Hash60Expr(c.head))),
     ("kmv_distinct", classOf[KmvDistinctAgg].getName, kmvBuilder(_)),
+    ("kmv_values", classOf[KmvValuesAgg].getName,
+      arity(2, "usage: kmv_values(hash_col, k) with literal k") { c =>
+        KmvValuesAgg(c.head,
+          literalInt(c(1), "usage: kmv_values(hash_col, k) with literal integral k"))
+      }),
     ("tdigest", classOf[TDigestAgg].getName, { children =>
       val u = "usage: tdigest(value, compression literal, p1 literal, ...)"
       require(children.length >= 3, u)

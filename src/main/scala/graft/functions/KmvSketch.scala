@@ -128,6 +128,88 @@ final class KmvBuffer(val k: Int) {
   }
 }
 
+/** The RAW k-minima as a sorted `array<long>` — the mergeable set-sketch
+  * form of [[KmvDistinctAgg]] (same bounded buffer, same map-side
+  * partials). Exposing the values instead of the estimate is what
+  * SET-OPERATION estimators need: two groups' k-min arrays combine
+  * into a Jaccard/containment/union estimate with plain array ops
+  * (take the k smallest of the union, count how many lie in both) —
+  * per-group state stays k longs through every shuffle, and the
+  * result depends only on the input SET, so any engine reproduces it
+  * (the oracle's mirror is `row_number() OVER (ORDER BY h) <= k`).
+  */
+case class KmvValuesAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+
+  require(k >= 2, s"kmv_values needs k >= 2, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_values requires a LONG hash column, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_values"
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    val it = other.set.iterator()
+    while (it.hasNext) buffer.add(it.next())
+    buffer
+  }
+
+  override def eval(buffer: KmvBuffer): Any = {
+    val out = new Array[Any](buffer.set.size)
+    val it = buffer.set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buffer: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.set.size * 8)
+    bb.putInt(buffer.set.size)
+    val it = buffer.set.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new KmvBuffer(k)
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvValuesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvValuesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvValuesAgg =
+    copy(child = newChild)
+}
+
+object KmvValuesAgg {
+  /** Column-API entry: `KmvValuesAgg(hashCol, 256).as("mins")`. */
+  def apply(c: Column, k: Int): Column =
+    Bridge.column(
+      KmvValuesAgg(Bridge.expression(c), k).toAggregateExpression())
+}
+
 object KmvDistinctAgg {
   /** Column-API entry: `KmvDistinctAgg(hashCol, 128).as("sk")`. */
   def apply(c: Column, k: Int): Column =

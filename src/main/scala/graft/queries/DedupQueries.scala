@@ -371,6 +371,44 @@ object DedupQueries extends QueryModule {
       definitelyNew.unionByName(suspects).orderBy("doc_id")
     }),
 
+    // Corpus-level source-similarity matrix via the kmv_values SET
+    // sketch: per-source k-minimum shingle hashes (k=256), pairwise
+    // Jaccard estimated with the standard KMV set-operation estimator
+    // — take the k smallest of the union, count how many lie in both.
+    // This is what the mergeable-sketch design buys at 100 TB: each
+    // source's entire shingle population compresses to k longs through
+    // map-side partials and ONE shuffle, and the 20×20 pairwise stage
+    // runs on a #sources-row table (the non-equi self-join is
+    // broadcast-tiny by construction). Deterministic: the sketch
+    // depends only on the input SET, so DuckDB rebuilds it exactly
+    // with a rank window.
+    "q_source_similarity" -> ((s, d) => {
+      val k = 256
+      val sh = Tables.documents(s, d)
+        .select(col("source"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("source"),
+          explode(TextFunctions.hashedShingleSet(col("toks"), 3)).as("h"))
+      val sk = StagedCache.persist(sh.groupBy("source")
+        .agg(graft.functions.KmvValuesAgg(col("h"), k).as("mins")))
+      sk.select(col("source").as("source_a"), col("mins").as("ma"))
+        .join(sk.select(col("source").as("source_b"), col("mins").as("mb")),
+          col("source_a") < col("source_b"))
+        .withColumn("x",
+          slice(array_sort(array_distinct(concat(col("ma"), col("mb")))), 1, k))
+        .withColumn("n_common", size(filter(col("x"),
+          v => array_contains(col("ma"), v) && array_contains(col("mb"), v)))
+          .cast("long"))
+        .select(col("source_a"), col("source_b"),
+          size(col("ma")).cast("long").as("n_a"),
+          size(col("mb")).cast("long").as("n_b"),
+          size(col("x")).cast("long").as("n_union_mins"),
+          col("n_common"),
+          round(col("n_common").cast("double") / size(col("x")), 6)
+            .as("est_jaccard"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // Triangle census of the verified near-dup graph — the structural
     // signal the pairwise/cluster views can't give: a triangle-dense
     // component is a genuine duplicate FAMILY (every member resembles
@@ -728,6 +766,33 @@ object DedupQueries extends QueryModule {
          |        WHERE h.doc_id % 5 != 0
          |          AND ${OracleSql.hash60("h.text")} = ${OracleSql.hash60("documents.text")})
          | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    "q_source_similarity" ->
+      s"""WITH tok AS (SELECT doc_id, source, ${toks("text")} AS t FROM documents),
+         | sdoc AS (SELECT source,
+         |   list_distinct(list_transform(
+         |     list_transform(generate_series(1, len(t)-2),
+         |       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+         |     s -> ${hash60("s")})) AS hs
+         |  FROM tok WHERE len(t) >= 3),
+         | sh AS (SELECT DISTINCT source, h FROM (
+         |    SELECT source, unnest(hs) AS h FROM sdoc)),
+         | rk AS (SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM sh),
+         | sk AS (SELECT source, list(h ORDER BY h) AS mins FROM rk
+         |   WHERE rn <= 256 GROUP BY source),
+         | pr AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    a.mins AS ma, b.mins AS mb
+         |   FROM sk a JOIN sk b ON a.source < b.source),
+         | ex AS (SELECT source_a, source_b, ma, mb,
+         |    list_sort(list_distinct(list_concat(ma, mb)))[1:256] AS x FROM pr),
+         | cm AS (SELECT source_a, source_b, ma, mb, x,
+         |    len(list_filter(x, v -> list_contains(ma, v)
+         |      AND list_contains(mb, v)))::BIGINT AS n_common FROM ex)
+         |SELECT source_a, source_b, len(ma)::BIGINT AS n_a,
+         | len(mb)::BIGINT AS n_b, len(x)::BIGINT AS n_union_mins, n_common,
+         | round(n_common::DOUBLE / len(x), 6) AS est_jaccard
+         | FROM cm ORDER BY source_a, source_b""".stripMargin.replace("\n", ""),
 
     "q_triangle_count" ->
       s"""${minhashCandCtes},

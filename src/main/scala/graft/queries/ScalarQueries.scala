@@ -219,6 +219,33 @@ object ScalarQueries extends QueryModule {
         .orderBy("source")
     }),
 
+    // Winsorized robust mean per source: clip values at the exact
+    // per-group p05/p95 (the scale-safe two-phase rank selection) and
+    // compare the clipped mean against the raw mean — the robust-
+    // statistics normalization a pipeline applies before treating
+    // length as a quality signal. Fences broadcast (one row per
+    // group); the corpus is scanned once more for the clip+sum. Means
+    // are exact-integer micro-unit divisions (DIV), so both engines
+    // agree bit-for-bit with no floating-sum order dependence.
+    "q_winsorize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("double").as("v"))
+      val fences = exactPercentilesByRank(docs, "source", "v",
+        Seq(0.05 -> "_p05", 0.95 -> "_p95"))
+        .select(col("source"), col("_p05").as("lo"), col("_p95").as("hi"))
+      docs.join(broadcast(fences), "source")
+        .withColumn("w_u",
+          round(greatest(least(col("v"), col("hi")), col("lo")) * 1e6).cast("long"))
+        .withColumn("v_u", round(col("v") * 1e6).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("v") < col("lo") || col("v") > col("hi")).cast("long"))
+            .as("n_clipped"),
+          expr("CAST(sum(w_u) DIV count(1) AS BIGINT)").as("win_mean_u"),
+          expr("CAST(sum(v_u) DIV count(1) AS BIGINT)").as("raw_mean_u"))
+        .orderBy("source")
+    }),
+
     // The sketch percentile: approx_percentile's GK sketch holds
     // bounded state per group — one scan, no sort, where the exact
     // rank form above pays a per-group sort shuffle (both scale; the
@@ -383,6 +410,23 @@ object ScalarQueries extends QueryModule {
         | round(min(lo), 6) AS lo_fence, round(max(hi), 6) AS hi_fence
         | FROM documents d JOIN ff USING (source)
         | GROUP BY d.source ORDER BY d.source"""
+        .stripMargin.replace("\n", ""),
+
+    "q_winsorize" ->
+      """WITH d AS (SELECT source, n_chars::DOUBLE AS v FROM documents),
+        | f AS (SELECT source,
+        |   quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+        |   FROM d GROUP BY source),
+        | j AS (SELECT d.source, v, lo, hi,
+        |   round(greatest(least(v, hi), lo) * 1e6)::BIGINT AS w_u,
+        |   round(v * 1e6)::BIGINT AS v_u
+        |  FROM d JOIN f USING (source))
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        | sum(CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END)::BIGINT
+        |   AS n_clipped,
+        | (sum(w_u) // count(*))::BIGINT AS win_mean_u,
+        | (sum(v_u) // count(*))::BIGINT AS raw_mean_u
+        | FROM j GROUP BY source ORDER BY source"""
         .stripMargin.replace("\n", ""),
 
     "q_percentiles" ->

@@ -81,6 +81,38 @@ class KmvSketchSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(1) == 40L)
   }
 
+  test("kmv_values emits the exact sorted k-minima, invariant to partitioning") {
+    val s = spark
+    import s.implicits._
+    val base = hashes("kv", 3000)
+    val expected = base.distinct.sorted.take(64)
+    def mins(df: DataFrame): Seq[Long] =
+      df.agg(graft.functions.KmvValuesAgg(col("h"), 64).as("m"))
+        .collect()(0).getSeq[Long](0)
+    assert(mins(base.toDF("h").repartition(1)) == expected)
+    assert(mins(base.toDF("h").repartition(17)) == expected)
+    assert(mins((base ++ base.take(777)).toDF("h").repartition(5)) == expected)
+    // Below k: the whole distinct set, sorted.
+    val small = hashes("kw", 10)
+    assert(mins(small.toDF("h")) == small.distinct.sorted)
+  }
+
+  test("KMV set-operation Jaccard: estimator is consistent with the values sketch") {
+    val s = spark
+    import s.implicits._
+    // Two sets with known overlap: A = 1..2000, B = 1001..3000 over the
+    // same hash family; true Jaccard = 1000/3000.
+    val a = hashes("ov", 2000)
+    val b = hashes("ov", 3000).drop(1000)
+    val k = 256
+    val ma = a.distinct.sorted.take(k)
+    val mb = b.distinct.sorted.take(k)
+    val x = (ma ++ mb).distinct.sorted.take(k)
+    val est = x.count(v => ma.contains(v) && mb.contains(v)).toDouble / x.size
+    assert(math.abs(est - 1.0 / 3.0) < 3.0 / math.sqrt(k),
+      s"KMV Jaccard $est too far from 1/3")
+  }
+
   test("kmv_distinct rejects NULL and non-integral k with the usage message") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{DoubleType, IntegerType}
