@@ -371,6 +371,33 @@ object DedupQueries extends QueryModule {
       definitelyNew.unionByName(suspects).orderBy("doc_id")
     }),
 
+    // Cross-language duplication audit — the translation-contamination
+    // signal: verified near-dup pairs whose endpoints carry DIFFERENT
+    // lang labels (a multilingual corpus sharing shingle content
+    // across langs means mislabeled or machine-translated copies; the
+    // mC4/CCNet pipelines audit exactly this before per-lang dedup).
+    // Pair langs are canonicalized (least, greatest) so (de,en) and
+    // (en,de) collapse into one audit cell. The lang lookup joins are
+    // merge-hinted: the (doc_id, lang) table is corpus-sized and must
+    // shuffle on doc_id, not broadcast (same hazard q_edit_near_dup
+    // measured).
+    "q_cross_lang_dup" -> ((s, d) => {
+      val base = StagedCache.persist(hashedShingles(s, d))
+      val pairs = minhashPairs(base).select(col("doc_a"), col("doc_b"))
+      val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      pairs
+        .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("la"))
+          .hint("merge"), "doc_a")
+        .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lb"))
+          .hint("merge"), "doc_b")
+        .select(least(col("la"), col("lb")).as("lang_a"),
+          greatest(col("la"), col("lb")).as("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_cross", col("lang_a") =!= col("lang_b"))
+        .orderBy("lang_a", "lang_b")
+    }),
+
     // Corpus-level source-similarity matrix via the kmv_values SET
     // sketch: per-source k-minimum shingle hashes (k=256), pairwise
     // Jaccard estimated with the standard KMV set-operation estimator
@@ -766,6 +793,22 @@ object DedupQueries extends QueryModule {
          |        WHERE h.doc_id % 5 != 0
          |          AND ${OracleSql.hash60("h.text")} = ${OracleSql.hash60("documents.text")})
          | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    "q_cross_lang_dup" ->
+      s"""$minhashCandCtes,
+         | vpairs AS (SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b, ${jaccardSql("sa.hs", "sb.hs")} AS jaccard
+         |     FROM cand JOIN base sa ON sa.doc_id = cand.doc_a
+         |               JOIN base sb ON sb.doc_id = cand.doc_b)
+         |   WHERE jaccard >= 0.5),
+         | lp AS (SELECT least(a.lang, b.lang) AS lang_a,
+         |    greatest(a.lang, b.lang) AS lang_b
+         |   FROM vpairs JOIN documents a ON a.doc_id = vpairs.doc_a
+         |               JOIN documents b ON b.doc_id = vpairs.doc_b)
+         |SELECT lang_a, lang_b, count(*)::BIGINT AS n_pairs,
+         | lang_a != lang_b AS is_cross
+         | FROM lp GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b"""
+        .stripMargin.replace("\n", ""),
 
     "q_source_similarity" ->
       s"""WITH tok AS (SELECT doc_id, source, ${toks("text")} AS t FROM documents),

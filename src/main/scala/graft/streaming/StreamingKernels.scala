@@ -75,6 +75,29 @@ object StreamingKernels {
       .select(col("window.start").as("window_start"),
         col("td.n").as("n"), col("td.qs").as("qs"))
 
+  /** Windowed distinct-cardinality monitoring via the KMV sketch
+    * (streaming twin of the batch `kmv_distinct` corpus stats): per
+    * tumbling window, the estimated number of distinct values from a
+    * BOUNDED k-minima buffer — the vocabulary-growth / unique-user
+    * dashboard feed. Mergeability is what makes it streamable: each
+    * micro-batch folds into ≤ k longs of state per window (never the
+    * raw distinct set, which `approx_count_distinct` also bounds but
+    * whose HLL state no oracle can mirror — KMV state is the k
+    * smallest hashes, reproducible on any engine), and the watermark
+    * expires closed windows. Deterministic: the estimate depends only
+    * on the window's value SET, so replay/recovery converges to the
+    * same answer. */
+  def windowedDistinct(events: DataFrame, tsCol: String, hashCol: Column,
+                       k: Int = 128,
+                       watermark: String = "1 hour",
+                       windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(graft.functions.KmvDistinctAgg(hashCol, k).as("sk"))
+      .select(col("window.start").as("window_start"),
+        col("sk.n_filled").as("n_filled"), col("sk.est").as("est_distinct"))
+
   /** Gap-based sessionization via `session_window` (streaming twin of
     * the batch lag-based `q_sessionize`). */
   def sessionCounts(events: DataFrame, tsCol: String, userId: Column,

@@ -189,6 +189,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed KMV distinct: closed windows report exact-below-k counts across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 10:00 window sees 80 distinct words (with dups) across TWO
+    // micro-batches — the state carried between them is the k-minima
+    // buffer, and 80 < k=128 puts the estimate on the exact path, so
+    // the test pins a hard number, not a tolerance.
+    val words = (1 to 80).map(i => s"w$i")
+    val source = MemoryStream[(Timestamp, String)]
+    val df = source.toDF().toDF("ts", "word")
+    val q = StreamingKernels.windowedDistinct(
+        df, "ts", graft.functions.TextFunctions.hash60(col("word")))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("append").start()
+    try {
+      source.addData(words.take(50).map((ts("2026-01-01 10:30:00"), _)): _*)
+      q.processAllAvailable()
+      // Second batch overlaps 20 already-seen words: dedup must span
+      // the micro-batch boundary through the serialized buffer.
+      source.addData(words.drop(30).map((ts("2026-01-01 10:40:00"), _)): _*)
+      q.processAllAvailable()
+      source.addData((ts("2026-01-01 12:30:00"), "closer")) // close 10:00
+      q.processAllAvailable()
+      val rows = spark.table("kmv_stream").collect()
+        .map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(rows("2026-01-01 10:00:00.0") == (80L, 80L))
+      assert(!rows.contains("2026-01-01 12:00:00.0")) // still open
+    } finally q.stop()
+  }
+
   test("session windows close after the gap and count their events") {
     val s = spark
     import s.implicits._
