@@ -22,7 +22,8 @@ object SparkEntry {
     VectorQueries,
     TextStatsQueries,
     MultimodalQueries,
-    CorpusQueries
+    CorpusQueries,
+    QualityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
