@@ -83,6 +83,36 @@ object EventQueries extends QueryModule {
 
     "q_funnel" -> (funnelQuery _),
 
+    // Weekly cohort retention — the product-analytics matrix: users
+    // cohorted by first-seen ISO week, each later week's activity
+    // reported as a retention rate against the cohort size. Plan
+    // shape at 100 TB: one shuffle on user_id builds the cohort
+    // assignment (min week per user), the distinct (user, week)
+    // activity reuses the same user partitioning for its join, and
+    // everything after is #weeks² rows. Offsets are exact integer
+    // day-diffs DIV 7; rates are exact micro-unit integer divisions.
+    "q_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      val activity = ev.distinct()
+      val cohorts = StagedCache.persist(
+        activity.groupBy("user_id").agg(min(col("wk")).as("cohort_week")))
+      val sizes = cohorts.groupBy("cohort_week")
+        .agg(count(lit(1)).as("n_cohort"))
+      activity.join(cohorts, "user_id")
+        .select(col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
+            .as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cohort_week")
+        .withColumn("retention_u",
+          expr("CAST((n_active * 1000000) DIV n_cohort AS BIGINT)"))
+        .select(col("cohort_week"), col("week_offset"), col("n_active"),
+          col("n_cohort"), col("retention_u"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     "q_json_extract" -> ((s, d) =>
       Tables.events(s, d).select(
         col("event_id"),
@@ -201,6 +231,24 @@ object EventQueries extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |   date_trunc('week', ts)::DATE AS wk FROM events),
+        | c AS (SELECT user_id, min(wk) AS cohort_week FROM a
+        |   GROUP BY user_id),
+        | sz AS (SELECT cohort_week, count(*)::BIGINT AS n_cohort FROM c
+        |   GROUP BY cohort_week),
+        | act AS (SELECT cohort_week,
+        |   ((wk - cohort_week) // 7)::BIGINT AS week_offset,
+        |   count(*)::BIGINT AS n_active
+        |  FROM a JOIN c USING (user_id)
+        |  GROUP BY cohort_week, week_offset)
+        |SELECT cohort_week, week_offset, n_active, n_cohort,
+        | ((n_active * 1000000) // n_cohort)::BIGINT AS retention_u
+        | FROM act JOIN sz USING (cohort_week)
+        | ORDER BY cohort_week, week_offset"""
+        .stripMargin.replace("\n", ""),
+
     "q_funnel" ->
       """WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
         |   WHERE event_type = 'signup' GROUP BY user_id),

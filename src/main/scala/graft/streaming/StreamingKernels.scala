@@ -75,6 +75,22 @@ object StreamingKernels {
       .select(col("window.start").as("window_start"),
         col("td.n").as("n"), col("td.qs").as("qs"))
 
+  /** Per-micro-batch data-quality metrics via `observe` — the
+    * streaming twin of q_data_checks' row-level assertions (and the
+    * shape of Delta Live Tables expectations): row count, null-key
+    * count, and out-of-range count ride EVERY micro-batch as observed
+    * metrics on the progress event, costing zero extra passes and
+    * zero state — the accumulators fold into the batch's existing
+    * execution exactly like the kernel counters (§2.4 A4). The stream
+    * itself passes through unchanged: monitoring must not perturb the
+    * pipeline it monitors. */
+  def observedChecks(events: DataFrame, valueCol: String,
+                     lo: Double, hi: Double): DataFrame =
+    events.observe("graft_checks",
+      count(lit(1)).as("n_rows"),
+      sum(col(valueCol).isNull.cast("long")).as("n_null"),
+      sum((!col(valueCol).between(lo, hi)).cast("long")).as("n_out_of_range"))
+
   /** Windowed distinct-cardinality monitoring via the KMV sketch
     * (streaming twin of the batch `kmv_distinct` corpus stats): per
     * tumbling window, the estimated number of distinct values from a

@@ -189,6 +189,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("observed checks ride each micro-batch as progress metrics, stream unchanged") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[java.lang.Double]
+    val df = StreamingKernels.observedChecks(
+      source.toDF().toDF("v"), "v", lo = 0.0, hi = 100.0)
+    val q = df.writeStream.format("memory").queryName("obs_stream")
+      .outputMode("append").start()
+    try {
+      source.addData(1.0, 50.0, null, 250.0, -3.0)
+      q.processAllAvailable()
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("graft_checks"))).last
+      assert(m.getAs[Long]("n_rows") == 5L)
+      assert(m.getAs[Long]("n_null") == 1L)
+      assert(m.getAs[Long]("n_out_of_range") == 2L)
+      // Monitoring is pass-through: every input row reached the sink.
+      assert(spark.table("obs_stream").count() == 5L)
+    } finally q.stop()
+  }
+
   test("windowed KMV distinct: closed windows report exact-below-k counts across batches") {
     val s = spark
     import s.implicits._
