@@ -465,8 +465,14 @@ object CorpusQueries extends QueryModule {
       enc.join(broadcast(bigramNll(s, enc, "nll_u")), Seq("t1", "t2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_u")).as("nll_sum_u"))
-        .withColumn("avg_nll",
-          round(col("nll_sum_u").cast("double") / col("n_bigrams") / lit(1e6), 6))
+        // Half-away integer rounding of the micro-unit mean: a µ-unit sum
+        // divided by a small count lands on an exact 6-dp half-point
+        // whenever sum mod n = n/2 — frequent enough that the two
+        // engines' double renderings diverged by 1 ulp at sf0.1. NLL
+        // sums are non-negative ((c1+V)/(c12+1) > 1 always), so the
+        // positive-operand formula is exact on both engines.
+        .withColumn("avg_nll_u",
+          expr("CAST((nll_sum_u * 2 + n_bigrams) DIV (2 * n_bigrams) AS BIGINT)"))
         .orderBy("doc_id")
     }),
 
@@ -499,8 +505,14 @@ object CorpusQueries extends QueryModule {
         .groupBy("doc_id", "source")
         .agg(count(lit(1)).as("n_bigrams"),
           sum(col("nll_raw_u") - col("nll_tgt_u")).as("w_sum_u"))
-        .withColumn("avg_w",
-          round(col("w_sum_u").cast("double") / col("n_bigrams") / lit(1e6), 6))
+        // Same half-point hazard as q_bigram_lm's mean, but the ratio sum
+        // can be negative: sign-symmetric half-away rounding in exact
+        // integer arithmetic (DIV on non-negative operands only).
+        .withColumn("avg_w_u",
+          expr("CAST(CASE WHEN w_sum_u >= 0" +
+            " THEN (w_sum_u * 2 + n_bigrams) DIV (2 * n_bigrams)" +
+            " ELSE -((-w_sum_u * 2 + n_bigrams) DIV (2 * n_bigrams))" +
+            " END AS BIGINT)"))
         .orderBy(col("w_sum_u").desc, col("doc_id"))
         .limit(k)
     }),
@@ -903,7 +915,7 @@ object CorpusQueries extends QueryModule {
          |   FROM c2 JOIN c1 USING (t1))
          |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
          | sum(nll_u)::BIGINT AS nll_sum_u,
-         | round(sum(nll_u)::DOUBLE / count(*) / 1000000.0, 6) AS avg_nll
+         | ((sum(nll_u) * 2 + count(*)) // (2 * count(*)))::BIGINT AS avg_nll_u
          | FROM enc JOIN nll USING (t1, t2) GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replace("\n", ""),
 
@@ -944,7 +956,10 @@ object CorpusQueries extends QueryModule {
          |    LEFT JOIN c1t m1 ON m1.t1 = g.t1)
          |SELECT e.doc_id, e.source, count(*)::BIGINT AS n_bigrams,
          | sum(m.nr - m.nt)::BIGINT AS w_sum_u,
-         | round(sum(m.nr - m.nt)::DOUBLE / count(*) / 1000000.0, 6) AS avg_w
+         | (CASE WHEN sum(m.nr - m.nt) >= 0
+        |   THEN (sum(m.nr - m.nt) * 2 + count(*)) // (2 * count(*))
+        |   ELSE -((-sum(m.nr - m.nt) * 2 + count(*)) // (2 * count(*)))
+        |  END)::BIGINT AS avg_w_u
          | FROM enc e JOIN model m ON m.t1 = e.t1 AND m.t2 = e.t2
          | WHERE e.source NOT IN ('src0','src1','src2','src3')
          | GROUP BY e.doc_id, e.source

@@ -558,8 +558,8 @@ object StreamingKernels {
       .select(col("doc_id"), col("ts"),
         size(col("nlls")).cast("long").as("n_bigrams"),
         aggregate(col("nlls"), lit(0L), (acc, x) => acc + x).as("nll_sum_u"))
-      .withColumn("avg_nll",
-        round(col("nll_sum_u").cast("double") / col("n_bigrams") / lit(1e6), 6))
+      .withColumn("avg_nll_u",
+        expr("CAST((nll_sum_u * 2 + n_bigrams) DIV (2 * n_bigrams) AS BIGINT)"))
   }
 
   def quotaFill(docs: org.apache.spark.sql.Dataset[(Long, String)],

@@ -150,12 +150,12 @@ class KernelPropertySpec extends AnyFunSuite with SparkSpec {
     val model = encDocs.map { case (doc, ids) =>
       val bgs = ids.zip(ids.tail)
       val sum = bgs.map(nllU).sum
-      val avg = BigDecimal(sum.toDouble / bgs.size / 1e6)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      doc -> ((bgs.size.toLong, sum, avg))
+      // Integer half-away micro-unit mean (the query's exact form).
+      val avgU = (sum * 2 + bgs.size) / (2L * bgs.size)
+      doc -> ((bgs.size.toLong, sum, avgU))
     }
     val got = graft.SparkEntry.queries("q_bigram_lm")(spark, sf)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     assert(got == model)
   }
@@ -189,13 +189,14 @@ class KernelPropertySpec extends AnyFunSuite with SparkSpec {
     val tgt = nllModel(enc.filter(e => targets(e._2)).flatMap(_._3))
     val expect = enc.filterNot(e => targets(e._2)).map { case (id, src, bgs) =>
       val w = bgs.map(bg => raw(bg) - tgt(bg)).sum
-      val avg = BigDecimal(w.toDouble / bgs.size / 1e6)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (id, src, bgs.size.toLong, w, avg)
+      // Sign-symmetric half-away integer mean (the query's exact form).
+      val n = bgs.size.toLong
+      val avgU = if (w >= 0) (w * 2 + n) / (2 * n) else -((-w * 2 + n) / (2 * n))
+      (id, src, n, w, avgU)
     }.sortBy { case (id, _, _, w, _) => (-w, id) }.take(50).toSet
     val got = graft.SparkEntry.queries("q_dsir_select")(spark, sf)
       .collect().map(r =>
-        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSet
     assert(got == expect)
   }

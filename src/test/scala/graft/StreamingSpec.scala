@@ -117,10 +117,10 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         .map(r => r.getLong(r.fieldIndex("doc_id")) ->
           ((r.getLong(r.fieldIndex("n_bigrams")),
             r.getLong(r.fieldIndex("nll_sum_u")),
-            r.getDouble(r.fieldIndex("avg_nll")))))
+            r.getLong(r.fieldIndex("avg_nll_u")))))
         .toMap
       val batch = graft.SparkEntry.queries("q_bigram_lm")(spark, sf)
-        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
         .toMap
       assert(spark.table("bigram_stream").count() == batch.size)
       assert(got == batch)
