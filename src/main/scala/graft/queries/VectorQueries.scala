@@ -380,6 +380,44 @@ object VectorQueries extends QueryModule {
     // to a long BEFORE the sum, so fused scores compare exactly; a doc
     // missing from an arm contributes 0 (the coalesce), which is RRF's
     // defined behavior, not a null-arithmetic accident.
+    // Per-source embedding centroids + pairwise centroid cosine — the
+    // semantic complement of the shingle-based q_source_similarity
+    // (lexical overlap vs. embedding-space direction: two sources can
+    // share no vocabulary yet sit in the same semantic region). Exact
+    // arithmetic end-to-end: per-(source, dim) sums of micro-unit
+    // longs, sign-symmetric half-away integer means, integer dot
+    // products over the 64-dim centroid pairs — the ONLY floating
+    // operation is the final cosine normalization (one sqrt + divide
+    // on exact integers, deterministic on any engine). Plan: one
+    // doc_id join + one (source, pos) shuffle of partial sums; the
+    // pairwise stage runs on #sources×64 rows.
+    "q_source_centroids" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val cents = StagedCache.persist(e.join(src, "doc_id")
+        .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("source", "pos")
+        .agg(sum(round(col("v").cast("double") * 1e6).cast("long")).as("sum_u"),
+          count(lit(1)).as("n"))
+        .withColumn("c_u", expr("CAST(CASE WHEN sum_u >= 0" +
+          " THEN (sum_u * 2 + n) DIV (2 * n)" +
+          " ELSE -((-sum_u * 2 + n) DIV (2 * n)) END AS BIGINT)"))
+        .select(col("source"), col("pos"), col("c_u")))
+      cents.as("a")
+        .join(cents.as("b"), col("a.pos") === col("b.pos")
+          && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(sum(col("a.c_u") * col("b.c_u")).as("num_u"),
+          sum(col("a.c_u") * col("a.c_u")).as("na_u"),
+          sum(col("b.c_u") * col("b.c_u")).as("nb_u"))
+        .select(col("source_a"), col("source_b"),
+          round(col("num_u").cast("double") /
+            sqrt(col("na_u").cast("double") * col("nb_u").cast("double")), 6)
+            .as("cos_sim"))
+        .orderBy("source_a", "source_b")
+    }),
+
     "q_hybrid_rrf" -> ((s, d) => {
       val kArm = 50
       val byLex = Window.orderBy(col("score_u").desc, col("doc_id"))
@@ -659,6 +697,27 @@ object VectorQueries extends QueryModule {
          | ORDER BY vec_a, vec_b""".stripMargin.replace("\n", ""),
 
     // Both arms replayed (BM25 mirrors q_bm25's CTEs; the semantic arm
+    "q_source_centroids" ->
+      s"""WITH dims AS (SELECT source, pos, round(v::DOUBLE * 1e6)::BIGINT AS v_u
+         |   FROM (SELECT d0.source, unnest(e.embedding) AS v,
+         |      unnest(generate_series(1, $dim)) AS pos
+         |     FROM embeddings e JOIN documents d0 ON d0.doc_id = e.vec_id)),
+         | cm AS (SELECT source, pos, sum(v_u)::BIGINT AS sum_u,
+         |    count(*)::BIGINT AS n FROM dims GROUP BY source, pos),
+         | cent AS (SELECT source, pos,
+         |    (CASE WHEN sum_u >= 0 THEN (sum_u * 2 + n) // (2 * n)
+         |      ELSE -((-sum_u * 2 + n) // (2 * n)) END)::BIGINT AS c_u
+         |   FROM cm),
+         | pr AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    sum(a.c_u * b.c_u)::BIGINT AS num_u,
+         |    sum(a.c_u * a.c_u)::BIGINT AS na_u,
+         |    sum(b.c_u * b.c_u)::BIGINT AS nb_u
+         |   FROM cent a JOIN cent b ON a.pos = b.pos AND a.source < b.source
+         |   GROUP BY source_a, source_b)
+         |SELECT source_a, source_b,
+         | round(num_u::DOUBLE / sqrt(na_u::DOUBLE * nb_u::DOUBLE), 6) AS cos_sim
+         | FROM pr ORDER BY source_a, source_b""".stripMargin.replace("\n", ""),
+
     // is the shared cosine fold), fused with the same micro-scaled
     // 1/(60+rnk) longs.
     "q_hybrid_rrf" ->
