@@ -19,6 +19,7 @@ import graft.sources.TextIO
   *   graft.Main query <name> <table-dir> <out>       [--overwrite] [--trace FILE]
   *   graft.Main tsvpair <in> <out>                   [--overwrite] [--trace FILE]
   *   graft.Main inflate <table-dir> <out> [--factor N]           [--trace FILE]
+  *   graft.Main quality <table-dir> <out>            [--overwrite] [--trace FILE]
   * }}}
   *
   * `query` runs any named engine query from [[SparkEntry.queries]]
@@ -34,6 +35,14 @@ import graft.sources.TextIO
   * counters. `inflate` shell-exposes the [[Inflate]] scaling harness
   * (deterministic `--factor N` inflation of a testdata directory, its
   * linearity invariants pinned by InflateSpec).
+  *
+  * `quality` runs the data-quality band (q_data_checks +
+  * q_column_profile) against a table directory, writes both reports as
+  * parquet under `<out>/checks` and `<out>/profile`, and prints the
+  * failed check names counters-style — the pre-delivery validation
+  * entry point. The exit code reports JOB success; the validation
+  * verdict is the checks table itself (a failing check is a result,
+  * not a crash).
   *
   * `--reducers N` for sort reproduces the reference's two modes: N == 1
   * (its default) → total order; N > 1 → hash-partitioned sorted runs.
@@ -59,6 +68,7 @@ object Main {
       return Left("usage: graft.Main <wordcount|sort|insertindex|tsvpair> <in> <out> " +
         "| query <name> <table-dir> <out> " +
         "| inflate <table-dir> <out> [--factor N] " +
+        "| quality <table-dir> <out> " +
         "[--reducers N] [--overwrite] [--trace FILE]")
     var a = Args(argv(0), argv(1), argv(2))
     var i = 3
@@ -70,8 +80,8 @@ object Main {
           SparkEntry.queries.keys.toSeq.sorted.mkString(", ") + ")")
       a = Args("query", argv(2), argv(3), query = Some(name))
       i = 4
-    } else if (!Set("wordcount", "sort", "insertindex", "tsvpair", "inflate")
-        .contains(a.kernel))
+    } else if (!Set("wordcount", "sort", "insertindex", "tsvpair", "inflate",
+        "quality").contains(a.kernel))
       return Left(s"unknown kernel: ${a.kernel}")
     while (i < argv.length) {
       argv(i) match {
@@ -143,6 +153,20 @@ object Main {
           System.err.println(s"[graft] counters pairs=${obs.get("PAIRS_OUT")}")
         case "inflate" =>
           Inflate.run(spark, a.in, a.out, a.factor)
+        case "quality" =>
+          val mode = if (a.overwrite) "overwrite" else "errorifexists"
+          try {
+            val checks = SparkEntry.queries("q_data_checks")(spark, a.in)
+            checks.write.mode(mode).parquet(s"${a.out}/checks")
+            SparkEntry.queries("q_column_profile")(spark, a.in)
+              .write.mode(mode).parquet(s"${a.out}/profile")
+            // The checks table is tiny (one row per check) by design.
+            val failed = checks
+              .filter(!org.apache.spark.sql.functions.col("passed"))
+              .collect().map(_.getString(0)).sorted
+            System.err.println(s"[graft] counters checks_failed=${failed.length}" +
+              (if (failed.nonEmpty) s" (${failed.mkString(",")})" else ""))
+          } finally graft.queries.StagedCache.releaseAll()
       }
     }
 

@@ -92,6 +92,27 @@ class CliAndCountersSpec extends AnyFunSuite with SparkSpec {
     assert(Main.parse(Array("query", "nope", "/t", "/o")).isLeft)
   }
 
+  test("CLI quality: checks + profile written, failing check reported, job rc 0") {
+    val dir = tmpDir()
+    val out = dir.resolve("out").toString
+    val rc = Main.run(spark, Main.Args("quality", "/root/testdata/sf0.001", out))
+    assert(rc == 0) // a failing CHECK is a result, not a job failure
+    val checks = spark.read.parquet(s"$out/checks")
+    assert(checks.columns.toSeq.sorted ==
+      Seq("check_name", "metric", "passed"))
+    // The by-construction-failing uniqueness check surfaces as data.
+    val failed = checks.filter(!org.apache.spark.sql.functions.col("passed"))
+      .collect().map(_.getString(0)).toSet
+    assert(failed == Set("customer.unique.c_mktsegment"))
+    val profile = spark.read.parquet(s"$out/profile")
+    assert(profile.count() == 5)
+    assert(profile.columns.contains("n_distinct_est"))
+    // ErrorIfExists honored; --overwrite unlocks.
+    assert(Main.run(spark, Main.Args("quality", "/root/testdata/sf0.001", out)) == 1)
+    assert(Main.run(spark, Main.Args("quality", "/root/testdata/sf0.001", out,
+      overwrite = true)) == 0)
+  }
+
   test("CLI tsvpair: reference-format lines → parquet pair table, malformed dropped") {
     val dir = tmpDir()
     Files.createDirectories(dir.resolve("in"))
