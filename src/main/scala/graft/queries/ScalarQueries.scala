@@ -246,6 +246,32 @@ object ScalarQueries extends QueryModule {
         .orderBy("source")
     }),
 
+    // Equi-depth histogram: bucket edges are the exact per-group
+    // quartiles (the scale-safe two-phase rank selection), bucket
+    // counts come from one more broadcast-join scan — the histogram a
+    // profiler pairs with q_column_profile's min/max (equal-WIDTH
+    // buckets collapse under skew; equal-DEPTH buckets are the
+    // honest shape description). Interpolated edges mean buckets are
+    // ~n/4 but not exactly (values tie across edges); the counts
+    // REPORT the true shape rather than forcing it.
+    "q_histogram_eqdepth" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("double").as("v"))
+      val edges = exactPercentilesByRank(docs, "source", "v",
+        Seq(0.25 -> "_q1", 0.5 -> "_q2", 0.75 -> "_q3"))
+      docs.join(broadcast(edges), "source")
+        .withColumn("bucket",
+          when(col("v") <= col("_q1"), 0L)
+            .when(col("v") <= col("_q2"), 1L)
+            .when(col("v") <= col("_q3"), 2L)
+            .otherwise(3L))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("v")), 6).as("lo_v"),
+          round(max(col("v")), 6).as("hi_v"))
+        .orderBy("source", "bucket")
+    }),
+
     // The sketch percentile: approx_percentile's GK sketch holds
     // bounded state per group — one scan, no sort, where the exact
     // rank form above pays a per-group sort shuffle (both scale; the
@@ -410,6 +436,21 @@ object ScalarQueries extends QueryModule {
         | round(min(lo), 6) AS lo_fence, round(max(hi), 6) AS hi_fence
         | FROM documents d JOIN ff USING (source)
         | GROUP BY d.source ORDER BY d.source"""
+        .stripMargin.replace("\n", ""),
+
+    "q_histogram_eqdepth" ->
+      """WITH d AS (SELECT source, n_chars::DOUBLE AS v FROM documents),
+        | e AS (SELECT source,
+        |   quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS q2,
+        |   quantile_cont(v, 0.75) AS q3
+        |   FROM d GROUP BY source),
+        | b AS (SELECT d.source, v,
+        |   CASE WHEN v <= q1 THEN 0 WHEN v <= q2 THEN 1
+        |        WHEN v <= q3 THEN 2 ELSE 3 END::BIGINT AS bucket
+        |  FROM d JOIN e USING (source))
+        |SELECT source, bucket, count(*)::BIGINT AS n_docs,
+        | round(min(v), 6) AS lo_v, round(max(v), 6) AS hi_v
+        | FROM b GROUP BY source, bucket ORDER BY source, bucket"""
         .stripMargin.replace("\n", ""),
 
     "q_winsorize" ->
