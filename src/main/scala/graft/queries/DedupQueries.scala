@@ -371,6 +371,34 @@ object DedupQueries extends QueryModule {
       definitelyNew.unionByName(suspects).orderBy("doc_id")
     }),
 
+    // Containment near-dup — the ASYMMETRIC verify that catches subset
+    // copies Jaccard misses: a short doc fully quoted inside a long
+    // one has |∩|/|∪| ≈ |short|/|long| (arbitrarily small) but
+    // containment |∩|/min(|A|,|B|) = 1. Same banded-LSH candidates;
+    // the verify divides the sorted-merge intersection by the SMALLER
+    // set. Reported alongside jaccard so the consumer sees which
+    // regime each pair is in (high-containment/low-jaccard = subset
+    // copy; both high = full duplicate).
+    "q_containment_pairs" -> ((s, d) => {
+      val base = StagedCache.persist(hashedShingles(s, d))
+      val cand = minhashCandidates(base)
+      cand
+        .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+        .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
+            .as("n_common"),
+          least(size(col("hs_a")), size(col("hs_b"))).cast("long").as("n_min"),
+          round(graft.functions.JaccardExpr(col("hs_a"), col("hs_b")), 6)
+            .as("jaccard"))
+        .withColumn("containment",
+          round(col("n_common").cast("double") / col("n_min"), 6))
+        .filter(col("containment") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_min"),
+          col("jaccard"), col("containment"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Cross-language duplication audit — the translation-contamination
     // signal: verified near-dup pairs whose endpoints carry DIFFERENT
     // lang labels (a multilingual corpus sharing shingle content
@@ -793,6 +821,19 @@ object DedupQueries extends QueryModule {
          |        WHERE h.doc_id % 5 != 0
          |          AND ${OracleSql.hash60("h.text")} = ${OracleSql.hash60("documents.text")})
          | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    "q_containment_pairs" ->
+      s"""$minhashCandCtes,
+         | pr AS (SELECT doc_a, doc_b,
+         |    len(list_intersect(sa.hs, sb.hs))::BIGINT AS n_common,
+         |    least(len(sa.hs), len(sb.hs))::BIGINT AS n_min,
+         |    ${jaccardSql("sa.hs", "sb.hs")} AS jaccard
+         |   FROM cand JOIN base sa ON sa.doc_id = cand.doc_a
+         |             JOIN base sb ON sb.doc_id = cand.doc_b)
+         |SELECT doc_a, doc_b, n_common, n_min, jaccard,
+         | round(n_common::DOUBLE / n_min, 6) AS containment
+         | FROM pr WHERE round(n_common::DOUBLE / n_min, 6) >= 0.8
+         | ORDER BY doc_a, doc_b""".stripMargin.replace("\n", ""),
 
     "q_cross_lang_dup" ->
       s"""$minhashCandCtes,

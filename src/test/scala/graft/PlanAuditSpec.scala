@@ -261,6 +261,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"bloom probe does not filter the fact key:\n$probeLines")
   }
 
+  test("column profiler plans no Expand; centroid/kmv tables stay staged") {
+    // The retired q_column_profile form put N count_distincts in one
+    // aggregate — Catalyst plans that as an Expand shipping N copies
+    // of the table through the shuffle (measured 3.7× slower at
+    // sf0.1). The KMV form must stay Expand-free.
+    val prof = formatted("q_column_profile")
+    assert(!prof.contains("Expand"),
+      s"q_column_profile: mixed-distinct Expand is back:\n$prof")
+    assert(prof.contains("kmv_distinct"),
+      "q_column_profile: KMV distinct sketch missing from the plan")
+    // q_source_centroids: the per-(source, pos) centroid table feeds
+    // both sides of the pairwise join from the cache.
+    val cent = formatted("q_source_centroids")
+    assert("InMemoryTableScan".r.findAllIn(cent).length >= 2,
+      s"q_source_centroids: centroid table recomputed per join side:\n$cent")
+    // q_source_similarity: the 20-row sketch table likewise.
+    val ss = formatted("q_source_similarity")
+    assert("InMemoryTableScan".r.findAllIn(ss).length >= 2,
+      s"q_source_similarity: sketch table recomputed per join side:\n$ss")
+  }
+
   test("span/source/edit dedup band: aggregation shapes stay staged, no regex chain") {
     // q_span_dup is pure aggregation — the staged stride-1 window table
     // feeds all three consumers (dup-key agg, per-doc rollup, semi-join
