@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Pins the timestamp-flavor defenses in [[Tables.events]]: the driver
+  * regenerated the events fixture mid-round-7 with naive timestamp[us]
+  * (which Spark 4 infers as TIMESTAMP_NTZ and `unix_micros` rejects).
+  * Every session builder disables the inference; this spec pins the
+  * LOCAL defense — the NTZ→TIMESTAMP cast — for sessions without the
+  * config, and that both paths yield identical micros under UTC.
+  */
+class TablesSpec extends AnyFunSuite with SparkSpec {
+
+  test("events ts reads as TIMESTAMP under both inference settings, same micros") {
+    val dir = Files.createTempDirectory("graft_tables").toString
+    // A tiny events table with a naive (NTZ-typed) timestamp column —
+    // the driver's current fixture flavor when inference is on.
+    spark.range(3).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * 1000000L)
+        .cast(TimestampNTZType).as("ts"),
+      col("id").as("user_id"),
+      lit("click").as("event_type"),
+      lit(1.0).as("value"),
+      lit("{}").as("props"))
+      .write.parquet(s"$dir/events.parquet")
+
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val prior = spark.conf.get(key)
+    def micros(): Seq[Long] = {
+      val df = Tables.events(spark, dir)
+      assert(df.schema("ts").dataType == TimestampType,
+        s"ts read as ${df.schema("ts").dataType}")
+      df.select(unix_micros(col("ts"))).orderBy("event_id")
+        .collect().map(_.getLong(0)).toSeq
+    }
+    try {
+      spark.conf.set(key, "false") // the session builders' setting
+      val off = micros()
+      spark.conf.set(key, "true")  // a session without the config
+      val on = micros()            // exercises the NTZ→TIMESTAMP cast
+      assert(off == on)
+      assert(off == Seq(1700000000000000L, 1700000001000000L, 1700000002000000L))
+    } finally spark.conf.set(key, prior)
+  }
+}
