@@ -134,11 +134,28 @@ object Main {
             s"[graft] counters parse=${parseObs.get} reduce=${reduceObs.get}")
         case "query" =>
           // a.in is the table directory; release staged intermediates
-          // like Bench/Verify do.
-          try SparkEntry.queries(a.query.get)(spark, a.in).write
-            .mode(if (a.overwrite) "overwrite" else "errorifexists")
-            .parquet(a.out)
-          finally graft.queries.StagedCache.releaseAll()
+          // like Bench/Verify do. The row count rides the write via
+          // observe (no second action), and a reproducibility manifest
+          // lands next to the parquet: the sigv1 plan signature + the
+          // input dir let a consumer verify THIS output came from THIS
+          // logical plan over THAT data — the provenance record a
+          // 100 TB delivery ships with.
+          try {
+            val df = SparkEntry.queries(a.query.get)(spark, a.in)
+            val obs = new org.apache.spark.sql.Observation()
+            val sig = graft.observe.PlanSignature.sigv1(df)
+            df.observe(obs, org.apache.spark.sql.functions
+              .count(org.apache.spark.sql.functions.lit(1)).as("ROWS_OUT"))
+              .write
+              .mode(if (a.overwrite) "overwrite" else "errorifexists")
+              .parquet(a.out)
+            val rows = obs.get("ROWS_OUT")
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(a.out, "_graft_manifest.json"),
+              s"""{"query": "${a.query.get}", "input": "${a.in}", """ +
+                s""""rows": $rows, "plan_sig": "$sig"}""")
+            System.err.println(s"[graft] counters rows=$rows sig=$sig")
+          } finally graft.queries.StagedCache.releaseAll()
         case "tsvpair" =>
           // Ingest the reference's native format into a columnar table:
           // one pass through the DataSourceV2 (malformed lines dropped,

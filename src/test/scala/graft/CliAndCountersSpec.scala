@@ -85,6 +85,14 @@ class CliAndCountersSpec extends AnyFunSuite with SparkSpec {
     assert(rc == 0)
     val got = spark.read.parquet(dir.resolve("out").toString)
     assert(got.count() == 10)
+    // Reproducibility manifest: row count + sigv1 of the SAME logical
+    // plan a direct builder call produces.
+    val manifest = new String(Files.readAllBytes(
+      dir.resolve("out").resolve("_graft_manifest.json")))
+    assert(manifest.contains("\"rows\": 10"))
+    val expectSig = graft.observe.PlanSignature.sigv1(
+      SparkEntry.queries("q_topk")(spark, "/root/testdata/sf0.001"))
+    assert(manifest.contains(expectSig))
     // Parse path: positional name, unknown names rejected with the list.
     val parsed = Main.parse(Array("query", "q_topk", "/t", "/o", "--overwrite"))
     assert(parsed == Right(Main.Args("query", "/t", "/o",
