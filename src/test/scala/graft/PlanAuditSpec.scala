@@ -261,6 +261,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"bloom probe does not filter the fact key:\n$probeLines")
   }
 
+  test("hot text-scan stages execute inside WholeStageCodegen") {
+    // The native expressions (tokenize, shingle_hashes, hash60) carry
+    // doGenCode precisely so the scan stage stays FUSED — a
+    // CodegenFallback anywhere in the projection splits the span and
+    // interprets the hot path row-by-row. Audit the EXECUTED plan
+    // (AQE finalizes codegen annotations only after materialization).
+    for (name <- Seq("q_token_count", "q_lang_id", "q_doc_fingerprint")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      // The executed plan's compact form writes a codegen span as the
+      // `*(id)` prefix. Audit only the FINAL plan section (the Initial
+      // Plan echo carries no codegen annotations), and require every
+      // operator line referencing a native kernel to sit inside a span.
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val native = Seq("tokenize(", "shingle_hashes(", "hash60(")
+      val hot = plan.linesIterator
+        .filter(l => native.exists(l.contains)).toSeq
+      assert(hot.nonEmpty, s"$name: no native kernel in final plan:\n$plan")
+      assert(hot.forall(_.contains("*(")),
+        s"$name: native kernel OUTSIDE codegen:\n${hot.mkString("\n")}")
+      graft.queries.StagedCache.releaseAll()
+    }
+  }
+
   test("column profiler plans no Expand; centroid/kmv tables stay staged") {
     // The retired q_column_profile form put N count_distincts in one
     // aggregate — Catalyst plans that as an Expand shipping N copies
