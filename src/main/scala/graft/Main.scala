@@ -152,7 +152,8 @@ object Main {
             val rows = obs.get("ROWS_OUT")
             java.nio.file.Files.writeString(
               java.nio.file.Paths.get(a.out, "_graft_manifest.json"),
-              s"""{"query": "${a.query.get}", "input": "${a.in}", """ +
+              s"""{"query": ${JsonUtil.quote(a.query.get)}, """ +
+                s""""input": ${JsonUtil.quote(a.in)}, """ +
                 s""""rows": $rows, "plan_sig": "$sig"}""")
             System.err.println(s"[graft] counters rows=$rows sig=$sig")
           } finally graft.queries.StagedCache.releaseAll()
@@ -172,18 +173,25 @@ object Main {
           Inflate.run(spark, a.in, a.out, a.factor)
         case "quality" =>
           val mode = if (a.overwrite) "overwrite" else "errorifexists"
+          // Persisted: the write AND the failed-name collect read the
+          // checks result; uncached, the collect would re-run every
+          // table scan and the RI anti-join a second time.
+          val checksDf = SparkEntry.queries("q_data_checks")(spark, a.in)
+            .persist()
           try {
-            val checks = SparkEntry.queries("q_data_checks")(spark, a.in)
-            checks.write.mode(mode).parquet(s"${a.out}/checks")
+            checksDf.write.mode(mode).parquet(s"${a.out}/checks")
             SparkEntry.queries("q_column_profile")(spark, a.in)
               .write.mode(mode).parquet(s"${a.out}/profile")
             // The checks table is tiny (one row per check) by design.
-            val failed = checks
+            val failed = checksDf
               .filter(!org.apache.spark.sql.functions.col("passed"))
               .collect().map(_.getString(0)).sorted
             System.err.println(s"[graft] counters checks_failed=${failed.length}" +
               (if (failed.nonEmpty) s" (${failed.mkString(",")})" else ""))
-          } finally graft.queries.StagedCache.releaseAll()
+          } finally {
+            checksDf.unpersist()
+            graft.queries.StagedCache.releaseAll()
+          }
       }
     }
 

@@ -31,7 +31,11 @@ object SkewAdvise {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val table = args.lift(1).getOrElse("lineitem")
     val key = args.lift(2).getOrElse("l_orderkey")
-    val capacity = args.lift(3).map(_.toInt).getOrElse(64)
+    val capacity = args.lift(3).map(a => a.toIntOption.getOrElse {
+      System.err.println(
+        "usage: SkewAdvise [sfDir] [table] [key] [capacity:int]")
+      sys.exit(1)
+    }).getOrElse(64)
     val spark = GraftSession.getOrCreate("graft-skew-advise")
     spark.sparkContext.setLogLevel("WARN")
     val nPart = spark.sessionState.conf.numShufflePartitions
@@ -47,6 +51,14 @@ object SkewAdvise {
       .orderBy("rnk")
       .collect()
 
+    if (row.isEmpty) {
+      // scalastyle:off println
+      println(s"table=$table key=$key rows=0 — empty table or all-null " +
+        "key; no advice")
+      // scalastyle:on println
+      spark.stop()
+      return
+    }
     val nRows = row.head.getAs[Long]("n_rows")
     // scalastyle:off println
     println(s"table=$table key=$key rows=$nRows shufflePartitions=$nPart")

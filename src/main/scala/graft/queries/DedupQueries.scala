@@ -99,6 +99,33 @@ object DedupQueries extends QueryModule {
   private def minhashPairs(base: DataFrame): DataFrame =
     verifyPairs(minhashCandidates(base), base, 0.5)
 
+  /** Sampled-shingle candidate pairs (hash ≡ 0 mod 8 keys, SkewGuard
+    * cap 64) — shared by q_ngram_jaccard and q_containment_pairs. For
+    * CONTAINMENT this generator is the correct one where minhash bands
+    * are not: bands are tuned to collide at high JACCARD, so a small
+    * doc fully contained in a large one (containment 1, Jaccard
+    * |small|/|large| → 0) almost never shares a band — but it shares
+    * ALL its shingles, so each of its ~|small|/8 sampled keys collides
+    * with the container; the miss probability is (7/8)^(|small|/8·8),
+    * vanishing for any doc with dozens of shingles, independent of
+    * Jaccard. */
+  private def sampledShingleCandidates(base: DataFrame): DataFrame = {
+    // No distinct on the exploded pairs: `hs` is per-doc distinct (see
+    // q_ngram_jaccard's staging notes); the pair-level distinct below
+    // is still required. SkewGuard cap bounds a popular key's group
+    // (uncapped measured ~n^1.5 at 10×); the shingle-hash domain is
+    // unbounded, so the size table is NOT broadcast-hinted.
+    val sampled = graft.operators.SkewGuard.capBuckets(
+      base.select(col("doc_id"), explode(col("hs")).as("h"))
+        .filter(col("h") % 8 === 0),
+      "h", col("doc_id"), 64, broadcastSizes = false)
+    sampled.as("a")
+      .join(sampled.as("b"), col("a.h") === col("b.h")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group by content fingerprint, keep the min doc_id.
     // One shuffle on the fingerprint (window ≡ groupBy partitioning).
@@ -245,23 +272,11 @@ object DedupQueries extends QueryModule {
       // (measured): both candidate-join sides share the exchange of
       // the same subplan, so caching the wide exploded table costs
       // more than it saves — 1.80 s → 2.56 s when persisted at sf0.1.
-      // SkewGuard-capped candidate keys (round-6 scaling-curve finding:
-      // uncapped, a popular sampled shingle's group grows linearly with
-      // the corpus and its pair count quadratically — the measured 10×
-      // run put the uncapped form at ~n^1.5). The shingle-hash domain
-      // is unbounded, so the size table is NOT broadcast-hinted. Sub-cap
-      // groups are byte-identical to the uncapped form (salt 0), which
-      // is every group at the oracle scale factors.
-      val sampled = graft.operators.SkewGuard.capBuckets(
-        base.select(col("doc_id"), explode(col("hs")).as("h"))
-          .filter(col("h") % 8 === 0),
-        "h", col("doc_id"), 64, broadcastSizes = false)
-      val cand = sampled.as("a")
-        .join(sampled.as("b"), col("a.h") === col("b.h")
-          && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      verifyPairs(cand, base, 0.5).orderBy("doc_a", "doc_b")
+      // Candidate generation factored to [[sampledShingleCandidates]]
+      // (SkewGuard-capped sampled keys; the scaling-curve history and
+      // cap rationale live on the helper).
+      verifyPairs(sampledShingleCandidates(base), base, 0.5)
+        .orderBy("doc_a", "doc_b")
     }),
 
     // Benchmark decontamination: flag train docs whose hashed-shingle
@@ -374,14 +389,19 @@ object DedupQueries extends QueryModule {
     // Containment near-dup — the ASYMMETRIC verify that catches subset
     // copies Jaccard misses: a short doc fully quoted inside a long
     // one has |∩|/|∪| ≈ |short|/|long| (arbitrarily small) but
-    // containment |∩|/min(|A|,|B|) = 1. Same banded-LSH candidates;
-    // the verify divides the sorted-merge intersection by the SMALLER
-    // set. Reported alongside jaccard so the consumer sees which
-    // regime each pair is in (high-containment/low-jaccard = subset
-    // copy; both high = full duplicate).
+    // containment |∩|/min(|A|,|B|) = 1. Candidates come from the
+    // SAMPLED-SHINGLE generator, not minhash bands: bands collide at
+    // high Jaccard, so they systematically miss exactly the
+    // high-containment/low-Jaccard pairs this query exists for, while
+    // a contained doc shares every sampled key with its container
+    // (see [[sampledShingleCandidates]]). The verify divides the
+    // sorted-merge intersection by the SMALLER set; jaccard is
+    // reported alongside so the consumer sees which regime each pair
+    // is in (high-containment/low-jaccard = subset copy; both high =
+    // full duplicate).
     "q_containment_pairs" -> ((s, d) => {
       val base = StagedCache.persist(hashedShingles(s, d))
-      val cand = minhashCandidates(base)
+      val cand = sampledShingleCandidates(base)
       cand
         .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
         .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
@@ -484,19 +504,22 @@ object DedupQueries extends QueryModule {
       val deg = StagedCache.persist(pairs
         .select(explode(array(col("doc_a"), col("doc_b"))).as("v"))
         .groupBy("v").agg(count(lit(1)).as("deg")))
-      val oriented = pairs
+      // Staged: both wedge self-join sides read the oriented table
+      // (recomputing it re-runs the pairs⋈deg joins per side).
+      val oriented = StagedCache.persist(pairs
         .join(deg.select(col("v").as("doc_a"), col("deg").as("da")), "doc_a")
         .join(deg.select(col("v").as("doc_b"), col("deg").as("db")), "doc_b")
         // Ties fall to doc_a: pairs are canonical doc_a < doc_b, so
         // (deg, id) is a total order and each triangle has exactly ONE
         // all-outgoing vertex.
         .select(when(col("da") <= col("db"), col("doc_a")).otherwise(col("doc_b")).as("src"),
-          when(col("da") <= col("db"), col("doc_b")).otherwise(col("doc_a")).as("dst"))
+          when(col("da") <= col("db"), col("doc_b")).otherwise(col("doc_a")).as("dst")))
+      // x.dst < y.dst in the join already canonicalizes the closing
+      // pair key (pairs are doc_a < doc_b) — no least/greatest needed.
       val wedges = oriented.as("x")
         .join(oriented.as("y"), col("x.src") === col("y.src")
           && col("x.dst") < col("y.dst"))
-        .select(least(col("x.dst"), col("y.dst")).as("doc_a"),
-          greatest(col("x.dst"), col("y.dst")).as("doc_b"))
+        .select(col("x.dst").as("doc_a"), col("y.dst").as("doc_b"))
       val tri = wedges.join(pairs, Seq("doc_a", "doc_b"))
         .agg(count(lit(1)).as("n_triangles"))
       val ns = deg.agg(count(lit(1)).as("n_nodes"),
@@ -628,6 +651,21 @@ object DedupQueries extends QueryModule {
        |            JOIN base sb ON sb.doc_id = cand.doc_b)
        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", "")
+
+  /** Mirror of [[sampledShingleCandidates]]: baseCte → mod-8 sampled
+    * shingle keys → SkewGuard-capped buckets → candidate pairs. */
+  private lazy val sampledCandCtes =
+    s"""$baseCte,
+       | raw AS (SELECT doc_id, h FROM (
+       |    SELECT doc_id, unnest(hs) AS h FROM base)
+       |   WHERE h % 8 = 0),
+       | hsz AS (SELECT h, count(*) AS bsz FROM raw GROUP BY h),
+       | sampled AS (SELECT doc_id,
+       |    ${OracleSql.cappedBucket("raw.h", "doc_id", "bsz", 64)} AS h
+       |   FROM raw JOIN hsz USING (h)),
+       | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |   FROM sampled a JOIN sampled b ON a.h = b.h AND a.doc_id < b.doc_id)"""
+      .stripMargin.replace("\n", "")
 
   /** Shared CTE chain baseCte → minhash signatures → band keys →
     * candidate pairs (mirror of [[minhashPairs]] up to the verify). */
@@ -762,16 +800,7 @@ object DedupQueries extends QueryModule {
     },
 
     "q_ngram_jaccard" ->
-      s"""$baseCte,
-         | raw AS (SELECT doc_id, h FROM (
-         |    SELECT doc_id, unnest(hs) AS h FROM base)
-         |   WHERE h % 8 = 0),
-         | hsz AS (SELECT h, count(*) AS bsz FROM raw GROUP BY h),
-         | sampled AS (SELECT doc_id,
-         |    ${OracleSql.cappedBucket("raw.h", "doc_id", "bsz", 64)} AS h
-         |   FROM raw JOIN hsz USING (h)),
-         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |   FROM sampled a JOIN sampled b ON a.h = b.h AND a.doc_id < b.doc_id)
+      s"""$sampledCandCtes
          |$verifySql""".stripMargin.replace("\n", ""),
 
     "q_decontaminate" ->
@@ -823,7 +852,7 @@ object DedupQueries extends QueryModule {
          | ORDER BY doc_id""".stripMargin.replace("\n", ""),
 
     "q_containment_pairs" ->
-      s"""$minhashCandCtes,
+      s"""$sampledCandCtes,
          | pr AS (SELECT doc_a, doc_b,
          |    len(list_intersect(sa.hs, sb.hs))::BIGINT AS n_common,
          |    least(len(sa.hs), len(sb.hs))::BIGINT AS n_min,
@@ -893,8 +922,7 @@ object DedupQueries extends QueryModule {
          |    CASE WHEN da.deg <= db.deg THEN doc_b ELSE doc_a END AS dst
          |   FROM vpairs JOIN deg da ON da.v = doc_a
          |               JOIN deg db ON db.v = doc_b),
-         | w AS (SELECT least(x.dst, y.dst) AS doc_a,
-         |    greatest(x.dst, y.dst) AS doc_b
+         | w AS (SELECT x.dst AS doc_a, y.dst AS doc_b
          |   FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst),
          | tri AS (SELECT count(*)::BIGINT AS n_triangles
          |   FROM w JOIN vpairs p USING (doc_a, doc_b)),

@@ -35,7 +35,6 @@ object QualityQueries extends QueryModule {
       val cust = Tables.customer(s, d)
       // lineitem row-level checks: one scan, one aggregate row.
       val liAgg = li.agg(
-        count(lit(1)).as("n"),
         sum(col("l_shipdate").isNull.cast("long")).as("null_ship"),
         sum((!col("l_quantity").between(1, 50)).cast("long")).as("bad_qty"),
         sum((!col("l_returnflag").isin("A", "N", "R")).cast("long"))

@@ -230,9 +230,14 @@ object ScalarQueries extends QueryModule {
     "q_winsorize" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("source"), col("n_chars").cast("double").as("v"))
+      // Fences rounded to 6dp BEFORE use: 0.05·(n−1) is non-dyadic
+      // (unlike the quartile positions), so the two engines' linear
+      // interpolations can differ by 1 ulp — unrounded, a fence
+      // landing on an integer value flips v < lo between engines.
       val fences = exactPercentilesByRank(docs, "source", "v",
         Seq(0.05 -> "_p05", 0.95 -> "_p95"))
-        .select(col("source"), col("_p05").as("lo"), col("_p95").as("hi"))
+        .select(col("source"), round(col("_p05"), 6).as("lo"),
+          round(col("_p95"), 6).as("hi"))
       docs.join(broadcast(fences), "source")
         .withColumn("w_u",
           round(greatest(least(col("v"), col("hi")), col("lo")) * 1e6).cast("long"))
@@ -456,7 +461,8 @@ object ScalarQueries extends QueryModule {
     "q_winsorize" ->
       """WITH d AS (SELECT source, n_chars::DOUBLE AS v FROM documents),
         | f AS (SELECT source,
-        |   quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+        |   round(quantile_cont(v, 0.05), 6) AS lo,
+        |   round(quantile_cont(v, 0.95), 6) AS hi
         |   FROM d GROUP BY source),
         | j AS (SELECT d.source, v, lo, hi,
         |   round(greatest(least(v, hi), lo) * 1e6)::BIGINT AS w_u,
