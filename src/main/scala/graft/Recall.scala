@@ -35,6 +35,26 @@ object Recall {
     val truth = pairs("q_ann_brute")
     val probes = truth.map(_._1)
     println(s"sf=$sfDir probes=${probes.size} truth pairs=${truth.size}")
+
+    // Round-8 IVF headroom sweep (verdict #7): quantizer training depth
+    // (Lloyd iterations) × probe fan-out (nprobe), against the same
+    // exact ground truth. The shipped q_ann_ivf operating point is
+    // (ivfNProbe, ivfLloydIters); the sweep quantifies what nprobe or
+    // deeper training buys BEFORE reranking, so the knee is a measured
+    // choice, not a guess. Skipped via SPARK_GRAFT_RECALL_SWEEP=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_RECALL_SWEEP", "1") != "0") {
+      for (iters <- Seq(1, 3, 6); np <- Seq(2, 4, 8)) {
+        val got =
+          try graft.queries.VectorQueries.ivfTopK(spark, sfDir, np, iters)
+            .filter("probe_id % 25 = 0")
+            .selectExpr("cast(probe_id as long)", "cast(cand_id as long)")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          finally graft.queries.StagedCache.releaseAll()
+        val recall = truth.count(got) / truth.size.toDouble
+        println(f"ivf_iters${iters}_nprobe$np recall@3 = $recall%.3f  " +
+          f"(pairs kept on probe set: ${got.size})")
+      }
+    }
     for (name <- Seq("q_ann_lsh", "q_ann_lsh_mp_self", "q_ann_lsh_multiprobe",
       "q_ann_ivf")) {
       val got = pairs(name).filter(p => probes(p._1))

@@ -27,6 +27,31 @@ import graft.sources.Tables
   * slightly, never under-salt.
   */
 object SkewAdvise {
+
+  /** Library form of the CLI's recommendation, so the advice is
+    * EXECUTABLE instead of advisory: ONE bounded-state scan (SpaceSaving
+    * top-1 + total count in the same aggregate) returns the salt count
+    * that rebalances the hottest key — what
+    * [[graft.operators.InvertedIndex.saltedPostingsAdvised]] feeds
+    * straight into its two-phase aggregation. SpaceSaving's est is an
+    * over-estimate bound, so the advice can over-salt, never under-salt;
+    * empty input (or an all-null key) advises 1 (plain hash shuffle).
+    * Driver-side cost: a 1-row collect of ≤ capacity entries, constant
+    * at any scale. */
+  def recommend(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column, capacity: Int = 64): Int = {
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val r = df.agg(
+        count(key).as("n_rows"),
+        graft.functions.SpaceSavingAgg(key.cast("string"), capacity, 1).as("hh"))
+      .select(col("n_rows"),
+        element_at(col("hh"), 1).getField("est").as("top_est"))
+      .collect().head
+    val n = r.getLong(0)
+    if (n == 0 || r.isNullAt(1)) 1
+    else math.max(1, math.ceil(r.getLong(1).toDouble / n * nPart).toInt)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val table = args.lift(1).getOrElse("lineitem")
@@ -46,7 +71,7 @@ object SkewAdvise {
       graft.functions.SpaceSavingAgg(col(key).cast("string"), capacity, 10)
         .as("hh"))
     val row = one.select(col("n_rows"), posexplode(col("hh")).as(Seq("i", "e")))
-      .select(col("n_rows"), (col("i") + 1).as("rnk"),
+      .select(col("n_rows"), (col("i") + 1).cast("long").as("rnk"),
         col("e.term").as("term"), col("e.est").as("est"), col("e.err").as("err"))
       .orderBy("rnk")
       .collect()

@@ -108,4 +108,19 @@ object InvertedIndex {
         transform(sort_array(array_distinct(flatten(collect_list(col("_partial"))))),
           _.cast("string"))).as("doc_ids"))
       .orderBy("word")
+
+  /** [[saltedPostings]] with the salt count taken from a
+    * [[graft.SkewAdvise.recommend]] profile of the input — the CLI's
+    * advice made executable: one bounded-state pre-flight scan picks
+    * nsalts = ceil(hottest-key share × shuffle partitions), then the
+    * two-phase aggregation runs with exactly that fan-out. Returns the
+    * result alongside the chosen count so callers (and tests) can see
+    * which plan the advice selected. An unskewed input advises 1 salt:
+    * the plan degenerates to the plain single-phase shape, which is the
+    * correct call, not a missed optimization. */
+  def saltedPostingsAdvised(pairs: DataFrame, word: Column, docId: Column,
+      capacity: Int = 64): (DataFrame, Int) = {
+    val salts = graft.SkewAdvise.recommend(pairs, word, capacity)
+    (saltedPostings(pairs, word, docId, salts), salts)
+  }
 }

@@ -81,6 +81,29 @@ object EventQueries extends QueryModule {
 
     "q_range_join" -> (rangeJoinQuery _),
 
+    // Purchase→click attribution in a bounded 30-minute look-back —
+    // the BATCH TWIN of [[graft.streaming.StreamingKernels
+    // .clickAttribution]], run through the IDENTICAL DataFrame graph
+    // (withWatermark is a no-op on a bounded source): the one
+    // Structured-Streaming join shape (watermarked stream-stream
+    // interval join) is oracle-checked here, the q_event_window_agg
+    // precedent. Plan: the user-key equality makes it an equi-join
+    // (one hash shuffle per side, NO BroadcastNestedLoop) with the
+    // interval as a post-join filter; per-user fan-in bounds the pair
+    // count at any scale, and in the streaming form the same interval
+    // bounds each side's buffered state to the watermark+interval
+    // horizon.
+    "q_click_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+      graft.streaming.StreamingKernels.clickAttribution(clicks, purchases)
+        .orderBy("p_id", "click_ts")
+    }),
+
     "q_funnel" -> (funnelQuery _),
 
     // Weekly cohort retention — the product-analytics matrix: users
@@ -275,6 +298,14 @@ object EventQueries extends QueryModule {
         |SELECT e.err_id, e.user_id, e.err_ts, coalesce(a.n_clicks, 0) AS n_clicks
         | FROM errors e LEFT JOIN agg a USING (err_id) ORDER BY err_id"""
         .stripMargin.replace("\n", ""),
+
+    "q_click_attribution" ->
+      """SELECT p.event_id AS p_id, p.user_id AS user_id,
+        | p.ts AS p_ts, c.ts AS click_ts
+        | FROM events p JOIN events c ON c.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        | ORDER BY p_id, click_ts""".stripMargin.replace("\n", ""),
 
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts, p.value,

@@ -66,8 +66,12 @@ object QualityQueries extends QueryModule {
           (col("n") === col("nd")).as("passed"))
       // Referential integrity: orders.o_custkey ⊆ customer.c_custkey.
       // Anti-join on the key — the dimension broadcasts when small,
-      // shuffles when not; either way one pass over the fact.
+      // shuffles when not; either way one pass over the fact. NULL FKs
+      // are excluded up front (they are a completeness question, not an
+      // RI one) so the count is engine-independent: a left-anti counts
+      // null keys as non-matches while SQL NOT IN drops them.
       val ri = ord.select(col("o_custkey"))
+        .filter(col("o_custkey").isNotNull)
         .join(cust.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"),
           "left_anti")
         .agg(count(lit(1)).as("viol"))
@@ -168,8 +172,9 @@ object QualityQueries extends QueryModule {
         |  FROM lineitem),
         | ord AS (SELECT count(*) AS n, count(DISTINCT o_orderkey) AS nd
         |  FROM orders),
-        | ri AS (SELECT count(*) AS viol FROM orders
-        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        | ri AS (SELECT count(*) AS viol FROM orders o
+        |  WHERE o_custkey IS NOT NULL AND NOT EXISTS
+        |   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
         |SELECT * FROM (
         | SELECT 'lineitem.completeness.l_shipdate' AS check_name,
         |   null_ship::BIGINT AS metric, null_ship = 0 AS passed FROM li
@@ -201,9 +206,9 @@ object QualityQueries extends QueryModule {
       val arms = cols.map { c =>
         s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n_rows,
            | sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
-           | (SELECT (CASE WHEN max(rn) < 4096 THEN max(rn)
+           | (SELECT coalesce((CASE WHEN max(rn) < 4096 THEN max(rn)
            |    ELSE round(4095.0 * 1152921504606846976.0 /
-           |      max(CASE WHEN rn = 4096 THEN h END), 0) END)::BIGINT
+           |      max(CASE WHEN rn = 4096 THEN h END), 0) END)::BIGINT, 0)
            |   FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
            |     FROM (SELECT DISTINCT ${OracleSql.hash60(canonSql(c))} AS h
            |       FROM lineitem WHERE $c IS NOT NULL)))

@@ -210,58 +210,8 @@ object VectorQueries extends QueryModule {
     // quantizer trains on a sample as a small driver-side artifact and
     // the search stays one broadcast-assign + equi-join per probe
     // batch, both linear shapes.
-    "q_ann_ivf" -> ((s, d) => {
-      val k = 16
-      // Squared norms staged once per side; assignment distance uses
-      // the norm identity ‖e−c‖² = n2 + c2 − 2·e·c — ONE native dot
-      // fold per (vector, centroid) pair instead of an interpreted
-      // subtract-square fold over the dims (the same staging trick
-      // q_ann_brute uses for cosine; assignment is the 100 TB scan
-      // stage of IVF). The oracle computes the identical form, so the
-      // 6-dp rounding cuts identically in both engines.
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-        VectorFunctions.dot(col("embedding"), col("embedding")).as("n2"))
-        .withColumn("nrm", sqrt(col("n2")))
-      def nearest(cent: DataFrame, keep: Int): DataFrame =
-        e.crossJoin(broadcast(cent))
-          .withColumn("dd", round(col("n2") + col("c2")
-            - lit(2.0) * VectorFunctions.dot(col("embedding"), col("cv")), 6))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("dd"), col("cid"))))
-          .filter(col("rn") <= keep)
-      val seed = e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-          col("n2").as("c2"))
-      val trained = nearest(seed, 1)
-        .select(col("cid").as("cell0"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell0", "pos")
-        .agg(sum(round(col("v").cast("double") * 1e6).cast("long")).as("sq"),
-          count(lit(1)).as("n"))
-        .select(col("cell0"), col("pos"),
-          round(col("sq").cast("double") / col("n") / 1e6, 6).as("cvp"))
-        .groupBy("cell0")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cvp")))),
-          x => x.getField("cvp")).as("cv"))
-        .select(col("cell0").as("cid"), col("cv"),
-          VectorFunctions.dot(col("cv"), col("cv")).as("c2"))
-      // Reassignment against the trained centroids, staged: the probe
-      // side (rn ≤ 2) and candidate side (rn = 1) both read it, and its
-      // lineage embeds the whole training job.
-      val r1 = StagedCache.persist(nearest(trained, 2)
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("cid").as("cell"), col("rn")))
-      val probesR = r1.filter(col("vec_id") % 25 === 0)
-        .select(col("cell"), col("vec_id").as("probe_id"),
-          col("embedding").as("pv"), col("nrm").as("pnrm"))
-      val cands = r1.filter(col("rn") === 1)
-        .select(col("cell"), col("vec_id").as("cand_id"),
-          col("embedding").as("cv2"), col("nrm").as("cnrm"))
-      topK(probesR.join(cands, "cell")
-        .filter(col("probe_id") =!= col("cand_id"))
-        .select(col("probe_id"), col("cand_id"),
-          round(VectorFunctions.dot(col("pv"), col("cv2"))
-            / (col("pnrm") * col("cnrm")), 6).as("cos_sim")))
-    }),
+    "q_ann_ivf" -> ((s, d) => ivfTopK(s, d, nprobe = ivfNProbe,
+      lloydIters = ivfLloydIters)),
 
     // Full k-means trainer (K=16, 3 Lloyd iterations) — the model-
     // training twin of q_ann_ivf's 1-iteration quantizer, reporting
@@ -450,48 +400,116 @@ object VectorQueries extends QueryModule {
     })
   )
 
+  /** The shipped q_ann_ivf operating point (see the PLANS.md round-8
+    * nprobe/iters sweep; the oracle CTE chain mirrors these values). */
+  private[graft] val ivfNProbe = 2
+  private[graft] val ivfLloydIters = 1
+
+  /** Embeddings with the staged squared norm — the shared base of every
+    * centroid assignment: the norm identity ‖e−c‖² = n2 + c2 − 2·e·c
+    * costs ONE native dot fold per (vector, centroid) pair instead of
+    * an interpreted subtract-square fold over the dims. */
+  private def embWithN2(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      VectorFunctions.dot(col("embedding"), col("embedding")).as("n2"))
+
+  /** Top-`keep` nearest-centroid assignment of every vector, the 100 TB
+    * scan stage of IVF/k-means: K centroids ride the broadcast, the
+    * argmin is a native dot fold per pair, 6-dp-rounded so the cut is
+    * engine-independent (the oracle computes the identical form). */
+  private def assignNearest(e: DataFrame, cent: DataFrame,
+      keep: Int): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .withColumn("dd", round(col("n2") + col("c2")
+        - lit(2.0) * VectorFunctions.dot(col("embedding"), col("cv")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dd"), col("cid"))))
+      .filter(col("rn") <= keep)
+
+  /** Per-cell mean over an assignment — carried as INTEGER micro-units
+    * (sign-symmetric half-away division of sq by n): a 6-dp double here
+    * lands on exact half-points whenever n is even and sq ≡ n/2 (mod n),
+    * and engines disagree on which way a representable half rounds (the
+    * r7 q_kmeans red cell). The double cv is DERIVED from the integer
+    * (one long→double divide, identical IEEE op in both engines); the
+    * checksum sums the integers themselves. One partial-aggregated
+    * shuffle keyed on (cell, pos) — K·dim keys, corpus-size-free. */
+  private def recomputeCentroids(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid").as("cell0"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell0", "pos")
+      .agg(sum(round(col("v").cast("double") * 1e6).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .withColumn("cvp_u", expr("CAST(CASE WHEN sq >= 0" +
+        " THEN (sq * 2 + n) DIV (2 * n)" +
+        " ELSE -((-sq * 2 + n) DIV (2 * n)) END AS BIGINT)"))
+      .groupBy("cell0")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cvp_u")))),
+          x => x.getField("cvp_u").cast("double") / lit(1e6)).as("cv"),
+        sum(col("cvp_u")).as("csum"))
+      .select(col("cell0").as("cid"), col("cv"), col("csum"),
+        VectorFunctions.dot(col("cv"), col("cv")).as("c2"))
+
+  /** Lloyd-train K=16 centroids for `iters` iterations from the
+    * first-16 seed. Each iteration is one broadcast-assign scan + one
+    * (cell, pos)-keyed shuffle; output (cid, cv, csum, c2). Shared by
+    * the k-means trainer, the IVF quantizer, and the Recall sweep. */
+  private[graft] def trainCentroids(s: SparkSession, d: String,
+      iters: Int): DataFrame = {
+    val e = embWithN2(s, d)
+    val seed = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("n2").as("c2"))
+    (1 to iters).foldLeft(seed) { (c, _) =>
+      recomputeCentroids(assignNearest(e, c, keep = 1))
+    }
+  }
+
   /** The q_kmeans trainer, iteration count exposed so KMeansSpec can
     * pin Lloyd monotonicity (total inertia non-increasing in `iters`).
     */
   private[graft] def kmeansReport(s: SparkSession, d: String,
       iters: Int): DataFrame = {
-      val k = 16
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-        VectorFunctions.dot(col("embedding"), col("embedding")).as("n2"))
-      def assign(cent: DataFrame): DataFrame =
-        e.crossJoin(broadcast(cent))
-          .withColumn("dd", round(col("n2") + col("c2")
-            - lit(2.0) * VectorFunctions.dot(col("embedding"), col("cv")), 6))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id").orderBy(col("dd"), col("cid"))))
-          .filter(col("rn") === 1)
-      def recompute(assigned: DataFrame): DataFrame =
-        assigned.select(col("cid").as("cell0"),
-            posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy("cell0", "pos")
-          .agg(sum(round(col("v").cast("double") * 1e6).cast("long")).as("sq"),
-            count(lit(1)).as("n"))
-          .select(col("cell0"), col("pos"),
-            round(col("sq").cast("double") / col("n") / 1e6, 6).as("cvp"))
-          .groupBy("cell0")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cvp")))),
-              x => x.getField("cvp")).as("cv"),
-            sum(round(col("cvp") * 1e6).cast("long")).as("csum"))
-          .select(col("cell0").as("cid"), col("cv"), col("csum"),
-            VectorFunctions.dot(col("cv"), col("cv")).as("c2"))
-      val seed = e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-          col("n2").as("c2"))
-      val trained = StagedCache.persist(
-        (1 to iters).foldLeft(seed) { (c, _) => recompute(assign(c)) })
-      assign(trained)
-        .groupBy("cid")
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("dd") * 1e6).cast("long")).as("inertia_u"))
-        .join(broadcast(trained.select(col("cid"), col("csum").as("cent_sum_u"))),
-          "cid")
-        .select(col("cid"), col("n"), col("inertia_u"), col("cent_sum_u"))
-        .orderBy("cid")
+    val trained = StagedCache.persist(trainCentroids(s, d, iters))
+    assignNearest(embWithN2(s, d), trained, keep = 1)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("dd") * 1e6).cast("long")).as("inertia_u"))
+      .join(broadcast(trained.select(col("cid"), col("csum").as("cent_sum_u"))),
+        "cid")
+      .select(col("cid"), col("n"), col("inertia_u"), col("cent_sum_u"))
+      .orderBy("cid")
+  }
+
+  /** IVF search, quantizer training depth and probe fan-out exposed for
+    * the Recall sweep: `lloydIters` refinement iterations train the
+    * coarse quantizer, probes search their `nprobe` nearest cells,
+    * candidates live in their 1 nearest. At 100 TB the quantizer trains
+    * on a sample as a small driver-side artifact and the search stays
+    * one broadcast-assign + equi-join per probe batch, both linear
+    * shapes; nprobe multiplies only the probe-side fan-out, never the
+    * corpus-side state. */
+  private[graft] def ivfTopK(s: SparkSession, d: String, nprobe: Int,
+      lloydIters: Int): DataFrame = {
+    val e = embWithN2(s, d).withColumn("nrm", sqrt(col("n2")))
+    val trained = trainCentroids(s, d, lloydIters)
+    // Reassignment against the trained centroids, staged: the probe
+    // side (rn ≤ nprobe) and candidate side (rn = 1) both read it, and
+    // its lineage embeds the whole training job.
+    val r1 = StagedCache.persist(assignNearest(e, trained, keep = nprobe)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cid").as("cell"), col("rn")))
+    val probesR = r1.filter(col("vec_id") % 25 === 0)
+      .select(col("cell"), col("vec_id").as("probe_id"),
+        col("embedding").as("pv"), col("nrm").as("pnrm"))
+    val cands = r1.filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id").as("cand_id"),
+        col("embedding").as("cv2"), col("nrm").as("cnrm"))
+    topK(probesR.join(cands, "cell")
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(VectorFunctions.dot(col("pv"), col("cv2"))
+          / (col("pnrm") * col("cnrm")), 6).as("cos_sim")))
   }
 
   import OracleSql.{cappedBucket, dot, l2Norm, lshBucket}
@@ -584,7 +602,9 @@ object VectorQueries extends QueryModule {
          |    sum(CAST(round(v::DOUBLE * 1e6) AS BIGINT)) AS sq, count(*) AS n
          |   FROM expl GROUP BY cell0, pos),
          | tcent AS (SELECT cell0 AS cid,
-         |    list(round(sq::DOUBLE / n / 1e6, 6) ORDER BY pos) AS cv
+         |    list(((CASE WHEN sq >= 0 THEN (sq * 2 + n) // (2 * n)
+         |      ELSE -((-sq * 2 + n) // (2 * n)) END)::BIGINT)::DOUBLE / 1e6
+         |      ORDER BY pos) AS cv
          |   FROM msum GROUP BY cell0),
          | tc AS (SELECT cid, cv, ${dot("cv", "cv", dim)} AS c2 FROM tcent),
          | d1 AS (SELECT b.vec_id, b.embedding, cid,
@@ -605,10 +625,11 @@ object VectorQueries extends QueryModule {
     "q_kmeans" -> {
       // One Lloyd iteration as a CTE block: assign every vector to its
       // nearest centroid from `prev` (argmin on the same rounded norm-
-      // identity distance), then the integer-micro-unit per-cell mean
-      // and the rounded-centroid checksum — the same expression
-      // sequence the Spark side runs, so all three iterations match
-      // bit-for-bit.
+      // identity distance), then the half-away INTEGER micro-unit
+      // per-cell mean (cvp_u) and the integer centroid checksum — the
+      // same expression sequence the Spark side runs (doubles only
+      // derived from the integers), so all three iterations match
+      // bit-for-bit with no representable-half rounding hazard.
       def iter(i: Int, prev: String): String =
         s""" d$i AS (SELECT b.vec_id, b.embedding, b.n2, cid,
            |    round(b.n2 + c2 - 2.0 * ${dot("b.embedding", "cv", dim)}, 6) AS dd
@@ -622,11 +643,14 @@ object VectorQueries extends QueryModule {
            |   FROM (SELECT cell0, unnest(embedding) AS v,
            |      unnest(generate_series(1, $dim)) AS pos FROM a$i)
            |   GROUP BY cell0, pos),
+           | u$i AS (SELECT cell0, pos,
+           |    (CASE WHEN sq >= 0 THEN (sq * 2 + n) // (2 * n)
+           |      ELSE -((-sq * 2 + n) // (2 * n)) END)::BIGINT AS cvp_u
+           |   FROM m$i),
            | c$i AS (SELECT cell0 AS cid,
-           |    list(round(sq::DOUBLE / n / 1e6, 6) ORDER BY pos) AS cv,
-           |    sum(CAST(round(round(sq::DOUBLE / n / 1e6, 6) * 1e6) AS BIGINT))
-           |      AS csum
-           |   FROM m$i GROUP BY cell0),
+           |    list(cvp_u::DOUBLE / 1e6 ORDER BY pos) AS cv,
+           |    sum(cvp_u)::BIGINT AS csum
+           |   FROM u$i GROUP BY cell0),
            | t$i AS (SELECT cid, cv, csum, ${dot("cv", "cv", dim)} AS c2
            |   FROM c$i)""".stripMargin
       val train = (1 to 3).map(i => iter(i, if (i == 1) "seed" else s"t${i - 1}"))

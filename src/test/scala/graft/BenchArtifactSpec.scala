@@ -27,8 +27,8 @@ class BenchArtifactSpec extends AnyFunSuite {
 
   test("partial artifact carries completed medians, spread, skips, failures, flags") {
     val timings = collection.mutable.LinkedHashMap(
-      "q1_agg" -> (0.5, 0.4, 0.9),
-      "q_sort" -> (1.25, 1.0, 1.5))
+      "q1_agg" -> (0.5, 0.4, 0.9, 3),
+      "q_sort" -> (1.25, 1.0, 1.5, 2))
     val j = parse(Bench.renderJson(timings, Seq("q_bad"), Seq("q_late1", "q_late2"),
       iters = 3, sfDir = "/tmp/sf", budgetExceeded = true, complete = false))
     assert((j \ "queries" \ "q1_agg") == JDouble(0.5))
@@ -42,9 +42,9 @@ class BenchArtifactSpec extends AnyFunSuite {
 
   test("every prefix of a growing suite parses and totals its own medians") {
     val names = (1 to 30).map(i => f"q_p$i%02d")
-    val acc = collection.mutable.LinkedHashMap[String, (Double, Double, Double)]()
+    val acc = collection.mutable.LinkedHashMap[String, (Double, Double, Double, Int)]()
     names.zipWithIndex.foreach { case (n, i) =>
-      acc(n) = (0.1 * (i + 1), 0.05, 0.2 * (i + 1))
+      acc(n) = (0.1 * (i + 1), 0.05, 0.2 * (i + 1), 3)
       val j = parse(Bench.renderJson(acc, Nil, names.drop(i + 1),
         iters = 3, sfDir = "x", budgetExceeded = false, complete = false))
       val JObject(fields) = (j \ "queries"): @unchecked
@@ -56,7 +56,7 @@ class BenchArtifactSpec extends AnyFunSuite {
 
   test("query names are JSON-escaped-safe (plain identifiers) and sf path round-trips") {
     val j = parse(Bench.renderJson(
-      collection.mutable.LinkedHashMap("q_x" -> (0.0001, 0.0001, 0.0001)),
+      collection.mutable.LinkedHashMap("q_x" -> (0.0001, 0.0001, 0.0001, 1)),
       Nil, Nil, iters = 1, sfDir = "/root/testdata/sf0.01",
       budgetExceeded = false, complete = true))
     assert((j \ "sf") == JString("/root/testdata/sf0.01"))
@@ -113,5 +113,48 @@ class BenchArtifactSpec extends AnyFunSuite {
       assert(Bench.projectedLevel(0, tight, 60, 0.5, 0.4, 3, 7) >=
         Bench.projectedLevel(0, roomy, 60, 0.5, 0.4, 3, 7))
     }
+  }
+
+  test("median is the true midpoint, not max-of-2 under budget degradation") {
+    assert(Bench.median(Seq(1.0)) == 1.0)
+    // Round 7's q_triangle_count shape: 2 samples [2.56, 6.04] reported
+    // 6.04 (the larger) as its "median"; the midpoint is the honest read.
+    assert(Bench.median(Seq(2.56, 6.04)) == (2.56 + 6.04) / 2.0)
+    assert(Bench.median(Seq(1.0, 2.0, 9.0)) == 2.0)
+    assert(Bench.median(Seq(1.0, 2.0, 3.0, 10.0)) == 2.5)
+  }
+
+  test("artifact records per-query timed-sample counts") {
+    val timings = collection.mutable.LinkedHashMap(
+      "q_full" -> (0.5, 0.4, 0.9, 3),
+      "q_degraded" -> (4.3, 2.56, 6.04, 2))
+    val j = parse(Bench.renderJson(timings, Nil, Nil, iters = 3, sfDir = "x",
+      budgetExceeded = true, complete = true))
+    assert((j \ "n_samples" \ "q_full") == JInt(3))
+    assert((j \ "n_samples" \ "q_degraded") == JInt(2))
+  }
+
+  test("summary line parses, stays tail-window small, and names the slowest query") {
+    val timings = collection.mutable.LinkedHashMap(
+      (1 to 150).map(i => (f"q_p$i%03d", (0.1 * i, 0.05, 0.2 * i, 3))): _*)
+    val s = Bench.renderSummaryJson(timings, Seq("q_bad"), Seq("q_late"),
+      "/root/testdata/sf0.1", budgetExceeded = false, complete = true,
+      artifactPath = "BENCH_SELF.json")
+    val j = parse(s)
+    assert((j \ "n_queries") == JInt(150))
+    assert((j \ "n_failed") == JInt(1))
+    assert((j \ "n_skipped") == JInt(1))
+    assert((j \ "artifact") == JString("BENCH_SELF.json"))
+    assert((j \ "slowest" \ "q_p150") != JNothing)
+    val JDouble(total) = (j \ "value"): @unchecked
+    assert(math.abs(total - timings.values.map(_._1).sum) < 1e-3)
+    // The whole point: independent of suite size, the line fits any
+    // plausible tail-capture window.
+    assert(s.length < 400, s"summary line too long (${s.length}): $s")
+    // Empty suite (kill before first query) still renders and parses.
+    val e = parse(Bench.renderSummaryJson(
+      collection.mutable.LinkedHashMap.empty, Nil, Nil, "x",
+      budgetExceeded = false, complete = false, artifactPath = "o.json"))
+    assert((e \ "n_queries") == JInt(0))
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -245,5 +245,41 @@ class KernelPropertySpec extends AnyFunSuite with SparkSpec {
     val preds = got.toSeq.groupBy(r => targets(r._2))
       .view.mapValues(rs => rs.count(_._5 == "tgt").toDouble / rs.size).toMap
     assert(preds(true) > preds(false))
+  }
+
+  test("µ-unit half-away mean survives planted half-point denominators") {
+    // The q_kmeans/q_ann_ivf centroid mean: sq µ-units over n members,
+    // carried as the half-away INTEGER division the queries use. Plant
+    // (sq, n) pairs where sq/n lands EXACTLY on x.5 µ-units — n even
+    // (2·odd, 4·odd, 8·odd) and |sq| ≡ n/2 (mod n) — the tie a 6-dp
+    // double mean resolves engine-dependently (the r7 q_kmeans red
+    // cell). Assert the SQL expression matches BigDecimal HALF_UP
+    // (half away from zero) and that the derived double centroid
+    // round-trips to the same integer.
+    val s = spark
+    import s.implicits._
+    val cases = for {
+      base <- Seq(2L, 4L, 8L)
+      odd <- Seq(1L, 3L, 7L)
+      k <- Seq(0L, 1L, 5L, 1234567L)
+      sign <- Seq(1L, -1L)
+      n = base * odd
+      half <- Seq(n / 2, 0L, 1L, n - 1L) // exact half + off-half controls
+    } yield (sign * (k * n + half), n)
+    val got = cases.toDF("sq", "n")
+      .withColumn("cvp_u", expr("CAST(CASE WHEN sq >= 0" +
+        " THEN (sq * 2 + n) DIV (2 * n)" +
+        " ELSE -((-sq * 2 + n) DIV (2 * n)) END AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((sq, n) <- cases) {
+      val expect = BigDecimal(sq).bigDecimal
+        .divide(java.math.BigDecimal.valueOf(n), 0, java.math.RoundingMode.HALF_UP)
+        .longValueExact()
+      assert(got((sq, n)) == expect,
+        s"half-away mean of sq=$sq n=$n: got ${got((sq, n))}, want $expect")
+      // Round-trip: the derived double centroid recovers the integer.
+      assert(math.round(got((sq, n)).toDouble / 1e6 * 1e6) == got((sq, n)),
+        s"derived double does not round-trip for sq=$sq n=$n")
+    }
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.SkewGuard
+import graft.operators.{InvertedIndex, SkewGuard}
 
 /** Planted heavy-bucket tests for the LSH bucket-size cap: a degenerate
   * bucket holding most of the corpus must split into bounded sub-buckets
@@ -73,5 +73,41 @@ class SkewGuardSpec extends AnyFunSuite with SparkSpec {
         .select("id", "bucket")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(run(1) == run(17))
+  }
+
+  test("SkewAdvise recommendation drives saltedPostings on planted skew") {
+    val s = spark
+    import s.implicits._
+    // Planted hot key: "zebra" holds 3000 of 3300 pairs (the reference's
+    // own heavy-key experiment shape); 300 rows spread over 100 cool
+    // words. SpaceSaving at capacity 64 > 101 distinct keys is EXACT,
+    // so the advice is ceil(share × shuffle partitions) with no
+    // estimation slack.
+    val rows = (1 to 3000).map(i => ("zebra", i.toLong)) ++
+      (1 to 300).map(i => (s"w${i % 100}", 100000L + i))
+    val pairs = rows.toDF("word", "doc_id").repartition(8)
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val expected = math.max(1, math.ceil(3000.0 / 3300 * nPart).toInt)
+
+    val advised = graft.SkewAdvise.recommend(pairs, col("word"), capacity = 128)
+    assert(advised == expected,
+      s"advice $advised != ceil(share*nPart) = $expected")
+    assert(advised > 1, "planted skew must advise a real split")
+
+    // The advised plan: same result as the plain single-phase postings,
+    // with the salt fan-out the profile chose.
+    val (salted, used) = InvertedIndex.saltedPostingsAdvised(
+      pairs, col("word"), col("doc_id"), capacity = 128)
+    assert(used == advised, s"salted plan used $used salts, advice was $advised")
+    val got = salted.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = InvertedIndex.postings(pairs, col("word"), col("doc_id"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == want, "advised salted postings diverge from plain postings")
+
+    // And an UNSKEWED input advises no salting: the pre-flight doesn't
+    // pay the two-phase tax when the hash shuffle already balances.
+    val flat = (1 to 2000).map(i => (s"w${i % 1000}", i.toLong))
+      .toDF("word", "doc_id")
+    assert(graft.SkewAdvise.recommend(flat, col("word"), 2048) == 1)
   }
 }
