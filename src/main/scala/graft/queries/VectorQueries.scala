@@ -198,23 +198,33 @@ object VectorQueries extends QueryModule {
             / (col("pnrm") * col("cnrm")), 6).as("cos_sim")))
     }),
 
-    // IVF (inverted-file) ANN with a TRAINED coarse quantizer and
-    // nprobe=2. Seed centroids are the first K=16 vectors; one
-    // deterministic Lloyd iteration refines them: argmin-assign every
-    // vector to its nearest seed, then per-cell mean — computed in
-    // exact integer micro-units (round(v·1e6) summed as longs), so the
-    // mean is order-independent and DuckDB mirrors it bit-for-bit (a
-    // naive float sum would hash-diverge under Spark's parallel
-    // aggregation order). Probes then search their 2 nearest trained
-    // cells (nprobe=2), candidates their 1 nearest — at 100 TB the
+    // IVF (inverted-file) ANN with a TRAINED coarse quantizer. Seed
+    // centroids are the first K=16 vectors, refined by deterministic
+    // Lloyd iterations with per-cell means in exact integer micro-units
+    // (order-independent, mirrored bit-for-bit by DuckDB; a naive float
+    // sum would hash-diverge under Spark's parallel aggregation order).
+    // The operating point (ivfLloydIters=3, ivfNProbe=4) is the KNEE of
+    // the round-8 recall sweep (PLANS.md): training saturates at 3
+    // iterations (3 ≡ 6 on every nprobe), and nprobe=4 buys recall@3
+    // 0.367 → 0.617 for a 2× probe-side fan-out only. At 100 TB the
     // quantizer trains on a sample as a small driver-side artifact and
     // the search stays one broadcast-assign + equi-join per probe
-    // batch, both linear shapes.
+    // batch, both linear shapes; nprobe never multiplies corpus-side
+    // state.
     "q_ann_ivf" -> ((s, d) => ivfTopK(s, d, nprobe = ivfNProbe,
       lloydIters = ivfLloydIters)),
 
+    // The HIGH-RECALL notch of the round-8 sweep, shipped as its own
+    // oracle-checked query: nprobe=8 over the same trained quantizer —
+    // recall@3 0.883 / 0.790 (sf0.01 / 10×, PLANS.md) for one more
+    // probe-side doubling; corpus-side state and training identical to
+    // q_ann_ivf, so a consumer picks the recall/fan-out point per
+    // workload without a new index.
+    "q_ann_ivf_hi" -> ((s, d) => ivfTopK(s, d, nprobe = 8,
+      lloydIters = ivfLloydIters)),
+
     // Full k-means trainer (K=16, 3 Lloyd iterations) — the model-
-    // training twin of q_ann_ivf's 1-iteration quantizer, reporting
+    // training twin of q_ann_ivf's coarse quantizer, reporting
     // the trained model per cell: size, inertia (Σ‖e−c‖² in exact
     // micro-units), and a centroid checksum. Every arithmetic step
     // that crosses an aggregation is integer micro-units summed as
@@ -400,10 +410,11 @@ object VectorQueries extends QueryModule {
     })
   )
 
-  /** The shipped q_ann_ivf operating point (see the PLANS.md round-8
-    * nprobe/iters sweep; the oracle CTE chain mirrors these values). */
-  private[graft] val ivfNProbe = 2
-  private[graft] val ivfLloydIters = 1
+  /** The shipped q_ann_ivf operating point — the knee of the round-8
+    * nprobe/iters recall sweep (PLANS.md; recall@3 0.617 vs 0.367 at
+    * the old (2, 1)). The oracle CTE chain mirrors these values. */
+  private[graft] val ivfNProbe = 4
+  private[graft] val ivfLloydIters = 3
 
   /** Embeddings with the staged squared norm — the shared base of every
     * centroid assignment: the norm identity ‖e−c‖² = n2 + c2 − 2·e·c
@@ -517,6 +528,72 @@ object VectorQueries extends QueryModule {
   private def cosSql(a: String, b: String): String =
     s"round(${dot(a, b, dim)} / (${l2Norm(a, dim)} * ${l2Norm(b, dim)}), 6)"
 
+  /** One Lloyd iteration as a CTE block (shared by the q_kmeans and
+    * q_ann_ivf oracles): assign every vector to its nearest centroid
+    * from `prev` (argmin on the same rounded norm-identity distance),
+    * then the half-away INTEGER micro-unit per-cell mean (cvp_u) and
+    * the integer centroid checksum — the same expression sequence the
+    * Spark-side [[recomputeCentroids]] runs (doubles only derived from
+    * the integers), so every iteration matches bit-for-bit with no
+    * representable-half rounding hazard. Expects CTEs `base`
+    * (vec_id, embedding, n2) and `$prev` (cid, cv, c2) in scope;
+    * defines `t$i` (cid, cv, csum, c2). */
+  private def lloydIterSql(i: Int, prev: String): String =
+    s""" d$i AS (SELECT b.vec_id, b.embedding, b.n2, cid,
+       |    round(b.n2 + c2 - 2.0 * ${dot("b.embedding", "cv", dim)}, 6) AS dd
+       |   FROM base b CROSS JOIN $prev),
+       | a$i AS (SELECT vec_id, embedding, cell0, dd FROM (
+       |    SELECT vec_id, embedding, cid AS cell0, dd, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+       |    FROM d$i) WHERE rn = 1),
+       | m$i AS (SELECT cell0, pos,
+       |    sum(CAST(round(v::DOUBLE * 1e6) AS BIGINT)) AS sq, count(*) AS n
+       |   FROM (SELECT cell0, unnest(embedding) AS v,
+       |      unnest(generate_series(1, $dim)) AS pos FROM a$i)
+       |   GROUP BY cell0, pos),
+       | u$i AS (SELECT cell0, pos,
+       |    (CASE WHEN sq >= 0 THEN (sq * 2 + n) // (2 * n)
+       |      ELSE -((-sq * 2 + n) // (2 * n)) END)::BIGINT AS cvp_u
+       |   FROM m$i),
+       | c$i AS (SELECT cell0 AS cid,
+       |    list(cvp_u::DOUBLE / 1e6 ORDER BY pos) AS cv,
+       |    sum(cvp_u)::BIGINT AS csum
+       |   FROM u$i GROUP BY cell0),
+       | t$i AS (SELECT cid, cv, csum, ${dot("cv", "cv", dim)} AS c2
+       |   FROM c$i)""".stripMargin
+
+  /** The full `iters`-deep training chain `seed → t1 → … → t$iters`. */
+  private def lloydTrainSql(iters: Int): String =
+    (1 to iters).map(i => lloydIterSql(i, if (i == 1) "seed" else s"t${i - 1}"))
+      .mkString(",")
+
+  /** IVF oracle at the shipped training depth: the shared
+    * [[lloydIterSql]] quantizer chain (the same CTEs the q_kmeans
+    * oracle trains), then reassignment — probes take their `nprobe`
+    * nearest trained cells, candidates their 1 nearest. */
+  private def ivfOracleSql(nprobe: Int): String = {
+    val t = s"t$ivfLloydIters"
+    s"""WITH base AS (SELECT vec_id, embedding,
+       |    ${dot("embedding", "embedding", dim)} AS n2 FROM embeddings),
+       | seed AS (SELECT vec_id AS cid, embedding AS cv, n2 AS c2
+       |   FROM base WHERE vec_id < 16),
+       |${lloydTrainSql(ivfLloydIters)},
+       | dfin AS (SELECT b.vec_id, b.embedding, cid,
+       |    round(b.n2 + c2 - 2.0 * ${dot("b.embedding", "cv", dim)}, 6) AS dd
+       |   FROM base b CROSS JOIN $t),
+       | r1 AS (SELECT vec_id, embedding, cid AS cell, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM dfin),
+       | probes AS (SELECT cell, vec_id AS probe_id, embedding AS pv
+       |   FROM r1 WHERE vec_id % 25 = 0 AND rn <= $nprobe),
+       | cands AS (SELECT cell, vec_id AS cand_id, embedding AS cv2
+       |   FROM r1 WHERE rn = 1),
+       | scored AS (SELECT probe_id, cand_id,
+       |   ${cosSql("pv", "cv2")} AS cos_sim
+       |  FROM probes p JOIN cands c ON c.cell = p.cell
+       |   AND c.cand_id != p.probe_id),
+       |$topKSql""".stripMargin.replace("\n", "")
+  }
+
   private val bucketCte =
     s"""WITH buck0 AS (SELECT vec_id, embedding,
        |   ${lshBucket("embedding", planes, dim)} AS bucket0 FROM embeddings),
@@ -584,82 +661,16 @@ object VectorQueries extends QueryModule {
 
     "q_ann_lsh_mp_self" -> multiProbeSql(""),
 
-    "q_ann_ivf" ->
-      s"""WITH base AS (SELECT vec_id, embedding,
-         |    ${dot("embedding", "embedding", dim)} AS n2 FROM embeddings),
-         | seed AS (SELECT vec_id AS cid, embedding AS cv, n2 AS c2
-         |   FROM base WHERE vec_id < 16),
-         | d0 AS (SELECT b.vec_id, b.embedding, b.n2, cid,
-         |    round(b.n2 + c2 - 2.0 * ${dot("b.embedding", "cv", dim)}, 6) AS dd
-         |   FROM base b CROSS JOIN seed),
-         | a0 AS (SELECT vec_id, embedding, cell0 FROM (
-         |    SELECT vec_id, embedding, cid AS cell0, row_number() OVER
-         |      (PARTITION BY vec_id ORDER BY dd, cid) AS rn
-         |    FROM d0) WHERE rn = 1),
-         | expl AS (SELECT cell0, unnest(embedding) AS v,
-         |    unnest(generate_series(1, $dim)) AS pos FROM a0),
-         | msum AS (SELECT cell0, pos,
-         |    sum(CAST(round(v::DOUBLE * 1e6) AS BIGINT)) AS sq, count(*) AS n
-         |   FROM expl GROUP BY cell0, pos),
-         | tcent AS (SELECT cell0 AS cid,
-         |    list(((CASE WHEN sq >= 0 THEN (sq * 2 + n) // (2 * n)
-         |      ELSE -((-sq * 2 + n) // (2 * n)) END)::BIGINT)::DOUBLE / 1e6
-         |      ORDER BY pos) AS cv
-         |   FROM msum GROUP BY cell0),
-         | tc AS (SELECT cid, cv, ${dot("cv", "cv", dim)} AS c2 FROM tcent),
-         | d1 AS (SELECT b.vec_id, b.embedding, cid,
-         |    round(b.n2 + c2 - 2.0 * ${dot("b.embedding", "cv", dim)}, 6) AS dd
-         |   FROM base b CROSS JOIN tc),
-         | r1 AS (SELECT vec_id, embedding, cid AS cell, row_number() OVER
-         |    (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM d1),
-         | probes AS (SELECT cell, vec_id AS probe_id, embedding AS pv
-         |   FROM r1 WHERE vec_id % 25 = 0 AND rn <= 2),
-         | cands AS (SELECT cell, vec_id AS cand_id, embedding AS cv2
-         |   FROM r1 WHERE rn = 1),
-         | scored AS (SELECT probe_id, cand_id,
-         |   ${cosSql("pv", "cv2")} AS cos_sim
-         |  FROM probes p JOIN cands c ON c.cell = p.cell
-         |   AND c.cand_id != p.probe_id),
-         |$topKSql""".stripMargin.replace("\n", ""),
+    "q_ann_ivf" -> ivfOracleSql(ivfNProbe),
 
-    "q_kmeans" -> {
-      // One Lloyd iteration as a CTE block: assign every vector to its
-      // nearest centroid from `prev` (argmin on the same rounded norm-
-      // identity distance), then the half-away INTEGER micro-unit
-      // per-cell mean (cvp_u) and the integer centroid checksum — the
-      // same expression sequence the Spark side runs (doubles only
-      // derived from the integers), so all three iterations match
-      // bit-for-bit with no representable-half rounding hazard.
-      def iter(i: Int, prev: String): String =
-        s""" d$i AS (SELECT b.vec_id, b.embedding, b.n2, cid,
-           |    round(b.n2 + c2 - 2.0 * ${dot("b.embedding", "cv", dim)}, 6) AS dd
-           |   FROM base b CROSS JOIN $prev),
-           | a$i AS (SELECT vec_id, embedding, cell0, dd FROM (
-           |    SELECT vec_id, embedding, cid AS cell0, dd, row_number() OVER
-           |      (PARTITION BY vec_id ORDER BY dd, cid) AS rn
-           |    FROM d$i) WHERE rn = 1),
-           | m$i AS (SELECT cell0, pos,
-           |    sum(CAST(round(v::DOUBLE * 1e6) AS BIGINT)) AS sq, count(*) AS n
-           |   FROM (SELECT cell0, unnest(embedding) AS v,
-           |      unnest(generate_series(1, $dim)) AS pos FROM a$i)
-           |   GROUP BY cell0, pos),
-           | u$i AS (SELECT cell0, pos,
-           |    (CASE WHEN sq >= 0 THEN (sq * 2 + n) // (2 * n)
-           |      ELSE -((-sq * 2 + n) // (2 * n)) END)::BIGINT AS cvp_u
-           |   FROM m$i),
-           | c$i AS (SELECT cell0 AS cid,
-           |    list(cvp_u::DOUBLE / 1e6 ORDER BY pos) AS cv,
-           |    sum(cvp_u)::BIGINT AS csum
-           |   FROM u$i GROUP BY cell0),
-           | t$i AS (SELECT cid, cv, csum, ${dot("cv", "cv", dim)} AS c2
-           |   FROM c$i)""".stripMargin
-      val train = (1 to 3).map(i => iter(i, if (i == 1) "seed" else s"t${i - 1}"))
-        .mkString(",")
+    "q_ann_ivf_hi" -> ivfOracleSql(8),
+
+    "q_kmeans" ->
       s"""WITH base AS (SELECT vec_id, embedding,
          |    ${dot("embedding", "embedding", dim)} AS n2 FROM embeddings),
          | seed AS (SELECT vec_id AS cid, embedding AS cv, n2 AS c2
          |   FROM base WHERE vec_id < 16),
-         |$train,
+         |${lloydTrainSql(3)},
          | df AS (SELECT b.vec_id, cid,
          |    round(b.n2 + c2 - 2.0 * ${dot("b.embedding", "cv", dim)}, 6) AS dd
          |   FROM base b CROSS JOIN t3),
@@ -672,8 +683,7 @@ object VectorQueries extends QueryModule {
          |   FROM af GROUP BY cid)
          |SELECT rep.cid AS cid, n, inertia_u, t3.csum AS cent_sum_u
          | FROM rep JOIN t3 ON rep.cid = t3.cid
-         | ORDER BY cid""".stripMargin.replace("\n", "")
-    },
+         | ORDER BY cid""".stripMargin.replace("\n", ""),
 
     "q_ann_quantized" ->
       s"""WITH s0 AS (SELECT vec_id, embedding, ${l2Norm("embedding", dim)} AS nrm,

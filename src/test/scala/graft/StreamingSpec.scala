@@ -376,6 +376,18 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       val got2 = spark.table("attr_stream").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
       assert(got2 == Set((1L, "u1"), (2L, "u2")))
+      // LATE data beyond the watermark is DROPPED, not joined: advance
+      // the global watermark (the min across both sides, so both get a
+      // 16:00 row) far past the morning, then deliver a purchase that
+      // would have matched u1's click — hours late, it must not emit.
+      clicks.addData(("wm", ts("2026-01-01 16:00:00")))
+      purchases.addData(("wm", 98L, ts("2026-01-01 16:00:00")))
+      q.processAllAvailable()
+      purchases.addData(("u1", 99L, ts("2026-01-01 10:26:00"))) // ~5 h late
+      q.processAllAvailable()
+      val ids = spark.table("attr_stream").collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(99L),
+        "late purchase beyond the watermark must be dropped")
     } finally q.stop()
   }
 
