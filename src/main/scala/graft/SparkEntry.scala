@@ -23,7 +23,8 @@ object SparkEntry {
     TextStatsQueries,
     MultimodalQueries,
     CorpusQueries,
-    QualityQueries
+    QualityQueries,
+    PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

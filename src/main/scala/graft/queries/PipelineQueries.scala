@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** Pipeline-maintenance operators a production training-data corpus
+  * needs around the analytics core: CDC merge/upsert compaction, PII
+  * detection + redaction, and URL canonicalization (north-star band,
+  * SURVEY §7.1 M6; the reference has no counterpart — its corpus is
+  * immutable line text, `TraceWordCountJob.java:92-93`).
+  *
+  * Scale notes per query are on each entry; the shared principle: the
+  * redact/normalize passes are pure per-row Column expressions (one
+  * map-only codegen stage, column-pruned scan), and the merge is ONE
+  * hash shuffle on the upsert key — the same shape Delta/Iceberg
+  * compaction jobs run, expressed with stock operators.
+  */
+object PipelineQueries extends QueryModule {
+
+  /** Deltas are derived deterministically from `orders` itself so the
+    * query is self-contained on the driver's tables: every 97th key is
+    * an update (price +10%, integer cents), every 101st an insert
+    * (shifted key range). */
+  private val insertKeyShift = 1000000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CDC merge/upsert: base snapshot ∪ delta, delta wins per key —
+    // resolved with ONE row_number over the upsert key instead of a
+    // full-outer join (one shuffle, no join build side, skew-splittable
+    // by AQE). At 100 TB this is the nightly compaction shape: the
+    // winner-per-key window runs map-side-combined on (key, src) and
+    // the output partitioning by key is reusable by every downstream
+    // key join. Prices travel as integer cents end-to-end.
+    "q_merge_upsert" -> ((s, d) => {
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val updates = base.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"), lit("U").as("status"),
+          expr("price_c * 11 DIV 10").as("price_c"))
+      val inserts = base.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + insertKeyShift).as("o_orderkey"),
+          lit("N").as("status"), col("price_c"))
+      val delta = updates.unionByName(inserts).withColumn("srt", lit(0))
+      val merged = base.withColumn("srt", lit(1)).unionByName(delta)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderkey").orderBy("srt")))
+        .filter(col("rn") === 1)
+      merged.select(col("o_orderkey"), col("status"), col("price_c"),
+          when(col("srt") === 0, "delta").otherwise("base").as("src"))
+        .orderBy("o_orderkey")
+    }),
+
+    // PII detect + redact: email/phone patterns counted and replaced in
+    // one map-only pass (codegen'd regexp_count/regexp_replace — no
+    // UDF). The PII-bearing blob is synthesized deterministically from
+    // the row (the fixture corpus is word soup, so the match surface is
+    // planted per doc_id: 1 email + 1 phone, a second email on every
+    // 3rd doc). Output pins the exact redacted string via hash60, so a
+    // single mis-replaced character flips the fingerprint. At 100 TB:
+    // zero shuffle; the regex set compiles once per codegen stage.
+    "q_pii_redact" -> ((s, d) => {
+      val blob = concat(substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@"), col("source"), lit(".net or 555-"),
+        lpad(col("doc_id").cast("string"), 4, "0"), lit(" now"),
+        when(col("doc_id") % 3 === 0, " cc admin@corp.net").otherwise(""))
+      val email = "[a-z0-9.]+@[a-z0-9.]+\\.net"
+      val phone = "555-[0-9]{4}"
+      Tables.documents(s, d)
+        .withColumn("blob", blob)
+        .select(col("doc_id"),
+          regexp_count(col("blob"), lit(email)).cast("long").as("n_emails"),
+          regexp_count(col("blob"), lit(phone)).cast("long").as("n_phones"),
+          TextFunctions.hash60(
+            regexp_replace(regexp_replace(col("blob"), email, "<EMAIL>"),
+              phone, "<PHONE>")).as("redacted_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // URL canonicalization: lowercase, strip default port / query /
+    // fragment, split host + path — the dedup key a web-corpus pipeline
+    // groups on before content hashing. Pure per-row regexp_extract
+    // (RE2-safe pattern subset so both engines agree), map-only.
+    "q_url_normalize" -> ((s, d) => {
+      val raw = concat(lit("HTTPS://"), col("source"),
+        lit(".Example.COM:443/"), col("lang"), lit("/doc"),
+        col("doc_id").cast("string"), lit("?ref=r"),
+        (col("doc_id") % 7).cast("string"), lit("#frag"))
+      val lc = lower(raw)
+      Tables.documents(s, d)
+        .withColumn("lc", lc)
+        .select(col("doc_id"),
+          regexp_extract(col("lc"), "^https?://([^/:?#]+)", 1).as("host"),
+          regexp_extract(col("lc"), "^https?://[^/?#]+(/[^?#]*)", 1).as("path"))
+        .withColumn("url_norm",
+          concat(lit("https://"), col("host"), col("path")))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      s"""WITH base AS (SELECT o_orderkey, o_orderstatus AS status,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders),
+         | delta AS (
+         |   SELECT o_orderkey, 'U' AS status, (price_c * 11) // 10 AS price_c
+         |    FROM base WHERE o_orderkey % 97 = 0
+         |   UNION ALL
+         |   SELECT o_orderkey + $insertKeyShift, 'N', price_c
+         |    FROM base WHERE o_orderkey % 101 = 0),
+         | merged AS (SELECT o_orderkey, status, price_c, srt,
+         |    row_number() OVER (PARTITION BY o_orderkey ORDER BY srt) AS rn
+         |   FROM (SELECT o_orderkey, status, price_c, 0 AS srt FROM delta
+         |         UNION ALL
+         |         SELECT o_orderkey, status, price_c, 1 FROM base))
+         |SELECT o_orderkey, status, price_c,
+         |  CASE WHEN srt = 0 THEN 'delta' ELSE 'base' END AS src
+         | FROM merged WHERE rn = 1 ORDER BY o_orderkey"""
+        .stripMargin.replace("\n", ""),
+
+    "q_pii_redact" ->
+      s"""WITH b AS (SELECT doc_id,
+         |   substr(text, 1, 40) || ' contact user' || doc_id::VARCHAR
+         |   || '@' || source || '.net or 555-'
+         |   || lpad(doc_id::VARCHAR, 4, '0') || ' now'
+         |   || (CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.net'
+         |       ELSE '' END) AS blob
+         |  FROM documents)
+         |SELECT doc_id,
+         | len(regexp_extract_all(blob, '[a-z0-9.]+@[a-z0-9.]+\\.net'))::BIGINT
+         |   AS n_emails,
+         | len(regexp_extract_all(blob, '555-[0-9]{4}'))::BIGINT AS n_phones,
+         | ${OracleSql.hash60("regexp_replace(regexp_replace(blob, " +
+             "'[a-z0-9.]+@[a-z0-9.]+\\.net', '<EMAIL>', 'g'), " +
+             "'555-[0-9]{4}', '<PHONE>', 'g')")} AS redacted_fp
+         | FROM b ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    "q_url_normalize" ->
+      s"""WITH b AS (SELECT doc_id,
+         |   lower('HTTPS://' || source || '.Example.COM:443/' || lang
+         |     || '/doc' || doc_id::VARCHAR || '?ref=r'
+         |     || (doc_id % 7)::VARCHAR || '#frag') AS lc
+         |  FROM documents),
+         | ex AS (SELECT doc_id,
+         |   regexp_extract(lc, '^https?://([^/:?#]+)', 1) AS host,
+         |   regexp_extract(lc, '^https?://[^/?#]+(/[^?#]*)', 1) AS path
+         |  FROM b)
+         |SELECT doc_id, host, path,
+         |  'https://' || host || path AS url_norm
+         | FROM ex ORDER BY doc_id""".stripMargin.replace("\n", "")
+  )
+}

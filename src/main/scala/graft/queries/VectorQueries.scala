@@ -327,6 +327,47 @@ object VectorQueries extends QueryModule {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv 2303.09540):
+    // cluster the corpus with the trained coarse quantizer (the SAME
+    // shared Lloyd chain as q_kmeans/q_ann_ivf — integer micro-unit
+    // centroids), enumerate cosine pairs WITHIN SkewGuard-capped cells
+    // only, and drop every vector that has a lower-id in-cell neighbor
+    // with cos ≥ semTau. Output is a per-vector verdict with the
+    // surviving representative. 100 TB: K grows with the corpus so
+    // cells stay bounded, the cap makes the worst cell O(cap·n)
+    // regardless, and the quadratic stage never sees the whole corpus —
+    // the paper's exact reason for clustering before comparing.
+    "q_semdedup" -> ((s, d) => {
+      val e = embWithN2(s, d).withColumn("nrm", sqrt(col("n2")))
+      val trained = trainCentroids(s, d, ivfLloydIters)
+      val cells = StagedCache.persist(SkewGuard.capBuckets(
+        assignNearest(e, trained, keep = 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("cid").as("cell")),
+        "cell", col("vec_id"), semCellCap))
+      val a = cells.select(col("cell"), col("vec_id").as("vec_a"),
+        col("embedding").as("va"), col("nrm").as("na"))
+      val b = cells.select(col("cell"), col("vec_id").as("vec_b"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
+      val dropped = a.join(b, "cell")
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_b").as("vec_id"), col("vec_a"),
+          round(VectorFunctions.dot(col("va"), col("vb"))
+            / (col("na") * col("nb")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= semTau)
+        .groupBy("vec_id")
+        .agg(min(col("vec_a")).as("rep"), max(col("cos_sim")).as("max_cos"),
+          count(lit(1)).as("n_nbrs"))
+      cells.select(col("vec_id"))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("rep").isNull, "kept").otherwise("dropped").as("status"),
+          coalesce(col("rep"), lit(-1L)).as("rep"),
+          coalesce(col("max_cos"), lit(0.0)).as("max_cos"),
+          coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"))
+        .orderBy("vec_id")
+    }),
+
     // Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
     // the standard way a RAG pipeline combines a lexical ranker (BM25
     // over the query terms) with a semantic one (cosine against the
@@ -415,6 +456,14 @@ object VectorQueries extends QueryModule {
     * the old (2, 1)). The oracle CTE chain mirrors these values. */
   private[graft] val ivfNProbe = 4
   private[graft] val ivfLloydIters = 3
+
+  /** SemDeDup drop threshold + within-cell cap. τ matches
+    * q_embed_near_dup's 0.35 (the fixture's planted-near-dup band);
+    * the cap keeps the within-cell pair stage O(cap·n) even if a cell
+    * degenerates (sub-cap cells — every cell at oracle scale — see
+    * salt 0, i.e. uncapped semantics). */
+  private[graft] val semTau = 0.35
+  private[graft] val semCellCap = 64
 
   /** Embeddings with the staged squared norm — the shared base of every
     * centroid assignment: the norm identity ‖e−c‖² = n2 + c2 − 2·e·c
@@ -729,6 +778,40 @@ object VectorQueries extends QueryModule {
          | FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          | WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
          | ORDER BY vec_a, vec_b""".stripMargin.replace("\n", ""),
+
+    // The SAME shared Lloyd quantizer chain as q_kmeans/q_ann_ivf, then
+    // within-cell pairs under the mirrored SkewGuard cap.
+    "q_semdedup" ->
+      s"""WITH base AS (SELECT vec_id, embedding,
+         |    ${dot("embedding", "embedding", dim)} AS n2 FROM embeddings),
+         | seed AS (SELECT vec_id AS cid, embedding AS cv, n2 AS c2
+         |   FROM base WHERE vec_id < 16),
+         |${lloydTrainSql(ivfLloydIters)},
+         | dfin AS (SELECT b.vec_id, b.embedding, cid,
+         |    round(b.n2 + c2 - 2.0 * ${dot("b.embedding", "cv", dim)}, 6) AS dd
+         |   FROM base b CROSS JOIN t$ivfLloydIters),
+         | asg AS (SELECT vec_id, embedding, cid AS cell0 FROM (
+         |    SELECT vec_id, embedding, cid, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM dfin)
+         |   WHERE rn = 1),
+         | sized AS (SELECT vec_id, embedding, cell0,
+         |    count(*) OVER (PARTITION BY cell0) AS csz FROM asg),
+         | cells AS (SELECT vec_id, embedding,
+         |    ${cappedBucket("cell0", "vec_id", "csz", semCellCap)} AS cell
+         |   FROM sized),
+         | pairs AS (SELECT b.vec_id AS vec_id, a.vec_id AS vec_a,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos_sim
+         |   FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         | drp AS (SELECT vec_id, min(vec_a)::BIGINT AS rep,
+         |    max(cos_sim) AS max_cos, count(*)::BIGINT AS n_nbrs
+         |   FROM pairs WHERE cos_sim >= $semTau GROUP BY vec_id)
+         |SELECT c.vec_id,
+         | CASE WHEN d.rep IS NULL THEN 'kept' ELSE 'dropped' END AS status,
+         | coalesce(d.rep, -1)::BIGINT AS rep,
+         | coalesce(d.max_cos, 0.0) AS max_cos,
+         | coalesce(d.n_nbrs, 0)::BIGINT AS n_nbrs
+         | FROM cells c LEFT JOIN drp d ON d.vec_id = c.vec_id
+         | ORDER BY c.vec_id""".stripMargin.replace("\n", ""),
 
     // Both arms replayed (BM25 mirrors q_bm25's CTEs; the semantic arm
     "q_source_centroids" ->

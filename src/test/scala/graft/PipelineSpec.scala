@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{PipelineQueries, VectorQueries}
+
+/** Pins the pipeline-maintenance band (q_merge_upsert / q_pii_redact /
+  * q_url_normalize) and q_semdedup on invariants the oracle hash can't
+  * see: winner-per-key semantics, redaction completeness, normalization
+  * idempotence, and the SemDeDup drop rule.
+  */
+class PipelineSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_merge_upsert: delta wins per key, inserts extend the key range") {
+    val rows = PipelineQueries.queries("q_merge_upsert")(spark, sf).collect()
+    val byKey = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byKey.size == rows.length, "upsert key must be unique")
+    // Every 97th key is an update that won over its base row.
+    val upd = rows.filter(r => r.getLong(0) % 97 == 0 && r.getLong(0) < 1000000L)
+    assert(upd.nonEmpty)
+    assert(upd.forall(r => r.getString(1) == "U" && r.getString(3) == "delta"))
+    // Inserts live in the shifted range and carry the base price.
+    val ins = rows.filter(_.getLong(0) >= 1000000L)
+    assert(ins.nonEmpty)
+    assert(ins.forall(r => r.getString(1) == "N" && r.getString(3) == "delta"))
+    // Untouched keys keep their base row.
+    val untouched = rows.filter(r =>
+      r.getLong(0) % 97 != 0 && r.getLong(0) < 1000000L)
+    assert(untouched.forall(_.getString(3) == "base"))
+  }
+
+  test("q_pii_redact: planted PII is counted and the redacted blob is clean") {
+    val rows = PipelineQueries.queries("q_pii_redact")(spark, sf).collect()
+    rows.foreach { r =>
+      val (id, nEmails, nPhones) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nPhones == 1L, s"doc $id phones")
+      assert(nEmails == (if (id % 3 == 0) 2L else 1L), s"doc $id emails")
+    }
+    // Redaction is complete: a second pass over the redacted blob finds
+    // nothing, so its fingerprint is a fixed point. Recompute inline.
+    import org.apache.spark.sql.functions._
+    val email = "[a-z0-9.]+@[a-z0-9.]+\\.net"
+    val blob = concat(substring(col("text"), 1, 40),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@"), col("source"), lit(".net or 555-"),
+      lpad(col("doc_id").cast("string"), 4, "0"), lit(" now"),
+      when(col("doc_id") % 3 === 0, " cc admin@corp.net").otherwise(""))
+    val redacted = regexp_replace(
+      regexp_replace(blob, email, "<EMAIL>"), "555-[0-9]{4}", "<PHONE>")
+    val leftover = graft.sources.Tables.documents(spark, sf)
+      .select((regexp_count(redacted, lit(email)) +
+        regexp_count(redacted, lit("555-[0-9]{4}"))).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(leftover == 0L, "redacted blob must contain no residual PII")
+  }
+
+  test("q_url_normalize: canonical form is lowercase, portless, query-free") {
+    val rows = PipelineQueries.queries("q_url_normalize")(spark, sf).collect()
+    rows.foreach { r =>
+      val (host, path, norm) = (r.getString(1), r.getString(2), r.getString(3))
+      assert(host.endsWith(".example.com") && host == host.toLowerCase)
+      assert(path.startsWith("/") && !path.contains("?") && !path.contains("#"))
+      assert(norm == s"https://$host$path" && !norm.contains(":443"))
+    }
+  }
+
+  test("q_semdedup: drop rule — dropped iff a lower-id in-cell neighbor ≥ τ") {
+    val rows = VectorQueries.queries("q_semdedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dropped = rows.filter(_.getString(1) == "dropped")
+    val kept = rows.filter(_.getString(1) == "kept")
+    assert(kept.nonEmpty, "semdedup must keep representatives")
+    dropped.foreach { r =>
+      assert(r.getLong(2) < r.getLong(0), "representative has a lower id")
+      assert(r.getDouble(3) >= 0.35, "dropped only at or above τ")
+      assert(r.getLong(4) >= 1L)
+    }
+    kept.foreach { r =>
+      assert(r.getLong(2) == -1L && r.getDouble(3) == 0.0 && r.getLong(4) == 0L)
+    }
+  }
+}
