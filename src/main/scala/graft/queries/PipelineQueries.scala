@@ -82,6 +82,58 @@ object PipelineQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Incremental materialized-view maintenance: a grouped aggregate is
+    // kept current by MERGING the old partial state with the delta's
+    // partials (sum-of-sums, sum-of-counts) instead of rescanning the
+    // base — the algebraic-aggregate property Spark's own partial
+    // aggregation uses per-stage, applied ACROSS runs. Base = 90% of
+    // lineitem (the "yesterday" state), delta = the rest; output must
+    // equal the from-scratch aggregate, which is exactly what the
+    // oracle computes. At 100 TB this is the difference between
+    // touching the day's increment and re-reading the lake; avg is
+    // derived from (sum, count) at read time — never stored, so the
+    // state stays mergeable.
+    "q_mv_incremental" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_orderkey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      def partial(df: DataFrame): DataFrame = df.groupBy("l_returnflag")
+        .agg(sum("qty_c").as("sum_qty_c"), sum("price_c").as("sum_price_c"),
+          count(lit(1)).as("n_rows"))
+      val state = partial(li.filter(col("l_orderkey") % 10 =!= 0))
+      val deltaP = partial(li.filter(col("l_orderkey") % 10 === 0))
+      state.unionByName(deltaP)
+        .groupBy("l_returnflag")
+        .agg(sum("sum_qty_c").as("sum_qty_c"),
+          sum("sum_price_c").as("sum_price_c"),
+          sum("n_rows").as("n_rows"))
+        .withColumn("avg_qty_c",
+          expr("CAST((sum_qty_c * 2 + n_rows) DIV (2 * n_rows) AS BIGINT)"))
+        .orderBy("l_returnflag")
+    }),
+
+    // SCD Type-2 history build: turn a per-key change log into validity
+    // intervals (valid_from, valid_to, is_current) with one lead()
+    // window per key — the warehouse-dimension pattern. Orders stand in
+    // as the change log: each customer's orders ordered by date become
+    // that customer's status history. One hash shuffle on the key; the
+    // window never sees more than one key's rows per task.
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("valid_from"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_custkey") % 50 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderstatus").as("status"),
+          col("o_orderdate").cast("date").as("valid_from"))
+        .withColumn("valid_to",
+          coalesce(lead(col("valid_from"), 1).over(w), lit("9999-12-31").cast("date")))
+        .withColumn("is_current", (col("valid_to") === lit("9999-12-31").cast("date"))
+          .cast("boolean"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    }),
+
     // URL canonicalization: lowercase, strip default port / query /
     // fragment, split host + path — the dedup key a web-corpus pipeline
     // groups on before content hashing. Pure per-row regexp_extract
@@ -139,6 +191,42 @@ object PipelineQueries extends QueryModule {
              "'[a-z0-9.]+@[a-z0-9.]+\\.net', '<EMAIL>', 'g'), " +
              "'555-[0-9]{4}', '<PHONE>', 'g')")} AS redacted_fp
          | FROM b ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    // The oracle REPLAYS the state+delta merge (not a flat groupBy), so
+    // a mergeability bug (e.g. averaging averages) would hash-diverge.
+    "q_mv_incremental" ->
+      s"""WITH li AS (SELECT l_returnflag, l_orderkey,
+         |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+         |   FROM lineitem),
+         | st AS (SELECT l_returnflag, sum(qty_c) AS sum_qty_c,
+         |    sum(price_c) AS sum_price_c, count(*) AS n_rows
+         |   FROM li WHERE l_orderkey % 10 != 0 GROUP BY l_returnflag),
+         | de AS (SELECT l_returnflag, sum(qty_c) AS sum_qty_c,
+         |    sum(price_c) AS sum_price_c, count(*) AS n_rows
+         |   FROM li WHERE l_orderkey % 10 = 0 GROUP BY l_returnflag),
+         | m AS (SELECT l_returnflag, sum(sum_qty_c)::BIGINT AS sum_qty_c,
+         |    sum(sum_price_c)::BIGINT AS sum_price_c,
+         |    sum(n_rows)::BIGINT AS n_rows
+         |   FROM (SELECT * FROM st UNION ALL SELECT * FROM de)
+         |   GROUP BY l_returnflag)
+         |SELECT l_returnflag, sum_qty_c, sum_price_c, n_rows,
+         |  ((sum_qty_c * 2 + n_rows) // (2 * n_rows))::BIGINT AS avg_qty_c
+         | FROM m ORDER BY l_returnflag""".stripMargin.replace("\n", ""),
+
+    "q_scd2" ->
+      s"""WITH c AS (SELECT o_custkey, o_orderkey,
+         |    o_orderstatus AS status, CAST(o_orderdate AS DATE) AS valid_from
+         |   FROM orders WHERE o_custkey % 50 = 0)
+         |SELECT o_custkey, o_orderkey, status, valid_from,
+         |  coalesce(lead(valid_from, 1) OVER
+         |     (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey),
+         |    DATE '9999-12-31') AS valid_to,
+         |  (coalesce(lead(valid_from, 1) OVER
+         |     (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey),
+         |    DATE '9999-12-31') = DATE '9999-12-31') AS is_current
+         | FROM c ORDER BY o_custkey, valid_from, o_orderkey"""
+        .stripMargin.replace("\n", ""),
 
     "q_url_normalize" ->
       s"""WITH b AS (SELECT doc_id,

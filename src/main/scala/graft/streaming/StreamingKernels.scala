@@ -562,6 +562,37 @@ object StreamingKernels {
         expr("CAST((nll_sum_u * 2 + n_bigrams) DIV (2 * n_bigrams) AS BIGINT)"))
   }
 
+  /** CDC upsert compaction — the streaming twin of the batch
+    * `q_merge_upsert` shape. Merges one micro-batch of keyed change
+    * rows (`op` ∈ U/N/D, a unique per-key `seq`) into the accumulated
+    * target: HIGHEST sequence wins per key. A winning delete is
+    * RETAINED as a tombstone row, not dropped — dropping it would let
+    * an out-of-order older update in a LATER batch resurrect the key
+    * (no newer row left in the target to outrank it); the
+    * KernelPropertySpec fold-equivalence property is exactly the one
+    * that fails without the tombstone. Read the live view with
+    * [[upsertRead]]; age tombstones out only once the log's reorder
+    * horizon has passed (the same retention reasoning as a watermark).
+    *
+    * This is the pure merge expression a `foreachBatch` sink runs per
+    * micro-batch (the production shape: Delta/Iceberg MERGE does the
+    * same winner-per-key resolution against the table); one hash
+    * shuffle on the key, no join build side, AQE-skew-splittable. At
+    * 100 TB the target is a key-partitioned table and the window runs
+    * per key-bucket, not driver-held. */
+  def upsertCompact(target: DataFrame, batch: DataFrame, key: String,
+      seq: String): DataFrame =
+    target.unionByName(batch)
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(key).orderBy(col(seq).desc)))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+
+  /** The live (tombstone-free) view of an [[upsertCompact]] target. */
+  def upsertRead(target: DataFrame, op: String = "op"): DataFrame =
+    target.filter(col(op) =!= "D")
+
   def quotaFill(docs: org.apache.spark.sql.Dataset[(Long, String)],
                 quota: Long)
       : org.apache.spark.sql.Dataset[(String, Long, Long)] = {

@@ -282,4 +282,41 @@ class KernelPropertySpec extends AnyFunSuite with SparkSpec {
         s"derived double does not round-trip for sq=$sq n=$n")
     }
   }
+
+  test("upsertCompact == last-writer-wins map fold, any batch split") {
+    // Model: fold the FULL log by (key, seq) — highest seq wins, a
+    // winning delete removes the key. The kernel must agree no matter
+    // how the log is split into micro-batches and no matter the
+    // arrival order of the batches' contents (CDC logs interleave).
+    val s = spark
+    import s.implicits._
+    val logGen = Gen.listOfN(60, for {
+      k <- Gen.choose(0L, 9L)
+      seq <- Gen.choose(1L, 30L)
+      op <- Gen.frequency(6 -> Gen.const("U"), 2 -> Gen.const("N"),
+        2 -> Gen.const("D"))
+      v <- Gen.choose(0L, 999L)
+    } yield (k, seq, op, v))
+    samples(logGen, n = 6).foreach { log0 =>
+      // Distinct (key, seq): the kernel's contract is a unique CDC
+      // sequence per key (real logs have one), ties are undefined.
+      val log = log0.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      val winners = log.groupBy(_._1).map { case (k, rs) => rs.maxBy(_._2) }
+      val expect = winners.filter(_._3 != "D")
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      // Split into 3 "micro-batches" by index and fold the kernel.
+      val batches = log.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1))
+      var target = Seq.empty[(Long, Long, String, Long)]
+        .toDF("k", "seq", "op", "v")
+      batches.foreach { b =>
+        target = graft.streaming.StreamingKernels
+          .upsertCompact(target, b.toDF("k", "seq", "op", "v"), "k", "seq")
+      }
+      val got = graft.streaming.StreamingKernels.upsertRead(target).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3))))
+        .toMap
+      assert(got == expect, s"log=$log")
+    }
+  }
 }

@@ -66,6 +66,41 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q_mv_incremental: state+delta merge equals the from-scratch aggregate") {
+    import org.apache.spark.sql.functions._
+    val merged = PipelineQueries.queries("q_mv_incremental")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val scratch = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("q"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("p"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(merged == scratch, "incremental maintenance must not drift")
+  }
+
+  test("q_scd2: validity intervals tile each key's history") {
+    val rows = PipelineQueries.queries("q_scd2")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(3), r.getDate(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (k, hist) =>
+      // Already emitted in (valid_from, key) order; intervals must chain.
+      hist.sliding(2).foreach {
+        case Array((_, _, to1, _), (_, from2, _, _)) =>
+          assert(to1 == from2, s"key $k: gap/overlap between $to1 and $from2")
+        case _ =>
+      }
+      assert(hist.count(_._4) == 1, s"key $k: exactly one current row")
+      assert(hist.last._3.toString == "9999-12-31")
+      hist.foreach { case (_, from, to, _) =>
+        assert(from.before(to) || from == to,
+          s"key $k: inverted interval $from..$to")
+      }
+    }
+  }
+
   test("q_semdedup: drop rule — dropped iff a lower-id in-cell neighbor ≥ τ") {
     val rows = VectorQueries.queries("q_semdedup")(spark, sf).collect()
     assert(rows.nonEmpty)

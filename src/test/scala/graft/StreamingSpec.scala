@@ -707,4 +707,47 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(rows.filter(_._1 == "b").map(_._3).toSeq == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("foreachBatch CDC upsert: latest seq wins per key, deletes drop keys") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, String, Long)] // key, seq, op, val
+    val cdc = source.toDF().toDF("k", "seq", "op", "v")
+    // foreachBatch is the MERGE sink shape; the driver-held target
+    // stands in for the key-partitioned table a cluster would merge
+    // into. Each batch applies the shared upsertCompact expression.
+    var target = Seq.empty[(Long, Long, String, Long)]
+      .toDF("k", "seq", "op", "v")
+    val q = cdc.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        target = StreamingKernels
+          .upsertCompact(target, batch, "k", "seq").cache()
+        target.count() // pin before the next batch mutates the var
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      source.addData((1L, 1L, "N", 10L), (2L, 1L, "N", 20L))
+      q.processAllAvailable()
+      source.addData((1L, 3L, "U", 11L), (3L, 1L, "N", 30L))
+      q.processAllAvailable()
+      // Out-of-order straggler (seq 2 < applied 3) must lose; delete
+      // removes key 2 from the LIVE view but stays as a tombstone.
+      source.addData((1L, 2L, "U", 99L), (2L, 2L, "D", 0L))
+      q.processAllAvailable()
+      // A post-delete out-of-order update must NOT resurrect key 2 —
+      // the tombstone outranks it.
+      source.addData((2L, 1L, "U", 77L))
+      q.processAllAvailable()
+      val live = StreamingKernels.upsertRead(target).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
+        .toMap
+      assert(live == Map(1L -> ((3L, "U", 11L)), 3L -> ((1L, "N", 30L))),
+        s"unexpected live view: $live")
+      val tomb = target.collect().filter(_.getString(2) == "D")
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(tomb == Seq((2L, 2L)), s"tombstone must survive: $tomb")
+    } finally q.stop()
+  }
 }
