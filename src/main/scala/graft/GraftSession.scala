@@ -40,6 +40,12 @@ object GraftSession {
       // unix_micros and interval arithmetic reject NTZ, and with a UTC
       // session the two types carry identical micros anyway.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // The read-only lake catalog: SELECT ... FROM graft.`<sf>`.<table>
+      // over SPARK_GRAFT_CATALOG_ROOT (defaults to the driver's
+      // testdata layout; any <root>/<ns>/<table>.parquet lake works).
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      .config("spark.sql.catalog.graft.root",
+        sys.env.getOrElse("SPARK_GRAFT_CATALOG_ROOT", "/root/testdata"))
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(appName: String = "graft"): SparkSession = {

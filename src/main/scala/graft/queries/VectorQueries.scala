@@ -349,7 +349,10 @@ object VectorQueries extends QueryModule {
         col("embedding").as("va"), col("nrm").as("na"))
       val b = cells.select(col("cell"), col("vec_id").as("vec_b"),
         col("embedding").as("vb"), col("nrm").as("nb"))
-      val dropped = a.join(b, "cell")
+      // Merge-hinted: both sides are corpus-sized, so the pair join
+      // must shuffle on the cell key — never broadcast the corpus
+      // (the same discipline as the dedup verify joins).
+      val dropped = a.hint("merge").join(b.hint("merge"), "cell")
         .filter(col("vec_a") < col("vec_b"))
         .select(col("vec_b").as("vec_id"), col("vec_a"),
           round(VectorFunctions.dot(col("va"), col("vb"))

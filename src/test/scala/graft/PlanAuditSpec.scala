@@ -330,4 +330,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!ed.contains("regexp_replace"),
       "q_edit_near_dup: regex tokenizer chain in the plan")
   }
+
+  test("merge/upsert compaction: one key window, no join anywhere") {
+    // The CDC merge must stay the union + winner-per-key window — a
+    // full-outer-join rewrite would add a second shuffled side and a
+    // build-side memory cost the window form doesn't pay.
+    val plan = formatted("q_merge_upsert")
+    assert(!plan.contains("Join"), s"q_merge_upsert plans a join:\n$plan")
+    // \b excludes WindowGroupLimit, the pushed-down rank-limit node the
+    // rn=1 filter legitimately adds.
+    val windows = "\\) Window\\b".r.findAllIn(plan).length
+    assert(windows == 1, s"q_merge_upsert: expected one Window, got $windows")
+  }
+
+  test("incremental MV: partial-agg merge, no Expand, no join") {
+    val plan = formatted("q_mv_incremental")
+    assert(!plan.contains("Expand"), "q_mv_incremental plans an Expand")
+    assert(!plan.contains("Join"), "q_mv_incremental plans a join")
+    // State and delta partials plus the merging aggregate all
+    // partial-aggregate before their exchanges.
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      s"q_mv_incremental: no map-side partial aggregation:\n$plan")
+  }
+
+  test("semdedup: pair join shuffles on the cell key, corpus never broadcast") {
+    val plan = formatted("q_semdedup")
+    // Centroids (K rows) broadcast into assignment — that's the wanted
+    // broadcast. The within-cell pair join must be a merge join keyed
+    // on the capped cell, with both corpus-sized sides shuffled.
+    assert(plan.contains("SortMergeJoin"),
+      s"q_semdedup: pair join is not merge-hinted:\n$plan")
+    // The map-only trio stays scan-shaped: no shuffle at all beyond
+    // the final presentation sort.
+    val pii = formatted("q_pii_redact")
+    assert(!pii.contains("hashpartitioning"),
+      s"q_pii_redact: unexpected shuffle:\n$pii")
+  }
 }
