@@ -134,6 +134,46 @@ object PipelineQueries extends QueryModule {
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     }),
 
+    // Temperature-weighted source mixing (the multi-source LM recipe:
+    // sampling share ∝ size^α flattens the source distribution so big
+    // crawls don't drown curated sets). α = 0.5 deliberately: sqrt is
+    // correctly-rounded IEEE — identical on any engine — where pow(x,
+    // 0.7) is libm-dependent; after the one sqrt everything is integer
+    // micro-units (weight_u, integer-ratio rate, floor'd planned
+    // count). Plan: one partial-agg shuffle to per-source counts
+    // (#sources rows), the 8-byte total broadcast back — corpus
+    // scanned once, never reshuffled.
+    "q_mix_temperature" -> ((s, d) => {
+      val budget = 200L
+      val sized = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("weight_u", round(sqrt(col("n_docs")) * 1e6).cast("long"))
+      val total = sized.agg(sum("weight_u").as("tot_u"))
+      sized.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"), col("weight_u"),
+          expr("CAST((weight_u * 1000000 * 2 + tot_u) DIV (2 * tot_u) AS BIGINT)")
+            .as("rate_u"))
+        .withColumn("planned_docs",
+          expr(s"CAST(($budget * rate_u) DIV 1000000 AS BIGINT)"))
+        .orderBy("source")
+    }),
+
+    // Per-domain admission cap (the C4/RefinedWeb guard against one
+    // host dominating the corpus): canonical host, keep the first
+    // `cap` docs per host in deterministic (doc_id) order, emit a
+    // per-doc verdict. One hash shuffle on the host; the rank window
+    // never sees more than one host per task.
+    "q_domain_cap" -> ((s, d) => {
+      val cap = 20
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("source"), lit(".example.com")).as("host"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("host").orderBy("doc_id")).cast("long"))
+        .withColumn("admitted", (col("rnk") <= cap).cast("boolean"))
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization: lowercase, strip default port / query /
     // fragment, split host + path — the dedup key a web-corpus pipeline
     // groups on before content hashing. Pure per-row regexp_extract
@@ -227,6 +267,26 @@ object PipelineQueries extends QueryModule {
          |    DATE '9999-12-31') = DATE '9999-12-31') AS is_current
          | FROM c ORDER BY o_custkey, valid_from, o_orderkey"""
         .stripMargin.replace("\n", ""),
+
+    "q_mix_temperature" ->
+      s"""WITH sized AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |    CAST(round(sqrt(count(*)) * 1e6) AS BIGINT) AS weight_u
+         |   FROM documents GROUP BY source),
+         | tot AS (SELECT sum(weight_u)::BIGINT AS tot_u FROM sized)
+         |SELECT source, n_docs, weight_u,
+         |  ((weight_u * 1000000 * 2 + tot_u) // (2 * tot_u))::BIGINT AS rate_u,
+         |  ((200 * ((weight_u * 1000000 * 2 + tot_u) // (2 * tot_u)))
+         |    // 1000000)::BIGINT AS planned_docs
+         | FROM sized CROSS JOIN tot ORDER BY source"""
+        .stripMargin.replace("\n", ""),
+
+    "q_domain_cap" ->
+      s"""SELECT doc_id, source || '.example.com' AS host,
+         |  row_number() OVER (PARTITION BY source ORDER BY doc_id)::BIGINT
+         |    AS rnk,
+         |  (row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 20)
+         |    AS admitted
+         | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
 
     "q_url_normalize" ->
       s"""WITH b AS (SELECT doc_id,

@@ -101,6 +101,48 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q_mix_temperature: sqrt-weighted rates, planned total within budget") {
+    val rows = PipelineQueries.queries("q_mix_temperature")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, wU, _, _) =>
+      assert(wU == math.round(math.sqrt(n.toDouble) * 1e6), s"source $src")
+    }
+    // Rates are a (half-away-rounded) partition of unity; planned
+    // floor'd counts never exceed the budget.
+    val rateSum = rows.map(_._4).sum
+    assert(math.abs(rateSum - 1000000L) <= rows.length,
+      s"rates sum to $rateSum")
+    assert(rows.map(_._5).sum <= 200L)
+    // Temperature flattens: a bigger source never gets a SMALLER rate,
+    // and rate ratios are damped vs count ratios.
+    val sorted = rows.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array((_, n1, _, r1, _), (_, n2, _, r2, _)) =>
+        if (n1 < n2) assert(r1 <= r2)
+      case _ =>
+    }
+    val (minR, maxR) = (sorted.head, sorted.last)
+    if (minR._2 < maxR._2) {
+      assert(maxR._4.toDouble / minR._4 <= maxR._2.toDouble / minR._2,
+        "temperature must damp the size ratio")
+    }
+  }
+
+  test("q_domain_cap: at most cap admitted per host, lowest doc_ids win") {
+    val rows = PipelineQueries.queries("q_domain_cap")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (host, docs) =>
+      val admitted = docs.filter(_._4).map(_._1).sorted
+      assert(admitted.length <= 20, s"$host over cap")
+      val lowest = docs.map(_._1).sorted.take(admitted.length)
+      assert(admitted.toSeq == lowest.toSeq,
+        s"$host: admitted set must be the lowest doc_ids")
+    }
+  }
+
   test("q_semdedup: drop rule — dropped iff a lower-id in-cell neighbor ≥ τ") {
     val rows = VectorQueries.queries("q_semdedup")(spark, sf).collect()
     assert(rows.nonEmpty)
