@@ -36,6 +36,12 @@ import graft.sources.TextIO
   * (deterministic `--factor N` inflation of a testdata directory, its
   * linearity invariants pinned by InflateSpec).
   *
+  * `sql` runs ad-hoc SQL text to parquet with the same provenance
+  * manifest as `query`; the session carries the `graft` lake catalog
+  * and the native function family, so
+  * `graft.Main sql "SELECT … FROM graft.\`sf0.01\`.documents" out`
+  * works from a shell with pushdown/pruning intact.
+  *
   * `quality` runs the data-quality band (q_data_checks +
   * q_column_profile) against a table directory, writes both reports as
   * parquet under `<out>/checks` and `<out>/profile`, and prints the
@@ -67,6 +73,7 @@ object Main {
     if (argv.length < 3)
       return Left("usage: graft.Main <wordcount|sort|insertindex|tsvpair> <in> <out> " +
         "| query <name> <table-dir> <out> " +
+        "| sql \"<SELECT ...>\" <out> " +
         "| inflate <table-dir> <out> [--factor N] " +
         "| quality <table-dir> <out> " +
         "[--reducers N] [--overwrite] [--trace FILE]")
@@ -81,7 +88,7 @@ object Main {
       a = Args("query", argv(2), argv(3), query = Some(name))
       i = 4
     } else if (!Set("wordcount", "sort", "insertindex", "tsvpair", "inflate",
-        "quality").contains(a.kernel))
+        "quality", "sql").contains(a.kernel))
       return Left(s"unknown kernel: ${a.kernel}")
     while (i < argv.length) {
       argv(i) match {
@@ -101,6 +108,27 @@ object Main {
       }
     }
     Right(a)
+  }
+
+  /** Parquet write with the observed row count and the provenance
+    * manifest (`_graft_manifest.json`: query/SQL label, input, rows,
+    * sigv1 plan signature) — shared by `query` and `sql`. */
+  private def writeWithManifest(df: org.apache.spark.sql.DataFrame,
+      label: String, in: String, out: String, overwrite: Boolean): Unit = {
+    val obs = new org.apache.spark.sql.Observation()
+    val sig = graft.observe.PlanSignature.sigv1(df)
+    df.observe(obs, org.apache.spark.sql.functions
+      .count(org.apache.spark.sql.functions.lit(1)).as("ROWS_OUT"))
+      .write
+      .mode(if (overwrite) "overwrite" else "errorifexists")
+      .parquet(out)
+    val rows = obs.get("ROWS_OUT")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "_graft_manifest.json"),
+      s"""{"query": ${JsonUtil.quote(label)}, """ +
+        s""""input": ${JsonUtil.quote(in)}, """ +
+        s""""rows": $rows, "plan_sig": "$sig"}""")
+    System.err.println(s"[graft] counters rows=$rows sig=$sig")
   }
 
   /** Run a kernel file-to-file; returns the process exit code. */
@@ -141,21 +169,16 @@ object Main {
           // logical plan over THAT data — the provenance record a
           // 100 TB delivery ships with.
           try {
-            val df = SparkEntry.queries(a.query.get)(spark, a.in)
-            val obs = new org.apache.spark.sql.Observation()
-            val sig = graft.observe.PlanSignature.sigv1(df)
-            df.observe(obs, org.apache.spark.sql.functions
-              .count(org.apache.spark.sql.functions.lit(1)).as("ROWS_OUT"))
-              .write
-              .mode(if (a.overwrite) "overwrite" else "errorifexists")
-              .parquet(a.out)
-            val rows = obs.get("ROWS_OUT")
-            java.nio.file.Files.writeString(
-              java.nio.file.Paths.get(a.out, "_graft_manifest.json"),
-              s"""{"query": ${JsonUtil.quote(a.query.get)}, """ +
-                s""""input": ${JsonUtil.quote(a.in)}, """ +
-                s""""rows": $rows, "plan_sig": "$sig"}""")
-            System.err.println(s"[graft] counters rows=$rows sig=$sig")
+            writeWithManifest(SparkEntry.queries(a.query.get)(spark, a.in),
+              a.query.get, a.in, a.out, a.overwrite)
+          } finally graft.queries.StagedCache.releaseAll()
+        case "sql" =>
+          // a.in is the SQL text. The session has the graft catalog
+          // (SPARK_GRAFT_CATALOG_ROOT) and the native SQL functions
+          // registered, so `SELECT … FROM graft.`sf0.01`.documents`
+          // works from a shell; the catalog itself refuses DDL.
+          try {
+            writeWithManifest(spark.sql(a.in), "sql", a.in, a.out, a.overwrite)
           } finally graft.queries.StagedCache.releaseAll()
         case "tsvpair" =>
           // Ingest the reference's native format into a columnar table:

@@ -100,6 +100,23 @@ class CliAndCountersSpec extends AnyFunSuite with SparkSpec {
     assert(Main.parse(Array("query", "nope", "/t", "/o")).isLeft)
   }
 
+  test("CLI sql: ad-hoc SQL over the lake catalog runs to parquet") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.root", "/root/testdata")
+    val dir = tmpDir()
+    val sql = "SELECT l_returnflag, count(*) AS n " +
+      "FROM graft.`sf0.001`.lineitem GROUP BY l_returnflag"
+    val rc = Main.run(spark,
+      Main.Args("sql", sql, dir.resolve("out").toString))
+    assert(rc == 0)
+    val got = spark.read.parquet(dir.resolve("out").toString)
+    assert(got.count() == 3)
+    val manifest = new String(Files.readAllBytes(
+      dir.resolve("out").resolve("_graft_manifest.json")))
+    assert(manifest.contains("\"rows\": 3") && manifest.contains("plan_sig"))
+  }
+
   test("CLI quality: checks + profile written, failing check reported, job rc 0") {
     val dir = tmpDir()
     val out = dir.resolve("out").toString
