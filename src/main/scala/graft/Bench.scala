@@ -203,7 +203,13 @@ object Bench {
       .max(iters)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
     val settleMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "150").toLong
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+    // An ONLY-subset A/B run must never clobber the committed
+    // full-suite record (the round-8 review caught exactly that: a
+    // 3-query A/B swept into git as the "full" artifact by a later
+    // git add -A). Subsets default to their own file.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_SUBSET.json"
+      else "BENCH_SELF.json")
     def elapsedSec = (System.nanoTime() - startNanos) / 1e9
     def overBudget = budgetSec > 0 && elapsedSec > budgetSec
 

@@ -23,9 +23,28 @@ object PipelineQueries extends QueryModule {
 
   /** Deltas are derived deterministically from `orders` itself so the
     * query is self-contained on the driver's tables: every 97th key is
-    * an update (price +10%, integer cents), every 101st an insert
-    * (shifted key range). */
-  private val insertKeyShift = 1000000L
+    * an update (price +10%, integer cents), every 101st an insert.
+    * Insert keys shift past the ACTUAL key range (max+1, an 8-byte
+    * broadcast scalar both engines compute identically) — a literal
+    * shift collides with real keys on any input whose keys exceed it;
+    * the round-8 review caught exactly that against the 10× Inflate,
+    * where o_orderkey reaches ~6M. */
+
+  /** The planted-PII surface and patterns, shared with PipelineSpec so
+    * the redaction-completeness test cannot drift from what the query
+    * actually redacts (round-8 review finding). */
+  private[graft] val piiEmail = "[a-z0-9.]+@[a-z0-9.]+\\.net"
+  private[graft] val piiPhone = "555-[0-9]{4}"
+  private[graft] def piiBlob: org.apache.spark.sql.Column =
+    concat(substring(col("text"), 1, 40),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@"), col("source"), lit(".net or 555-"),
+      lpad(col("doc_id").cast("string"), 4, "0"), lit(" now"),
+      when(col("doc_id") % 3 === 0, " cc admin@corp.net").otherwise(""))
+  private[graft] def piiRedact(
+      blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(blob, piiEmail, "<EMAIL>"),
+      piiPhone, "<PHONE>")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CDC merge/upsert: base snapshot ∪ delta, delta wins per key —
@@ -42,8 +61,10 @@ object PipelineQueries extends QueryModule {
       val updates = base.filter(col("o_orderkey") % 97 === 0)
         .select(col("o_orderkey"), lit("U").as("status"),
           expr("price_c * 11 DIV 10").as("price_c"))
+      val shift = base.agg((max(col("o_orderkey")) + 1L).as("shift"))
       val inserts = base.filter(col("o_orderkey") % 101 === 0)
-        .select((col("o_orderkey") + insertKeyShift).as("o_orderkey"),
+        .crossJoin(broadcast(shift))
+        .select((col("o_orderkey") + col("shift")).as("o_orderkey"),
           lit("N").as("status"), col("price_c"))
       val delta = updates.unionByName(inserts).withColumn("srt", lit(0))
       val merged = base.withColumn("srt", lit(1)).unionByName(delta)
@@ -63,24 +84,14 @@ object PipelineQueries extends QueryModule {
     // 3rd doc). Output pins the exact redacted string via hash60, so a
     // single mis-replaced character flips the fingerprint. At 100 TB:
     // zero shuffle; the regex set compiles once per codegen stage.
-    "q_pii_redact" -> ((s, d) => {
-      val blob = concat(substring(col("text"), 1, 40),
-        lit(" contact user"), col("doc_id").cast("string"),
-        lit("@"), col("source"), lit(".net or 555-"),
-        lpad(col("doc_id").cast("string"), 4, "0"), lit(" now"),
-        when(col("doc_id") % 3 === 0, " cc admin@corp.net").otherwise(""))
-      val email = "[a-z0-9.]+@[a-z0-9.]+\\.net"
-      val phone = "555-[0-9]{4}"
+    "q_pii_redact" -> ((s, d) =>
       Tables.documents(s, d)
-        .withColumn("blob", blob)
+        .withColumn("blob", piiBlob)
         .select(col("doc_id"),
-          regexp_count(col("blob"), lit(email)).cast("long").as("n_emails"),
-          regexp_count(col("blob"), lit(phone)).cast("long").as("n_phones"),
-          TextFunctions.hash60(
-            regexp_replace(regexp_replace(col("blob"), email, "<EMAIL>"),
-              phone, "<PHONE>")).as("redacted_fp"))
-        .orderBy("doc_id")
-    }),
+          regexp_count(col("blob"), lit(piiEmail)).cast("long").as("n_emails"),
+          regexp_count(col("blob"), lit(piiPhone)).cast("long").as("n_phones"),
+          TextFunctions.hash60(piiRedact(col("blob"))).as("redacted_fp"))
+        .orderBy("doc_id")),
 
     // Incremental materialized-view maintenance: a grouped aggregate is
     // kept current by MERGING the old partial state with the delta's
@@ -203,7 +214,8 @@ object PipelineQueries extends QueryModule {
          |   SELECT o_orderkey, 'U' AS status, (price_c * 11) // 10 AS price_c
          |    FROM base WHERE o_orderkey % 97 = 0
          |   UNION ALL
-         |   SELECT o_orderkey + $insertKeyShift, 'N', price_c
+         |   SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM base),
+         |     'N', price_c
          |    FROM base WHERE o_orderkey % 101 = 0),
          | merged AS (SELECT o_orderkey, status, price_c, srt,
          |    row_number() OVER (PARTITION BY o_orderkey ORDER BY srt) AS rn

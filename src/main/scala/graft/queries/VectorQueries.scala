@@ -332,8 +332,13 @@ object VectorQueries extends QueryModule {
     // shared Lloyd chain as q_kmeans/q_ann_ivf — integer micro-unit
     // centroids), enumerate cosine pairs WITHIN SkewGuard-capped cells
     // only, and drop every vector that has a lower-id in-cell neighbor
-    // with cos ≥ semTau. Output is a per-vector verdict with the
-    // surviving representative. 100 TB: K grows with the corpus so
+    // with cos ≥ semTau. Output is a per-vector verdict; `rep` is the
+    // lowest-id WITNESS neighbor, which in a similarity chain may
+    // itself be dropped (a→b→c with cos(a,c) < τ keeps only a) —
+    // consumers needing one canonical survivor per group resolve
+    // chains with the q_dedup_clusters connected-components pass, the
+    // same two-stage composition q_cluster_keep_best ships.
+    // 100 TB: K grows with the corpus so
     // cells stay bounded, the cap makes the worst cell O(cap·n)
     // regardless, and the quadratic stage never sees the whole corpus —
     // the paper's exact reason for clustering before comparing.

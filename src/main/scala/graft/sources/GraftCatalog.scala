@@ -5,6 +5,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -65,7 +66,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
     else if (nsDir(namespace).isDirectory) Array.empty
-    else throw new NoSuchElementException(namespace.mkString("."))
+    else throw new NoSuchNamespaceException(namespace)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.isEmpty || nsDir(namespace).isDirectory
@@ -74,7 +75,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       namespace: Array[String]): util.Map[String, String] =
     if (namespaceExists(namespace))
       Map("location" -> nsDir(namespace).getPath).asJava
-    else throw new NoSuchElementException(namespace.mkString("."))
+    else throw new NoSuchNamespaceException(namespace)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val files = Option(nsDir(namespace).listFiles()).getOrElse(Array.empty)
@@ -89,7 +90,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val path = new java.io.File(nsDir(ident.namespace()),
       s"${ident.name}.parquet")
-    if (!path.exists()) throw new NoSuchElementException(ident.toString)
+    // The analyzer catches NoSuchTableException and turns it into a
+    // clean TABLE_OR_VIEW_NOT_FOUND; any other type would surface as
+    // an internal-looking crash (round-8 review finding).
+    if (!path.exists()) throw new NoSuchTableException(ident)
     ParquetTable(ident.toString, SparkSession.active,
       new CaseInsensitiveStringMap(Map("path" -> path.getPath).asJava),
       Seq(path.getPath), userSpecifiedSchema = None,

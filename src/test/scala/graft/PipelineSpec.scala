@@ -14,20 +14,26 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("q_merge_upsert: delta wins per key, inserts extend the key range") {
+    // The insert shift is max(base key) + 1, computed from the data —
+    // recompute it here so the invariants hold at ANY input scale
+    // (a literal threshold broke against the 10x Inflate).
+    val maxBase = graft.sources.Tables.orders(spark, sf)
+      .agg(org.apache.spark.sql.functions.max("o_orderkey"))
+      .collect()(0).getLong(0)
     val rows = PipelineQueries.queries("q_merge_upsert")(spark, sf).collect()
     val byKey = rows.map(r => r.getLong(0) -> r).toMap
     assert(byKey.size == rows.length, "upsert key must be unique")
     // Every 97th key is an update that won over its base row.
-    val upd = rows.filter(r => r.getLong(0) % 97 == 0 && r.getLong(0) < 1000000L)
+    val upd = rows.filter(r => r.getLong(0) % 97 == 0 && r.getLong(0) <= maxBase)
     assert(upd.nonEmpty)
     assert(upd.forall(r => r.getString(1) == "U" && r.getString(3) == "delta"))
-    // Inserts live in the shifted range and carry the base price.
-    val ins = rows.filter(_.getLong(0) >= 1000000L)
+    // Inserts live strictly past the base key range, carry base prices.
+    val ins = rows.filter(_.getLong(0) > maxBase)
     assert(ins.nonEmpty)
     assert(ins.forall(r => r.getString(1) == "N" && r.getString(3) == "delta"))
     // Untouched keys keep their base row.
     val untouched = rows.filter(r =>
-      r.getLong(0) % 97 != 0 && r.getLong(0) < 1000000L)
+      r.getLong(0) % 97 != 0 && r.getLong(0) <= maxBase)
     assert(untouched.forall(_.getString(3) == "base"))
   }
 
@@ -39,19 +45,14 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       assert(nEmails == (if (id % 3 == 0) 2L else 1L), s"doc $id emails")
     }
     // Redaction is complete: a second pass over the redacted blob finds
-    // nothing, so its fingerprint is a fixed point. Recompute inline.
+    // nothing, so its fingerprint is a fixed point. The blob and
+    // patterns are the QUERY's own shared definitions — an inline copy
+    // here would silently keep verifying an outdated surface.
     import org.apache.spark.sql.functions._
-    val email = "[a-z0-9.]+@[a-z0-9.]+\\.net"
-    val blob = concat(substring(col("text"), 1, 40),
-      lit(" contact user"), col("doc_id").cast("string"),
-      lit("@"), col("source"), lit(".net or 555-"),
-      lpad(col("doc_id").cast("string"), 4, "0"), lit(" now"),
-      when(col("doc_id") % 3 === 0, " cc admin@corp.net").otherwise(""))
-    val redacted = regexp_replace(
-      regexp_replace(blob, email, "<EMAIL>"), "555-[0-9]{4}", "<PHONE>")
+    val redacted = PipelineQueries.piiRedact(PipelineQueries.piiBlob)
     val leftover = graft.sources.Tables.documents(spark, sf)
-      .select((regexp_count(redacted, lit(email)) +
-        regexp_count(redacted, lit("555-[0-9]{4}"))).as("n"))
+      .select((regexp_count(redacted, lit(PipelineQueries.piiEmail)) +
+        regexp_count(redacted, lit(PipelineQueries.piiPhone))).as("n"))
       .agg(sum("n")).collect()(0).getLong(0)
     assert(leftover == 0L, "redacted blob must contain no residual PII")
   }

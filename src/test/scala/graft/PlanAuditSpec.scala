@@ -334,9 +334,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   test("merge/upsert compaction: one key window, no join anywhere") {
     // The CDC merge must stay the union + winner-per-key window — a
     // full-outer-join rewrite would add a second shuffled side and a
-    // build-side memory cost the window form doesn't pay.
+    // build-side memory cost the window form doesn't pay. The only
+    // admissible join is the 1-row broadcast of the max-key insert
+    // shift (a scalar riding a BroadcastNestedLoopJoin).
     val plan = formatted("q_merge_upsert")
-    assert(!plan.contains("Join"), s"q_merge_upsert plans a join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"q_merge_upsert plans a shuffled join:\n$plan")
     // \b excludes WindowGroupLimit, the pushed-down rank-limit node the
     // rn=1 filter legitimately adds.
     val windows = "\\) Window\\b".r.findAllIn(plan).length
@@ -360,8 +363,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     // on the capped cell, with both corpus-sized sides shuffled.
     assert(plan.contains("SortMergeJoin"),
       s"q_semdedup: pair join is not merge-hinted:\n$plan")
-    // The map-only trio stays scan-shaped: no shuffle at all beyond
-    // the final presentation sort.
+  }
+
+  test("pii redaction is map-only: no shuffle beyond the presentation sort") {
     val pii = formatted("q_pii_redact")
     assert(!pii.contains("hashpartitioning"),
       s"q_pii_redact: unexpected shuffle:\n$pii")
