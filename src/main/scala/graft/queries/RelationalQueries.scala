@@ -303,10 +303,96 @@ object RelationalQueries extends QueryModule {
               |                       FROM orders o2
               |                       WHERE o2.o_custkey = o.o_custkey)
               | ORDER BY o_custkey, o_orderkey""".stripMargin)
+    }),
+
+    // TPC-H Q3 (shipping priority): the classic dim-filter + fact-fact
+    // join + group-agg + top-k composition. Revenue is exact integers
+    // end-to-end — price in cents × (100 − discount%) — because a
+    // double Σ(price·(1−disc)) is partition-order-dependent. Plan:
+    // BUILDING customers broadcast, lineitem ⋈ orders shuffles once on
+    // the order key, top-10 is a distributed TakeOrderedAndProject.
+    "q_tpch_q3" -> ((s, d) => {
+      val cutoff = lit("1998-06-01").cast("date")
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate").cast("date") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_date"), col("o_orderpriority"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") > cutoff)
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_u"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_date", "o_orderpriority")
+        .agg(sum("rev_u").as("revenue_u"))
+        .orderBy(col("revenue_u").desc, col("l_orderkey")).limit(10)
+    }),
+
+    // TPC-H Q5 (local-supplier volume) as SQL TEXT — the parser/
+    // analyzer path under the same oracle gate as the DataFrame
+    // queries: six tables, the region→nation chain broadcast-pruned,
+    // the supplier-nation = customer-nation correlation as an extra
+    // join predicate, integer-exact revenue.
+    "q_tpch_q5" -> ((s, d) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(t => Tables(s, d, t).createOrReplaceTempView(s"tq5_$t"))
+      s.sql("""SELECT n_name,
+              |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              |    AS revenue_u
+              | FROM tq5_customer c
+              | JOIN tq5_orders o ON o.o_custkey = c.c_custkey
+              | JOIN tq5_lineitem l ON l.l_orderkey = o.o_orderkey
+              | JOIN tq5_supplier s2 ON s2.s_suppkey = l.l_suppkey
+              |   AND s2.s_nationkey = c.c_nationkey
+              | JOIN tq5_nation n ON n.n_nationkey = s2.s_nationkey
+              | JOIN tq5_region r ON r.r_regionkey = n.n_regionkey
+              | WHERE r_name = 'ASIA'
+              |   AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+              |   AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+              | GROUP BY n_name
+              | ORDER BY revenue_u DESC, n_name""".stripMargin)
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  o_orderpriority,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+        |    AS revenue_u
+        | FROM customer, orders, lineitem
+        | WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |   AND l_orderkey = o_orderkey
+        |   AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+        |   AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+        | GROUP BY 1, 2, 3
+        | ORDER BY revenue_u DESC, l_orderkey LIMIT 10"""
+        .stripMargin.replace("\n", ""),
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+        |    AS revenue_u
+        | FROM customer c
+        | JOIN orders o ON o.o_custkey = c.c_custkey
+        | JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        | JOIN supplier s2 ON s2.s_suppkey = l.l_suppkey
+        |   AND s2.s_nationkey = c.c_nationkey
+        | JOIN nation n ON n.n_nationkey = s2.s_nationkey
+        | JOIN region r ON r.r_regionkey = n.n_regionkey
+        | WHERE r_name = 'ASIA'
+        |   AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |   AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+        | GROUP BY n_name
+        | ORDER BY revenue_u DESC, n_name""".stripMargin.replace("\n", ""),
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -365,6 +365,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
       s"q_semdedup: pair join is not merge-hinted:\n$plan")
   }
 
+  test("tpch q3: distributed top-k, never a global sort materialization") {
+    val plan = formatted("q_tpch_q3")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q_tpch_q3: top-10 should be TakeOrderedAndProject:\n$plan")
+  }
+
   test("pii redaction is map-only: no shuffle beyond the presentation sort") {
     val pii = formatted("q_pii_redact")
     assert(!pii.contains("hashpartitioning"),
