@@ -207,6 +207,38 @@ object EventQueries extends QueryModule {
     // in ZOrderSpec; this query oracle-checks the key arithmetic
     // digit-for-digit — pure integer shifts and masks both engines
     // compute identically).
+    // Distribution-drift monitor: total-variation distance between the
+    // first and second half of the event stream (by time midpoint),
+    // over 20 equi-width value buckets. TVD instead of PSI/KL on
+    // purpose: those need ln(), whose last ulp is libm-dependent
+    // across engines, while TVD is pure rational arithmetic — bucket
+    // assignment and per-bucket shares are integer micro-units
+    // end-to-end (share_u stays ≤ 1e6, so the arithmetic can't
+    // overflow at ANY corpus size, unlike the |n_i·M − m_i·N| form).
+    // Plan: one scan + one 20-key partial-agg shuffle; the time/value
+    // bounds ride a broadcast scalar.
+    "q_drift_tvd" -> ((s, d) => {
+      val e = Tables.events(s, d).select(
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("v_u"))
+      val bounds = e.agg(min("ts_us").as("t0"), max("ts_us").as("t1"),
+        max("v_u").as("vmax"))
+      val bucketed = e.crossJoin(broadcast(bounds))
+        .withColumn("is_base", col("ts_us") * 2 < col("t0") + col("t1"))
+        .withColumn("bucket",
+          least(greatest(expr("(v_u * 20) DIV (vmax + 1)"), lit(0L)), lit(19L)))
+        .groupBy("bucket")
+        .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+          sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_delta"))
+      val totals = bucketed.agg(sum("n_base").as("nb"), sum("n_delta").as("nd"))
+      bucketed.crossJoin(broadcast(totals))
+        .withColumn("p_u", expr("(n_base * 1000000 * 2 + nb) DIV (2 * nb)"))
+        .withColumn("q_u", expr("(n_delta * 1000000 * 2 + nd) DIV (2 * nd)"))
+        .withColumn("dpq_u", abs(col("p_u") - col("q_u")))
+        .select("bucket", "n_base", "n_delta", "p_u", "q_u", "dpq_u")
+        .orderBy("bucket")
+    }),
+
     "q_zorder_key" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
@@ -254,6 +286,29 @@ object EventQueries extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    "q_drift_tvd" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS v_u FROM events),
+        | bounds AS (SELECT min(ts_us) AS t0, max(ts_us) AS t1,
+        |    max(v_u) AS vmax FROM e),
+        | bk AS (SELECT least(greatest((v_u * 20) // (vmax + 1), 0), 19)
+        |     AS bucket,
+        |    (ts_us * 2 < t0 + t1) AS is_base
+        |   FROM e CROSS JOIN bounds),
+        | agg AS (SELECT bucket,
+        |    sum(CASE WHEN is_base THEN 1 ELSE 0 END)::BIGINT AS n_base,
+        |    sum(CASE WHEN is_base THEN 0 ELSE 1 END)::BIGINT AS n_delta
+        |   FROM bk GROUP BY bucket),
+        | tot AS (SELECT sum(n_base)::BIGINT AS nb,
+        |    sum(n_delta)::BIGINT AS nd FROM agg)
+        |SELECT bucket, n_base, n_delta,
+        |  ((n_base * 1000000 * 2 + nb) // (2 * nb))::BIGINT AS p_u,
+        |  ((n_delta * 1000000 * 2 + nd) // (2 * nd))::BIGINT AS q_u,
+        |  abs(((n_base * 1000000 * 2 + nb) // (2 * nb))
+        |    - ((n_delta * 1000000 * 2 + nd) // (2 * nd)))::BIGINT AS dpq_u
+        | FROM agg CROSS JOIN tot ORDER BY bucket"""
+        .stripMargin.replace("\n", ""),
+
     "q_cohort_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,
         |   date_trunc('week', ts)::DATE AS wk FROM events),

@@ -46,6 +46,34 @@ object PipelineQueries extends QueryModule {
     regexp_replace(regexp_replace(blob, piiEmail, "<EMAIL>"),
       piiPhone, "<PHONE>")
 
+  /** Orders in merge form: (o_orderkey, status, price_c-as-cents). */
+  private def ordersBase(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+
+  /** The CDC merge (base ∪ delta, winner-per-key window) shared by
+    * q_merge_upsert and the q_snapshot_diff audit: (o_orderkey,
+    * status, price_c, src), unordered. */
+  private def mergedOrders(s: SparkSession, d: String): DataFrame = {
+    val base = ordersBase(s, d)
+    val updates = base.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), lit("U").as("status"),
+        expr("price_c * 11 DIV 10").as("price_c"))
+    val shift = base.agg((max(col("o_orderkey")) + 1L).as("shift"))
+    val inserts = base.filter(col("o_orderkey") % 101 === 0)
+      .crossJoin(broadcast(shift))
+      .select((col("o_orderkey") + col("shift")).as("o_orderkey"),
+        lit("N").as("status"), col("price_c"))
+    val delta = updates.unionByName(inserts).withColumn("srt", lit(0))
+    base.withColumn("srt", lit(1)).unionByName(delta)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_orderkey").orderBy("srt")))
+      .filter(col("rn") === 1)
+      .select(col("o_orderkey"), col("status"), col("price_c"),
+        when(col("srt") === 0, "delta").otherwise("base").as("src"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // CDC merge/upsert: base snapshot ∪ delta, delta wins per key —
     // resolved with ONE row_number over the upsert key instead of a
@@ -54,26 +82,33 @@ object PipelineQueries extends QueryModule {
     // winner-per-key window runs map-side-combined on (key, src) and
     // the output partitioning by key is reusable by every downstream
     // key join. Prices travel as integer cents end-to-end.
-    "q_merge_upsert" -> ((s, d) => {
-      val base = Tables.orders(s, d).select(col("o_orderkey"),
-        col("o_orderstatus").as("status"),
-        round(col("o_totalprice") * 100).cast("long").as("price_c"))
-      val updates = base.filter(col("o_orderkey") % 97 === 0)
-        .select(col("o_orderkey"), lit("U").as("status"),
-          expr("price_c * 11 DIV 10").as("price_c"))
-      val shift = base.agg((max(col("o_orderkey")) + 1L).as("shift"))
-      val inserts = base.filter(col("o_orderkey") % 101 === 0)
-        .crossJoin(broadcast(shift))
-        .select((col("o_orderkey") + col("shift")).as("o_orderkey"),
-          lit("N").as("status"), col("price_c"))
-      val delta = updates.unionByName(inserts).withColumn("srt", lit(0))
-      val merged = base.withColumn("srt", lit(1)).unionByName(delta)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("o_orderkey").orderBy("srt")))
-        .filter(col("rn") === 1)
-      merged.select(col("o_orderkey"), col("status"), col("price_c"),
-          when(col("srt") === 0, "delta").otherwise("base").as("src"))
-        .orderBy("o_orderkey")
+    "q_merge_upsert" -> ((s, d) =>
+      mergedOrders(s, d).orderBy("o_orderkey")),
+
+    // Snapshot diff: the audit that closes the CDC loop — compare the
+    // pre-merge snapshot (v1) with the merged result (v2) row-by-row
+    // and summarize added/changed/removed/unchanged with the net price
+    // movement. One full-outer join on the snapshot key (the ONLY
+    // place an outer join is the right merge shape: the diff needs
+    // both unmatched sides), then a 4-key aggregate. The summary must
+    // reconcile with the delta that produced v2, which is exactly
+    // what PipelineSpec asserts.
+    "q_snapshot_diff" -> ((s, d) => {
+      val v1 = ordersBase(s, d).select(col("o_orderkey"),
+        col("status").as("status_v1"), col("price_c").as("price_v1"))
+      val v2 = mergedOrders(s, d).select(col("o_orderkey"),
+        col("status").as("status_v2"), col("price_c").as("price_v2"))
+      v1.join(v2, Seq("o_orderkey"), "full_outer")
+        .withColumn("change", when(col("status_v1").isNull, "added")
+          .when(col("status_v2").isNull, "removed")
+          .when(col("price_v1") === col("price_v2")
+            && col("status_v1") === col("status_v2"), "unchanged")
+          .otherwise("changed"))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("price_v2"), lit(0L))
+            - coalesce(col("price_v1"), lit(0L))).as("net_price_delta_c"))
+        .orderBy("change")
     }),
 
     // PII detect + redact: email/phone patterns counted and replaced in
@@ -206,25 +241,51 @@ object PipelineQueries extends QueryModule {
     })
   )
 
+  /** The merge CTE chain + winner select, shared by the q_merge_upsert
+    * and q_snapshot_diff oracles so the diff audits the SAME merge. */
+  private val mergeCtes =
+    s"""WITH base AS (SELECT o_orderkey, o_orderstatus AS status,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders),
+       | delta AS (
+       |   SELECT o_orderkey, 'U' AS status, (price_c * 11) // 10 AS price_c
+       |    FROM base WHERE o_orderkey % 97 = 0
+       |   UNION ALL
+       |   SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM base),
+       |     'N', price_c
+       |    FROM base WHERE o_orderkey % 101 = 0),
+       | merged AS (SELECT o_orderkey, status, price_c, srt,
+       |    row_number() OVER (PARTITION BY o_orderkey ORDER BY srt) AS rn
+       |   FROM (SELECT o_orderkey, status, price_c, 0 AS srt FROM delta
+       |         UNION ALL
+       |         SELECT o_orderkey, status, price_c, 1 FROM base))"""
+      .stripMargin.replace("\n", "")
+
+  private val mergedSelect =
+    """SELECT o_orderkey, status, price_c,
+      |  CASE WHEN srt = 0 THEN 'delta' ELSE 'base' END AS src
+      | FROM merged WHERE rn = 1""".stripMargin.replace("\n", "")
+
   def oracle: Map[String, String] = Map(
     "q_merge_upsert" ->
-      s"""WITH base AS (SELECT o_orderkey, o_orderstatus AS status,
-         |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders),
-         | delta AS (
-         |   SELECT o_orderkey, 'U' AS status, (price_c * 11) // 10 AS price_c
-         |    FROM base WHERE o_orderkey % 97 = 0
-         |   UNION ALL
-         |   SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM base),
-         |     'N', price_c
-         |    FROM base WHERE o_orderkey % 101 = 0),
-         | merged AS (SELECT o_orderkey, status, price_c, srt,
-         |    row_number() OVER (PARTITION BY o_orderkey ORDER BY srt) AS rn
-         |   FROM (SELECT o_orderkey, status, price_c, 0 AS srt FROM delta
-         |         UNION ALL
-         |         SELECT o_orderkey, status, price_c, 1 FROM base))
-         |SELECT o_orderkey, status, price_c,
-         |  CASE WHEN srt = 0 THEN 'delta' ELSE 'base' END AS src
-         | FROM merged WHERE rn = 1 ORDER BY o_orderkey"""
+      s"$mergeCtes $mergedSelect ORDER BY o_orderkey",
+
+    "q_snapshot_diff" ->
+      s"""$mergeCtes,
+         | v2 AS ($mergedSelect),
+         | dj AS (SELECT b.o_orderkey AS k1, v2.o_orderkey AS k2,
+         |    b.status AS status_v1, b.price_c AS price_v1,
+         |    v2.status AS status_v2, v2.price_c AS price_v2
+         |   FROM base b FULL OUTER JOIN v2 ON v2.o_orderkey = b.o_orderkey)
+         |SELECT
+         |  CASE WHEN k1 IS NULL THEN 'added'
+         |       WHEN k2 IS NULL THEN 'removed'
+         |       WHEN price_v1 = price_v2 AND status_v1 = status_v2
+         |         THEN 'unchanged'
+         |       ELSE 'changed' END AS change,
+         |  count(*)::BIGINT AS n,
+         |  sum(coalesce(price_v2, 0) - coalesce(price_v1, 0))::BIGINT
+         |    AS net_price_delta_c
+         | FROM dj GROUP BY change ORDER BY change"""
         .stripMargin.replace("\n", ""),
 
     "q_pii_redact" ->

@@ -13,6 +13,14 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  private object EventQueriesAccess {
+    def drift(s: org.apache.spark.sql.SparkSession, d: String)
+        : Array[(Long, Long, Long, Long, Long, Long)] =
+      graft.queries.EventQueries.queries("q_drift_tvd")(s, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+  }
+
   test("q_merge_upsert: delta wins per key, inserts extend the key range") {
     // The insert shift is max(base key) + 1, computed from the data —
     // recompute it here so the invariants hold at ANY input scale
@@ -99,6 +107,38 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         assert(from.before(to) || from == to,
           s"key $k: inverted interval $from..$to")
       }
+    }
+  }
+
+  test("q_snapshot_diff: the diff reconciles with the delta that built v2") {
+    import org.apache.spark.sql.functions._
+    val base = graft.sources.Tables.orders(spark, sf)
+    val nBase = base.count()
+    val nIns = base.filter(col("o_orderkey") % 101 === 0).count()
+    val nUpd = base.filter(col("o_orderkey") % 97 === 0).count()
+    val got = PipelineQueries.queries("q_snapshot_diff")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("added")._1 == nIns, "every insert appears as added")
+    // Every %97 key flips status to 'U' (and bumps price), so all are
+    // changed; nothing is removed by this delta.
+    assert(got("changed")._1 == nUpd)
+    assert(!got.contains("removed"))
+    assert(got("unchanged")._1 == nBase - nUpd)
+    assert(got("unchanged")._2 == 0L, "unchanged rows move no money")
+    assert(got("changed")._2 > 0L, "the +10% updates move money up")
+  }
+
+  test("q_drift_tvd: shares partition unity, TVD bounded") {
+    val rows = EventQueriesAccess.drift(spark, sf)
+    val (sumP, sumQ) = (rows.map(_._4).sum, rows.map(_._5).sum)
+    // Half-away per-bucket rounding keeps each share sum within
+    // #buckets micro-units of exactly 1.
+    assert(math.abs(sumP - 1000000L) <= rows.length, s"p_u sum $sumP")
+    assert(math.abs(sumQ - 1000000L) <= rows.length, s"q_u sum $sumQ")
+    val tvdU = rows.map(_._6).sum / 2
+    assert(tvdU >= 0L && tvdU <= 1000000L)
+    rows.foreach { case (b, _, _, p, q, d) =>
+      assert(d == math.abs(p - q), s"bucket $b")
     }
   }
 
