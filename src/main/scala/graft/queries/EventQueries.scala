@@ -239,6 +239,23 @@ object EventQueries extends QueryModule {
         .orderBy("bucket")
     }),
 
+    // Tolerant JSON ingest: malformed payloads (planted by truncating
+    // every 7th event's props) must degrade to NULL and be COUNTED,
+    // never fail the job — the PERMISSIVE-mode contract a 100 TB
+    // ingest relies on (one poison record must not kill a 6-hour
+    // scan). Single aggregate scan; the malformed count is the
+    // dead-letter metric a production pipeline alerts on.
+    "q_json_tolerant" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"),
+        when(col("event_id") % 7 === 0, expr("substr(props, 1, 4)"))
+          .otherwise(col("props")).as("props"))
+      e.select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_malformed"),
+          sum(coalesce(col("k"), lit(0L))).as("k_sum"))
+    }),
+
     "q_zorder_key" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
@@ -286,6 +303,19 @@ object EventQueries extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    "q_json_tolerant" ->
+      """WITH p AS (SELECT event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 4)
+        |         ELSE props END AS props FROM events),
+        | x AS (SELECT event_id,
+        |    CASE WHEN json_valid(props)
+        |         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |         ELSE NULL END AS k FROM p)
+        |SELECT count(*)::BIGINT AS n_events,
+        |  sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_malformed,
+        |  sum(coalesce(k, 0))::BIGINT AS k_sum FROM x"""
+        .stripMargin.replace("\n", ""),
+
     "q_drift_tvd" ->
       """WITH e AS (SELECT epoch_us(ts) AS ts_us,
         |    CAST(round(value * 100) AS BIGINT) AS v_u FROM events),

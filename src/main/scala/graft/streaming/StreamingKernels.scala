@@ -593,6 +593,39 @@ object StreamingKernels {
   def upsertRead(target: DataFrame, op: String = "op"): DataFrame =
     target.filter(col(op) =!= "D")
 
+  /** Streaming twin of the batch q_drift_tvd monitor: per tumbling
+    * window, bucket the value column into `refSharesU.length`
+    * equi-width cells (integer arithmetic, same form as the batch
+    * query) and emit the total-variation distance against a REFERENCE
+    * share vector (micro-units) that broadcasts as plan literals —
+    * the "alert when this hour's distribution drifts off the trained
+    * corpus profile" shape. ONE windowed aggregation whose state is
+    * `#buckets` conditional counters per open window (bounded by the
+    * watermark), not a row buffer; TVD is a pure projection over the
+    * closed window's counters. */
+  def driftMonitor(events: DataFrame, tsCol: String, valueCol: String,
+      refSharesU: Seq[Long], vmaxU: Long, windowDur: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val nb = refSharesU.length
+    val bucket = expr(s"least(greatest((CAST(round($valueCol * 100) AS " +
+      s"BIGINT) * $nb) DIV ${vmaxU + 1}, 0), ${nb - 1})")
+    val countCols = (0 until nb).map(b =>
+      sum(when(col("_b") === b, 1L).otherwise(0L)).as(s"c$b"))
+    val counts = events.withWatermark(tsCol, watermark)
+      .withColumn("_b", bucket)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(countCols.head, countCols.tail: _*)
+    val tot = (0 until nb).map(b => col(s"c$b")).reduce(_ + _)
+    val tvdTerms = (0 until nb).map { b =>
+      val qU = expr(s"(c$b * 1000000 * 2 + _tot) DIV (2 * _tot)")
+      abs(qU - lit(refSharesU(b)))
+    }
+    counts.withColumn("_tot", tot)
+      .select(col("window.start").as("win_start"),
+        col("_tot").as("n_events"),
+        (tvdTerms.reduce(_ + _) / lit(2L)).cast("long").as("tvd_u"))
+  }
+
   def quotaFill(docs: org.apache.spark.sql.Dataset[(Long, String)],
                 quota: Long)
       : org.apache.spark.sql.Dataset[(String, Long, Long)] = {

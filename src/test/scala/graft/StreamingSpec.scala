@@ -708,6 +708,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: closed windows report TVD vs the reference") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, Double)]
+    val df = source.toDF().toDF("ts", "value")
+    // 4 buckets over value in [0, 4): reference = uniform shares.
+    val q = StreamingKernels.driftMonitor(df, "ts", "value",
+      refSharesU = Seq(250000L, 250000L, 250000L, 250000L), vmaxU = 399L)
+      .writeStream.format("memory").queryName("drift_stream")
+      .outputMode("append").start()
+    try {
+      // Window 1: perfectly uniform -> TVD 0. Window 2: everything in
+      // bucket 0 -> TVD = (|1e6-25e4| + 3*|0-25e4|)/2 = 750000.
+      val w1 = ts("2026-01-01 10:00:00")
+      val w2 = ts("2026-01-01 11:00:00")
+      source.addData((w1, 0.5), (w1, 1.5), (w1, 2.5), (w1, 3.5))
+      source.addData((w2, 0.1), (w2, 0.2), (w2, 0.3))
+      q.processAllAvailable()
+      // Advance the watermark far enough to close both windows.
+      source.addData((ts("2026-01-01 14:00:00"), 2.0))
+      q.processAllAvailable()
+      val got = spark.table("drift_stream").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1.getTime)
+      assert(got.length == 2, s"got ${got.toSeq}")
+      assert(got(0)._2 == 4L && got(0)._3 == 0L, s"uniform window: ${got(0)}")
+      assert(got(1)._2 == 3L && got(1)._3 == 750000L,
+        s"drifted window: ${got(1)}")
+    } finally q.stop()
+  }
+
   test("foreachBatch CDC upsert: latest seq wins per key, deletes drop keys") {
     val s = spark
     import s.implicits._
