@@ -8,10 +8,11 @@ import org.apache.spark.network.util.JavaUtils
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -75,14 +76,18 @@ object TsvPairSource {
   }
 }
 
-final class TsvPairTable(path: String) extends Table with SupportsRead {
+final class TsvPairTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   require(path != null, "tsvpair source requires a path (spark.read.format(...).load(path))")
   override def name(): String = s"tsvpair:$path"
   override def schema(): StructType = TsvPairSource.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TsvPairScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TsvPairWriteBuilder(path, info)
 }
 
 final class TsvPairScanBuilder(path: String)
@@ -212,6 +217,142 @@ final class TsvPairReader(
   override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
     TsvTaskMetric("tsvLinesIn", lines),
     TsvTaskMetric("tsvMalformedLines", malformed))
+}
+
+// ---------------------------------------------------------------------------
+// Write path: the other half of the DSv2 contract, with the real
+// two-phase commit protocol. Tasks write to a per-query staging dir
+// (`_staging_<queryId>/part-<partition>-<task>.tsv`); a task that
+// fails ABORTS its own file, a failed job aborts the whole staging
+// dir, and only the driver-side BatchWrite.commit MOVES staged files
+// into the root and stamps `_SUCCESS` — so readers (whose hidden-path
+// filter skips `_staging_*`) never observe a torn write. Overwrite
+// mode arrives as SupportsTruncate: visible data files are removed
+// inside commit, AFTER all tasks have staged, so a failed overwrite
+// leaves the old data intact.
+// ---------------------------------------------------------------------------
+
+final class TsvPairWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    val names = info.schema().fieldNames
+    require(names.length == 2,
+      s"tsvpair expects (word, doc_id), got ${names.mkString(",")}")
+    new TsvPairWrite(path, info.queryId(), names, doTruncate)
+  }
+}
+
+final class TsvPairWrite(path: String, queryId: String,
+    fieldNames: Array[String], doTruncate: Boolean) extends Write {
+  override def toBatch: BatchWrite =
+    new TsvPairBatchWrite(path, queryId, fieldNames, doTruncate,
+      new TsvPairSource.SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()))
+}
+
+final case class TsvCommitMessage(stagedFiles: Array[String])
+    extends WriterCommitMessage
+
+final class TsvPairBatchWrite(path: String, queryId: String,
+    fieldNames: Array[String], doTruncate: Boolean,
+    hconf: TsvPairSource.SerializableHadoopConf) extends BatchWrite {
+
+  private val stagingName = s"_staging_$queryId"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new TsvPairWriterFactory(path, stagingName, fieldNames, hconf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(hconf.conf)
+    if (doTruncate) {
+      // All tasks have staged successfully by the time commit runs —
+      // only now is it safe to drop the previous generation.
+      Option(fs.listStatus(root)).getOrElse(Array.empty).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) fs.delete(st.getPath, true)
+      }
+    }
+    messages.foreach {
+      case TsvCommitMessage(files) => files.foreach { f =>
+        val src = new Path(f)
+        if (!fs.rename(src, new Path(root, src.getName)))
+          throw new java.io.IOException(s"tsvpair commit: rename failed for $src")
+      }
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    fs.delete(new Path(root, stagingName), true)
+    fs.create(new Path(root, "_SUCCESS"), true).close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(hconf.conf)
+    fs.delete(new Path(root, stagingName), true)
+  }
+}
+
+final class TsvPairWriterFactory(path: String, stagingName: String,
+    fieldNames: Array[String], hconf: TsvPairSource.SerializableHadoopConf)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new TsvPairDataWriter(path, stagingName, fieldNames, partitionId,
+      taskId, hconf.conf)
+}
+
+/** Executor-side writer: one staged file per task attempt (the
+  * partitionId-taskId name keeps speculative attempts from colliding;
+  * the driver's commit coordinator admits exactly one attempt per
+  * partition). */
+final class TsvPairDataWriter(path: String, stagingName: String,
+    fieldNames: Array[String], partitionId: Int, taskId: Long,
+    hconf: Configuration) extends DataWriter[InternalRow] {
+
+  private val file = new Path(new Path(new Path(path), stagingName),
+    f"part-$partitionId%05d-$taskId.tsv")
+  private val wordIdx = fieldNames.indexOf("word")
+  private val docIdx = fieldNames.indexOf("doc_id")
+  require(wordIdx >= 0 && docIdx >= 0,
+    s"tsvpair expects (word, doc_id), got ${fieldNames.mkString(",")}")
+
+  private var out: java.io.BufferedWriter = _
+  private def writer(): java.io.BufferedWriter = {
+    if (out == null) {
+      val fs = file.getFileSystem(hconf)
+      out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        fs.create(file, true), java.nio.charset.StandardCharsets.UTF_8))
+    }
+    out
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val w = writer()
+    w.write(row.getUTF8String(wordIdx).toString)
+    w.write('\t')
+    w.write(row.getUTF8String(docIdx).toString)
+    w.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) { out.close(); out = null }
+    // Empty partitions stage nothing and commit nothing.
+    val fs = file.getFileSystem(hconf)
+    if (fs.exists(file)) TsvCommitMessage(Array(file.toString))
+    else TsvCommitMessage(Array.empty)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { out.close(); out = null }
+    val fs = file.getFileSystem(hconf)
+    fs.delete(file, false)
+  }
+
+  override def close(): Unit =
+    if (out != null) { out.close(); out = null }
 }
 
 final case class TsvTaskMetric(name: String, value: Long) extends CustomTaskMetric

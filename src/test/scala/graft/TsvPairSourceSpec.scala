@@ -85,4 +85,55 @@ class TsvPairSourceSpec extends AnyFunSuite with SparkSpec {
       s"expected 1 packed partition, got ${df.rdd.getNumPartitions}")
     assert(df.count() == 64)
   }
+
+  test("DSv2 write: commit publishes staged files atomically with _SUCCESS") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-tsvw").resolve("out").toString
+    Seq(("alpha", "d1"), ("beta", "d2"), ("gamma", "d3"))
+      .toDF("word", "doc_id").repartition(2)
+      .write.format("tsvpair").mode("append").save(dir)
+    val root = new java.io.File(dir)
+    assert(new java.io.File(root, "_SUCCESS").exists())
+    assert(!root.listFiles().exists(_.getName.startsWith("_staging")),
+      "staging dir must be cleaned after commit")
+    val back = spark.read.format("tsvpair").load(dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("alpha", "d1"), ("beta", "d2"), ("gamma", "d3")))
+    // Append adds; overwrite (SupportsTruncate) replaces.
+    Seq(("delta", "d4")).toDF("word", "doc_id")
+      .write.format("tsvpair").mode("append").save(dir)
+    assert(spark.read.format("tsvpair").load(dir).count() == 4)
+    Seq(("omega", "d9")).toDF("word", "doc_id")
+      .write.format("tsvpair").mode("overwrite").save(dir)
+    val after = spark.read.format("tsvpair").load(dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(after == Set(("omega", "d9")), s"overwrite left: $after")
+  }
+
+  test("DSv2 write: a failed job aborts — no torn output, old data intact") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-tsva").resolve("out").toString
+    Seq(("keep", "d0")).toDF("word", "doc_id")
+      .write.format("tsvpair").mode("append").save(dir)
+    // A write whose source throws mid-stream: task abort deletes its
+    // staged file, job abort deletes the staging dir, and the failed
+    // OVERWRITE must not have touched the committed generation
+    // (truncate runs inside commit, after all tasks staged).
+    val poison = (1 to 100).toDF("i")
+      .select(col("i").cast("string").as("word"),
+        when(col("i") === 50, expr("raise_error('planted failure')"))
+          .otherwise(col("i").cast("string")).as("doc_id"))
+    intercept[Exception] {
+      poison.write.format("tsvpair").mode("overwrite").save(dir)
+    }
+    val root = new java.io.File(dir)
+    assert(!root.listFiles().exists(_.getName.startsWith("_staging")),
+      s"staging leaked: ${root.listFiles().map(_.getName).toSeq}")
+    val back = spark.read.format("tsvpair").load(dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("keep", "d0")),
+      s"failed overwrite corrupted the committed data: $back")
+  }
 }
