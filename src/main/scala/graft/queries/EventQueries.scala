@@ -209,31 +209,35 @@ object EventQueries extends QueryModule {
     // compute identically).
     // Distribution-drift monitor: total-variation distance between the
     // first and second half of the event stream (by time midpoint),
-    // over 20 equi-width value buckets. TVD instead of PSI/KL on
-    // purpose: those need ln(), whose last ulp is libm-dependent
-    // across engines, while TVD is pure rational arithmetic — bucket
-    // assignment and per-bucket shares are integer micro-units
-    // end-to-end (share_u stays ≤ 1e6, so the arithmetic can't
-    // overflow at ANY corpus size, unlike the |n_i·M − m_i·N| form).
-    // Plan: one scan + one 20-key partial-agg shuffle; the time/value
-    // bounds ride a broadcast scalar.
+    // over 20 equi-width value buckets anchored at [vmin, vmax] — NOT
+    // [0, vmax], which would collapse any offset-heavy distribution
+    // into the top buckets and read real drift as zero. TVD instead
+    // of PSI/KL on purpose: those need ln(), whose last ulp is
+    // libm-dependent across engines, while TVD is pure rational
+    // arithmetic — bucket ids and per-bucket shares are integer
+    // micro-units end-to-end via the shared zero-guarded
+    // [[OracleSql.shareUSpark]] form (exact below ~4.6e12 rows per
+    // bucket-half; pre-scale counts beyond). Plan: one scan + one
+    // 20-key partial-agg shuffle; the time/value bounds ride a
+    // broadcast scalar.
     "q_drift_tvd" -> ((s, d) => {
       val e = Tables.events(s, d).select(
         unix_micros(col("ts")).as("ts_us"),
         round(col("value") * 100).cast("long").as("v_u"))
       val bounds = e.agg(min("ts_us").as("t0"), max("ts_us").as("t1"),
-        max("v_u").as("vmax"))
+        min("v_u").as("vmin"), max("v_u").as("vmax"))
       val bucketed = e.crossJoin(broadcast(bounds))
         .withColumn("is_base", col("ts_us") * 2 < col("t0") + col("t1"))
         .withColumn("bucket",
-          least(greatest(expr("(v_u * 20) DIV (vmax + 1)"), lit(0L)), lit(19L)))
+          least(greatest(expr("((v_u - vmin) * 20) DIV (vmax - vmin + 1)"),
+            lit(0L)), lit(19L)))
         .groupBy("bucket")
         .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
           sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_delta"))
       val totals = bucketed.agg(sum("n_base").as("nb"), sum("n_delta").as("nd"))
       bucketed.crossJoin(broadcast(totals))
-        .withColumn("p_u", expr("(n_base * 1000000 * 2 + nb) DIV (2 * nb)"))
-        .withColumn("q_u", expr("(n_delta * 1000000 * 2 + nd) DIV (2 * nd)"))
+        .withColumn("p_u", expr(OracleSql.shareUSpark("n_base", "nb")))
+        .withColumn("q_u", expr(OracleSql.shareUSpark("n_delta", "nd")))
         .withColumn("dpq_u", abs(col("p_u") - col("q_u")))
         .select("bucket", "n_base", "n_delta", "p_u", "q_u", "dpq_u")
         .orderBy("bucket")
@@ -249,8 +253,15 @@ object EventQueries extends QueryModule {
       val e = Tables.events(s, d).select(col("event_id"),
         when(col("event_id") % 7 === 0, expr("substr(props, 1, 4)"))
           .otherwise(col("props")).as("props"))
+      // Digits-guarded cast, NOT a bare .cast: under ANSI mode (this
+      // environment's default) casting a non-integral extraction like
+      // "abc" or "1.5" THROWS — the exact poison-record job kill this
+      // query exists to prevent — and DuckDB's cast of '1.5' rounds
+      // where Spark errors, so the guard also pins cross-engine
+      // agreement on every input, not just the fixture.
+      val ks = get_json_object(col("props"), "$.k")
       e.select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          when(ks.rlike("^-?[0-9]{1,18}$"), ks.cast("long")).as("k"))
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_malformed"),
           sum(coalesce(col("k"), lit(0L))).as("k_sum"))
@@ -308,7 +319,8 @@ object EventQueries extends QueryModule {
         |    CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 4)
         |         ELSE props END AS props FROM events),
         | x AS (SELECT event_id,
-        |    CASE WHEN json_valid(props)
+        |    CASE WHEN json_valid(props) AND regexp_matches(
+        |           json_extract_string(props, '$.k'), '^-?[0-9]{1,18}$')
         |         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
         |         ELSE NULL END AS k FROM p)
         |SELECT count(*)::BIGINT AS n_events,
@@ -317,27 +329,28 @@ object EventQueries extends QueryModule {
         .stripMargin.replace("\n", ""),
 
     "q_drift_tvd" ->
-      """WITH e AS (SELECT epoch_us(ts) AS ts_us,
-        |    CAST(round(value * 100) AS BIGINT) AS v_u FROM events),
-        | bounds AS (SELECT min(ts_us) AS t0, max(ts_us) AS t1,
-        |    max(v_u) AS vmax FROM e),
-        | bk AS (SELECT least(greatest((v_u * 20) // (vmax + 1), 0), 19)
-        |     AS bucket,
-        |    (ts_us * 2 < t0 + t1) AS is_base
-        |   FROM e CROSS JOIN bounds),
-        | agg AS (SELECT bucket,
-        |    sum(CASE WHEN is_base THEN 1 ELSE 0 END)::BIGINT AS n_base,
-        |    sum(CASE WHEN is_base THEN 0 ELSE 1 END)::BIGINT AS n_delta
-        |   FROM bk GROUP BY bucket),
-        | tot AS (SELECT sum(n_base)::BIGINT AS nb,
-        |    sum(n_delta)::BIGINT AS nd FROM agg)
-        |SELECT bucket, n_base, n_delta,
-        |  ((n_base * 1000000 * 2 + nb) // (2 * nb))::BIGINT AS p_u,
-        |  ((n_delta * 1000000 * 2 + nd) // (2 * nd))::BIGINT AS q_u,
-        |  abs(((n_base * 1000000 * 2 + nb) // (2 * nb))
-        |    - ((n_delta * 1000000 * 2 + nd) // (2 * nd)))::BIGINT AS dpq_u
-        | FROM agg CROSS JOIN tot ORDER BY bucket"""
-        .stripMargin.replace("\n", ""),
+      s"""WITH e AS (SELECT epoch_us(ts) AS ts_us,
+         |    CAST(round(value * 100) AS BIGINT) AS v_u FROM events),
+         | bounds AS (SELECT min(ts_us) AS t0, max(ts_us) AS t1,
+         |    min(v_u) AS vmin, max(v_u) AS vmax FROM e),
+         | bk AS (SELECT
+         |    least(greatest(((v_u - vmin) * 20) // (vmax - vmin + 1), 0), 19)
+         |     AS bucket,
+         |    (ts_us * 2 < t0 + t1) AS is_base
+         |   FROM e CROSS JOIN bounds),
+         | agg AS (SELECT bucket,
+         |    sum(CASE WHEN is_base THEN 1 ELSE 0 END)::BIGINT AS n_base,
+         |    sum(CASE WHEN is_base THEN 0 ELSE 1 END)::BIGINT AS n_delta
+         |   FROM bk GROUP BY bucket),
+         | tot AS (SELECT sum(n_base)::BIGINT AS nb,
+         |    sum(n_delta)::BIGINT AS nd FROM agg),
+         | sh AS (SELECT bucket, n_base, n_delta,
+         |    ${OracleSql.shareU("n_base", "nb")} AS p_u,
+         |    ${OracleSql.shareU("n_delta", "nd")} AS q_u
+         |   FROM agg CROSS JOIN tot)
+         |SELECT bucket, n_base, n_delta, p_u, q_u,
+         |  abs(p_u - q_u)::BIGINT AS dpq_u
+         | FROM sh ORDER BY bucket""".stripMargin.replace("\n", ""),
 
     "q_cohort_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,

@@ -18,6 +18,20 @@ object OracleSql {
     * 60-bit BIGINT. */
   def hash60(e: String): String = s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
 
+  /** Half-up integer micro-share num/den · 1e6 (0 when den = 0), the
+    * ONE definition both engines derive from — see [[shareUSpark]] for
+    * the Spark twin. The zero-guard matters under ANSI mode, where a
+    * bare `DIV 0` throws while DuckDB's `//` returns NULL. Exact below
+    * ~4.6e12 per numerator (num·2e6 must fit BIGINT); beyond that,
+    * pre-scale the counts. */
+  def shareU(num: String, den: String): String =
+    s"(CASE WHEN $den = 0 THEN 0 ELSE ($num * 1000000 * 2 + $den) // (2 * $den) END)::BIGINT"
+
+  /** Spark-side twin of [[shareU]] (an expr-string over column names,
+    * so the integer DIV stays integer). */
+  def shareUSpark(num: String, den: String): String =
+    s"CAST(CASE WHEN $den = 0 THEN 0 ELSE ($num * 1000000 * 2 + $den) DIV (2 * $den) END AS BIGINT)"
+
   /** Mirror of the seeded variant `TextFunctions.hash60(seed, c)`. */
   def hash60Seeded(seed: Int, e: String): String =
     hash60(s"'$seed:' || $e")

@@ -41,16 +41,24 @@ object PipelineQueries extends QueryModule {
       lit("@"), col("source"), lit(".net or 555-"),
       lpad(col("doc_id").cast("string"), 4, "0"), lit(" now"),
       when(col("doc_id") % 3 === 0, " cc admin@corp.net").otherwise(""))
+  /** Mix budget + per-host cap — shared between the Spark queries and
+    * their interpolated oracles so the literals cannot drift. */
+  private[graft] val mixBudget = 200L
+  private[graft] val domainCap = 20
+
   private[graft] def piiRedact(
       blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(regexp_replace(blob, piiEmail, "<EMAIL>"),
       piiPhone, "<PHONE>")
 
-  /** Orders in merge form: (o_orderkey, status, price_c-as-cents). */
+  /** Orders in merge form: (o_orderkey, status, price_c-as-cents),
+    * staged once — the merge references it four times (base leg,
+    * update/insert filters, the max-key shift) and the snapshot diff
+    * adds a fifth; unstaged, each reference re-scans the parquet. */
   private def ordersBase(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).select(col("o_orderkey"),
+    StagedCache.persist(Tables.orders(s, d).select(col("o_orderkey"),
       col("o_orderstatus").as("status"),
-      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      round(col("o_totalprice") * 100).cast("long").as("price_c")))
 
   /** The CDC merge (base ∪ delta, winner-per-key window) shared by
     * q_merge_upsert and the q_snapshot_diff audit: (o_orderkey,
@@ -190,15 +198,14 @@ object PipelineQueries extends QueryModule {
     // (#sources rows), the 8-byte total broadcast back — corpus
     // scanned once, never reshuffled.
     "q_mix_temperature" -> ((s, d) => {
-      val budget = 200L
+      val budget = mixBudget
       val sized = Tables.documents(s, d)
         .groupBy("source").agg(count(lit(1)).as("n_docs"))
         .withColumn("weight_u", round(sqrt(col("n_docs")) * 1e6).cast("long"))
       val total = sized.agg(sum("weight_u").as("tot_u"))
       sized.crossJoin(broadcast(total))
         .select(col("source"), col("n_docs"), col("weight_u"),
-          expr("CAST((weight_u * 1000000 * 2 + tot_u) DIV (2 * tot_u) AS BIGINT)")
-            .as("rate_u"))
+          expr(OracleSql.shareUSpark("weight_u", "tot_u")).as("rate_u"))
         .withColumn("planned_docs",
           expr(s"CAST(($budget * rate_u) DIV 1000000 AS BIGINT)"))
         .orderBy("source")
@@ -210,7 +217,7 @@ object PipelineQueries extends QueryModule {
     // per-doc verdict. One hash shuffle on the host; the rank window
     // never sees more than one host per task.
     "q_domain_cap" -> ((s, d) => {
-      val cap = 20
+      val cap = domainCap
       Tables.documents(s, d)
         .select(col("doc_id"),
           concat(col("source"), lit(".example.com")).as("host"))
@@ -345,20 +352,21 @@ object PipelineQueries extends QueryModule {
       s"""WITH sized AS (SELECT source, count(*)::BIGINT AS n_docs,
          |    CAST(round(sqrt(count(*)) * 1e6) AS BIGINT) AS weight_u
          |   FROM documents GROUP BY source),
-         | tot AS (SELECT sum(weight_u)::BIGINT AS tot_u FROM sized)
-         |SELECT source, n_docs, weight_u,
-         |  ((weight_u * 1000000 * 2 + tot_u) // (2 * tot_u))::BIGINT AS rate_u,
-         |  ((200 * ((weight_u * 1000000 * 2 + tot_u) // (2 * tot_u)))
-         |    // 1000000)::BIGINT AS planned_docs
-         | FROM sized CROSS JOIN tot ORDER BY source"""
+         | tot AS (SELECT sum(weight_u)::BIGINT AS tot_u FROM sized),
+         | sh AS (SELECT source, n_docs, weight_u,
+         |    ${OracleSql.shareU("weight_u", "tot_u")} AS rate_u
+         |   FROM sized CROSS JOIN tot)
+         |SELECT source, n_docs, weight_u, rate_u,
+         |  (($mixBudget * rate_u) // 1000000)::BIGINT AS planned_docs
+         | FROM sh ORDER BY source"""
         .stripMargin.replace("\n", ""),
 
     "q_domain_cap" ->
       s"""SELECT doc_id, source || '.example.com' AS host,
          |  row_number() OVER (PARTITION BY source ORDER BY doc_id)::BIGINT
          |    AS rnk,
-         |  (row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 20)
-         |    AS admitted
+         |  (row_number() OVER (PARTITION BY source ORDER BY doc_id)
+         |    <= $domainCap) AS admitted
          | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", ""),
 
     "q_url_normalize" ->

@@ -604,11 +604,15 @@ object StreamingKernels {
     * watermark), not a row buffer; TVD is a pure projection over the
     * closed window's counters. */
   def driftMonitor(events: DataFrame, tsCol: String, valueCol: String,
-      refSharesU: Seq[Long], vmaxU: Long, windowDur: String = "1 hour",
+      refSharesU: Seq[Long], vmaxU: Long, vminU: Long = 0L,
+      windowDur: String = "1 hour",
       watermark: String = "1 hour"): DataFrame = {
     val nb = refSharesU.length
-    val bucket = expr(s"least(greatest((CAST(round($valueCol * 100) AS " +
-      s"BIGINT) * $nb) DIV ${vmaxU + 1}, 0), ${nb - 1})")
+    // Buckets anchored at [vminU, vmaxU] — an offset-heavy value range
+    // would otherwise collapse into the top buckets (same fix as the
+    // batch q_drift_tvd).
+    val bucket = expr(s"least(greatest(((CAST(round($valueCol * 100) AS " +
+      s"BIGINT) - $vminU) * $nb) DIV ${vmaxU - vminU + 1}, 0), ${nb - 1})")
     val countCols = (0 until nb).map(b =>
       sum(when(col("_b") === b, 1L).otherwise(0L)).as(s"c$b"))
     val counts = events.withWatermark(tsCol, watermark)
