@@ -4,6 +4,7 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
@@ -55,48 +56,69 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
-  private def nsDir(namespace: Array[String]): java.io.File =
-    new java.io.File((root +: namespace).mkString("/"))
+  // All listing/probing goes through the Hadoop FileSystem API (the
+  // same stack the parquet scan uses), so the catalog works against
+  // ANY supported root scheme — hdfs://, s3a://, file:/ — not just
+  // java.io-visible local paths (round-8 review finding: java.io.File
+  // on a remote root silently reported every table as nonexistent).
+  private def fs(p: Path) =
+    p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+
+  private def nsPath(namespace: Array[String]): Path =
+    new Path((root +: namespace).mkString("/"))
 
   override def listNamespaces(): Array[Array[String]] = {
-    val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-    dirs.filter(_.isDirectory).map(d => Array(d.getName)).sortBy(_.head)
+    val rootP = new Path(root)
+    val f = fs(rootP)
+    if (!f.exists(rootP)) return Array.empty
+    f.listStatus(rootP).filter(_.isDirectory)
+      .map(st => Array(st.getPath.getName)).sortBy(_.head)
   }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
-    else if (nsDir(namespace).isDirectory) Array.empty
+    else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(namespace)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || nsDir(namespace).isDirectory
+    namespace.isEmpty || {
+      val p = nsPath(namespace)
+      val f = fs(p)
+      f.exists(p) && f.getFileStatus(p).isDirectory
+    }
 
   override def loadNamespaceMetadata(
       namespace: Array[String]): util.Map[String, String] =
     if (namespaceExists(namespace))
-      Map("location" -> nsDir(namespace).getPath).asJava
+      Map("location" -> nsPath(namespace).toString).asJava
     else throw new NoSuchNamespaceException(namespace)
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val files = Option(nsDir(namespace).listFiles()).getOrElse(Array.empty)
-    files.filter(_.getName.endsWith(".parquet"))
-      .map(f => Identifier.of(namespace, f.getName.stripSuffix(".parquet")))
+    val p = nsPath(namespace)
+    val f = fs(p)
+    if (!f.exists(p)) return Array.empty
+    f.listStatus(p).map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .map(n => Identifier.of(namespace, n.stripSuffix(".parquet")))
       .sortBy(_.name)
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    new java.io.File(nsDir(ident.namespace()), s"${ident.name}.parquet").exists()
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace()), s"${ident.name}.parquet")
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    fs(p).exists(p)
+  }
 
   override def loadTable(ident: Identifier): Table = {
-    val path = new java.io.File(nsDir(ident.namespace()),
-      s"${ident.name}.parquet")
+    val p = tablePath(ident)
     // The analyzer catches NoSuchTableException and turns it into a
     // clean TABLE_OR_VIEW_NOT_FOUND; any other type would surface as
     // an internal-looking crash (round-8 review finding).
-    if (!path.exists()) throw new NoSuchTableException(ident)
+    if (!fs(p).exists(p)) throw new NoSuchTableException(ident)
     ParquetTable(ident.toString, SparkSession.active,
-      new CaseInsensitiveStringMap(Map("path" -> path.getPath).asJava),
-      Seq(path.getPath), userSpecifiedSchema = None,
+      new CaseInsensitiveStringMap(Map("path" -> p.toString).asJava),
+      Seq(p.toString), userSpecifiedSchema = None,
       classOf[ParquetFileFormat])
   }
 

@@ -222,14 +222,20 @@ final class TsvPairReader(
 // ---------------------------------------------------------------------------
 // Write path: the other half of the DSv2 contract, with the real
 // two-phase commit protocol. Tasks write to a per-query staging dir
-// (`_staging_<queryId>/part-<partition>-<task>.tsv`); a task that
-// fails ABORTS its own file, a failed job aborts the whole staging
-// dir, and only the driver-side BatchWrite.commit MOVES staged files
-// into the root and stamps `_SUCCESS` — so readers (whose hidden-path
-// filter skips `_staging_*`) never observe a torn write. Overwrite
-// mode arrives as SupportsTruncate: visible data files are removed
-// inside commit, AFTER all tasks have staged, so a failed overwrite
-// leaves the old data intact.
+// (`_staging_<queryId>/part-<partition>-<task>-<query>.tsv` — the
+// query token keeps file names unique ACROSS applications, so an
+// append from a fresh JVM whose task ids restart at 0 can never
+// rename over a previous generation's files); a task that fails
+// ABORTS its own file, a failed job aborts the whole staging dir,
+// and only the driver-side BatchWrite.commit MOVES staged files into
+// the root and stamps `_SUCCESS`. Overwrite arrives as
+// SupportsTruncate and commit PUBLISHES the new generation before
+// deleting the old one: a failure mid-commit can leave BOTH
+// generations visible (duplicates, detectable via the missing
+// `_SUCCESS`), but never loses committed data — the strictly safer
+// side of the window. Full single-visible-generation atomicity needs
+// a manifest/version pointer, which is a table-format concern
+// (Delta/Iceberg), not a file-sink one.
 // ---------------------------------------------------------------------------
 
 final class TsvPairWriteBuilder(path: String, info: LogicalWriteInfo)
@@ -238,7 +244,10 @@ final class TsvPairWriteBuilder(path: String, info: LogicalWriteInfo)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = {
     val names = info.schema().fieldNames
-    require(names.length == 2,
+    // Validate names DRIVER-side: a bad schema must fail at planning
+    // time as one clear error, not as 4x-retried executor crashes.
+    require(names.length == 2 && names.contains("word")
+        && names.contains("doc_id"),
       s"tsvpair expects (word, doc_id), got ${names.mkString(",")}")
     new TsvPairWrite(path, info.queryId(), names, doTruncate)
   }
@@ -263,19 +272,21 @@ final class TsvPairBatchWrite(path: String, queryId: String,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new TsvPairWriterFactory(path, stagingName, fieldNames, hconf)
+    new TsvPairWriterFactory(path, stagingName, queryId, fieldNames, hconf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(hconf.conf)
-    if (doTruncate) {
-      // All tasks have staged successfully by the time commit runs —
-      // only now is it safe to drop the previous generation.
-      Option(fs.listStatus(root)).getOrElse(Array.empty).foreach { st =>
-        val n = st.getPath.getName
-        if (!n.startsWith("_") && !n.startsWith(".")) fs.delete(st.getPath, true)
-      }
-    }
+    // Names of the previous generation BEFORE publishing (query-token
+    // file names guarantee no overlap with the new one).
+    val oldGen = if (doTruncate)
+      Option(fs.listStatus(root)).getOrElse(Array.empty)
+        .map(_.getPath).filter { p =>
+          val n = p.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+    else Array.empty[Path]
+    // PUBLISH first: a failure here leaves the old generation intact.
     messages.foreach {
       case TsvCommitMessage(files) => files.foreach { f =>
         val src = new Path(f)
@@ -284,6 +295,8 @@ final class TsvPairBatchWrite(path: String, queryId: String,
       }
       case other => throw new IllegalStateException(s"unexpected $other")
     }
+    // Then retire the old generation (overwrite only).
+    oldGen.foreach(fs.delete(_, true))
     fs.delete(new Path(root, stagingName), true)
     fs.create(new Path(root, "_SUCCESS"), true).close()
   }
@@ -296,12 +309,13 @@ final class TsvPairBatchWrite(path: String, queryId: String,
 }
 
 final class TsvPairWriterFactory(path: String, stagingName: String,
-    fieldNames: Array[String], hconf: TsvPairSource.SerializableHadoopConf)
+    queryId: String, fieldNames: Array[String],
+    hconf: TsvPairSource.SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new TsvPairDataWriter(path, stagingName, fieldNames, partitionId,
-      taskId, hconf.conf)
+    new TsvPairDataWriter(path, stagingName, queryId, fieldNames,
+      partitionId, taskId, hconf.conf)
 }
 
 /** Executor-side writer: one staged file per task attempt (the
@@ -309,11 +323,15 @@ final class TsvPairWriterFactory(path: String, stagingName: String,
   * the driver's commit coordinator admits exactly one attempt per
   * partition). */
 final class TsvPairDataWriter(path: String, stagingName: String,
-    fieldNames: Array[String], partitionId: Int, taskId: Long,
-    hconf: Configuration) extends DataWriter[InternalRow] {
+    queryId: String, fieldNames: Array[String], partitionId: Int,
+    taskId: Long, hconf: Configuration) extends DataWriter[InternalRow] {
 
+  // The query token makes the PUBLISHED name globally unique: task ids
+  // restart per application, so without it a later append could
+  // rename over an earlier generation's part file (silent loss on
+  // POSIX rename).
   private val file = new Path(new Path(new Path(path), stagingName),
-    f"part-$partitionId%05d-$taskId.tsv")
+    f"part-$partitionId%05d-$taskId-${queryId.takeRight(12)}.tsv")
   private val wordIdx = fieldNames.indexOf("word")
   private val docIdx = fieldNames.indexOf("doc_id")
   require(wordIdx >= 0 && docIdx >= 0,

@@ -216,7 +216,13 @@ object StreamingKernels {
             val n = n0 + batch.size
             val last = math.max(last0, batch.map(_._1.getTime).max)
             state.update((n, last))
-            state.setTimeoutTimestamp(last + gapMs)
+            // Clamp to the watermark: a late-but-not-yet-filtered row
+            // (rows older than only the PREVIOUS batch's watermark
+            // still reach the function) would otherwise ask for a
+            // timeout in the past, which throws and kills the query —
+            // the same guard funnelWithState/nearDupMinhash carry.
+            state.setTimeoutTimestamp(
+              math.max(last + gapMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }
@@ -498,19 +504,6 @@ object StreamingKernels {
       }
   }
 
-  /** Streaming per-source quota admission — the streaming twin of
-    * `q_mix_manifest`'s quota fill: each source admits at most `quota`
-    * docs across the whole stream, then drops the rest. The batch twin
-    * fills its quota by weighted sampling key; a stream cannot rank
-    * what it has not yet seen, so the streaming form admits in arrival
-    * order — the standard online relaxation of a quota'd mix, used as
-    * the admission-control stage in front of an ingest pipeline.
-    * State per key is ONE counter, so total state is bounded by
-    * #sources regardless of stream length — no watermark needed, and
-    * a source that exceeded its quota costs one long forever rather
-    * than a growing buffer. Emits (source, doc_id, admit_idx) for
-    * admitted docs only, admit_idx contiguous from 1 per source.
-    */
   /** Streaming twin of `q_chunk_docs`: the SAME
     * [[graft.operators.Chunker]] transform (64-token chunks at stride
     * 48, per-chunk md5 fingerprint), applied per micro-batch. Entirely
@@ -621,7 +614,7 @@ object StreamingKernels {
       .agg(countCols.head, countCols.tail: _*)
     val tot = (0 until nb).map(b => col(s"c$b")).reduce(_ + _)
     val tvdTerms = (0 until nb).map { b =>
-      val qU = expr(s"(c$b * 1000000 * 2 + _tot) DIV (2 * _tot)")
+      val qU = expr(graft.queries.OracleSql.shareUSpark(s"c$b", "_tot"))
       abs(qU - lit(refSharesU(b)))
     }
     counts.withColumn("_tot", tot)
@@ -630,6 +623,19 @@ object StreamingKernels {
         (tvdTerms.reduce(_ + _) / lit(2L)).cast("long").as("tvd_u"))
   }
 
+  /** Streaming per-source quota admission — the streaming twin of
+    * `q_mix_manifest`'s quota fill: each source admits at most `quota`
+    * docs across the whole stream, then drops the rest. The batch twin
+    * fills its quota by weighted sampling key; a stream cannot rank
+    * what it has not yet seen, so the streaming form admits in arrival
+    * order — the standard online relaxation of a quota'd mix, used as
+    * the admission-control stage in front of an ingest pipeline.
+    * State per key is ONE counter, so total state is bounded by
+    * #sources regardless of stream length — no watermark needed, and
+    * a source that exceeded its quota costs one long forever rather
+    * than a growing buffer. Emits (source, doc_id, admit_idx) for
+    * admitted docs only, admit_idx contiguous from 1 per source.
+    */
   def quotaFill(docs: org.apache.spark.sql.Dataset[(Long, String)],
                 quota: Long)
       : org.apache.spark.sql.Dataset[(String, Long, Long)] = {
