@@ -40,7 +40,11 @@ object Aggregators {
   final case class NumSummary(n: Long, sum: Double, sumSq: Double,
                               min: Double, max: Double) {
     def mean: Double = if (n == 0) 0.0 else sum / n
-    def variance: Double = if (n < 2) 0.0 else (sumSq - sum * sum / n) / (n - 1)
+    // Clamped at 0: the sum-of-squares form can go slightly negative
+    // under catastrophic cancellation (large near-equal values), and a
+    // negative variance turns downstream sqrt into NaN.
+    def variance: Double =
+      if (n < 2) 0.0 else math.max(0.0, (sumSq - sum * sum / n) / (n - 1))
   }
 
   /** Bottom-k values per group with MAP-SIDE partial aggregation: each

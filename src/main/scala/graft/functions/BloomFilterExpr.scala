@@ -57,10 +57,17 @@ object BloomImpl {
   }
 
   /** Optimal bit count for n insertions at target false-positive rate. */
+  /** Bit budget capped at 2^30 (a 128 MiB filter): the optimum for
+    * very large n would overflow the Int bit count — Double.toInt
+    * saturates at Int.MaxValue and the word-rounding then wraps
+    * NEGATIVE (the pre-fix failure for expectedKeys ≳ 224M at 1%
+    * fpp). Past the cap the filter stays valid, just with a higher
+    * effective fpp — the correct degradation for a runtime join
+    * filter, whose false positives are removed by the join itself. */
   def optimalNumBits(n: Long, fpp: Double): Int = {
     require(n > 0 && fpp > 0 && fpp < 1)
     val m = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2)))
-    math.max(64, m.toInt)
+    math.min(math.max(64.0, m), (1L << 30).toDouble).toInt
   }
 
   /** Optimal hash count for m bits over n insertions. */
@@ -192,6 +199,7 @@ object BloomBuildAgg {
   /** Column-API entry sized for n expected keys at the target fpp. */
   def apply(key: Column, expectedKeys: Long, fpp: Double): Column = {
     val bits0 = BloomImpl.optimalNumBits(expectedKeys, fpp)
+    // bits0 ≤ 2^30, so the word rounding cannot overflow.
     val bits = ((bits0 + 63) >>> 6) << 6
     Bridge.column(BloomBuildAgg(Bridge.expression(key), bits,
       BloomImpl.optimalNumHashes(bits, expectedKeys)).toAggregateExpression())

@@ -18,8 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, Fl
   * `list_sum(list_transform(...))` oracle mirror is unchanged
   * bit-for-bit. The native form removes the per-element interpreted
   * lambda dispatch and boxing. Null/missing ELEMENTS are not supported
-  * (embedding arrays are dense); lengths are folded to the shorter
-  * side, matching `zip_with`'s non-null prefix behavior on dense data.
+  * (embedding arrays are dense); MISMATCHED lengths return NULL,
+  * exactly like the HOF form (`zip_with` pads the shorter side with
+  * nulls, poisoning the fold) — a truncated embedding must surface as
+  * missing, never as a silently-partial prefix score.
   *
   * Element types: float, double, and byte — the byte case is the int8
   * quantized-code path (q_ann_quantized), where each product is an
@@ -49,14 +51,24 @@ final case class DotProductExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // NULL on length mismatch (see scaladoc), so nullable regardless of
+  // the children's nullability.
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(l: Any, r: Any): Any =
-    DotImpl.dotKind(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
-      elemKind(left), elemKind(right))
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (a.numElements() != b.numElements()) null
+    else DotImpl.dotKind(a, b, elemKind(left), elemKind(right))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.DotImpl.dotKind($a, $b, ${elemKind(left)}, ${elemKind(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.DotImpl.dotKind($a, $b,
+          ${elemKind(left)}, ${elemKind(right)});
+      }""")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =

@@ -68,11 +68,17 @@ object PlaneBucketExpr {
 object PlaneBucketImpl {
   def bucket(v: ArrayData, planes: Array[Array[Double]]): Long = {
     val n = v.numElements()
+    // A vector whose length differs from the plane dimension buckets
+    // to 0, exactly like the HOF form: zip_with pads the shorter side
+    // with nulls, the fold goes null, and when(null > 0) contributes
+    // no bit for ANY plane. A silent prefix-dot here would send the
+    // row to an arbitrary bucket the oracle disagrees with.
+    if (planes.length == 0 || n != planes(0).length) return 0L
     var out = 0L
     var j = 0
     while (j < planes.length) {
       val p = planes(j)
-      val m = math.min(n, p.length)
+      val m = p.length
       var s = 0.0
       var i = 0
       while (i < m) {

@@ -54,10 +54,17 @@ object VectorFunctions {
     * recomputed per row. This replaces the earlier per-row md5 scheme
     * (2048 md5 evals/row at 128-dim × 16 planes) that would have been the
     * slowest scan stage in the pipeline. */
-  def planeMatrix(nPlanes: Int, dim: Int): Array[Array[Double]] =
+  def planeMatrix(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    // ≤ 63 planes: bucket bits live in one signed long, and 1L << j
+    // wraps at 64 (shift count mod 64) — plane 64's vote would
+    // silently alias onto plane 0's bit in BOTH the native and HOF
+    // forms, quietly degrading the whole LSH family.
+    require(nPlanes >= 1 && nPlanes <= 63,
+      s"planeMatrix supports 1..63 planes, got $nPlanes")
     Array.tabulate(nPlanes, dim) { (j, i0) =>
       ((hash60Scala(s"p$j:${i0 + 1}") % 2001L) - 1000L) / 1000.0
     }
+  }
 
   /** Projection of `v` (array<float>) onto one materialized plane,
     * rounded to 6 dp so the sign test is stable across engines. */

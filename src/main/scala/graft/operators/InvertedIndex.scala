@@ -23,14 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object InvertedIndex {
 
+  private val javaTrimChars: String = (0 to 32).map(_.toChar).mkString
+
   /** Parse reference-format `word \t docId` lines, dropping malformed
     * rows. Mirrors `TraceInsertIndexMapper.java:103-115` exactly:
     * Java-trim the line (strips tabs too, so a lone "\t" is blank, not a
     * pair), drop if empty, split on the first tab, drop if no tab
     * remains. */
   def parsePairs(lines: DataFrame, textCol: String = "value"): DataFrame = {
+    // Java String.trim strips EVERY char <= U+0020 (controls included),
+    // not just the 6 common whitespace chars — the full 33-char set
+    // keeps the "mirrors the mapper exactly" claim true for lines with
+    // stray control characters at the ends (the DSv2 reader's
+    // String.trim is Java-exact already).
     lines
-      .select(trim(col(textCol), " \t\r\n\u000B\f").as("_line"))
+      .select(trim(col(textCol), javaTrimChars).as("_line"))
       .filter(length(col("_line")) > 0 && col("_line").contains("\t"))
       .select(split(col("_line"), "\t", 2).getItem(0).as("word"),
         split(col("_line"), "\t", 2).getItem(1).as("doc_id"))

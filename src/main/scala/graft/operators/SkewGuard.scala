@@ -46,7 +46,13 @@ object SkewGuard {
       broadcastSizes: Boolean = true): DataFrame = {
     require(cap >= 2, s"cap must be >= 2, got $cap")
     val sizes = df.groupBy(col(bucketCol)).agg(count(lit(1)).as("_bsz"))
-    df.join(if (broadcastSizes) broadcast(sizes) else sizes, bucketCol)
+    // Null-SAFE join on the bucket key: the contract is a pure column
+    // rewrite, so a null bucket (e.g. the hash of a null id) must pass
+    // through capped like any other group — a plain using-join would
+    // silently DROP those rows (null != null in an equi-join).
+    val sizesR = (if (broadcastSizes) broadcast(sizes) else sizes)
+      .withColumnRenamed(bucketCol, "_bkey")
+    df.join(sizesR, df(bucketCol) <=> sizesR("_bkey")).drop("_bkey")
       .withColumn("_nsplit", ceil(col("_bsz") / lit(cap.toDouble)).cast("long"))
       .withColumn(bucketCol,
         concat(col(bucketCol).cast("string"), lit(":"),

@@ -104,6 +104,28 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
         java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
   }
 
+  test("ragged inputs: dot goes NULL and lsh bucket goes 0, matching the HOF forms") {
+    val s = spark
+    import s.implicits._
+    // A truncated embedding (32 of 64 dims) must surface as MISSING,
+    // never as a silent prefix score or an arbitrary bucket.
+    val planes = VectorFunctions.planeMatrix(4, 4)
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f, 4.0f), Seq(1.0f, 1.0f, 1.0f, 1.0f)),
+      (Seq(1.0f, 2.0f), Seq(1.0f, 1.0f, 1.0f, 1.0f))) // ragged left
+      .toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("native"),
+      VectorFunctions.dotHof(col("a"), col("b")).as("hof"),
+      VectorFunctions.lshBucket(col("a"), planes).as("nb"),
+      VectorFunctions.lshBucketHof(col("a"), planes).as("hb")).collect()
+    assert(!rows(0).isNullAt(0) && rows(0).getDouble(0) == 10.0)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1),
+      "mismatched lengths must be NULL in both forms")
+    assert(rows(1).getLong(2) == 0L && rows(1).getLong(3) == rows(1).getLong(2),
+      "ragged vector must bucket to 0 in both forms")
+  }
+
   test("native dot on array<tinyint> ≡ HOF fold over cast doubles, bit-for-bit") {
     // The int8 quantized-code path: every product is an integer ≤ 127²·dim,
     // exactly representable, so the byte fold must match the double fold

@@ -110,4 +110,19 @@ class SkewGuardSpec extends AnyFunSuite with SparkSpec {
       .toDF("word", "doc_id")
     assert(graft.SkewAdvise.recommend(flat, col("word"), 2048) == 1)
   }
+
+  test("capBuckets is a pure column rewrite: null-bucket rows survive") {
+    val s = spark
+    import s.implicits._
+    // A plain using-join would silently DROP the null-bucket group
+    // (null != null in an equi-join) — the cap must pass it through
+    // like any other bucket.
+    val df = Seq((Some("b1"), 1L), (Some("b1"), 2L), (None, 3L), (None, 4L))
+      .toDF("bucket", "id")
+    val capped = SkewGuard.capBuckets(df, "bucket", col("id"), cap = 2)
+    assert(capped.count() == 4, "row count must be preserved")
+    val nullRows = capped.filter(col("bucket").startsWith("null:") ||
+      col("bucket").isNull).count()
+    assert(nullRows == 2, s"null-bucket rows lost: ${capped.collect().toSeq}")
+  }
 }
