@@ -91,7 +91,7 @@ object Bench {
     * Pure — pinned by BenchArtifactSpec. */
   def planAtLevel(level: Int, iters: Int, maxIters: Int): (Int, Int) = level match {
     case 0          => (iters, maxIters)
-    case 1          => (math.min(iters, 3), math.min(iters, 3))
+    case 1          => (iters, iters) // base iters, no adaptive extras
     case 2          => (math.min(iters, 2), math.min(iters, 2))
     case _          => (1, 1)
   }
@@ -165,7 +165,7 @@ object Bench {
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = timings.values.map(_._1).sum
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"n_samples":$ns,"failed":$fs,"skipped":$sk,"budget_exceeded":$budgetExceeded,"complete":$complete,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":$qs,"spread":$spread,"n_samples":$ns,"failed":$fs,"skipped":$sk,"budget_exceeded":$budgetExceeded,"complete":$complete,"sf":${JsonUtil.quote(sfDir)}}"""
   }
 
   /** SHORT summary line, printed AFTER the full artifact line: the
@@ -190,7 +190,7 @@ object Bench {
         val (k, (med, _, _, _)) = timings.maxBy(_._2._1)
         "\"" + k + "\":" + fmt(med)
       }
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"n_failed":${failed.size},"n_skipped":${skipped.size},"slowest":{$slowest},"budget_exceeded":$budgetExceeded,"complete":$complete,"sf":"$sfDir","artifact":"$artifactPath"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${timings.size},"n_failed":${failed.size},"n_skipped":${skipped.size},"slowest":{$slowest},"budget_exceeded":$budgetExceeded,"complete":$complete,"sf":${JsonUtil.quote(sfDir)},"artifact":${JsonUtil.quote(artifactPath)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -213,15 +213,12 @@ object Bench {
     def elapsedSec = (System.nanoTime() - startNanos) / 1e9
     def overBudget = budgetSec > 0 && elapsedSec > budgetSec
 
-    val spark = SparkSession.builder()
+    // Same unified builder as Verify/user sessions: benched plans are
+    // the plans a user session produces (this block previously drifted
+    // from the gate — it was missing the UTC session timezone).
+    val spark = GraftSession.builder("graft-bench")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      // Same extension stack as Verify: benched plans are the plans a
-      // user session produces.
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Session-level warm-up: codegen/JIT/scan paths on the smallest sf so
@@ -267,7 +264,11 @@ object Bench {
     val skipped = scala.collection.mutable.ListBuffer[String]()
     var budgetExceeded = false
     def flush(complete: Boolean): String = {
-      val json = renderJson(timings, failed.toSeq, skipped.toSeq, iters, sfDir,
+      // The contract is "deadline passed => budget_exceeded", including
+    // a deadline that passes during the LAST query's sampling (no
+    // later iteration reaches the skip branch to set it).
+    if (overBudget) budgetExceeded = true
+    val json = renderJson(timings, failed.toSeq, skipped.toSeq, iters, sfDir,
         budgetExceeded, complete)
       // Write-temp-then-move so a kill mid-write can't leave a truncated
       // (unparseable) artifact — the previous complete flush survives.
@@ -327,7 +328,7 @@ object Bench {
         while (samples.length < tgtIters && !overBudget) samples += timedRunOnce()
         def spreadRatio = {
           val s = samples.sorted
-          (s.last - s.head) / s(s.length / 2)
+          (s.last - s.head) / median(s.toSeq)
         }
         while (samples.length < tgtMax && spreadRatio > 0.35 && !overBudget)
           samples += timedRunOnce()

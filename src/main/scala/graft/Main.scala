@@ -145,7 +145,15 @@ object Main {
       a.kernel match {
         case "wordcount" =>
           val (counts, inObs, outObs) = WordCount.counted(input)
-          TextIO.writeTsv(counts, a.out, a.overwrite)
+          // --reducers N mirrors the reference's mapreduce.job.reduces
+          // for this job too: N hash-partitioned output files (the
+          // usage text advertises it; silently ignoring it would make
+          // the flag a no-op here while working for sort).
+          val out = if (a.reducers > 1)
+            counts.repartition(a.reducers,
+              org.apache.spark.sql.functions.col("word"))
+          else counts
+          TextIO.writeTsv(out, a.out, a.overwrite)
           System.err.println(s"[graft] counters in=${inObs.get} out=${outObs.get}")
         case "sort" =>
           val sorted =

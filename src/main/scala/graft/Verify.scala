@@ -24,17 +24,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // GraftSession.builder IS the user-session config (extensions, UTC,
+    // AQE, parquet read semantics, catalog) — the gate checks the
+    // engine exactly as a user session runs it, and three hand-copied
+    // config blocks (Verify/Bench/GraftSession) had already drifted
+    // once (Bench missing UTC) before this was unified.
+    val spark = GraftSession.builder("graft-verify")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      // The full extension stack (native SQL functions, as-of strategy,
-      // rewrite rule) is live in the correctness gate — the gate checks
-      // the engine as a user session actually runs it.
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -64,7 +64,15 @@ object SlowInject {
   }
 
   def mapConf(spark: SparkSession): SlowConf = readConf(spark, "map")
-  def reduceConf(spark: SparkSession): SlowConf = readConf(spark, "reduce")
+
+  /** Reduce-side conf. Input-path targeting is a MAP-side concept (a
+    * reducer consumes shuffle blocks, not files — the reference's
+    * `slow.input.contains` gates its mapper, `TraceInsertIndexMapper
+    * .java:117-133`), so `reduce.input.contains` is stripped here: left
+    * in place it would gate every row on `"".contains(sub)` and turn
+    * the whole reduce-side experiment into a silent no-op. */
+  def reduceConf(spark: SparkSession): SlowConf =
+    readConf(spark, "reduce").copy(pathContains = None)
 
   final case class Injected(df: DataFrame, hits: LongAccumulator)
 

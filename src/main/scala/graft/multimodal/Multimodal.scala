@@ -241,14 +241,15 @@ object Multimodal {
     * (deterministic byte slices) with a frame index — the shape a real
     * frame sampler produces (one row per frame, meta carried along). */
   def frameSample(df: DataFrame, n: Int): DataFrame = {
-    val len = octet_length(col("bytes"))
-    val sliceLen = greatest((len / n).cast("int"), lit(1))
+    // ONE slice-length definition (integer DIV, floor ≥ 1) bound for
+    // both the offset and the length — the earlier dead double-division
+    // val invited auditing the wrong formula.
+    val sliceLen = s"greatest(octet_length(bytes) DIV $n, 1)"
     df.select(col("media_id"), col("kind"), col("meta"),
         explode(sequence(lit(0), lit(n - 1))).as("frame_idx"),
         col("bytes"))
       .withColumn("frame_bytes",
-        expr(s"substring(bytes, frame_idx * greatest(octet_length(bytes) DIV $n, 1) + 1," +
-          s" greatest(octet_length(bytes) DIV $n, 1))"))
+        expr(s"substring(bytes, frame_idx * $sliceLen + 1, $sliceLen)"))
       .drop("bytes")
       .filter(octet_length(col("frame_bytes")) > 0)
   }

@@ -144,7 +144,25 @@ final class ZipkinFileExporter(path: String, serviceName: String = "graft",
   }
 
   private def flushLocked(): Unit = {
-    if (buf.isEmpty) return
+    // A torn document must be repaired even when no new spans arrived:
+    // the uninstall-time flush is often empty, and returning early
+    // would leave the file invalid (missing ']') forever.
+    if (buf.isEmpty && !rewriteNeeded) return
+    if (buf.isEmpty) {
+      try {
+        val raf = new java.io.RandomAccessFile(path, "rw")
+        try {
+          System.err.println(s"[zipkin] $path: truncating possibly-torn " +
+            "document after a failed write; previously flushed spans dropped")
+          raf.setLength(0)
+          raf.write("[]".getBytes("UTF-8"))
+        } finally raf.close()
+        rewriteNeeded = false
+      } catch { case e: java.io.IOException =>
+        System.err.println(s"[zipkin] repair $path failed: ${e.getMessage}")
+      }
+      return
+    }
     val batch = buf.map(_.zipkinJson(serviceName)).mkString(",")
     // Write-then-clear under [[ZipkinHttpExporter]]'s log-and-drop
     // policy: an IOException must neither propagate into the caller

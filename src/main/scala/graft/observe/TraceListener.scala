@@ -30,14 +30,20 @@ final class TraceListener(exporter: SpanExporter, ctx: TraceContext)
 
   private val jobStarts = TrieMap.empty[Int, (Long, String)] // jobId → (t0, spanId)
   private val stageToJob = TrieMap.empty[Int, Int]
+  // jobId → its stage ids, so onJobEnd can prune stageToJob — without
+  // it a long-lived installed listener (streaming micro-batches every
+  // few seconds) grows one entry per stage forever.
+  private val jobStages = TrieMap.empty[Int, Seq[Int]]
 
   override def onJobStart(ev: SparkListenerJobStart): Unit = {
     val spanId = TraceContext.randomHex(16)
     jobStarts.put(ev.jobId, (ev.time, spanId))
+    jobStages.put(ev.jobId, ev.stageIds)
     ev.stageIds.foreach(stageToJob.put(_, ev.jobId))
   }
 
   override def onJobEnd(ev: SparkListenerJobEnd): Unit = {
+    jobStages.remove(ev.jobId).foreach(_.foreach(stageToJob.remove))
     val (t0, spanId) = jobStarts.remove(ev.jobId).getOrElse((ev.time, TraceContext.randomHex(16)))
     val ok = ev.jobResult == JobSucceeded
     exporter.export(Span(ctx.traceId, spanId, Some(ctx.spanId),
