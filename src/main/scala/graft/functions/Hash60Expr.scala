@@ -51,17 +51,26 @@ object Hash60Impl {
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  /** First 15 hex digits of md5(utf8 bytes) as a long: the big-endian
-    * first 8 digest bytes shifted right 4 (dropping the 16th nibble). */
+  /** THE md5→60-bit fold (first 15 hex digits as a long = the
+    * big-endian first 8 digest bytes shifted right 4): the single
+    * definition of the engine's hash family, shared by the native
+    * expressions, the shingle hasher, and every driver-side constant
+    * — a change here is a change to every oracle mirror at once. */
+  def longFromDigest(d: Array[Byte]): Long =
+    (((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+     ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+     ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+     ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 4
+
   def hash60(s: UTF8String): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(s.getBytes)
-    val top =
-      ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
-      ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
-      ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
-      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
-    top >>> 4
+    longFromDigest(md.digest(s.getBytes))
   }
+
+  /** Driver-side String form (same family, fresh digest per call —
+    * these run once per constant, not per row). */
+  def hash60String(s: String): Long =
+    longFromDigest(MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")))
 }

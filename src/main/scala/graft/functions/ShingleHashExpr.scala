@@ -98,12 +98,7 @@ object ShingleHashImpl {
         }
         j += 1
       }
-      val d = md.digest()
-      out(w) =
-        (((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
-         ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
-         ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
-         ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 4
+      out(w) = Hash60Impl.longFromDigest(md.digest())
       w += 1
     }
     java.util.Arrays.sort(out)

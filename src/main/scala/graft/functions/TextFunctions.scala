@@ -85,14 +85,9 @@ object TextFunctions {
 
   /** Driver-side constants for universal-hash member `seed`, derived
     * from the same md5 hash family so both engines can regenerate them. */
-  def mixConsts(seed: Int): (Long, Long) = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def h60(s: String): Long = {
-      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    }
-    ((h60(s"a:$seed") % (MixP - 1)) + 1, h60(s"b:$seed") % MixP)
-  }
+  def mixConsts(seed: Int): (Long, Long) =
+    ((Hash60Impl.hash60String(s"a:$seed") % (MixP - 1)) + 1,
+      Hash60Impl.hash60String(s"b:$seed") % MixP)
 
   /** Universal-hash re-mix of a base hash: `(a·(h mod p) + b) mod p`.
     * One md5 per shingle total, k cheap mixes — the scale form of a

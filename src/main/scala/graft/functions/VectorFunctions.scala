@@ -41,11 +41,7 @@ object VectorFunctions {
   /** Pure-Scala md5-based 60-bit hash — same value as
     * [[TextFunctions.hash60]] so driver-side constants and executor-side
     * expressions share one hash family. */
-  def hash60Scala(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  def hash60Scala(s: String): Long = Hash60Impl.hash60String(s)
 
   /** Deterministic random-hyperplane matrix, materialized ONCE on the
     * driver (components in [-1, 1], 3 exact decimal digits so literals
