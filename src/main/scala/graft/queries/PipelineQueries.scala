@@ -245,8 +245,70 @@ object PipelineQueries extends QueryModule {
         .withColumn("url_norm",
           concat(lit("https://"), col("host"), col("path")))
         .orderBy("doc_id")
+    }),
+
+    // Boilerplate strip (the CCNet paragraph-hash recipe): hash each
+    // document unit, count corpus-wide document frequency, DROP units
+    // that recur in ≥ dfMin docs, and reassemble the survivors in
+    // order. The fixture corpus has no paragraph breaks, so units are
+    // disjoint 8-token chunks and a per-source 8-token header is
+    // planted (the piiBlob precedent) — chunk-aligned at position 0,
+    // so the strip provably removes exactly it (PipelineSpec pins
+    // kept_text = the normalized original). Scale shape: the chunk
+    // table is data-linear and carries only (doc_id, pos, 60-bit
+    // hash, chunk); frequency is ONE partial-agg'd groupBy on the
+    // hash; the strip is a hash anti-join (AQE broadcasts it when the
+    // frequent set is small); reassembly is one groupBy(doc_id) with
+    // an in-memory sort of ≤ doc-length/8 structs. No pair join, no
+    // window over the corpus — three shuffles total at any scale.
+    // Position-DEPENDENT dup text (a footer at unaligned offsets)
+    // deliberately survives: that is q_span_dup's stride-1 job; this
+    // operator is the cheap aligned-unit pass that runs first.
+    // Only FULL-width chunks are boilerplate candidates — a short tail
+    // (doc length mod w) of 1-2 common words trivially recurs across
+    // docs and would be false-positive stripped, the same reason CCNet
+    // applies a minimum paragraph length before hashing.
+    "q_boilerplate_strip" -> ((s, d) => {
+      val w = boilerChunkW
+      val header = concat(lit("standard promo header from "), col("source"),
+        lit(" all rights reserved "))
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.tokens(concat(header, col("text"))).as("t"))
+        .filter(size(col("t")) >= 1)
+        .withColumn("nlast", expr("CAST((size(t) - 1) DIV " + w + " AS INT)"))
+      val chunks = StagedCache.persist(toks
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), col("nlast")), i =>
+            struct(i.cast("long").as("pos"),
+              concat_ws(" ", slice(col("t"), i * w + 1, lit(w)))
+                .as("chunk"),
+              ((i + 1) * w <= size(col("t"))).as("full")))).as("c"))
+        .select(col("doc_id"), col("c.pos").as("pos"),
+          col("c.chunk").as("chunk"), col("c.full").as("full"),
+          TextFunctions.hash60(col("c.chunk")).as("h")))
+      val boiler = chunks.filter(col("full")).groupBy("h")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= boilerDfMin).select("h")
+      val perDoc = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val kept = chunks.join(boiler, Seq("h"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            x => x.getField("chunk"))).as("kept_text"))
+      perDoc.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_text"), lit("")).as("kept_text"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Boilerplate-strip unit width (tokens) and document-frequency
+    * threshold, shared with the oracle and PipelineSpec. */
+  private[graft] val boilerChunkW = 8
+  private[graft] val boilerDfMin = 3
 
   /** The merge CTE chain + winner select, shared by the q_merge_upsert
     * and q_snapshot_diff oracles so the diff audits the SAME merge. */
@@ -381,6 +443,37 @@ object PipelineQueries extends QueryModule {
          |  FROM b)
          |SELECT doc_id, host, path,
          |  'https://' || host || path AS url_norm
-         | FROM ex ORDER BY doc_id""".stripMargin.replace("\n", "")
+         | FROM ex ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    "q_boilerplate_strip" -> {
+      val w = boilerChunkW
+      s"""WITH aug AS (SELECT doc_id,
+         |   'standard promo header from ' || source
+         |     || ' all rights reserved ' || text AS text2
+         |  FROM documents),
+         | tok AS (SELECT doc_id, ${OracleSql.toks("text2")} AS t FROM aug),
+         | pos AS (SELECT doc_id, t,
+         |    unnest(generate_series(0, (len(t) - 1) // $w))::BIGINT AS pos
+         |   FROM tok WHERE len(t) >= 1),
+         | hh AS (SELECT doc_id, pos,
+         |    array_to_string(list_slice(t, pos * $w + 1, pos * $w + $w), ' ')
+         |      AS chunk,
+         |    (pos + 1) * $w <= len(t) AS is_full
+         |   FROM pos),
+         | hx AS (SELECT doc_id, pos, chunk, is_full,
+         |    ${OracleSql.hash60("chunk")} AS h
+         |   FROM hh),
+         | boiler AS (SELECT h FROM hx WHERE is_full GROUP BY h
+         |   HAVING count(DISTINCT doc_id) >= $boilerDfMin),
+         | pd AS (SELECT doc_id, count(*)::BIGINT AS n_chunks FROM hx
+         |   GROUP BY doc_id),
+         | kept AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |    string_agg(chunk, ' ' ORDER BY pos) AS kept_text
+         |   FROM hx WHERE h NOT IN (SELECT h FROM boiler) GROUP BY doc_id)
+         |SELECT doc_id, n_chunks, coalesce(n_kept, 0)::BIGINT AS n_kept,
+         |  coalesce(kept_text, '') AS kept_text
+         | FROM pd LEFT JOIN kept USING (doc_id) ORDER BY doc_id"""
+        .stripMargin.replace("\n", "")
+    }
   )
 }

@@ -356,6 +356,171 @@ object RelationalQueries extends QueryModule {
               |   AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'
               | GROUP BY n_name
               | ORDER BY revenue_u DESC, n_name""".stripMargin)
+    }),
+
+    // TPC-H Q7 (volume shipping): revenue between a nation PAIR in both
+    // directions, grouped by (supp_nation, cust_nation, ship year). The
+    // symmetric OR pair predicate cannot prune either nation join alone,
+    // so both nation lookups broadcast onto their fact side and the pair
+    // filter runs post-join — the planner-correct shape (a disjunctive
+    // predicate over two dims never becomes a scan filter). One fact-fact
+    // shuffle (lineitem ⋈ orders); supplier/customer/nation broadcast.
+    "q_tpch_q7" -> ((s, d) => {
+      val nA = "NATION_1"; val nB = "NATION_2"
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .filter(col("supp_nation").isin(nA, nB))
+        .select("s_suppkey", "supp_nation")
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("cust_nation").isin(nA, nB))
+        .select("c_custkey", "cust_nation")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+                col("l_shipdate").cast("date") <= lit("1997-12-31").cast("date"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_u"))
+      l.join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === nA && col("cust_nation") === nB) ||
+                (col("supp_nation") === nB && col("cust_nation") === nA))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum("rev_u").as("revenue_u"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8 (national market share): the target nation's share of
+    // AMERICA's ECONOMY-part import revenue per order year. The share is
+    // a conditional-sum ratio — kept integer-exact as basis points via
+    // BIGINT floor division (numerator ≤ Σrev_u·10⁴ < 2⁶³), the
+    // cross-engine float-parity rule. Part is the selective filter and
+    // prunes lineitem through the join; all dims broadcast.
+    "q_tpch_q8" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")
+      val americaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val c = Tables.customer(s, d)
+        .join(broadcast(americaNations), col("c_nationkey") === col("c_nk"))
+        .select("c_custkey")
+      val suppNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+                col("o_orderdate").cast("date") <= lit("1997-12-31").cast("date"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_u"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+          sum(when(col("supp_nation") === "NATION_5", col("rev_u"))
+            .otherwise(lit(0L))).as("nation_u"),
+          sum("rev_u").as("total_u"))
+        .select(col("o_year"),
+          expr("nation_u * 10000L DIV total_u").as("share_bp"),
+          col("total_u"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q10 (returned-item reporting): customers who returned goods
+    // in a half-year window, ranked by lost revenue. Group-by carries the
+    // full customer tuple (grouping by the c_custkey key makes the rest
+    // functionally dependent); acctbal travels as exact cents. Top-20 is
+    // TakeOrderedAndProject over the post-agg rows.
+    "q_tpch_q10" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
+                col("o_orderdate").cast("date") < lit("1997-07-01").cast("date"))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_u"))
+      val c = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"),
+          col("n_name"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "acctbal_cents", "n_name")
+        .agg(sum("rev_u").as("revenue_u"))
+        .orderBy(col("revenue_u").desc, col("c_custkey")).limit(20)
+    }),
+
+    // TPC-H Q14 (promo effect): PROMO parts' share of monthly revenue
+    // over 1997. Same conditional-sum basis-point discipline as Q8; the
+    // part flag rides a broadcast join, so the only shuffle is the
+    // 12-group month aggregation.
+    "q_tpch_q14" -> ((s, d) => {
+      val promo = Tables.part(s, d)
+        .select(col("p_partkey"),
+          (col("p_type") === "PROMO").cast("long").as("is_promo"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+                col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
+        .select(col("l_partkey"),
+          month(col("l_shipdate")).cast("long").as("ship_month"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_u"))
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .groupBy("ship_month")
+        .agg(
+          sum(when(col("is_promo") === 1L, col("rev_u")).otherwise(lit(0L)))
+            .as("promo_u"),
+          sum("rev_u").as("total_u"))
+        .select(col("ship_month"),
+          expr("promo_u * 10000L DIV total_u").as("promo_share_bp"),
+          col("total_u"))
+        .orderBy("ship_month")
+    }),
+
+    // TPC-H Q18 (large-volume customers): orders whose total quantity
+    // exceeds a threshold, with the customer attached. The HAVING
+    // subquery is a self-aggregation of lineitem semi-joined back — one
+    // hash-partitioned exchange on l_orderkey feeds BOTH the filter agg
+    // and the final per-order sum (exchange reuse), and quantities are
+    // integral by fixture contract so the sum is an exact BIGINT.
+    "q_tpch_q18" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), round(col("l_quantity")).cast("long").as("qty"))
+      val big = l.groupBy("l_orderkey").agg(sum("qty").as("sum_qty"))
+        .filter(col("sum_qty") > 180L)
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_date"),
+          round(col("o_totalprice") * 100).cast("long").as("totalprice_cents"))
+      val c = Tables.customer(s, d).select("c_custkey", "c_name")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_date",
+          "totalprice_cents", "sum_qty")
+        .orderBy(col("totalprice_cents").desc, col("o_orderkey")).limit(50)
     })
   )
 
@@ -392,6 +557,88 @@ object RelationalQueries extends QueryModule {
         |   AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'
         | GROUP BY n_name
         | ORDER BY revenue_u DESC, n_name""".stripMargin.replace("\n", ""),
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(CAST(l_shipdate AS DATE))::BIGINT AS l_year,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+        |    AS revenue_u
+        | FROM supplier s, lineitem l, orders o, customer c,
+        |      nation n1, nation n2
+        | WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |   AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |   AND c_nationkey = n2.n_nationkey
+        |   AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |   AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
+        |     AND DATE '1997-12-31'
+        | GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin.replace("\n", ""),
+
+    "q_tpch_q8" ->
+      """WITH base AS (SELECT year(CAST(o_orderdate AS DATE))::BIGINT AS o_year,
+        |   CAST(round(l_extendedprice * 100) AS BIGINT)
+        |     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u,
+        |   n2.n_name AS supp_nation
+        |  FROM part p, supplier s, lineitem l, orders o, customer c,
+        |       nation n1, nation n2, region r
+        |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+        |    AND CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01'
+        |      AND DATE '1997-12-31'
+        |    AND p_type = 'ECONOMY')
+        |SELECT o_year,
+        |  ((sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_u ELSE 0 END)
+        |    * 10000) // sum(rev_u))::BIGINT AS share_bp,
+        |  sum(rev_u)::BIGINT AS total_u
+        | FROM base GROUP BY o_year ORDER BY o_year"""
+        .stripMargin.replace("\n", ""),
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents, n_name,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+        |    AS revenue_u
+        | FROM customer, orders, lineitem, nation
+        | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |   AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |   AND CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+        |   AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        | GROUP BY 1, 2, 3, 4
+        | ORDER BY revenue_u DESC, c_custkey LIMIT 20"""
+        .stripMargin.replace("\n", ""),
+
+    "q_tpch_q14" ->
+      """WITH base AS (SELECT month(CAST(l_shipdate AS DATE))::BIGINT
+        |    AS ship_month,
+        |   CAST(round(l_extendedprice * 100) AS BIGINT)
+        |     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u,
+        |   CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1998-01-01')
+        |SELECT ship_month,
+        |  ((sum(CASE WHEN is_promo = 1 THEN rev_u ELSE 0 END) * 10000)
+        |    // sum(rev_u))::BIGINT AS promo_share_bp,
+        |  sum(rev_u)::BIGINT AS total_u
+        | FROM base GROUP BY ship_month ORDER BY ship_month"""
+        .stripMargin.replace("\n", ""),
+
+    "q_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_date,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        |  sum_qty
+        | FROM (SELECT l_orderkey,
+        |         sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty
+        |        FROM lineitem GROUP BY 1 HAVING sum_qty > 180) big
+        | JOIN orders ON o_orderkey = l_orderkey
+        | JOIN customer ON c_custkey = o_custkey
+        | ORDER BY totalprice_cents DESC, o_orderkey LIMIT 50"""
+        .stripMargin.replace("\n", ""),
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

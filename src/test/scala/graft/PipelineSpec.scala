@@ -199,4 +199,52 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       assert(r.getLong(2) == -1L && r.getDouble(3) == 0.0 && r.getLong(4) == 0L)
     }
   }
+
+  test("q_boilerplate_strip matches an independent model; headers always go") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    // Plain-Scala model of the operator (the GoldenKernelSpec pattern):
+    // normalize, chunk in 8s, df >= 3 over FULL chunks, strip, rejoin.
+    def toks(s: String): Array[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim.split(" ").filter(_.nonEmpty)
+    val chunked = docs.map { case (id, src, text) =>
+      val t = toks(s"standard promo header from $src all rights reserved $text")
+      val chunks = (0 to (t.length - 1) / 8).map { i =>
+        (i, t.slice(i * 8, i * 8 + 8).mkString(" "), (i + 1) * 8 <= t.length)
+      }
+      id -> chunks
+    }
+    val boiler = chunked.flatMap { case (id, cs) =>
+        cs.filter(_._3).map(c => (c._2, id))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+      .filter(_._2 >= 3).keySet
+    val expected = chunked.map { case (id, cs) =>
+      val kept = cs.filterNot(c => boiler.contains(c._2))
+      id -> (cs.size.toLong, kept.size.toLong, kept.map(_._2).mkString(" "))
+    }.toMap
+
+    val rows = PipelineQueries.queries("q_boilerplate_strip")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == docs.length, "one output row per document")
+    rows.foreach { case (id, nChunks, nKept, keptText) =>
+      val (eChunks, eKept, eText) = expected(id)
+      assert(nChunks == eChunks, s"doc $id: n_chunks")
+      assert(nKept == eKept, s"doc $id: n_kept")
+      assert(keptText == eText, s"doc $id: kept_text")
+      // The planted per-source header (df = docs-per-source >= 3) must
+      // never survive.
+      assert(!keptText.contains("standard promo header from"),
+        s"doc $id: header survived the strip")
+    }
+    // The strip must not be vacuous in either direction: every doc loses
+    // its header, and most docs keep their (unique) body.
+    assert(rows.forall(r => r._3 < r._2), "every doc drops at least the header")
+    assert(rows.count(r => r._3 == r._2 - 1) > rows.length / 2,
+      "most docs should lose ONLY the header")
+  }
 }

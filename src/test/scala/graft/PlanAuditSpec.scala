@@ -376,4 +376,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     assert(!pii.contains("hashpartitioning"),
       s"q_pii_redact: unexpected shuffle:\n$pii")
   }
+
+  test("tpch q7/q8: dims broadcast — exactly one fact-fact shuffle join") {
+    for (q <- Seq("q_tpch_q7", "q_tpch_q8")) {
+      val plan = formatted(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: dim joins must broadcast:\n$plan")
+      // lineitem ⋈ orders is the only shuffled join pair.
+      val smj = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size
+      assert(smj <= 1, s"$q: more than one shuffled join ($smj):\n$plan")
+    }
+  }
+
+  test("tpch q10/q18: top-k is TakeOrderedAndProject, not a global sort") {
+    for (q <- Seq("q_tpch_q10", "q_tpch_q18")) {
+      val plan = formatted(q)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q: limit should plan as TakeOrderedAndProject:\n$plan")
+    }
+  }
+
+  test("boilerplate strip: no pair join, anti join on the chunk hash") {
+    val plan = formatted("q_boilerplate_strip")
+    assert(plan.contains("LeftAnti"),
+      s"q_boilerplate_strip: strip should be a left_anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q_boilerplate_strip: unexpected pair/nested-loop join:\n$plan")
+  }
 }
