@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.operators.BpeTrainer
 import graft.sources.Tables
 
 /** Corpus-level training-data operations over `documents`: deterministic
@@ -744,8 +745,84 @@ object CorpusQueries extends QueryModule {
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("score_u").desc, col("doc_id"))).cast("long"))
         .select(col("doc_id"), col("n_terms_hit"), col("score"), col("rnk"))
-        .orderBy("rnk"))
+        .orderBy("rnk")),
+
+    // BPE tokenizer training (see [[graft.operators.BpeTrainer]]): the
+    // first K learned merges, frequency-weighted over the corpus word
+    // table. The oracle replays the identical K rounds as an unrolled
+    // CTE chain (pair-count → argmax → delimiter-replace per round) —
+    // a data-DEPENDENT iterative trainer under the exact-hash gate,
+    // the strongest cross-engine check in the suite: one mis-counted
+    // pair or a divergent merge application reorders every later
+    // round. Driver state: K (lhs, rhs) pairs — bounded at any scale.
+    "q_bpe_merges" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+      val (merges, _) = BpeTrainer.train(words, bpeK)
+      s.createDataFrame(merges.map(m =>
+          (m.rank.toLong, m.left, m.right, m.left + m.right, m.count)))
+        .toDF("merge_rank", "lhs", "rhs", "merged", "pair_cnt")
+        .orderBy("merge_rank")
+    }),
+
+    // Encode the corpus with the learned merges: per-doc token counts
+    // before (chars) and after (BPE symbols) — the compression audit a
+    // pipeline runs to size its token budget. The word→symbol-count
+    // map is the trained vocab table (|vocab| rows, broadcast); the
+    // corpus-side cost is one explode + one broadcast join + one
+    // per-doc aggregate.
+    "q_bpe_encode" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+      val (_, trained) = BpeTrainer.train(words, bpeK)
+      val nSym = trained.select(col("word"),
+        BpeTrainer.symbolCount(col("rep")).as("n_sym"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(broadcast(nSym), Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word")).cast("long")).as("n_chars"),
+          sum("n_sym").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    })
   )
+
+  /** BPE merge rounds, shared with the oracle chain below. */
+  private[graft] val bpeK = 6
+
+  /** The unrolled K-round BPE oracle: v0 is the char-delimited word
+    * table; each round derives pair counts, the argmax pair (total
+    * order: count desc, lhs, rhs), and the delimiter-consuming
+    * replace — the EXACT mirror of BpeTrainer's round. */
+  private def bpeCteChain(k: Int): String = {
+    val b = new StringBuilder
+    b ++= s"WITH tokw AS (SELECT unnest(${OracleSql.toks("text")}) AS word " +
+      "FROM documents), "
+    b ++= "v0 AS (SELECT word, count(*)::BIGINT AS cnt, " +
+      "regexp_replace(word, '(.)', '||\\1', 'g') || '||' AS rep " +
+      "FROM tokw WHERE word != '' GROUP BY word)"
+    for (i <- 1 to k) {
+      val p = s"v${i - 1}"
+      b ++= s", s$i AS (SELECT cnt, " +
+        s"list_filter(string_split(rep, '||'), x -> x != '') AS s FROM $p)"
+      b ++= s", j$i AS (SELECT cnt, s, " +
+        s"unnest(generate_series(1, len(s) - 1)) AS j FROM s$i " +
+        "WHERE len(s) >= 2)"
+      b ++= s", p$i AS (SELECT s[j] AS lhs, s[j+1] AS rhs, " +
+        s"sum(cnt)::BIGINT AS pair_cnt FROM j$i GROUP BY 1, 2)"
+      b ++= s", t$i AS (SELECT lhs, rhs, pair_cnt FROM p$i " +
+        "ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1)"
+      b ++= s", v$i AS (SELECT word, cnt, " +
+        "replace(rep, '|' || lhs || '||' || rhs || '|', " +
+        s"'|' || lhs || rhs || '|') AS rep FROM $p, t$i)"
+    }
+    b.toString
+  }
 
   import OracleSql._
 
@@ -1115,6 +1192,27 @@ object CorpusQueries extends QueryModule {
          | top AS (SELECT * FROM sc ORDER BY score_u DESC, doc_id LIMIT 20)
          |SELECT doc_id, n_terms_hit, round(score_u::DOUBLE / 1e6, 6) AS score,
          | row_number() OVER (ORDER BY score_u DESC, doc_id)::BIGINT AS rnk
-         | FROM top ORDER BY rnk""".stripMargin.replace("\n", "")
+         | FROM top ORDER BY rnk""".stripMargin.replace("\n", ""),
+
+    "q_bpe_merges" -> {
+      val ranked = (1 to bpeK).map(i =>
+        s"SELECT $i::BIGINT AS merge_rank, lhs, rhs, lhs || rhs AS merged, " +
+          s"pair_cnt FROM t$i").mkString(" UNION ALL ")
+      s"${bpeCteChain(bpeK)} SELECT * FROM ($ranked) ORDER BY merge_rank"
+    },
+
+    "q_bpe_encode" ->
+      s"""${bpeCteChain(bpeK)},
+         | fin AS (SELECT word,
+         |    len(list_filter(string_split(rep, '||'), x -> x != ''))::BIGINT
+         |      AS n_sym
+         |   FROM v$bpeK),
+         | dt AS (SELECT doc_id, unnest(${OracleSql.toks("text")}) AS word
+         |   FROM documents)
+         |SELECT doc_id, count(*)::BIGINT AS n_words,
+         | sum(len(word))::BIGINT AS n_chars,
+         | sum(n_sym)::BIGINT AS n_bpe_tokens
+         | FROM dt JOIN fin USING (word) WHERE word != ''
+         | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", "")
   )
 }
