@@ -41,26 +41,19 @@ import org.apache.spark.sql.types._
   * express the semantics — `approx_count_distinct`'s HLL is
   * engine-internal and not oracle-mirrorable, KMV is).
   */
-case class KmvDistinctAgg(
-    child: Expression,
-    k: Int,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+/** The update/merge/wire plumbing shared by both KMV aggregates —
+  * one definition of the buffer lifecycle and byte layout
+  * (`[n, h*]`, each h a big-endian long), so the two forms cannot
+  * drift (the round-8 dedup the TDigestWire extraction started). */
+sealed trait KmvAggLike
   extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
-
-  require(k >= 2, s"kmv_distinct needs k >= 2, got $k")
+  def child: Expression
+  def k: Int
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"kmv_distinct requires a LONG hash column, got ${child.dataType.catalogString}")
-
-  override def dataType: DataType = StructType(Seq(
-    StructField("n_filled", LongType, nullable = false),
-    StructField("kth_min", LongType, nullable = true),
-    StructField("est", LongType, nullable = false)))
-  override def nullable: Boolean = false
-  override def prettyName: String = "kmv_distinct"
+      s"$prettyName requires a LONG hash column, got ${child.dataType.catalogString}")
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
@@ -74,24 +67,6 @@ case class KmvDistinctAgg(
     val it = other.set.iterator()
     while (it.hasNext) buffer.add(it.next())
     buffer
-  }
-
-  override def eval(buffer: KmvBuffer): Any = {
-    val filled = buffer.set.size.toLong
-    if (filled == 0L) {
-      new GenericInternalRow(Array[Any](0L, null, 0L))
-    } else {
-      val kth = buffer.set.last().longValue()
-      val est =
-        if (filled < k) filled
-        // (k-1)·2⁶⁰ is exact in double (7 significant bits); int64→double
-        // and the division round identically under IEEE in any engine.
-        // kth=0 (probability 2⁻⁶⁰ per group) would divide by zero; the
-        // buffer then holds ≥k distinct values of which 0 is smallest —
-        // degenerate only if ALL retained are 0, impossible for distinct.
-        else Math.round((k - 1).toDouble * 1.152921504606846976e18 / kth.toDouble)
-      new GenericInternalRow(Array[Any](filled, kth, est))
-    }
   }
 
   override def serialize(buffer: KmvBuffer): Array[Byte] = {
@@ -109,6 +84,41 @@ case class KmvDistinctAgg(
     var i = 0
     while (i < n) { buf.add(bb.getLong); i += 1 }
     buf
+  }
+}
+
+case class KmvDistinctAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends KmvAggLike {
+
+  require(k >= 2, s"kmv_distinct needs k >= 2, got $k")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_filled", LongType, nullable = false),
+    StructField("kth_min", LongType, nullable = true),
+    StructField("est", LongType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_distinct"
+
+  override def eval(buffer: KmvBuffer): Any = {
+    val filled = buffer.set.size.toLong
+    if (filled == 0L) {
+      new GenericInternalRow(Array[Any](0L, null, 0L))
+    } else {
+      val kth = buffer.set.last().longValue()
+      val est =
+        if (filled < k) filled
+        // (k-1)·2⁶⁰ is exact in double (7 significant bits); int64→double
+        // and the division round identically under IEEE in any engine.
+        // kth=0 (probability 2⁻⁶⁰ per group) would divide by zero; the
+        // buffer then holds ≥k distinct values of which 0 is smallest —
+        // degenerate only if ALL retained are 0, impossible for distinct.
+        else Math.round((k - 1).toDouble * 1.152921504606846976e18 / kth.toDouble)
+      new GenericInternalRow(Array[Any](filled, kth, est))
+    }
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinctAgg =
@@ -143,32 +153,13 @@ case class KmvValuesAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+  extends KmvAggLike {
 
   require(k >= 2, s"kmv_values needs k >= 2, got $k")
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"kmv_values requires a LONG hash column, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "kmv_values"
-
-  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
-
-  override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
-    val v = child.eval(input)
-    if (v != null) buffer.add(v.asInstanceOf[Long])
-    buffer
-  }
-
-  override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer = {
-    val it = other.set.iterator()
-    while (it.hasNext) buffer.add(it.next())
-    buffer
-  }
 
   override def eval(buffer: KmvBuffer): Any = {
     val out = new Array[Any](buffer.set.size)
@@ -176,23 +167,6 @@ case class KmvValuesAgg(
     var i = 0
     while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
-
-  override def serialize(buffer: KmvBuffer): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buffer.set.size * 8)
-    bb.putInt(buffer.set.size)
-    val it = buffer.set.iterator()
-    while (it.hasNext) bb.putLong(it.next())
-    bb.array()
-  }
-
-  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val buf = new KmvBuffer(k)
-    var i = 0
-    while (i < n) { buf.add(bb.getLong); i += 1 }
-    buf
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvValuesAgg =

@@ -42,41 +42,47 @@ import org.apache.spark.sql.types._
   * witness), `qs` (one estimate per requested percentile, null when
   * the group is empty).
   */
-case class TDigestAgg(
-    child: Expression,
-    compression: Int,
-    percentiles: Seq[Double],
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+/** Buffer lifecycle + wire plumbing shared by all three t-digest
+  * aggregates (one definition each of create/merge/serialize/
+  * deserialize over [[TDigestWire]] — the KmvAggLike discipline). */
+sealed trait TDigestAggLike
   extends TypedImperativeAggregate[TDigestBuffer] with UnaryLike[Expression] {
+  def child: Expression
+  def compression: Int
 
-  require(compression >= 10, s"tdigest needs compression >= 10, got $compression")
-  require(percentiles.nonEmpty && percentiles.forall(p => p >= 0.0 && p <= 1.0),
-    s"tdigest percentiles must lie in [0, 1], got $percentiles")
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): TDigestBuffer =
+    new TDigestBuffer(compression)
+  override def merge(buffer: TDigestBuffer, other: TDigestBuffer): TDigestBuffer =
+    TDigestWire.mergeInto(buffer, other)
+  override def serialize(buffer: TDigestBuffer): Array[Byte] =
+    TDigestWire.write(buffer)
+  override def deserialize(bytes: Array[Byte]): TDigestBuffer =
+    TDigestWire.read(bytes, compression)
+}
 
+/** Raw-value input leg: updates add one DOUBLE point per row. */
+sealed trait TDigestDoubleInput extends TDigestAggLike {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"tdigest requires a DOUBLE column, got ${child.dataType.catalogString}")
-
-  override def dataType: DataType = StructType(Seq(
-    StructField("n", LongType, nullable = false),
-    StructField("n_centroids", IntegerType, nullable = false),
-    StructField("qs", ArrayType(DoubleType, containsNull = false), nullable = true)))
-  override def nullable: Boolean = false
-  override def prettyName: String = "tdigest"
-
-  override def createAggregationBuffer(): TDigestBuffer =
-    new TDigestBuffer(compression)
+      s"$prettyName requires a DOUBLE column, got ${child.dataType.catalogString}")
 
   override def update(buffer: TDigestBuffer, input: InternalRow): TDigestBuffer = {
     val v = child.eval(input)
     if (v != null) buffer.add(v.asInstanceOf[Double], 1L)
     buffer
   }
+}
 
-  override def merge(buffer: TDigestBuffer, other: TDigestBuffer): TDigestBuffer =
-    TDigestWire.mergeInto(buffer, other)
+/** Quantile-struct output leg: `(n, n_centroids, qs)` per group. */
+sealed trait TDigestQuantileOutput extends TDigestAggLike {
+  def percentiles: Seq[Double]
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("n_centroids", IntegerType, nullable = false),
+    StructField("qs", ArrayType(DoubleType, containsNull = false), nullable = true)))
 
   override def eval(buffer: TDigestBuffer): Any = {
     buffer.compress()
@@ -88,12 +94,21 @@ case class TDigestAgg(
         buffer.total, buffer.nCentroids, new GenericArrayData(qs)))
     }
   }
+}
 
-  override def serialize(buffer: TDigestBuffer): Array[Byte] =
-    TDigestWire.write(buffer)
+case class TDigestAgg(
+    child: Expression,
+    compression: Int,
+    percentiles: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TDigestDoubleInput with TDigestQuantileOutput {
 
-  override def deserialize(bytes: Array[Byte]): TDigestBuffer =
-    TDigestWire.read(bytes, compression)
+  require(compression >= 10, s"tdigest needs compression >= 10, got $compression")
+  require(percentiles.nonEmpty && percentiles.forall(p => p >= 0.0 && p <= 1.0),
+    s"tdigest percentiles must lie in [0, 1], got $percentiles")
+
+  override def prettyName: String = "tdigest"
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TDigestAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -207,33 +222,14 @@ case class TDigestSketchAgg(
     compression: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TDigestBuffer] with UnaryLike[Expression] {
+  extends TDigestDoubleInput {
 
   require(compression >= 10, s"tdigest_sketch needs compression >= 10, got $compression")
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"tdigest_sketch requires a DOUBLE column, got ${child.dataType.catalogString}")
-
   override def dataType: DataType = BinaryType
-  override def nullable: Boolean = false
   override def prettyName: String = "tdigest_sketch"
 
-  override def createAggregationBuffer(): TDigestBuffer =
-    new TDigestBuffer(compression)
-  override def update(buffer: TDigestBuffer, input: InternalRow): TDigestBuffer = {
-    val v = child.eval(input)
-    if (v != null) buffer.add(v.asInstanceOf[Double], 1L)
-    buffer
-  }
-  override def merge(buffer: TDigestBuffer, other: TDigestBuffer): TDigestBuffer =
-    TDigestWire.mergeInto(buffer, other)
   override def eval(buffer: TDigestBuffer): Any = TDigestWire.write(buffer)
-  override def serialize(buffer: TDigestBuffer): Array[Byte] =
-    TDigestWire.write(buffer)
-  override def deserialize(bytes: Array[Byte]): TDigestBuffer =
-    TDigestWire.read(bytes, compression)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TDigestSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -261,7 +257,7 @@ case class TDigestMergeAgg(
     percentiles: Seq[Double],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TDigestBuffer] with UnaryLike[Expression] {
+  extends TDigestQuantileOutput {
 
   require(compression >= 10, s"tdigest_merge needs compression >= 10, got $compression")
   require(percentiles.nonEmpty && percentiles.forall(p => p >= 0.0 && p <= 1.0),
@@ -272,15 +268,8 @@ case class TDigestMergeAgg(
     else TypeCheckResult.TypeCheckFailure(
       s"tdigest_merge requires a BINARY digest column, got ${child.dataType.catalogString}")
 
-  override def dataType: DataType = StructType(Seq(
-    StructField("n", LongType, nullable = false),
-    StructField("n_centroids", IntegerType, nullable = false),
-    StructField("qs", ArrayType(DoubleType, containsNull = false), nullable = true)))
-  override def nullable: Boolean = false
   override def prettyName: String = "tdigest_merge"
 
-  override def createAggregationBuffer(): TDigestBuffer =
-    new TDigestBuffer(compression)
   override def update(buffer: TDigestBuffer, input: InternalRow): TDigestBuffer = {
     val v = child.eval(input)
     if (v != null)
@@ -288,22 +277,6 @@ case class TDigestMergeAgg(
         TDigestWire.read(v.asInstanceOf[Array[Byte]], compression))
     buffer
   }
-  override def merge(buffer: TDigestBuffer, other: TDigestBuffer): TDigestBuffer =
-    TDigestWire.mergeInto(buffer, other)
-  override def eval(buffer: TDigestBuffer): Any = {
-    buffer.compress()
-    if (buffer.total == 0L) {
-      new GenericInternalRow(Array[Any](0L, 0, null))
-    } else {
-      val qs = percentiles.map(buffer.quantile).toArray
-      new GenericInternalRow(Array[Any](
-        buffer.total, buffer.nCentroids, new GenericArrayData(qs)))
-    }
-  }
-  override def serialize(buffer: TDigestBuffer): Array[Byte] =
-    TDigestWire.write(buffer)
-  override def deserialize(bytes: Array[Byte]): TDigestBuffer =
-    TDigestWire.read(bytes, compression)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TDigestMergeAgg =
     copy(mutableAggBufferOffset = newOffset)
