@@ -314,15 +314,28 @@ object EventQueries extends QueryModule {
   }
 
   def oracle: Map[String, String] = Map(
+    // The malformed-JSON guard must hold under EAGER evaluation:
+    // DuckDB's vectorized executor may evaluate both legs of an AND /
+    // CASE for a whole chunk, so `json_valid(props) AND
+    // json_extract(props, ...)` can still feed malformed bytes into
+    // json_extract and throw (observed at sf0.1 — a whole-chunk
+    // evaluation the sf0.01 row count happened not to trigger). The
+    // valid-or-'{}' indirection makes json_extract's INPUT
+    // unconditionally valid, and TRY_CAST keeps the cast non-throwing
+    // regardless of evaluation order.
     "q_json_tolerant" ->
       """WITH p AS (SELECT event_id,
         |    CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 4)
         |         ELSE props END AS props FROM events),
+        | v AS (SELECT event_id,
+        |    CASE WHEN json_valid(props) THEN props ELSE '{}' END AS js
+        |   FROM p),
         | x AS (SELECT event_id,
-        |    CASE WHEN json_valid(props) AND regexp_matches(
-        |           json_extract_string(props, '$.k'), '^-?[0-9]{1,18}$')
-        |         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
-        |         ELSE NULL END AS k FROM p)
+        |    CASE WHEN regexp_matches(
+        |           coalesce(json_extract_string(js, '$.k'), ''),
+        |           '^-?[0-9]{1,18}$')
+        |         THEN TRY_CAST(json_extract_string(js, '$.k') AS BIGINT)
+        |         ELSE NULL END AS k FROM v)
         |SELECT count(*)::BIGINT AS n_events,
         |  sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_malformed,
         |  sum(coalesce(k, 0))::BIGINT AS k_sum FROM x"""
