@@ -521,6 +521,31 @@ object RelationalQueries extends QueryModule {
         .select("c_custkey", "c_name", "o_orderkey", "o_date",
           "totalprice_cents", "sum_qty")
         .orderBy(col("totalprice_cents").desc, col("o_orderkey")).limit(50)
+    }),
+
+    // TPC-H Q15 (top supplier): the revenue-view + global-max-match
+    // shape — every supplier whose quarterly revenue equals the
+    // maximum (ties kept, per the spec). The view is staged once and
+    // consumed twice (the match leg and the 1-row max); the max rides
+    // a broadcast crossJoin, so no second pass over lineitem and no
+    // window over the supplier domain.
+    "q_tpch_q15" -> ((s, d) => {
+      val rev = StagedCache.persist(Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+                col("l_shipdate").cast("date") < lit("1997-04-01").cast("date"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(
+          round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("total_revenue_u")))
+      val mx = rev.agg(max("total_revenue_u").as("mx"))
+      rev
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("supplier_no") === col("s_suppkey"))
+        .crossJoin(broadcast(mx))
+        .filter(col("total_revenue_u") === col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue_u")
+        .orderBy("s_suppkey")
     })
   )
 
@@ -639,6 +664,20 @@ object RelationalQueries extends QueryModule {
         | JOIN customer ON c_custkey = o_custkey
         | ORDER BY totalprice_cents DESC, o_orderkey LIMIT 50"""
         .stripMargin.replace("\n", ""),
+
+    "q_tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey AS supplier_no,
+        |   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |     * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+        |     AS total_revenue_u
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue_u
+        | FROM rev JOIN supplier ON s_suppkey = supplier_no
+        | WHERE total_revenue_u = (SELECT max(total_revenue_u) FROM rev)
+        | ORDER BY s_suppkey""".stripMargin.replace("\n", ""),
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
