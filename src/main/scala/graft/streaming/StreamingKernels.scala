@@ -518,6 +518,39 @@ object StreamingKernels {
     graft.operators.Chunker.manifest(
       docs, chunkLen, stride, passThrough = Seq("ts"))
 
+  /** Stateless streaming boilerplate screen — the streaming twin of the
+    * batch `q_boilerplate_strip` STRIP phase. The frequent-chunk set is
+    * trained OFFLINE (the batch query's df ≥ dfMin aggregation — the
+    * bigramScore train/score split) and compresses into one Bloom
+    * filter baked into the plan as a literal. Each arriving doc is
+    * chunked, probed, and reassembled entirely WITHIN ITS OWN ROW
+    * (array HOFs — no explode, no per-doc aggregation), so the query
+    * is map-only with ZERO streaming state: no watermark, no state
+    * store, nothing to checkpoint-recover, arbitrarily parallel.
+    *
+    * Trade, stated plainly: a Bloom false positive strips an innocent
+    * chunk at ~fpp per probe; false negatives are impossible, so KNOWN
+    * boilerplate always goes. Exactness needs the batch anti-join —
+    * this screen is the cheap in-flight pass, sized by choosing fpp at
+    * build time. `bloom` is [[graft.functions.BloomBuildAgg]]'s output
+    * over the trained chunk hash60 set. */
+  def boilerplateScreen(docs: DataFrame, bloom: Array[Byte],
+                        w: Int = 8): DataFrame = {
+    val probe = (c: Column) =>
+      graft.functions.BloomMightContain(lit(bloom), TextFunctions.hash60(c))
+    docs // expected columns: (doc_id long, ts timestamp, text string)
+      .select(col("doc_id"), col("ts"), TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .withColumn("chunks", transform(
+        sequence(lit(0), expr(s"CAST((size(t) - 1) DIV $w AS INT)")),
+        i => concat_ws(" ", slice(col("t"), i * w + 1, lit(w)))))
+      .withColumn("kept", filter(col("chunks"), c => !probe(c)))
+      .select(col("doc_id"), col("ts"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("kept_text"))
+  }
+
   /** Streaming twin of `q_bigram_lm`'s scoring pass: every arriving doc
     * is scored against a PRE-TRAINED bigram model
     * ([[graft.queries.CorpusQueries.trainedBigramModel]]) embedded as
