@@ -50,7 +50,10 @@ object BpeTrainer {
     * corpus-wide scan. `rep` is the double-delimited character state. */
   def wordTable(tokens: DataFrame): DataFrame = {
     require(tokens.columns.contains("word"), "expected a 'word' column")
-    tokens.groupBy("word").agg(count(lit(1)).as("cnt"))
+    // Empty words would produce a zero-symbol rep (harmless but
+    // meaningless); the delimiter contract below needs '|'-free words.
+    tokens.filter(length(col("word")) > 0 && !col("word").contains("|"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
       .withColumn("rep", concat(
         regexp_replace(col("word"), "(.)", "\\|\\|$1"), lit("||")))
   }
@@ -82,6 +85,8 @@ object BpeTrainer {
 
   /** Apply one merge: the delimiter-consuming literal replace. */
   def applyMerge(words: DataFrame, m: Merge): DataFrame = {
+    require(!m.left.contains("|") && !m.right.contains("|"),
+      s"merge operands must be delimiter-free: $m")
     val pat = s"|${m.left}||${m.right}|"
     val rep = s"|${m.left}${m.right}|"
     words.withColumn("rep",

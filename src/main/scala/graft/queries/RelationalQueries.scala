@@ -546,6 +546,32 @@ object RelationalQueries extends QueryModule {
         .filter(col("total_revenue_u") === col("mx"))
         .select("s_suppkey", "s_name", "total_revenue_u")
         .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q19 (discounted revenue): the disjunctive OR-of-ANDs
+    // predicate spanning BOTH join sides — the shape that cannot split
+    // into per-table scan filters, so the planner must evaluate it as
+    // a post-join residual while still pushing the per-branch part
+    // filters' UNION as an implied part-side prune. Grouped by brand
+    // tier so the oracle checks each disjunct's contribution.
+    "q_tpch_q19" -> ((s, d) => {
+      val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          (round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_u"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 40)))
+        .groupBy("p_brand")
+        .agg(sum("rev_u").as("revenue_u"), count(lit(1)).as("n_rows"))
+        .orderBy("p_brand")
     })
   )
 
@@ -678,6 +704,21 @@ object RelationalQueries extends QueryModule {
         | FROM rev JOIN supplier ON s_suppkey = supplier_no
         | WHERE total_revenue_u = (SELECT max(total_revenue_u) FROM rev)
         | ORDER BY s_suppkey""".stripMargin.replace("\n", ""),
+
+    "q_tpch_q19" ->
+      """SELECT p_brand,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+        |    AS revenue_u,
+        |  count(*)::BIGINT AS n_rows
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        | WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |         AND l_quantity BETWEEN 1 AND 20)
+        |    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |         AND l_quantity BETWEEN 10 AND 30)
+        |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |         AND l_quantity BETWEEN 20 AND 40)
+        | GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", ""),
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

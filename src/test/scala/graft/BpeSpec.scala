@@ -123,4 +123,34 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(merges.length == 1)
     assert(merges.head == Merge(1, "a", "b", 1))
   }
+
+  test("delimiter-replace IS greedy merge: exhaustive small-alphabet sweep") {
+    // The core equivalence claim, pinned WITHOUT Spark in the loop:
+    // replacing `|a||b|` with `|ab|` in the double-delimited form (Java
+    // String.replace = left-to-right non-overlapping, the same
+    // semantics as DuckDB's replace) equals the reference greedy merge
+    // for EVERY symbol sequence — including the run/repeat patterns
+    // (`aaaa`, `abab`) where single-delimiter encodings diverge.
+    def viaReplace(syms: List[String], a: String, b: String): List[String] = {
+      val rep = syms.map(s => s"|$s|").mkString("|", "", "|")
+      val out = rep.replace(s"|$a||$b|", s"|$a$b|")
+      out.split("\\|\\|").toList.map(_.stripPrefix("|").stripSuffix("|"))
+        .filter(_.nonEmpty)
+    }
+    val alphabet = List("a", "b", "ab")
+    // Every sequence over {a, b, ab} up to length 7, merged with every
+    // pair over the alphabet: 3^7 · 9 ≈ 20k cases.
+    def seqs(n: Int): Iterator[List[String]] =
+      if (n == 0) Iterator(Nil)
+      else seqs(n - 1).flatMap(t => alphabet.iterator.map(_ :: t))
+    var checked = 0
+    (0 to 7).iterator.flatMap(seqs).foreach { s =>
+      for (a <- alphabet; b <- alphabet) {
+        assert(viaReplace(s, a, b) == modelMerge(s, a, b),
+          s"divergence on syms=$s pair=($a,$b)")
+        checked += 1
+      }
+    }
+    assert(checked > 20000)
+  }
 }
