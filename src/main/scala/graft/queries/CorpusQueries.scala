@@ -798,7 +798,15 @@ object CorpusQueries extends QueryModule {
   /** The unrolled K-round BPE oracle: v0 is the char-delimited word
     * table; each round derives pair counts, the argmax pair (total
     * order: count desc, lhs, rhs), and the delimiter-consuming
-    * replace — the EXACT mirror of BpeTrainer's round. */
+    * replace — the EXACT mirror of BpeTrainer's round.
+    *
+    * Precondition (shared with the trainer): the corpus must yield at
+    * least one pair in every round ≤ K. A corpus exhausting pairs
+    * early would early-stop the trainer but empty the oracle's cross
+    * join (t_i empty ⇒ v_i empty) — fine for the merges query (both
+    * sides emit the same short list) but a divergence for the encode.
+    * Any corpus with ≥ K+1 total characters of repeated vocabulary
+    * satisfies it; K=6 on the fixture uses pairs with counts ≫ 1. */
   private def bpeCteChain(k: Int): String = {
     val b = new StringBuilder
     b ++= s"WITH tokw AS (SELECT unnest(${OracleSql.toks("text")}) AS word " +

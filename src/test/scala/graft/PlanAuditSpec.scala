@@ -396,6 +396,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("tpch q14/q19: part rides broadcast; the OR predicate stays a " +
+      "residual on an equi-join, never a nested loop") {
+    for (q <- Seq("q_tpch_q14", "q_tpch_q19")) {
+      val plan = formatted(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: part join must broadcast:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$q: disjunctive predicate degraded the join:\n$plan")
+    }
+  }
+
+  test("tpch q15: the revenue view is staged once, not recomputed") {
+    val plan = formatted("q_tpch_q15")
+    assert(plan.contains("InMemoryRelation"),
+      s"q_tpch_q15: rev view should be cached (scanned once):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_tpch_q15: supplier/max legs must broadcast:\n$plan")
+  }
+
   test("boilerplate strip: no pair join, anti join on the chunk hash") {
     val plan = formatted("q_boilerplate_strip")
     assert(plan.contains("LeftAnti"),
