@@ -551,6 +551,38 @@ object StreamingKernels {
         array_join(col("kept"), " ").as("kept_text"))
   }
 
+  /** Stateless streaming BPE encoder — the score half of the
+    * [[graft.operators.BpeTrainer]] train/score split (the bigramScore
+    * pattern): merges are trained OFFLINE on the batch corpus and the
+    * ranked (left, right) list rides the plan as K chained literal
+    * `replace` calls over each token's double-delimited char form —
+    * identical arithmetic to the trainer's apply, so symbol counts are
+    * bit-identical to the batch encode whenever the model matches
+    * (StreamingSpec pins this). Entirely per-row (transform +
+    * aggregate over the token array): map-only, zero streaming state,
+    * no watermark. At 100 TB this is how tokenizer counts run on the
+    * ingest path: the K-merge model is bytes in the plan, not a join
+    * side. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    merges.foreach { case (a, b) =>
+      require(!a.contains("|") && !b.contains("|"),
+        s"merge operands must be delimiter-free: ($a,$b)") }
+    val encoded = (t: Column) => {
+      val rep0 = concat(regexp_replace(t, "(.)", "\\|\\|$1"), lit("||"))
+      val repK = merges.foldLeft(rep0) { case (r, (a, b)) =>
+        call_function("replace", r, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+      }
+      (size(split(repK, "\\|\\|")) - 2).cast("long")
+    }
+    docs // expected columns: (doc_id long, ts timestamp, text string)
+      .select(col("doc_id"), col("ts"),
+        filter(TextFunctions.tokens(col("text")), w => length(w) > 0).as("t"))
+      .select(col("doc_id"), col("ts"),
+        size(col("t")).cast("long").as("n_words"),
+        aggregate(transform(col("t"), encoded), lit(0L), _ + _)
+          .as("n_bpe_tokens"))
+  }
+
   /** Streaming twin of `q_bigram_lm`'s scoring pass: every arriving doc
     * is scored against a PRE-TRAINED bigram model
     * ([[graft.queries.CorpusQueries.trainedBigramModel]]) embedded as

@@ -833,4 +833,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming BPE encode is bit-identical to the batch encode") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    // Train offline on the fixture corpus (the batch half)...
+    val words = graft.sources.Tables.documents(s, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+    val (merges, _) = graft.operators.BpeTrainer.train(words, 6)
+    graft.queries.StagedCache.releaseAll()
+    // ...and the batch per-doc counts to match against.
+    val batch = graft.queries.CorpusQueries.queries("q_bpe_encode")(s, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    graft.queries.StagedCache.releaseAll()
+
+    val docs = graft.sources.Tables.documents(s, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), ts("2024-01-01 10:00:00"), r.getString(1)))
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamingKernels.bpeEncode(
+        source.toDF().toDF("doc_id", "ts", "text"),
+        merges.map(m => (m.left, m.right)))
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    try {
+      source.addData(docs.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("bpe_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got.keySet == batch.keySet, "one row per document")
+      var compressed = 0
+      got.foreach { case (id, (nWords, nBpe)) =>
+        val (bWords, bChars, bBpe) = batch(id)
+        assert(nWords == bWords && nBpe == bBpe,
+          s"doc $id: stream ($nWords,$nBpe) != batch ($bWords,$bBpe)")
+        // Merges only ever reduce symbol counts below the char count.
+        assert(nBpe <= bChars, s"doc $id: encode grew past chars")
+        if (nBpe < bChars) compressed += 1
+      }
+      assert(compressed > 0, "the trained merges must compress somewhere")
+    } finally q.stop()
+  }
 }
