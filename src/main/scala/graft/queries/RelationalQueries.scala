@@ -548,6 +548,26 @@ object RelationalQueries extends QueryModule {
         .orderBy("s_suppkey")
     }),
 
+    // TPC-H Q17 (small-quantity-order revenue) as SQL TEXT: the
+    // correlated SCALAR AGGREGATE subquery over another relation —
+    // the shape Catalyst must decorrelate into a per-partkey average
+    // join (check: no BNLJ below). The threshold compare stays on
+    // doubles deliberately: 0.2 · avg is the same IEEE literal ·
+    // division · multiply on both engines, and the output is exact
+    // integer cents + a row count, so the hash cannot float-drift.
+    "q_tpch_q17" -> ((s, d) => {
+      Seq("lineitem", "part")
+        .foreach(t => Tables(s, d, t).createOrReplaceTempView(s"tq17_$t"))
+      s.sql("""SELECT count(*) AS n_rows,
+              |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS total_cents
+              | FROM tq17_lineitem l JOIN tq17_part p
+              |   ON p.p_partkey = l.l_partkey
+              | WHERE p.p_brand = 'Brand#4'
+              |   AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+              |                       FROM tq17_lineitem l2
+              |                       WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+    }),
+
     // TPC-H Q19 (discounted revenue): the disjunctive OR-of-ANDs
     // predicate spanning BOTH join sides — the shape that cannot split
     // into per-table scan filters, so the planner must evaluate it as
@@ -704,6 +724,17 @@ object RelationalQueries extends QueryModule {
         | FROM rev JOIN supplier ON s_suppkey = supplier_no
         | WHERE total_revenue_u = (SELECT max(total_revenue_u) FROM rev)
         | ORDER BY s_suppkey""".stripMargin.replace("\n", ""),
+
+    "q_tpch_q17" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        |    AS total_cents
+        | FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        | WHERE p.p_brand = 'Brand#4'
+        |   AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                       FROM lineitem l2
+        |                       WHERE l2.l_partkey = p.p_partkey)"""
+        .stripMargin.replace("\n", ""),
 
     "q_tpch_q19" ->
       """SELECT p_brand,

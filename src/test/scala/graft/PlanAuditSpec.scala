@@ -408,6 +408,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("tpch q17: the correlated scalar agg decorrelates — no nested loop") {
+    val plan = formatted("q_tpch_q17")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"q_tpch_q17: correlated subquery not decorrelated:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_tpch_q17: per-partkey average should join back broadcast:\n$plan")
+  }
+
   test("tpch q15: the revenue view is staged once, not recomputed") {
     val plan = formatted("q_tpch_q15")
     assert(plan.contains("InMemoryRelation"),
