@@ -75,10 +75,17 @@ object BpeTrainer {
       .groupBy(col("p.left").as("left"), col("p.right").as("right"))
       .agg(sum("cnt").as("pair_cnt"))
 
+  /** Merging a pair seen once can never pay for a vocab slot; the
+    * reference implementation (Sennrich's `learn_bpe --min-frequency`)
+    * defaults to the same floor. */
+  val MinPairFrequency = 2L
+
   /** The winning pair this round: count desc, then (left, right) asc —
-    * a total order, so the argmax is engine-independent. */
+    * a total order, so the argmax is engine-independent. Pairs below
+    * [[MinPairFrequency]] end training instead of minting a merge. */
   def topPair(words: DataFrame): Option[Merge] =
     pairCounts(words)
+      .filter(col("pair_cnt") >= MinPairFrequency)
       .orderBy(col("pair_cnt").desc, col("left"), col("right"))
       .limit(1).collect().headOption
       .map(r => Merge(0, r.getString(0), r.getString(1), r.getLong(2)))

@@ -824,7 +824,7 @@ object CorpusQueries extends QueryModule {
       b ++= s", p$i AS (SELECT s[j] AS lhs, s[j+1] AS rhs, " +
         s"sum(cnt)::BIGINT AS pair_cnt FROM j$i GROUP BY 1, 2)"
       b ++= s", t$i AS (SELECT lhs, rhs, pair_cnt FROM p$i " +
-        "ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1)"
+        "WHERE pair_cnt >= 2 ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1)"
       b ++= s", v$i AS (SELECT word, cnt, " +
         "replace(rep, '|' || lhs || '||' || rhs || '|', " +
         s"'|' || lhs || rhs || '|') AS rep FROM $p, t$i)"

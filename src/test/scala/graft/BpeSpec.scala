@@ -40,9 +40,12 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
       state.foreach { case (syms, c) =>
         syms.zip(syms.drop(1)).foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + c)
       }
-      if (pairs.isEmpty) stop = true
+      // The min-frequency floor: a pair seen once never merges
+      // (BpeTrainer.MinPairFrequency, the learn_bpe default).
+      val eligible = pairs.filter(_._2 >= 2)
+      if (eligible.isEmpty) stop = true
       else {
-        val ((a, b), c) = pairs.minBy { case ((l, r), n) => (-n, l, r) }
+        val ((a, b), c) = eligible.minBy { case ((l, r), n) => (-n, l, r) }
         merges += Merge(rank, a, b, c)
         state = state.groupMapReduce(kv => modelMerge(kv._1, a, b))(_._2)(_ + _)
         rank += 1
@@ -115,13 +118,14 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     check(words, 6)
   }
 
-  test("early stop: corpus with no repeatable pairs ends before k") {
-    val (merges, _) = trainSpark(Seq("ab"), 5)
-    // Single word 'ab' has one pair (a,b) with count 1 — it merges
-    // round 1; after that no pairs remain, so training stops at 2 total
-    // merges at most. (Round 2 has a 1-symbol word: no pairs.)
-    assert(merges.length == 1)
-    assert(merges.head == Merge(1, "a", "b", 1))
+  test("early stop: pairs below the min-frequency floor never merge") {
+    // Single word 'ab': the only pair (a,b) has count 1 — below the
+    // floor, so training learns NOTHING (the learn_bpe default).
+    val (m1, _) = trainSpark(Seq("ab"), 5)
+    assert(m1.isEmpty)
+    // Two copies clear the floor: one merge, then exhaustion.
+    val (m2, _) = trainSpark(Seq("ab", "ab"), 5)
+    assert(m2 == Seq(Merge(1, "a", "b", 2)))
   }
 
   test("delimiter-replace IS greedy merge: exhaustive small-alphabet sweep") {
