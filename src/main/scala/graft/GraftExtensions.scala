@@ -104,6 +104,8 @@ object GraftExtensions {
       }),
     ("dot_product", classOf[DotProductExpr].getName,
       arity(2, "usage: dot_product(a, b)")(c => DotProductExpr(c(0), c(1)))),
+    ("dot_long", classOf[DotLongExpr].getName,
+      arity(2, "usage: dot_long(a, b)")(c => DotLongExpr(c(0), c(1)))),
     ("simhash32", classOf[SimHashExpr].getName,
       arity(1, "usage: simhash32(token_hashes)")(c => SimHashExpr(c.head))),
     ("jaccard_sorted", classOf[JaccardExpr].getName,

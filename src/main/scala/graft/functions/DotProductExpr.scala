@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, LongType}
 
 /** Native dot product over numeric arrays — the inner loop of every
   * similarity query (cosine scoring evaluates it per candidate pair;
@@ -80,6 +80,59 @@ object DotProductExpr {
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
 }
 
+/** Native INTEGER dot product over `array<bigint>` — the µ-unit inner
+  * loop of the Lloyd/k-means chain (distances carried as exact µ²
+  * longs so argmin, tie-break, and inertia never pass through a
+  * rounded double; the r7–r9 q_kmeans hash-red was a representable
+  * half at the 6th decimal rounding differently across engines).
+  * Mirrors DuckDB's `list_sum(list_transform(...))::BIGINT` over
+  * BIGINT[] operands. Overflow headroom: µ-unit components ≤ ~6e5,
+  * so each product ≤ ~4e11 and a 64-dim sum ≤ ~3e13 — five decades
+  * under Long.MaxValue. NULL on length mismatch, like
+  * [[DotProductExpr]].
+  */
+final case class DotLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_long requires array<bigint> args, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_long"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    if (a.numElements() != b.numElements()) null
+    else DotImpl.dotLong(a, b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.DotImpl.dotLong($a, $b);
+      }""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLongExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotLongExpr {
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(DotLongExpr(Bridge.expression(a), Bridge.expression(b)))
+}
+
 object DotImpl {
   /** Sequential ascending-index double fold (must match the HOF form
     * and the DuckDB mirror exactly — do not reorder or vectorize into
@@ -101,6 +154,19 @@ object DotImpl {
         case _ => b.getDouble(i)
       }
       s += x * y
+      i += 1
+    }
+    s
+  }
+
+  /** Exact long fold for [[DotLongExpr]] (sequential, but integer
+    * addition is associative-exact so order is immaterial here). */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getLong(i) * b.getLong(i)
       i += 1
     }
     s

@@ -28,6 +28,23 @@ object VectorFunctions {
   /** ‖v‖₂ in double precision. */
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** The float embedding in exact integer micro-units:
+    * eᵤ[i] = round(vᵢ·1e6) as long. The carrier type of the Lloyd /
+    * k-means chain — every distance, mean, and inertia downstream is
+    * integer arithmetic on these, so no representable-half double
+    * rounding can diverge between engines. Mirror:
+    * `list_transform(v, x -> CAST(round(x::DOUBLE * 1e6) AS BIGINT))`. */
+  def microUnits(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1e6).cast("long"))
+
+  /** Σ aᵢ·bᵢ over `array<bigint>` operands, exact — native codegen'd
+    * ([[DotLongExpr]]); [[dotLongHof]] is the declarative twin. */
+  def dotLong(a: Column, b: Column): Column = DotLongExpr(a, b)
+
+  /** Higher-order-function form of [[dotLong]] (identical integers). */
+  def dotLongHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
   /** Σ (aᵢ−bᵢ)² — squared Euclidean distance, double precision.
     * Subtraction-then-multiply (no pow) so DuckDB mirrors bit-for-bit. */
   def dist2(a: Column, b: Column): Column =

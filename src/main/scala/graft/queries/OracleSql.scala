@@ -52,6 +52,16 @@ object OracleSql {
   /** Mirror of `VectorFunctions.l2Norm`. */
   def l2Norm(v: String, dim: Int): String = s"sqrt(${dot(v, v, dim)})"
 
+  /** Mirror of `VectorFunctions.microUnits`: the embedding as exact
+    * integer micro-units (BIGINT[]). */
+  def microUnits(v: String): String =
+    s"list_transform($v, x -> CAST(round(x::DOUBLE * 1e6) AS BIGINT))"
+
+  /** Mirror of `VectorFunctions.dotLong` on BIGINT[] operands (exact
+    * integer sum; the ::BIGINT narrows DuckDB's HUGEINT list_sum). */
+  def dotLong(a: String, b: String, dim: Int): String =
+    s"list_sum(list_transform(generate_series(1, $dim), i -> $a[i] * $b[i]))::BIGINT"
+
   /** Mirror of `graft.operators.SkewGuard.capBuckets`: the capped
     * sub-bucket key `"<bucket>:<salt>"`, given the bucket expression,
     * the member-id expression, a per-bucket size expression (e.g. a

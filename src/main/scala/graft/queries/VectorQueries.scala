@@ -225,11 +225,14 @@ object VectorQueries extends QueryModule {
 
     // Full k-means trainer (K=16, 3 Lloyd iterations) — the model-
     // training twin of q_ann_ivf's coarse quantizer, reporting
-    // the trained model per cell: size, inertia (Σ‖e−c‖² in exact
-    // micro-units), and a centroid checksum. Every arithmetic step
-    // that crosses an aggregation is integer micro-units summed as
-    // longs, so the result is order-independent and DuckDB mirrors
-    // the whole 3-iteration training run bit-for-bit. 100 TB shape:
+    // the trained model per cell: size, inertia (Σ‖e−c‖² in exact µ²
+    // units), and a centroid checksum. INTEGER END-TO-END: vectors are
+    // µ-unit longs, distances the exact norm identity on them, means
+    // half-away integer division, inertia a pure long sum — nothing in
+    // the hashed output ever passes through a rounded double (the
+    // r7–r9 hash-red was a representable half at the 6th decimal
+    // rounding differently across engines), so DuckDB mirrors the
+    // whole 3-iteration training run bit-for-bit. 100 TB shape:
     // each iteration is ONE broadcast-assign scan (K centroids ride
     // the broadcast; the argmin is a native dot fold per pair via the
     // norm identity) + ONE partial-aggregated shuffle keyed on
@@ -343,7 +346,8 @@ object VectorQueries extends QueryModule {
     // regardless, and the quadratic stage never sees the whole corpus —
     // the paper's exact reason for clustering before comparing.
     "q_semdedup" -> ((s, d) => {
-      val e = embWithN2(s, d).withColumn("nrm", sqrt(col("n2")))
+      val e = embWithEu(s, d)
+        .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
       val trained = trainCentroids(s, d, ivfLloydIters)
       val cells = StagedCache.persist(SkewGuard.capBuckets(
         assignNearest(e, trained, keep = 1)
@@ -473,61 +477,64 @@ object VectorQueries extends QueryModule {
   private[graft] val semTau = 0.35
   private[graft] val semCellCap = 64
 
-  /** Embeddings with the staged squared norm — the shared base of every
-    * centroid assignment: the norm identity ‖e−c‖² = n2 + c2 − 2·e·c
-    * costs ONE native dot fold per (vector, centroid) pair instead of
-    * an interpreted subtract-square fold over the dims. */
-  private def embWithN2(s: SparkSession, d: String): DataFrame =
+  /** Embeddings with the micro-unit integer carrier of the Lloyd /
+    * k-means chain: e_u = round(v·1e6) per component (array<long>) and
+    * its exact squared norm n2u = Σe_u². Every distance downstream is
+    * the norm identity on these integers — ‖e−c‖²·1e12 = n2u + c2u −
+    * 2·e_u·c_u, ONE native long-dot fold per (vector, centroid) pair —
+    * so argmin, tie-break, and inertia never pass through a rounded
+    * double (the r7–r9 q_kmeans hash-red was a representable half at
+    * the 6th decimal rounding differently across engines). */
+  private def embWithEu(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-      VectorFunctions.dot(col("embedding"), col("embedding")).as("n2"))
+      VectorFunctions.microUnits(col("embedding")).as("e_u"))
+      .withColumn("n2u", VectorFunctions.dotLong(col("e_u"), col("e_u")))
 
   /** Top-`keep` nearest-centroid assignment of every vector, the 100 TB
     * scan stage of IVF/k-means: K centroids ride the broadcast, the
-    * argmin is a native dot fold per pair, 6-dp-rounded so the cut is
-    * engine-independent (the oracle computes the identical form). */
+    * argmin is a native integer dot fold per pair — dist_u is the exact
+    * squared distance in µ² units, identical in both engines by
+    * construction (no float rounding anywhere in the ranking key). */
   private def assignNearest(e: DataFrame, cent: DataFrame,
       keep: Int): DataFrame =
     e.crossJoin(broadcast(cent))
-      .withColumn("dd", round(col("n2") + col("c2")
-        - lit(2.0) * VectorFunctions.dot(col("embedding"), col("cv")), 6))
+      .withColumn("dist_u", col("n2u") + col("c2u")
+        - lit(2L) * VectorFunctions.dotLong(col("e_u"), col("c_u")))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("dd"), col("cid"))))
+        Window.partitionBy("vec_id").orderBy(col("dist_u"), col("cid"))))
       .filter(col("rn") <= keep)
 
-  /** Per-cell mean over an assignment — carried as INTEGER micro-units
-    * (sign-symmetric half-away division of sq by n): a 6-dp double here
-    * lands on exact half-points whenever n is even and sq ≡ n/2 (mod n),
-    * and engines disagree on which way a representable half rounds (the
-    * r7 q_kmeans red cell). The double cv is DERIVED from the integer
-    * (one long→double divide, identical IEEE op in both engines); the
-    * checksum sums the integers themselves. One partial-aggregated
+  /** Per-cell mean over an assignment — INTEGER micro-units end-to-end
+    * (sign-symmetric half-away division of the exact µ-unit component
+    * sum sq by n): no double is ever derived, so no representable-half
+    * rounding hazard exists at any step. One partial-aggregated
     * shuffle keyed on (cell, pos) — K·dim keys, corpus-size-free. */
   private def recomputeCentroids(assigned: DataFrame): DataFrame =
     assigned.select(col("cid").as("cell0"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
+        posexplode(col("e_u")).as(Seq("pos", "v_u")))
       .groupBy("cell0", "pos")
-      .agg(sum(round(col("v").cast("double") * 1e6).cast("long")).as("sq"),
-        count(lit(1)).as("n"))
+      .agg(sum(col("v_u")).as("sq"), count(lit(1)).as("n"))
       .withColumn("cvp_u", expr("CAST(CASE WHEN sq >= 0" +
         " THEN (sq * 2 + n) DIV (2 * n)" +
         " ELSE -((-sq * 2 + n) DIV (2 * n)) END AS BIGINT)"))
       .groupBy("cell0")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cvp_u")))),
-          x => x.getField("cvp_u").cast("double") / lit(1e6)).as("cv"),
+          x => x.getField("cvp_u")).as("c_u"),
         sum(col("cvp_u")).as("csum"))
-      .select(col("cell0").as("cid"), col("cv"), col("csum"),
-        VectorFunctions.dot(col("cv"), col("cv")).as("c2"))
+      .select(col("cell0").as("cid"), col("c_u"), col("csum"),
+        VectorFunctions.dotLong(col("c_u"), col("c_u")).as("c2u"))
 
   /** Lloyd-train K=16 centroids for `iters` iterations from the
     * first-16 seed. Each iteration is one broadcast-assign scan + one
-    * (cell, pos)-keyed shuffle; output (cid, cv, csum, c2). Shared by
-    * the k-means trainer, the IVF quantizer, and the Recall sweep. */
+    * (cell, pos)-keyed shuffle; output (cid, c_u, csum, c2u) — all
+    * integer micro-units. Shared by the k-means trainer, the IVF
+    * quantizer, and the Recall sweep. */
   private[graft] def trainCentroids(s: SparkSession, d: String,
       iters: Int): DataFrame = {
-    val e = embWithN2(s, d)
+    val e = embWithEu(s, d)
     val seed = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("n2").as("c2"))
+      .select(col("vec_id").as("cid"), col("e_u").as("c_u"),
+        col("n2u").as("c2u"))
     (1 to iters).foldLeft(seed) { (c, _) =>
       recomputeCentroids(assignNearest(e, c, keep = 1))
     }
@@ -535,14 +542,14 @@ object VectorQueries extends QueryModule {
 
   /** The q_kmeans trainer, iteration count exposed so KMeansSpec can
     * pin Lloyd monotonicity (total inertia non-increasing in `iters`).
-    */
+    * inertia_u is Σ dist_u per cell — exact squared distance in µ²
+    * units, a pure long sum. */
   private[graft] def kmeansReport(s: SparkSession, d: String,
       iters: Int): DataFrame = {
     val trained = StagedCache.persist(trainCentroids(s, d, iters))
-    assignNearest(embWithN2(s, d), trained, keep = 1)
+    assignNearest(embWithEu(s, d), trained, keep = 1)
       .groupBy("cid")
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("dd") * 1e6).cast("long")).as("inertia_u"))
+      .agg(count(lit(1)).as("n"), sum(col("dist_u")).as("inertia_u"))
       .join(broadcast(trained.select(col("cid"), col("csum").as("cent_sum_u"))),
         "cid")
       .select(col("cid"), col("n"), col("inertia_u"), col("cent_sum_u"))
@@ -559,7 +566,8 @@ object VectorQueries extends QueryModule {
     * corpus-side state. */
   private[graft] def ivfTopK(s: SparkSession, d: String, nprobe: Int,
       lloydIters: Int): DataFrame = {
-    val e = embWithN2(s, d).withColumn("nrm", sqrt(col("n2")))
+    val e = embWithEu(s, d)
+      .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
     val trained = trainCentroids(s, d, lloydIters)
     // Reassignment against the trained centroids, staged: the probe
     // side (rn ≤ nprobe) and candidate side (rn = 1) both read it, and
@@ -580,32 +588,31 @@ object VectorQueries extends QueryModule {
           / (col("pnrm") * col("cnrm")), 6).as("cos_sim")))
   }
 
-  import OracleSql.{cappedBucket, dot, l2Norm, lshBucket}
+  import OracleSql.{cappedBucket, dot, dotLong, l2Norm, lshBucket, microUnits}
 
   private def cosSql(a: String, b: String): String =
     s"round(${dot(a, b, dim)} / (${l2Norm(a, dim)} * ${l2Norm(b, dim)}), 6)"
 
   /** One Lloyd iteration as a CTE block (shared by the q_kmeans and
     * q_ann_ivf oracles): assign every vector to its nearest centroid
-    * from `prev` (argmin on the same rounded norm-identity distance),
-    * then the half-away INTEGER micro-unit per-cell mean (cvp_u) and
-    * the integer centroid checksum — the same expression sequence the
-    * Spark-side [[recomputeCentroids]] runs (doubles only derived from
-    * the integers), so every iteration matches bit-for-bit with no
-    * representable-half rounding hazard. Expects CTEs `base`
-    * (vec_id, embedding, n2) and `$prev` (cid, cv, c2) in scope;
-    * defines `t$i` (cid, cv, csum, c2). */
+    * from `prev` (argmin on the exact µ²-unit norm-identity distance —
+    * pure BIGINT arithmetic, no float rounding anywhere in the ranking
+    * key), then the half-away INTEGER micro-unit per-cell mean (cvp_u)
+    * and the integer centroid checksum — the same expression sequence
+    * the Spark-side [[recomputeCentroids]] runs, so every iteration
+    * matches bit-for-bit with no representable-half rounding hazard.
+    * Expects CTEs `base` (vec_id, embedding, e_u, n2u) and `$prev`
+    * (cid, c_u, c2u) in scope; defines `t$i` (cid, c_u, csum, c2u). */
   private def lloydIterSql(i: Int, prev: String): String =
-    s""" d$i AS (SELECT b.vec_id, b.embedding, b.n2, cid,
-       |    round(b.n2 + c2 - 2.0 * ${dot("b.embedding", "cv", dim)}, 6) AS dd
+    s""" d$i AS (SELECT b.vec_id, b.e_u, cid,
+       |    (b.n2u + c2u - 2 * ${dotLong("b.e_u", "c_u", dim)})::BIGINT AS dist_u
        |   FROM base b CROSS JOIN $prev),
-       | a$i AS (SELECT vec_id, embedding, cell0, dd FROM (
-       |    SELECT vec_id, embedding, cid AS cell0, dd, row_number() OVER
-       |      (PARTITION BY vec_id ORDER BY dd, cid) AS rn
+       | a$i AS (SELECT vec_id, e_u, cell0, dist_u FROM (
+       |    SELECT vec_id, e_u, cid AS cell0, dist_u, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY dist_u, cid) AS rn
        |    FROM d$i) WHERE rn = 1),
-       | m$i AS (SELECT cell0, pos,
-       |    sum(CAST(round(v::DOUBLE * 1e6) AS BIGINT)) AS sq, count(*) AS n
-       |   FROM (SELECT cell0, unnest(embedding) AS v,
+       | m$i AS (SELECT cell0, pos, sum(v_u)::BIGINT AS sq, count(*) AS n
+       |   FROM (SELECT cell0, unnest(e_u) AS v_u,
        |      unnest(generate_series(1, $dim)) AS pos FROM a$i)
        |   GROUP BY cell0, pos),
        | u$i AS (SELECT cell0, pos,
@@ -613,10 +620,10 @@ object VectorQueries extends QueryModule {
        |      ELSE -((-sq * 2 + n) // (2 * n)) END)::BIGINT AS cvp_u
        |   FROM m$i),
        | c$i AS (SELECT cell0 AS cid,
-       |    list(cvp_u::DOUBLE / 1e6 ORDER BY pos) AS cv,
+       |    list(cvp_u ORDER BY pos) AS c_u,
        |    sum(cvp_u)::BIGINT AS csum
        |   FROM u$i GROUP BY cell0),
-       | t$i AS (SELECT cid, cv, csum, ${dot("cv", "cv", dim)} AS c2
+       | t$i AS (SELECT cid, c_u, csum, ${dotLong("c_u", "c_u", dim)} AS c2u
        |   FROM c$i)""".stripMargin
 
   /** The full `iters`-deep training chain `seed → t1 → … → t$iters`. */
@@ -624,22 +631,30 @@ object VectorQueries extends QueryModule {
     (1 to iters).map(i => lloydIterSql(i, if (i == 1) "seed" else s"t${i - 1}"))
       .mkString(",")
 
+  /** Shared oracle prefix of the Lloyd family: embeddings with their
+    * µ-unit integer carrier (e_u, n2u) and the first-16 seed — the
+    * exact mirror of [[embWithEu]] + the [[trainCentroids]] seed. */
+  private val baseSeedSql =
+    s"""WITH base AS (SELECT vec_id, embedding, e_u,
+       |    ${dotLong("e_u", "e_u", dim)} AS n2u
+       |   FROM (SELECT vec_id, embedding,
+       |     ${microUnits("embedding")} AS e_u FROM embeddings)),
+       | seed AS (SELECT vec_id AS cid, e_u AS c_u, n2u AS c2u
+       |   FROM base WHERE vec_id < 16)""".stripMargin
+
   /** IVF oracle at the shipped training depth: the shared
     * [[lloydIterSql]] quantizer chain (the same CTEs the q_kmeans
     * oracle trains), then reassignment — probes take their `nprobe`
     * nearest trained cells, candidates their 1 nearest. */
   private def ivfOracleSql(nprobe: Int): String = {
     val t = s"t$ivfLloydIters"
-    s"""WITH base AS (SELECT vec_id, embedding,
-       |    ${dot("embedding", "embedding", dim)} AS n2 FROM embeddings),
-       | seed AS (SELECT vec_id AS cid, embedding AS cv, n2 AS c2
-       |   FROM base WHERE vec_id < 16),
+    s"""$baseSeedSql,
        |${lloydTrainSql(ivfLloydIters)},
        | dfin AS (SELECT b.vec_id, b.embedding, cid,
-       |    round(b.n2 + c2 - 2.0 * ${dot("b.embedding", "cv", dim)}, 6) AS dd
+       |    (b.n2u + c2u - 2 * ${dotLong("b.e_u", "c_u", dim)})::BIGINT AS dist_u
        |   FROM base b CROSS JOIN $t),
        | r1 AS (SELECT vec_id, embedding, cid AS cell, row_number() OVER
-       |    (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM dfin),
+       |    (PARTITION BY vec_id ORDER BY dist_u, cid) AS rn FROM dfin),
        | probes AS (SELECT cell, vec_id AS probe_id, embedding AS pv
        |   FROM r1 WHERE vec_id % 25 = 0 AND rn <= $nprobe),
        | cands AS (SELECT cell, vec_id AS cand_id, embedding AS cv2
@@ -723,20 +738,17 @@ object VectorQueries extends QueryModule {
     "q_ann_ivf_hi" -> ivfOracleSql(8),
 
     "q_kmeans" ->
-      s"""WITH base AS (SELECT vec_id, embedding,
-         |    ${dot("embedding", "embedding", dim)} AS n2 FROM embeddings),
-         | seed AS (SELECT vec_id AS cid, embedding AS cv, n2 AS c2
-         |   FROM base WHERE vec_id < 16),
+      s"""$baseSeedSql,
          |${lloydTrainSql(3)},
          | df AS (SELECT b.vec_id, cid,
-         |    round(b.n2 + c2 - 2.0 * ${dot("b.embedding", "cv", dim)}, 6) AS dd
+         |    (b.n2u + c2u - 2 * ${dotLong("b.e_u", "c_u", dim)})::BIGINT AS dist_u
          |   FROM base b CROSS JOIN t3),
-         | af AS (SELECT vec_id, cid, dd FROM (
-         |    SELECT vec_id, cid, dd, row_number() OVER
-         |      (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM df)
+         | af AS (SELECT vec_id, cid, dist_u FROM (
+         |    SELECT vec_id, cid, dist_u, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY dist_u, cid) AS rn FROM df)
          |   WHERE rn = 1),
          | rep AS (SELECT cid, count(*)::BIGINT AS n,
-         |    sum(CAST(round(dd * 1e6) AS BIGINT)) AS inertia_u
+         |    sum(dist_u)::BIGINT AS inertia_u
          |   FROM af GROUP BY cid)
          |SELECT rep.cid AS cid, n, inertia_u, t3.csum AS cent_sum_u
          | FROM rep JOIN t3 ON rep.cid = t3.cid
@@ -790,17 +802,14 @@ object VectorQueries extends QueryModule {
     // The SAME shared Lloyd quantizer chain as q_kmeans/q_ann_ivf, then
     // within-cell pairs under the mirrored SkewGuard cap.
     "q_semdedup" ->
-      s"""WITH base AS (SELECT vec_id, embedding,
-         |    ${dot("embedding", "embedding", dim)} AS n2 FROM embeddings),
-         | seed AS (SELECT vec_id AS cid, embedding AS cv, n2 AS c2
-         |   FROM base WHERE vec_id < 16),
+      s"""$baseSeedSql,
          |${lloydTrainSql(ivfLloydIters)},
          | dfin AS (SELECT b.vec_id, b.embedding, cid,
-         |    round(b.n2 + c2 - 2.0 * ${dot("b.embedding", "cv", dim)}, 6) AS dd
+         |    (b.n2u + c2u - 2 * ${dotLong("b.e_u", "c_u", dim)})::BIGINT AS dist_u
          |   FROM base b CROSS JOIN t$ivfLloydIters),
          | asg AS (SELECT vec_id, embedding, cid AS cell0 FROM (
          |    SELECT vec_id, embedding, cid, row_number() OVER
-         |      (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM dfin)
+         |      (PARTITION BY vec_id ORDER BY dist_u, cid) AS rn FROM dfin)
          |   WHERE rn = 1),
          | sized AS (SELECT vec_id, embedding, cell0,
          |    count(*) OVER (PARTITION BY cell0) AS csz FROM asg),

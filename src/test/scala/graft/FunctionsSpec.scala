@@ -145,6 +145,31 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
         java.lang.Double.doubleToRawLongBits(r.getDouble(1))))
   }
 
+  test("native DotLongExpr ≡ HOF fold ≡ BigInt model on µ-unit embeddings") {
+    // The integer inner loop of the Lloyd/k-means chain: exact on longs,
+    // NULL on ragged input, bit-identical to the declarative twin.
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(30)
+      .select(VectorFunctions.microUnits(col("embedding")).as("e"))
+    val pairs = emb.crossJoin(emb.select(col("e").as("e2")))
+    val rows = pairs.select(col("e"), col("e2"),
+      VectorFunctions.dotLong(col("e"), col("e2")).as("native"),
+      VectorFunctions.dotLongHof(col("e"), col("e2")).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val model = r.getSeq[Long](0).zip(r.getSeq[Long](1))
+        .map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      assert(BigInt(r.getLong(2)) == model && r.getLong(2) == r.getLong(3))
+    }
+    val s = spark
+    import s.implicits._
+    val ragged = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(VectorFunctions.dotLong(col("a"), col("b")).as("native"),
+        VectorFunctions.dotLongHof(col("a"), col("b")).as("hof")).collect()
+    assert(ragged(0).isNullAt(0) && ragged(0).isNullAt(1),
+      "mismatched lengths must be NULL in both forms")
+  }
+
   test("native SimHashExpr ≡ declarative 32-fold form on real documents") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
@@ -389,7 +414,8 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     val reg = Bridge.registeredFunctions(installer)
     for (name <- Seq("hash60", "kmv_distinct", "tdigest", "tdigest_sketch",
       "tdigest_merge", "tokenize", "shingle_hashes",
-      "dot_product", "simhash32", "jaccard_sorted", "minhash_sig", "lsh_bucket",
+      "dot_product", "dot_long", "simhash32", "jaccard_sorted", "minhash_sig",
+      "lsh_bucket",
       "heavy_hitters", "count_min", "bloom_build", "bloom_might_contain"))
       assert(reg.functionExists(FunctionIdentifier(name)), name)
     val bb = reg.lookupFunction(FunctionIdentifier("bloom_build"),
