@@ -106,6 +106,11 @@ object GraftExtensions {
       arity(2, "usage: dot_product(a, b)")(c => DotProductExpr(c(0), c(1)))),
     ("dot_long", classOf[DotLongExpr].getName,
       arity(2, "usage: dot_long(a, b)")(c => DotLongExpr(c(0), c(1)))),
+    ("topk_pairs", classOf[TopKPairsAgg].getName,
+      arity(3, "usage: topk_pairs(score, id, k literal)") { c =>
+        TopKPairsAgg(c(0), c(1),
+          literalInt(c(2), "usage: topk_pairs(score, id, k literal)"))
+      }),
     ("simhash32", classOf[SimHashExpr].getName,
       arity(1, "usage: simhash32(token_hashes)")(c => SimHashExpr(c.head))),
     ("jaccard_sorted", classOf[JaccardExpr].getName,

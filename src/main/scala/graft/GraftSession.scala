@@ -31,6 +31,15 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // The ANN family's per-probe top-k runs as an ObjectHashAggregate
+      // (TypedImperativeAggregate buffers); the default 128-key
+      // fallback would flip its partial stage to sort-based on any
+      // real probe batch, re-sorting the scored pair stream the
+      // aggregate exists to avoid. Probe batches are O(corpus/25)
+      // groups of ~50-byte buffers — hashing a million of them is MBs,
+      // not a spill risk.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 21).toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized
       // reader rejects; read as ns-longs and convert in Tables.events.

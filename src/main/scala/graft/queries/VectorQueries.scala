@@ -88,12 +88,21 @@ object VectorQueries extends QueryModule {
     array_distinct(array(s1, pmod(s1 + 1, nsplit)))
   }
 
-  /** Rank candidate pairs by cosine and keep the top-3 per probe. */
+  /** Rank candidate pairs by cosine and keep the top-3 per probe —
+    * via the partial-aggregable [[graft.functions.TopKPairsAgg]], so
+    * each scan partition reduces to ≤3 entries per probe map-side and
+    * the exchange carries O(probes) rows, never the scored pair stream
+    * (the row_number window this replaces shuffled and sorted every
+    * candidate pair — tens of millions of rows at 100× sf0.1). Same
+    * (cos_sim desc, cand_id) total order, same output columns; the
+    * DuckDB oracles keep their window formulation — result-identical. */
   private def topK(pairs: DataFrame): DataFrame =
-    pairs
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("probe_id").orderBy(col("cos_sim").desc, col("cand_id"))))
-      .filter(col("rnk") <= 3)
+    pairs.groupBy("probe_id")
+      .agg(graft.functions.TopKPairsAgg
+        .topk(col("cos_sim"), col("cand_id"), 3).as("tk"))
+      .select(col("probe_id"), posexplode(col("tk")).as(Seq("i0", "t")))
+      .select(col("probe_id"), col("t.id").as("cand_id"),
+        col("t.score").as("cos_sim"), (col("i0") + 1).cast("int").as("rnk"))
       .orderBy("probe_id", "rnk")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -199,8 +208,10 @@ object VectorQueries extends QueryModule {
     }),
 
     // IVF (inverted-file) ANN with a TRAINED coarse quantizer. Seed
-    // centroids are the first K=16 vectors, refined by deterministic
-    // Lloyd iterations with per-cell means in exact integer micro-units
+    // centroids are the first K vectors with K = max(16, n/targetCell)
+    // — derived from the corpus count so cell population stays ~2k at
+    // any scale (see [[derivedK]]) — refined by deterministic Lloyd
+    // iterations with per-cell means in exact integer micro-units
     // (order-independent, mirrored bit-for-bit by DuckDB; a naive float
     // sum would hash-diverge under Spark's parallel aggregation order).
     // The operating point (ivfLloydIters=3, ivfNProbe=4) is the KNEE of
@@ -223,7 +234,7 @@ object VectorQueries extends QueryModule {
     "q_ann_ivf_hi" -> ((s, d) => ivfTopK(s, d, nprobe = 8,
       lloydIters = ivfLloydIters)),
 
-    // Full k-means trainer (K=16, 3 Lloyd iterations) — the model-
+    // Full k-means trainer (K = [[derivedK]], 3 Lloyd iterations) — the model-
     // training twin of q_ann_ivf's coarse quantizer, reporting
     // the trained model per cell: size, inertia (Σ‖e−c‖² in exact µ²
     // units), and a centroid checksum. INTEGER END-TO-END: vectors are
@@ -242,45 +253,65 @@ object VectorQueries extends QueryModule {
     "q_kmeans" -> ((s, d) => kmeansReport(s, d, iters = 3)),
 
     // Quantized ANN search — q_quantize_embed put to WORK, the SQ8
-    // serving pattern: every vector carries PHYSICAL int8 codes
-    // (array<tinyint> — 1 byte per component in Tungsten, 4× smaller
-    // than the float embedding); per probe, candidates are first
-    // ranked by the DEQUANTIZED approximate cosine (an integer-exact
-    // int8·int8 dot — products ≤ 127²·dim are exactly representable,
-    // so the double fold is deterministic — scaled back by the two
-    // scales), the top-10 survivors are reranked by EXACT cosine, and
-    // the final top-3 is the answer. The shortlist here scores brute
-    // pairs for oracle comparability (q_ann_brute is the documented
-    // quadratic baseline); at 100 TB the int8 scoring slots into any
-    // of the bucketed candidate generators (LSH/IVF) as the
-    // memory-bandwidth win, and the exact pass touches 10 candidates
-    // per probe regardless of corpus size. Probes broadcast against
-    // ONE corpus scan; rank pruning inside the exchange.
+    // serving pattern COMPOSED with the trained IVF index: every
+    // vector carries PHYSICAL int8 codes (array<tinyint> — 1 byte per
+    // component in Tungsten, 4× smaller than the float embedding);
+    // per probe, candidates come from the probe's ivfNProbe nearest
+    // trained cells (the SAME staged r1 assignment q_ann_ivf reads),
+    // are first ranked by the DEQUANTIZED approximate cosine (an
+    // integer-exact int8·int8 dot — products ≤ 127²·dim are exactly
+    // representable, so the double fold is deterministic — scaled
+    // back by the two scales), the top-10 survivors are reranked by
+    // EXACT cosine, and the final top-3 is the answer. The round-8
+    // form shortlisted over BRUTE pairs — correct but O(n²), among
+    // the worst ratios in the 100× sweep; with the IVF candidate
+    // generator (derived-K cells, see [[derivedK]]) the int8 pass
+    // scans ~nprobe·targetCell candidates per probe and the exact
+    // pass touches 10, both corpus-size-free. One cell-keyed
+    // equi-join; no cross join anywhere.
     "q_ann_quantized" -> ((s, d) => {
-      val sc = greatest(array_max(transform(col("embedding"),
-        x => abs(x.cast("double")))), lit(1e-30))
-      val qz = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          VectorFunctions.l2Norm(col("embedding")).as("nrm"))
-        .withColumn("scale", sc)
+      val e = embWithEu(s, d)
+        .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
+        .withColumn("scale", greatest(array_max(transform(col("embedding"),
+          x => abs(x.cast("double")))), lit(1e-30)))
         .withColumn("qv", transform(col("embedding"),
           x => round(x.cast("double") / col("scale") * 127).cast("tinyint")))
-      val probes = qz.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
-          col("nrm").as("pnrm"), col("scale").as("ps"), col("qv").as("pq"))
-      val cands = qz.select(col("vec_id").as("cand_id"),
-        col("embedding").as("cv"), col("nrm").as("cnrm"),
-        col("scale").as("cs"), col("qv").as("cq"))
-      val shortlist = cands.crossJoin(broadcast(probes))
+      val trained = StagedCache.persist(trainCentroids(s, d, ivfLloydIters))
+      val probes = assignNearest(e.filter(col("vec_id") % 25 === 0),
+          trained, keep = ivfNProbe)
+        .select(col("cid").as("cell"), col("vec_id").as("probe_id"),
+          col("embedding").as("pv"), col("nrm").as("pnrm"),
+          col("scale").as("ps"), col("qv").as("pq"))
+      val cands = assignMin(e, trained)
+        .select(col("cid").as("cell"), col("vec_id").as("cand_id"),
+          col("embedding").as("cv"), col("nrm").as("cnrm"),
+          col("scale").as("cs"), col("qv").as("cq"))
+      // int8 shortlist: score every in-cell pair, keep the top-10 ids
+      // per probe via the map-side-combined top-k aggregate (same
+      // total order as the row_number form; no pair-row shuffle).
+      val short10 = probes.join(cands, "cell")
         .filter(col("probe_id") =!= col("cand_id"))
         .withColumn("score_q", round(VectorFunctions.dot(col("pq"), col("cq"))
           * col("ps") * col("cs") / lit(16129.0) / col("pnrm") / col("cnrm"), 6))
-        .withColumn("rq", row_number().over(
-          Window.partitionBy("probe_id").orderBy(col("score_q").desc, col("cand_id"))))
-        .filter(col("rq") <= 10)
-      topK(shortlist.select(col("probe_id"), col("cand_id"),
-        round(VectorFunctions.dot(col("pv"), col("cv"))
-          / (col("pnrm") * col("cnrm")), 6).as("cos_sim")))
+        .groupBy("probe_id")
+        .agg(graft.functions.TopKPairsAgg
+          .topk(col("score_q"), col("cand_id"), 10).as("tk"))
+        .select(col("probe_id"), explode(col("tk.id")).as("cand_id"))
+      // Exact rerank: fetch full vectors BY ID for the ≤10 survivors —
+      // the serving-shape lookup (probe batch broadcast; candidate
+      // fetch an id equi-join against the raw corpus scan, never the
+      // assignment lineage).
+      val pvecs = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          col("nrm").as("pnrm"))
+      val cvecs = e.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv"), col("nrm").as("cnrm"))
+      topK(short10
+        .join(broadcast(pvecs), "probe_id")
+        .join(cvecs, "cand_id")
+        .select(col("probe_id"), col("cand_id"),
+          round(VectorFunctions.dot(col("pv"), col("cv"))
+            / (col("pnrm") * col("cnrm")), 6).as("cos_sim")))
     }),
 
     // Symmetric int8 vector quantization — the storage/serving format
@@ -350,7 +381,7 @@ object VectorQueries extends QueryModule {
         .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
       val trained = trainCentroids(s, d, ivfLloydIters)
       val cells = StagedCache.persist(SkewGuard.capBuckets(
-        assignNearest(e, trained, keep = 1)
+        assignMin(e, trained)
           .select(col("vec_id"), col("embedding"), col("nrm"),
             col("cid").as("cell")),
         "cell", col("vec_id"), semCellCap))
@@ -490,11 +521,15 @@ object VectorQueries extends QueryModule {
       VectorFunctions.microUnits(col("embedding")).as("e_u"))
       .withColumn("n2u", VectorFunctions.dotLong(col("e_u"), col("e_u")))
 
-  /** Top-`keep` nearest-centroid assignment of every vector, the 100 TB
-    * scan stage of IVF/k-means: K centroids ride the broadcast, the
-    * argmin is a native integer dot fold per pair — dist_u is the exact
-    * squared distance in µ² units, identical in both engines by
-    * construction (no float rounding anywhere in the ranking key). */
+  /** Top-`keep` nearest-centroid assignment via a row_number window —
+    * the PROBE-side form only (a probe batch is corpus/25 here, a tiny
+    * query set in production): the window shuffles every (vector,
+    * centroid) pair row, which is fine for a probe batch and ruinous
+    * for the corpus (n·K pair rows ≈ 20 GB/iteration at 100× sf0.1 —
+    * the measured round-10 wall after derived-K). Corpus-side argmin
+    * goes through [[assignMin]] instead. dist_u is the exact squared
+    * distance in µ² units, identical in both engines by construction
+    * (no float rounding anywhere in the ranking key). */
   private def assignNearest(e: DataFrame, cent: DataFrame,
       keep: Int): DataFrame =
     e.crossJoin(broadcast(cent))
@@ -503,6 +538,28 @@ object VectorQueries extends QueryModule {
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("dist_u"), col("cid"))))
       .filter(col("rn") <= keep)
+
+  /** Nearest-centroid (argmin) assignment of EVERY vector — the 100 TB
+    * corpus scan stage of IVF/k-means: K centroids ride the broadcast,
+    * the argmin is `min(struct(dist_u, cid, payload…))`, which Spark
+    * partial-aggregates MAP-SIDE — each vector's K candidate rows
+    * collapse to one inside the scan stage (the cross join preserves
+    * the corpus partitioning, so a vector's pairs never straddle a
+    * partition), and the exchange carries n compact rows, not n·K.
+    * (dist_u, cid) is unique per vector, so the payload columns —
+    * everything in `e` except the id — never tie-break; the result is
+    * exactly the rn=1 row of [[assignNearest]], which is what the
+    * DuckDB oracle computes. Output: vec_id, dist_u, cid, payload. */
+  private def assignMin(e: DataFrame, cent: DataFrame): DataFrame = {
+    val payload = e.columns.filterNot(_ == "vec_id").toSeq
+    val fields = Seq("dist_u", "cid") ++ payload
+    e.crossJoin(broadcast(cent))
+      .withColumn("dist_u", col("n2u") + col("c2u")
+        - lit(2L) * VectorFunctions.dotLong(col("e_u"), col("c_u")))
+      .groupBy("vec_id")
+      .agg(min(struct(fields.map(col): _*)).as("m"))
+      .select(col("vec_id") +: fields.map(f => col(s"m.$f").as(f)): _*)
+  }
 
   /** Per-cell mean over an assignment — INTEGER micro-units end-to-end
     * (sign-symmetric half-away division of the exact µ-unit component
@@ -524,19 +581,56 @@ object VectorQueries extends QueryModule {
       .select(col("cell0").as("cid"), col("c_u"), col("csum"),
         VectorFunctions.dotLong(col("c_u"), col("c_u")).as("c2u"))
 
-  /** Lloyd-train K=16 centroids for `iters` iterations from the
-    * first-16 seed. Each iteration is one broadcast-assign scan + one
-    * (cell, pos)-keyed shuffle; output (cid, c_u, csum, c2u) — all
-    * integer micro-units. Shared by the k-means trainer, the IVF
-    * quantizer, and the Recall sweep. */
+  /** Target Lloyd cell population: K = max(16, n DIV targetCell), so
+    * cells hold ~2k vectors at ANY corpus size. This is the structural
+    * scale property of the whole IVF/k-means/SemDeDup family — a FIXED
+    * K makes per-probe cell scans grow ∝ corpus/K (the measured
+    * two-decade wall: the round-8 100× suite sweep ran its budget dry
+    * inside the ANN band), while K ∝ corpus keeps probe cost constant
+    * and the centroid table a corpus-independent broadcast per decade
+    * (732 rows at 100× sf0.1 — still trivially broadcastable; the
+    * (cell, pos) recompute shuffle stays K·dim keys). The oracle
+    * derives the SAME K from count(*), so small scale factors
+    * (n < 16·targetCell) are bit-identical to the historical K=16. */
+  private[graft] val targetCell = 2048L
+
+  /** The derived cell count for a corpus of `n` vectors. */
+  private[graft] def derivedK(n: Long): Long = math.max(16L, n / targetCell)
+
+  /** The derived cell count for a corpus directory — one metadata-only
+    * parquet count. */
+  private[graft] def derivedK(s: SparkSession, d: String): Long =
+    derivedK(Tables.embeddings(s, d).count())
+
+  /** Lloyd-train K = [[derivedK]] centroids for `iters` iterations
+    * from the first-K seed. Each iteration is one broadcast-assign
+    * scan + one (cell, pos)-keyed shuffle; output (cid, c_u, csum,
+    * c2u) — all integer micro-units. Shared by the k-means trainer,
+    * the IVF quantizer, and the Recall sweep. */
   private[graft] def trainCentroids(s: SparkSession, d: String,
       iters: Int): DataFrame = {
-    val e = embWithEu(s, d)
-    val seed = e.filter(col("vec_id") < 16)
+    val n = Tables.embeddings(s, d).count()
+    val k = derivedK(n)
+    // Train the quantizer on a deterministic ~64·K subsample (every
+    // stride-th vec_id) — the standard IVF training regime (~30–256
+    // points per centroid): full-corpus Lloyd costs n·K dot folds per
+    // iteration, which with K ∝ n is the next quadratic wall after
+    // derived-K; the sample caps per-cell training points at ~64
+    // regardless of corpus size, while the FINAL assignment (the part
+    // whose output is reported) still scans every vector. stride = 1
+    // whenever n ≤ 64·K·… — in particular at every oracle scale
+    // factor, where training remains bit-identical full-corpus Lloyd.
+    val stride = math.max(1L, n / (64L * k))
+    // Trimmed to the integer carrier: the training loop's min-struct
+    // payload is then just e_u (the recompute input), not the float
+    // embedding riding along for nothing.
+    val e = embWithEu(s, d).select(col("vec_id"), col("e_u"), col("n2u"))
+    val tr = e.filter(col("vec_id") % stride === 0)
+    val seed = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("e_u").as("c_u"),
         col("n2u").as("c2u"))
     (1 to iters).foldLeft(seed) { (c, _) =>
-      recomputeCentroids(assignNearest(e, c, keep = 1))
+      recomputeCentroids(assignMin(tr, c))
     }
   }
 
@@ -547,7 +641,8 @@ object VectorQueries extends QueryModule {
   private[graft] def kmeansReport(s: SparkSession, d: String,
       iters: Int): DataFrame = {
     val trained = StagedCache.persist(trainCentroids(s, d, iters))
-    assignNearest(embWithEu(s, d), trained, keep = 1)
+    assignMin(embWithEu(s, d)
+        .select(col("vec_id"), col("e_u"), col("n2u")), trained)
       .groupBy("cid")
       .agg(count(lit(1)).as("n"), sum(col("dist_u")).as("inertia_u"))
       .join(broadcast(trained.select(col("cid"), col("csum").as("cent_sum_u"))),
@@ -568,18 +663,18 @@ object VectorQueries extends QueryModule {
       lloydIters: Int): DataFrame = {
     val e = embWithEu(s, d)
       .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
-    val trained = trainCentroids(s, d, lloydIters)
-    // Reassignment against the trained centroids, staged: the probe
-    // side (rn ≤ nprobe) and candidate side (rn = 1) both read it, and
-    // its lineage embeds the whole training job.
-    val r1 = StagedCache.persist(assignNearest(e, trained, keep = nprobe)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("cid").as("cell"), col("rn")))
-    val probesR = r1.filter(col("vec_id") % 25 === 0)
-      .select(col("cell"), col("vec_id").as("probe_id"),
+    // The trained quantizer is staged: probe and candidate assignment
+    // both read it, and its lineage embeds the whole training job.
+    val trained = StagedCache.persist(trainCentroids(s, d, lloydIters))
+    // Probes (corpus/25) take their nprobe nearest cells through the
+    // windowed form — a small batch; candidates (the WHOLE corpus) go
+    // through the map-side-combined argmin, never a pair-row shuffle.
+    val probesR = assignNearest(e.filter(col("vec_id") % 25 === 0),
+        trained, keep = nprobe)
+      .select(col("cid").as("cell"), col("vec_id").as("probe_id"),
         col("embedding").as("pv"), col("nrm").as("pnrm"))
-    val cands = r1.filter(col("rn") === 1)
-      .select(col("cell"), col("vec_id").as("cand_id"),
+    val cands = assignMin(e, trained)
+      .select(col("cid").as("cell"), col("vec_id").as("cand_id"),
         col("embedding").as("cv2"), col("nrm").as("cnrm"))
     topK(probesR.join(cands, "cell")
       .filter(col("probe_id") =!= col("cand_id"))
@@ -606,7 +701,7 @@ object VectorQueries extends QueryModule {
   private def lloydIterSql(i: Int, prev: String): String =
     s""" d$i AS (SELECT b.vec_id, b.e_u, cid,
        |    (b.n2u + c2u - 2 * ${dotLong("b.e_u", "c_u", dim)})::BIGINT AS dist_u
-       |   FROM base b CROSS JOIN $prev),
+       |   FROM tr b CROSS JOIN $prev),
        | a$i AS (SELECT vec_id, e_u, cell0, dist_u FROM (
        |    SELECT vec_id, e_u, cid AS cell0, dist_u, row_number() OVER
        |      (PARTITION BY vec_id ORDER BY dist_u, cid) AS rn
@@ -632,15 +727,23 @@ object VectorQueries extends QueryModule {
       .mkString(",")
 
   /** Shared oracle prefix of the Lloyd family: embeddings with their
-    * µ-unit integer carrier (e_u, n2u) and the first-16 seed — the
-    * exact mirror of [[embWithEu]] + the [[trainCentroids]] seed. */
+    * µ-unit integer carrier (e_u, n2u), the first-K seed with K
+    * derived from count(*) exactly as [[derivedK]] does, and the
+    * stride-sampled training subset `tr` (the [[trainCentroids]]
+    * mirror: stride = max(1, n / (64·K)), which is 1 — full corpus —
+    * at every oracle scale factor). */
   private val baseSeedSql =
     s"""WITH base AS (SELECT vec_id, embedding, e_u,
        |    ${dotLong("e_u", "e_u", dim)} AS n2u
        |   FROM (SELECT vec_id, embedding,
        |     ${microUnits("embedding")} AS e_u FROM embeddings)),
        | seed AS (SELECT vec_id AS cid, e_u AS c_u, n2u AS c2u
-       |   FROM base WHERE vec_id < 16)""".stripMargin
+       |   FROM base WHERE vec_id <
+       |     (SELECT greatest(16, count(*) // $targetCell) FROM base)),
+       | tr AS (SELECT * FROM base WHERE vec_id %
+       |   (SELECT greatest(1, count(*) //
+       |      (64 * greatest(16, count(*) // $targetCell))) FROM base) = 0)"""
+      .stripMargin
 
   /** IVF oracle at the shipped training depth: the shared
     * [[lloydIterSql]] quantizer chain (the same CTEs the q_kmeans
@@ -755,21 +858,31 @@ object VectorQueries extends QueryModule {
          | ORDER BY cid""".stripMargin.replace("\n", ""),
 
     "q_ann_quantized" ->
-      s"""WITH s0 AS (SELECT vec_id, embedding, ${l2Norm("embedding", dim)} AS nrm,
+      s"""$baseSeedSql,
+         |${lloydTrainSql(ivfLloydIters)},
+         | s0 AS (SELECT vec_id, embedding, ${l2Norm("embedding", dim)} AS nrm,
          |   greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))),
          |     1e-30) AS scale FROM embeddings),
          | qz AS (SELECT vec_id, embedding, nrm, scale,
          |   list_transform(generate_series(1, $dim),
          |     i -> CAST(round(embedding[i]::DOUBLE / scale * 127) AS TINYINT))
          |     AS qv FROM s0),
-         | pr AS (SELECT vec_id AS probe_id, embedding AS pv, nrm AS pnrm,
-         |   scale AS ps, qv AS pq FROM qz WHERE vec_id % 25 = 0),
-         | ca AS (SELECT vec_id AS cand_id, embedding AS cv, nrm AS cnrm,
-         |   scale AS cs, qv AS cq FROM qz),
+         | dfin AS (SELECT b.vec_id, cid,
+         |    (b.n2u + c2u - 2 * ${dotLong("b.e_u", "c_u", dim)})::BIGINT AS dist_u
+         |   FROM base b CROSS JOIN t$ivfLloydIters),
+         | r1 AS (SELECT vec_id, cid AS cell, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY dist_u, cid) AS rn FROM dfin),
+         | pr AS (SELECT cell, r.vec_id AS probe_id, embedding AS pv,
+         |   nrm AS pnrm, scale AS ps, qv AS pq
+         |  FROM r1 r JOIN qz q ON q.vec_id = r.vec_id
+         |  WHERE r.vec_id % 25 = 0 AND rn <= $ivfNProbe),
+         | ca AS (SELECT cell, r.vec_id AS cand_id, embedding AS cv,
+         |   nrm AS cnrm, scale AS cs, qv AS cq
+         |  FROM r1 r JOIN qz q ON q.vec_id = r.vec_id WHERE rn = 1),
          | ap AS (SELECT probe_id, cand_id, pv, cv, pnrm, cnrm,
          |   round(${dot("pq", "cq", dim)} * ps * cs / 16129.0 / pnrm / cnrm, 6)
          |     AS score_q
-         |  FROM ca CROSS JOIN pr WHERE cand_id != probe_id),
+         |  FROM pr p JOIN ca c ON c.cell = p.cell AND c.cand_id != p.probe_id),
          | t10 AS (SELECT * FROM (SELECT *, row_number() OVER
          |    (PARTITION BY probe_id ORDER BY score_q DESC, cand_id) AS rq
          |   FROM ap) WHERE rq <= 10),
