@@ -201,7 +201,15 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val maxIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_ITERS", "7").toInt
       .max(iters)
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
+    // Default sized for median-of-3 on the full suite: the r9 driver run
+    // (budget 480) measured a 319 s wall for warm-up + 1 sample × 149
+    // queries, so the ladder shed 144/149 queries to a single sample —
+    // and the r8→r9 same-code replay showed 1-sample noise reaching
+    // 1.9× per query. 3 timed samples + warm-up ≈ 4× the single-pass
+    // cost (~800 s); 1200 leaves headroom for a busy host while the
+    // crash-safe per-query flush still bounds the damage of any
+    // external kill.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
     val settleMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "150").toLong
     // An ONLY-subset A/B run must never clobber the committed
     // full-suite record (the round-8 review caught exactly that: a

@@ -105,11 +105,19 @@ object BpeTrainer {
     * runs out of repeatable pairs. */
   def train(tokens: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
     var words = StagedCache.persist(wordTable(tokens))
+    // Rolling two-table window over the staged Lloyd-style chain: round
+    // r's topPair collect MATERIALIZES round r's word table, at which
+    // point round r−1's (its lineage input) is dead — released here so
+    // a K-merge run pins 2 staged corpus copies, not K+1.
+    var prev: Option[DataFrame] = None
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var done = false
     while (rank <= k && !done) {
-      topPair(words) match {
+      val top = topPair(words)
+      prev.foreach(StagedCache.release(_))
+      prev = Some(words)
+      top match {
         case Some(m) =>
           merges += m.copy(rank = rank)
           words = StagedCache.persist(applyMerge(words, m))

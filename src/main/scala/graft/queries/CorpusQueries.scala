@@ -800,13 +800,12 @@ object CorpusQueries extends QueryModule {
     * order: count desc, lhs, rhs), and the delimiter-consuming
     * replace — the EXACT mirror of BpeTrainer's round.
     *
-    * Precondition (shared with the trainer): the corpus must yield at
-    * least one pair in every round ≤ K. A corpus exhausting pairs
-    * early would early-stop the trainer but empty the oracle's cross
-    * join (t_i empty ⇒ v_i empty) — fine for the merges query (both
-    * sides emit the same short list) but a divergence for the encode.
-    * Any corpus with ≥ K+1 total characters of repeated vocabulary
-    * satisfies it; K=6 on the fixture uses pairs with counts ≫ 1. */
+    * Early-stop safe: a round with no pair ≥ the frequency floor
+    * leaves t_i empty, and v_i passes the word state through via the
+    * LEFT JOIN + coalesce below — exactly the trainer's
+    * `case None => done` — so merges come out shorter and the encode
+    * still reflects every merge that WAS minted. (The cross-join form
+    * this replaces emptied v_i and every CTE after it.) */
   private def bpeCteChain(k: Int): String = {
     val b = new StringBuilder
     b ++= s"WITH tokw AS (SELECT unnest(${OracleSql.toks("text")}) AS word " +
@@ -825,9 +824,15 @@ object CorpusQueries extends QueryModule {
         s"sum(cnt)::BIGINT AS pair_cnt FROM j$i GROUP BY 1, 2)"
       b ++= s", t$i AS (SELECT lhs, rhs, pair_cnt FROM p$i " +
         "WHERE pair_cnt >= 2 ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1)"
+      // LEFT JOIN ON TRUE, not a cross join: an early-stopped round
+      // (t_i empty) must pass the word state through unchanged — the
+      // trainer's `case None => done` — where the cross join would
+      // empty v_i and every CTE after it. NULL lhs/rhs makes the
+      // replace NULL; coalesce restores rep.
       b ++= s", v$i AS (SELECT word, cnt, " +
-        "replace(rep, '|' || lhs || '||' || rhs || '|', " +
-        s"'|' || lhs || rhs || '|') AS rep FROM $p, t$i)"
+        "coalesce(replace(rep, '|' || lhs || '||' || rhs || '|', " +
+        s"'|' || lhs || rhs || '|'), rep) AS rep " +
+        s"FROM $p LEFT JOIN t$i ON TRUE)"
     }
     b.toString
   }

@@ -28,6 +28,21 @@ object StagedCache {
   def persist(df: DataFrame): DataFrame = synchronized {
     val p = df.persist(); staged += p; p
   }
+  /** Release ONE staged table mid-scope — the iterative-trainer pattern
+    * (BPE, Lloyd): round k's word table is dead the moment round k+1's
+    * has materialized, and keeping the chain staged pins K+1 corpus
+    * copies for a K-merge training run. Identity match, so two stages
+    * built from equal plans release independently. No-op for frames
+    * this registry never staged. */
+  def release(df: DataFrame, blocking: Boolean = false): Unit = synchronized {
+    val i = staged.indexWhere(_ eq df)
+    if (i >= 0) { staged.remove(i); df.unpersist(blocking) }
+  }
+
+  /** Number of currently staged tables — test/observability hook for
+    * the rolling-release discipline above. */
+  def stagedCount: Int = synchronized(staged.size)
+
   /** Release every staged table. `blocking = true` waits for block
     * removal — benchmark harnesses use it so one sample's teardown
     * cannot bleed into the next sample's timing. */

@@ -555,6 +555,9 @@ object RelationalQueries extends QueryModule {
     // doubles deliberately: 0.2 · avg is the same IEEE literal ·
     // division · multiply on both engines, and the output is exact
     // integer cents + a row count, so the hash cannot float-drift.
+    // PRECONDITION, pinned by TablesSpec ("l_quantity is integral"):
+    // the avg is order-independent only because quantities are
+    // integral doubles (exact partial sums in any fold order).
     "q_tpch_q17" -> ((s, d) => {
       Seq("lineitem", "part")
         .foreach(t => Tables(s, d, t).createOrReplaceTempView(s"tq17_$t"))

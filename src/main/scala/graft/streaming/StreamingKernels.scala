@@ -535,7 +535,7 @@ object StreamingKernels {
     * build time. `bloom` is [[graft.functions.BloomBuildAgg]]'s output
     * over the trained chunk hash60 set. */
   def boilerplateScreen(docs: DataFrame, bloom: Array[Byte],
-                        w: Int = 8): DataFrame = {
+      w: Int = graft.queries.PipelineQueries.boilerChunkW): DataFrame = {
     val probe = (c: Column) =>
       graft.functions.BloomMightContain(lit(bloom), TextFunctions.hash60(c))
     docs // expected columns: (doc_id long, ts timestamp, text string)

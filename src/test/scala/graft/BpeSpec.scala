@@ -128,6 +128,26 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     assert(m2 == Seq(Merge(1, "a", "b", 2)))
   }
 
+  test("train() stages a rolling two-table window, not the K+1 chain") {
+    // A K-merge run must release round r−1's word table once round r's
+    // has materialized — keeping the chain staged pins K+1 corpus
+    // copies, the round-8 advice item. Delta bound: the final state and
+    // its direct input stay staged; everything older must be gone.
+    val s = spark
+    import s.implicits._
+    graft.queries.StagedCache.releaseAll()
+    val before = graft.queries.StagedCache.stagedCount
+    val words =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val (merges, _) = BpeTrainer.train(words.toDF("word"), 6)
+    assert(merges.length >= 4, "fixture must actually iterate")
+    val after = graft.queries.StagedCache.stagedCount
+    assert(after - before <= 2,
+      s"train(k=6) left ${after - before} staged tables (want <= 2)")
+    graft.queries.StagedCache.releaseAll()
+  }
+
   test("delimiter-replace IS greedy merge: exhaustive small-alphabet sweep") {
     // The core equivalence claim, pinned WITHOUT Spark in the loop:
     // replacing `|a||b|` with `|ab|` in the double-delimited form (Java

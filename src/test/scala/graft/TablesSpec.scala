@@ -17,6 +17,27 @@ import graft.sources.Tables
   */
 class TablesSpec extends AnyFunSuite with SparkSpec {
 
+  test("l_quantity is integral — the q_tpch_q17 determinism precondition") {
+    // Q17 compares l_quantity < 0.2 * avg(l_quantity) on DOUBLES. That
+    // is engine-deterministic ONLY because quantities are integers
+    // (TPC-H spec: 1..50): integral doubles below 2^53 sum exactly in
+    // any order, so the avg — and therefore the threshold — is
+    // bit-identical across Spark's parallel and DuckDB's sequential
+    // fold. A fractional quantity would reintroduce order-dependent
+    // rounding in the correlated aggregate. Pin the precondition at
+    // both gate SFs so a regenerated fixture that breaks it fails HERE,
+    // not as an unexplained q17 hash-red.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf"
+      assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+      val bad = Tables.lineitem(spark, dir)
+        .filter(col("l_quantity") =!= floor(col("l_quantity"))
+          || col("l_quantity") < 0 || col("l_quantity") > 1e6)
+        .count()
+      assert(bad == 0L, s"$sf: $bad non-integral/out-of-range l_quantity rows")
+    }
+  }
+
   test("events ts reads as TIMESTAMP under both inference settings, same micros") {
     val dir = Files.createTempDirectory("graft_tables").toString
     // A tiny events table with a naive (NTZ-typed) timestamp column —
