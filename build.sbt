@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through VERBATIM instead of re-logging
+// each line with an "[info] " prefix: the driver harness tail-parses
+// Bench's one-line JSON artifact from stdout, and the sbt logger
+// prefix has made that line unparseable every round (BENCH_r0*.json
+// "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
