@@ -21,10 +21,13 @@ import org.apache.spark.sql.types._
   *    `mapInPandas` on PySpark (same batch shape, same schema
   *    contract). IMAGE DECODE IS REAL ([[ImageCodec]], JDK ImageIO —
   *    PNG encode on the fixture side, pixel-exact decode on the query
-  *    side, oracle-checked in `q_image_decode`). Audio/video codecs
-  *    genuinely don't ship in this container, so their feature path
-  *    keeps the deterministic byte-histogram [[MediaCodec]]; a real
-  *    codec changes only the body of [[MediaCodec.features]].
+  *    side, oracle-checked in `q_image_decode`). AUDIO DECODE IS REAL
+  *    ([[AudioCodec]], `javax.sound.sampled` — WAV/PCM encode on the
+  *    fixture side, sample-exact decode on the query side,
+  *    oracle-checked in `q_audio_decode`). Video codecs genuinely
+  *    don't ship in this container, so that feature path keeps the
+  *    deterministic byte-histogram [[MediaCodec]]; a real codec
+  *    changes only the body of [[MediaCodec.features]].
   *  - **Never collect blobs.** All media paths are executor-side; the
   *    driver only ever sees metadata.
   */
@@ -189,6 +192,124 @@ object Multimodal {
       }
       Some((img.getWidth, img.getHeight, sr, sg, sb))
     }
+  }
+
+  /** REAL audio codec — `javax.sound.sampled` (WAV/PCM ships in every
+    * JDK, so no new dependency): encode on the fixture side, decode on
+    * the query side. Retires the "no audio codec in this container"
+    * justification the byte-histogram stand-in carried through round 9
+    * — [[MediaCodec]] remains only for video. PCM is lossless, so the
+    * decoded 16-bit samples recover the planted arithmetic exactly,
+    * whatever header layout the writer chose. */
+  object AudioCodec {
+
+    /** The planted sample value: frame `i`, channel `c` of blob `id` —
+      * pure integer arithmetic, mirrored by the DuckDB oracle. Every
+      * frame differs, so a decoder that shortcuts per-sample reads (or
+      * mis-strides interleaved channels) gets the sums wrong. */
+    def sampleValue(id: Long, i: Int, c: Int): Short =
+      (((id * 31 + i.toLong * 7 + c.toLong * 13) % 65536) - 32768).toShort
+
+    /** Deterministic 16-bit little-endian PCM WAV via a REAL
+      * `AudioSystem.write`: `n` frames of `channels` interleaved
+      * planted samples at `rate` Hz. */
+    def encodeWav(id: Long, n: Int, channels: Int, rate: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        rate.toFloat, 16, channels, true, false)
+      val pcm = new Array[Byte](n * channels * 2)
+      var i = 0
+      while (i < n) {
+        var c = 0
+        while (c < channels) {
+          val v = sampleValue(id, i, c)
+          val off = (i * channels + c) * 2
+          pcm(off) = (v & 0xFF).toByte
+          pcm(off + 1) = ((v >> 8) & 0xFF).toByte
+          c += 1
+        }
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream(44 + pcm.length)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode + per-channel signed-sample sums (≤ 2 channels reported).
+      * Format facts (channels, rate, frame count) come from the DECODED
+      * header, the sums from reading every frame. None for undecodable
+      * bytes. */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Option[Long])] = {
+      if (bytes == null) return None
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        val ch = fmt.getChannels
+        val data = ais.readAllBytes()
+        val frames = data.length / (2 * ch)
+        var (s0, s1) = (0L, 0L)
+        var i = 0
+        while (i < frames) {
+          var c = 0
+          while (c < ch) {
+            val off = (i * ch + c) * 2
+            val v = ((data(off) & 0xFF) | (data(off + 1) << 8)).toShort.toLong
+            if (c == 0) s0 += v else if (c == 1) s1 += v
+            c += 1
+          }
+          i += 1
+        }
+        Some((ch, fmt.getSampleRate.toInt, frames.toLong, s0,
+          if (ch >= 2) Some(s1) else None))
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** Audio-table fixture: one REAL WAV per document, frame count /
+    * channel count / sample rate planted as doc_id arithmetic (mirrored
+    * by the DuckDB oracle), encoded executor-side in a batched
+    * partition pass — the driver never sees a blob. */
+  def wavsFromDocuments(docs: DataFrame): DataFrame = {
+    val in = docs.select(col("doc_id").cast("long"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("wav", BinaryType),
+      StructField("meta", metaType)))
+    in.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val n = (id % 50 + 10).toInt
+        val ch = (id % 2 + 1).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        Row(id, AudioCodec.encodeWav(id, n, ch, rate),
+          Row(null, null, rate, n * 1000L / rate, "wav"))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Batched real WAV decode: adds decoded channel count, sample rate,
+    * frame count, and per-channel sample sums. Same batch shape as
+    * [[decodeImages]]. */
+  def decodeWavs(df: DataFrame, bytesCol: String = "wav"): DataFrame = {
+    val outSchema = df.schema
+      .add("channels_dec", IntegerType).add("rate_dec", IntegerType)
+      .add("n_samples_dec", LongType)
+      .add("sum_c0", LongType).add("sum_c1", LongType)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val extra: Seq[Any] = AudioCodec.decode(row.getAs[Array[Byte]](idx)) match {
+          case Some((ch, rate, n, s0, s1)) =>
+            Seq[Any](Int.box(ch), Int.box(rate), Long.box(n), Long.box(s0),
+              s1.map(Long.box).orNull)
+          case None => Seq(null, null, null, null, null)
+        }
+        Row.fromSeq(row.toSeq ++ extra)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Image-table fixture: one REAL PNG per document, dimensions and

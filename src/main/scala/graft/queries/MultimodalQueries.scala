@@ -83,6 +83,25 @@ object MultimodalQueries extends QueryModule {
         .orderBy("media_id")
     }),
 
+    // REAL audio decode (javax.sound.sampled): the fixture encodes one
+    // genuine 16-bit PCM WAV per document (frame count, channel count,
+    // rate, and every interleaved sample planted as doc_id arithmetic),
+    // the query decodes the WAV BYTES ALONE — meta is dropped before
+    // the decode pass, so channel/rate/frame facts come from the parsed
+    // header and the per-channel sums from reading every frame. Every
+    // sample differs (i·7 + c·13 stride), so a decoder that skips
+    // frames or mis-strides the channel interleave gets the sums wrong.
+    "q_audio_decode" -> ((s, d) => {
+      val wavs = Multimodal.wavsFromDocuments(Tables.documents(s, d))
+        .select(col("media_id"), col("wav")) // provably no meta passthrough
+      Multimodal.decodeWavs(wavs)
+        .select(col("media_id"),
+          col("channels_dec").cast("long").as("channels_dec"),
+          col("rate_dec").cast("long").as("rate_dec"),
+          col("n_samples_dec"), col("sum_c0"), col("sum_c1"))
+        .orderBy("media_id")
+    }),
+
     "q_multimodal_features" -> ((s, d) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
       // Exact count of bytes in histogram bin i, recovered from the
@@ -120,6 +139,23 @@ object MultimodalQueries extends QueryModule {
         |  ((w * h - 1) * g + (g + 128) % 256)::BIGINT AS sum_g,
         |  ((w * h - 1) * b + (b + 128) % 256)::BIGINT AS sum_b
         | FROM p ORDER BY media_id""".stripMargin.replace("\n", ""),
+
+    // Planted-value mirror of the real WAV round-trip: n = id%50+10
+    // frames, ch = id%2+1 channels, rate = 8000 + (id%3)*4000; sample
+    // (i, c) = ((id*31 + i*7 + c*13) % 65536) - 32768. PCM is lossless,
+    // so the decoded per-channel sums equal the closed recomputation.
+    "q_audio_decode" -> {
+      def sumC(c: Int) =
+        s"list_sum(list_transform(range(0, (doc_id % 50 + 10)::INT), " +
+          s"i -> ((doc_id * 31 + i * 7 + $c * 13) % 65536) - 32768))::BIGINT"
+      s"""SELECT doc_id AS media_id,
+         | (doc_id % 2 + 1)::BIGINT AS channels_dec,
+         | (8000 + (doc_id % 3) * 4000)::BIGINT AS rate_dec,
+         | (doc_id % 50 + 10)::BIGINT AS n_samples_dec,
+         | ${sumC(0)} AS sum_c0,
+         | CASE WHEN doc_id % 2 = 1 THEN ${sumC(1)} END AS sum_c1
+         | FROM documents ORDER BY media_id""".stripMargin.replace("\n", "")
+    },
 
     "q_multimodal_frames" ->
       """WITH v AS (SELECT doc_id AS media_id, text, strlen(text)::BIGINT AS len

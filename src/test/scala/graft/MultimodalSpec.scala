@@ -132,6 +132,47 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(ImageCodec.decode(null).isEmpty)
   }
 
+  test("AudioCodec: real WAV encode → decode recovers every planted sample") {
+    import graft.multimodal.Multimodal.AudioCodec
+    val bytes = AudioCodec.encodeWav(id = 5L, n = 12, channels = 2, rate = 16000)
+    // A real RIFF/WAVE container, not a pass-through of the PCM buffer.
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val Some((ch, rate, n, s0, s1)) = AudioCodec.decode(bytes)
+    assert(ch == 2 && rate == 16000 && n == 12L)
+    def want(c: Int) = (0 until 12).map(i => AudioCodec.sampleValue(5L, i, c).toLong).sum
+    assert(s0 == want(0))
+    assert(s1.contains(want(1)), "channel interleave must not cross-bleed")
+    // Mono: one channel reported, the second absent.
+    val Some((ch1, _, n1, m0, m1)) = AudioCodec.decode(
+      AudioCodec.encodeWav(id = 6L, n = 10, channels = 1, rate = 8000))
+    assert(ch1 == 1 && n1 == 10L && m1.isEmpty)
+    assert(m0 == (0 until 10).map(i => AudioCodec.sampleValue(6L, i, 0).toLong).sum)
+    // Undecodable bytes are None, not a task failure.
+    assert(AudioCodec.decode("not a wav".getBytes("UTF-8")).isEmpty)
+    assert(AudioCodec.decode(null).isEmpty)
+  }
+
+  test("decodeWavs: distributed round-trip matches planted doc_id arithmetic") {
+    val wavs = Multimodal.wavsFromDocuments(docs())
+      .select(col("media_id"), col("wav")) // no meta available to cheat from
+      .repartition(3)
+    val out = Multimodal.decodeWavs(wavs).orderBy("media_id").collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      val id = r.getLong(r.fieldIndex("media_id"))
+      val (n, ch) = ((id % 50 + 10).toInt, (id % 2 + 1).toInt)
+      def want(c: Int) = (0 until n)
+        .map(i => Multimodal.AudioCodec.sampleValue(id, i, c).toLong).sum
+      assert(r.getInt(r.fieldIndex("channels_dec")) == ch)
+      assert(r.getInt(r.fieldIndex("rate_dec")) == 8000 + (id % 3).toInt * 4000)
+      assert(r.getLong(r.fieldIndex("n_samples_dec")) == n.toLong)
+      assert(r.getLong(r.fieldIndex("sum_c0")) == want(0))
+      if (ch == 2) assert(r.getLong(r.fieldIndex("sum_c1")) == want(1))
+      else assert(r.isNullAt(r.fieldIndex("sum_c1")))
+    }
+  }
+
   test("decodeImages: distributed round-trip matches planted doc_id arithmetic") {
     val imgs = Multimodal.imagesFromDocuments(docs())
       .select(col("media_id"), col("png")) // no meta available to cheat from
