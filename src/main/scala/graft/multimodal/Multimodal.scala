@@ -24,10 +24,13 @@ import org.apache.spark.sql.types._
   *    side, oracle-checked in `q_image_decode`). AUDIO DECODE IS REAL
   *    ([[AudioCodec]], `javax.sound.sampled` — WAV/PCM encode on the
   *    fixture side, sample-exact decode on the query side,
-  *    oracle-checked in `q_audio_decode`). Video codecs genuinely
-  *    don't ship in this container, so that feature path keeps the
-  *    deterministic byte-histogram [[MediaCodec]]; a real codec
-  *    changes only the body of [[MediaCodec.features]].
+  *    oracle-checked in `q_audio_decode`). VIDEO DECODE IS REAL
+  *    ([[VideoCodec]], multi-frame GIF via JDK ImageIO — palette-exact
+  *    animated-GIF encode on the fixture side, frame-sampled decode on
+  *    the query side, oracle-checked in `q_video_decode`). The
+  *    deterministic byte-histogram [[MediaCodec]] remains only as the
+  *    stand-in for the LEARNED embedding kernel (the one genuinely
+  *    absent library), with the batch shape a real model would use.
   *  - **Never collect blobs.** All media paths are executor-side; the
   *    driver only ever sees metadata.
   */
@@ -308,6 +311,163 @@ object Multimodal {
           case None => Seq(null, null, null, null, null)
         }
         Row.fromSeq(row.toSeq ++ extra)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL video codec — multi-frame (animated) GIF via JDK ImageIO:
+    * `prepareWriteSequence`/`writeToSequence` on the fixture side, the
+    * frame-indexed `ImageReader.read(i)` on the query side. GIF is
+    * palette-indexed and each frame here carries an EXPLICIT two-entry
+    * `IndexColorModel` (fill + corner accent), so the round-trip is
+    * pixel-exact — no quantizer ever runs. Frame SAMPLING (decode every
+    * k-th frame without decoding the rest) is the operation a video
+    * training pipeline actually runs; [[decode]] takes the stride
+    * directly so the skip happens inside the reader loop. */
+  object VideoCodec {
+
+    /** Planted fill color of frame `f` of blob `id` — pure integer
+      * arithmetic, mirrored by the DuckDB oracle. Every frame differs,
+      * so a decoder that replays frame 0 (or composites disposal state
+      * wrongly) gets the per-frame sums wrong. */
+    def frameColor(id: Long, f: Int): (Int, Int, Int) =
+      (((id * 7 + f * 11) % 256).toInt,
+        ((id * 13 + f * 17) % 256).toInt,
+        ((id * 19 + f * 23) % 256).toInt)
+
+    private def frameImage(w: Int, h: Int, r: Int, g: Int, b: Int) = {
+      // Two exact palette entries: fill, and the (0,0) corner offset by
+      // +128 per channel (forces per-pixel reads, as in ImageCodec).
+      val rs = Array(r.toByte, ((r + 128) % 256).toByte)
+      val gs = Array(g.toByte, ((g + 128) % 256).toByte)
+      val bs = Array(b.toByte, ((b + 128) % 256).toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 2, rs, gs, bs)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = img.getRaster
+      raster.setSample(0, 0, 0, 1) // corner → palette index 1
+      var y = 0
+      while (y < h) {
+        var x = if (y == 0) 1 else 0
+        while (x < w) { raster.setSample(x, y, 0, 0); x += 1 }
+        y += 1
+      }
+      img
+    }
+
+    /** Deterministic `n`-frame animated GIF, every frame full-size (no
+      * delta/disposal optimization), written through the REAL ImageIO
+      * GIF sequence writer. */
+    def encodeGif(id: Long, n: Int, w: Int, h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(1024)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < n) {
+          val (r, g, b) = frameColor(id, f)
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(frameImage(w, h, r, g, b), null, null),
+            null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    /** Decode every `stride`-th frame: (width, height, total frame
+      * count, per-sampled-frame (index, sum_r, sum_g, sum_b)). The
+      * frame count comes from the DECODED stream directory, the sums
+      * from reading the sampled frames' pixels; skipped frames are
+      * never pixel-decoded. None for undecodable bytes. */
+    def decode(bytes: Array[Byte], stride: Int = 1)
+        : Option[(Int, Int, Int, Seq[(Int, Long, Long, Long)])] = {
+      if (bytes == null) return None
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        val frames = Seq.newBuilder[(Int, Long, Long, Long)]
+        var f = 0
+        while (f < n) {
+          val img = reader.read(f)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          frames += ((f, sr, sg, sb))
+          f += stride
+        }
+        Some((reader.getWidth(0), reader.getHeight(0), n, frames.result()))
+      } catch { case _: Exception => None } finally reader.dispose()
+    }
+  }
+
+  /** Video-table fixture: one REAL animated GIF per document, frame
+    * count / dimensions / per-frame colors planted as doc_id arithmetic
+    * (mirrored by the DuckDB oracle), encoded executor-side in a
+    * batched partition pass — the driver never sees a blob. */
+  def gifsFromDocuments(docs: DataFrame): DataFrame = {
+    val in = docs.select(col("doc_id").cast("long"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("gif", BinaryType),
+      StructField("meta", metaType)))
+    in.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val n = (id % 6 + 2).toInt
+        val w = (id % 5 + 2).toInt
+        val h = (id % 4 + 2).toInt
+        Row(id, VideoCodec.encodeGif(id, n, w, h),
+          Row(w, h, null, n * 40L, "gif"))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Batched real GIF frame-sample decode: one OUTPUT ROW PER SAMPLED
+    * FRAME (media_id, decoded width/height/frame-count, frame index,
+    * per-channel pixel sums). Same batched-partition shape as
+    * [[decodeImages]]; skipped frames are never pixel-decoded. */
+  def decodeGifFrames(df: DataFrame, bytesCol: String = "gif",
+                      stride: Int = 1): DataFrame = {
+    val base = df.schema(df.schema.fieldIndex("media_id"))
+    val outSchema = StructType(Seq(
+      base,
+      StructField("w_dec", IntegerType), StructField("h_dec", IntegerType),
+      StructField("n_frames_dec", IntegerType),
+      StructField("frame_idx", IntegerType),
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val bytesIdx = df.schema.fieldIndex(bytesCol)
+    val idIdx = df.schema.fieldIndex("media_id")
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.get(idIdx)
+        VideoCodec.decode(row.getAs[Array[Byte]](bytesIdx), stride) match {
+          case Some((w, h, n, frames)) => frames.iterator.map {
+            case (f, sr, sg, sb) =>
+              Row(id, Int.box(w), Int.box(h), Int.box(n), Int.box(f),
+                Long.box(sr), Long.box(sg), Long.box(sb))
+          }
+          case None =>
+            Iterator.single(Row(id, null, null, null, null, null, null, null))
+        }
       }
     }(Encoders.row(outSchema))
   }

@@ -102,8 +102,14 @@ object BpeTrainer {
 
   /** Train `k` merges over a token column; returns the ranked merges
     * and the final (word, cnt, rep) state. Stops early if the corpus
-    * runs out of repeatable pairs. */
-  def train(tokens: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
+    * runs out of repeatable pairs.
+    *
+    * `onRound(rank, nanos)` fires after each completed merge round
+    * (the pair-count shuffle + 1-row argmax + re-stage of the merged
+    * state) — the vocab-scale cost-curve hook [[graft.BpeScale]] uses
+    * to prove the per-round driver argmax stays flat at K=256. */
+  def train(tokens: DataFrame, k: Int,
+            onRound: (Int, Long) => Unit = (_, _) => ()): (Seq[Merge], DataFrame) = {
     var words = StagedCache.persist(wordTable(tokens))
     // Rolling two-table window over the staged Lloyd-style chain: round
     // r's topPair collect MATERIALIZES round r's word table, at which
@@ -114,6 +120,10 @@ object BpeTrainer {
     var rank = 1
     var done = false
     while (rank <= k && !done) {
+      // The staged persist is lazy, so this round's topPair job also
+      // materializes the PREVIOUS round's merge apply — the wall time
+      // below is the full cost of one round, not just the argmax.
+      val t0 = System.nanoTime()
       val top = topPair(words)
       prev.foreach(StagedCache.release(_))
       prev = Some(words)
@@ -121,6 +131,7 @@ object BpeTrainer {
         case Some(m) =>
           merges += m.copy(rank = rank)
           words = StagedCache.persist(applyMerge(words, m))
+          onRound(rank, System.nanoTime() - t0)
           rank += 1
         case None => done = true
       }

@@ -102,6 +102,27 @@ object MultimodalQueries extends QueryModule {
         .orderBy("media_id")
     }),
 
+    // REAL video frame-sample decode (multi-frame GIF via ImageIO):
+    // the fixture encodes one genuine animated GIF per document (frame
+    // count, dimensions, and every frame's two-color palette planted
+    // as doc_id arithmetic), the query decodes the GIF BYTES ALONE
+    // with stride 2 — the every-k-th-frame sampling a video training
+    // pipeline runs; skipped frames are never pixel-decoded. Every
+    // frame's fill differs (f*11/17/23 strides), so a decoder that
+    // replays frame 0 or mis-composites disposal state diverges.
+    "q_video_decode" -> ((s, d) => {
+      val gifs = Multimodal.gifsFromDocuments(Tables.documents(s, d))
+        .select(col("media_id"), col("gif")) // provably no meta passthrough
+      Multimodal.decodeGifFrames(gifs, stride = 2)
+        .select(col("media_id"),
+          col("w_dec").cast("long").as("w_dec"),
+          col("h_dec").cast("long").as("h_dec"),
+          col("n_frames_dec").cast("long").as("n_frames_dec"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     "q_multimodal_features" -> ((s, d) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
       // Exact count of bytes in histogram bin i, recovered from the
@@ -155,6 +176,31 @@ object MultimodalQueries extends QueryModule {
          | ${sumC(0)} AS sum_c0,
          | CASE WHEN doc_id % 2 = 1 THEN ${sumC(1)} END AS sum_c1
          | FROM documents ORDER BY media_id""".stripMargin.replace("\n", "")
+    },
+
+    // Planted-value mirror of the real GIF frame-sample round-trip:
+    // n = id%6+2 frames of w×h = (id%5+2)×(id%4+2); sampled frames are
+    // range(0, n, 2); frame f fills with (id*7+f*11, id*13+f*17,
+    // id*19+f*23) % 256 except the (0,0) corner at +128 per channel,
+    // so sum_c = (w·h−1)·c + (c+128)%256. GIF palettes are exact (the
+    // encoder writes a 2-entry IndexColorModel), so the decoded sums
+    // equal the closed recomputation.
+    "q_video_decode" -> {
+      def sumC(mul: Long, fmul: Long) = {
+        val c = s"((media_id * $mul + frame_idx * $fmul) % 256)"
+        s"((w * h - 1) * $c + ($c + 128) % 256)::BIGINT"
+      }
+      """WITH p AS (SELECT doc_id AS media_id, (doc_id % 6 + 2)::INT AS n,
+        |   (doc_id % 5 + 2)::INT AS w, (doc_id % 4 + 2)::INT AS h
+        |  FROM documents),
+        | f AS (SELECT media_id, n, w, h,
+        |   unnest(range(0, n, 2))::INT AS frame_idx FROM p)
+        | SELECT media_id, w::BIGINT AS w_dec, h::BIGINT AS h_dec,
+        |  n::BIGINT AS n_frames_dec, frame_idx::BIGINT AS frame_idx,
+        |""".stripMargin.replace("\n", "") +
+        s" ${sumC(7, 11)} AS sum_r, ${sumC(13, 17)} AS sum_g," +
+        s" ${sumC(19, 23)} AS sum_b" +
+        " FROM f ORDER BY media_id, frame_idx"
     },
 
     "q_multimodal_frames" ->

@@ -153,6 +153,53 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(AudioCodec.decode(null).isEmpty)
   }
 
+  test("VideoCodec: real animated-GIF encode → frame-exact decode") {
+    import graft.multimodal.Multimodal.VideoCodec
+    val bytes = VideoCodec.encodeGif(id = 7L, n = 5, w = 4, h = 3)
+    // A real GIF container, not a pass-through buffer.
+    assert(new String(bytes.take(6), "US-ASCII").startsWith("GIF8"))
+    val Some((w, h, n, all)) = VideoCodec.decode(bytes)
+    assert(w == 4 && h == 3 && n == 5 && all.length == 5)
+    all.foreach { case (f, sr, sg, sb) =>
+      val (r, g, b) = VideoCodec.frameColor(7L, f)
+      assert(sr == (4 * 3 - 1).toLong * r + (r + 128) % 256, s"frame $f red")
+      assert(sg == (4 * 3 - 1).toLong * g + (g + 128) % 256, s"frame $f green")
+      assert(sb == (4 * 3 - 1).toLong * b + (b + 128) % 256, s"frame $f blue")
+    }
+    // Stride sampling decodes only every k-th frame.
+    val Some((_, _, n2, sampled)) = VideoCodec.decode(bytes, stride = 2)
+    assert(n2 == 5 && sampled.map(_._1) == Seq(0, 2, 4))
+    // Undecodable bytes are None, not a task failure.
+    assert(VideoCodec.decode("not a gif".getBytes("UTF-8")).isEmpty)
+    assert(VideoCodec.decode(null).isEmpty)
+  }
+
+  test("decodeGifFrames: distributed frame-sample matches planted arithmetic") {
+    val gifs = Multimodal.gifsFromDocuments(docs())
+      .select(col("media_id"), col("gif")) // no meta available to cheat from
+      .repartition(3)
+    val out = Multimodal.decodeGifFrames(gifs, stride = 2)
+      .orderBy("media_id", "frame_idx").collect()
+    val expected = Seq(0L, 1L, 2L, 3L).flatMap { id =>
+      val n = (id % 6 + 2).toInt
+      (0 until n by 2).map(f => (id, f))
+    }
+    assert(out.map(r => (r.getLong(0), r.getInt(r.fieldIndex("frame_idx")))).toSeq
+      == expected)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((id % 5 + 2).toInt, (id % 4 + 2).toInt)
+      val f = r.getInt(r.fieldIndex("frame_idx"))
+      val (cr, cg, cb) = Multimodal.VideoCodec.frameColor(id, f)
+      assert(r.getInt(r.fieldIndex("w_dec")) == w)
+      assert(r.getInt(r.fieldIndex("h_dec")) == h)
+      assert(r.getInt(r.fieldIndex("n_frames_dec")) == (id % 6 + 2).toInt)
+      assert(r.getLong(r.fieldIndex("sum_r")) == (w * h - 1).toLong * cr + (cr + 128) % 256)
+      assert(r.getLong(r.fieldIndex("sum_g")) == (w * h - 1).toLong * cg + (cg + 128) % 256)
+      assert(r.getLong(r.fieldIndex("sum_b")) == (w * h - 1).toLong * cb + (cb + 128) % 256)
+    }
+  }
+
   test("decodeWavs: distributed round-trip matches planted doc_id arithmetic") {
     val wavs = Multimodal.wavsFromDocuments(docs())
       .select(col("media_id"), col("wav")) // no meta available to cheat from
