@@ -23,8 +23,10 @@ import graft.queries.StagedCache
   *     driver state after K rounds is K pairs — bounded by
   *     construction.
   *   - The merge apply is a map-only string `replace` (codegen'd, no
-  *     UDF) over the staged vocab table; the new state is re-staged so
-  *     round k+1 does not recompute rounds 1..k through lineage.
+  *     UDF) over the staged vocab table; the new state is re-staged
+  *     WITH LINEAGE TRUNCATION (`StagedCache.persistTruncated`), so
+  *     round k+1 neither recomputes rounds 1..k nor re-plans their
+  *     nested chain — plan depth is constant in the round number.
   *
   * Merge semantics — exact greedy BPE via plain `replace`:
   * a word's symbol state is kept as a DOUBLE-delimited string
@@ -110,27 +112,31 @@ object BpeTrainer {
     * to prove the per-round driver argmax stays flat at K=256. */
   def train(tokens: DataFrame, k: Int,
             onRound: (Int, Long) => Unit = (_, _) => ()): (Seq[Merge], DataFrame) = {
-    var words = StagedCache.persist(wordTable(tokens))
+    // persistTruncated, not persist: each round's state must re-root at
+    // a LogicalRDD or the analyzed plan nests the whole merge chain —
+    // at K=256 the driver OOMs building plan strings (see StagedCache).
+    var words = StagedCache.persistTruncated(wordTable(tokens))
     // Rolling two-table window over the staged Lloyd-style chain: round
-    // r's topPair collect MATERIALIZES round r's word table, at which
-    // point round r−1's (its lineage input) is dead — released here so
-    // a K-merge run pins 2 staged corpus copies, not K+1.
+    // r's eager re-stage MATERIALIZES round r's word table, at which
+    // point round r−1's (its checkpoint input) is dead — released here
+    // so a K-merge run pins 2 staged vocab copies, not K+1.
     var prev: Option[DataFrame] = None
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var done = false
     while (rank <= k && !done) {
-      // The staged persist is lazy, so this round's topPair job also
-      // materializes the PREVIOUS round's merge apply — the wall time
-      // below is the full cost of one round, not just the argmax.
+      // One round's wall time = the pair-count shuffle + 1-row argmax
+      // over the staged state, plus the eager re-stage of the merged
+      // state — the full cost of one round, not just the argmax.
       val t0 = System.nanoTime()
       val top = topPair(words)
-      prev.foreach(StagedCache.release(_))
-      prev = Some(words)
       top match {
         case Some(m) =>
           merges += m.copy(rank = rank)
-          words = StagedCache.persist(applyMerge(words, m))
+          val next = StagedCache.persistTruncated(applyMerge(words, m))
+          prev.foreach(StagedCache.release(_))
+          prev = Some(words)
+          words = next
           onRound(rank, System.nanoTime() - t0)
           rank += 1
         case None => done = true

@@ -24,10 +24,35 @@ trait QueryModule {
   * accumulate; harnesses call [[releaseAll]] after each query's action.
   */
 object StagedCache {
-  private val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val staged =
+    scala.collection.mutable.ArrayBuffer.empty[(DataFrame, Boolean => Unit)]
   def persist(df: DataFrame): DataFrame = synchronized {
-    val p = df.persist(); staged += p; p
+    val p = df.persist(); staged += ((p, b => p.unpersist(b))); p
   }
+
+  /** Persist AND truncate lineage — for driver-looped trainers whose
+    * round-k state is built on round k−1's (BPE merges, Lloyd): a plain
+    * [[persist]] caches the ROWS but the analyzed plan still nests the
+    * whole chain, so analyze/explain cost grows linearly per round and
+    * quadratically per run — measured: a K=256 BPE training run OOMs
+    * the driver building AQE plan-update strings long before any
+    * executor is short of memory. `localCheckpoint` materializes the
+    * rows eagerly and re-roots the frame at a `LogicalRDD`, so every
+    * round plans against a constant-depth tree (the same pattern
+    * [[graft.operators.ConnectedComponents]] uses per label round).
+    * Registered here with an RDD-level releaser so the rolling-release
+    * discipline and [[stagedCount]] accounting still hold. */
+  def persistTruncated(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true) // eager: runs a job; keep outside the lock
+    val releaser: Boolean => Unit = b =>
+      cp.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(b)
+        case _ => ()
+      }
+    synchronized { staged += ((cp, releaser)) }
+    cp
+  }
+
   /** Release ONE staged table mid-scope — the iterative-trainer pattern
     * (BPE, Lloyd): round k's word table is dead the moment round k+1's
     * has materialized, and keeping the chain staged pins K+1 corpus
@@ -35,8 +60,8 @@ object StagedCache {
     * built from equal plans release independently. No-op for frames
     * this registry never staged. */
   def release(df: DataFrame, blocking: Boolean = false): Unit = synchronized {
-    val i = staged.indexWhere(_ eq df)
-    if (i >= 0) { staged.remove(i); df.unpersist(blocking) }
+    val i = staged.indexWhere(_._1 eq df)
+    if (i >= 0) { val (_, rel) = staged.remove(i); rel(blocking) }
   }
 
   /** Number of currently staged tables — test/observability hook for
@@ -47,7 +72,7 @@ object StagedCache {
     * removal — benchmark harnesses use it so one sample's teardown
     * cannot bleed into the next sample's timing. */
   def releaseAll(blocking: Boolean = false): Unit = synchronized {
-    staged.foreach(_.unpersist(blocking)); staged.clear()
+    staged.foreach(_._2(blocking)); staged.clear()
   }
 
   /** Loan pattern for direct API users: run `body` (build a query AND

@@ -118,6 +118,22 @@ class BpeSpec extends AnyFunSuite with SparkSpec {
     check(words, 6)
   }
 
+  test("vocab scale: trainer matches the model at K=64 on the fixture corpus") {
+    // The K=6 cases prove semantics; this pins the trainer through a
+    // vocab-scale round count — 64 merges exercise the lineage-truncated
+    // re-stage chain (persistTruncated) deep enough that a plan-depth
+    // or staged-release regression would surface as divergence or blowup.
+    val s = spark
+    val words = graft.sources.Tables.documents(s, "/root/testdata/sf0.001")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .collect().map(_.getString(0)).toSeq
+    val freq = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (want, _) = modelTrain(freq, 64)
+    assert(want.length == 64, s"fixture must support 64 merges, got ${want.length}")
+    check(words, 64)
+  }
+
   test("early stop: pairs below the min-frequency floor never merge") {
     // Single word 'ab': the only pair (a,b) has count 1 — below the
     // floor, so training learns NOTHING (the learn_bpe default).
