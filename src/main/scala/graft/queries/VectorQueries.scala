@@ -234,6 +234,14 @@ object VectorQueries extends QueryModule {
     "q_ann_ivf_hi" -> ((s, d) => ivfTopK(s, d, nprobe = 8,
       lloydIters = ivfLloydIters)),
 
+    // The PERSISTED-index form of q_ann_ivf: inverted lists written as
+    // a cell-partitioned parquet dataset, probes read back through a
+    // dynamic-partition-pruned scan (see [[ivfPersistTopK]]). Same
+    // trained quantizer, same assignment, same rerank — bit-identical
+    // results, same oracle.
+    "q_ann_ivf_persist" -> ((s, d) => ivfPersistTopK(s, d,
+      nprobe = ivfNProbe, lloydIters = ivfLloydIters)),
+
     // Full k-means trainer (K = [[derivedK]], 3 Lloyd iterations) — the model-
     // training twin of q_ann_ivf's coarse quantizer, reporting
     // the trained model per cell: size, inertia (Σ‖e−c‖² in exact µ²
@@ -550,7 +558,7 @@ object VectorQueries extends QueryModule {
     * everything in `e` except the id — never tie-break; the result is
     * exactly the rn=1 row of [[assignNearest]], which is what the
     * DuckDB oracle computes. Output: vec_id, dist_u, cid, payload. */
-  private def assignMin(e: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def assignMin(e: DataFrame, cent: DataFrame): DataFrame = {
     val payload = e.columns.filterNot(_ == "vec_id").toSeq
     val fields = Seq("dist_u", "cid") ++ payload
     e.crossJoin(broadcast(cent))
@@ -677,6 +685,75 @@ object VectorQueries extends QueryModule {
       .select(col("cid").as("cell"), col("vec_id").as("cand_id"),
         col("embedding").as("cv2"), col("nrm").as("cnrm"))
     topK(probesR.join(cands, "cell")
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(VectorFunctions.dot(col("pv"), col("cv2"))
+          / (col("pnrm") * col("cnrm")), 6).as("cos_sim")))
+  }
+
+  /** The trained quantizer COLLECTED as a driver-side model artifact —
+    * (cid, c_u, c2u) rows, K = [[derivedK]] of them. This is the
+    * model-refresh output the streaming ingest kernel
+    * ([[graft.streaming.StreamingKernels.annAssign]]) embeds as a plan
+    * literal: K is corpus-derived but stays a broadcast-scale artifact
+    * per decade (16 at the oracle SFs, 732 at 100× sf0.1). */
+  private[graft] def trainedCentroidModel(s: SparkSession, d: String,
+      iters: Int): Seq[(Long, Seq[Long], Long)] =
+    trainCentroids(s, d, iters)
+      .select(col("cid"), col("c_u"), col("c2u")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+
+  /** Batch twin of the streaming ANN-ingest assignment — every corpus
+    * vector's (cid, dist_u) under the trained quantizer, row-level.
+    * StreamingSpec pins the streaming kernel bit-identical to this. */
+  private[graft] def batchAssign(s: SparkSession, d: String,
+      iters: Int): DataFrame = {
+    val trained = StagedCache.persist(trainCentroids(s, d, iters))
+    assignMin(embWithEu(s, d).select(col("vec_id"), col("e_u"),
+      col("n2u")), trained)
+      .select(col("vec_id"), col("cid"), col("dist_u"))
+  }
+
+  /** IVF with a PERSISTED index — the build-once / probe-many serving
+    * split that [[ivfTopK]]'s in-memory form amortizes away. The
+    * inverted lists are written ONCE as a parquet dataset PARTITIONED
+    * BY CELL (each `cell=N/` directory IS an IVF posting list:
+    * candidate id, float vector for the exact rerank, cached norm);
+    * probe batches then read the index back and equi-join on the
+    * partition column with the probe side broadcast, so Spark's
+    * dynamic partition pruning turns "which cells does this probe
+    * batch touch" into a METADATA decision — unprobed cells' files
+    * are never opened (PlanAuditSpec pins the dynamicpruning
+    * expression on the scan). At 100 TB this is the shape that
+    * matters: the index build is one corpus scan amortized over every
+    * subsequent probe batch, a production probe batch is a tiny query
+    * set touching ≤ nprobe·batch of the K = n/2048 cells, and the
+    * probe cost is cells-read-bounded, not corpus-bounded. Here the
+    * build runs inside the query (the oracle gate is hermetic) and
+    * the probe batch is corpus/25, so the measured time is
+    * build + probe; results are bit-identical to q_ann_ivf (same
+    * trained quantizer, same assignment, same rerank), which is what
+    * lets the SAME oracle SQL check both. `cell` is written as int on
+    * both sides so no implicit cast lands on the partition column
+    * (a cast there defeats pruning). */
+  private[graft] def ivfPersistTopK(s: SparkSession, d: String,
+      nprobe: Int, lloydIters: Int): DataFrame = {
+    val e = embWithEu(s, d)
+      .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
+    val trained = StagedCache.persist(trainCentroids(s, d, lloydIters))
+    val idxDir = s"${sys.props("java.io.tmpdir")}/graft_ivfidx_" +
+      s"${s.sparkContext.applicationId}_${new java.io.File(d).getName}"
+    assignMin(e, trained)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv2"),
+        col("nrm").as("cnrm"), col("cid").cast("int").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    val index = s.read.parquet(idxDir)
+    val probesR = assignNearest(e.filter(col("vec_id") % 25 === 0),
+        trained, keep = nprobe)
+      .select(col("cid").cast("int").as("cell"),
+        col("vec_id").as("probe_id"),
+        col("embedding").as("pv"), col("nrm").as("pnrm"))
+    topK(broadcast(probesR).join(index, "cell")
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
         round(VectorFunctions.dot(col("pv"), col("cv2"))
@@ -839,6 +916,12 @@ object VectorQueries extends QueryModule {
     "q_ann_ivf" -> ivfOracleSql(ivfNProbe),
 
     "q_ann_ivf_hi" -> ivfOracleSql(8),
+
+    // The persisted-index variant is result-identical to q_ann_ivf by
+    // construction (same quantizer, assignment, rerank — only the
+    // candidate TRANSPORT differs: parquet round-trip + pruned scan
+    // instead of an in-memory join), so the same CTE chain checks it.
+    "q_ann_ivf_persist" -> ivfOracleSql(ivfNProbe),
 
     "q_kmeans" ->
       s"""$baseSeedSql,

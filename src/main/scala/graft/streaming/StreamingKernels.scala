@@ -620,6 +620,42 @@ object StreamingKernels {
         expr("CAST((nll_sum_u * 2 + n_bigrams) DIV (2 * n_bigrams) AS BIGINT)"))
   }
 
+  /** Streaming ANN index INGEST — the incremental half of the IVF
+    * build/probe split: new vectors arriving on a stream are assigned
+    * to their nearest TRAINED cell (the model-refresh artifact
+    * [[graft.queries.VectorQueries.trainedCentroidModel]] emits),
+    * exactly the (dist_u, cid) argmin the batch `assignMin` computes —
+    * so a downstream sink appending (vec_id, cell) rows keeps the
+    * persisted cell-partitioned index (q_ann_ivf_persist) current
+    * between full rebuilds. The centroids ride the plan as ONE array
+    * literal (the Bloom-bits / bigram-model pattern): per row the
+    * kernel quantizes to µ-unit longs and folds an integer dot per
+    * centroid inside `transform` + `array_min` — struct ordering on
+    * (dist_u, cid) IS the batch tie-break, all arithmetic exact longs,
+    * so StreamingSpec pins bit-identical parity against `batchAssign`.
+    * NO state, no watermark, no shuffle — append mode, arbitrarily
+    * parallel. The literal path holds while K·dim stays plan-sized
+    * (K = n/2048 is 732 at 100× sf0.1); past that the same assignment
+    * runs as a stream-static broadcast join against the centroid
+    * table — the kernel's arithmetic is unchanged either way. */
+  def annAssign(vecs: DataFrame,
+      centroids: Seq[(Long, Seq[Long], Long)]): DataFrame = {
+    require(centroids.nonEmpty, "annAssign needs a trained model")
+    val centLit = typedLit(centroids)
+    val vf = graft.functions.VectorFunctions
+    vecs // expected columns: (vec_id long, ts timestamp, embedding array<float>)
+      .select(col("vec_id"), col("ts"),
+        vf.microUnits(col("embedding")).as("e_u"))
+      .withColumn("n2u", vf.dotLong(col("e_u"), col("e_u")))
+      .withColumn("m", array_min(transform(centLit, c => struct(
+        (col("n2u") + c.getField("_3")
+          - lit(2L) * vf.dotLong(col("e_u"), c.getField("_2")))
+          .as("dist_u"),
+        c.getField("_1").as("cid")))))
+      .select(col("vec_id"), col("ts"),
+        col("m.cid").as("cid"), col("m.dist_u").as("dist_u"))
+  }
+
   /** CDC upsert compaction — the streaming twin of the batch
     * `q_merge_upsert` shape. Merges one micro-batch of keyed change
     * rows (`op` ∈ U/N/D, a unique per-key `seq`) into the accumulated

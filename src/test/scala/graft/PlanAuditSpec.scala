@@ -228,6 +228,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q_ann_ivf_persist: the probe join prunes index cells dynamically") {
+    // The persisted IVF index is parquet partitioned by cell; the probe
+    // batch broadcasts into the join, so Spark must plan a dynamic
+    // partition pruning subquery on the index scan — "which cells does
+    // this probe batch touch" resolved as a METADATA decision before
+    // any index file opens. A plain data-filter join here would read
+    // every cell's files at every probe batch — the exact cost the
+    // persisted layout exists to avoid.
+    val df = SparkEntry.queries("q_ann_ivf_persist")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"index scan not dynamically pruned:\n${plan.take(4000)}")
+  }
+
   test("LSH/dedup-family staged tables are cached once and read at every consumer") {
     // Round-3 finding: cappedBuckets was recomputed per consumer. Both
     // self-join sides (and SkewGuard's size aggregation + join input

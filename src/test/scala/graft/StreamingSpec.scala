@@ -880,4 +880,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(compressed > 0, "the trained merges must compress somewhere")
     } finally q.stop()
   }
+
+  test("streaming ANN ingest assignment is bit-identical to the batch argmin") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // TRAIN batch-side: the collected centroid model (the refresh
+    // artifact), and the batch row-level assignment as ground truth.
+    val model = graft.queries.VectorQueries.trainedCentroidModel(s, sf, 3)
+    assert(model.size >= 16, "derived K floors at 16")
+    val batch = graft.queries.VectorQueries.batchAssign(s, sf, 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    graft.queries.StagedCache.releaseAll()
+
+    val vecs = graft.sources.Tables.embeddings(s, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), ts("2026-01-01 10:00:00"),
+        r.getSeq[Float](1)))
+    val source = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val q = StreamingKernels.annAssign(
+        source.toDF().toDF("vec_id", "ts", "embedding"), model)
+      .writeStream.format("memory").queryName("ann_ingest")
+      .outputMode("append").start()
+    try {
+      // Two micro-batches; the stateless kernel emits each vector once.
+      source.addData(vecs.take(vecs.length / 2).toSeq)
+      q.processAllAvailable()
+      source.addData(vecs.drop(vecs.length / 2).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("ann_ingest").collect()
+        .map(r => r.getLong(r.fieldIndex("vec_id")) ->
+          ((r.getLong(r.fieldIndex("cid")),
+            r.getLong(r.fieldIndex("dist_u")))))
+        .toMap
+      assert(got.keySet == batch.keySet, "one assignment per vector")
+      assert(got == batch,
+        "streaming (cid, dist_u) must match the batch argmin exactly")
+    } finally q.stop()
+  }
 }
