@@ -15,6 +15,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     ParityQueries,
     RelationalQueries,
+    TpchDeepQueries,
     JoinOptQueries,
     ScalarQueries,
     EventQueries,
