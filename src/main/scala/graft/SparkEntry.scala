@@ -25,7 +25,8 @@ object SparkEntry {
     MultimodalQueries,
     CorpusQueries,
     QualityQueries,
-    PipelineQueries
+    PipelineQueries,
+    LakeQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.LakeMaintenance
+import graft.sources.Tables
+
+/** Lake-maintenance band: the table-upkeep jobs a 100 TB corpus lake
+  * runs between queries — small-file compaction, ANALYZE-style stats
+  * collection, and stats-driven scan pruning. Each query runs the REAL
+  * maintenance op end-to-end (write → maintain → read back) and returns
+  * a result DuckDB can mirror from the source table, so the oracle gate
+  * proves the op preserved/derived the data exactly; the file-layout
+  * effects (counts, sizes, skipped directories) are pinned in LakeSpec,
+  * which is where layout belongs — DuckDB cannot see files.
+  */
+object LakeQueries extends QueryModule {
+
+  /** Per-run scratch root, keyed like q_partition_prune's so concurrent
+    * Bench/Verify sessions never collide. */
+  private def scratch(s: SparkSession, d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_lake_${s.sparkContext.applicationId}_${new java.io.File(d).getName}"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Small-file compaction. Plants the pathological layout a
+    // per-micro-batch streaming sink produces (16 writer tasks ×
+    // partitionBy → ~16 tiny files in every lang directory), then
+    // compacts it with the REBALANCE-hint rewrite and reads the result
+    // back for the oracle compare — so a compaction that drops,
+    // duplicates, or re-partitions rows fails the hash, not just a
+    // file-count eyeball. File-count/size assertions live in LakeSpec.
+    "q_compact_files" -> ((s, d) => {
+      val base = scratch(s, d)
+      val frag = s"$base/frag"
+      Tables.documents(s, d)
+        .repartition(16, col("doc_id"))
+        .write.mode("overwrite").partitionBy("lang").parquet(frag)
+      LakeMaintenance.compact(s, frag, s"$base/compact", "lang",
+        targetBytes = 8L * 1024 * 1024)
+      s.read.parquet(s"$base/compact")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .orderBy("lang")
+    }),
+
+    // ANALYZE: per-partition column statistics — row count, exact NDV,
+    // min/max/sum, and the modal source value (skew detection) with a
+    // deterministic lexicographic tie-break. One scan for the numeric
+    // stats, one (lang,source)-grouped pass for the mode; both are
+    // map-side-combined aggregations whose output is partition-count-
+    // sized, so ANALYZE on a 100 TB table stays a metadata-cost job.
+    "q_table_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = docs.groupBy("lang").agg(
+        count(lit(1)).as("row_cnt"),
+        countDistinct("source").as("ndv_source"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      val mode = docs.groupBy("lang", "source")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("c").desc, col("source"))))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("source").as("mode_source"))
+      stats.join(broadcast(mode), "lang")
+        .select("lang", "row_cnt", "ndv_source", "min_chars", "max_chars",
+          "sum_chars", "min_id", "max_id", "mode_source")
+        .orderBy("lang")
+    }),
+
+    // Stats-driven data skipping: write the table partitioned by
+    // source, ANALYZE n_chars into the _stats sidecar, then answer a
+    // high-end range query through the sidecar — partitions whose
+    // [min,max] excludes the range are pruned from the file listing at
+    // plan time (LakeSpec pins that the skipped directories are absent
+    // from the scan). The oracle is the plain filter over the source
+    // table: skipping must be invisible in the answer at any SF.
+    "q_stats_prune" -> ((s, d) => {
+      val table = s"${scratch(s, d)}/bysource"
+      Tables.documents(s, d)
+        .write.mode("overwrite").partitionBy("source").parquet(table)
+      LakeMaintenance.collectStats(s, table, "source", "n_chars")
+      LakeMaintenance.prunedScan(s, table, "source", "n_chars",
+          lo = 520L, hi = Long.MaxValue)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_compact_files" ->
+      """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        | FROM documents GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_table_stats" ->
+      """WITH c AS (SELECT lang, source, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (SELECT lang, source AS mode_source,
+        |  row_number() OVER (PARTITION BY lang ORDER BY c DESC, source) AS rn
+        |  FROM c),
+        |st AS (SELECT lang, count(*) AS row_cnt,
+        |  count(DISTINCT source) AS ndv_source,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |  FROM documents GROUP BY 1)
+        |SELECT st.lang, row_cnt, ndv_source, min_chars, max_chars,
+        |  sum_chars, min_id, max_id, mode_source
+        | FROM st JOIN m ON st.lang = m.lang AND m.rn = 1
+        | ORDER BY st.lang""".stripMargin.replace("\n", ""),
+
+    "q_stats_prune" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        | WHERE n_chars >= 520 ORDER BY doc_id""".stripMargin.replace("\n", "")
+  )
+}
