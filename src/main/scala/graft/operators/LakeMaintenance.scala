@@ -47,16 +47,38 @@ object LakeMaintenance {
     * split/coalesce of the rebalance shuffle — parquet encoding +
     * compression means on-disk files land below the advisory; the
     * contract is "few, task-sized files", not an exact byte count.
+    *
+    * `clusterBy` turns the rewrite into the OPTIMIZE … ZORDER BY
+    * shape: pass [[graft.functions.ZOrder.zvalue]] of two scaled
+    * dimensions and every compacted file gets bounded min/max spans on
+    * BOTH, so row-group stats prune scans along either axis. A
+    * clustered rewrite MUST range-partition on (partition, cluster
+    * key) — an AQE rebalance cannot serve here, because it splits
+    * oversized shuffle partitions by MAPPER ranges, so each output
+    * task would hold an arbitrary row subset spanning the full cluster
+    * domain and a local sort could never bound a file's span. The
+    * task count comes from the listed input bytes over `targetBytes`
+    * (a driver-side file listing — metadata cost, what any planner
+    * pays); still one shuffle total, same as the plain path.
     */
   def compact(spark: SparkSession, in: String, out: String,
-              partitionCol: String, targetBytes: Long): CompactReport = {
+              partitionCol: String, targetBytes: Long,
+              clusterBy: Seq[Column] = Nil): CompactReport = {
     val before = dataFiles(spark, in)
     val prev = spark.conf.getOption(Advisory)
     spark.conf.set(Advisory, targetBytes.toString)
     try {
-      spark.read.parquet(in)
-        .hint("rebalance", partitionCol)
-        .write.mode("overwrite").partitionBy(partitionCol).parquet(out)
+      val table = spark.read.parquet(in)
+      val compacted =
+        if (clusterBy.isEmpty) table.hint("rebalance", partitionCol)
+        else {
+          val keys = col(partitionCol) +: clusterBy
+          val nTasks = math.max(1L,
+            (before.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
+          table.repartitionByRange(nTasks, keys: _*)
+            .sortWithinPartitions(keys: _*)
+        }
+      compacted.write.mode("overwrite").partitionBy(partitionCol).parquet(out)
     } finally prev match {
       case Some(v) => spark.conf.set(Advisory, v)
       case None    => spark.conf.unset(Advisory)
@@ -87,6 +109,35 @@ object LakeMaintenance {
     partitionStats(spark.read.parquet(tableDir), partitionCol, valueCol)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$tableDir/_stats")
+
+  /** Append `delta` to the table AND fold its stats into the `_stats`
+    * sidecar WITHOUT rescanning the table — the incremental-ANALYZE
+    * path. count/min/max are algebraically mergeable under append
+    * (count adds, min/max widen), so the sidecar update costs one scan
+    * of the DELTA plus a partition-count-sized merge; a 100 TB table's
+    * stats stay current at ingest cost, not table cost. Append-only by
+    * contract: deletes/updates can shrink a partition's true min/max
+    * below what a widen-only merge records, so a compacting or deleting
+    * rewrite must re-run [[collectStats]] (stats stay SOUND for pruning
+    * either way — they only ever over-admit, never exclude a match).
+    */
+  def appendWithStats(spark: SparkSession, tableDir: String, delta: DataFrame,
+                      partitionCol: String, valueCol: String): Unit = {
+    delta.write.mode("append").partitionBy(partitionCol).parquet(tableDir)
+    val statsPath = s"$tableDir/_stats"
+    val merged = spark.read.parquet(statsPath)
+      .unionByName(partitionStats(delta, partitionCol, valueCol))
+      .groupBy(partitionCol).agg(
+        sum("row_cnt").as("row_cnt"),
+        min("min_v").as("min_v"),
+        max("max_v").as("max_v"))
+      // The merge reads the path it is about to overwrite: materialize
+      // the (partition-count-sized) result before the write clobbers
+      // its own input.
+      .localCheckpoint(true)
+    merged.coalesce(1).write.mode("overwrite").parquet(statsPath)
+    merged.unpersist(true)
+  }
 
   /** A scan of `tableDir` answering `valueCol ∈ [lo, hi]` that consults
     * the `_stats` sidecar FIRST and enumerates only partitions whose

@@ -77,6 +77,50 @@ object LakeQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // OPTIMIZE … ZORDER BY: the clustered-compaction rewrite — range
+    // partition on (event_type, z) with the task count derived from
+    // listed input bytes, local sort, partitioned write. The oracle
+    // proves the rewrite moved every row and invented none; the
+    // locality payoff (bounded per-file spans on BOTH z dimensions)
+    // is LakeSpec's span-score pin, invisible to DuckDB by nature.
+    "q_compact_cluster" -> ((s, d) => {
+      val base = scratch(s, d)
+      val ev = Tables.events(s, d)
+      ev.repartition(16, col("event_id"))
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(s"$base/evfrag")
+      val uMax = ev.agg(max("user_id")).collect()(0).getLong(0)
+      val z = graft.functions.ZOrder.zvalue(
+        expr(s"user_id * 65535 DIV $uMax"),
+        expr("((unix_micros(ts) DIV 60000000) % 1440) * 65535 DIV 1439"))
+      LakeMaintenance.compact(s, s"$base/evfrag", s"$base/evz",
+        "event_type", targetBytes = 4L * 1024 * 1024, clusterBy = Seq(z))
+      s.read.parquet(s"$base/evz")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("user_id").as("sum_uid"),
+          min("event_id").as("min_eid"),
+          max("event_id").as("max_eid"))
+        .orderBy("event_type")
+    }),
+
+    // Incremental ANALYZE: base write + collectStats, then a delta
+    // appended through appendWithStats — the sidecar is merged from
+    // the DELTA's stats alone (count adds, min/max widen), never by
+    // rescanning the table. Returning the sidecar itself against a
+    // DuckDB full-table GROUP BY is the sharpest possible oracle: the
+    // incremental merge must land bit-equal to a from-scratch ANALYZE.
+    "q_stats_incremental" -> ((s, d) => {
+      val table = s"${scratch(s, d)}/incr"
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 3 =!= 0)
+        .write.mode("overwrite").partitionBy("source").parquet(table)
+      LakeMaintenance.collectStats(s, table, "source", "n_chars")
+      LakeMaintenance.appendWithStats(s, table,
+        docs.filter(col("doc_id") % 3 === 0), "source", "n_chars")
+      s.read.parquet(s"$table/_stats").orderBy("source")
+    }),
+
     // Stats-driven data skipping: write the table partitioned by
     // source, ANALYZE n_chars into the _stats sidecar, then answer a
     // high-end range query through the sidecar — partitions whose
@@ -121,6 +165,19 @@ object LakeQueries extends QueryModule {
 
     "q_stats_prune" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
-        | WHERE n_chars >= 520 ORDER BY doc_id""".stripMargin.replace("\n", "")
+        | WHERE n_chars >= 520 ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    "q_compact_cluster" ->
+      """SELECT event_type, count(*) AS row_cnt,
+        |  sum(user_id)::BIGINT AS sum_uid,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid
+        | FROM events GROUP BY 1 ORDER BY event_type"""
+        .stripMargin.replace("\n", ""),
+
+    "q_stats_incremental" ->
+      """SELECT source, count(*) AS row_cnt,
+        |  min(n_chars) AS min_v, max(n_chars) AS max_v
+        | FROM documents GROUP BY 1 ORDER BY source"""
+        .stripMargin.replace("\n", "")
   )
 }

@@ -96,6 +96,78 @@ class LakeSpec extends AnyFunSuite with SparkSpec {
       s"stats pruning opened as many files as the full scan ($nPruned vs $nFull)")
   }
 
+  test("clustered compaction bounds BOTH dimensions' per-file spans") {
+    val root = base("cluster")
+    val ev = Tables.events(spark, "/root/testdata/sf0.1")
+      .withColumn("minute", expr("(unix_micros(ts) DIV 60000000) % 1440"))
+    ev.repartition(8, col("event_id"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(s"$root/frag")
+    val uMax = ev.agg(max("user_id")).collect()(0).getLong(0)
+    val z = graft.functions.ZOrder.zvalue(
+      expr(s"user_id * 65535 DIV $uMax"), expr("minute * 65535 DIV 1439"))
+
+    val target = 64L * 1024
+    LakeMaintenance.compact(spark, s"$root/frag", s"$root/plain",
+      "event_type", target)
+    LakeMaintenance.compact(spark, s"$root/frag", s"$root/zed",
+      "event_type", target, clusterBy = Seq(z))
+
+    // Identical rows either way (the cluster key is derived, not stored).
+    assert(spark.read.parquet(s"$root/zed").count() == ev.count())
+
+    // The locality property itself (ZOrderSpec's measure): mean
+    // per-file span over both dimensions, normalized by global span.
+    val g = ev.agg(
+      (max("user_id") - min("user_id")).cast("double").as("gu"),
+      (max("minute") - min("minute")).cast("double").as("gm")).collect()(0)
+    def spanScore(dir: String): (Double, Long) = {
+      val perFile = spark.read.parquet(dir)
+        .withColumn("minute", expr("(unix_micros(ts) DIV 60000000) % 1440"))
+        .groupBy(input_file_name().as("f"))
+        .agg(((max("user_id") - min("user_id")) / lit(g.getDouble(0)) +
+          (max("minute") - min("minute")) / lit(g.getDouble(1))).as("score"))
+      (perFile.agg(avg("score")).collect()(0).getDouble(0), perFile.count())
+    }
+    val (zScore, zFiles) = spanScore(s"$root/zed")
+    val (plainScore, _) = spanScore(s"$root/plain")
+    assert(zFiles > 4, s"need multiple files for spans to mean anything, got $zFiles")
+    assert(zScore < plainScore * 0.8,
+      s"clustered layout ($zScore) not tighter than plain compaction ($plainScore)")
+  }
+
+  test("appendWithStats keeps the sidecar identical to a full recompute") {
+    val root = base("incr")
+    val table = s"$root/t"
+    val docs = Tables.documents(spark, sf)
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    old.write.mode("overwrite").partitionBy("source").parquet(table)
+    LakeMaintenance.collectStats(spark, table, "source", "n_chars")
+
+    LakeMaintenance.appendWithStats(spark, table, delta, "source", "n_chars")
+
+    val merged = spark.read.parquet(s"$table/_stats")
+      .orderBy("source").collect().toSeq
+    val scratch = s"$root/recompute"
+    spark.read.parquet(table).write.mode("overwrite")
+      .partitionBy("source").parquet(scratch)
+    LakeMaintenance.collectStats(spark, scratch, "source", "n_chars")
+    val recomputed = spark.read.parquet(s"$scratch/_stats")
+      .orderBy("source").collect().toSeq
+    assert(merged == recomputed,
+      "incremental merge diverged from the from-scratch ANALYZE")
+
+    // And the appended table still prunes correctly through the merged
+    // sidecar: answers must match the plain filter over old ∪ delta.
+    val globalMax = docs.agg(max("n_chars")).collect()(0).getLong(0)
+    val got = LakeMaintenance.prunedScan(
+        spark, table, "source", "n_chars", globalMax, Long.MaxValue)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val expected = docs.filter(col("n_chars") >= globalMax)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+  }
+
   test("prunedScan over an impossible range reads nothing and returns nothing") {
     val root = base("prune") // reuse the table written above if present
     val table = s"$root/t"
