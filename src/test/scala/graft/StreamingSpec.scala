@@ -920,4 +920,53 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         "streaming (cid, dist_u) must match the batch argmin exactly")
     } finally q.stop()
   }
+
+  test("foreachBatch ingest through appendWithStats keeps the sidecar current") {
+    // The streaming half of the lake-maintenance story: a micro-batch
+    // sink that appends rows AND folds the batch's stats into the
+    // _stats sidecar, so stats-pruned scans stay sound against a live
+    // ingest without ever rescanning the table. Three out-of-order
+    // micro-batches; end state must equal a from-scratch ANALYZE.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = s"${sys.props("java.io.tmpdir")}/graft_streamlake_${spark.sparkContext.applicationId}/t"
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "n_chars")
+    // Seed: an initial batch write + ANALYZE, as a deployment would.
+    docs.filter(col("doc_id") % 4 === 0)
+      .write.mode("overwrite").partitionBy("source").parquet(table)
+    graft.operators.LakeMaintenance.collectStats(spark, table, "source", "n_chars")
+
+    val rest = docs.filter(col("doc_id") % 4 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val source = MemoryStream[(Long, String, Long)]
+    val q = source.toDF().toDF("doc_id", "source", "n_chars")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.LakeMaintenance.appendWithStats(
+          spark, table, batch, "source", "n_chars")
+      }
+      .start()
+    try {
+      rest.grouped(math.max(1, rest.length / 3)).foreach { chunk =>
+        source.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val sidecar = spark.read.parquet(s"$table/_stats")
+      .orderBy("source").collect().toSeq
+    val expected = spark.read.parquet(table)
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("row_cnt"),
+        org.apache.spark.sql.functions.min("n_chars").as("min_v"),
+        org.apache.spark.sql.functions.max("n_chars").as("max_v"))
+      .orderBy("source").collect().toSeq
+    assert(sidecar == expected,
+      "per-micro-batch merges must equal the from-scratch ANALYZE")
+    assert(spark.read.parquet(table).count() == docs.count(),
+      "every micro-batch row landed exactly once")
+  }
 }
