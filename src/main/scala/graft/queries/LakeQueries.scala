@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.LakeMaintenance
-import graft.sources.Tables
+import graft.sources.{Tables, TxnLog}
 
 /** Lake-maintenance band: the table-upkeep jobs a 100 TB corpus lake
   * runs between queries — small-file compaction, ANALYZE-style stats
@@ -121,6 +121,33 @@ object LakeQueries extends QueryModule {
       s.read.parquet(s"$table/_stats").orderBy("source")
     }),
 
+    // Versioned table + time travel: create v0 (even doc_ids), append
+    // v1 (the rest), logically compact at v2 — then read BOTH v0 and
+    // the post-compaction latest through the log in one result. The
+    // oracle recomputes both populations from the source table, so it
+    // proves (a) v0 stays exactly resolvable after two later commits
+    // including a rewrite of every file, and (b) the compaction commit
+    // preserved the full row set. Isolation/race/vacuum properties are
+    // TxnLogSpec's.
+    "q_time_travel" -> ((s, d) => {
+      val table = s"${scratch(s, d)}/tt"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table, docs.filter(col("doc_id") % 2 === 0))
+      TxnLog.append(s, table, docs.filter(col("doc_id") % 2 =!= 0))
+      TxnLog.compact(s, table, targetFiles = 4)
+      val v0 = TxnLog.read(s, table, Some(0))
+        .groupBy("lang").agg(count(lit(1)).as("rows_v0"))
+      val now = TxnLog.read(s, table)
+        .groupBy("lang").agg(count(lit(1)).as("rows_now"),
+          sum("n_chars").as("sum_chars"))
+      v0.join(now, "lang")
+        .select("lang", "rows_v0", "rows_now", "sum_chars")
+        .orderBy("lang")
+    }),
+
     // Stats-driven data skipping: write the table partitioned by
     // source, ANALYZE n_chars into the _stats sidecar, then answer a
     // high-end range query through the sidecar — partitions whose
@@ -178,6 +205,13 @@ object LakeQueries extends QueryModule {
       """SELECT source, count(*) AS row_cnt,
         |  min(n_chars) AS min_v, max(n_chars) AS max_v
         | FROM documents GROUP BY 1 ORDER BY source"""
+        .stripMargin.replace("\n", ""),
+
+    "q_time_travel" ->
+      """SELECT lang,
+        |  count(*) FILTER (WHERE doc_id % 2 = 0) AS rows_v0,
+        |  count(*) AS rows_now, sum(n_chars)::BIGINT AS sum_chars
+        | FROM documents GROUP BY 1 ORDER BY lang"""
         .stripMargin.replace("\n", "")
   )
 }

@@ -1,0 +1,266 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.JsonUtil
+
+/** A versioned transaction log over plain parquet — the minimal ACID
+  * table core of the published lakehouse designs (Armbrust et al.,
+  * "Delta Lake: High-Performance ACID Table Storage over Cloud Object
+  * Stores", VLDB 2020), re-derived for this engine:
+  *
+  *  - The table is a directory of immutable parquet data files plus a
+  *    `_log/` of numbered JSON commits (`v00000000.json`, …). A commit
+  *    lists file ADDS and REMOVES; the snapshot at version V is the
+  *    replay of commits 0..V. Data files are NEVER mutated — every
+  *    writer stages new files under unique names first, then publishes
+  *    them with one log entry.
+  *  - **Atomicity & isolation ride on one primitive**: create-exclusive
+  *    of the next version file (HDFS/local `create(overwrite=false)` is
+  *    atomic; object stores use if-none-match — same contract). Losers
+  *    of the race re-read the log and retry — optimistic concurrency,
+  *    no lock service. A reader resolves its snapshot from the log
+  *    alone, so it never sees a half-published write: staged-but-
+  *    uncommitted files simply aren't in any commit it replays.
+  *  - **Compaction is a LOGICAL rewrite**: add the compacted files,
+  *    remove the fragments, one commit. Readers pinned at an older
+  *    version still resolve the fragments — which is why vacuum is a
+  *    separate, retention-gated physical deletion.
+  *  - **Time travel is free**: replay to any retained version. The cost
+  *    of snapshot resolution is the log length, bounded in practice by
+  *    checkpointing the replayed file set every N commits ([[snapshot]]
+  *    replays from the latest `c*.json` checkpoint, so resolution reads
+  *    O(1) checkpoint + O(N) tail, never the whole history).
+  *
+  * Scale notes for the 100 TB deployment: the log holds FILE paths,
+  * not rows — a million-file table is a ~100 MB log tamed to one
+  * checkpoint read; data-file I/O is fully distributed (the driver
+  * touches only the log); staged writes go through Spark's normal
+  * committers so executor-side work is identical to any parquet write.
+  */
+object TxnLog {
+
+  final case class Commit(version: Long, adds: Seq[String], removes: Seq[String])
+
+  /** Every [[append]]/[[overwrite]]/[[compact]] returns the version it
+    * published. */
+  final case class CommitResult(version: Long, added: Int, removed: Int)
+
+  private def logDir(table: String) = new Path(table, "_log")
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionFile(table: String, v: Long): Path =
+    new Path(logDir(table), f"v$v%08d.json")
+  private def checkpointFile(table: String, v: Long): Path =
+    new Path(logDir(table), f"c$v%08d.json")
+
+  /** Commits between checkpoints; a snapshot read replays at most this
+    * many commit files past the newest checkpoint. */
+  val CheckpointInterval = 10
+
+  // ---- log primitives ----------------------------------------------------
+
+  private def writeJson(f: FileSystem, p: Path, adds: Seq[String],
+                        removes: Seq[String], exclusive: Boolean): Boolean = {
+    val body = "{\"adds\":[" + adds.map(JsonUtil.quote).mkString(",") +
+      "],\"removes\":[" + removes.map(JsonUtil.quote).mkString(",") + "]}"
+    val bytes = body.getBytes("UTF-8")
+    if (exclusive && f.makeQualified(p).toUri.getScheme == "file") {
+      // Hadoop's LocalFileSystem create(overwrite=false) is a
+      // check-then-act (and silently truncates if it loses the check
+      // window) — POSIX O_CREAT|O_EXCL via createNewFile IS atomic, so
+      // the local claim uses it directly. HDFS create(overwrite=false)
+      // is namenode-atomic; object stores claim with if-none-match.
+      val local = new java.io.File(f.makeQualified(p).toUri.getPath)
+      local.getParentFile.mkdirs()
+      if (!local.createNewFile()) return false
+      val out = new java.io.FileOutputStream(local)
+      try out.write(bytes) finally out.close()
+      return true
+    }
+    val out =
+      try f.create(p, !exclusive)
+      catch { case _: java.io.IOException if exclusive => return false }
+    try out.write(bytes) finally out.close()
+    true
+  }
+
+  private def readJson(f: FileSystem, p: Path): (Seq[String], Seq[String]) = {
+    val in = f.open(p)
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+    def arr(key: String): Seq[String] = {
+      val i = body.indexOf("\"" + key + "\":[")
+      val start = i + key.length + 4
+      val end = body.indexOf("]", start)
+      val inner = body.substring(start, end)
+      if (inner.isEmpty) Seq.empty
+      else inner.split(",").toSeq.map(s => s.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+    (arr("adds"), arr("removes"))
+  }
+
+  private def listVersions(f: FileSystem, table: String, prefix: String): Seq[Long] = {
+    val dir = logDir(table)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.endsWith(".json"))
+      .map(n => n.stripPrefix(prefix).stripSuffix(".json").toLong)
+      .sorted
+  }
+
+  /** Latest committed version, or -1 for an empty/absent log. */
+  def latestVersion(spark: SparkSession, table: String): Long = {
+    val f = fs(spark, logDir(table))
+    listVersions(f, table, "v").lastOption.getOrElse(-1L)
+  }
+
+  /** The live file set at `version` (default: latest): replay from the
+    * newest checkpoint at-or-before `version`, then the commit tail. */
+  def snapshot(spark: SparkSession, table: String,
+               version: Option[Long] = None): Seq[String] = {
+    val f = fs(spark, logDir(table))
+    val versions = listVersions(f, table, "v")
+    require(versions.nonEmpty, s"not a TxnLog table: $table")
+    val v = version.getOrElse(versions.last)
+    require(versions.contains(v), s"version $v not in log (have ${versions.mkString(",")})")
+    val ckpt = listVersions(f, table, "c").filter(_ <= v).lastOption
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    ckpt.foreach { cv => readJson(f, checkpointFile(table, cv))._1.foreach(live += _) }
+    versions.filter(tv => tv <= v && ckpt.forall(tv > _)).foreach { tv =>
+      val (adds, removes) = readJson(f, versionFile(table, tv))
+      removes.foreach(live -= _)
+      adds.foreach(live += _)
+    }
+    live.toSeq
+  }
+
+  /** DataFrame of the table at `version` (default latest). Paths are
+    * passed explicitly, so a scan never lists the table directory and
+    * staged/removed files are invisible regardless of physical state. */
+  def read(spark: SparkSession, table: String,
+           version: Option[Long] = None): DataFrame = {
+    val files = snapshot(spark, table, version)
+    require(files.nonEmpty, s"empty snapshot of $table at $version")
+    spark.read.parquet(files.map(p => s"$table/$p"): _*)
+  }
+
+  // ---- writers -----------------------------------------------------------
+
+  /** Stage `df` as new parquet files under a unique subdirectory and
+    * return their table-relative paths. Staging is invisible: nothing
+    * references the files until a commit publishes them. */
+  private def stage(spark: SparkSession, table: String, df: DataFrame): Seq[String] = {
+    val sub = s"stage-${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.parquet(s"$table/$sub")
+    val dir = new Path(table, sub)
+    fs(spark, dir).listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet"))
+      .map(n => s"$sub/$n")
+  }
+
+  /** Optimistic-concurrency commit loop: read latest, attempt
+    * create-exclusive of latest+1, on loss re-read and retry.
+    * `rebase` decides, given the winner-advanced log, whether the
+    * commit is still valid (append always is; overwrite/compact must
+    * recompute their removes). Returns the published version. */
+  private def commitLoop(spark: SparkSession, table: String)
+                        (attempt: Long => Option[(Seq[String], Seq[String])]): CommitResult = {
+    val f = fs(spark, logDir(table))
+    var published = -1L
+    var adds: Seq[String] = Nil
+    var removes: Seq[String] = Nil
+    while (published < 0) {
+      val next = latestVersion(spark, table) + 1
+      attempt(next) match {
+        case None =>
+          throw new IllegalStateException(s"commit to $table abandoned after conflict")
+        case Some((a, r)) =>
+          if (writeJson(f, versionFile(table, next), a, r, exclusive = true)) {
+            published = next; adds = a; removes = r
+          }
+        // else: lost the race — loop re-reads the log and retries.
+      }
+    }
+    if (published % CheckpointInterval == 0 && published > 0) {
+      val live = snapshot(spark, table, Some(published))
+      writeJson(f, checkpointFile(table, published), live, Nil, exclusive = false)
+    }
+    CommitResult(published, adds.size, removes.size)
+  }
+
+  /** Create the table (version 0) from `df`. */
+  def create(spark: SparkSession, table: String, df: DataFrame): CommitResult = {
+    val f = fs(spark, logDir(table))
+    f.mkdirs(logDir(table))
+    val staged = stage(spark, table, df)
+    commitLoop(spark, table) { v =>
+      if (v != 0) None else Some((staged, Nil))
+    }
+  }
+
+  /** Append: blind adds — valid at ANY log position, so a lost race
+    * just re-publishes the same files at the advanced version (the
+    * staged data is never rewritten). */
+  def append(spark: SparkSession, table: String, df: DataFrame): CommitResult = {
+    val staged = stage(spark, table, df)
+    commitLoop(spark, table)(_ => Some((staged, Nil)))
+  }
+
+  /** Replace the whole table content with `df` in one atomic commit.
+    * Removes are recomputed against the CURRENT snapshot on every
+    * retry, so a concurrent append's files are also replaced rather
+    * than leaking past the overwrite. */
+  def overwrite(spark: SparkSession, table: String, df: DataFrame): CommitResult = {
+    val staged = stage(spark, table, df)
+    commitLoop(spark, table) { v =>
+      Some((staged, snapshot(spark, table, Some(v - 1))))
+    }
+  }
+
+  /** Logical compaction: rewrite the current snapshot's rows into
+    * `targetFiles` files, publish adds+removes in one commit. A commit
+    * that loses its race ABANDONS (None) if the snapshot moved —
+    * compacting a superseded file set would resurrect replaced data —
+    * and the caller re-runs on the new snapshot. Old versions still
+    * resolve the fragments until [[vacuum]]. */
+  def compact(spark: SparkSession, table: String, targetFiles: Int): CommitResult = {
+    val base = latestVersion(spark, table)
+    val victims = snapshot(spark, table, Some(base))
+    val staged = stage(spark, table,
+      spark.read.parquet(victims.map(p => s"$table/$p"): _*).repartition(targetFiles))
+    commitLoop(spark, table) { v =>
+      if (v != base + 1) None else Some((staged, victims))
+    }
+  }
+
+  /** Physically delete files no snapshot within the retention window
+    * references: a file is deletable iff it is absent from EVERY
+    * retained version's file set. Returns the deleted paths. */
+  def vacuum(spark: SparkSession, table: String, retainVersions: Int): Seq[String] = {
+    val f = fs(spark, new Path(table))
+    val versions = listVersions(f, table, "v")
+    val retained = versions.takeRight(math.max(1, retainVersions))
+    val live = retained.flatMap(v => snapshot(spark, table, Some(v))).toSet
+    val onDisk = LakeMaintenanceFiles.list(spark, table)
+    val dead = onDisk.filterNot(live.contains)
+    dead.foreach(p => f.delete(new Path(table, p), false))
+    dead
+  }
+
+  /** Data files physically present under the table root (staged or
+    * live), as table-relative paths; `_log` excluded. */
+  private object LakeMaintenanceFiles {
+    def list(spark: SparkSession, table: String): Seq[String] =
+      graft.operators.LakeMaintenance.dataFiles(spark, table).map { case (p, _) =>
+        p.substring(p.indexOf(table) + table.length + 1)
+      }.filter(_.endsWith(".parquet"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Tables, TxnLog}
+
+/** ACID-property pins for the versioned transaction log. The data
+  * through the log is oracle-checked (q_time_travel); these tests pin
+  * what DuckDB cannot see: snapshot isolation against staged/physical
+  * state, optimistic-concurrency races, logical-vs-physical deletion,
+  * and checkpointed snapshot resolution. */
+class TxnLogSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def freshTable(tag: String): String = {
+    val t = s"${sys.props("java.io.tmpdir")}/graft_txn_${spark.sparkContext.applicationId}_$tag"
+    val p = new org.apache.hadoop.fs.Path(t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    t
+  }
+  private def docs = Tables.documents(spark, sf)
+    .select("doc_id", "lang", "n_chars")
+
+  test("append commits are snapshots: each version replays its prefix") {
+    val t = freshTable("append")
+    TxnLog.create(spark, t, docs.filter(col("doc_id") < 20))
+    TxnLog.append(spark, t, docs.filter(col("doc_id") >= 20))
+    val v0 = TxnLog.read(spark, t, Some(0)).count()
+    val v1 = TxnLog.read(spark, t, Some(1)).count()
+    val latest = TxnLog.read(spark, t).count()
+    assert(v0 == docs.filter(col("doc_id") < 20).count())
+    assert(v1 == docs.count() && latest == v1)
+  }
+
+  test("staged or rogue files are invisible: reads resolve from the log only") {
+    val t = freshTable("rogue")
+    TxnLog.create(spark, t, docs)
+    // A crashed writer's leftovers: a full parquet directory inside the
+    // table that no commit references.
+    docs.limit(7).write.parquet(s"$t/stage-deadbeef")
+    assert(TxnLog.read(spark, t).count() == docs.count(),
+      "uncommitted staged files leaked into a snapshot read")
+  }
+
+  test("overwrite replaces atomically; the old content stays time-travelable") {
+    val t = freshTable("ow")
+    TxnLog.create(spark, t, docs.filter(col("lang") === "en"))
+    TxnLog.overwrite(spark, t, docs.filter(col("lang") === "de"))
+    assert(TxnLog.read(spark, t).select("lang").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("de"))
+    assert(TxnLog.read(spark, t, Some(0)).select("lang").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("en"))
+  }
+
+  test("compaction is logical: rows identical, fewer files, old version intact") {
+    val t = freshTable("compact")
+    TxnLog.create(spark, t, docs.repartition(13))
+    val before = TxnLog.snapshot(spark, t).size
+    val r = TxnLog.compact(spark, t, targetFiles = 2)
+    assert(r.removed == before && TxnLog.snapshot(spark, t).size <= 4)
+    val now = TxnLog.read(spark, t).orderBy("doc_id").collect().toSeq
+    val old = TxnLog.read(spark, t, Some(0)).orderBy("doc_id").collect().toSeq
+    assert(now == old, "compaction changed the rows")
+  }
+
+  test("vacuum deletes only what no retained version references") {
+    val t = freshTable("vacuum")
+    TxnLog.create(spark, t, docs.repartition(8))
+    TxnLog.compact(spark, t, targetFiles = 1)
+    val fragments = TxnLog.snapshot(spark, t, Some(0)).toSet
+    val deleted = TxnLog.vacuum(spark, t, retainVersions = 1).toSet
+    assert(deleted == fragments,
+      "vacuum must delete exactly the superseded fragments")
+    // The latest snapshot survives physically and logically.
+    assert(TxnLog.read(spark, t).count() == docs.count())
+  }
+
+  test("concurrent appends: optimistic retry loses no commit and no rows") {
+    val t = freshTable("race")
+    TxnLog.create(spark, t, docs.limit(1))
+    val perWriter = 5
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        (0 until perWriter).foreach { i =>
+          TxnLog.append(spark, t,
+            docs.filter(col("doc_id") % 2 === w && col("doc_id") % 7 === i))
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(TxnLog.latestVersion(spark, t) == 2L * perWriter,
+      "every append must land at a distinct version")
+    val expected = 1L + (0 until 2).map(w => (0 until perWriter).map(i =>
+      docs.filter(col("doc_id") % 2 === w && col("doc_id") % 7 === i).count()).sum).sum
+    assert(TxnLog.read(spark, t).count() == expected, "a racing append lost rows")
+  }
+
+  test("snapshot resolution replays from the newest checkpoint") {
+    val t = freshTable("ckpt")
+    TxnLog.create(spark, t, docs.filter(col("doc_id") === 0))
+    (1 to TxnLog.CheckpointInterval + 2).foreach { i =>
+      TxnLog.append(spark, t, docs.filter(col("doc_id") === i))
+    }
+    val fs = new org.apache.hadoop.fs.Path(s"$t/_log")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"$t/_log"))
+      .map(_.getPath.getName)
+    assert(names.exists(_.startsWith("c")), "no checkpoint was written")
+    val expected = docs.filter(col("doc_id") <= TxnLog.CheckpointInterval + 2).count()
+    assert(TxnLog.read(spark, t).count() == expected)
+  }
+}
