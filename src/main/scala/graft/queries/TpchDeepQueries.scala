@@ -53,14 +53,22 @@ object TpchDeepQueries extends QueryModule {
     // four-table join chain — Catalyst must decorrelate it into a
     // per-partkey min aggregate joined back (no nested-loop re-execution
     // per outer row; PlanAuditSpec pins the absence of CartesianProduct).
+    // `ps` (the part×supplier cost relation) is STAGED, not a CTE:
+    // Spark inlines WITH bodies, and this one is referenced by both the
+    // outer query and the correlated subquery — un-staged, the lineitem
+    // scan+aggregate (the query's dominant cost) runs twice, measured
+    // 0.50 exp/decade on the 100× sweep vs 2× less work staged. The
+    // decorrelation shape under test lives in the subquery, which is
+    // unchanged.
     "q_tpch_q2" -> ((s, d) => {
-      views(s, d, "tq2", "lineitem", "part", "supplier", "nation", "region")
-      s.sql("""WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
-              |    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
-              |  FROM tq2_lineitem GROUP BY l_partkey, l_suppkey)
-              |SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+      views(s, d, "tq2", "part", "supplier", "nation", "region")
+      StagedCache.persist(Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("cost_c")))
+        .createOrReplaceTempView("tq2_ps")
+      s.sql("""SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
               |  s_name, n_name, p_partkey, cost_c
-              | FROM ps
+              | FROM tq2_ps ps
               | JOIN tq2_part ON pk = p_partkey
               | JOIN tq2_supplier ON sk = s_suppkey
               | JOIN tq2_nation ON s_nationkey = n_nationkey
@@ -68,7 +76,7 @@ object TpchDeepQueries extends QueryModule {
               | WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
               |   AND r_name = 'EUROPE'
               |   AND cost_c = (SELECT min(ps2.cost_c)
-              |                 FROM ps ps2
+              |                 FROM tq2_ps ps2
               |                 JOIN tq2_supplier s2 ON ps2.sk = s2.s_suppkey
               |                 JOIN tq2_nation n2 ON s2.s_nationkey = n2.n_nationkey
               |                 JOIN tq2_region r2 ON n2.n_regionkey = r2.r_regionkey

@@ -63,9 +63,11 @@ object TxnLog {
   // ---- log primitives ----------------------------------------------------
 
   private def writeJson(f: FileSystem, p: Path, adds: Seq[String],
-                        removes: Seq[String], exclusive: Boolean): Boolean = {
+                        removes: Seq[String], exclusive: Boolean,
+                        txn: Option[String] = None): Boolean = {
     val body = "{\"adds\":[" + adds.map(JsonUtil.quote).mkString(",") +
-      "],\"removes\":[" + removes.map(JsonUtil.quote).mkString(",") + "]}"
+      "],\"removes\":[" + removes.map(JsonUtil.quote).mkString(",") + "]" +
+      txn.fold("")(t => ",\"txn\":" + JsonUtil.quote(t)) + "}"
     val bytes = body.getBytes("UTF-8")
     if (exclusive && f.makeQualified(p).toUri.getScheme == "file") {
       // Hadoop's LocalFileSystem create(overwrite=false) is a
@@ -105,6 +107,23 @@ object TxnLog {
       else inner.split(",").toSeq.map(s => s.trim.stripPrefix("\"").stripSuffix("\""))
     }
     (arr("adds"), arr("removes"))
+  }
+
+  private def readTxn(f: FileSystem, p: Path): Option[String] = {
+    val in = f.open(p)
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+    val i = body.indexOf("\"txn\":\"")
+    if (i < 0) None
+    else {
+      val start = i + 7
+      Some(body.substring(start, body.indexOf("\"", start)))
+    }
   }
 
   private def listVersions(f: FileSystem, table: String, prefix: String): Seq[Long] = {
@@ -168,42 +187,43 @@ object TxnLog {
 
   /** Optimistic-concurrency commit loop: read latest, attempt
     * create-exclusive of latest+1, on loss re-read and retry.
-    * `rebase` decides, given the winner-advanced log, whether the
-    * commit is still valid (append always is; overwrite/compact must
-    * recompute their removes). Returns the published version. */
-  private def commitLoop(spark: SparkSession, table: String)
-                        (attempt: Long => Option[(Seq[String], Seq[String])]): CommitResult = {
+    * `attempt` decides, given the winner-advanced log, whether the
+    * commit is still wanted (append always is; overwrite/compact must
+    * recompute their removes; an idempotent sink bows out if its batch
+    * already landed) — returning None abandons WITHOUT publishing.
+    * Returns the published version, or None if abandoned. */
+  private def commitLoop(spark: SparkSession, table: String, txn: Option[String] = None)
+                        (attempt: Long => Option[(Seq[String], Seq[String])]): Option[CommitResult] = {
     val f = fs(spark, logDir(table))
-    var published = -1L
-    var adds: Seq[String] = Nil
-    var removes: Seq[String] = Nil
-    while (published < 0) {
+    while (true) {
       val next = latestVersion(spark, table) + 1
       attempt(next) match {
-        case None =>
-          throw new IllegalStateException(s"commit to $table abandoned after conflict")
+        case None => return None
         case Some((a, r)) =>
-          if (writeJson(f, versionFile(table, next), a, r, exclusive = true)) {
-            published = next; adds = a; removes = r
+          if (writeJson(f, versionFile(table, next), a, r, exclusive = true, txn)) {
+            if (next % CheckpointInterval == 0 && next > 0) {
+              val live = snapshot(spark, table, Some(next))
+              writeJson(f, checkpointFile(table, next), live, Nil, exclusive = false)
+            }
+            return Some(CommitResult(next, a.size, r.size))
           }
         // else: lost the race — loop re-reads the log and retries.
       }
     }
-    if (published % CheckpointInterval == 0 && published > 0) {
-      val live = snapshot(spark, table, Some(published))
-      writeJson(f, checkpointFile(table, published), live, Nil, exclusive = false)
-    }
-    CommitResult(published, adds.size, removes.size)
+    None // unreachable
   }
+
+  private def mustCommit(r: Option[CommitResult], what: String): CommitResult =
+    r.getOrElse(throw new IllegalStateException(s"$what abandoned after conflict"))
 
   /** Create the table (version 0) from `df`. */
   def create(spark: SparkSession, table: String, df: DataFrame): CommitResult = {
     val f = fs(spark, logDir(table))
     f.mkdirs(logDir(table))
     val staged = stage(spark, table, df)
-    commitLoop(spark, table) { v =>
+    mustCommit(commitLoop(spark, table) { v =>
       if (v != 0) None else Some((staged, Nil))
-    }
+    }, s"create $table")
   }
 
   /** Append: blind adds — valid at ANY log position, so a lost race
@@ -211,7 +231,42 @@ object TxnLog {
     * staged data is never rewritten). */
   def append(spark: SparkSession, table: String, df: DataFrame): CommitResult = {
     val staged = stage(spark, table, df)
-    commitLoop(spark, table)(_ => Some((staged, Nil)))
+    mustCommit(commitLoop(spark, table)(_ => Some((staged, Nil))),
+      s"append to $table")
+  }
+
+  /** Idempotent append for exactly-once streaming sinks: the commit
+    * carries a `streamId:batchId` txn marker, and a batch at-or-below
+    * the stream's high-water mark is dropped WITHOUT publishing — so a
+    * foreachBatch retry (post-failure replay re-delivers the same
+    * batchId) lands its rows exactly once no matter how many times the
+    * sink runs. The duplicate check re-runs inside the commit loop, so
+    * even two concurrent deliveries of the same batch race on the
+    * version file and the loser sees the winner's marker on rebase.
+    * Returns None when the batch was already committed. */
+  def appendBatch(spark: SparkSession, table: String, df: DataFrame,
+                  streamId: String, batchId: Long): Option[CommitResult] = {
+    if (lastCommittedBatch(spark, table, streamId).exists(_ >= batchId)) return None
+    val staged = stage(spark, table, df)
+    commitLoop(spark, table, txn = Some(s"$streamId:$batchId")) { _ =>
+      if (lastCommittedBatch(spark, table, streamId).exists(_ >= batchId)) None
+      else Some((staged, Nil))
+    }
+  }
+
+  /** The stream's committed high-water mark: max batchId across every
+    * commit carrying this stream's txn marker. */
+  def lastCommittedBatch(spark: SparkSession, table: String,
+                         streamId: String): Option[Long] = {
+    val f = fs(spark, logDir(table))
+    val ids = listVersions(f, table, "v").flatMap { v =>
+      readTxn(f, versionFile(table, v)) match {
+        case Some(t) if t.startsWith(streamId + ":") =>
+          Some(t.stripPrefix(streamId + ":").toLong)
+        case _ => None
+      }
+    }
+    if (ids.isEmpty) None else Some(ids.max)
   }
 
   /** Replace the whole table content with `df` in one atomic commit.
@@ -220,9 +275,9 @@ object TxnLog {
     * than leaking past the overwrite. */
   def overwrite(spark: SparkSession, table: String, df: DataFrame): CommitResult = {
     val staged = stage(spark, table, df)
-    commitLoop(spark, table) { v =>
+    mustCommit(commitLoop(spark, table) { v =>
       Some((staged, snapshot(spark, table, Some(v - 1))))
-    }
+    }, s"overwrite $table")
   }
 
   /** Logical compaction: rewrite the current snapshot's rows into
@@ -236,9 +291,9 @@ object TxnLog {
     val victims = snapshot(spark, table, Some(base))
     val staged = stage(spark, table,
       spark.read.parquet(victims.map(p => s"$table/$p"): _*).repartition(targetFiles))
-    commitLoop(spark, table) { v =>
+    mustCommit(commitLoop(spark, table) { v =>
       if (v != base + 1) None else Some((staged, victims))
-    }
+    }, s"compact $table")
   }
 
   /** Physically delete files no snapshot within the retention window

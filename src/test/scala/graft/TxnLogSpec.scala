@@ -97,6 +97,53 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.read(spark, t).count() == expected, "a racing append lost rows")
   }
 
+  test("exactly-once sink: a replayed batch commits nothing, rows land once") {
+    val t = freshTable("eos")
+    val chunks = (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i))
+    TxnLog.create(spark, t, chunks(0))
+
+    // The foreachBatch contract: after a failure the SAME batchId is
+    // re-delivered; the sink must be idempotent on it.
+    assert(TxnLog.appendBatch(spark, t, chunks(1), "streamA", 0L).isDefined)
+    assert(TxnLog.appendBatch(spark, t, chunks(2), "streamA", 1L).isDefined)
+    // Replays: same batch, any number of times, from a restarted query.
+    assert(TxnLog.appendBatch(spark, t, chunks(2), "streamA", 1L).isEmpty)
+    assert(TxnLog.appendBatch(spark, t, chunks(1), "streamA", 0L).isEmpty)
+
+    assert(TxnLog.latestVersion(spark, t) == 2L,
+      "replayed batches must not publish commits")
+    assert(TxnLog.lastCommittedBatch(spark, t, "streamA").contains(1L))
+    // A different stream's ids are independent.
+    assert(TxnLog.lastCommittedBatch(spark, t, "streamB").isEmpty)
+    assert(TxnLog.read(spark, t).count() == docs.count(),
+      "rows must land exactly once across replays")
+
+    // End-to-end through a real streaming query: every micro-batch
+    // goes through the idempotent sink; a second identical query run
+    // (fresh stream, fresh ids) uses its own stream id.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val more = docs.filter(col("doc_id") % 3 === 0).limit(5)
+      .collect().map(r => (r.getLong(0) + 1000000L, r.getString(1), r.getLong(2)))
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val q = source.toDF().toDF("doc_id", "lang", "n_chars")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        TxnLog.appendBatch(spark, t, batch, "streamB", batchId)
+        // A sink-side retry inside the same epoch: must be a no-op.
+        TxnLog.appendBatch(spark, t, batch, "streamB", batchId)
+        ()
+      }
+      .start()
+    try {
+      source.addData(more.take(2).toSeq); q.processAllAvailable()
+      source.addData(more.drop(2).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(TxnLog.read(spark, t).count() == docs.count() + more.length,
+      "streamed rows must land exactly once despite the in-epoch retry")
+  }
+
   test("snapshot resolution replays from the newest checkpoint") {
     val t = freshTable("ckpt")
     TxnLog.create(spark, t, docs.filter(col("doc_id") === 0))
