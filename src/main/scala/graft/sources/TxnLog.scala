@@ -163,12 +163,18 @@ object TxnLog {
 
   /** DataFrame of the table at `version` (default latest). Paths are
     * passed explicitly, so a scan never lists the table directory and
-    * staged/removed files are invisible regardless of physical state. */
+    * staged/removed files are invisible regardless of physical state.
+    * Reads merge schemas across the snapshot's files: a commit may add
+    * columns (schema evolution under append), and older files then
+    * read as null in the new columns — while a TIME-TRAVEL read at a
+    * pre-evolution version resolves only old files and so still
+    * presents the old schema, exactly as the log semantics demand. */
   def read(spark: SparkSession, table: String,
            version: Option[Long] = None): DataFrame = {
     val files = snapshot(spark, table, version)
     require(files.nonEmpty, s"empty snapshot of $table at $version")
-    spark.read.parquet(files.map(p => s"$table/$p"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(p => s"$table/$p"): _*)
   }
 
   // ---- writers -----------------------------------------------------------
@@ -278,6 +284,92 @@ object TxnLog {
     mustCommit(commitLoop(spark, table) { v =>
       Some((staged, snapshot(spark, table, Some(v - 1))))
     }, s"overwrite $table")
+  }
+
+  /** ACID MERGE (upsert): resolve `delta` against the current snapshot
+    * by key — a delta row replaces every current row sharing its key;
+    * unmatched delta rows insert — and publish the result as ONE
+    * atomic overwrite commit, so readers see pre-merge or post-merge,
+    * never a torn middle, and time travel keeps the pre-merge version.
+    * Copy-on-write: the whole snapshot rewrites (the simplest COW; a
+    * file-pruned variant would consult per-file key stats to rewrite
+    * only files a delta key can touch — same commit shape). Resolution
+    * is the engine's winner-per-key discipline: one window over the
+    * key exchange, delta outranks current, no full-outer join. */
+  def merge(spark: SparkSession, table: String, delta: DataFrame,
+            key: String): CommitResult = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lit, max}
+    val union = read(spark, table).withColumn("_src", lit(0))
+      .unionByName(delta.withColumn("_src", lit(1)))
+    val resolved = union
+      .withColumn("_hasDelta", max("_src").over(Window.partitionBy(key)))
+      // A key with any delta row keeps ONLY its delta rows; a key
+      // without one keeps its current rows untouched.
+      .filter(col("_src") === 1 || col("_hasDelta") === 0)
+      .drop("_src", "_hasDelta")
+    overwrite(spark, table, resolved)
+  }
+
+  /** Row-level DELETE, copy-on-write with FILE PRUNING: one scan finds
+    * the files that actually contain matching rows, ONLY those rewrite
+    * (minus their matches), and one commit swaps them — a delete that
+    * touches 3 files of a million-file table stages 3 files, which is
+    * the whole reason COW deletes stay affordable at 100 TB. Rows
+    * delete only where the predicate is TRUE (null-predicate rows
+    * survive, SQL DELETE semantics). The commit rebases past concurrent
+    * APPENDS (victims still live → removes stay valid, new files are
+    * untouched by construction) but abandons if any victim was itself
+    * replaced — rewriting a superseded file would resurrect its rows.
+    * Returns None when no row matched (no commit published). */
+  def delete(spark: SparkSession, table: String,
+             predicate: org.apache.spark.sql.Column): Option[CommitResult] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val files = snapshot(spark, table)
+    val victims = read(spark, table)
+      .withColumn("_file", input_file_name())
+      .filter(predicate)
+      .select("_file").distinct().collect()
+      .map(r => r.getString(0))
+      .map(p => p.substring(p.indexOf(table) + table.length + 1)).toSeq
+    if (victims.isEmpty) return None
+    val survivors = spark.read.option("mergeSchema", "true")
+      .parquet(victims.map(p => s"$table/$p"): _*)
+      .filter(!predicate.cast("boolean") <=> true)
+    val staged = stage(spark, table, survivors)
+    commitLoop(spark, table) { v =>
+      val current = snapshot(spark, table, Some(v - 1)).toSet
+      if (victims.forall(current.contains)) Some((staged, victims)) else None
+    } match {
+      case some @ Some(_) => some
+      case None => throw new IllegalStateException(
+        s"delete on $table abandoned: a victim file was replaced concurrently")
+    }
+  }
+
+  /** Net row-level CHANGES between two versions (CDC): `insert` rows
+    * appear in `toVersion` but not `fromVersion`, `delete` rows the
+    * reverse, tagged in a `_change` column. Computed on the CHURNED
+    * FILES ONLY — files live in both snapshots cancel by identity, so
+    * the diff reads the file-set symmetric difference, never the
+    * table; EXCEPT ALL over that churn then nets out rows a compaction
+    * merely moved between files. Bag semantics throughout: k extra
+    * copies of a row diff as k inserts. */
+  def changes(spark: SparkSession, table: String,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val from = snapshot(spark, table, Some(fromVersion)).toSet
+    val to = snapshot(spark, table, Some(toVersion)).toSet
+    val schema = read(spark, table, Some(toVersion)).schema
+    def readSide(paths: Set[String]): DataFrame =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.option("mergeSchema", "true")
+        .schema(schema).parquet(paths.toSeq.sorted.map(p => s"$table/$p"): _*)
+    val added = readSide(to -- from)
+    val removed = readSide(from -- to)
+    added.exceptAll(removed).withColumn("_change", lit("insert"))
+      .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete")))
   }
 
   /** Logical compaction: rewrite the current snapshot's rows into

@@ -144,6 +144,44 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
       "streamed rows must land exactly once despite the in-epoch retry")
   }
 
+  test("ACID merge: delta replaces matched keys, inserts the rest, old version travels") {
+    val t = freshTable("merge")
+    TxnLog.create(spark, t, docs.filter(col("doc_id") < 30))
+    val preMerge = TxnLog.latestVersion(spark, t)
+    val delta = docs.filter(col("doc_id") >= 10 && col("doc_id") < 40)
+      .withColumn("n_chars", lit(-1L))
+    TxnLog.merge(spark, t, delta, "doc_id")
+
+    val now = TxnLog.read(spark, t)
+    val expectedRows = docs.filter(col("doc_id") < 10).count() + delta.count()
+    assert(now.count() == expectedRows,
+      "merge must keep unmatched current rows + every delta row, nothing else")
+    assert(now.filter(col("doc_id") >= 10 && col("n_chars") =!= -1L).count() == 0,
+      "a matched key kept a pre-merge row")
+    assert(now.filter(col("doc_id") < 10 && col("n_chars") === -1L).count() == 0,
+      "an unmatched key was touched")
+    // One atomic commit; the pre-merge table still time-travels.
+    assert(TxnLog.latestVersion(spark, t) == preMerge + 1)
+    assert(TxnLog.read(spark, t, Some(preMerge)).count() ==
+      docs.filter(col("doc_id") < 30).count())
+  }
+
+  test("schema evolution: appended columns read as null for old files") {
+    val t = freshTable("schema")
+    TxnLog.create(spark, t, docs.select("doc_id", "lang"))
+    TxnLog.append(spark, t,
+      docs.select("doc_id", "lang").filter(col("doc_id") < 5)
+        .withColumn("score", lit(7L)))
+    val now = TxnLog.read(spark, t)
+    assert(now.columns.contains("score"), "appended column missing from merged schema")
+    assert(now.filter(col("score") === 7L).count() ==
+      docs.filter(col("doc_id") < 5).count())
+    assert(now.filter(col("score").isNull).count() == docs.count(),
+      "pre-evolution rows must read as null in the new column")
+    // A pre-evolution snapshot still presents the old schema.
+    assert(!TxnLog.read(spark, t, Some(0)).columns.contains("score"))
+  }
+
   test("snapshot resolution replays from the newest checkpoint") {
     val t = freshTable("ckpt")
     TxnLog.create(spark, t, docs.filter(col("doc_id") === 0))
