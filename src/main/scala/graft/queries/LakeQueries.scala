@@ -148,6 +148,81 @@ object LakeQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // ACID MERGE + row-level DELETE through the transaction log:
+    // create the table minus a residue-class of docs, merge a delta
+    // that UPDATES every 7th doc (n_chars + 1000) and INSERTS the
+    // held-out class, then DELETE a third residue class — three
+    // atomic commits — and read the final state back. The oracle
+    // recomputes the end state from the source table, so a merge that
+    // drops/duplicates keys, resurrects deleted rows, or tears a
+    // commit fails the hash. Race/abandon semantics are TxnLogSpec's.
+    "q_txn_merge" -> ((s, d) => {
+      val table = s"${scratch(s, d)}/txnmerge"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table, docs.filter(col("doc_id") % 5 =!= 4))
+      val updates = docs
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") % 5 =!= 4)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      val inserts = docs.filter(col("doc_id") % 5 === 4)
+      TxnLog.merge(s, table, updates.unionByName(inserts), key = "doc_id")
+      TxnLog.delete(s, table, col("doc_id") % 9 === 0)
+      TxnLog.read(s, table)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
+
+    // Change-data-feed between versions: create (even docs), append
+    // (odd docs), DELETE short docs, then ask the log for the NET
+    // row-level changes v0 → latest. The diff reads only churned
+    // files (files live in both snapshots cancel by identity); the
+    // oracle derives the same insert/delete populations from the
+    // source table, proving the netting — appended-then-deleted rows
+    // must vanish, surviving appends tag insert, dead creates delete.
+    "q_txn_changes" -> ((s, d) => {
+      val table = s"${scratch(s, d)}/txncdf"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table, docs.filter(col("doc_id") % 2 === 0))
+      TxnLog.append(s, table, docs.filter(col("doc_id") % 2 =!= 0))
+      TxnLog.delete(s, table, col("n_chars") < 300L)
+      TxnLog.changes(s, table, 0L, TxnLog.latestVersion(s, table))
+        .groupBy("_change", "lang")
+        .agg(count(lit(1)).as("row_cnt"), sum("doc_id").as("sum_id"))
+        .orderBy("_change", "lang")
+    }),
+
+    // Stats-in-log data skipping: three appends land n_chars-banded
+    // files with per-file [min,max] recorded IN the commit entries,
+    // and a range read prunes non-intersecting files from the listing
+    // BEFORE any footer opens — the Delta §4.2 design. The oracle is
+    // the plain filter; TxnLogSpec pins that the pruned scan's
+    // inputFiles are a strict subset.
+    "q_txn_skip" -> ((s, d) => {
+      val table = s"${scratch(s, d)}/txnskip"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.createWithStats(s, table,
+        docs.filter(col("n_chars") < 300L).repartition(4), "n_chars")
+      TxnLog.appendWithStats(s, table,
+        docs.filter(col("n_chars") >= 300L && col("n_chars") < 450L)
+          .repartition(4), "n_chars")
+      TxnLog.appendWithStats(s, table,
+        docs.filter(col("n_chars") >= 450L).repartition(4), "n_chars")
+      TxnLog.readPruned(s, table, "n_chars", lo = 460L, hi = Long.MaxValue)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Stats-driven data skipping: write the table partitioned by
     // source, ANALYZE n_chars into the _stats sidecar, then answer a
     // high-end range query through the sidecar — partitions whose
@@ -193,6 +268,38 @@ object LakeQueries extends QueryModule {
     "q_stats_prune" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         | WHERE n_chars >= 520 ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    "q_txn_merge" ->
+      """WITH delta AS (
+        |  SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents
+        |   WHERE doc_id % 7 = 0 AND doc_id % 5 <> 4
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 5 = 4),
+        |merged AS (
+        |  SELECT * FROM delta
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |   WHERE doc_id % 5 <> 4
+        |     AND doc_id NOT IN (SELECT doc_id FROM delta))
+        |SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM merged WHERE doc_id % 9 <> 0
+        | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_changes" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS _change, lang, count(*) AS row_cnt,
+        |    sum(doc_id)::BIGINT AS sum_id FROM documents
+        |   WHERE doc_id % 2 = 1 AND n_chars >= 300 GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'delete' AS _change, lang, count(*) AS row_cnt,
+        |    sum(doc_id)::BIGINT AS sum_id FROM documents
+        |   WHERE doc_id % 2 = 0 AND n_chars < 300 GROUP BY 2)
+        | ORDER BY _change, lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_skip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        | WHERE n_chars >= 460 ORDER BY doc_id""".stripMargin.replace("\n", ""),
 
     "q_compact_cluster" ->
       """SELECT event_type, count(*) AS row_cnt,

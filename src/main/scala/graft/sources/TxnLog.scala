@@ -43,6 +43,12 @@ object TxnLog {
 
   final case class Commit(version: Long, adds: Seq[String], removes: Seq[String])
 
+  /** Per-file column statistics carried IN the commit entry (the
+    * Delta stats-in-log design, VLDB 2020 §4.2): for one named column,
+    * the file's row count and [min,max] as longs. Self-describing per
+    * path, so commits over different columns coexist in one log. */
+  final case class FileStats(column: String, count: Long, min: Long, max: Long)
+
   /** Every [[append]]/[[overwrite]]/[[compact]] returns the version it
     * published. */
   final case class CommitResult(version: Long, added: Int, removed: Int)
@@ -64,10 +70,17 @@ object TxnLog {
 
   private def writeJson(f: FileSystem, p: Path, adds: Seq[String],
                         removes: Seq[String], exclusive: Boolean,
-                        txn: Option[String] = None): Boolean = {
+                        txn: Option[String] = None,
+                        stats: Map[String, FileStats] = Map.empty): Boolean = {
+    val statsJson =
+      if (stats.isEmpty) ""
+      else ",\"stats\":{" + stats.toSeq.sortBy(_._1).map { case (path, st) =>
+        JsonUtil.quote(path) + ":[" + JsonUtil.quote(st.column) + "," +
+          st.count + "," + st.min + "," + st.max + "]"
+      }.mkString(",") + "}"
     val body = "{\"adds\":[" + adds.map(JsonUtil.quote).mkString(",") +
       "],\"removes\":[" + removes.map(JsonUtil.quote).mkString(",") + "]" +
-      txn.fold("")(t => ",\"txn\":" + JsonUtil.quote(t)) + "}"
+      txn.fold("")(t => ",\"txn\":" + JsonUtil.quote(t)) + statsJson + "}"
     val bytes = body.getBytes("UTF-8")
     if (exclusive && f.makeQualified(p).toUri.getScheme == "file") {
       // Hadoop's LocalFileSystem create(overwrite=false) is a
@@ -89,41 +102,61 @@ object TxnLog {
     true
   }
 
-  private def readJson(f: FileSystem, p: Path): (Seq[String], Seq[String]) = {
+  private def readBody(f: FileSystem, p: Path): String = {
     val in = f.open(p)
-    val body = try {
+    try {
       val buf = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](8192)
       var n = in.read(chunk)
       while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
       buf.toString("UTF-8")
     } finally in.close()
-    def arr(key: String): Seq[String] = {
-      val i = body.indexOf("\"" + key + "\":[")
-      val start = i + key.length + 4
-      val end = body.indexOf("]", start)
-      val inner = body.substring(start, end)
-      if (inner.isEmpty) Seq.empty
-      else inner.split(",").toSeq.map(s => s.trim.stripPrefix("\"").stripSuffix("\""))
-    }
-    (arr("adds"), arr("removes"))
+  }
+
+  private def parseArr(body: String, key: String): Seq[String] = {
+    val i = body.indexOf("\"" + key + "\":[")
+    val start = i + key.length + 4
+    val end = body.indexOf("]", start)
+    val inner = body.substring(start, end)
+    if (inner.isEmpty) Seq.empty
+    else inner.split(",").toSeq.map(s => s.trim.stripPrefix("\"").stripSuffix("\""))
+  }
+
+  private val StatsEntry =
+    """"([^"]+)":\["([^"]*)",(-?\d+),(-?\d+),(-?\d+)\]""".r
+
+  private def parseStats(body: String): Map[String, FileStats] = {
+    val i = body.indexOf("\"stats\":{")
+    if (i < 0) return Map.empty
+    val start = i + 9
+    val end = body.indexOf("}", start)
+    StatsEntry.findAllMatchIn(body.substring(start, end)).map { m =>
+      m.group(1) -> FileStats(m.group(2), m.group(3).toLong,
+        m.group(4).toLong, m.group(5).toLong)
+    }.toMap
+  }
+
+  private def readJson(f: FileSystem, p: Path): (Seq[String], Seq[String]) = {
+    val body = readBody(f, p)
+    (parseArr(body, "adds"), parseArr(body, "removes"))
   }
 
   private def readTxn(f: FileSystem, p: Path): Option[String] = {
-    val in = f.open(p)
-    val body = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](8192)
-      var n = in.read(chunk)
-      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      buf.toString("UTF-8")
-    } finally in.close()
+    val body = readBody(f, p)
     val i = body.indexOf("\"txn\":\"")
     if (i < 0) None
     else {
       val start = i + 7
       Some(body.substring(start, body.indexOf("\"", start)))
     }
+  }
+
+  /** One commit's entry, publicly readable — the incremental-consumer
+    * API ([[graft.sources.TxnStreamProvider]] tails the log with it). */
+  def commit(spark: SparkSession, table: String, version: Long): Commit = {
+    val f = fs(spark, logDir(table))
+    val (adds, removes) = readJson(f, versionFile(table, version))
+    Commit(version, adds, removes)
   }
 
   private def listVersions(f: FileSystem, table: String, prefix: String): Seq[Long] = {
@@ -144,19 +177,33 @@ object TxnLog {
   /** The live file set at `version` (default: latest): replay from the
     * newest checkpoint at-or-before `version`, then the commit tail. */
   def snapshot(spark: SparkSession, table: String,
-               version: Option[Long] = None): Seq[String] = {
+               version: Option[Long] = None): Seq[String] =
+    snapshotWithStats(spark, table, version).map(_._1)
+
+  /** The live file set plus each file's log-carried stats (None where
+    * the publishing commit recorded none — a stats-less file can never
+    * be pruned, which keeps mixed logs sound). Checkpoints carry the
+    * accumulated stats forward, so resolution cost stays O(checkpoint
+    * + tail) with or without stats. */
+  def snapshotWithStats(spark: SparkSession, table: String,
+      version: Option[Long] = None): Seq[(String, Option[FileStats])] = {
     val f = fs(spark, logDir(table))
     val versions = listVersions(f, table, "v")
     require(versions.nonEmpty, s"not a TxnLog table: $table")
     val v = version.getOrElse(versions.last)
     require(versions.contains(v), s"version $v not in log (have ${versions.mkString(",")})")
     val ckpt = listVersions(f, table, "c").filter(_ <= v).lastOption
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    ckpt.foreach { cv => readJson(f, checkpointFile(table, cv))._1.foreach(live += _) }
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Option[FileStats]]
+    ckpt.foreach { cv =>
+      val body = readBody(f, checkpointFile(table, cv))
+      val st = parseStats(body)
+      parseArr(body, "adds").foreach(p => live += p -> st.get(p))
+    }
     versions.filter(tv => tv <= v && ckpt.forall(tv > _)).foreach { tv =>
-      val (adds, removes) = readJson(f, versionFile(table, tv))
-      removes.foreach(live -= _)
-      adds.foreach(live += _)
+      val body = readBody(f, versionFile(table, tv))
+      val st = parseStats(body)
+      parseArr(body, "removes").foreach(live -= _)
+      parseArr(body, "adds").foreach(p => live += p -> st.get(p))
     }
     live.toSeq
   }
@@ -198,7 +245,8 @@ object TxnLog {
     * recompute their removes; an idempotent sink bows out if its batch
     * already landed) — returning None abandons WITHOUT publishing.
     * Returns the published version, or None if abandoned. */
-  private def commitLoop(spark: SparkSession, table: String, txn: Option[String] = None)
+  private def commitLoop(spark: SparkSession, table: String, txn: Option[String] = None,
+                         stats: Map[String, FileStats] = Map.empty)
                         (attempt: Long => Option[(Seq[String], Seq[String])]): Option[CommitResult] = {
     val f = fs(spark, logDir(table))
     while (true) {
@@ -206,10 +254,12 @@ object TxnLog {
       attempt(next) match {
         case None => return None
         case Some((a, r)) =>
-          if (writeJson(f, versionFile(table, next), a, r, exclusive = true, txn)) {
+          if (writeJson(f, versionFile(table, next), a, r, exclusive = true, txn, stats)) {
             if (next % CheckpointInterval == 0 && next > 0) {
-              val live = snapshot(spark, table, Some(next))
-              writeJson(f, checkpointFile(table, next), live, Nil, exclusive = false)
+              val withStats = snapshotWithStats(spark, table, Some(next))
+              writeJson(f, checkpointFile(table, next), withStats.map(_._1), Nil,
+                exclusive = false,
+                stats = withStats.collect { case (p, Some(st)) => p -> st }.toMap)
             }
             return Some(CommitResult(next, a.size, r.size))
           }
@@ -239,6 +289,81 @@ object TxnLog {
     val staged = stage(spark, table, df)
     mustCommit(commitLoop(spark, table)(_ => Some((staged, Nil))),
       s"append to $table")
+  }
+
+  /** Per-file (count, min, max) of `column` over just-staged files —
+    * one aggregation scan of only the new data, grouped by file. At
+    * scale this is the write's own data re-read once (Delta folds it
+    * into the writer; the commit shape is identical), and the result
+    * is file-count-sized — log metadata, never rows. Files where the
+    * column is entirely null get no stats (thus never prune). */
+  private def stagedStats(spark: SparkSession, table: String,
+                          staged: Seq[String], column: String): Map[String, FileStats] = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    spark.read.parquet(staged.map(p => s"$table/$p"): _*)
+      .groupBy(input_file_name().as("_f"))
+      .agg(count(lit(1)).as("_c"),
+        min(col(column).cast("long")).as("_mn"),
+        max(col(column).cast("long")).as("_mx"))
+      .collect()
+      .flatMap { r =>
+        if (r.isNullAt(2) || r.isNullAt(3)) None
+        else {
+          val full = r.getString(0)
+          val rel = full.substring(full.indexOf(table) + table.length + 1)
+          Some(rel -> FileStats(column, r.getLong(1), r.getLong(2), r.getLong(3)))
+        }
+      }.toMap
+  }
+
+  /** [[create]] with per-file stats on `statsCol` recorded in the log. */
+  def createWithStats(spark: SparkSession, table: String, df: DataFrame,
+                      statsCol: String): CommitResult = {
+    val f = fs(spark, logDir(table))
+    f.mkdirs(logDir(table))
+    val staged = stage(spark, table, df)
+    mustCommit(commitLoop(spark, table,
+      stats = stagedStats(spark, table, staged, statsCol)) { v =>
+      if (v != 0) None else Some((staged, Nil))
+    }, s"create $table")
+  }
+
+  /** [[append]] with per-file stats on `statsCol` recorded in the log. */
+  def appendWithStats(spark: SparkSession, table: String, df: DataFrame,
+                      statsCol: String): CommitResult = {
+    val staged = stage(spark, table, df)
+    mustCommit(commitLoop(spark, table,
+      stats = stagedStats(spark, table, staged, statsCol))(
+      _ => Some((staged, Nil))), s"append to $table")
+  }
+
+  /** Data-skipping read: resolve the snapshot WITH its log-carried
+    * stats and plan the scan over only the files whose [min,max] on
+    * `column` intersects [lo,hi] — the others are pruned from the file
+    * listing before any footer opens, which is the entire point of
+    * stats-in-log at 100 TB (a range query over a time/size-correlated
+    * ingest touches a sliver of the file population). Files without
+    * stats on `column` always scan; the residual filter applies
+    * regardless, so pruning can never change the answer — semantics
+    * are exactly `read(...).filter(column BETWEEN lo AND hi)` (nulls
+    * excluded, SQL comparison semantics). */
+  def readPruned(spark: SparkSession, table: String, column: String,
+                 lo: Long, hi: Long, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val all = snapshotWithStats(spark, table, version)
+    val kept = all.collect {
+      case (p, st) if st.forall(s =>
+        s.column != column || (s.max >= lo && s.min <= hi)) => p
+    }
+    val residual = col(column).cast("long").between(lo, hi)
+    if (kept.isEmpty) {
+      // Nothing can match; keep the caller's schema contract anyway.
+      read(spark, table, version).filter(org.apache.spark.sql.functions.lit(false))
+    } else {
+      spark.read.option("mergeSchema", "true")
+        .parquet(kept.map(p => s"$table/$p"): _*)
+        .filter(residual)
+    }
   }
 
   /** Idempotent append for exactly-once streaming sinks: the commit

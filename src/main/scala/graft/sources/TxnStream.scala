@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming SOURCE over a [[TxnLog]] table — the lake's
+  * read side of incremental pipelines: `spark.readStream
+  * .format("graft-txn").load(table)` tails the transaction log and
+  * delivers each commit's rows exactly once, the published change-feed
+  * design of the lakehouse papers (Armbrust et al., VLDB 2020 §4.4)
+  * re-expressed on Spark's own streaming engine.
+  *
+  * Offsets ARE log versions: the source's offset after batch N is the
+  * highest committed version it has shipped, serialized as the bare
+  * number — so a checkpointed restart resumes from the log position
+  * itself, and replaying a batch re-reads exactly the same commits'
+  * files (immutable by the log's contract). No state beyond the
+  * offset; the files are the payload.
+  *
+  * Batch semantics:
+  *  - The FIRST batch (start = None) delivers the SNAPSHOT at the
+  *    stream's initial version — resolved through checkpoint+tail
+  *    replay, not commit-by-commit — so pre-stream compactions and
+  *    overwrites are invisible (their net effect is the snapshot).
+  *  - Every later batch is the concatenation of commits
+  *    (start, end]'s ADD files. A commit carrying removes is NOT an
+  *    append — delivering its adds would double-ship rewritten rows —
+  *    so the source fails fast with the Delta-source contract
+  *    (`ignoreChanges=true` opts into at-least-once redelivery for
+  *    rewrite commits, the documented trade).
+  *
+  * Scale: getOffset is one log-directory listing; getBatch plans a
+  * parquet scan over ONLY the new commits' files (the driver never
+  * touches rows), so a 100 TB table with a trickle of appends streams
+  * at the cost of the trickle. Works end-to-end with
+  * [[TxnLog.appendBatch]] as the sink for exactly-once
+  * lake-to-lake pipelines (the spec pins a duplicate-delivery replay).
+  */
+class TxnStreamProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-txn"
+
+  private def tablePath(params: Map[String, String]): String =
+    params.getOrElse("path", throw new IllegalArgumentException(
+      "graft-txn source requires .load(<table path>) or option(\"path\", ...)"))
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            params: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      TxnLog.read(ctx.sparkSession, tablePath(params)).schema))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            params: Map[String, String]): Source = {
+    val table = tablePath(params)
+    new TxnSource(ctx.sparkSession, table,
+      sourceSchema(ctx, schema, providerName, params)._2,
+      ignoreChanges = params.get("ignorechanges").exists(_.toBoolean))
+  }
+}
+
+private[sources] class TxnSource(spark: SparkSession, table: String,
+                                 override val schema: StructType,
+                                 ignoreChanges: Boolean) extends Source {
+
+  private case class VersionOffset(v: Long) extends Offset {
+    override def json: String = v.toString
+  }
+
+  override def getOffset: Option[Offset] = {
+    val v = TxnLog.latestVersion(spark, table)
+    if (v < 0) None else Some(VersionOffset(v))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(_.json.toLong).getOrElse(-1L)
+    val to = end.json.toLong
+    val files: Seq[String] =
+      if (from < 0) TxnLog.snapshot(spark, table, Some(to))
+      else (from + 1 to to).flatMap { v =>
+        val c = TxnLog.commit(spark, table, v)
+        if (c.removes.nonEmpty && !ignoreChanges)
+          throw new IllegalStateException(
+            s"graft-txn stream on $table hit a non-append commit v$v " +
+              s"(${c.removes.size} removes): rewrites cannot stream " +
+              "exactly-once; restart from a fresh checkpoint or set " +
+              "ignoreChanges=true to accept redelivery of rewritten rows")
+        c.adds
+      }
+    val batch =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.schema(schema)
+          .parquet(files.map(p => s"$table/$p"): _*)
+    Bridge.asStreaming(batch)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -67,4 +67,15 @@ object Bridge {
     ext.buildPlannerStrategies(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
   }
+
+  /** Re-tag a batch DataFrame as a STREAMING one
+    * (`internalCreateDataFrame(_, _, isStreaming = true)` is
+    * `private[sql]`) — the contract a DSv1 `Source.getBatch` result
+    * must satisfy (`MicroBatchExecution` asserts `isStreaming`); this
+    * is exactly how Spark's own `FileStreamSource` builds its batches. */
+  def asStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

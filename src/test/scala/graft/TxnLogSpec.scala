@@ -182,6 +182,54 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     assert(!TxnLog.read(spark, t, Some(0)).columns.contains("score"))
   }
 
+  test("stats-in-log skipping: the pruned scan opens a strict subset " +
+       "of files and answers exactly like the full filter") {
+    val t = freshTable("skip")
+    TxnLog.createWithStats(spark, t,
+      docs.filter(col("n_chars") < 300).repartition(3), "n_chars")
+    TxnLog.appendWithStats(spark, t,
+      docs.filter(col("n_chars") >= 300).repartition(3), "n_chars")
+    val pruned = TxnLog.readPruned(spark, t, "n_chars", 400L, Long.MaxValue)
+    val full = TxnLog.read(spark, t).filter(col("n_chars") >= 400)
+    assert(pruned.inputFiles.length < TxnLog.read(spark, t).inputFiles.length,
+      "stats pruning did not drop any file from the scan")
+    assert(pruned.collect().map(_.toSeq).toSet === full.collect().map(_.toSeq).toSet)
+  }
+
+  test("stats survive checkpointed replay; stats-less commits are " +
+       "never pruned (mixed logs stay sound)") {
+    val t = freshTable("skipckpt")
+    TxnLog.createWithStats(spark, t,
+      docs.filter(col("n_chars") < 300), "n_chars")
+    // Push past a checkpoint boundary with stats-less appends of
+    // high-n_chars rows: they must ALWAYS scan.
+    (0 to TxnLog.CheckpointInterval).foreach { i =>
+      TxnLog.append(spark, t,
+        docs.filter(col("n_chars") >= 300 && col("doc_id") % (TxnLog.CheckpointInterval + 1) === i))
+    }
+    // And one more stats-carrying band AFTER the checkpoint.
+    TxnLog.appendWithStats(spark, t,
+      docs.filter(col("n_chars") < 200).withColumn("doc_id", col("doc_id") + 1000000L),
+      "n_chars")
+    val pruned = TxnLog.readPruned(spark, t, "n_chars", 300L, Long.MaxValue)
+    val expected = TxnLog.read(spark, t).filter(col("n_chars") >= 300)
+    // The create-band file (max < 300, stats from BEFORE the
+    // checkpoint) and the post-checkpoint low band must both be
+    // pruned; the stats-less middle scans in full.
+    assert(pruned.inputFiles.length < TxnLog.read(spark, t).inputFiles.length)
+    assert(pruned.collect().map(_.toSeq).toSet === expected.collect().map(_.toSeq).toSet)
+  }
+
+  test("readPruned on a column with no stats anywhere degrades to the " +
+       "plain filtered read") {
+    val t = freshTable("nostats")
+    TxnLog.create(spark, t, docs)
+    val pruned = TxnLog.readPruned(spark, t, "n_chars", 0L, 100L)
+    assert(pruned.collect().map(_.toSeq).toSet ===
+      TxnLog.read(spark, t).filter(col("n_chars").between(0, 100))
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("snapshot resolution replays from the newest checkpoint") {
     val t = freshTable("ckpt")
     TxnLog.create(spark, t, docs.filter(col("doc_id") === 0))

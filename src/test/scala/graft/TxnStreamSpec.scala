@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxnLog
+
+/** The graft-txn streaming SOURCE: tailing a TxnLog table's commit log
+  * as a Structured Streaming input. Pins the exactly-once contract —
+  * initial snapshot, per-commit increments, the non-append fail-fast,
+  * and the end-to-end lake-to-lake pipeline with the idempotent
+  * appendBatch sink under duplicate delivery. */
+class TxnStreamSpec extends AnyFunSuite with SparkSpec {
+
+  private def freshTable(name: String): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_txnstream_${name}_${System.nanoTime()}"
+    dir
+  }
+
+  test("initial snapshot, then each append arrives exactly once") {
+    import spark.implicits._
+    val table = freshTable("tail")
+    TxnLog.create(spark, table, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+
+    val q = spark.readStream.format("graft-txn").load(table)
+      .writeStream.format("memory").queryName("txn_tail").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txn_tail").as[(Long, String)].collect().sorted
+        === Array((1L, "a"), (2L, "b")))
+
+      TxnLog.append(spark, table, Seq((3L, "c")).toDF("id", "s"))
+      TxnLog.append(spark, table, Seq((4L, "d"), (5L, "e")).toDF("id", "s"))
+      q.processAllAvailable()
+      assert(spark.table("txn_tail").as[(Long, String)].collect().sorted
+        === Array((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    } finally q.stop()
+  }
+
+  test("a pre-stream compaction is invisible (snapshot start), but a " +
+       "mid-stream rewrite fails fast without ignoreChanges") {
+    import spark.implicits._
+    val table = freshTable("rewrite")
+    TxnLog.create(spark, table, Seq((1L, "a")).toDF("id", "s"))
+    TxnLog.append(spark, table, Seq((2L, "b")).toDF("id", "s"))
+    TxnLog.compact(spark, table, targetFiles = 1) // pre-stream: fine
+
+    val q = spark.readStream.format("graft-txn").load(table)
+      .writeStream.format("memory").queryName("txn_rw").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txn_rw").count() === 2)
+
+      TxnLog.compact(spark, table, targetFiles = 2) // mid-stream: not an append
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getCause.getMessage.contains("non-append commit"))
+    } finally q.stop()
+  }
+
+  test("ignoreChanges accepts a rewrite commit (documented at-least-once)") {
+    import spark.implicits._
+    val table = freshTable("ignore")
+    TxnLog.create(spark, table, Seq((1L, "a")).toDF("id", "s"))
+    val q = spark.readStream.format("graft-txn")
+      .option("ignoreChanges", "true").load(table)
+      .writeStream.format("memory").queryName("txn_ig").start()
+    try {
+      q.processAllAvailable()
+      TxnLog.compact(spark, table, targetFiles = 1)
+      q.processAllAvailable() // redelivers the compacted file, no failure
+      assert(spark.table("txn_ig").count() >= 1)
+    } finally q.stop()
+  }
+
+  test("lake-to-lake: txn source -> appendBatch sink is exactly-once " +
+       "even when a batch is delivered twice") {
+    import spark.implicits._
+    val src = freshTable("src")
+    val dst = freshTable("dst")
+    TxnLog.create(spark, src, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    TxnLog.create(spark, dst,
+      spark.emptyDataset[(Long, String)].toDF("id", "s"))
+
+    val q = spark.readStream.format("graft-txn").load(src)
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // Deliver every batch TWICE — the post-failure replay shape.
+        TxnLog.appendBatch(spark, dst, batch, "pipe", id)
+        TxnLog.appendBatch(spark, dst, batch, "pipe", id)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      TxnLog.append(spark, src, Seq((3L, "c")).toDF("id", "s"))
+      q.processAllAvailable()
+      assert(TxnLog.read(spark, dst).as[(Long, String)].collect().sorted
+        === Array((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
+  test("checkpointed restart resumes from the committed log position") {
+    import spark.implicits._
+    val table = freshTable("resume")
+    val ckpt = freshTable("ckpt")
+    TxnLog.create(spark, table, Seq((1L, "a")).toDF("id", "s"))
+
+    val run1 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q1 = spark.readStream.format("graft-txn").load(table)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(Long, String)].collect().foreach(run1.add); ()
+      }.start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(run1.toArray(Array.empty[(Long, String)]).toSeq === Seq((1L, "a")))
+
+    TxnLog.append(spark, table, Seq((2L, "b")).toDF("id", "s"))
+    val run2 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val q2 = spark.readStream.format("graft-txn").load(table)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.as[(Long, String)].collect().foreach(run2.add); ()
+      }.start()
+    try {
+      q2.processAllAvailable()
+      // Only the post-restart commit: v0 was consumed under q1's run
+      // and the offset checkpoint carries the log position across.
+      assert(run2.toArray(Array.empty[(Long, String)]).toSeq === Seq((2L, "b")))
+    } finally q2.stop()
+  }
+}
