@@ -173,14 +173,20 @@ object Multimodal {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream(256)
-      javax.imageio.ImageIO.write(img, "png", bos)
+      // Memory-cached stream: ImageIO's default OutputStream path backs
+      // the stream with a TEMP FILE per call — on a per-row codec that
+      // is a create/delete syscall pair per record, the dominant cost.
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
       bos.toByteArray
     }
 
     /** Decode + per-channel pixel sums. Null for undecodable bytes. */
     def decode(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
       if (bytes == null) return None
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
       if (img == null) return None
       var (sr, sg, sb) = (0L, 0L, 0L)
       var y = 0
@@ -360,7 +366,9 @@ object Multimodal {
       * GIF sequence writer. */
     def encodeGif(id: Long, n: Int, w: Int, h: Int): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream(1024)
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      // Memory-cached: the default createImageOutputStream backs every
+      // call with a temp FILE (see ImageCodec.encode note).
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
       val writer =
         javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       try {
@@ -390,7 +398,7 @@ object Multimodal {
       val reader =
         javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         reader.setInput(iis)
         val n = reader.getNumImages(true)
