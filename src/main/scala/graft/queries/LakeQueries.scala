@@ -199,6 +199,30 @@ object LakeQueries extends QueryModule {
         .orderBy("_change", "lang")
     }),
 
+    // Merge-on-read DELETE via deletion vectors: two cumulative masks
+    // land as commits that rewrite NO data file (write cost ∝ deleted
+    // rows — the needle-delete shape at 100 TB), and the read-side
+    // anti-join must make them exactly invisible. The oracle
+    // recomputes the surviving population from the source table; the
+    // no-rewrite/cumulative-fold/materialize-on-compact mechanics are
+    // TxnLogSpec's.
+    "q_txn_delete_mor" -> ((s, d) => {
+      val table = s"${scratch(s, d)}/txnmor"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table, docs)
+      TxnLog.deleteMoR(s, table, col("n_chars") < 250L)
+      TxnLog.deleteMoR(s, table, col("doc_id") % 13 === 0)
+      TxnLog.read(s, table)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
+
     // Stats-in-log data skipping: three appends land n_chars-banded
     // files with per-file [min,max] recorded IN the commit entries,
     // and a range read prunes non-intersecting files from the listing
@@ -300,6 +324,12 @@ object LakeQueries extends QueryModule {
     "q_txn_skip" ->
       """SELECT doc_id, lang, n_chars FROM documents
         | WHERE n_chars >= 460 ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    "q_txn_delete_mor" ->
+      """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM documents WHERE n_chars >= 250 AND doc_id % 13 <> 0
+        | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
 
     "q_compact_cluster" ->
       """SELECT event_type, count(*) AS row_cnt,

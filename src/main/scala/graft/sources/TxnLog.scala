@@ -41,7 +41,8 @@ import graft.JsonUtil
   */
 object TxnLog {
 
-  final case class Commit(version: Long, adds: Seq[String], removes: Seq[String])
+  final case class Commit(version: Long, adds: Seq[String], removes: Seq[String],
+                          dvs: Map[String, String] = Map.empty)
 
   /** Per-file column statistics carried IN the commit entry (the
     * Delta stats-in-log design, VLDB 2020 §4.2): for one named column,
@@ -71,16 +72,22 @@ object TxnLog {
   private def writeJson(f: FileSystem, p: Path, adds: Seq[String],
                         removes: Seq[String], exclusive: Boolean,
                         txn: Option[String] = None,
-                        stats: Map[String, FileStats] = Map.empty): Boolean = {
+                        stats: Map[String, FileStats] = Map.empty,
+                        dvs: Map[String, String] = Map.empty): Boolean = {
     val statsJson =
       if (stats.isEmpty) ""
       else ",\"stats\":{" + stats.toSeq.sortBy(_._1).map { case (path, st) =>
         JsonUtil.quote(path) + ":[" + JsonUtil.quote(st.column) + "," +
           st.count + "," + st.min + "," + st.max + "]"
       }.mkString(",") + "}"
+    val dvJson =
+      if (dvs.isEmpty) ""
+      else ",\"dvs\":{" + dvs.toSeq.sortBy(_._1).map { case (path, dv) =>
+        JsonUtil.quote(path) + ":" + JsonUtil.quote(dv)
+      }.mkString(",") + "}"
     val body = "{\"adds\":[" + adds.map(JsonUtil.quote).mkString(",") +
       "],\"removes\":[" + removes.map(JsonUtil.quote).mkString(",") + "]" +
-      txn.fold("")(t => ",\"txn\":" + JsonUtil.quote(t)) + statsJson + "}"
+      txn.fold("")(t => ",\"txn\":" + JsonUtil.quote(t)) + statsJson + dvJson + "}"
     val bytes = body.getBytes("UTF-8")
     if (exclusive && f.makeQualified(p).toUri.getScheme == "file") {
       // Hadoop's LocalFileSystem create(overwrite=false) is a
@@ -136,6 +143,17 @@ object TxnLog {
     }.toMap
   }
 
+  private val DvEntry = """"([^"]+)":"([^"]+)"""".r
+
+  private def parseDvs(body: String): Map[String, String] = {
+    val i = body.indexOf("\"dvs\":{")
+    if (i < 0) return Map.empty
+    val start = i + 7
+    val end = body.indexOf("}", start)
+    DvEntry.findAllMatchIn(body.substring(start, end))
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
   private def readJson(f: FileSystem, p: Path): (Seq[String], Seq[String]) = {
     val body = readBody(f, p)
     (parseArr(body, "adds"), parseArr(body, "removes"))
@@ -155,8 +173,9 @@ object TxnLog {
     * API ([[graft.sources.TxnStreamProvider]] tails the log with it). */
   def commit(spark: SparkSession, table: String, version: Long): Commit = {
     val f = fs(spark, logDir(table))
-    val (adds, removes) = readJson(f, versionFile(table, version))
-    Commit(version, adds, removes)
+    val body = readBody(f, versionFile(table, version))
+    Commit(version, parseArr(body, "adds"), parseArr(body, "removes"),
+      parseDvs(body))
   }
 
   private def listVersions(f: FileSystem, table: String, prefix: String): Seq[Long] = {
@@ -180,31 +199,44 @@ object TxnLog {
                version: Option[Long] = None): Seq[String] =
     snapshotWithStats(spark, table, version).map(_._1)
 
+  /** One live file's full log-carried state: optional column stats and
+    * optional deletion-vector path (both None for plain appends). */
+  final case class FileState(stats: Option[FileStats], dv: Option[String])
+
   /** The live file set plus each file's log-carried stats (None where
     * the publishing commit recorded none — a stats-less file can never
     * be pruned, which keeps mixed logs sound). Checkpoints carry the
     * accumulated stats forward, so resolution cost stays O(checkpoint
     * + tail) with or without stats. */
   def snapshotWithStats(spark: SparkSession, table: String,
-      version: Option[Long] = None): Seq[(String, Option[FileStats])] = {
+      version: Option[Long] = None): Seq[(String, Option[FileStats])] =
+    snapshotFull(spark, table, version).map { case (p, st) => p -> st.stats }
+
+  /** Full replay: live files with stats AND deletion-vector bindings.
+    * A commit's `dvs` entries re-bind live files to a DV (latest
+    * binding wins); removing a file drops its binding with it. */
+  def snapshotFull(spark: SparkSession, table: String,
+      version: Option[Long] = None): Seq[(String, FileState)] = {
     val f = fs(spark, logDir(table))
     val versions = listVersions(f, table, "v")
     require(versions.nonEmpty, s"not a TxnLog table: $table")
     val v = version.getOrElse(versions.last)
     require(versions.contains(v), s"version $v not in log (have ${versions.mkString(",")})")
     val ckpt = listVersions(f, table, "c").filter(_ <= v).lastOption
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Option[FileStats]]
-    ckpt.foreach { cv =>
-      val body = readBody(f, checkpointFile(table, cv))
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, FileState]
+    def apply(body: String): Unit = {
       val st = parseStats(body)
-      parseArr(body, "adds").foreach(p => live += p -> st.get(p))
-    }
-    versions.filter(tv => tv <= v && ckpt.forall(tv > _)).foreach { tv =>
-      val body = readBody(f, versionFile(table, tv))
-      val st = parseStats(body)
+      val dv = parseDvs(body)
       parseArr(body, "removes").foreach(live -= _)
-      parseArr(body, "adds").foreach(p => live += p -> st.get(p))
+      parseArr(body, "adds").foreach(p => live += p -> FileState(st.get(p), dv.get(p)))
+      // DV re-bindings of files that stay live (not in this commit's adds).
+      dv.foreach { case (p, d) =>
+        live.get(p).foreach(s => live += p -> s.copy(dv = Some(d)))
+      }
     }
+    ckpt.foreach(cv => apply(readBody(f, checkpointFile(table, cv))))
+    versions.filter(tv => tv <= v && ckpt.forall(tv > _))
+      .foreach(tv => apply(readBody(f, versionFile(table, tv))))
     live.toSeq
   }
 
@@ -218,10 +250,49 @@ object TxnLog {
     * presents the old schema, exactly as the log semantics demand. */
   def read(spark: SparkSession, table: String,
            version: Option[Long] = None): DataFrame = {
-    val files = snapshot(spark, table, version)
+    val files = snapshotFull(spark, table, version)
     require(files.nonEmpty, s"empty snapshot of $table at $version")
-    spark.read.option("mergeSchema", "true")
-      .parquet(files.map(p => s"$table/$p"): _*)
+    readState(spark, table, files)
+  }
+
+  /** Scan a resolved file set applying its deletion vectors: files
+    * with a DV binding get their deleted (file, row_index) pairs
+    * anti-joined out — `_metadata.row_index` is parquet-stable for
+    * immutable files, so the mask is exact across any partitioning.
+    * The DV side is tiny relative to data (∝ deleted rows), so the
+    * planner broadcasts it from parquet size stats; files without a
+    * binding pass through the same anti-join untouched (no DV row can
+    * match them — each DV object carries rows only for files bound to
+    * it or files already removed). */
+  private[sources] def readState(spark: SparkSession, table: String,
+      files: Seq[(String, FileState)],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val (df, hasDv) = readTagged(spark, table, files, schema)
+    if (hasDv) df.drop("_gf_rel", "_gf_idx") else df
+  }
+
+  /** [[readState]] keeping the mask keys (`_gf_rel` relative path,
+    * `_gf_idx` row index) as columns when DVs are in play — the mask
+    * keys must be computed ON the scan (metadata columns don't resolve
+    * past the anti-join), so writers that need them (deleteMoR) share
+    * this path instead of re-deriving them downstream. */
+  private def readTagged(spark: SparkSession, table: String,
+      files: Seq[(String, FileState)],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): (DataFrame, Boolean) = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, locate}
+    val reader = schema.fold(spark.read.option("mergeSchema", "true"))(spark.read.schema)
+    val base = reader.parquet(files.map { case (p, _) => s"$table/$p" }: _*)
+    val dvDirs = files.flatMap(_._2.dv).distinct
+    if (dvDirs.isEmpty) (base, false)
+    else {
+      val f = input_file_name()
+      val rel = f.substr(locate(table, f) + lit(table.length + 1), lit(1 << 20))
+      val dv = spark.read.parquet(dvDirs.map(p => s"$table/$p"): _*)
+        .select(col("file").as("_gf_rel"), col("idx").as("_gf_idx"))
+      (base.withColumn("_gf_rel", rel)
+        .withColumn("_gf_idx", col("_metadata.row_index"))
+        .join(dv, Seq("_gf_rel", "_gf_idx"), "left_anti"), true)
+    }
   }
 
   // ---- writers -----------------------------------------------------------
@@ -246,7 +317,8 @@ object TxnLog {
     * already landed) — returning None abandons WITHOUT publishing.
     * Returns the published version, or None if abandoned. */
   private def commitLoop(spark: SparkSession, table: String, txn: Option[String] = None,
-                         stats: Map[String, FileStats] = Map.empty)
+                         stats: Map[String, FileStats] = Map.empty,
+                         dvs: Map[String, String] = Map.empty)
                         (attempt: Long => Option[(Seq[String], Seq[String])]): Option[CommitResult] = {
     val f = fs(spark, logDir(table))
     while (true) {
@@ -254,12 +326,13 @@ object TxnLog {
       attempt(next) match {
         case None => return None
         case Some((a, r)) =>
-          if (writeJson(f, versionFile(table, next), a, r, exclusive = true, txn, stats)) {
+          if (writeJson(f, versionFile(table, next), a, r, exclusive = true, txn, stats, dvs)) {
             if (next % CheckpointInterval == 0 && next > 0) {
-              val withStats = snapshotWithStats(spark, table, Some(next))
-              writeJson(f, checkpointFile(table, next), withStats.map(_._1), Nil,
+              val full = snapshotFull(spark, table, Some(next))
+              writeJson(f, checkpointFile(table, next), full.map(_._1), Nil,
                 exclusive = false,
-                stats = withStats.collect { case (p, Some(st)) => p -> st }.toMap)
+                stats = full.collect { case (p, FileState(Some(st), _)) => p -> st }.toMap,
+                dvs = full.collect { case (p, FileState(_, Some(d))) => p -> d }.toMap)
             }
             return Some(CommitResult(next, a.size, r.size))
           }
@@ -350,19 +423,19 @@ object TxnLog {
   def readPruned(spark: SparkSession, table: String, column: String,
                  lo: Long, hi: Long, version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val all = snapshotWithStats(spark, table, version)
-    val kept = all.collect {
-      case (p, st) if st.forall(s =>
-        s.column != column || (s.max >= lo && s.min <= hi)) => p
+    val all = snapshotFull(spark, table, version)
+    val kept = all.filter { case (_, st) =>
+      st.stats.forall(s =>
+        s.column != column || (s.max >= lo && s.min <= hi))
     }
     val residual = col(column).cast("long").between(lo, hi)
     if (kept.isEmpty) {
       // Nothing can match; keep the caller's schema contract anyway.
       read(spark, table, version).filter(org.apache.spark.sql.functions.lit(false))
     } else {
-      spark.read.option("mergeSchema", "true")
-        .parquet(kept.map(p => s"$table/$p"): _*)
-        .filter(residual)
+      // Stats bound the PRE-mask population, so they stay valid (an
+      // over-approximation) under DVs; the DV anti-join still applies.
+      readState(spark, table, kept).filter(residual)
     }
   }
 
@@ -449,26 +522,98 @@ object TxnLog {
     * Returns None when no row matched (no commit published). */
   def delete(spark: SparkSession, table: String,
              predicate: org.apache.spark.sql.Column): Option[CommitResult] = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
-    val files = snapshot(spark, table)
-    val victims = read(spark, table)
-      .withColumn("_file", input_file_name())
-      .filter(predicate)
-      .select("_file").distinct().collect()
-      .map(r => r.getString(0))
-      .map(p => p.substring(p.indexOf(table) + table.length + 1)).toSeq
+    import org.apache.spark.sql.functions.{input_file_name, lit, locate}
+    val full = snapshotFull(spark, table)
+    val states = full.toMap
+    // Victim detection keys on the scan-computed relative path (the
+    // tagged read): input_file_name() cannot be added AFTER the DV
+    // anti-join — with a mask in play the plan has two file sources.
+    val (tagged, hadDv) = readTagged(spark, table, full)
+    val ifn = input_file_name()
+    val keyed =
+      if (hadDv) tagged
+      else tagged.withColumn("_gf_rel",
+        ifn.substr(locate(table, ifn) + lit(table.length + 1), lit(1 << 20)))
+    val victims = keyed.filter(predicate)
+      .select("_gf_rel").distinct().collect()
+      .map(_.getString(0)).toSeq
     if (victims.isEmpty) return None
-    val survivors = spark.read.option("mergeSchema", "true")
-      .parquet(victims.map(p => s"$table/$p"): _*)
+    // Survivors resolve through the victims' DV state too — rewriting
+    // a DV-masked file must not resurrect its already-deleted rows.
+    val survivors = readState(spark, table,
+        victims.map(p => p -> states(p)))
       .filter(!predicate.cast("boolean") <=> true)
     val staged = stage(spark, table, survivors)
     commitLoop(spark, table) { v =>
-      val current = snapshot(spark, table, Some(v - 1)).toSet
-      if (victims.forall(current.contains)) Some((staged, victims)) else None
+      val current = snapshotFull(spark, table, Some(v - 1)).toMap
+      // Abandon if a victim was replaced OR its DV moved concurrently —
+      // either way the staged survivors were computed from stale rows.
+      if (victims.forall(p => current.get(p).contains(states(p))))
+        Some((staged, victims))
+      else None
     } match {
       case some @ Some(_) => some
       case None => throw new IllegalStateException(
         s"delete on $table abandoned: a victim file was replaced concurrently")
+    }
+  }
+
+  /** Merge-on-read row-level DELETE via DELETION VECTORS: instead of
+    * rewriting victim files (copy-on-write), one commit binds them to
+    * a DV — a staged parquet dataset of (file, row_index) pairs — and
+    * every reader anti-joins the mask out. The write cost is ∝ DELETED
+    * ROWS, not victim-file bytes: a needle delete on a 100 TB table
+    * stages kilobytes where COW would rewrite gigabytes; the read-side
+    * tax is one broadcast anti-join until [[compact]] (or any COW op)
+    * materializes the mask away. DVs are CUMULATIVE: each deleteMoR
+    * folds the previous mask into the new DV object and re-binds every
+    * masked file, so the snapshot always carries ONE dv reference per
+    * file and old DV objects age out through [[vacuum]]. Returns None
+    * when no visible row matched; throws if a concurrent writer
+    * replaced a victim or moved the mask (same contract as [[delete]]).
+    */
+  def deleteMoR(spark: SparkSession, table: String,
+                predicate: org.apache.spark.sql.Column): Option[CommitResult] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, locate}
+    val full = snapshotFull(spark, table)
+    val states = full.toMap
+    val f = input_file_name()
+    val rel = f.substr(locate(table, f) + lit(table.length + 1), lit(1 << 20))
+    // Victims among MoR-VISIBLE rows only (the tagged read applies
+    // current DVs, so already-deleted rows can't be re-deleted into
+    // the new mask twice — the fold below carries them exactly once).
+    val (tagged, hadDv) = readTagged(spark, table, full)
+    val keyed =
+      if (hadDv) tagged
+      else tagged.withColumn("_gf_rel", rel)
+        .withColumn("_gf_idx", col("_metadata.row_index"))
+    val victims = keyed.filter(predicate)
+      .select(col("_gf_rel").as("file"), col("_gf_idx").as("idx"))
+    if (victims.isEmpty) return None
+    val oldDvDirs = full.flatMap(_._2.dv).distinct
+    val newDv =
+      if (oldDvDirs.isEmpty) victims
+      else victims.unionByName(
+        spark.read.parquet(oldDvDirs.map(p => s"$table/$p"): _*)
+          .select("file", "idx"))
+    val sub = s"stage-${java.util.UUID.randomUUID().toString.take(12)}"
+    newDv.write.parquet(s"$table/$sub")
+    // Bind every LIVE file the new mask touches (victims + previously
+    // masked); mask rows for since-removed files ride along inert.
+    val boundFiles = spark.read.parquet(s"$table/$sub")
+      .select("file").distinct().collect().map(_.getString(0))
+      .filter(states.contains).toSeq
+    val binding = boundFiles.map(_ -> sub).toMap
+    commitLoop(spark, table, dvs = binding) { v =>
+      val current = snapshotFull(spark, table, Some(v - 1)).toMap
+      if (boundFiles.forall(p => current.get(p).contains(states(p))))
+        Some((Nil, Nil))
+      else None
+    } match {
+      case some @ Some(_) => some
+      case None => throw new IllegalStateException(
+        s"deleteMoR on $table abandoned: a masked file was replaced " +
+          "or re-masked concurrently")
     }
   }
 
@@ -483,16 +628,24 @@ object TxnLog {
   def changes(spark: SparkSession, table: String,
               fromVersion: Long, toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val from = snapshot(spark, table, Some(fromVersion)).toSet
-    val to = snapshot(spark, table, Some(toVersion)).toSet
+    val from = snapshotFull(spark, table, Some(fromVersion))
+    val to = snapshotFull(spark, table, Some(toVersion))
+    val toStates = to.toMap
+    // A file cancels by identity only if BOTH its presence and its DV
+    // binding are unchanged — a re-masked file's row population moved
+    // without the file set moving, so it must enter the diff.
+    val unchanged = from.collect {
+      case (p, st) if toStates.get(p).contains(st) => p
+    }.toSet
     val schema = read(spark, table, Some(toVersion)).schema
-    def readSide(paths: Set[String]): DataFrame =
-      if (paths.isEmpty)
+    def readSide(side: Seq[(String, FileState)]): DataFrame = {
+      val churn = side.filterNot { case (p, _) => unchanged(p) }
+      if (churn.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.option("mergeSchema", "true")
-        .schema(schema).parquet(paths.toSeq.sorted.map(p => s"$table/$p"): _*)
-    val added = readSide(to -- from)
-    val removed = readSide(from -- to)
+      else readState(spark, table, churn.sortBy(_._1), Some(schema))
+    }
+    val added = readSide(to)
+    val removed = readSide(from)
     added.exceptAll(removed).withColumn("_change", lit("insert"))
       .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete")))
   }
@@ -505,9 +658,13 @@ object TxnLog {
     * resolve the fragments until [[vacuum]]. */
   def compact(spark: SparkSession, table: String, targetFiles: Int): CommitResult = {
     val base = latestVersion(spark, table)
-    val victims = snapshot(spark, table, Some(base))
+    val full = snapshotFull(spark, table, Some(base))
+    val victims = full.map(_._1)
+    // Rewriting resolves through the DVs and so MATERIALIZES them: the
+    // compacted files carry no masks, deleted rows are physically gone,
+    // and the old DV objects age out with the fragments via vacuum.
     val staged = stage(spark, table,
-      spark.read.parquet(victims.map(p => s"$table/$p"): _*).repartition(targetFiles))
+      readState(spark, table, full).repartition(targetFiles))
     mustCommit(commitLoop(spark, table) { v =>
       if (v != base + 1) None else Some((staged, victims))
     }, s"compact $table")
@@ -520,9 +677,14 @@ object TxnLog {
     val f = fs(spark, new Path(table))
     val versions = listVersions(f, table, "v")
     val retained = versions.takeRight(math.max(1, retainVersions))
-    val live = retained.flatMap(v => snapshot(spark, table, Some(v))).toSet
+    val full = retained.flatMap(v => snapshotFull(spark, table, Some(v)))
+    val live = full.map(_._1).toSet
+    // DV objects referenced by any retained version are live too —
+    // bindings name the DV's staged DIRECTORY, so spare its contents.
+    val liveDvDirs = full.flatMap(_._2.dv).toSet
     val onDisk = LakeMaintenanceFiles.list(spark, table)
-    val dead = onDisk.filterNot(live.contains)
+    val dead = onDisk.filterNot(p =>
+      live.contains(p) || liveDvDirs.exists(d => p.startsWith(d + "/")))
     dead.foreach(p => f.delete(new Path(table, p), false))
     dead
   }

@@ -79,16 +79,23 @@ private[sources] class TxnSource(spark: SparkSession, table: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(_.json.toLong).getOrElse(-1L)
     val to = end.json.toLong
+    if (from < 0) {
+      // Initial snapshot: resolve through the full replay so deletion
+      // vectors apply — a pre-stream MoR delete must be invisible.
+      val full = TxnLog.snapshotFull(spark, table, Some(to))
+      return Bridge.asStreaming(
+        TxnLog.readState(spark, table, full, Some(schema)))
+    }
     val files: Seq[String] =
-      if (from < 0) TxnLog.snapshot(spark, table, Some(to))
-      else (from + 1 to to).flatMap { v =>
+      (from + 1 to to).flatMap { v =>
         val c = TxnLog.commit(spark, table, v)
-        if (c.removes.nonEmpty && !ignoreChanges)
+        if ((c.removes.nonEmpty || c.dvs.nonEmpty) && !ignoreChanges)
           throw new IllegalStateException(
             s"graft-txn stream on $table hit a non-append commit v$v " +
-              s"(${c.removes.size} removes): rewrites cannot stream " +
-              "exactly-once; restart from a fresh checkpoint or set " +
-              "ignoreChanges=true to accept redelivery of rewritten rows")
+              s"(${c.removes.size} removes, ${c.dvs.size} DV bindings): " +
+              "rewrites and deletes cannot stream exactly-once; restart " +
+              "from a fresh checkpoint or set ignoreChanges=true to " +
+              "accept redelivery/under-delivery of changed rows")
         c.adds
       }
     val batch =

@@ -230,6 +230,92 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("deleteMoR masks rows without rewriting any data file; masks " +
+       "are cumulative and time travel sees the pre-delete rows") {
+    val t = freshTable("mor")
+    TxnLog.create(spark, t, docs)
+    val dataFiles0 = TxnLog.snapshot(spark, t).toSet
+    val total = docs.count()
+
+    val r1 = TxnLog.deleteMoR(spark, t, col("doc_id") % 10 === 0)
+    assert(r1.isDefined)
+    assert(TxnLog.snapshot(spark, t).toSet === dataFiles0,
+      "MoR delete must not change the data file set")
+    val after1 = TxnLog.read(spark, t)
+    assert(after1.filter(col("doc_id") % 10 === 0).count() === 0)
+    assert(after1.count() === docs.filter(col("doc_id") % 10 =!= 0).count())
+
+    // Second mask folds into the first: both exclusions hold.
+    TxnLog.deleteMoR(spark, t, col("doc_id") % 10 === 1)
+    val after2 = TxnLog.read(spark, t)
+    assert(after2.filter(col("doc_id") % 10 <= 1).count() === 0)
+    assert(after2.count() === docs.filter(col("doc_id") % 10 > 1).count())
+
+    // Pre-delete versions still resolve every row.
+    assert(TxnLog.read(spark, t, Some(0)).count() === total)
+    // No visible row matches → no commit.
+    assert(TxnLog.deleteMoR(spark, t, col("doc_id") % 10 === 1).isEmpty)
+  }
+
+  test("compaction materializes deletion vectors; COW delete on a " +
+       "masked table does not resurrect masked rows") {
+    val t = freshTable("morcow")
+    TxnLog.create(spark, t, docs)
+    TxnLog.deleteMoR(spark, t, col("doc_id") % 4 === 0)
+    // COW delete whose victims overlap masked files: survivors must
+    // exclude BOTH populations.
+    TxnLog.delete(spark, t, col("doc_id") % 4 === 1)
+    val afterCow = TxnLog.read(spark, t)
+    assert(afterCow.filter(col("doc_id") % 4 <= 1).count() === 0)
+    assert(afterCow.count() === docs.filter(col("doc_id") % 4 > 1).count())
+
+    TxnLog.compact(spark, t, targetFiles = 2)
+    val snap = TxnLog.snapshotFull(spark, t)
+    assert(snap.forall(_._2.dv.isEmpty), "compaction must clear DV bindings")
+    assert(TxnLog.read(spark, t).count() === docs.filter(col("doc_id") % 4 > 1).count())
+  }
+
+  test("changes() reports MoR-deleted rows as deletes (a re-masked " +
+       "file enters the diff though the file set is unchanged)") {
+    val t = freshTable("morcdf")
+    TxnLog.create(spark, t, docs)
+    TxnLog.deleteMoR(spark, t, col("doc_id") % 5 === 0)
+    val diff = TxnLog.changes(spark, t, 0L, TxnLog.latestVersion(spark, t))
+    assert(diff.filter(col("_change") === "insert").count() === 0)
+    assert(diff.filter(col("_change") === "delete").count() ===
+      docs.filter(col("doc_id") % 5 === 0).count())
+  }
+
+  test("vacuum spares DV objects referenced by retained versions and " +
+       "collects them once unreferenced") {
+    val t = freshTable("morvac")
+    TxnLog.create(spark, t, docs)
+    TxnLog.deleteMoR(spark, t, col("doc_id") % 3 === 0)
+    val expected = docs.filter(col("doc_id") % 3 =!= 0).count()
+    // Retain everything: the DV must survive and the read stays masked.
+    TxnLog.vacuum(spark, t, retainVersions = 10)
+    assert(TxnLog.read(spark, t).count() === expected)
+    // Compact (materializes), then retain only the compacted version:
+    // fragments AND the now-unreferenced DV object go.
+    TxnLog.compact(spark, t, targetFiles = 1)
+    val dead = TxnLog.vacuum(spark, t, retainVersions = 1)
+    assert(dead.nonEmpty)
+    assert(TxnLog.read(spark, t).count() === expected)
+  }
+
+  test("readPruned applies deletion vectors on the kept files") {
+    val t = freshTable("morprune")
+    TxnLog.createWithStats(spark, t,
+      docs.filter(col("n_chars") < 300).repartition(2), "n_chars")
+    TxnLog.appendWithStats(spark, t,
+      docs.filter(col("n_chars") >= 300).repartition(2), "n_chars")
+    TxnLog.deleteMoR(spark, t, col("doc_id") % 2 === 0)
+    val got = TxnLog.readPruned(spark, t, "n_chars", 300L, Long.MaxValue)
+    val want = docs.filter(col("n_chars") >= 300 && col("doc_id") % 2 =!= 0)
+    assert(got.count() === want.count())
+    assert(got.inputFiles.length < TxnLog.read(spark, t).inputFiles.length)
+  }
+
   test("snapshot resolution replays from the newest checkpoint") {
     val t = freshTable("ckpt")
     TxnLog.create(spark, t, docs.filter(col("doc_id") === 0))
