@@ -97,17 +97,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val p = nsPath(namespace)
     val f = fs(p)
     if (!f.exists(p)) return Array.empty
-    f.listStatus(p).map(_.getPath.getName).filter(_.endsWith(".parquet"))
-      .map(n => Identifier.of(namespace, n.stripSuffix(".parquet")))
-      .sortBy(_.name)
+    val plain = f.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
+    val txn = f.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(d => f.exists(new Path(d, "_log"))).map(_.getName)
+    (plain ++ txn).distinct.map(Identifier.of(namespace, _)).sortBy(_.name)
   }
 
   private def tablePath(ident: Identifier): Path =
     new Path(nsPath(ident.namespace()), s"${ident.name}.parquet")
 
+  /** A [[TxnLog]] table is a DIRECTORY (no `.parquet` suffix) carrying
+    * a `_log/`. */
+  private def txnPath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace()), ident.name)
+
+  private def isTxnTable(ident: Identifier): Boolean = {
+    val d = txnPath(ident)
+    fs(d).exists(new Path(d, "_log"))
+  }
+
   override def tableExists(ident: Identifier): Boolean = {
     val p = tablePath(ident)
-    fs(p).exists(p)
+    fs(p).exists(p) || isTxnTable(ident)
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -115,11 +127,60 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // The analyzer catches NoSuchTableException and turns it into a
     // clean TABLE_OR_VIEW_NOT_FOUND; any other type would surface as
     // an internal-looking crash (round-8 review finding).
-    if (!fs(p).exists(p)) throw new NoSuchTableException(ident)
-    ParquetTable(ident.toString, SparkSession.active,
-      new CaseInsensitiveStringMap(Map("path" -> p.toString).asJava),
-      Seq(p.toString), userSpecifiedSchema = None,
-      classOf[ParquetFileFormat])
+    if (fs(p).exists(p))
+      ParquetTable(ident.toString, SparkSession.active,
+        new CaseInsensitiveStringMap(Map("path" -> p.toString).asJava),
+        Seq(p.toString), userSpecifiedSchema = None,
+        classOf[ParquetFileFormat])
+    else if (isTxnTable(ident)) txnTable(ident, None)
+    else throw new NoSuchTableException(ident)
+  }
+
+  /** SQL time travel over [[TxnLog]] tables:
+    * `SELECT … FROM graft.ns.tbl VERSION AS OF 3`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    if (isTxnTable(ident)) txnTable(ident, Some(version.toLong))
+    else throw new UnsupportedOperationException(
+      s"$ident is not a transaction-log table; VERSION AS OF needs a _log")
+
+  /** `TIMESTAMP AS OF` resolves to the newest commit whose version
+    * file landed at-or-before the timestamp (micros since epoch, per
+    * the connector contract) — commit mtime IS the commit time. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!isTxnTable(ident)) throw new UnsupportedOperationException(
+      s"$ident is not a transaction-log table; TIMESTAMP AS OF needs a _log")
+    val logP = new Path(txnPath(ident), "_log")
+    val f = fs(logP)
+    val cutoffMs = timestampMicros / 1000L
+    val versions = f.listStatus(logP).toSeq
+      .filter(st => st.getPath.getName.startsWith("v"))
+      .filter(_.getModificationTime <= cutoffMs)
+      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong)
+    if (versions.isEmpty) throw new NoSuchTableException(ident)
+    txnTable(ident, Some(versions.max))
+  }
+
+  /** Resolve the snapshot through the log and hand Spark's own V2
+    * parquet table the EXPLICIT file list — scans stay vectorized with
+    * pushdown while version isolation comes from the path set alone.
+    * Tables carrying live deletion vectors are refused: a bare parquet
+    * scan cannot apply the mask, and silently over-reading deleted
+    * rows would be a correctness hole ([[TxnLog.read]] is the masked
+    * path). */
+  private def txnTable(ident: Identifier, version: Option[Long]): Table = {
+    val dir = txnPath(ident).toString
+    val spark = SparkSession.active
+    val full = TxnLog.snapshotFull(spark, dir, version)
+    if (full.exists(_._2.dv.isDefined))
+      throw new UnsupportedOperationException(
+        s"$ident has deletion vectors at ${version.fold("latest")(v => s"v$v")}; " +
+          "SQL scans cannot apply the mask — compact the table or read " +
+          "via TxnLog.read")
+    val paths = full.map { case (p, _) => s"$dir/$p" }
+    ParquetTable(ident.toString + version.fold("")(v => s"@v$v"),
+      spark,
+      new CaseInsensitiveStringMap(Map("path" -> dir).asJava),
+      paths, userSpecifiedSchema = None, classOf[ParquetFileFormat])
   }
 
   private def readOnly(op: String): Nothing =

@@ -59,6 +59,46 @@ class GraftCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(df.collect().length == 3)
   }
 
+  test("txn-log tables resolve through the catalog with SQL time " +
+       "travel (VERSION AS OF / TIMESTAMP AS OF)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // A scratch lake root: one namespace, one TxnLog table.
+    val root = s"${sys.props("java.io.tmpdir")}/graft_cat_${System.nanoTime()}"
+    val table = s"$root/ns/tt"
+    graft.sources.TxnLog.create(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    graft.sources.TxnLog.append(spark, table, Seq((3L, "c")).toDF("id", "s"))
+    spark.conf.set("spark.sql.catalog.ttl", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ttl.root", root)
+
+    assert(spark.sql("SELECT count(*) AS n FROM ttl.ns.tt")
+      .collect()(0).getLong(0) === 3)
+    assert(spark.sql("SELECT count(*) AS n FROM ttl.ns.tt VERSION AS OF 0")
+      .collect()(0).getLong(0) === 2)
+    // TIMESTAMP AS OF now → the latest version.
+    val nowUtc = java.time.Instant.now().plusSeconds(60)
+      .toString.replace("T", " ").takeWhile(_ != '.')
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM ttl.ns.tt TIMESTAMP AS OF '$nowUtc'")
+      .collect()(0).getLong(0) === 3)
+    // SHOW TABLES lists the txn directory alongside plain parquet.
+    val tables = spark.sql("SHOW TABLES IN ttl.ns").collect().map(_.getString(1))
+    assert(tables.contains("tt"))
+
+    // A live deletion vector refuses the bare SQL scan (silently
+    // over-reading masked rows would be a correctness hole).
+    graft.sources.TxnLog.deleteMoR(spark, table, col("id") === 2L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM ttl.ns.tt").collect()
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+    // Compaction materializes the mask; SQL works again.
+    graft.sources.TxnLog.compact(spark, table, targetFiles = 1)
+    assert(spark.sql("SELECT count(*) AS n FROM ttl.ns.tt")
+      .collect()(0).getLong(0) === 2)
+  }
+
   test("the catalog is read-only: DDL and writes are refused") {
     ensureCatalog()
     intercept[UnsupportedOperationException] {
