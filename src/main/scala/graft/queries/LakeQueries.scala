@@ -223,6 +223,29 @@ object LakeQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // Merge-on-read UPDATE: one commit masks the matched rows and adds
+    // their rewritten copies — write cost ∝ matched rows. Stacked with
+    // a MoR delete on an UNRELATED predicate (doc_id class) so the
+    // oracle composes without ordering ambiguity; the oracle recomputes
+    // the end state with a CASE expression over the source table.
+    "q_txn_update_mor" -> ((s, d) => {
+      val table = s"${scratch(s, d)}/txnupd"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table, docs)
+      TxnLog.updateMoR(s, table, col("n_chars") > 400L,
+        Map("n_chars" -> (col("n_chars") + 10000L)))
+      TxnLog.deleteMoR(s, table, col("doc_id") % 7 === 0)
+      TxnLog.read(s, table)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
+
     // Stats-in-log data skipping: three appends land n_chars-banded
     // files with per-file [min,max] recorded IN the commit entries,
     // and a range read prunes non-intersecting files from the listing
@@ -329,6 +352,14 @@ object LakeQueries extends QueryModule {
       """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
         |  sum(doc_id)::BIGINT AS sum_id
         | FROM documents WHERE n_chars >= 250 AND doc_id % 13 <> 0
+        | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_update_mor" ->
+      """SELECT lang, count(*) AS row_cnt,
+        |  sum(CASE WHEN n_chars > 400 THEN n_chars + 10000
+        |      ELSE n_chars END)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM documents WHERE doc_id % 7 <> 0
         | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
 
     "q_compact_cluster" ->

@@ -573,7 +573,27 @@ object TxnLog {
     * replaced a victim or moved the mask (same contract as [[delete]]).
     */
   def deleteMoR(spark: SparkSession, table: String,
-                predicate: org.apache.spark.sql.Column): Option[CommitResult] = {
+                predicate: org.apache.spark.sql.Column): Option[CommitResult] =
+    morDml(spark, table, predicate, replacement = None)
+
+  /** Merge-on-read row-level UPDATE: ONE commit masks the matched rows
+    * behind a new DV and ADDS their updated copies as staged files —
+    * readers see wholly-pre-update or wholly-post-update, never a torn
+    * middle, and the write cost is ∝ MATCHED ROWS (mask + copies), not
+    * victim-file bytes. `set` maps column name → new-value expression
+    * (evaluated on the matched row). Same None/throw contract as
+    * [[deleteMoR]]. */
+  def updateMoR(spark: SparkSession, table: String,
+                predicate: org.apache.spark.sql.Column,
+                set: Map[String, org.apache.spark.sql.Column]): Option[CommitResult] =
+    morDml(spark, table, predicate, replacement = Some(set))
+
+  /** Shared MoR DML body: mask matched rows; for UPDATE, also stage
+    * their rewritten copies as data adds in the SAME commit. */
+  private def morDml(spark: SparkSession, table: String,
+                     predicate: org.apache.spark.sql.Column,
+                     replacement: Option[Map[String, org.apache.spark.sql.Column]])
+      : Option[CommitResult] = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit, locate}
     val full = snapshotFull(spark, table)
     val states = full.toMap
@@ -587,9 +607,16 @@ object TxnLog {
       if (hadDv) tagged
       else tagged.withColumn("_gf_rel", rel)
         .withColumn("_gf_idx", col("_metadata.row_index"))
-    val victims = keyed.filter(predicate)
+    val matched = keyed.filter(predicate)
+    if (matched.isEmpty) return None
+    val victims = matched
       .select(col("_gf_rel").as("file"), col("_gf_idx").as("idx"))
-    if (victims.isEmpty) return None
+    val adds = replacement.fold(Seq.empty[String]) { set =>
+      val updated = set.foldLeft(matched.drop("_gf_rel", "_gf_idx")) {
+        case (df, (c, e)) => df.withColumn(c, e)
+      }
+      stage(spark, table, updated)
+    }
     val oldDvDirs = full.flatMap(_._2.dv).distinct
     val newDv =
       if (oldDvDirs.isEmpty) victims
@@ -604,15 +631,16 @@ object TxnLog {
       .select("file").distinct().collect().map(_.getString(0))
       .filter(states.contains).toSeq
     val binding = boundFiles.map(_ -> sub).toMap
+    val what = if (replacement.isDefined) "updateMoR" else "deleteMoR"
     commitLoop(spark, table, dvs = binding) { v =>
       val current = snapshotFull(spark, table, Some(v - 1)).toMap
       if (boundFiles.forall(p => current.get(p).contains(states(p))))
-        Some((Nil, Nil))
+        Some((adds, Nil))
       else None
     } match {
       case some @ Some(_) => some
       case None => throw new IllegalStateException(
-        s"deleteMoR on $table abandoned: a masked file was replaced " +
+        s"$what on $table abandoned: a masked file was replaced " +
           "or re-masked concurrently")
     }
   }

@@ -275,6 +275,35 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.read(spark, t).count() === docs.filter(col("doc_id") % 4 > 1).count())
   }
 
+  test("updateMoR: one commit masks matched rows and adds their " +
+       "updated copies; stacks with MoR delete; time travel intact") {
+    val t = freshTable("morupd")
+    TxnLog.create(spark, t, docs)
+    val filesBefore = TxnLog.snapshot(spark, t).toSet
+    val r = TxnLog.updateMoR(spark, t, col("n_chars") > 400,
+      Map("n_chars" -> (col("n_chars") + 10000L)))
+    assert(r.isDefined)
+    // Old data files untouched; only the updated copies were added.
+    assert(filesBefore.subsetOf(TxnLog.snapshot(spark, t).toSet))
+    val after = TxnLog.read(spark, t)
+    assert(after.count() === docs.count(), "update must not change row count")
+    assert(after.filter(col("n_chars") > 400 && col("n_chars") <= 10000).count() === 0,
+      "matched rows must all carry the update")
+    assert(after.filter(col("n_chars") > 10000).count() ===
+      docs.filter(col("n_chars") > 400).count())
+    // Stacks with a MoR delete on the POST-update state.
+    TxnLog.deleteMoR(spark, t, col("n_chars") > 10000)
+    assert(TxnLog.read(spark, t).count() ===
+      docs.filter(col("n_chars") <= 400).count())
+    // v0 still reads the original rows.
+    assert(TxnLog.read(spark, t, Some(0))
+      .agg(sum("n_chars")).head.getLong(0) ===
+      docs.agg(sum("n_chars")).head.getLong(0))
+    // No visible match → no commit.
+    assert(TxnLog.updateMoR(spark, t, col("n_chars") > 10000,
+      Map("n_chars" -> lit(0L))).isEmpty)
+  }
+
   test("changes() reports MoR-deleted rows as deletes (a re-masked " +
        "file enters the diff though the file set is unchanged)") {
     val t = freshTable("morcdf")
