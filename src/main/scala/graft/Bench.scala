@@ -33,7 +33,7 @@ import org.apache.spark.sql.SparkSession
   *    finished query's median+spread. Round 6's driver bench died to a
   *    host-steal timeout (rc 124) with zero machine-readable output —
   *    this flush is the fix.
-  *  - WALL-CLOCK BUDGET: SPARK_GRAFT_BENCH_BUDGET_SEC (default 480)
+  *  - WALL-CLOCK BUDGET: SPARK_GRAFT_BENCH_BUDGET_SEC (default 1800)
   *    bounds the whole run from JVM start. When the deadline passes,
   *    no new query or extra adaptive sample is started; queries with
   *    at least one timed sample report the median of what they have,
@@ -205,11 +205,13 @@ object Bench {
     // (budget 480) measured a 319 s wall for warm-up + 1 sample × 149
     // queries, so the ladder shed 144/149 queries to a single sample —
     // and the r8→r9 same-code replay showed 1-sample noise reaching
-    // 1.9× per query. 3 timed samples + warm-up ≈ 4× the single-pass
-    // cost (~800 s); 1200 leaves headroom for a busy host while the
-    // crash-safe per-query flush still bounds the damage of any
-    // external kill.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
+    // 1.9× per query. At 173 queries a single pass costs ~175 s wall,
+    // median-of-3 + warm-up ≈ 4× that (~900 s); the 1200 sizing (done
+    // at 152 queries) made the cost projection shed most of the suite
+    // to 2 samples, so 1800 restores median-of-3 with busy-host
+    // headroom while the crash-safe per-query flush still bounds the
+    // damage of any external kill.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1800").toDouble
     val settleMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS", "150").toLong
     // An ONLY-subset A/B run must never clobber the committed
     // full-suite record (the round-8 review caught exactly that: a
