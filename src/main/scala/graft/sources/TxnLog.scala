@@ -487,18 +487,43 @@ object TxnLog {
   /** ACID MERGE (upsert): resolve `delta` against the current snapshot
     * by key — a delta row replaces every current row sharing its key;
     * unmatched delta rows insert — and publish the result as ONE
-    * atomic overwrite commit, so readers see pre-merge or post-merge,
-    * never a torn middle, and time travel keeps the pre-merge version.
+    * atomic commit, so readers see pre-merge or post-merge, never a
+    * torn middle, and time travel keeps the pre-merge version.
     * Copy-on-write: the whole snapshot rewrites (the simplest COW; a
     * file-pruned variant would consult per-file key stats to rewrite
     * only files a delta key can touch — same commit shape). Resolution
     * is the engine's winner-per-key discipline: one window over the
-    * key exchange, delta outranks current, no full-outer join. */
+    * key exchange, delta outranks current, no full-outer join.
+    *
+    * Isolation: the resolution is computed against a PINNED base
+    * version, and the commit abandons if ANY other commit landed since
+    * — then the loop recomputes from the new tip. Committing the stale
+    * resolution with recomputed removes (the overwrite shape) would
+    * silently drop a concurrent append's rows; serializable
+    * re-resolution is the only sound default (a smarter path would
+    * commit anyway when the interloper's files provably share no key
+    * with the delta). Abandoned staged files are unreferenced and age
+    * out through [[vacuum]]. */
   def merge(spark: SparkSession, table: String, delta: DataFrame,
             key: String): CommitResult = {
+    while (true) {
+      mergeAttempt(spark, table, delta, key,
+        latestVersion(spark, table)) match {
+        case Some(r) => return r
+        case None => // the log moved while resolving — rebase and redo.
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One pinned-base merge attempt; None = the log advanced past
+    * `base` before the commit claimed its slot (nothing published). */
+  private[graft] def mergeAttempt(spark: SparkSession, table: String,
+      delta: DataFrame, key: String, base: Long): Option[CommitResult] = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, lit, max}
-    val union = read(spark, table).withColumn("_src", lit(0))
+    val baseFiles = snapshotFull(spark, table, Some(base))
+    val union = readState(spark, table, baseFiles).withColumn("_src", lit(0))
       .unionByName(delta.withColumn("_src", lit(1)))
     val resolved = union
       .withColumn("_hasDelta", max("_src").over(Window.partitionBy(key)))
@@ -506,7 +531,10 @@ object TxnLog {
       // without one keeps its current rows untouched.
       .filter(col("_src") === 1 || col("_hasDelta") === 0)
       .drop("_src", "_hasDelta")
-    overwrite(spark, table, resolved)
+    val staged = stage(spark, table, resolved)
+    commitLoop(spark, table) { v =>
+      if (v != base + 1) None else Some((staged, baseFiles.map(_._1)))
+    }
   }
 
   /** Row-level DELETE, copy-on-write with FILE PRUNING: one scan finds
@@ -696,6 +724,40 @@ object TxnLog {
     mustCommit(commitLoop(spark, table) { v =>
       if (v != base + 1) None else Some((staged, victims))
     }, s"compact $table")
+  }
+
+  /** PARTIAL compaction: rewrite only the live files under
+    * `maxFileBytes` into `targetFiles` files, one commit — at 100 TB a
+    * maintenance pass compacts the streaming-ingest FRAGMENT TAIL, not
+    * the petabytes of already-right-sized files a full rewrite would
+    * churn (and whose old copies vacuum would then have to carry until
+    * retention expiry). Large files keep their paths — and, unlike the
+    * full [[compact]], their DV bindings; victims' masks materialize
+    * into the rewrite. Rebases past concurrent appends (they can't
+    * touch the victims); abandons if a victim was replaced or
+    * re-masked. Returns None when fewer than two files qualify. */
+  def compactSmall(spark: SparkSession, table: String, maxFileBytes: Long,
+                   targetFiles: Int): Option[CommitResult] = {
+    val base = latestVersion(spark, table)
+    val full = snapshotFull(spark, table, Some(base))
+    val f = fs(spark, new Path(table))
+    val victims = full.filter { case (p, _) =>
+      f.getFileStatus(new Path(table, p)).getLen < maxFileBytes
+    }
+    if (victims.size < 2) return None
+    val staged = stage(spark, table,
+      readState(spark, table, victims).repartition(targetFiles))
+    commitLoop(spark, table) { v =>
+      val current = snapshotFull(spark, table, Some(v - 1)).toMap
+      if (victims.forall { case (p, st) => current.get(p).contains(st) })
+        Some((staged, victims.map(_._1)))
+      else None
+    } match {
+      case some @ Some(_) => some
+      case None => throw new IllegalStateException(
+        s"compactSmall on $table abandoned: a victim file was replaced " +
+          "or re-masked concurrently")
+    }
   }
 
   /** Physically delete files no snapshot within the retention window

@@ -345,6 +345,59 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     assert(got.inputFiles.length < TxnLog.read(spark, t).inputFiles.length)
   }
 
+  test("merge pins its base and rebases past a concurrent commit " +
+       "instead of dropping its rows") {
+    import spark.implicits._
+    val t = freshTable("mergerace")
+    TxnLog.create(spark, t, docs.filter(col("doc_id") < 10))
+    val base = TxnLog.latestVersion(spark, t)
+    // The race: another writer lands an append AFTER this merge pinned
+    // its base but BEFORE its commit claims a slot.
+    TxnLog.append(spark, t,
+      Seq((100000L, "xx", 1L)).toDF("doc_id", "lang", "n_chars"))
+    val delta = docs.filter(col("doc_id") < 3)
+      .withColumn("n_chars", col("n_chars") + 5000L)
+    // The stale attempt must abandon WITHOUT publishing …
+    assert(TxnLog.mergeAttempt(spark, t, delta, "doc_id", base).isEmpty)
+    assert(TxnLog.read(spark, t).filter(col("doc_id") === 100000L).count() === 1)
+    // … and the public merge loop re-resolves: delta applied AND the
+    // interloper's row survives.
+    TxnLog.merge(spark, t, delta, key = "doc_id")
+    val after = TxnLog.read(spark, t)
+    assert(after.filter(col("doc_id") === 100000L).count() === 1,
+      "merge dropped a concurrent append's rows")
+    assert(after.filter(col("doc_id") < 3 && col("n_chars") > 5000).count() === 3)
+    assert(after.count() === 11)
+  }
+
+  test("compactSmall rewrites only the fragment tail: large files keep " +
+       "their paths and their DV bindings") {
+    val t = freshTable("partial")
+    // 6 fragment files of ~5 rows each + 1 big file of the rest.
+    TxnLog.create(spark, t, docs.filter(col("doc_id") < 30).repartition(6))
+    TxnLog.append(spark, t, docs.filter(col("doc_id") >= 30).coalesce(1))
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = TxnLog.snapshot(spark, t)
+      .map(p => p -> fs.getFileStatus(new org.apache.hadoop.fs.Path(t, p)).getLen)
+    val big = sizes.maxBy(_._2)
+    // Mask one row in a fragment and one in the big file.
+    TxnLog.deleteMoR(spark, t, col("doc_id") === 2 || col("doc_id") === 40)
+    val expected = docs.filter(col("doc_id") =!= 2 && col("doc_id") =!= 40).count()
+
+    val r = TxnLog.compactSmall(spark, t, maxFileBytes = big._2, targetFiles = 2)
+    assert(r.isDefined)
+    val after = TxnLog.snapshotFull(spark, t)
+    assert(after.exists(_._1 == big._1), "the large file must keep its path")
+    assert(after.count(_._2.dv.isDefined) === 1 &&
+      after.find(_._1 == big._1).get._2.dv.isDefined,
+      "only the untouched large file should still carry a mask")
+    assert(after.size < sizes.size)
+    assert(TxnLog.read(spark, t).count() === expected)
+    // Sub-threshold: fewer than two qualifying files → no commit.
+    assert(TxnLog.compactSmall(spark, t, maxFileBytes = 1L, targetFiles = 1).isEmpty)
+  }
+
   test("snapshot resolution replays from the newest checkpoint") {
     val t = freshTable("ckpt")
     TxnLog.create(spark, t, docs.filter(col("doc_id") === 0))
