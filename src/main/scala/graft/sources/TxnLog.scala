@@ -517,23 +517,57 @@ object TxnLog {
   }
 
   /** One pinned-base merge attempt; None = the log advanced past
-    * `base` before the commit claimed its slot (nothing published). */
+    * `base` before the commit claimed its slot (nothing published).
+    *
+    * FILE-PRUNED when the log carries stats on the merge key: a file
+    * whose [min,max] on `key` cannot intersect the delta's key range
+    * provably shares no key with the delta, so it stays OUT of the
+    * rewrite — path, stats, and DV binding untouched. A merge of
+    * recent keys into a key-banded 100 TB table then rewrites the
+    * touched sliver, not the table. Stats-less files (and every file,
+    * when the key column has no stats or isn't castable to long)
+    * rewrite as before — pruning only ever shrinks the rewrite set,
+    * never the semantics. */
   private[graft] def mergeAttempt(spark: SparkSession, table: String,
       delta: DataFrame, key: String, base: Long): Option[CommitResult] = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, lit, max}
+    import org.apache.spark.sql.functions.{col, lit, max, min}
     val baseFiles = snapshotFull(spark, table, Some(base))
-    val union = readState(spark, table, baseFiles).withColumn("_src", lit(0))
-      .unionByName(delta.withColumn("_src", lit(1)))
-    val resolved = union
-      .withColumn("_hasDelta", max("_src").over(Window.partitionBy(key)))
-      // A key with any delta row keeps ONLY its delta rows; a key
-      // without one keeps its current rows untouched.
-      .filter(col("_src") === 1 || col("_hasDelta") === 0)
-      .drop("_src", "_hasDelta")
+    val range = delta.agg(
+      min(col(key).cast("long")), max(col(key).cast("long"))).head()
+    val touched =
+      if (range.isNullAt(0) || range.isNullAt(1)) baseFiles
+      else {
+        val (dMin, dMax) = (range.getLong(0), range.getLong(1))
+        baseFiles.filter { case (_, st) =>
+          st.stats.forall(s =>
+            s.column != key || (s.max >= dMin && s.min <= dMax))
+        }
+      }
+    // Every file pruned ⇒ no current row can share a delta key: the
+    // merge degenerates to a pure insert of the delta.
+    val resolved =
+      if (touched.isEmpty) delta
+      else {
+        val union = readState(spark, table, touched).withColumn("_src", lit(0))
+          .unionByName(delta.withColumn("_src", lit(1)))
+        union
+          .withColumn("_hasDelta", max("_src").over(Window.partitionBy(key)))
+          // A key with any delta row keeps ONLY its delta rows; a key
+          // without one keeps its current rows untouched.
+          .filter(col("_src") === 1 || col("_hasDelta") === 0)
+          .drop("_src", "_hasDelta")
+      }
     val staged = stage(spark, table, resolved)
-    commitLoop(spark, table) { v =>
-      if (v != base + 1) None else Some((staged, baseFiles.map(_._1)))
+    // Re-emit key stats for the rewrite when the base carried them —
+    // otherwise every merge decays the table's skipping coverage and
+    // the NEXT merge can no longer prune its own output.
+    val stats =
+      if (baseFiles.exists(_._2.stats.exists(_.column == key)))
+        stagedStats(spark, table, staged, key)
+      else Map.empty[String, FileStats]
+    commitLoop(spark, table, stats = stats) { v =>
+      if (v != base + 1) None else Some((staged, touched.map(_._1)))
     }
   }
 
@@ -712,6 +746,14 @@ object TxnLog {
     * compacting a superseded file set would resurrect replaced data —
     * and the caller re-runs on the new snapshot. Old versions still
     * resolve the fragments until [[vacuum]]. */
+  /** The single stats column a rewrite can inherit: defined iff every
+    * stats-carrying input agrees on one column (a mixed-column input
+    * has no one honest answer — the rewrite then carries none). */
+  private def inheritedStatsCol(files: Seq[(String, FileState)]): Option[String] = {
+    val cols = files.flatMap(_._2.stats.map(_.column)).distinct
+    if (cols.size == 1) Some(cols.head) else None
+  }
+
   def compact(spark: SparkSession, table: String, targetFiles: Int): CommitResult = {
     val base = latestVersion(spark, table)
     val full = snapshotFull(spark, table, Some(base))
@@ -721,7 +763,9 @@ object TxnLog {
     // and the old DV objects age out with the fragments via vacuum.
     val staged = stage(spark, table,
       readState(spark, table, full).repartition(targetFiles))
-    mustCommit(commitLoop(spark, table) { v =>
+    val stats = inheritedStatsCol(full)
+      .fold(Map.empty[String, FileStats])(stagedStats(spark, table, staged, _))
+    mustCommit(commitLoop(spark, table, stats = stats) { v =>
       if (v != base + 1) None else Some((staged, victims))
     }, s"compact $table")
   }
@@ -747,7 +791,9 @@ object TxnLog {
     if (victims.size < 2) return None
     val staged = stage(spark, table,
       readState(spark, table, victims).repartition(targetFiles))
-    commitLoop(spark, table) { v =>
+    val stats = inheritedStatsCol(victims)
+      .fold(Map.empty[String, FileStats])(stagedStats(spark, table, staged, _))
+    commitLoop(spark, table, stats = stats) { v =>
       val current = snapshotFull(spark, table, Some(v - 1)).toMap
       if (victims.forall { case (p, st) => current.get(p).contains(st) })
         Some((staged, victims.map(_._1)))

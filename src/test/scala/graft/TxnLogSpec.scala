@@ -370,6 +370,48 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     assert(after.count() === 11)
   }
 
+  test("merge with stats on the key rewrites only key-range-touched " +
+       "files; out-of-range deltas degenerate to pure inserts") {
+    import spark.implicits._
+    val t = freshTable("mergeprune")
+    // Two key bands with stats on doc_id: [0,100) and [100,200).
+    TxnLog.createWithStats(spark, t,
+      docs.filter(col("doc_id") < 100).repartition(2), "doc_id")
+    TxnLog.appendWithStats(spark, t,
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200).repartition(2),
+      "doc_id")
+    val lowBand = TxnLog.snapshotFull(spark, t).filter(_._2.stats.exists(_.max < 100))
+    assert(lowBand.nonEmpty)
+    val total = TxnLog.read(spark, t).count()
+
+    // Delta keyed entirely in the high band: low-band files must keep
+    // their paths AND their stats through the merge.
+    val delta = docs.filter(col("doc_id") >= 150 && col("doc_id") < 160)
+      .withColumn("n_chars", col("n_chars") + 7777L)
+    TxnLog.merge(spark, t, delta, key = "doc_id")
+    val after = TxnLog.snapshotFull(spark, t).toMap
+    lowBand.foreach { case (p, st) =>
+      assert(after.get(p).contains(st), s"pruned file $p was rewritten")
+    }
+    val merged = TxnLog.read(spark, t)
+    assert(merged.count() === total)
+    assert(merged.filter(col("n_chars") > 7777).count() ===
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 160).count())
+    // Low-band rows untouched.
+    assert(merged.filter(col("doc_id") < 100).agg(sum("n_chars")).head.getLong(0) ===
+      docs.filter(col("doc_id") < 100).agg(sum("n_chars")).head.getLong(0))
+
+    // Delta wholly outside every band: NO file rewrites, pure insert.
+    val before = TxnLog.snapshotFull(spark, t).toMap
+    TxnLog.merge(spark, t,
+      Seq((999999L, "zz", 1L)).toDF("doc_id", "lang", "n_chars"), key = "doc_id")
+    val after2 = TxnLog.snapshotFull(spark, t).toMap
+    before.foreach { case (p, st) =>
+      assert(after2.get(p).contains(st), s"pure insert rewrote $p")
+    }
+    assert(TxnLog.read(spark, t).count() === total + 1)
+  }
+
   test("compactSmall rewrites only the fragment tail: large files keep " +
        "their paths and their DV bindings") {
     val t = freshTable("partial")
