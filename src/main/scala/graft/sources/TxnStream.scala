@@ -23,21 +23,30 @@ import org.apache.spark.sql.types.StructType
   * Batch semantics:
   *  - The FIRST batch (start = None) delivers the SNAPSHOT at the
   *    stream's initial version — resolved through checkpoint+tail
-  *    replay, not commit-by-commit — so pre-stream compactions and
-  *    overwrites are invisible (their net effect is the snapshot).
+  *    replay (deletion vectors applied), not commit-by-commit — so
+  *    pre-stream compactions and overwrites are invisible (their net
+  *    effect is the snapshot). `startingVersion` skips the snapshot:
+  *    `"latest"` tails only post-stream commits (no history replay on
+  *    a huge table), a number starts increments at that version.
   *  - Every later batch is the concatenation of commits
-  *    (start, end]'s ADD files. A commit carrying removes is NOT an
-  *    append — delivering its adds would double-ship rewritten rows —
-  *    so the source fails fast with the Delta-source contract
-  *    (`ignoreChanges=true` opts into at-least-once redelivery for
-  *    rewrite commits, the documented trade).
+  *    (start, end]'s ADD files. A commit carrying removes or DV
+  *    bindings is NOT an append — delivering its adds would
+  *    double-ship rewritten rows (or under-ship masked ones) — so the
+  *    source fails fast with the Delta-source contract
+  *    (`ignoreChanges=true` opts into redelivery for such commits).
+  *  - `maxFilesPerTrigger` bounds a batch's file count: getOffset
+  *    advances at most to the version where the cumulative new-file
+  *    count reaches the cap (always ≥ 1 version, so an oversized
+  *    single commit still progresses). A burst of commits then drains
+  *    as several bounded batches instead of one giant scan.
   *
-  * Scale: getOffset is one log-directory listing; getBatch plans a
-  * parquet scan over ONLY the new commits' files (the driver never
-  * touches rows), so a 100 TB table with a trickle of appends streams
-  * at the cost of the trickle. Works end-to-end with
-  * [[TxnLog.appendBatch]] as the sink for exactly-once
-  * lake-to-lake pipelines (the spec pins a duplicate-delivery replay).
+  * Scale: getOffset is one log-directory listing plus (when capped)
+  * the tail commits' JSON; getBatch plans a parquet scan over ONLY the
+  * new commits' files (the driver never touches rows), so a 100 TB
+  * table with a trickle of appends streams at the cost of the trickle.
+  * Works end-to-end with [[TxnLog.appendBatch]] as the sink for
+  * exactly-once lake-to-lake pipelines (the spec pins a
+  * duplicate-delivery replay).
   */
 class TxnStreamProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -57,28 +66,66 @@ class TxnStreamProvider extends StreamSourceProvider with DataSourceRegister {
                             schema: Option[StructType], providerName: String,
                             params: Map[String, String]): Source = {
     val table = tablePath(params)
-    new TxnSource(ctx.sparkSession, table,
+    val spark = ctx.sparkSession
+    // "latest" resolves AT SOURCE CREATION: only commits after this
+    // point stream; a concrete number starts increments at version n.
+    val startFrom = params.get("startingversion").map {
+      case "latest" => TxnLog.latestVersion(spark, table) + 1
+      case n => n.toLong
+    }
+    new TxnSource(spark, table,
       sourceSchema(ctx, schema, providerName, params)._2,
-      ignoreChanges = params.get("ignorechanges").exists(_.toBoolean))
+      ignoreChanges = params.get("ignorechanges").exists(_.toBoolean),
+      maxFilesPerTrigger = params.get("maxfilespertrigger").map(_.toInt),
+      startFrom = startFrom)
   }
 }
 
 private[sources] class TxnSource(spark: SparkSession, table: String,
                                  override val schema: StructType,
-                                 ignoreChanges: Boolean) extends Source {
+                                 ignoreChanges: Boolean,
+                                 maxFilesPerTrigger: Option[Int] = None,
+                                 startFrom: Option[Long] = None) extends Source {
 
   private case class VersionOffset(v: Long) extends Offset {
     override def json: String = v.toString
   }
 
+  /** Highest version this source has already handed to the engine —
+    * the base the rate limit walks from. Seeded by `startingVersion`
+    * when given, otherwise learned from getBatch/commit (a
+    * checkpointed restart re-learns it from the first replayed batch);
+    * -1 = unknown, in which case the first trigger is uncapped (for a
+    * fresh stream that batch is the snapshot, uncapped by design). */
+  @volatile private var shipped: Long = startFrom.map(_ - 1L).getOrElse(-1L)
+
   override def getOffset: Option[Offset] = {
-    val v = TxnLog.latestVersion(spark, table)
-    if (v < 0) None else Some(VersionOffset(v))
+    val latest = TxnLog.latestVersion(spark, table)
+    if (latest < 0) return None
+    val capped = maxFilesPerTrigger match {
+      case Some(cap) if shipped >= 0 && latest > shipped =>
+        var v = shipped
+        var files = 0
+        while (v < latest &&
+          (files == 0 || files + commitFiles(v + 1) <= cap)) {
+          v += 1
+          files += commitFiles(v)
+        }
+        v
+      case _ => latest
+    }
+    if (capped < 0) None else Some(VersionOffset(capped))
   }
 
+  private def commitFiles(v: Long): Int =
+    TxnLog.commit(spark, table, v).adds.size
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(_.json.toLong).getOrElse(-1L)
     val to = end.json.toLong
+    val from = start.map(_.json.toLong)
+      .orElse(startFrom.map(_ - 1L))
+      .getOrElse(-1L)
+    shipped = math.max(shipped, to)
     if (from < 0) {
       // Initial snapshot: resolve through the full replay so deletion
       // vectors apply — a pre-stream MoR delete must be invisible.
@@ -107,6 +154,9 @@ private[sources] class TxnSource(spark: SparkSession, table: String,
           .parquet(files.map(p => s"$table/$p"): _*)
     Bridge.asStreaming(batch)
   }
+
+  override def commit(end: Offset): Unit =
+    shipped = math.max(shipped, end.json.toLong)
 
   override def stop(): Unit = ()
 }

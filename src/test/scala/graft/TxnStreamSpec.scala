@@ -98,6 +98,55 @@ class TxnStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger drains a commit burst as several bounded " +
+       "batches, losing nothing") {
+    import spark.implicits._
+    val table = freshTable("rate")
+    TxnLog.create(spark, table, Seq((0L, "z")).toDF("id", "s"))
+    // A burst: 3 appends of 2 files each, landed BEFORE the stream's
+    // first increment trigger.
+    (1 to 3).foreach { i =>
+      TxnLog.append(spark, table,
+        Seq((i * 10L, "a"), (i * 10L + 1, "b")).toDF("id", "s").repartition(2))
+    }
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-txn")
+      .option("maxFilesPerTrigger", "2")
+      // Skip the snapshot so every batch is a rate-limited increment.
+      .option("startingVersion", "1")
+      .load(table)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = b.count(); if (n > 0) batchSizes.add(n); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val sizes = batchSizes.asScala.toSeq
+      assert(sizes.sum === 6, s"burst rows lost/duplicated: $sizes")
+      // 2-file cap over 2-file commits → one commit per batch.
+      assert(sizes.length === 3 && sizes.forall(_ === 2), s"batches: $sizes")
+    } finally q.stop()
+  }
+
+  test("startingVersion=latest tails only post-stream commits (no " +
+       "history replay)") {
+    import spark.implicits._
+    val table = freshTable("fromlatest")
+    TxnLog.create(spark, table, Seq((1L, "old")).toDF("id", "s"))
+    TxnLog.append(spark, table, Seq((2L, "old")).toDF("id", "s"))
+    val q = spark.readStream.format("graft-txn")
+      .option("startingVersion", "latest").load(table)
+      .writeStream.format("memory").queryName("txn_sl").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txn_sl").count() === 0, "history must not replay")
+      TxnLog.append(spark, table, Seq((3L, "new")).toDF("id", "s"))
+      q.processAllAvailable()
+      assert(spark.table("txn_sl").as[(Long, String)].collect().toSeq
+        === Seq((3L, "new")))
+    } finally q.stop()
+  }
+
   test("checkpointed restart resumes from the committed log position") {
     import spark.implicits._
     val table = freshTable("resume")
