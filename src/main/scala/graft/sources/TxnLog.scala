@@ -376,8 +376,8 @@ object TxnLog {
     spark.read.parquet(staged.map(p => s"$table/$p"): _*)
       .groupBy(input_file_name().as("_f"))
       .agg(count(lit(1)).as("_c"),
-        min(col(column).cast("long")).as("_mn"),
-        max(col(column).cast("long")).as("_mx"))
+        min(col(column).try_cast("long")).as("_mn"),
+        max(col(column).try_cast("long")).as("_mx"))
       .collect()
       .flatMap { r =>
         if (r.isNullAt(2) || r.isNullAt(3)) None
@@ -428,7 +428,7 @@ object TxnLog {
       st.stats.forall(s =>
         s.column != column || (s.max >= lo && s.min <= hi))
     }
-    val residual = col(column).cast("long").between(lo, hi)
+    val residual = col(column).try_cast("long").between(lo, hi)
     if (kept.isEmpty) {
       // Nothing can match; keep the caller's schema contract anyway.
       read(spark, table, version).filter(org.apache.spark.sql.functions.lit(false))
@@ -531,12 +531,20 @@ object TxnLog {
   private[graft] def mergeAttempt(spark: SparkSession, table: String,
       delta: DataFrame, key: String, base: Long): Option[CommitResult] = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, lit, max, min}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
     val baseFiles = snapshotFull(spark, table, Some(base))
-    val range = delta.agg(
-      min(col(key).cast("long")), max(col(key).cast("long"))).head()
+    val keyAsLong = col(key).try_cast("long")
+    val range = delta.agg(min(keyAsLong), max(keyAsLong),
+      count(when(keyAsLong.isNull, lit(1)))).head()
+    // Pruning is sound only when EVERY delta key has a long image:
+    // raw-equal keys have equal casts, so disjoint cast ranges prove
+    // disjoint keys — but a cast-null delta key (non-numeric string,
+    // or a null key, which merge's window groups as a key) is outside
+    // the range and could still match cast-null rows a mixed file's
+    // stats never covered. Any such key ⇒ full rewrite.
     val touched =
-      if (range.isNullAt(0) || range.isNullAt(1)) baseFiles
+      if (range.isNullAt(0) || range.isNullAt(1) || range.getLong(2) > 0)
+        baseFiles
       else {
         val (dMin, dMax) = (range.getLong(0), range.getLong(1))
         baseFiles.filter { case (_, st) =>

@@ -412,6 +412,25 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.read(spark, t).count() === total + 1)
   }
 
+  test("merge pruning disables itself for keys without a long image " +
+       "(a cast-null delta key must still replace its row)") {
+    import spark.implicits._
+    val t = freshTable("mergenullcast")
+    // String keys; "abc" casts to null, so its row is invisible to the
+    // stats range of its (mixed) file.
+    TxnLog.createWithStats(spark, t,
+      Seq(("1", 10L), ("2", 20L), ("abc", 30L)).toDF("id", "v").coalesce(1), "id")
+    TxnLog.appendWithStats(spark, t,
+      Seq(("100", 100L)).toDF("id", "v"), "id")
+    // Delta range [5,5] is disjoint from the first file's stats [1,2] —
+    // naive pruning would skip it and orphan "abc".
+    TxnLog.merge(spark, t,
+      Seq(("abc", 99L), ("5", 50L)).toDF("id", "v"), key = "id")
+    val got = TxnLog.read(spark, t).as[(String, Long)].collect().toMap
+    assert(got === Map("1" -> 10L, "2" -> 20L, "abc" -> 99L,
+      "100" -> 100L, "5" -> 50L))
+  }
+
   test("compactSmall rewrites only the fragment tail: large files keep " +
        "their paths and their DV bindings") {
     val t = freshTable("partial")
