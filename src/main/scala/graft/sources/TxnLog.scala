@@ -328,11 +328,21 @@ object TxnLog {
         case Some((a, r)) =>
           if (writeJson(f, versionFile(table, next), a, r, exclusive = true, txn, stats, dvs)) {
             if (next % CheckpointInterval == 0 && next > 0) {
+              // Checkpoints publish by RENAME: a crash mid-write must
+              // never leave a truncated c*.json — replay parses the
+              // newest checkpoint unconditionally, so a torn one would
+              // brick every later snapshot even though the commits
+              // are intact. Write to a temp name, then move into
+              // place (atomic on local/HDFS; the checkpoint is pure
+              // optimization, so a crash before the rename just means
+              // replay walks a longer tail).
               val full = snapshotFull(spark, table, Some(next))
-              writeJson(f, checkpointFile(table, next), full.map(_._1), Nil,
+              val tmp = new Path(logDir(table), f"c$next%08d.json.tmp")
+              writeJson(f, tmp, full.map(_._1), Nil,
                 exclusive = false,
                 stats = full.collect { case (p, FileState(Some(st), _)) => p -> st }.toMap,
                 dvs = full.collect { case (p, FileState(_, Some(d))) => p -> d }.toMap)
+              f.rename(tmp, checkpointFile(table, next))
             }
             return Some(CommitResult(next, a.size, r.size))
           }

@@ -459,6 +459,27 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.compactSmall(spark, t, maxFileBytes = 1L, targetFiles = 1).isEmpty)
   }
 
+  test("checkpoints publish by rename: no torn c*.json is ever " +
+       "visible, and a leftover .tmp is inert") {
+    val t = freshTable("ckptatomic")
+    TxnLog.create(spark, t, docs.filter(col("doc_id") === 0))
+    (1 to TxnLog.CheckpointInterval).foreach { i =>
+      TxnLog.append(spark, t, docs.filter(col("doc_id") === i))
+    }
+    val logP = new org.apache.hadoop.fs.Path(s"$t/_log")
+    val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(logP).map(_.getPath.getName)
+    assert(names.exists(n => n.startsWith("c") && n.endsWith(".json")))
+    assert(!names.exists(_.endsWith(".tmp")), "tmp leaked past the rename")
+    // A crashed writer's torn temp (whatever garbage it holds) must
+    // never affect resolution — only *.json names replay.
+    val torn = new org.apache.hadoop.fs.Path(logP, "c00000099.json.tmp")
+    val out = fs.create(torn, true)
+    out.write("{\"adds\":[\"gar".getBytes("UTF-8")); out.close()
+    assert(TxnLog.read(spark, t).count() ===
+      docs.filter(col("doc_id") <= TxnLog.CheckpointInterval).count())
+  }
+
   test("snapshot resolution replays from the newest checkpoint") {
     val t = freshTable("ckpt")
     TxnLog.create(spark, t, docs.filter(col("doc_id") === 0))
