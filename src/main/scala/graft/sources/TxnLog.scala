@@ -772,15 +772,29 @@ object TxnLog {
     if (cols.size == 1) Some(cols.head) else None
   }
 
-  def compact(spark: SparkSession, table: String, targetFiles: Int): CommitResult = {
+  /** Logical full compaction into `targetFiles` files. `clusterBy`
+    * turns it into OPTIMIZE…ZORDER/ORDER on the ACID table: range
+    * partition + local sort on the cluster keys, so every output
+    * file's [min,max] span on those keys is narrow — which is exactly
+    * what makes the stats-in-log pruning (and parquet row-group stats)
+    * bite on later range scans. Must RANGE-partition, not rebalance:
+    * a rebalance splits by mapper ranges, so a local sort could never
+    * bound a file's cluster span (same finding as
+    * [[graft.operators.LakeMaintenance.compact]]). */
+  def compact(spark: SparkSession, table: String, targetFiles: Int,
+              clusterBy: Seq[org.apache.spark.sql.Column] = Nil): CommitResult = {
     val base = latestVersion(spark, table)
     val full = snapshotFull(spark, table, Some(base))
     val victims = full.map(_._1)
     // Rewriting resolves through the DVs and so MATERIALIZES them: the
     // compacted files carry no masks, deleted rows are physically gone,
     // and the old DV objects age out with the fragments via vacuum.
-    val staged = stage(spark, table,
-      readState(spark, table, full).repartition(targetFiles))
+    val resolved = readState(spark, table, full)
+    val shaped =
+      if (clusterBy.isEmpty) resolved.repartition(targetFiles)
+      else resolved.repartitionByRange(targetFiles, clusterBy: _*)
+        .sortWithinPartitions(clusterBy: _*)
+    val staged = stage(spark, table, shaped)
     val stats = inheritedStatsCol(full)
       .fold(Map.empty[String, FileStats])(stagedStats(spark, table, staged, _))
     mustCommit(commitLoop(spark, table, stats = stats) { v =>

@@ -1,9 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming SOURCE over a [[TxnLog]] table — the lake's
@@ -48,9 +49,34 @@ import org.apache.spark.sql.types.StructType
   * exactly-once lake-to-lake pipelines (the spec pins a
   * duplicate-delivery replay).
   */
-class TxnStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class TxnStreamProvider extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-txn"
+
+  /** The SINK side: `writeStream.format("graft-txn").option("path", t)
+    * .option("streamId", id)` lands every micro-batch through
+    * [[TxnLog.appendBatch]] — the commit carries the streamId:batchId
+    * high-water mark, so post-failure replays and duplicate deliveries
+    * publish nothing and the pipeline is exactly-once END TO END with
+    * the graft-txn source (offsets = versions on the read side,
+    * batch-id dedup on the write side). `streamId` is REQUIRED: batch
+    * ids are per-query, so two queries sharing a default id would
+    * wrongly dedupe each other's batches. The table auto-creates
+    * (empty v0) on first batch if absent. */
+  override def createSink(ctx: SQLContext, params: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-txn sink is append-only (got $outputMode): the txn log " +
+        "models updates as explicit DML, not sink modes")
+    val table = tablePath(params)
+    val streamId = params.getOrElse("streamid",
+      throw new IllegalArgumentException(
+        "graft-txn sink requires option(\"streamId\", <unique id>) — " +
+          "batch ids are per-query, so the dedup domain must be named"))
+    new TxnSink(ctx.sparkSession, table, streamId)
+  }
 
   private def tablePath(params: Map[String, String]): String =
     params.getOrElse("path", throw new IllegalArgumentException(
@@ -159,4 +185,20 @@ private[sources] class TxnSource(spark: SparkSession, table: String,
     shipped = math.max(shipped, end.json.toLong)
 
   override def stop(): Unit = ()
+}
+
+/** Exactly-once txn-log sink: each micro-batch is one idempotent
+  * [[TxnLog.appendBatch]] commit keyed streamId:batchId. */
+private[sources] class TxnSink(spark: SparkSession, table: String,
+                               streamId: String) extends Sink {
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    // The engine hands a streaming-tagged Dataset; re-tag it batch
+    // over the same physical plan so the staging write can run.
+    val batch = Bridge.asBatch(data.toDF())
+    if (TxnLog.latestVersion(spark, table) < 0)
+      TxnLog.create(spark, table, batch.limit(0))
+    TxnLog.appendBatch(spark, table, batch, streamId, batchId)
+    ()
+  }
+  override def toString: String = s"TxnSink[$table]"
 }

@@ -78,4 +78,15 @@ object Bridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse: re-tag the micro-batch a DSv1 `Sink.addBatch`
+    * receives (isStreaming = true, so `.write` refuses it) as a BATCH
+    * DataFrame over the same physical plan — the standard DSv1-sink
+    * move (it is what foreachBatch does before handing the user their
+    * DataFrame). */
+  def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

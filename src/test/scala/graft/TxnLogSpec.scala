@@ -459,6 +459,30 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.compactSmall(spark, t, maxFileBytes = 1L, targetFiles = 1).isEmpty)
   }
 
+  test("clustered compaction bounds each output file's span on the " +
+       "cluster key (stats-in-log shows the tiling)") {
+    val t = freshTable("zcompact")
+    TxnLog.createWithStats(spark, t, docs.repartition(6), "n_chars")
+    val globalSpan = {
+      val r = docs.agg(max("n_chars") - min("n_chars")).head.getLong(0)
+      r
+    }
+    // Unclustered baseline: random placement → every file spans ~all.
+    TxnLog.compact(spark, t, targetFiles = 4)
+    val plainSpans = TxnLog.snapshotFull(spark, t)
+      .flatMap(_._2.stats).map(s => s.max - s.min)
+    // Clustered rewrite: range partition + local sort on n_chars.
+    TxnLog.compact(spark, t, targetFiles = 4, clusterBy = Seq(col("n_chars")))
+    val zSpans = TxnLog.snapshotFull(spark, t)
+      .flatMap(_._2.stats).map(s => s.max - s.min)
+    assert(zSpans.nonEmpty && plainSpans.nonEmpty)
+    assert(zSpans.sum < globalSpan * 1.2,
+      s"clustered spans should ~tile the range: $zSpans vs global $globalSpan")
+    assert(zSpans.max < plainSpans.max,
+      s"clustering must narrow the widest file: $zSpans vs $plainSpans")
+    assert(TxnLog.read(spark, t).count() === docs.count())
+  }
+
   test("checkpoints publish by rename: no torn c*.json is ever " +
        "visible, and a leftover .tmp is inert") {
     val t = freshTable("ckptatomic")
