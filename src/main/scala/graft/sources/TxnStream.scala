@@ -82,11 +82,18 @@ class TxnStreamProvider extends StreamSourceProvider with StreamSinkProvider
     params.getOrElse("path", throw new IllegalArgumentException(
       "graft-txn source requires .load(<table path>) or option(\"path\", ...)"))
 
+  private def cdf(params: Map[String, String]): Boolean =
+    params.get("readchangefeed").exists(_.toBoolean)
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
                             providerName: String,
-                            params: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      TxnLog.read(ctx.sparkSession, tablePath(params)).schema))
+                            params: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(
+      TxnLog.read(ctx.sparkSession, tablePath(params)).schema)
+    (shortName(),
+      if (cdf(params)) base.add("_change", "string", nullable = false)
+      else base)
+  }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
@@ -103,7 +110,8 @@ class TxnStreamProvider extends StreamSourceProvider with StreamSinkProvider
       sourceSchema(ctx, schema, providerName, params)._2,
       ignoreChanges = params.get("ignorechanges").exists(_.toBoolean),
       maxFilesPerTrigger = params.get("maxfilespertrigger").map(_.toInt),
-      startFrom = startFrom)
+      startFrom = startFrom,
+      changeFeed = cdf(params))
   }
 }
 
@@ -111,7 +119,8 @@ private[sources] class TxnSource(spark: SparkSession, table: String,
                                  override val schema: StructType,
                                  ignoreChanges: Boolean,
                                  maxFilesPerTrigger: Option[Int] = None,
-                                 startFrom: Option[Long] = None) extends Source {
+                                 startFrom: Option[Long] = None,
+                                 changeFeed: Boolean = false) extends Source {
 
   private case class VersionOffset(v: Long) extends Offset {
     override def json: String = v.toString
@@ -152,6 +161,7 @@ private[sources] class TxnSource(spark: SparkSession, table: String,
       .orElse(startFrom.map(_ - 1L))
       .getOrElse(-1L)
     shipped = math.max(shipped, to)
+    if (changeFeed) return changeBatch(from, to)
     if (from < 0) {
       // Initial snapshot: resolve through the full replay so deletion
       // vectors apply — a pre-stream MoR delete must be invisible.
@@ -179,6 +189,43 @@ private[sources] class TxnSource(spark: SparkSession, table: String,
         spark.read.schema(schema)
           .parquet(files.map(p => s"$table/$p"): _*)
     Bridge.asStreaming(batch)
+  }
+
+  /** Change-feed batches (`readChangeFeed=true`): every commit streams
+    * as its NET row-level changes tagged in `_change` — deletes and
+    * updates are the point, so there is no fail-fast. Per version:
+    * a pure-append commit ships its adds as inserts directly (no diff
+    * cost); any commit with removes or DV bindings ships
+    * [[TxnLog.changes]](v-1, v), which reads only churned files and
+    * nets rows a compaction merely moved (a pure compaction streams
+    * ZERO rows). The initial batch is the start snapshot tagged
+    * insert. Downstream this is exactly the input an incremental
+    * materialized view consumes. */
+  private def changeBatch(from: Long, to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val dataSchema = StructType(schema.fields.filter(_.name != "_change"))
+    val parts: Seq[DataFrame] =
+      if (from < 0) {
+        val full = TxnLog.snapshotFull(spark, table, Some(to))
+        Seq(TxnLog.readState(spark, table, full, Some(dataSchema))
+          .withColumn("_change", lit("insert")))
+      } else (from + 1 to to).map { v =>
+        val c = TxnLog.commit(spark, table, v)
+        if (c.removes.isEmpty && c.dvs.isEmpty) {
+          if (c.adds.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
+              .withColumn("_change", lit("insert"))
+          else spark.read.schema(dataSchema)
+            .parquet(c.adds.map(p => s"$table/$p"): _*)
+            .withColumn("_change", lit("insert"))
+        } else TxnLog.changes(spark, table, v - 1, v)
+      }
+    val batch = parts.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    Bridge.asStreaming(batch.select(schema.fieldNames.map(
+      org.apache.spark.sql.functions.col): _*))
   }
 
   override def commit(end: Offset): Unit =

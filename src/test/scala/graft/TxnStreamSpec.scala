@@ -179,6 +179,47 @@ class TxnStreamSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("readChangeFeed streams DML commits as net _change-tagged rows " +
+       "and an incremental MV folded from them matches the table") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val table = freshTable("cdf")
+    TxnLog.create(spark, table,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"))
+
+    // Incremental MV: running SUM(v), folded as +insert / -delete.
+    val sum = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.format("graft-txn")
+      .option("readChangeFeed", "true").load(table)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          val delta = r.getAs[Long]("v")
+          if (r.getAs[String]("_change") == "insert") sum.addAndGet(delta)
+          else sum.addAndGet(-delta)
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(sum.get === 60L, "initial snapshot must stream as inserts")
+
+      TxnLog.updateMoR(spark, table, col("id") === 2L,
+        Map("v" -> (col("v") + 5L)))            // 20 -> 25
+      TxnLog.deleteMoR(spark, table, col("id") === 1L) // -10
+      q.processAllAvailable()
+      assert(sum.get === 55L, "update must stream as delete+insert, delete as delete")
+
+      // A pure compaction is a no-op in the feed (rows only moved).
+      TxnLog.compact(spark, table, targetFiles = 1)
+      TxnLog.append(spark, table, Seq((9L, 100L)).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(sum.get === 155L)
+      // The MV equals the table recomputed from scratch.
+      assert(sum.get === TxnLog.read(spark, table)
+        .agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0))
+    } finally q.stop()
+  }
+
   test("checkpointed restart resumes from the committed log position") {
     import spark.implicits._
     val table = freshTable("resume")
