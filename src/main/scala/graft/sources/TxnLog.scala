@@ -838,6 +838,41 @@ object TxnLog {
     }
   }
 
+  /** DESCRIBE HISTORY: one row per commit — version, commit time
+    * (version-file mtime), adds/removes/DV-binding counts, the derived
+    * operation kind, and the streaming txn marker if any. Driver-side
+    * log metadata only (the log is file-count-sized, never row-sized);
+    * ordered newest first, the operational audit surface every
+    * lakehouse exposes. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, logDir(table))
+    val rows = listVersions(f, table, "v").map { v =>
+      val p = versionFile(table, v)
+      val body = readBody(f, p)
+      val (adds, removes) = (parseArr(body, "adds"), parseArr(body, "removes"))
+      val dvs = parseDvs(body)
+      val txn = {
+        val i = body.indexOf("\"txn\":\"")
+        if (i < 0) None
+        else Some(body.substring(i + 7, body.indexOf("\"", i + 7)))
+      }
+      val op =
+        if (v == 0) "CREATE"
+        else if (txn.isDefined) "STREAMING APPEND"
+        else if (dvs.nonEmpty && adds.nonEmpty) "UPDATE (merge-on-read)"
+        else if (dvs.nonEmpty) "DELETE (merge-on-read)"
+        else if (adds.nonEmpty && removes.nonEmpty) "REWRITE (merge/compact/delete)"
+        else if (removes.nonEmpty) "REMOVE"
+        else "APPEND"
+      (v, new java.sql.Timestamp(f.getFileStatus(p).getModificationTime),
+        op, adds.size.toLong, removes.size.toLong, dvs.size.toLong,
+        txn.orNull)
+    }.sortBy(-_._1)
+    rows.toDF("version", "commit_ts", "operation",
+      "n_added", "n_removed", "n_dv_bindings", "stream_txn")
+  }
+
   /** Physically delete files no snapshot within the retention window
     * references: a file is deletable iff it is absent from EVERY
     * retained version's file set. Returns the deleted paths. */

@@ -459,6 +459,25 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.compactSmall(spark, t, maxFileBytes = 1L, targetFiles = 1).isEmpty)
   }
 
+  test("history: one audit row per commit with the derived operation") {
+    import spark.implicits._
+    val t = freshTable("history")
+    TxnLog.create(spark, t, docs.filter(col("doc_id") < 10))
+    TxnLog.append(spark, t, docs.filter(col("doc_id") >= 10 && col("doc_id") < 20))
+    TxnLog.appendBatch(spark, t, docs.filter(col("doc_id") === 20), "s1", 0L)
+    TxnLog.deleteMoR(spark, t, col("doc_id") === 1)
+    TxnLog.updateMoR(spark, t, col("doc_id") === 2, Map("n_chars" -> lit(7L)))
+    TxnLog.compact(spark, t, targetFiles = 1)
+    val h = TxnLog.history(spark, t)
+      .select("version", "operation", "stream_txn")
+      .as[(Long, String, String)].collect().toList
+    assert(h.map(_._1) === List(5L, 4L, 3L, 2L, 1L, 0L), "newest first")
+    assert(h.map(_._2) === List(
+      "REWRITE (merge/compact/delete)", "UPDATE (merge-on-read)",
+      "DELETE (merge-on-read)", "STREAMING APPEND", "APPEND", "CREATE"))
+    assert(h.find(_._1 == 2L).get._3 === "s1:0")
+  }
+
   test("clustered compaction bounds each output file's span on the " +
        "cluster key (stats-in-log shows the tiling)") {
     val t = freshTable("zcompact")
