@@ -246,6 +246,29 @@ object LakeQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // Partial compaction: plant a fragment tail (16-way split) behind
+    // one right-sized file, compact ONLY the sub-threshold fragments,
+    // and read the table back — the oracle proves the maintenance op
+    // moved every row and invented none; the large file keeping its
+    // path (and masks surviving) is TxnLogSpec's.
+    "q_txn_compact_small" -> ((s, d) => {
+      val table = s"${scratch(s, d)}/txnsmall"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table, docs.filter(col("doc_id") % 4 === 0).coalesce(1))
+      TxnLog.append(s, table, docs.filter(col("doc_id") % 4 =!= 0).repartition(16))
+      TxnLog.compactSmall(s, table,
+        maxFileBytes = 512L * 1024, targetFiles = 2)
+      TxnLog.read(s, table)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
+
     // Stats-in-log data skipping: three appends land n_chars-banded
     // files with per-file [min,max] recorded IN the commit entries,
     // and a range read prunes non-intersecting files from the listing
@@ -353,6 +376,11 @@ object LakeQueries extends QueryModule {
         |  sum(doc_id)::BIGINT AS sum_id
         | FROM documents WHERE n_chars >= 250 AND doc_id % 13 <> 0
         | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_compact_small" ->
+      """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM documents GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
 
     "q_txn_update_mor" ->
       """SELECT lang, count(*) AS row_cnt,
