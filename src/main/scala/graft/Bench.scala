@@ -130,6 +130,24 @@ object Bench {
       elapsedSec + remaining * ((tgt + warm) * perSampleSec + fixedSec) <= budgetSec
     }.getOrElse(4)
 
+  /** Robust per-sample cost for the projection: a 20%-trimmed mean
+    * over all timed samples so far, and 0 (projection off — the
+    * elapsed-fraction ladder still guards) until 24 samples exist.
+    * The raw mean was the round-10 shedding bug: the suite runs
+    * alphabetically, the q_ann_* block sits near the front at 3–10 s
+    * per sample while the suite median is ~0.5 s, so six heavy
+    * queries (plus one 10 s host-noise outlier) projected the whole
+    * run over budget and STICKILY shed 167 of 174 queries to two
+    * samples — on a run whose full-precision wall would have been
+    * under half the budget. */
+  def robustPerSample(costs: Seq[Double]): Double =
+    if (costs.size < 24) 0.0
+    else {
+      val s = costs.sorted
+      val keep = s.take(math.max(1, (s.size * 0.8).toInt))
+      keep.sum / keep.size
+    }
+
   /** Median over timed samples: the true midpoint — for an EVEN sample
     * count the mean of the two middle samples, not the larger (a
     * budget-degraded 2-sample "median" was silently max-of-2 in round
@@ -303,9 +321,11 @@ object Bench {
       case None       => alphabetical
     }
     // Per-sample cost tracker for the budget projection (samples
-    // include warm-ups — they cost the same wall time).
-    var costSamples = 0L
-    var costSecs = 0.0
+    // include warm-ups — they cost the same wall time). Individual
+    // sample costs, not a running mean: the projection trims the top
+    // 20% so an early heavy block or one host-noise outlier can't
+    // project the whole run over budget ([[robustPerSample]]).
+    val costTracker = scala.collection.mutable.ArrayBuffer.empty[Double]
     // Sticky degradation level: precision, once shed, is not re-added
     // mid-suite (a level oscillating with host noise would make
     // early-alphabet queries systematically better-sampled).
@@ -320,7 +340,7 @@ object Bench {
           if (budgetSec > 0) elapsedSec / budgetSec else 0.0)
         val projLevel = projectedLevel(elapsedSec, budgetSec,
           suite.length - idx,
-          if (costSamples > 0) costSecs / costSamples else 0.0,
+          robustPerSample(costTracker.toSeq),
           settleMs / 1000.0 + 0.25, iters, maxIters)
         level = math.max(level, math.max(fracLevel, projLevel))
         val (tgtIters, tgtMax) = planAtLevel(level, iters, maxIters)
@@ -344,8 +364,9 @@ object Bench {
           samples += timedRunOnce()
         val sorted = samples.sorted.toSeq
         timings(name) = (median(sorted), sorted.head, sorted.last, sorted.length)
-        costSamples += nRuns
-        costSecs += (System.nanoTime() - qStart) / 1e9
+        if (nRuns > 0)
+          costTracker ++= Seq.fill(nRuns)(
+            (System.nanoTime() - qStart) / 1e9 / nRuns)
         // De-shadow: collect this query's garbage now, outside any timed
         // interval, so it isn't collected inside the next query's samples.
         System.gc()

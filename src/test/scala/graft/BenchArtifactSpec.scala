@@ -84,6 +84,22 @@ class BenchArtifactSpec extends AnyFunSuite {
     plans.foreach { case (t, m) => assert(t >= 1 && m >= t) }
   }
 
+  test("robust per-sample cost: projection-off until 24 samples, then " +
+       "a 20%-trimmed mean an early heavy block cannot poison") {
+    // Too little evidence → 0 (projection disabled, ladder still guards).
+    assert(Bench.robustPerSample(Seq.fill(23)(5.0)) == 0.0)
+    // The round-10 shedding shape: 10 heavy early samples (3–10 s)
+    // atop a 0.5 s-median suite. The raw mean (~1.6 s) projected a
+    // 174-query run over an 1800 s budget; the trimmed mean stays near
+    // the body of the distribution.
+    val costs = Seq.fill(10)(6.0) ++ Seq.fill(40)(0.5)
+    val robust = Bench.robustPerSample(costs)
+    assert(robust < 1.0, s"trimmed mean still outlier-dominated: $robust")
+    assert(robust >= 0.5, s"trimmed mean below the body: $robust")
+    // All-uniform costs pass through ~unchanged.
+    assert(math.abs(Bench.robustPerSample(Seq.fill(30)(0.7)) - 0.7) < 1e-9)
+  }
+
   test("cost projection picks the cheapest level that fits the whole suite") {
     // No budget / no data → no degradation.
     assert(Bench.projectedLevel(10, 0, 50, 0.5, 0.4, 3, 7) == 0)

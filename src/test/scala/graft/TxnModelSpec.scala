@@ -73,8 +73,17 @@ class TxnModelSpec extends AnyFunSuite with SparkSpec {
           model = model.map { case (id, v) =>
             if (id % k == 1) id -> (v + 7) else id -> v
           }
-        case 5 => // compact (materializes masks)
-          TxnLog.compact(spark, t, targetFiles = 1 + rnd.nextInt(3))
+        case 5 => // a compaction flavor (all row-invisible)
+          rnd.nextInt(3) match {
+            case 0 => // full (materializes masks)
+              TxnLog.compact(spark, t, targetFiles = 1 + rnd.nextInt(3))
+            case 1 => // clustered rewrite
+              TxnLog.compact(spark, t, targetFiles = 1 + rnd.nextInt(3),
+                clusterBy = Seq(col("v")))
+            case 2 => // partial: only the sub-threshold fragment tail
+              TxnLog.compactSmall(spark, t, maxFileBytes = 16L * 1024,
+                targetFiles = 1 + rnd.nextInt(2))
+          }
         case 6 => // overwrite with a mapped copy of the current state
           val next = model.map { case (id, v) => id -> (v * 2) }
           TxnLog.overwrite(spark, t, df(next))
