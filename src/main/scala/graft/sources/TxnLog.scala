@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 import graft.JsonUtil
 
@@ -32,6 +33,12 @@ import graft.JsonUtil
   *    checkpointing the replayed file set every N commits ([[snapshot]]
   *    replays from the latest `c*.json` checkpoint, so resolution reads
   *    O(1) checkpoint + O(N) tail, never the whole history).
+  *  - **The schema is log-carried and ENFORCED**: create/overwrite
+  *    record the schema in the commit; append validates every batch
+  *    against it — a mistyped column fails the COMMIT (where the bug
+  *    is), not some later read (far from its cause). Additive evolution
+  *    is an explicit opt-in (`mergeSchema = true`), recorded in the
+  *    evolving commit so replay always knows the current shape.
   *
   * Scale notes for the 100 TB deployment: the log holds FILE paths,
   * not rows — a million-file table is a ~100 MB log tamed to one
@@ -44,11 +51,16 @@ object TxnLog {
   final case class Commit(version: Long, adds: Seq[String], removes: Seq[String],
                           dvs: Map[String, String] = Map.empty)
 
-  /** Per-file column statistics carried IN the commit entry (the
-    * Delta stats-in-log design, VLDB 2020 §4.2): for one named column,
-    * the file's row count and [min,max] as longs. Self-describing per
-    * path, so commits over different columns coexist in one log. */
-  final case class FileStats(column: String, count: Long, min: Long, max: Long)
+  /** One column's [min,max] (as longs) within one file. */
+  final case class ColStats(min: Long, max: Long)
+
+  /** Per-file statistics carried IN the commit entry (the Delta
+    * stats-in-log design, VLDB 2020 §4.2): the file's row count plus
+    * [min,max] per stat column — MULTI-column, so skipping and
+    * merge-pruning can bind to any declared key, not just one.
+    * Self-describing per path, so commits over different column sets
+    * coexist in one log. */
+  final case class FileStats(count: Long, cols: Map[String, ColStats])
 
   /** Every [[append]]/[[overwrite]]/[[compact]] returns the version it
     * published. */
@@ -73,21 +85,30 @@ object TxnLog {
                         removes: Seq[String], exclusive: Boolean,
                         txn: Option[String] = None,
                         stats: Map[String, FileStats] = Map.empty,
-                        dvs: Map[String, String] = Map.empty): Boolean = {
+                        dvs: Map[String, String] = Map.empty,
+                        schema: Option[StructType] = None): Boolean = {
     val statsJson =
       if (stats.isEmpty) ""
       else ",\"stats\":{" + stats.toSeq.sortBy(_._1).map { case (path, st) =>
-        JsonUtil.quote(path) + ":[" + JsonUtil.quote(st.column) + "," +
-          st.count + "," + st.min + "," + st.max + "]"
+        JsonUtil.quote(path) + ":[" + st.count + ",{" +
+          st.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+            JsonUtil.quote(c) + ":[" + cs.min + "," + cs.max + "]"
+          }.mkString(",") + "}]"
       }.mkString(",") + "}"
     val dvJson =
       if (dvs.isEmpty) ""
       else ",\"dvs\":{" + dvs.toSeq.sortBy(_._1).map { case (path, dv) =>
         JsonUtil.quote(path) + ":" + JsonUtil.quote(dv)
       }.mkString(",") + "}"
+    // The schema rides base64-encoded: StructType.json is JSON-in-JSON
+    // and the log's parser is deliberately regex-simple — encoding
+    // sidesteps every escaping corner instead of hand-rolling them.
+    val schemaJson = schema.fold("")(s => ",\"schema64\":\"" +
+      java.util.Base64.getEncoder.encodeToString(s.json.getBytes("UTF-8")) + "\"")
     val body = "{\"adds\":[" + adds.map(JsonUtil.quote).mkString(",") +
       "],\"removes\":[" + removes.map(JsonUtil.quote).mkString(",") + "]" +
-      txn.fold("")(t => ",\"txn\":" + JsonUtil.quote(t)) + statsJson + dvJson + "}"
+      txn.fold("")(t => ",\"txn\":" + JsonUtil.quote(t)) + statsJson + dvJson +
+      schemaJson + "}"
     val bytes = body.getBytes("UTF-8")
     if (exclusive && f.makeQualified(p).toUri.getScheme == "file") {
       // Hadoop's LocalFileSystem create(overwrite=false) is a
@@ -129,17 +150,41 @@ object TxnLog {
     else inner.split(",").toSeq.map(s => s.trim.stripPrefix("\"").stripSuffix("\""))
   }
 
-  private val StatsEntry =
-    """"([^"]+)":\["([^"]*)",(-?\d+),(-?\d+),(-?\d+)\]""".r
+  /** The balanced `{…}` starting at `open` (which must point at `{`),
+    * string- and escape-aware — stats objects nest per-column objects,
+    * so a bare indexOf("}") would truncate them. */
+  private def balancedObject(body: String, open: Int): String = {
+    var i = open; var depth = 0; var inStr = false; var esc = false
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (esc) esc = false
+      else if (inStr) { if (c == '\\') esc = true else if (c == '"') inStr = false }
+      else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return body.substring(open, i + 1)
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalStateException("unterminated JSON object in log entry")
+  }
+
+  // One file's stats: "path":[count,{"col":[min,max],…}]
+  private val FileStatsEntry = """"([^"]+)":\[(\d+),\{""".r
+  private val ColStatsEntry = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
 
   private def parseStats(body: String): Map[String, FileStats] = {
     val i = body.indexOf("\"stats\":{")
     if (i < 0) return Map.empty
-    val start = i + 9
-    val end = body.indexOf("}", start)
-    StatsEntry.findAllMatchIn(body.substring(start, end)).map { m =>
-      m.group(1) -> FileStats(m.group(2), m.group(3).toLong,
-        m.group(4).toLong, m.group(5).toLong)
+    val obj = balancedObject(body, i + 8)
+    FileStatsEntry.findAllMatchIn(obj).map { m =>
+      val colsObj = balancedObject(obj, m.end - 1)
+      m.group(1) -> FileStats(m.group(2).toLong,
+        ColStatsEntry.findAllMatchIn(colsObj).map(cm =>
+          cm.group(1) -> ColStats(cm.group(2).toLong, cm.group(3).toLong)).toMap)
     }.toMap
   }
 
@@ -148,16 +193,16 @@ object TxnLog {
   private def parseDvs(body: String): Map[String, String] = {
     val i = body.indexOf("\"dvs\":{")
     if (i < 0) return Map.empty
-    val start = i + 7
-    val end = body.indexOf("}", start)
-    DvEntry.findAllMatchIn(body.substring(start, end))
+    DvEntry.findAllMatchIn(balancedObject(body, i + 6))
       .map(m => m.group(1) -> m.group(2)).toMap
   }
 
-  private def readJson(f: FileSystem, p: Path): (Seq[String], Seq[String]) = {
-    val body = readBody(f, p)
-    (parseArr(body, "adds"), parseArr(body, "removes"))
-  }
+  private val Schema64 = """"schema64":"([A-Za-z0-9+/=]+)"""".r
+
+  private def parseSchema(body: String): Option[StructType] =
+    Schema64.findFirstMatchIn(body).map(m => DataType.fromJson(
+      new String(java.util.Base64.getDecoder.decode(m.group(1)), "UTF-8"))
+      .asInstanceOf[StructType])
 
   private def readTxn(f: FileSystem, p: Path): Option[String] = {
     val body = readBody(f, p)
@@ -197,7 +242,7 @@ object TxnLog {
     * newest checkpoint at-or-before `version`, then the commit tail. */
   def snapshot(spark: SparkSession, table: String,
                version: Option[Long] = None): Seq[String] =
-    snapshotWithStats(spark, table, version).map(_._1)
+    snapshotFull(spark, table, version).map(_._1)
 
   /** One live file's full log-carried state: optional column stats and
     * optional deletion-vector path (both None for plain appends). */
@@ -216,7 +261,17 @@ object TxnLog {
     * A commit's `dvs` entries re-bind live files to a DV (latest
     * binding wins); removing a file drops its binding with it. */
   def snapshotFull(spark: SparkSession, table: String,
-      version: Option[Long] = None): Seq[(String, FileState)] = {
+      version: Option[Long] = None): Seq[(String, FileState)] =
+    resolve(spark, table, version)._1
+
+  /** The log-recorded schema at `version` (latest recording at-or-
+    * before it wins), None for logs written before schema tracking. */
+  def tableSchema(spark: SparkSession, table: String,
+      version: Option[Long] = None): Option[StructType] =
+    resolve(spark, table, version)._2
+
+  private def resolve(spark: SparkSession, table: String,
+      version: Option[Long]): (Seq[(String, FileState)], Option[StructType]) = {
     val f = fs(spark, logDir(table))
     val versions = listVersions(f, table, "v")
     require(versions.nonEmpty, s"not a TxnLog table: $table")
@@ -224,6 +279,7 @@ object TxnLog {
     require(versions.contains(v), s"version $v not in log (have ${versions.mkString(",")})")
     val ckpt = listVersions(f, table, "c").filter(_ <= v).lastOption
     val live = scala.collection.mutable.LinkedHashMap.empty[String, FileState]
+    var schema: Option[StructType] = None
     def apply(body: String): Unit = {
       val st = parseStats(body)
       val dv = parseDvs(body)
@@ -233,11 +289,12 @@ object TxnLog {
       dv.foreach { case (p, d) =>
         live.get(p).foreach(s => live += p -> s.copy(dv = Some(d)))
       }
+      parseSchema(body).foreach(s => schema = Some(s))
     }
     ckpt.foreach(cv => apply(readBody(f, checkpointFile(table, cv))))
     versions.filter(tv => tv <= v && ckpt.forall(tv > _))
       .foreach(tv => apply(readBody(f, versionFile(table, tv))))
-    live.toSeq
+    (live.toSeq, schema)
   }
 
   /** DataFrame of the table at `version` (default latest). Paths are
@@ -264,11 +321,37 @@ object TxnLog {
     * binding pass through the same anti-join untouched (no DV row can
     * match them — each DV object carries rows only for files bound to
     * it or files already removed). */
-  private[sources] def readState(spark: SparkSession, table: String,
+  private[graft] def readState(spark: SparkSession, table: String,
       files: Seq[(String, FileState)],
-      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+      schema: Option[StructType] = None): DataFrame = {
     val (df, hasDv) = readTagged(spark, table, files, schema)
     if (hasDv) df.drop("_gf_rel", "_gf_idx") else df
+  }
+
+  /** The scan-visible, URL-ENCODED qualified table prefix:
+    * `input_file_name()` reports the scan file's Path-URI string form
+    * (SparkPath.urlEncoded), so any per-row match against the table
+    * path must happen in THAT encoding — matching the raw path string
+    * silently never matches when the table path carries a space, `%`,
+    * or non-ASCII char, and DML would bind zero files (round-10
+    * advice, medium). Relative paths the engine generates
+    * (`stage-<uuid>/part-*.parquet`) are encoding-invariant. */
+  private def encodedTablePrefix(spark: SparkSession, table: String): String = {
+    val p = new Path(table)
+    fs(spark, p).makeQualified(p).toUri.toString
+  }
+
+  /** Table-relative path of each scanned row's file, derived from
+    * [[encodedTablePrefix]]; FAILS LOUDLY on a non-matching file —
+    * a silent null would make DV joins and victim binding quietly
+    * empty, turning a DELETE into a successful no-op. */
+  private def relPathCol(spark: SparkSession, table: String): Column = {
+    import org.apache.spark.sql.functions.{concat, input_file_name, lit, raise_error, when}
+    val pfx = encodedTablePrefix(spark, table) + "/"
+    val f = input_file_name()
+    when(f.startsWith(pfx), f.substr(lit(pfx.length + 1), lit(1 << 20)))
+      .otherwise(raise_error(concat(
+        lit(s"scan file outside table $table (prefix $pfx): "), f)))
   }
 
   /** [[readState]] keeping the mask keys (`_gf_rel` relative path,
@@ -278,22 +361,62 @@ object TxnLog {
     * this path instead of re-deriving them downstream. */
   private def readTagged(spark: SparkSession, table: String,
       files: Seq[(String, FileState)],
-      schema: Option[org.apache.spark.sql.types.StructType] = None): (DataFrame, Boolean) = {
-    import org.apache.spark.sql.functions.{col, input_file_name, lit, locate}
+      schema: Option[StructType] = None): (DataFrame, Boolean) = {
+    import org.apache.spark.sql.functions.col
     val reader = schema.fold(spark.read.option("mergeSchema", "true"))(spark.read.schema)
     val base = reader.parquet(files.map { case (p, _) => s"$table/$p" }: _*)
     val dvDirs = files.flatMap(_._2.dv).distinct
     if (dvDirs.isEmpty) (base, false)
     else {
-      val f = input_file_name()
-      val rel = f.substr(locate(table, f) + lit(table.length + 1), lit(1 << 20))
       val dv = spark.read.parquet(dvDirs.map(p => s"$table/$p"): _*)
         .select(col("file").as("_gf_rel"), col("idx").as("_gf_idx"))
-      (base.withColumn("_gf_rel", rel)
+      (base.withColumn("_gf_rel", relPathCol(spark, table))
         .withColumn("_gf_idx", col("_metadata.row_index"))
         .join(dv, Seq("_gf_rel", "_gf_idx"), "left_anti"), true)
     }
   }
+
+  // ---- schema enforcement --------------------------------------------------
+
+  /** Validate an incoming batch against the log-recorded table schema
+    * (case-insensitive names, structural types ignoring nullability):
+    *  - a column whose type differs REJECTS THE COMMIT — the Delta
+    *    enforcement contract; without it a mistyped appender silently
+    *    forks the table schema and the failure surfaces at read time,
+    *    far from its cause;
+    *  - a column the table doesn't have rejects unless
+    *    `mergeSchema = true`, which evolves additively and records the
+    *    merged schema in the commit;
+    *  - a MISSING table column is fine (the file reads as null there —
+    *    the established evolution semantics).
+    * Returns the schema the commit should record: Some(merged) when it
+    * changes (or when a legacy log has none yet), None otherwise. */
+  private def enforceSchema(spark: SparkSession, table: String, df: DataFrame,
+                            mergeSchema: Boolean, what: String): Option[StructType] =
+    tableSchema(spark, table) match {
+      case None => Some(df.schema) // pre-tracking log: adopt from here on.
+      case Some(cur) =>
+        val extras = scala.collection.mutable.ArrayBuffer.empty[StructField]
+        df.schema.fields.foreach { fld =>
+          cur.fields.find(_.name.equalsIgnoreCase(fld.name)) match {
+            case Some(c) =>
+              if (c.dataType.catalogString != fld.dataType.catalogString)
+                throw new IllegalArgumentException(
+                  s"$what to $table rejected: column '${fld.name}' is " +
+                    s"${fld.dataType.catalogString} but the table schema has " +
+                    s"${c.dataType.catalogString} — schema enforcement fails " +
+                    "the COMMIT; fix the writer (types never coerce silently)")
+            case None =>
+              if (!mergeSchema)
+                throw new IllegalArgumentException(
+                  s"$what to $table rejected: column '${fld.name}' does not " +
+                    "exist in the table schema — pass mergeSchema = true to " +
+                    "evolve additively")
+              extras += fld
+          }
+        }
+        if (extras.isEmpty) None else Some(StructType(cur.fields ++ extras))
+    }
 
   // ---- writers -----------------------------------------------------------
 
@@ -309,6 +432,15 @@ object TxnLog {
       .map(n => s"$sub/$n")
   }
 
+  /** Physically drop an abandoned attempt's staged files eagerly —
+    * they are unreferenced by construction, and leaving them to vacuum
+    * accumulates orphans under sustained conflict (round-10 advice). */
+  private def dropStaged(spark: SparkSession, table: String,
+                         staged: Seq[String]): Unit =
+    staged.map(_.takeWhile(_ != '/')).distinct.foreach { sub =>
+      fs(spark, new Path(table)).delete(new Path(table, sub), true)
+    }
+
   /** Optimistic-concurrency commit loop: read latest, attempt
     * create-exclusive of latest+1, on loss re-read and retry.
     * `attempt` decides, given the winner-advanced log, whether the
@@ -318,7 +450,8 @@ object TxnLog {
     * Returns the published version, or None if abandoned. */
   private def commitLoop(spark: SparkSession, table: String, txn: Option[String] = None,
                          stats: Map[String, FileStats] = Map.empty,
-                         dvs: Map[String, String] = Map.empty)
+                         dvs: Map[String, String] = Map.empty,
+                         schema: Option[StructType] = None)
                         (attempt: Long => Option[(Seq[String], Seq[String])]): Option[CommitResult] = {
     val f = fs(spark, logDir(table))
     while (true) {
@@ -326,7 +459,8 @@ object TxnLog {
       attempt(next) match {
         case None => return None
         case Some((a, r)) =>
-          if (writeJson(f, versionFile(table, next), a, r, exclusive = true, txn, stats, dvs)) {
+          if (writeJson(f, versionFile(table, next), a, r, exclusive = true, txn,
+              stats, dvs, schema)) {
             if (next % CheckpointInterval == 0 && next > 0) {
               // Checkpoints publish by RENAME: a crash mid-write must
               // never leave a truncated c*.json — replay parses the
@@ -336,12 +470,13 @@ object TxnLog {
               // place (atomic on local/HDFS; the checkpoint is pure
               // optimization, so a crash before the rename just means
               // replay walks a longer tail).
-              val full = snapshotFull(spark, table, Some(next))
+              val (full, sch) = resolve(spark, table, Some(next))
               val tmp = new Path(logDir(table), f"c$next%08d.json.tmp")
               writeJson(f, tmp, full.map(_._1), Nil,
                 exclusive = false,
                 stats = full.collect { case (p, FileState(Some(st), _)) => p -> st }.toMap,
-                dvs = full.collect { case (p, FileState(_, Some(d))) => p -> d }.toMap)
+                dvs = full.collect { case (p, FileState(_, Some(d))) => p -> d }.toMap,
+                schema = sch)
               f.rename(tmp, checkpointFile(table, next))
             }
             return Some(CommitResult(next, a.size, r.size))
@@ -355,70 +490,93 @@ object TxnLog {
   private def mustCommit(r: Option[CommitResult], what: String): CommitResult =
     r.getOrElse(throw new IllegalStateException(s"$what abandoned after conflict"))
 
-  /** Create the table (version 0) from `df`. */
+  /** Create the table (version 0) from `df`; the commit records the
+    * schema, which every later append is enforced against. */
   def create(spark: SparkSession, table: String, df: DataFrame): CommitResult = {
     val f = fs(spark, logDir(table))
     f.mkdirs(logDir(table))
     val staged = stage(spark, table, df)
-    mustCommit(commitLoop(spark, table) { v =>
+    mustCommit(commitLoop(spark, table, schema = Some(df.schema)) { v =>
       if (v != 0) None else Some((staged, Nil))
     }, s"create $table")
   }
 
   /** Append: blind adds — valid at ANY log position, so a lost race
     * just re-publishes the same files at the advanced version (the
-    * staged data is never rewritten). */
-  def append(spark: SparkSession, table: String, df: DataFrame): CommitResult = {
+    * staged data is never rewritten). Schema-enforced (see
+    * [[enforceSchema]]); `mergeSchema = true` opts into additive
+    * evolution. */
+  def append(spark: SparkSession, table: String, df: DataFrame,
+             mergeSchema: Boolean = false): CommitResult = {
+    val sch = enforceSchema(spark, table, df, mergeSchema, "append")
     val staged = stage(spark, table, df)
-    mustCommit(commitLoop(spark, table)(_ => Some((staged, Nil))),
+    mustCommit(commitLoop(spark, table, schema = sch)(_ => Some((staged, Nil))),
       s"append to $table")
   }
 
-  /** Per-file (count, min, max) of `column` over just-staged files —
+  /** Per-file (count, min/max per stat column) over just-staged files —
     * one aggregation scan of only the new data, grouped by file. At
     * scale this is the write's own data re-read once (Delta folds it
     * into the writer; the commit shape is identical), and the result
-    * is file-count-sized — log metadata, never rows. Files where the
-    * column is entirely null get no stats (thus never prune). */
+    * is file-count-sized — log metadata, never rows. A column that is
+    * entirely null in a file gets no entry there (thus never prunes). */
   private def stagedStats(spark: SparkSession, table: String,
-                          staged: Seq[String], column: String): Map[String, FileStats] = {
+                          staged: Seq[String], columns: Seq[String]): Map[String, FileStats] = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    if (columns.isEmpty) return Map.empty
+    val prefix = encodedTablePrefix(spark, table) + "/"
+    val aggs = count(lit(1)).as("_c") +: columns.flatMap(c => Seq(
+      min(col(c).try_cast("long")).as(s"_mn_$c"),
+      max(col(c).try_cast("long")).as(s"_mx_$c")))
     spark.read.parquet(staged.map(p => s"$table/$p"): _*)
       .groupBy(input_file_name().as("_f"))
-      .agg(count(lit(1)).as("_c"),
-        min(col(column).try_cast("long")).as("_mn"),
-        max(col(column).try_cast("long")).as("_mx"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .flatMap { r =>
-        if (r.isNullAt(2) || r.isNullAt(3)) None
-        else {
-          val full = r.getString(0)
-          val rel = full.substring(full.indexOf(table) + table.length + 1)
-          Some(rel -> FileStats(column, r.getLong(1), r.getLong(2), r.getLong(3)))
-        }
+      .map { r =>
+        val full = r.getString(0)
+        require(full.startsWith(prefix),
+          s"staged-file scan reported a path outside $table: $full")
+        val rel = full.substring(prefix.length)
+        // Row layout: 0 = file, 1 = count, then (min,max) per column.
+        val cols = columns.zipWithIndex.flatMap { case (c, i) =>
+          val (mnI, mxI) = (2 + 2 * i, 3 + 2 * i)
+          if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+          else Some(c -> ColStats(r.getLong(mnI), r.getLong(mxI)))
+        }.toMap
+        rel -> FileStats(r.getLong(1), cols)
       }.toMap
   }
 
-  /** [[create]] with per-file stats on `statsCol` recorded in the log. */
+  /** [[create]] with per-file stats on `statsCols` recorded in the log. */
   def createWithStats(spark: SparkSession, table: String, df: DataFrame,
-                      statsCol: String): CommitResult = {
+                      statsCols: Seq[String]): CommitResult = {
     val f = fs(spark, logDir(table))
     f.mkdirs(logDir(table))
     val staged = stage(spark, table, df)
     mustCommit(commitLoop(spark, table,
-      stats = stagedStats(spark, table, staged, statsCol)) { v =>
+      stats = stagedStats(spark, table, staged, statsCols),
+      schema = Some(df.schema)) { v =>
       if (v != 0) None else Some((staged, Nil))
     }, s"create $table")
   }
 
-  /** [[append]] with per-file stats on `statsCol` recorded in the log. */
+  def createWithStats(spark: SparkSession, table: String, df: DataFrame,
+                      statsCol: String): CommitResult =
+    createWithStats(spark, table, df, Seq(statsCol))
+
+  /** [[append]] with per-file stats on `statsCols` recorded in the log. */
   def appendWithStats(spark: SparkSession, table: String, df: DataFrame,
-                      statsCol: String): CommitResult = {
+                      statsCols: Seq[String]): CommitResult = {
+    val sch = enforceSchema(spark, table, df, mergeSchema = false, "append")
     val staged = stage(spark, table, df)
     mustCommit(commitLoop(spark, table,
-      stats = stagedStats(spark, table, staged, statsCol))(
+      stats = stagedStats(spark, table, staged, statsCols), schema = sch)(
       _ => Some((staged, Nil))), s"append to $table")
   }
+
+  def appendWithStats(spark: SparkSession, table: String, df: DataFrame,
+                      statsCol: String): CommitResult =
+    appendWithStats(spark, table, df, Seq(statsCol))
 
   /** Data-skipping read: resolve the snapshot WITH its log-carried
     * stats and plan the scan over only the files whose [min,max] on
@@ -435,8 +593,7 @@ object TxnLog {
     import org.apache.spark.sql.functions.col
     val all = snapshotFull(spark, table, version)
     val kept = all.filter { case (_, st) =>
-      st.stats.forall(s =>
-        s.column != column || (s.max >= lo && s.min <= hi))
+      st.stats.forall(_.cols.get(column).forall(c => c.max >= lo && c.min <= hi))
     }
     val residual = col(column).try_cast("long").between(lo, hi)
     if (kept.isEmpty) {
@@ -461,8 +618,9 @@ object TxnLog {
   def appendBatch(spark: SparkSession, table: String, df: DataFrame,
                   streamId: String, batchId: Long): Option[CommitResult] = {
     if (lastCommittedBatch(spark, table, streamId).exists(_ >= batchId)) return None
+    val sch = enforceSchema(spark, table, df, mergeSchema = false, "streaming append")
     val staged = stage(spark, table, df)
-    commitLoop(spark, table, txn = Some(s"$streamId:$batchId")) { _ =>
+    commitLoop(spark, table, txn = Some(s"$streamId:$batchId"), schema = sch) { _ =>
       if (lastCommittedBatch(spark, table, streamId).exists(_ >= batchId)) None
       else Some((staged, Nil))
     }
@@ -486,10 +644,11 @@ object TxnLog {
   /** Replace the whole table content with `df` in one atomic commit.
     * Removes are recomputed against the CURRENT snapshot on every
     * retry, so a concurrent append's files are also replaced rather
-    * than leaking past the overwrite. */
+    * than leaking past the overwrite. The commit re-baselines the
+    * recorded schema to `df`'s (an overwrite owns the table shape). */
   def overwrite(spark: SparkSession, table: String, df: DataFrame): CommitResult = {
     val staged = stage(spark, table, df)
-    mustCommit(commitLoop(spark, table) { v =>
+    mustCommit(commitLoop(spark, table, schema = Some(df.schema)) { v =>
       Some((staged, snapshot(spark, table, Some(v - 1))))
     }, s"overwrite $table")
   }
@@ -499,35 +658,39 @@ object TxnLog {
     * unmatched delta rows insert — and publish the result as ONE
     * atomic commit, so readers see pre-merge or post-merge, never a
     * torn middle, and time travel keeps the pre-merge version.
-    * Copy-on-write: the whole snapshot rewrites (the simplest COW; a
-    * file-pruned variant would consult per-file key stats to rewrite
-    * only files a delta key can touch — same commit shape). Resolution
-    * is the engine's winner-per-key discipline: one window over the
-    * key exchange, delta outranks current, no full-outer join.
+    * Copy-on-write, FILE-PRUNED when the log carries stats on the
+    * merge key (see [[mergeAttempt]]). Resolution is the engine's
+    * winner-per-key discipline: one window over the key exchange,
+    * delta outranks current, no full-outer join.
     *
     * Isolation: the resolution is computed against a PINNED base
     * version, and the commit abandons if ANY other commit landed since
     * — then the loop recomputes from the new tip. Committing the stale
     * resolution with recomputed removes (the overwrite shape) would
     * silently drop a concurrent append's rows; serializable
-    * re-resolution is the only sound default (a smarter path would
-    * commit anyway when the interloper's files provably share no key
-    * with the delta). Abandoned staged files are unreferenced and age
-    * out through [[vacuum]]. */
+    * re-resolution is the only sound default. Abandoned attempts drop
+    * their staged files eagerly, and the retry loop is BOUNDED —
+    * under sustained conflict it throws `ConcurrentModificationException`
+    * after `maxAttempts` rebases rather than livelocking (round-10
+    * advice). */
   def merge(spark: SparkSession, table: String, delta: DataFrame,
-            key: String): CommitResult = {
-    while (true) {
+            key: String, maxAttempts: Int = 20): CommitResult = {
+    var attempts = 0
+    while (attempts < maxAttempts) {
       mergeAttempt(spark, table, delta, key,
         latestVersion(spark, table)) match {
         case Some(r) => return r
-        case None => // the log moved while resolving — rebase and redo.
+        case None => attempts += 1 // the log moved while resolving — rebase and redo.
       }
     }
-    throw new IllegalStateException("unreachable")
+    throw new java.util.ConcurrentModificationException(
+      s"merge on $table abandoned $maxAttempts consecutive attempts: " +
+        "sustained concurrent commits are outrunning the rebase loop")
   }
 
   /** One pinned-base merge attempt; None = the log advanced past
-    * `base` before the commit claimed its slot (nothing published).
+    * `base` before the commit claimed its slot (nothing published,
+    * staged files dropped).
     *
     * FILE-PRUNED when the log carries stats on the merge key: a file
     * whose [min,max] on `key` cannot intersect the delta's key range
@@ -542,6 +705,7 @@ object TxnLog {
       delta: DataFrame, key: String, base: Long): Option[CommitResult] = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+    enforceSchema(spark, table, delta, mergeSchema = false, "merge")
     val baseFiles = snapshotFull(spark, table, Some(base))
     val keyAsLong = col(key).try_cast("long")
     val range = delta.agg(min(keyAsLong), max(keyAsLong),
@@ -558,8 +722,7 @@ object TxnLog {
       else {
         val (dMin, dMax) = (range.getLong(0), range.getLong(1))
         baseFiles.filter { case (_, st) =>
-          st.stats.forall(s =>
-            s.column != key || (s.max >= dMin && s.min <= dMax))
+          st.stats.forall(_.cols.get(key).forall(c => c.max >= dMin && c.min <= dMax))
         }
       }
     // Every file pruned ⇒ no current row can share a delta key: the
@@ -577,17 +740,26 @@ object TxnLog {
           .drop("_src", "_hasDelta")
       }
     val staged = stage(spark, table, resolved)
-    // Re-emit key stats for the rewrite when the base carried them —
+    // Re-emit stats for the rewrite on every column the base carried —
     // otherwise every merge decays the table's skipping coverage and
     // the NEXT merge can no longer prune its own output.
+    val statCols = inheritedStatsCols(baseFiles)
     val stats =
-      if (baseFiles.exists(_._2.stats.exists(_.column == key)))
-        stagedStats(spark, table, staged, key)
+      if (statCols.nonEmpty) stagedStats(spark, table, staged, statCols)
       else Map.empty[String, FileStats]
-    commitLoop(spark, table, stats = stats) { v =>
+    val result = commitLoop(spark, table, stats = stats) { v =>
       if (v != base + 1) None else Some((staged, touched.map(_._1)))
     }
+    if (result.isEmpty) dropStaged(spark, table, staged)
+    result
   }
+
+  /** Soft cap on victim paths pulled through the row scan onto the
+    * driver: past it, a predicate is touching ~the whole table and the
+    * delete degrades to a full-snapshot rewrite (whose path list the
+    * driver already holds from log resolution) instead of collecting
+    * millions of strings out of a distinct-shuffle. */
+  val MaxCollectedVictims = 100000
 
   /** Row-level DELETE, copy-on-write with FILE PRUNING: one scan finds
     * the files that actually contain matching rows, ONLY those rewrite
@@ -595,29 +767,36 @@ object TxnLog {
     * touches 3 files of a million-file table stages 3 files, which is
     * the whole reason COW deletes stay affordable at 100 TB. Rows
     * delete only where the predicate is TRUE (null-predicate rows
-    * survive, SQL DELETE semantics). The commit rebases past concurrent
-    * APPENDS (victims still live → removes stay valid, new files are
-    * untouched by construction) but abandons if any victim was itself
-    * replaced — rewriting a superseded file would resurrect its rows.
-    * Returns None when no row matched (no commit published). */
+    * survive, SQL DELETE semantics). The victim collect is BOUNDED by
+    * `maxCollectedVictims` — a predicate touching more files than that
+    * rewrites the whole snapshot (correct either way; the wide case is
+    * a table rewrite no matter what, and the bound keeps the driver
+    * out of the string-collect business). The commit rebases past
+    * concurrent APPENDS (victims still live → removes stay valid, new
+    * files are untouched by construction) but abandons if any victim
+    * was itself replaced — rewriting a superseded file would resurrect
+    * its rows. Returns None when no row matched (no commit published). */
   def delete(spark: SparkSession, table: String,
-             predicate: org.apache.spark.sql.Column): Option[CommitResult] = {
-    import org.apache.spark.sql.functions.{input_file_name, lit, locate}
+             predicate: Column,
+             maxCollectedVictims: Int = MaxCollectedVictims): Option[CommitResult] = {
+    import org.apache.spark.sql.functions.col
     val full = snapshotFull(spark, table)
     val states = full.toMap
     // Victim detection keys on the scan-computed relative path (the
     // tagged read): input_file_name() cannot be added AFTER the DV
     // anti-join — with a mask in play the plan has two file sources.
     val (tagged, hadDv) = readTagged(spark, table, full)
-    val ifn = input_file_name()
     val keyed =
       if (hadDv) tagged
-      else tagged.withColumn("_gf_rel",
-        ifn.substr(locate(table, ifn) + lit(table.length + 1), lit(1 << 20)))
-    val victims = keyed.filter(predicate)
-      .select("_gf_rel").distinct().collect()
-      .map(_.getString(0)).toSeq
-    if (victims.isEmpty) return None
+      else tagged.withColumn("_gf_rel", relPathCol(spark, table))
+    // limit(cap+1) bounds BOTH driver memory and the job: one pass,
+    // and the overflow signal is "more rows than the cap came back".
+    val collected = keyed.filter(predicate)
+      .select(col("_gf_rel")).distinct().limit(maxCollectedVictims + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (collected.isEmpty) return None
+    val victims =
+      if (collected.size > maxCollectedVictims) full.map(_._1) else collected
     // Survivors resolve through the victims' DV state too — rewriting
     // a DV-masked file must not resurrect its already-deleted rows.
     val survivors = readState(spark, table,
@@ -633,8 +812,10 @@ object TxnLog {
       else None
     } match {
       case some @ Some(_) => some
-      case None => throw new IllegalStateException(
-        s"delete on $table abandoned: a victim file was replaced concurrently")
+      case None =>
+        dropStaged(spark, table, staged)
+        throw new IllegalStateException(
+          s"delete on $table abandoned: a victim file was replaced concurrently")
     }
   }
 
@@ -653,7 +834,7 @@ object TxnLog {
     * replaced a victim or moved the mask (same contract as [[delete]]).
     */
   def deleteMoR(spark: SparkSession, table: String,
-                predicate: org.apache.spark.sql.Column): Option[CommitResult] =
+                predicate: Column): Option[CommitResult] =
     morDml(spark, table, predicate, replacement = None)
 
   /** Merge-on-read row-level UPDATE: ONE commit masks the matched rows
@@ -664,37 +845,48 @@ object TxnLog {
     * (evaluated on the matched row). Same None/throw contract as
     * [[deleteMoR]]. */
   def updateMoR(spark: SparkSession, table: String,
-                predicate: org.apache.spark.sql.Column,
-                set: Map[String, org.apache.spark.sql.Column]): Option[CommitResult] =
+                predicate: Column,
+                set: Map[String, Column]): Option[CommitResult] =
     morDml(spark, table, predicate, replacement = Some(set))
+
+  /** Pinned-base MoR delete for race tests: resolves victims against
+    * `base`'s snapshot; a concurrent rewrite of a bound file makes the
+    * commit abandon loudly instead of resurrecting/losing rows. */
+  private[graft] def deleteMoRAt(spark: SparkSession, table: String,
+      predicate: Column, base: Long): Option[CommitResult] =
+    morDml(spark, table, predicate, replacement = None, pin = Some(base))
 
   /** Shared MoR DML body: mask matched rows; for UPDATE, also stage
     * their rewritten copies as data adds in the SAME commit. */
   private def morDml(spark: SparkSession, table: String,
-                     predicate: org.apache.spark.sql.Column,
-                     replacement: Option[Map[String, org.apache.spark.sql.Column]])
+                     predicate: Column,
+                     replacement: Option[Map[String, Column]],
+                     pin: Option[Long] = None)
       : Option[CommitResult] = {
-    import org.apache.spark.sql.functions.{col, input_file_name, lit, locate}
-    val full = snapshotFull(spark, table)
+    import org.apache.spark.sql.functions.col
+    val full = snapshotFull(spark, table, pin)
     val states = full.toMap
-    val f = input_file_name()
-    val rel = f.substr(locate(table, f) + lit(table.length + 1), lit(1 << 20))
     // Victims among MoR-VISIBLE rows only (the tagged read applies
     // current DVs, so already-deleted rows can't be re-deleted into
     // the new mask twice — the fold below carries them exactly once).
     val (tagged, hadDv) = readTagged(spark, table, full)
     val keyed =
       if (hadDv) tagged
-      else tagged.withColumn("_gf_rel", rel)
+      else tagged.withColumn("_gf_rel", relPathCol(spark, table))
         .withColumn("_gf_idx", col("_metadata.row_index"))
     val matched = keyed.filter(predicate)
     if (matched.isEmpty) return None
     val victims = matched
       .select(col("_gf_rel").as("file"), col("_gf_idx").as("idx"))
+    val what = if (replacement.isDefined) "updateMoR" else "deleteMoR"
     val adds = replacement.fold(Seq.empty[String]) { set =>
       val updated = set.foldLeft(matched.drop("_gf_rel", "_gf_idx")) {
         case (df, (c, e)) => df.withColumn(c, e)
       }
+      // A SET expression can silently retype a column — the staged
+      // copies must still satisfy the table schema (same enforcement
+      // contract as append: fail the commit, not the read).
+      enforceSchema(spark, table, updated, mergeSchema = false, what)
       stage(spark, table, updated)
     }
     val oldDvDirs = full.flatMap(_._2.dv).distinct
@@ -710,8 +902,14 @@ object TxnLog {
     val boundFiles = spark.read.parquet(s"$table/$sub")
       .select("file").distinct().collect().map(_.getString(0))
       .filter(states.contains).toSeq
+    // matched was non-empty, so an empty binding means the rel-path
+    // derivation broke — failing loudly beats publishing an empty
+    // commit and reporting a successful no-op delete (round-10 advice).
+    if (boundFiles.isEmpty)
+      throw new IllegalStateException(
+        s"$what on $table matched rows but bound zero live files — " +
+          "relative-path derivation is inconsistent with the snapshot")
     val binding = boundFiles.map(_ -> sub).toMap
-    val what = if (replacement.isDefined) "updateMoR" else "deleteMoR"
     commitLoop(spark, table, dvs = binding) { v =>
       val current = snapshotFull(spark, table, Some(v - 1)).toMap
       if (boundFiles.forall(p => current.get(p).contains(states(p))))
@@ -719,9 +917,11 @@ object TxnLog {
       else None
     } match {
       case some @ Some(_) => some
-      case None => throw new IllegalStateException(
-        s"$what on $table abandoned: a masked file was replaced " +
-          "or re-masked concurrently")
+      case None =>
+        dropStaged(spark, table, adds :+ s"$sub/")
+        throw new IllegalStateException(
+          s"$what on $table abandoned: a masked file was replaced " +
+            "or re-masked concurrently")
     }
   }
 
@@ -758,18 +958,13 @@ object TxnLog {
       .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete")))
   }
 
-  /** Logical compaction: rewrite the current snapshot's rows into
-    * `targetFiles` files, publish adds+removes in one commit. A commit
-    * that loses its race ABANDONS (None) if the snapshot moved —
-    * compacting a superseded file set would resurrect replaced data —
-    * and the caller re-runs on the new snapshot. Old versions still
-    * resolve the fragments until [[vacuum]]. */
-  /** The single stats column a rewrite can inherit: defined iff every
-    * stats-carrying input agrees on one column (a mixed-column input
-    * has no one honest answer — the rewrite then carries none). */
-  private def inheritedStatsCol(files: Seq[(String, FileState)]): Option[String] = {
-    val cols = files.flatMap(_._2.stats.map(_.column)).distinct
-    if (cols.size == 1) Some(cols.head) else None
+  /** The stat columns a rewrite can inherit: the columns present in
+    * EVERY stats-carrying input (an intersection — a column only some
+    * inputs tracked has no one honest coverage story for the rewrite).
+    * Empty when no input carries stats. */
+  private def inheritedStatsCols(files: Seq[(String, FileState)]): Seq[String] = {
+    val sets = files.flatMap(_._2.stats).map(_.cols.keySet)
+    if (sets.isEmpty) Nil else sets.reduce(_ intersect _).toSeq.sorted
   }
 
   /** Logical full compaction into `targetFiles` files. `clusterBy`
@@ -780,10 +975,27 @@ object TxnLog {
     * bite on later range scans. Must RANGE-partition, not rebalance:
     * a rebalance splits by mapper ranges, so a local sort could never
     * bound a file's cluster span (same finding as
-    * [[graft.operators.LakeMaintenance.compact]]). */
+    * [[graft.operators.LakeMaintenance.compact]]).
+    *
+    * A commit that loses its race ABANDONS — compacting a superseded
+    * file set would resurrect replaced data — and this wrapper throws;
+    * [[compactAttempt]] is the pinned-base body (race tests drive it
+    * directly). Old versions still resolve the fragments until
+    * [[vacuum]]. */
   def compact(spark: SparkSession, table: String, targetFiles: Int,
-              clusterBy: Seq[org.apache.spark.sql.Column] = Nil): CommitResult = {
-    val base = latestVersion(spark, table)
+              clusterBy: Seq[Column] = Nil): CommitResult =
+    compactAttempt(spark, table, latestVersion(spark, table),
+      targetFiles, clusterBy)
+      .getOrElse(throw new IllegalStateException(
+        s"compact $table abandoned after conflict"))
+
+  /** One pinned-base compaction attempt; None = another commit landed
+    * after `base` (nothing published, staged files dropped) — the
+    * OPTIMIZE-vs-DML race resolves with the compactor as the loser,
+    * never with resurrected rows. */
+  private[graft] def compactAttempt(spark: SparkSession, table: String,
+      base: Long, targetFiles: Int,
+      clusterBy: Seq[Column] = Nil): Option[CommitResult] = {
     val full = snapshotFull(spark, table, Some(base))
     val victims = full.map(_._1)
     // Rewriting resolves through the DVs and so MATERIALIZES them: the
@@ -795,11 +1007,15 @@ object TxnLog {
       else resolved.repartitionByRange(targetFiles, clusterBy: _*)
         .sortWithinPartitions(clusterBy: _*)
     val staged = stage(spark, table, shaped)
-    val stats = inheritedStatsCol(full)
-      .fold(Map.empty[String, FileStats])(stagedStats(spark, table, staged, _))
-    mustCommit(commitLoop(spark, table, stats = stats) { v =>
+    val statCols = inheritedStatsCols(full)
+    val stats =
+      if (statCols.isEmpty) Map.empty[String, FileStats]
+      else stagedStats(spark, table, staged, statCols)
+    val result = commitLoop(spark, table, stats = stats) { v =>
       if (v != base + 1) None else Some((staged, victims))
-    }, s"compact $table")
+    }
+    if (result.isEmpty) dropStaged(spark, table, staged)
+    result
   }
 
   /** PARTIAL compaction: rewrite only the live files under
@@ -823,8 +1039,10 @@ object TxnLog {
     if (victims.size < 2) return None
     val staged = stage(spark, table,
       readState(spark, table, victims).repartition(targetFiles))
-    val stats = inheritedStatsCol(victims)
-      .fold(Map.empty[String, FileStats])(stagedStats(spark, table, staged, _))
+    val statCols = inheritedStatsCols(victims)
+    val stats =
+      if (statCols.isEmpty) Map.empty[String, FileStats]
+      else stagedStats(spark, table, staged, statCols)
     commitLoop(spark, table, stats = stats) { v =>
       val current = snapshotFull(spark, table, Some(v - 1)).toMap
       if (victims.forall { case (p, st) => current.get(p).contains(st) })
@@ -832,9 +1050,11 @@ object TxnLog {
       else None
     } match {
       case some @ Some(_) => some
-      case None => throw new IllegalStateException(
-        s"compactSmall on $table abandoned: a victim file was replaced " +
-          "or re-masked concurrently")
+      case None =>
+        dropStaged(spark, table, staged)
+        throw new IllegalStateException(
+          s"compactSmall on $table abandoned: a victim file was replaced " +
+            "or re-masked concurrently")
     }
   }
 

@@ -88,6 +88,12 @@ class TxnStreamProvider extends StreamSourceProvider with StreamSinkProvider
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
                             providerName: String,
                             params: Map[String, String]): (String, StructType) = {
+    // Validated here too: sourceSchema runs eagerly in load(), so a
+    // conflicting-options mistake surfaces at the call site rather
+    // than on the query thread.
+    require(!(params.contains("startingversion") &&
+        params.contains("startingtimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
     val base = schema.getOrElse(
       TxnLog.read(ctx.sparkSession, tablePath(params)).schema)
     (shortName(),
@@ -102,16 +108,45 @@ class TxnStreamProvider extends StreamSourceProvider with StreamSinkProvider
     val spark = ctx.sparkSession
     // "latest" resolves AT SOURCE CREATION: only commits after this
     // point stream; a concrete number starts increments at version n.
+    // startingTimestamp (epoch millis or "yyyy-MM-dd HH:mm:ss[.f]")
+    // resolves to the FIRST commit at-or-after it — commit-file mtime
+    // is the commit time, the same key TIMESTAMP AS OF travels on.
+    require(!(params.contains("startingversion") &&
+        params.contains("startingtimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
     val startFrom = params.get("startingversion").map {
       case "latest" => TxnLog.latestVersion(spark, table) + 1
       case n => n.toLong
-    }
+    }.orElse(params.get("startingtimestamp").map { raw =>
+      val cutoffMs =
+        try raw.toLong
+        catch { case _: NumberFormatException =>
+          java.sql.Timestamp.valueOf(raw).getTime }
+      firstVersionAtOrAfter(spark, table, cutoffMs)
+    })
     new TxnSource(spark, table,
       sourceSchema(ctx, schema, providerName, params)._2,
       ignoreChanges = params.get("ignorechanges").exists(_.toBoolean),
       maxFilesPerTrigger = params.get("maxfilespertrigger").map(_.toInt),
       startFrom = startFrom,
       changeFeed = cdf(params))
+  }
+
+  /** Smallest version whose commit landed at-or-after `cutoffMs`, or
+    * latest+1 when every commit predates it (tail only new commits —
+    * the natural reading of "start from a future-ish timestamp"). */
+  private def firstVersionAtOrAfter(spark: org.apache.spark.sql.SparkSession,
+      table: String, cutoffMs: Long): Long = {
+    val logP = new org.apache.hadoop.fs.Path(table, "_log")
+    val f = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hits = f.listStatus(logP).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("v") && n.endsWith(".json") &&
+          st.getModificationTime >= cutoffMs
+      }
+      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong)
+    if (hits.isEmpty) TxnLog.latestVersion(spark, table) + 1 else hits.min
   }
 }
 
@@ -139,12 +174,17 @@ private[sources] class TxnSource(spark: SparkSession, table: String,
     if (latest < 0) return None
     val capped = maxFilesPerTrigger match {
       case Some(cap) if shipped >= 0 && latest > shipped =>
+        // One log read per pending commit: the next commit's file
+        // count is computed once and reused when advancing (round-10
+        // advice: the guard+body pair read each JSON twice, O(2·tail)
+        // driver reads per trigger during a backlog drain).
         var v = shipped
         var files = 0
-        while (v < latest &&
-          (files == 0 || files + commitFiles(v + 1) <= cap)) {
+        var next = commitFiles(v + 1)
+        while (v < latest && (files == 0 || files + next <= cap)) {
           v += 1
-          files += commitFiles(v)
+          files += next
+          next = if (v < latest) commitFiles(v + 1) else 0
         }
         v
       case _ => latest

@@ -171,7 +171,8 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     TxnLog.create(spark, t, docs.select("doc_id", "lang"))
     TxnLog.append(spark, t,
       docs.select("doc_id", "lang").filter(col("doc_id") < 5)
-        .withColumn("score", lit(7L)))
+        .withColumn("score", lit(7L)),
+      mergeSchema = true)
     val now = TxnLog.read(spark, t)
     assert(now.columns.contains("score"), "appended column missing from merged schema")
     assert(now.filter(col("score") === 7L).count() ==
@@ -380,7 +381,8 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     TxnLog.appendWithStats(spark, t,
       docs.filter(col("doc_id") >= 100 && col("doc_id") < 200).repartition(2),
       "doc_id")
-    val lowBand = TxnLog.snapshotFull(spark, t).filter(_._2.stats.exists(_.max < 100))
+    val lowBand = TxnLog.snapshotFull(spark, t)
+      .filter(_._2.stats.exists(_.cols.get("doc_id").exists(_.max < 100)))
     assert(lowBand.nonEmpty)
     val total = TxnLog.read(spark, t).count()
 
@@ -489,11 +491,11 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     // Unclustered baseline: random placement → every file spans ~all.
     TxnLog.compact(spark, t, targetFiles = 4)
     val plainSpans = TxnLog.snapshotFull(spark, t)
-      .flatMap(_._2.stats).map(s => s.max - s.min)
+      .flatMap(_._2.stats).flatMap(_.cols.get("n_chars")).map(s => s.max - s.min)
     // Clustered rewrite: range partition + local sort on n_chars.
     TxnLog.compact(spark, t, targetFiles = 4, clusterBy = Seq(col("n_chars")))
     val zSpans = TxnLog.snapshotFull(spark, t)
-      .flatMap(_._2.stats).map(s => s.max - s.min)
+      .flatMap(_._2.stats).flatMap(_.cols.get("n_chars")).map(s => s.max - s.min)
     assert(zSpans.nonEmpty && plainSpans.nonEmpty)
     assert(zSpans.sum < globalSpan * 1.2,
       s"clustered spans should ~tile the range: $zSpans vs global $globalSpan")
@@ -521,6 +523,166 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     out.write("{\"adds\":[\"gar".getBytes("UTF-8")); out.close()
     assert(TxnLog.read(spark, t).count() ===
       docs.filter(col("doc_id") <= TxnLog.CheckpointInterval).count())
+  }
+
+  test("schema enforcement: a mistyped append fails the COMMIT, not a later read") {
+    import spark.implicits._
+    val t = freshTable("enforce")
+    TxnLog.create(spark, t, docs)
+    val before = TxnLog.latestVersion(spark, t)
+    // Wrong type on an existing column: rejected loudly at commit time.
+    val mistyped = docs.withColumn("n_chars", col("n_chars").cast("string"))
+    val e1 = intercept[IllegalArgumentException] { TxnLog.append(spark, t, mistyped) }
+    assert(e1.getMessage.contains("n_chars") && e1.getMessage.contains("rejected"))
+    // Unknown column without the evolution opt-in: rejected.
+    val e2 = intercept[IllegalArgumentException] {
+      TxnLog.append(spark, t, docs.withColumn("extra", lit(1L)))
+    }
+    assert(e2.getMessage.contains("mergeSchema"))
+    // Nothing published, the table still reads clean.
+    assert(TxnLog.latestVersion(spark, t) === before)
+    assert(TxnLog.read(spark, t).count() === docs.count())
+    // Case-insensitive names resolve to the same column (Spark default).
+    val e3 = intercept[IllegalArgumentException] {
+      TxnLog.append(spark, t, docs.withColumnRenamed("n_chars", "N_CHARS")
+        .withColumn("N_CHARS", col("N_CHARS").cast("int")))
+    }
+    assert(e3.getMessage.contains("N_CHARS"))
+    // The sanctioned evolution path still works and records the schema.
+    TxnLog.append(spark, t, docs.withColumn("extra", lit(1L)), mergeSchema = true)
+    assert(TxnLog.tableSchema(spark, t).exists(_.fieldNames.contains("extra")))
+    // Streaming appends are enforced identically.
+    val e4 = intercept[IllegalArgumentException] {
+      TxnLog.appendBatch(spark, t, mistyped, "s9", 0L)
+    }
+    assert(e4.getMessage.contains("rejected"))
+    // A SET expression that retypes a column fails updateMoR's commit.
+    val e5 = intercept[IllegalArgumentException] {
+      TxnLog.updateMoR(spark, t, col("doc_id") === 1,
+        Map("n_chars" -> lit("oops")))
+    }
+    assert(e5.getMessage.contains("n_chars"))
+    // merge enforces the delta's types too.
+    intercept[IllegalArgumentException] {
+      TxnLog.merge(spark, t, Seq(("1", "xx", 2L, 3L)).toDF(
+        "doc_id", "lang", "n_chars", "extra"), key = "doc_id")
+    }
+  }
+
+  test("multi-column stats: one commit carries several columns and " +
+       "readPruned skips on any of them; stats survive checkpointed replay") {
+    val t = freshTable("multistats")
+    TxnLog.createWithStats(spark, t,
+      docs.filter(col("doc_id") < 100).repartition(2),
+      Seq("doc_id", "n_chars"))
+    TxnLog.appendWithStats(spark, t,
+      docs.filter(col("doc_id") >= 100).repartition(2),
+      Seq("doc_id", "n_chars"))
+    val allFiles = TxnLog.read(spark, t).inputFiles.length
+    // Prune on the FIRST column…
+    val byId = TxnLog.readPruned(spark, t, "doc_id", 0L, 99L)
+    assert(byId.inputFiles.length < allFiles)
+    assert(byId.count() === docs.filter(col("doc_id") < 100).count())
+    // …and on the SECOND, from the same log entries.
+    val lo = docs.filter(col("doc_id") < 100)
+      .agg(max("n_chars")).head.getLong(0)
+    val byChars = TxnLog.readPruned(spark, t, "n_chars", lo + 1, Long.MaxValue)
+    assert(byChars.collect().map(_.toSeq).toSet ===
+      TxnLog.read(spark, t).filter(col("n_chars") > lo)
+        .collect().map(_.toSeq).toSet)
+    // Push past a checkpoint: both columns' stats must survive replay.
+    (1 to TxnLog.CheckpointInterval).foreach { i =>
+      TxnLog.appendWithStats(spark, t,
+        docs.filter(col("doc_id") % 17 === i).withColumn("doc_id",
+          col("doc_id") + 10000L), Seq("doc_id", "n_chars"))
+    }
+    val afterCkpt = TxnLog.snapshotFull(spark, t)
+    assert(afterCkpt.forall(_._2.stats.exists(st =>
+      st.cols.contains("doc_id") && st.cols.contains("n_chars"))),
+      "a checkpointed replay dropped a stats column")
+    // A compaction's rewrite re-derives stats for BOTH inherited columns.
+    TxnLog.compact(spark, t, targetFiles = 2)
+    assert(TxnLog.snapshotFull(spark, t).forall(_._2.stats.exists(st =>
+      st.cols.contains("doc_id") && st.cols.contains("n_chars"))))
+  }
+
+  test("wide delete degrades to a bounded full-snapshot rewrite: " +
+       "no unbounded victim collect, same answer") {
+    val t = freshTable("widedel")
+    TxnLog.create(spark, t, docs.repartition(8))
+    // Predicate touching every file, cap forced tiny: the fallback path.
+    val r = TxnLog.delete(spark, t, col("doc_id") % 2 === 0,
+      maxCollectedVictims = 2)
+    assert(r.isDefined)
+    assert(r.get.removed === 8, "the wide path must rewrite the whole snapshot")
+    assert(TxnLog.read(spark, t).collect().map(_.getLong(0)).toSet ===
+      docs.filter(col("doc_id") % 2 =!= 0).collect().map(_.getLong(0)).toSet)
+    // Narrow delete on the same table still takes the pruned path.
+    val ids = TxnLog.read(spark, t).select("doc_id").limit(1)
+      .collect().map(_.getLong(0))
+    val r2 = TxnLog.delete(spark, t, col("doc_id") === ids.head)
+    assert(r2.isDefined && r2.get.removed < TxnLog.snapshot(spark, t).size + 1)
+  }
+
+  test("OPTIMIZE-vs-DML race: a compaction pinned before a MoR delete " +
+       "abandons; the DML pinned before a compaction abandons — no row loss") {
+    val t = freshTable("optrace")
+    TxnLog.create(spark, t, docs.repartition(4))
+    val expected = docs.filter(col("doc_id") % 10 =!= 0).count()
+
+    // Race 1: compactor pins its base, then a MoR delete lands first.
+    val base1 = TxnLog.latestVersion(spark, t)
+    TxnLog.deleteMoR(spark, t, col("doc_id") % 10 === 0)
+    assert(TxnLog.compactAttempt(spark, t, base1, targetFiles = 1).isEmpty,
+      "a stale compaction must abandon, not resurrect masked rows")
+    assert(TxnLog.read(spark, t).count() === expected)
+    // The fresh compaction then materializes the mask.
+    TxnLog.compact(spark, t, targetFiles = 1)
+    assert(TxnLog.read(spark, t).count() === expected)
+    assert(TxnLog.snapshotFull(spark, t).forall(_._2.dv.isEmpty))
+
+    // Race 2: the MoR delete pins its base, then a compaction replaces
+    // its victims — the pinned DML must abandon loudly (masking a
+    // removed file would silently delete nothing).
+    val base2 = TxnLog.latestVersion(spark, t)
+    TxnLog.compact(spark, t, targetFiles = 2)
+    val before = TxnLog.latestVersion(spark, t)
+    intercept[IllegalStateException] {
+      TxnLog.deleteMoRAt(spark, t, col("doc_id") % 10 === 1, base2)
+    }
+    assert(TxnLog.latestVersion(spark, t) === before,
+      "the losing DML must publish nothing")
+    assert(TxnLog.read(spark, t).count() === expected, "race lost rows")
+    // Re-run at the tip: applies cleanly.
+    assert(TxnLog.deleteMoR(spark, t, col("doc_id") % 10 === 1).isDefined)
+    assert(TxnLog.read(spark, t).count() ===
+      docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 1).count())
+  }
+
+  test("abandoned merge/compact attempts drop their staged files eagerly " +
+       "and a bounded merge throws instead of livelocking") {
+    val t = freshTable("eager")
+    TxnLog.create(spark, t, docs.filter(col("doc_id") < 10))
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stageDirs: Set[String] = fs.listStatus(new org.apache.hadoop.fs.Path(t))
+      .map(_.getPath.getName).filter(_.startsWith("stage-")).toSet
+    val live = stageDirs
+    val base = TxnLog.latestVersion(spark, t)
+    TxnLog.append(spark, t, docs.filter(col("doc_id") === 50))
+    // Stale attempts abandon AND leave no new staged directory behind.
+    assert(TxnLog.mergeAttempt(spark, t,
+      docs.filter(col("doc_id") < 3), "doc_id", base).isEmpty)
+    assert(TxnLog.compactAttempt(spark, t, base, targetFiles = 1).isEmpty)
+    val leaked = stageDirs -- live --
+      TxnLog.snapshot(spark, t).map(_.takeWhile(_ != '/')).toSet
+    assert(leaked.isEmpty, s"abandoned attempts leaked staged dirs: $leaked")
+    // merge() itself stays bounded: with maxAttempts = 0 equivalent
+    // pressure (attempts exhausted), it surfaces the conflict.
+    intercept[java.util.ConcurrentModificationException] {
+      TxnLog.merge(spark, t, docs.filter(col("doc_id") < 2), "doc_id",
+        maxAttempts = 0)
+    }
   }
 
   test("snapshot resolution replays from the newest checkpoint") {

@@ -147,6 +147,55 @@ class TxnStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("startingTimestamp tails from the first commit at-or-after the " +
+       "timestamp; a future timestamp tails only new commits") {
+    import spark.implicits._
+    val table = freshTable("fromts")
+    TxnLog.create(spark, table, Seq((1L, "old")).toDF("id", "s"))
+    TxnLog.append(spark, table, Seq((2L, "mid")).toDF("id", "s"))
+    // Commit times are file mtimes: take v1's mtime as the cutoff, so
+    // the stream must deliver v1's adds onward but NOT the v0 snapshot.
+    val logP = new org.apache.hadoop.fs.Path(table, "_log")
+    val fs = logP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1ts = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(logP, "v00000001.json")).getModificationTime
+    // Ensure v0 strictly predates the cutoff on coarse-mtime filesystems.
+    fs.setTimes(new org.apache.hadoop.fs.Path(logP, "v00000000.json"),
+      v1ts - 10000, -1)
+    val q = spark.readStream.format("graft-txn")
+      .option("startingTimestamp", v1ts.toString).load(table)
+      .writeStream.format("memory").queryName("txn_ts").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txn_ts").as[(Long, String)].collect().toSeq
+        === Seq((2L, "mid")), "must start at the first commit >= cutoff")
+      TxnLog.append(spark, table, Seq((3L, "new")).toDF("id", "s"))
+      q.processAllAvailable()
+      assert(spark.table("txn_ts").as[(Long, String)].collect().sorted.toSeq
+        === Seq((2L, "mid"), (3L, "new")))
+    } finally q.stop()
+    // A timestamp past every commit = tail-only (like latest).
+    val q2 = spark.readStream.format("graft-txn")
+      .option("startingTimestamp", (System.currentTimeMillis() + 3600000L).toString)
+      .load(table)
+      .writeStream.format("memory").queryName("txn_ts2").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("txn_ts2").count() === 0)
+      TxnLog.append(spark, table, Seq((4L, "tail")).toDF("id", "s"))
+      q2.processAllAvailable()
+      assert(spark.table("txn_ts2").as[(Long, String)].collect().toSeq
+        === Seq((4L, "tail")))
+    } finally q2.stop()
+    // Mutually exclusive with startingVersion.
+    intercept[Exception] {
+      spark.readStream.format("graft-txn")
+        .option("startingVersion", "0").option("startingTimestamp", "0")
+        .load(table)
+        .writeStream.format("memory").queryName("txn_ts3").start()
+    }
+  }
+
   test("the graft-txn SINK lands micro-batches exactly once through " +
        "appendBatch (format-level lake-to-lake pipeline)") {
     import spark.implicits._
