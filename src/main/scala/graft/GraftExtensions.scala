@@ -23,6 +23,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ =>
       org.apache.spark.sql.graftasof.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.GraftNativeRewrite)
+    // SQL DML over txn-log tables intercepts at the PARSER (see
+    // TxnSqlDml for why the analyzer's row-level path can't be joined
+    // from an extension) …
+    ext.injectParser((_, parser) => new graft.plans.GraftSqlParser(parser))
+    // … and SQL SCANS of deletion-vector-carrying tables rewrite to
+    // the masked plan during resolution.
+    ext.injectResolutionRule(session =>
+      graft.plans.TxnSqlDml.MaskedReadRule(session))
   }
 }
 

@@ -1,0 +1,277 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.sources.{GraftCatalog, TxnLog, TxnTable}
+
+/** SQL DML over the transaction log: `DELETE FROM` / `UPDATE` /
+  * `MERGE INTO` on a [[graft.sources.TxnTable]] route to the log's
+  * native row-level operations (file-pruned COW delete, merge-on-read
+  * update, file-pruned serializable merge). `INSERT` needs none of
+  * this — [[graft.sources.TxnTable]] is a `SupportsWrite`.
+  *
+  * WHY A PARSER INTERCEPT, NOT AN ANALYZER RULE: Spark's own
+  * `RewriteDeleteFromTable`/`RewriteUpdateTable`/`RewriteMergeIntoTable`
+  * live INSIDE the analyzer's Resolution batch, ahead of any
+  * extension-injected resolution rule — the moment a DML plan over a
+  * non-`SupportsRowLevelOperations` table resolves, the built-in rule
+  * throws "table does not support deletes/updates/merges" in the same
+  * fixed-point iteration, before an injected rule ever sees the plan.
+  * Implementing `SupportsRowLevelOperations` would force the
+  * group-based `ReplaceData` protocol (full DSv2 BatchWrite machinery
+  * re-duplicating the log's commit protocol, and COW-only semantics);
+  * intercepting the parsed plan instead routes the SQL to the SAME
+  * DML code paths the Scala API uses — one implementation, one set of
+  * concurrency/pruning semantics, exercised by both surfaces.
+  *
+  * Supported surface (unsupported shapes fail loudly with the reason):
+  *  - `DELETE FROM t [AS a] WHERE cond` — subquery-free conditions.
+  *  - `UPDATE t [AS a] SET c = expr, ... [WHERE cond]` — ditto.
+  *  - `MERGE INTO t USING src ON t.k = src.k WHEN MATCHED THEN UPDATE
+  *    SET * WHEN NOT MATCHED THEN INSERT *` — the canonical upsert;
+  *    `src` is ANY query (table, subquery, VALUES).
+  * Conditions/assignments re-resolve BY NAME against the table's scan
+  * inside the log DML (the engine's column contract), so qualifiers
+  * naming the target table/alias are stripped here. */
+object TxnSqlDml {
+
+  /** The txn-table directory behind a multipart name, when the name
+    * resolves through a [[GraftCatalog]] to a `_log`-carrying
+    * directory; None otherwise (the statement is left untouched). */
+  private def txnDir(spark: SparkSession, parts: Seq[String]): Option[String] =
+    if (parts.length < 2) None
+    else Bridge.catalogPlugin(spark, parts.head).flatMap {
+      case g: GraftCatalog =>
+        g.txnDirIfExists(org.apache.spark.sql.connector.catalog.Identifier.of(
+          parts.slice(1, parts.length - 1).toArray, parts.last))
+      case _ => None
+    }
+
+  /** Unwrap alias layers over the parse-time target relation. */
+  private def target(p: LogicalPlan): Option[(Seq[String], Option[String])] =
+    p match {
+      case SubqueryAlias(id, child) =>
+        target(child).map { case (parts, _) => (parts, Some(id.name)) }
+      case u: UnresolvedRelation => Some((u.multipartIdentifier, None))
+      case _ => None
+    }
+
+  private def rejectSubqueries(e: Expression, what: String): Unit =
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      throw new UnsupportedOperationException(
+        s"graft txn $what does not support subqueries in its condition " +
+          "yet — materialize the subquery and use MERGE, or the Scala API")
+
+  /** Strip a leading qualifier naming the target (alias, table name,
+    * or any suffix of the catalog path) so the expression re-resolves
+    * by bare column name against the log's scan. */
+  private def stripQualifiers(e: Expression, parts: Seq[String],
+                              alias: Option[String]): Expression = {
+    val quals: Seq[Seq[String]] =
+      (alias.map(Seq(_)).toSeq :+ Seq(parts.last)) ++
+        (2 to parts.length).map(parts.takeRight)
+    e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        quals.collectFirst {
+          case q if a.nameParts.length > q.length &&
+            a.nameParts.take(q.length).map(_.toLowerCase) ==
+              q.map(_.toLowerCase) =>
+            UnresolvedAttribute(a.nameParts.drop(q.length))
+        }.getOrElse(a)
+    }
+  }
+
+  private def asColumn(e: Expression, parts: Seq[String],
+                       alias: Option[String]): Column =
+    Bridge.column(stripQualifiers(e, parts, alias))
+
+  /** The parse-plan rewrite: DML over txn tables → runnable commands.
+    * Anything else passes through untouched. */
+  def rewrite(spark: SparkSession, plan: LogicalPlan): LogicalPlan = plan match {
+    case DeleteFromTable(t, cond) =>
+      target(t).flatMap { case (parts, alias) =>
+        txnDir(spark, parts).map { dir =>
+          rejectSubqueries(cond, "DELETE")
+          GraftDeleteCommand(dir, asColumn(cond, parts, alias)): LogicalPlan
+        }
+      }.getOrElse(plan)
+
+    case UpdateTable(t, assignments, cond) =>
+      target(t).flatMap { case (parts, alias) =>
+        txnDir(spark, parts).map { dir =>
+          cond.foreach(rejectSubqueries(_, "UPDATE"))
+          assignments.foreach(a => rejectSubqueries(a.value, "UPDATE"))
+          val set = assignments.map { a =>
+            val name = a.key match {
+              case k: UnresolvedAttribute => k.nameParts.last
+              case other => throw new UnsupportedOperationException(
+                s"graft txn UPDATE: unsupported SET target $other " +
+                  "(only plain columns)")
+            }
+            name -> asColumn(a.value, parts, alias)
+          }.toMap
+          val pred = cond.map(asColumn(_, parts, alias))
+            .getOrElse(new Column(org.apache.spark.sql.functions.lit(true).node))
+          GraftUpdateCommand(dir, pred, set): LogicalPlan
+        }
+      }.getOrElse(plan)
+
+    case m @ MergeIntoTable(t, source, mergeCond,
+        matched, notMatched, bySource, withSchemaEvolution) =>
+      target(t).flatMap { case (parts, alias) =>
+        txnDir(spark, parts).map { dir =>
+          def unsupported(why: String): Nothing =
+            throw new UnsupportedOperationException(
+              s"graft txn MERGE supports exactly 'WHEN MATCHED THEN UPDATE " +
+                s"SET * WHEN NOT MATCHED THEN INSERT *' on an equi-key — $why")
+          if (withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION is not supported")
+          if (bySource.nonEmpty) unsupported("NOT MATCHED BY SOURCE clauses are not supported")
+          val key = mergeCond match {
+            case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+              if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+              a.nameParts.last
+            case other => unsupported(
+              s"ON must be t.key = src.key on one same-named column, got $other")
+          }
+          (matched, notMatched) match {
+            case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) => ()
+            case _ => unsupported(
+              "conditional or column-listed WHEN clauses are not supported")
+          }
+          GraftMergeCommand(dir, source, key): LogicalPlan
+        }
+      }.getOrElse(plan)
+
+    case _ => plan
+  }
+
+  /** Analyzer rule applying DELETION-VECTOR masks to SQL scans: a
+    * [[TxnTable]] relation whose snapshot carries live DVs is replaced
+    * by the log's masked logical plan (scan + broadcast anti-join on
+    * (file, row_index)) BEFORE scan planning — so `SELECT` after a
+    * MoR `UPDATE`/`DELETE` sees exactly the API-read rows, closing the
+    * round-10 "SQL scans refuse DV'd tables" limitation. The output
+    * attributes keep the relation's exprIds, so nothing upstream
+    * re-resolves. INSERT targets are left untouched by identity (an
+    * append never consults the mask; rewriting the write target would
+    * corrupt the plan). */
+  case class MaskedReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      lazy val writeTargets: Set[Int] = plan.collect {
+        case i: InsertIntoStatement => unwrapAliases(i.table)
+      }.flatten.map(System.identityHashCode).toSet
+      plan.resolveOperatorsUp {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[TxnTable] &&
+            r.table.asInstanceOf[TxnTable].hasDvs &&
+            !writeTargets.contains(System.identityHashCode(r)) =>
+          val t = r.table.asInstanceOf[TxnTable]
+          val masked = TxnLog.readState(spark, t.dir, t.files, Some(t.schema))
+          val child = Bridge.planOf(masked)
+          Project(r.output.map { a =>
+            val src = child.output.find(_.name.equalsIgnoreCase(a.name))
+              .getOrElse(throw new IllegalStateException(
+                s"masked read of ${t.name()} lost column ${a.name}"))
+            Alias(src, a.name)(exprId = a.exprId)
+          }, child)
+      }
+    }
+
+    private def unwrapAliases(p: LogicalPlan): Seq[LogicalPlan] = p match {
+      case SubqueryAlias(_, c) => unwrapAliases(c)
+      case other => Seq(other)
+    }
+  }
+}
+
+/** `DELETE FROM <txn table> WHERE cond` → [[TxnLog.delete]] (pruned
+  * copy-on-write; only files containing matches rewrite). */
+case class GraftDeleteCommand(dir: String, cond: Column)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    TxnLog.delete(spark, dir, cond)
+    Seq.empty
+  }
+}
+
+/** `UPDATE <txn table> SET ... WHERE cond` → [[TxnLog.updateMoR]]
+  * (merge-on-read: one commit masks matched rows and adds their
+  * updated copies — write cost ∝ matched rows). */
+case class GraftUpdateCommand(dir: String, cond: Column,
+                              set: Map[String, Column])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    TxnLog.updateMoR(spark, dir, cond, set)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO <txn table> USING src ON key WHEN MATCHED UPDATE SET *
+  * WHEN NOT MATCHED INSERT *` → [[TxnLog.merge]] (serializable,
+  * file-pruned upsert). The source plan analyzes at run time, so any
+  * query shape works as the delta. */
+case class GraftMergeCommand(dir: String, source: LogicalPlan, key: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val delta = Bridge.ofRows(spark, source)
+    // Align source types to the table schema BY NAME (the same
+    // widening INSERT gets from Spark's column alignment — a VALUES
+    // literal is int where the table is bigint): casts run under the
+    // session's ANSI semantics, so a lossy mismatch still errors.
+    // Columns unknown to the table pass through and fail the log's
+    // own schema enforcement.
+    val aligned = TxnLog.tableSchema(spark, dir) match {
+      case Some(schema) =>
+        delta.select(delta.columns.map { c =>
+          schema.fields.find(_.name.equalsIgnoreCase(c)) match {
+            case Some(f) =>
+              org.apache.spark.sql.functions.col(c).cast(f.dataType).as(f.name)
+            case None => org.apache.spark.sql.functions.col(c)
+          }
+        }.toSeq: _*)
+      case None => delta
+    }
+    TxnLog.merge(spark, dir, aligned, key)
+    Seq.empty
+  }
+}
+
+/** Parser wrapper delegating everything to Spark's parser, then
+  * applying [[TxnSqlDml.rewrite]] to the parsed plan (see there for
+  * why DML interception must happen pre-analysis). */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  private def spark = SparkSession.active
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    TxnSqlDml.rewrite(spark, delegate.parsePlan(sqlText))
+
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: ParameterContext): LogicalPlan =
+    TxnSqlDml.rewrite(spark, delegate.parsePlanWithParameters(sqlText, ctx))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

@@ -293,6 +293,71 @@ object LakeQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // The SQL front door, end to end: every DML verb as SQL TEXT over
+    // the DSv2 catalog — INSERT (V1 write), MoR UPDATE (parser
+    // intercept + deletion vectors), COW DELETE on the masked table,
+    // MERGE upsert, then the final state read back through a SQL scan
+    // that must apply the surviving masks. The oracle recomposes the
+    // same four steps as one CASE expression over the source table, so
+    // any verb tearing, double-applying, or resurrecting rows fails
+    // the hash. (Shape/isolation mechanics live in GraftSqlDmlSpec.)
+    "q_txn_sql_dml" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/dmlns/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table, docs.filter(col("doc_id") % 5 =!= 4))
+      s.conf.set("spark.sql.catalog.gdml",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gdml.root", base)
+      docs.createOrReplaceTempView("gdml_src")
+      s.sql("""INSERT INTO gdml.dmlns.docs
+              |SELECT doc_id, lang, n_chars FROM gdml_src
+              |WHERE doc_id % 5 = 4""".stripMargin)
+      s.sql("""UPDATE gdml.dmlns.docs SET n_chars = n_chars + 1000
+              |WHERE doc_id % 7 = 0""".stripMargin)
+      s.sql("DELETE FROM gdml.dmlns.docs WHERE doc_id % 9 = 0")
+      s.sql("""MERGE INTO gdml.dmlns.docs t
+              |USING (SELECT doc_id, lang, CAST(0 AS BIGINT) AS n_chars
+              |       FROM gdml_src WHERE doc_id % 11 = 0) u
+              |ON t.doc_id = u.doc_id
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("""SELECT lang, count(*) AS row_cnt,
+              |  sum(n_chars) AS sum_chars, sum(doc_id) AS sum_id
+              |FROM gdml.dmlns.docs GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
+    // Multi-column stats-in-log: ONE set of commits records per-file
+    // [min,max] for BOTH doc_id and n_chars, and the same log entries
+    // serve a prune on either column — the Delta shape where skipping
+    // binds to any stat column, not a single declared key. The result
+    // unions a doc_id-banded prune (aligned with the file layout) and
+    // an n_chars prune (the second column); the oracle is the two
+    // plain filters. File-subset pinning is TxnLogSpec's.
+    "q_txn_skip2" -> ((s, d) => {
+      val table = s"${scratch(s, d)}/txnskip2"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.createWithStats(s, table,
+        docs.filter(col("doc_id") < 100L).repartition(3),
+        Seq("doc_id", "n_chars"))
+      TxnLog.appendWithStats(s, table,
+        docs.filter(col("doc_id") >= 100L).repartition(3),
+        Seq("doc_id", "n_chars"))
+      val byId = TxnLog.readPruned(s, table, "doc_id", 0L, 99L)
+        .withColumn("via", lit("id"))
+      val byChars = TxnLog.readPruned(s, table, "n_chars", 460L, Long.MaxValue)
+        .withColumn("via", lit("chars"))
+      byId.unionByName(byChars)
+        .select("via", "doc_id", "lang", "n_chars")
+        .orderBy("via", "doc_id")
+    }),
+
     // Stats-driven data skipping: write the table partitioned by
     // source, ANALYZE n_chars into the _stats sidecar, then answer a
     // high-end range query through the sidecar — partitions whose
@@ -370,6 +435,26 @@ object LakeQueries extends QueryModule {
     "q_txn_skip" ->
       """SELECT doc_id, lang, n_chars FROM documents
         | WHERE n_chars >= 460 ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    "q_txn_sql_dml" ->
+      """SELECT lang, count(*) AS row_cnt, sum(nc)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM (SELECT doc_id, lang,
+        |   CASE WHEN doc_id % 11 = 0 THEN 0
+        |        WHEN doc_id % 7 = 0 THEN n_chars + 1000
+        |        ELSE n_chars END AS nc
+        |  FROM documents
+        |  WHERE doc_id % 11 = 0 OR doc_id % 9 <> 0)
+        | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_skip2" ->
+      """SELECT * FROM (
+        |  SELECT 'id' AS via, doc_id, lang, n_chars FROM documents
+        |   WHERE doc_id <= 99
+        |  UNION ALL
+        |  SELECT 'chars' AS via, doc_id, lang, n_chars FROM documents
+        |   WHERE n_chars >= 460)
+        | ORDER BY via, doc_id""".stripMargin.replace("\n", ""),
 
     "q_txn_delete_mor" ->
       """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,

@@ -117,6 +117,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     fs(d).exists(new Path(d, "_log"))
   }
 
+  /** The txn-table directory behind `ident`, when it is one — the
+    * SQL-DML parser intercept ([[graft.plans.TxnSqlDml]]) resolves
+    * targets through this. */
+  private[graft] def txnDirIfExists(ident: Identifier): Option[String] =
+    if (isTxnTable(ident)) Some(txnPath(ident).toString) else None
+
   override def tableExists(ident: Identifier): Boolean = {
     val p = tablePath(ident)
     fs(p).exists(p) || isTxnTable(ident)
@@ -137,10 +143,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** SQL time travel over [[TxnLog]] tables:
-    * `SELECT … FROM graft.ns.tbl VERSION AS OF 3`. */
+    * `SELECT … FROM graft.ns.tbl VERSION AS OF 3`. A non-numeric
+    * version is a USER error — surface it as one, not as a raw
+    * NumberFormatException that reads like an engine crash. */
   override def loadTable(ident: Identifier, version: String): Table =
-    if (isTxnTable(ident)) txnTable(ident, Some(version.toLong))
-    else throw new UnsupportedOperationException(
+    if (isTxnTable(ident)) {
+      val v =
+        try version.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"VERSION AS OF on $ident needs a numeric commit version, " +
+              s"got '$version' (use TIMESTAMP AS OF for time strings)")
+        }
+      txnTable(ident, Some(v))
+    } else throw new UnsupportedOperationException(
       s"$ident is not a transaction-log table; VERSION AS OF needs a _log")
 
   /** `TIMESTAMP AS OF` resolves to the newest commit whose version
@@ -156,32 +172,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .filter(st => st.getPath.getName.startsWith("v"))
       .filter(_.getModificationTime <= cutoffMs)
       .map(_.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong)
-    if (versions.isEmpty) throw new NoSuchTableException(ident)
+    // A too-early timestamp is NOT "table not found" — the table
+    // exists; the request predates its first commit. Say so.
+    if (versions.isEmpty) throw new IllegalArgumentException(
+      s"TIMESTAMP AS OF on $ident: the timestamp is before the table's " +
+        "earliest available commit — nothing to travel to")
     txnTable(ident, Some(versions.max))
   }
 
-  /** Resolve the snapshot through the log and hand Spark's own V2
-    * parquet table the EXPLICIT file list — scans stay vectorized with
-    * pushdown while version isolation comes from the path set alone.
-    * Tables carrying live deletion vectors are refused: a bare parquet
-    * scan cannot apply the mask, and silently over-reading deleted
-    * rows would be a correctness hole ([[TxnLog.read]] is the masked
-    * path). */
-  private def txnTable(ident: Identifier, version: Option[Long]): Table = {
-    val dir = txnPath(ident).toString
-    val spark = SparkSession.active
-    val full = TxnLog.snapshotFull(spark, dir, version)
-    if (full.exists(_._2.dv.isDefined))
-      throw new UnsupportedOperationException(
-        s"$ident has deletion vectors at ${version.fold("latest")(v => s"v$v")}; " +
-          "SQL scans cannot apply the mask — compact the table or read " +
-          "via TxnLog.read")
-    val paths = full.map { case (p, _) => s"$dir/$p" }
-    ParquetTable(ident.toString + version.fold("")(v => s"@v$v"),
-      spark,
-      new CaseInsensitiveStringMap(Map("path" -> dir).asJava),
-      paths, userSpecifiedSchema = None, classOf[ParquetFileFormat])
-  }
+  /** Resolve through the log and hand back the [[TxnTable]] face:
+    * scans delegate to Spark's V2 parquet table over the snapshot's
+    * EXPLICIT file list (vectorized, pushdown, version isolation from
+    * the path set alone), schema comes from the LOG (round-10 advice:
+    * plain inference forked the SQL view of schema-evolved tables),
+    * deletion vectors apply via the masked-read rewrite, and the
+    * table is WRITABLE — `INSERT INTO`/`INSERT OVERWRITE` publish
+    * through the log's commit protocol. */
+  private def txnTable(ident: Identifier, version: Option[Long]): Table =
+    new TxnTable(ident.toString, txnPath(ident).toString, version)
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(

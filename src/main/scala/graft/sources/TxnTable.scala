@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The DataSourceV2 face of a [[TxnLog]] table — what
+  * [[GraftCatalog.loadTable]] returns for a `_log`-carrying directory,
+  * giving the lakehouse a full SQL front door:
+  *
+  *  - READS delegate scan building to Spark's own V2 parquet table
+  *    over the snapshot's EXPLICIT file list, so scans stay vectorized
+  *    with pushdown/pruning while version isolation comes from the
+  *    path set alone (the file list is pinned at `loadTable`, one
+  *    consistent snapshot per statement). Tables carrying live
+  *    deletion vectors are rewritten to the DV-masked logical plan by
+  *    [[graft.plans.TxnSqlDml.MaskedReadRule]] before scan planning —
+  *    [[newScanBuilder]] only ever sees mask-free snapshots and throws
+  *    otherwise (a bare scan silently over-reading deleted rows would
+  *    be a correctness hole).
+  *  - WRITES (`INSERT INTO` / `INSERT OVERWRITE`) go through the V1
+  *    write fallback (`V1_BATCH_WRITE`): the staged-commit protocol in
+  *    [[TxnLog.append]]/[[TxnLog.overwrite]] IS a commit protocol —
+  *    re-expressing it as a DSv2 `BatchWrite` would duplicate the
+  *    atomicity machinery the log already provides, so the table hands
+  *    Spark an `InsertableRelation` and lets the log publish. Schema
+  *    validation is two-layered: Spark aligns the INSERT's columns to
+  *    [[schema]] (position + cast), then the log's own enforcement
+  *    re-checks at commit time.
+  *
+  * DELETE/UPDATE/MERGE arrive via the parser interception in
+  * [[graft.plans.TxnSqlDml]] (see there for why the analyzer's own
+  * row-level path can't be joined from an extension) and run the log's
+  * native DML — pruned COW delete, MoR update, file-pruned merge. */
+class TxnTable(identName: String, val dir: String, val snapshotVersion: Option[Long])
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Snapshot pinned at table-load (= statement) time. */
+  val files: Seq[(String, TxnLog.FileState)] =
+    TxnLog.snapshotFull(spark, dir, snapshotVersion)
+
+  def hasDvs: Boolean = files.exists(_._2.dv.isDefined)
+
+  override def name(): String = identName + snapshotVersion.fold("")(v => s"@v$v")
+
+  override val schema: StructType =
+    TxnLog.tableSchema(spark, dir, snapshotVersion).getOrElse(
+      // Pre-schema-tracking log: one merged-footer read, same answer
+      // the API path (TxnLog.read's mergeSchema scan) presents.
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.map { case (p, _) => s"$dir/$p" }: _*).schema)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  private def parquetDelegate: ParquetTable =
+    ParquetTable(name(), spark,
+      new CaseInsensitiveStringMap(Map("path" -> dir).asJava),
+      files.map { case (p, _) => s"$dir/$p" },
+      userSpecifiedSchema = Some(schema), classOf[ParquetFileFormat])
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (hasDvs)
+      throw new UnsupportedOperationException(
+        s"${name()} carries live deletion vectors and this session has no " +
+          "graft extensions to apply the mask — enable graft.GraftExtensions " +
+          "(spark.sql.extensions) or read via TxnLog.read")
+    parquetDelegate.newScanBuilder(options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (snapshotVersion.isDefined)
+      throw new UnsupportedOperationException(
+        s"cannot write to time-traveled snapshot ${name()}: writes go to " +
+          "the table's tip")
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val s = data.sparkSession
+              if (replace || overwrite) TxnLog.overwrite(s, dir, data)
+              else TxnLog.append(s, dir, data)
+              ()
+            }
+          }
+      }
+    }
+  }
+}

@@ -32,6 +32,23 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** A DataFrame's analyzed logical plan (`queryExecution` lives on the
+    * classic Dataset only since the Connect split). */
+  def planOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed
+
+  /** Look up a registered V2 catalog plugin by name (`CatalogManager`
+    * is `private[sql]`); None when no such catalog is registered. */
+  def catalogPlugin(spark: org.apache.spark.sql.SparkSession, name: String)
+      : Option[org.apache.spark.sql.connector.catalog.CatalogPlugin] = {
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager
+    try Some(cm.catalog(name))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Apply an extensions installer and materialize its function
     * injections into a fresh registry (`registerFunctions` is
     * `private[sql]`) — lets tests exercise the REAL

@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftCatalog, TxnLog}
+
+/** SQL DML over the transaction log: INSERT through the DSv2 write,
+  * DELETE/UPDATE/MERGE through the parser intercept, and DV-masked
+  * SELECTs through the resolution rule — the full SQL front door of
+  * the lakehouse, running in a dedicated session with the REAL
+  * `spark.sql.extensions` wiring (the shared test session is
+  * extension-free by design). */
+class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val dml: SparkSession = GraftSqlDmlSpec.session
+
+  private lazy val root: String = {
+    val r = s"${sys.props("java.io.tmpdir")}/graft_sqldml_${System.nanoTime()}"
+    dml.conf.set("spark.sql.catalog.lake", classOf[GraftCatalog].getName)
+    dml.conf.set("spark.sql.catalog.lake.root", r)
+    r
+  }
+
+  private def freshTable(name: String, rows: Seq[(Long, String)]): String = {
+    import dml.implicits._
+    val dir = s"$root/ns/$name"
+    TxnLog.create(dml, dir, rows.toDF("id", "s"))
+    dir
+  }
+
+  private def content(table: String): Set[(Long, String)] = {
+    import dml.implicits._
+    dml.sql(s"SELECT id, s FROM lake.ns.$table")
+      .as[(Long, String)].collect().toSet
+  }
+
+  test("INSERT INTO appends one commit; INSERT OVERWRITE replaces and " +
+       "the old content still time-travels") {
+    val dir = freshTable("t_ins", Seq((1L, "a"), (2L, "b")))
+    dml.sql("INSERT INTO lake.ns.t_ins VALUES (3, 'c'), (4, 'd')")
+    assert(content("t_ins") === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(TxnLog.latestVersion(dml, dir) === 1L, "one commit per INSERT")
+    // The API read agrees — both surfaces resolve the same log.
+    assert(TxnLog.read(dml, dir).count() === 4)
+
+    dml.sql("INSERT OVERWRITE lake.ns.t_ins VALUES (9, 'z')")
+    assert(content("t_ins") === Set((9L, "z")))
+    assert(dml.sql("SELECT count(*) AS n FROM lake.ns.t_ins VERSION AS OF 1")
+      .head().getLong(0) === 4, "pre-overwrite snapshot must survive")
+  }
+
+  test("DELETE FROM routes to the pruned COW delete (alias and " +
+       "qualified columns included)") {
+    val dir = freshTable("t_del",
+      (0L to 9L).map(i => (i, s"r$i")))
+    dml.sql("DELETE FROM lake.ns.t_del WHERE id % 2 = 0")
+    assert(content("t_del").map(_._1) === Set(1L, 3L, 5L, 7L, 9L))
+    // Alias-qualified condition resolves after qualifier stripping.
+    dml.sql("DELETE FROM lake.ns.t_del AS x WHERE x.id = 1")
+    assert(content("t_del").map(_._1) === Set(3L, 5L, 7L, 9L))
+    // COW: no deletion vectors in the snapshot.
+    assert(TxnLog.snapshotFull(dml, dir).forall(_._2.dv.isEmpty))
+    val ops = TxnLog.history(dml, dir).select("operation")
+      .collect().map(_.getString(0))
+    assert(ops.count(_.startsWith("REWRITE")) === 2)
+  }
+
+  test("UPDATE routes to the merge-on-read update and SELECT applies " +
+       "the deletion-vector mask") {
+    val dir = freshTable("t_upd",
+      (0L to 5L).map(i => (i, s"v$i")))
+    dml.sql("UPDATE lake.ns.t_upd SET s = concat(s, '!') WHERE id >= 3")
+    // MoR: the mask is live, no data file was rewritten.
+    val snap = TxnLog.snapshotFull(dml, dir)
+    assert(snap.exists(_._2.dv.isDefined), "UPDATE must land merge-on-read")
+    // The SQL scan must see exactly the API view (masked + copies).
+    assert(content("t_upd") ===
+      Set((0L, "v0"), (1L, "v1"), (2L, "v2"),
+        (3L, "v3!"), (4L, "v4!"), (5L, "v5!")))
+    assert(dml.sql("SELECT count(*) AS n FROM lake.ns.t_upd")
+      .head().getLong(0) === 6, "update must not change the row count")
+    // Aggregations and filters work through the masked plan too.
+    assert(dml.sql(
+      "SELECT count(*) AS n FROM lake.ns.t_upd WHERE s LIKE '%!'")
+      .head().getLong(0) === 3)
+  }
+
+  test("MERGE INTO runs the serializable upsert; SQL and API agree") {
+    val dir = freshTable("t_mrg", Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    dml.sql(
+      """MERGE INTO lake.ns.t_mrg AS t
+        |USING (SELECT col1 AS id, col2 AS s FROM VALUES (2, 'B'), (9, 'I')) src
+        |ON t.id = src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(content("t_mrg") ===
+      Set((1L, "a"), (2L, "B"), (3L, "c"), (9L, "I")))
+    // One atomic commit; the pre-merge version travels.
+    assert(dml.sql("SELECT count(*) AS n FROM lake.ns.t_mrg VERSION AS OF 0")
+      .head().getLong(0) === 3)
+    // A query (not VALUES) as the source.
+    dml.sql(
+      """MERGE INTO lake.ns.t_mrg t
+        |USING (SELECT id + 100 AS id, upper(s) AS s FROM lake.ns.t_mrg) u
+        |ON t.id = u.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(content("t_mrg").size === 8)
+  }
+
+  test("unsupported DML shapes fail loudly with the reason; non-txn " +
+       "tables are untouched by the intercept") {
+    freshTable("t_err", Seq((1L, "a")))
+    val e1 = intercept[UnsupportedOperationException] {
+      dml.sql(
+        """MERGE INTO lake.ns.t_err t
+          |USING (SELECT col1 AS id, col2 AS s FROM VALUES (1,'x')) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e1.getMessage.contains("supports exactly"))
+    val e2 = intercept[UnsupportedOperationException] {
+      dml.sql(
+        "DELETE FROM lake.ns.t_err WHERE id IN (SELECT id FROM lake.ns.t_err)")
+    }
+    assert(e2.getMessage.contains("subqueries"))
+    // DML on a PLAIN parquet table passes through to Spark's own error.
+    import dml.implicits._
+    Seq((1L, "x")).toDF("id", "s").write.mode("overwrite")
+      .parquet(s"$root/ns/plain.parquet")
+    val e3 = intercept[Exception] {
+      dml.sql("DELETE FROM lake.ns.plain WHERE id = 1")
+    }
+    assert(!e3.isInstanceOf[UnsupportedOperationException] ||
+      !e3.getMessage.contains("graft"),
+      s"plain-table DML must surface Spark's own error, got: ${e3.getMessage}")
+  }
+
+  test("schema enforcement reaches the SQL write path: a mistyped " +
+       "INSERT fails, the log stays clean") {
+    val dir = freshTable("t_enf", Seq((1L, "a")))
+    val before = TxnLog.latestVersion(dml, dir)
+    intercept[Exception] {
+      // Too many columns: Spark's own insert-schema alignment rejects.
+      dml.sql("INSERT INTO lake.ns.t_enf VALUES (2, 'b', 42)")
+    }
+    assert(TxnLog.latestVersion(dml, dir) === before)
+    assert(content("t_enf") === Set((1L, "a")))
+  }
+
+  test("writes to a time-traveled snapshot are refused") {
+    freshTable("t_tt", Seq((1L, "a")))
+    dml.sql("INSERT INTO lake.ns.t_tt VALUES (2, 'b')")
+    val e = intercept[Exception] {
+      dml.sql("INSERT INTO lake.ns.t_tt VERSION AS OF 0 VALUES (3, 'c')")
+    }
+    // Either the parser refuses the syntax or the table refuses the
+    // write — both are fine; silent tip-redirect is not.
+    assert(TxnLog.read(dml, s"$root/ns/t_tt").count() === 2)
+  }
+
+  test("a MoR-masked table joins and aggregates correctly through SQL " +
+       "(the masked plan keeps exprId identity)") {
+    import dml.implicits._
+    val dir = freshTable("t_join", (0L to 9L).map(i => (i, s"k${i % 3}")))
+    TxnLog.deleteMoR(dml, dir, col("id") >= 6)
+    val got = dml.sql(
+      """SELECT a.s, count(*) AS n
+        |FROM lake.ns.t_join a JOIN lake.ns.t_join b ON a.id = b.id
+        |GROUP BY a.s ORDER BY a.s""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("k0", 2L), ("k1", 2L), ("k2", 2L)))
+  }
+}
+
+object GraftSqlDmlSpec {
+  /** A second session on the shared SparkContext with the REAL
+    * extensions config — built once, with the suite-shared session
+    * restored as default so other suites are unaffected. */
+  lazy val session: SparkSession = {
+    val base = SparkSpec.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-dml-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // withExtensions, not the config key: the extensions CONFIG is
+      // read from the SparkContext's conf, which is already fixed by
+      // the shared test context — builder-level configs can't add it.
+      .withExtensions(ext => new GraftExtensions()(ext))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    s
+  }
+}
