@@ -1,0 +1,230 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+
+/** Two-level EXACT nearest-centroid index over a trained centroid set —
+  * the kill for the Lloyd/ANN family's O(n·K) assign stage (the one
+  * round-10 `weak` mark). The flat form cross-joined every corpus
+  * vector against all K centroids; with derived K = n/2048 that is
+  * n²/2048 dot products — the third-decade wall. This index groups the
+  * K fine centroids under Kc ≈ √K coarse centers (a driver-side
+  * clustering of the K-row model — centroids, not corpus) and answers
+  * each row's argmin by scanning the Kc coarse centers, then only the
+  * member lists of groups that survive a triangle-inequality bound:
+  *
+  *   d(v, f) ≥ d(v, coarse(f)) − max_radius(coarse(f))
+  *
+  * (Euclidean distances; the engine's µ²-unit squared distances
+  * compare after a guarded sqrt with conservative slack, so a group is
+  * skipped ONLY when provably worse than the current best — ties
+  * included.) The result is therefore BIT-IDENTICAL to the flat
+  * argmin with the (dist_u, cid) tie-break: same oracles, same hashes,
+  * no recall knob — typical row cost ~2·√K dot folds instead of K,
+  * worst-case (adversarial geometry) the flat cost.
+  *
+  * The index is built once per assignment from the K-row trained model
+  * (the same rows the old crossJoin broadcast shipped — no new driver
+  * state) and rides the expression as a reference object, inside
+  * whole-stage codegen.
+  */
+final class CentroidIndex(
+    val cids: Array[Long],
+    val vecs: Array[Array[Long]],
+    val norms: Array[Long],
+    coarseVecs: Array[Array[Long]],
+    coarseNorms: Array[Long],
+    members: Array[Array[Int]],
+    radius: Array[Double]) extends Serializable {
+
+  def k: Int = cids.length
+  def kCoarse: Int = coarseVecs.length
+
+  /** Dot folds actually performed since construction (per-JVM,
+    * approximate under concurrency) — the "assign work is sub-n·K"
+    * measurement hook. */
+  val probes = new java.util.concurrent.atomic.AtomicLong()
+
+  private def dot(a: Array[Long], b: ArrayData): Long = {
+    var s = 0L; var i = 0
+    val n = a.length
+    while (i < n) { s += a(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  /** Exact argmin of ‖v−c‖² in µ² units over all K centroids, ties to
+    * the smaller cid — identical to the flat min(struct(dist_u, cid)).
+    * Returns an InternalRow(dist_u, cid) for the struct result. */
+  def assign(eu: ArrayData, n2u: Long): InternalRow = {
+    val kc = coarseVecs.length
+    val cd = new Array[Long](kc)
+    var work = 0L
+    var g = 0
+    while (g < kc) {
+      cd(g) = n2u + coarseNorms(g) - 2L * dot(coarseVecs(g), eu)
+      g += 1
+    }
+    work += kc
+    // Visit groups in ascending coarse distance (insertion sort on the
+    // index array — Kc is ~√K, tiny).
+    val order = Array.tabulate(kc)(identity)
+    var i = 1
+    while (i < kc) {
+      val x = order(i); val dx = cd(x)
+      var j = i - 1
+      while (j >= 0 && cd(order(j)) > dx) { order(j + 1) = order(j); j -= 1 }
+      order(j + 1) = x
+      i += 1
+    }
+    var best = Long.MaxValue
+    var bestCid = Long.MaxValue
+    var oi = 0
+    while (oi < kc) {
+      val grp = order(oi)
+      val dvc2 = cd(grp)
+      // Prune: every child f of grp has d(v,f) ≥ (sqrt(dvc2) − r)²
+      // when sqrt(dvc2) > r. Conservative slack keeps the bound a true
+      // lower bound under double rounding; equality never prunes, so
+      // ties always survive to the exact compare.
+      val lb = math.sqrt(math.max(0L, dvc2).toDouble) * (1.0 - 1e-12) - radius(grp)
+      val skip = best != Long.MaxValue && lb > 0.0 &&
+        lb * lb * (1.0 - 1e-12) - 1.0 > best.toDouble
+      if (!skip) {
+        val m = members(grp)
+        var mi = 0
+        while (mi < m.length) {
+          val f = m(mi)
+          val d = n2u + norms(f) - 2L * dot(vecs(f), eu)
+          if (d < best || (d == best && cids(f) < bestCid)) {
+            best = d; bestCid = cids(f)
+          }
+          mi += 1
+        }
+        work += m.length
+      }
+      oi += 1
+    }
+    probes.addAndGet(work)
+    new GenericInternalRow(Array[Any](best, bestCid))
+  }
+}
+
+object CentroidIndex {
+
+  /** Build the two-level index from the trained model rows
+    * (cid, c_u, c2u). Grouping is a short driver-side k-means over the
+    * K centroids themselves (K rows, never corpus data): Kc = ⌈√K⌉
+    * seeds from the cid order, 4 refinement sweeps in double
+    * arithmetic. The grouping affects ONLY pruning efficiency, never
+    * results — any partition of the centroids yields the same exact
+    * argmin. */
+  def build(model: Seq[(Long, Array[Long], Long)]): CentroidIndex = {
+    val sorted = model.sortBy(_._1).toArray
+    val k = sorted.length
+    require(k > 0, "empty centroid model")
+    val dim = sorted.head._2.length
+    val vecs = sorted.map(_._2)
+    val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    // Driver k-means over the K centroid vectors (doubles are fine:
+    // grouping quality only).
+    var centers = Array.tabulate(kc)(i => vecs(i * k / kc).map(_.toDouble))
+    var assign = new Array[Int](k)
+    var sweep = 0
+    while (sweep < 4) {
+      var i = 0
+      while (i < k) {
+        var bg = 0; var bd = Double.MaxValue
+        var g = 0
+        while (g < kc) {
+          var d = 0.0; var p = 0
+          while (p < dim) {
+            val t = vecs(i)(p).toDouble - centers(g)(p); d += t * t; p += 1
+          }
+          if (d < bd) { bd = d; bg = g }
+          g += 1
+        }
+        assign(i) = bg
+        i += 1
+      }
+      val sums = Array.fill(kc)(new Array[Double](dim))
+      val cnt = new Array[Int](kc)
+      i = 0
+      while (i < k) {
+        val g = assign(i); cnt(g) += 1
+        var p = 0
+        while (p < dim) { sums(g)(p) += vecs(i)(p).toDouble; p += 1 }
+        i += 1
+      }
+      centers = Array.tabulate(kc)(g =>
+        if (cnt(g) == 0) centers(g)
+        else sums(g).map(_ / cnt(g)))
+      sweep += 1
+    }
+    // Materialize integer coarse centers (exact long arithmetic in the
+    // hot loop) + per-group members and a SAFE (rounded-up) radius.
+    val groups = (0 until kc).map(g =>
+      (0 until k).filter(assign(_) == g).toArray).toArray
+    val live = groups.zipWithIndex.filter(_._1.nonEmpty)
+    val coarseVecs = live.map { case (m, g) =>
+      centers(g).map(x => math.round(x))
+    }
+    val coarseNorms = coarseVecs.map(c => c.map(x => x * x).sum)
+    val members = live.map(_._1)
+    val radius = members.zip(coarseVecs).map { case (m, c) =>
+      m.map { i =>
+        var d = 0L; var p = 0
+        while (p < dim) { val t = vecs(i)(p) - c(p); d += t * t; p += 1 }
+        math.sqrt(d.toDouble) * (1.0 + 1e-12) + 1e-9
+      }.max
+    }
+    new CentroidIndex(sorted.map(_._1), vecs, sorted.map(_._3),
+      coarseVecs, coarseNorms, members, radius)
+  }
+
+  /** Column form: struct(dist_u, cid) of the exact nearest centroid. */
+  def nearest(eu: Column, n2u: Column, index: CentroidIndex): Column =
+    Bridge.column(NearestCellExpr(
+      Bridge.expression(eu), Bridge.expression(n2u), index))
+}
+
+/** `nearest_cell(e_u, n2u)` with the [[CentroidIndex]] riding as a
+  * codegen reference object — one virtual call per row into the
+  * pruned exact argmin; stays inside whole-stage codegen. */
+final case class NearestCellExpr(left: Expression, right: Expression,
+                                 index: CentroidIndex)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"nearest_cell requires (array<bigint>, bigint), got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist_u", LongType, nullable = false),
+    StructField("cid", LongType, nullable = false)))
+  override def prettyName: String = "nearest_cell"
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    index.assign(l.asInstanceOf[ArrayData], r.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("cindex", index,
+      classOf[CentroidIndex].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $idx.assign($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCellExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -98,6 +98,81 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** LEARNED-EMBEDDING inference kernel — the hashing-trick linear
+    * projection (feature hashing, Weinberger et al. 2009; the fastText
+    * n-gram embedding shape): the blob's character 3-grams hash to
+    * buckets, each bucket carries an 8-dim integer weight row DERIVED
+    * FROM THE HASH (56 of hash60's 60 bits, 7 bits/dim, centered on
+    * 0 — a frozen random projection, the standard stand-in for learned
+    * weights when no trained matrix ships), and the embedding is the
+    * per-dim weight sum over all grams. This replaces the round-10
+    * byte-histogram stand-in with a REAL inference shape: tokenizer →
+    * hashed lookup → accumulate, integer arithmetic end-to-end so
+    * DuckDB mirrors every component exactly (hash60 is the engine's
+    * mirrored hash). The batch plumbing is [[inferEmbedding]]'s
+    * mapPartitions pass — per-partition "model load" (the digest
+    * instance), per-row inference, exactly the Pandas-UDF batch shape
+    * a torch encoder would use. */
+  object EmbedKernel {
+    val dim = 8
+
+    /** JVM twin of `TextFunctions.hash60` (first 15 hex chars of md5
+      * as a 60-bit long) for kernel-side use — one digest instance per
+      * partition, reset per call. */
+    final class Hasher {
+      private val md = java.security.MessageDigest.getInstance("MD5")
+      def hash60(s: String): Long = {
+        val d0 = md.digest(s.getBytes("UTF-8"))
+        var v = 0L
+        var i = 0
+        // 15 hex chars = 60 bits = 7.5 bytes: 7 full bytes + high nibble.
+        while (i < 7) { v = (v << 8) | (d0(i) & 0xFFL); i += 1 }
+        (v << 4) | ((d0(7) & 0xF0L) >> 4)
+      }
+    }
+
+    /** (n_grams, embedding) of one blob. The blob is read as UTF-8
+      * text (the fixture contract; a trained byte-level model would
+      * hash byte n-grams the same way). Empty/short blobs embed as the
+      * zero vector with n_grams = 0. */
+    def embed(bytes: Array[Byte], h: Hasher): (Long, Array[Long]) = {
+      val acc = new Array[Long](dim)
+      if (bytes == null) return (0L, acc)
+      val s = new String(bytes, "UTF-8")
+      val n = s.length - 2
+      if (n <= 0) return (0L, acc)
+      var i = 0
+      while (i < n) {
+        val bucket = h.hash60(s.substring(i, i + 3))
+        val w = h.hash60("w:" + bucket)
+        var d2 = 0
+        while (d2 < dim) {
+          acc(d2) += ((w >>> (7 * d2)) & 127L) - 64L
+          d2 += 1
+        }
+        i += 1
+      }
+      (n.toLong, acc)
+    }
+  }
+
+  /** Batched embedding inference over a media table: adds
+    * (`n_grams` long, `embedding` array<long>) per row — the
+    * [[extractFeatures]] batch contract with [[EmbedKernel]] as the
+    * model. */
+  def inferEmbedding(df: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    val outSchema = df.schema
+      .add("n_grams", LongType).add("embedding", ArrayType(LongType))
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      val hasher = new EmbedKernel.Hasher // per-partition "model load"
+      it.map { row =>
+        val (n, e) = EmbedKernel.embed(row.getAs[Array[Byte]](idx), hasher)
+        Row.fromSeq(row.toSeq :+ n :+ e.toSeq)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Resize stub: deterministic byte truncation standing in for a real
     * scaler; the meta struct is updated for real (the part downstream
     * pruning depends on). */

@@ -123,6 +123,24 @@ object MultimodalQueries extends QueryModule {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // Learned-embedding INFERENCE over the media table — the hashed
+    // 3-gram linear projection ([[Multimodal.EmbedKernel]]): integer
+    // weights derived from the mirrored hash60, so DuckDB recomputes
+    // the whole forward pass — tokenize, hash, weight lookup,
+    // accumulate — and the 8 embedding dims compare exactly. The
+    // round-10 byte-histogram stand-in is retired; this is the real
+    // inference batch shape (per-partition model init, per-row
+    // forward) with a verifiable model.
+    "q_embed_infer" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(Tables.documents(s, d))
+        .select(col("media_id"), col("bytes"))
+      val embedded = Multimodal.inferEmbedding(media)
+      val dims = (0 until Multimodal.EmbedKernel.dim).map(i =>
+        element_at(col("embedding"), i + 1).as(s"e${i + 1}"))
+      embedded.select(Seq(col("media_id"), col("n_grams")) ++ dims: _*)
+        .orderBy("media_id")
+    }),
+
     "q_multimodal_features" -> ((s, d) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
       // Exact count of bytes in histogram bin i, recovered from the
@@ -238,6 +256,27 @@ object MultimodalQueries extends QueryModule {
         | ((doc_id % 7) * 1000 + 1000)::BIGINT AS duration_ms
         | FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id"""
         .stripMargin.replace("\n", ""),
+
+    "q_embed_infer" -> {
+      val wExpr = graft.queries.OracleSql.hash60(
+        s"'w:' || (${graft.queries.OracleSql.hash60("gram")})::VARCHAR")
+      val dims = (0 until graft.multimodal.Multimodal.EmbedKernel.dim)
+      val sums = dims.map(i =>
+        s"sum(((w >> ${7 * i}) & 127) - 64)::BIGINT AS e${i + 1}").mkString(", ")
+      val outs = dims.map(i =>
+        s"coalesce(e${i + 1}, 0)::BIGINT AS e${i + 1}").mkString(", ")
+      s"""WITH gr AS (SELECT doc_id, substr(text, i, 3) AS gram
+         |   FROM (SELECT doc_id, text,
+         |      unnest(range(1, greatest(strlen(text) - 1, 1))) AS i
+         |     FROM documents)),
+         | hw AS (SELECT doc_id, $wExpr AS w FROM gr),
+         | e AS (SELECT doc_id, count(*)::BIGINT AS n_grams, $sums
+         |   FROM hw GROUP BY doc_id)
+         |SELECT d.doc_id AS media_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+         | $outs
+         | FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id
+         | ORDER BY media_id""".stripMargin.replace("\n", "")
+    },
 
     "q_multimodal_features" ->
       """WITH b AS (SELECT doc_id, text,

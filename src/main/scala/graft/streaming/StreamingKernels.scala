@@ -627,31 +627,28 @@ object StreamingKernels {
     * exactly the (dist_u, cid) argmin the batch `assignMin` computes —
     * so a downstream sink appending (vec_id, cell) rows keeps the
     * persisted cell-partitioned index (q_ann_ivf_persist) current
-    * between full rebuilds. The centroids ride the plan as ONE array
-    * literal (the Bloom-bits / bigram-model pattern): per row the
-    * kernel quantizes to µ-unit longs and folds an integer dot per
-    * centroid inside `transform` + `array_min` — struct ordering on
-    * (dist_u, cid) IS the batch tie-break, all arithmetic exact longs,
-    * so StreamingSpec pins bit-identical parity against `batchAssign`.
-    * NO state, no watermark, no shuffle — append mode, arbitrarily
-    * parallel. The literal path holds while K·dim stays plan-sized
-    * (K = n/2048 is 732 at 100× sf0.1); past that the same assignment
-    * runs as a stream-static broadcast join against the centroid
-    * table — the kernel's arithmetic is unchanged either way. */
+    * between full rebuilds. The model rides the plan as the SAME
+    * two-level [[graft.functions.CentroidIndex]] the batch assign
+    * uses (a codegen reference object, not a K·dim array literal —
+    * the old `transform` + `array_min` literal both bloated the plan
+    * and folded all K dots per row): per row the kernel quantizes to
+    * µ-unit longs and runs the pruned EXACT argmin, whose
+    * (dist_u, cid) tie-break IS the batch tie-break, all arithmetic
+    * exact longs — so StreamingSpec pins bit-identical parity against
+    * `batchAssign`. NO state, no watermark, no shuffle — append mode,
+    * arbitrarily parallel, per-row cost ~2·√K dot folds at any K. */
   def annAssign(vecs: DataFrame,
       centroids: Seq[(Long, Seq[Long], Long)]): DataFrame = {
     require(centroids.nonEmpty, "annAssign needs a trained model")
-    val centLit = typedLit(centroids)
+    val index = graft.functions.CentroidIndex.build(
+      centroids.map(c => (c._1, c._2.toArray, c._3)))
     val vf = graft.functions.VectorFunctions
     vecs // expected columns: (vec_id long, ts timestamp, embedding array<float>)
       .select(col("vec_id"), col("ts"),
         vf.microUnits(col("embedding")).as("e_u"))
       .withColumn("n2u", vf.dotLong(col("e_u"), col("e_u")))
-      .withColumn("m", array_min(transform(centLit, c => struct(
-        (col("n2u") + c.getField("_3")
-          - lit(2L) * vf.dotLong(col("e_u"), c.getField("_2")))
-          .as("dist_u"),
-        c.getField("_1").as("cid")))))
+      .withColumn("m", graft.functions.CentroidIndex.nearest(
+        col("e_u"), col("n2u"), index))
       .select(col("vec_id"), col("ts"),
         col("m.cid").as("cid"), col("m.dist_u").as("dist_u"))
   }

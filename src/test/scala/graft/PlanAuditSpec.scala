@@ -11,8 +11,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  /** q_txn_sql_dml drives DML through SQL text, which needs the
+    * parser/rule extensions — absent from the shared test session by
+    * design; it audits in the extension-wired session instead. */
+  private def sessionFor(name: String) =
+    if (name == "q_txn_sql_dml") GraftSqlDmlSpec.session else spark
+
   private def formatted(name: String): String =
-    SparkEntry.queries(name)(spark, sf)
+    SparkEntry.queries(name)(sessionFor(name), sf)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
 
   test("no query plans a CartesianProduct — ever") {
@@ -240,6 +246,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),
       s"index scan not dynamically pruned:\n${plan.take(4000)}")
+  }
+
+  test("q_hybrid_rrf: the semantic arm reads the persisted IVF index " +
+       "with dynamic cell pruning (round-10: it brute-scanned the corpus)") {
+    val df = SparkEntry.queries("q_hybrid_rrf")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"hybrid semantic arm not dynamically pruned:\n${plan.take(4000)}")
   }
 
   test("LSH/dedup-family staged tables are cached once and read at every consumer") {
