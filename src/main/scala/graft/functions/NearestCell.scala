@@ -47,10 +47,22 @@ final class CentroidIndex(
   def k: Int = cids.length
   def kCoarse: Int = coarseVecs.length
 
-  /** Dot folds actually performed since construction (per-JVM,
-    * approximate under concurrency) — the "assign work is sub-n·K"
-    * measurement hook. */
-  val probes = new java.util.concurrent.atomic.AtomicLong()
+  /** Dot folds actually performed since construction — the "assign
+    * work is sub-n·K" measurement hook. A striped LongAdder, NOT an
+    * AtomicLong: 32 scan threads incrementing one atomic per row is a
+    * cache-line ping-pong that measurably taxed the x100 assign. */
+  val probes = new java.util.concurrent.atomic.LongAdder()
+
+  /** Per-thread scratch (coarse distances + visit order): the assign
+    * runs once per corpus ROW, and per-row array allocation at 60 M
+    * rows × Kc entries is pure GC churn. Expression eval is
+    * single-threaded per task, so thread-locals are safe. Transient —
+    * ThreadLocal is not serializable and the index rides the plan to
+    * executors; each JVM lazily rebuilds its own. */
+  @transient private lazy val scratch = new ThreadLocal[(Array[Long], Array[Int])] {
+    override def initialValue(): (Array[Long], Array[Int]) =
+      (new Array[Long](coarseVecs.length), new Array[Int](coarseVecs.length))
+  }
 
   private def dot(a: Array[Long], b: ArrayData): Long = {
     var s = 0L; var i = 0
@@ -62,19 +74,18 @@ final class CentroidIndex(
   /** Exact argmin of ‖v−c‖² in µ² units over all K centroids, ties to
     * the smaller cid — identical to the flat min(struct(dist_u, cid)).
     * Returns an InternalRow(dist_u, cid) for the struct result. */
-  def assign(eu: ArrayData, n2u: Long): InternalRow = {
+  /** Fill the per-thread scratch with coarse distances and the
+    * ascending-distance visit order; returns the scratch pair. */
+  private def coarsePass(eu: ArrayData, n2u: Long): (Array[Long], Array[Int]) = {
+    val (cd, order) = scratch.get()
     val kc = coarseVecs.length
-    val cd = new Array[Long](kc)
-    var work = 0L
     var g = 0
     while (g < kc) {
       cd(g) = n2u + coarseNorms(g) - 2L * dot(coarseVecs(g), eu)
+      order(g) = g
       g += 1
     }
-    work += kc
-    // Visit groups in ascending coarse distance (insertion sort on the
-    // index array — Kc is ~√K, tiny).
-    val order = Array.tabulate(kc)(identity)
+    // Insertion sort on the index array — Kc is ~√K, tiny.
     var i = 1
     while (i < kc) {
       val x = order(i); val dx = cd(x)
@@ -83,6 +94,13 @@ final class CentroidIndex(
       order(j + 1) = x
       i += 1
     }
+    (cd, order)
+  }
+
+  def assign(eu: ArrayData, n2u: Long): InternalRow = {
+    val kc = coarseVecs.length
+    val (cd, order) = coarsePass(eu, n2u)
+    var work = kc.toLong
     var best = Long.MaxValue
     var bestCid = Long.MaxValue
     var oi = 0
@@ -111,8 +129,59 @@ final class CentroidIndex(
       }
       oi += 1
     }
-    probes.addAndGet(work)
+    probes.add(work)
     new GenericInternalRow(Array[Any](best, bestCid))
+  }
+
+  /** Exact TOP-M nearest centroids by (dist_u, cid) — the probe-side
+    * fan-out (`keep = nprobe`). Same pruning as [[assign]] against the
+    * CURRENT m-th best (equality never prunes, so a tie that could win
+    * on cid is always examined); result is the first m rows of the
+    * flat `row_number() OVER (ORDER BY dist_u, cid)` window, which is
+    * what the DuckDB oracles compute. Returns an array of
+    * struct(dist_u, cid), ascending. */
+  def assignTop(eu: ArrayData, n2u: Long, m: Int): ArrayData = {
+    val kc = coarseVecs.length
+    val (cd, order) = coarsePass(eu, n2u)
+    var work = kc.toLong
+    // Bounded sorted keep-list (m is nprobe-sized — single digits).
+    val keepD = new Array[Long](m)
+    val keepC = new Array[Long](m)
+    var size = 0
+    def offer(d: Long, c: Long): Unit = {
+      if (size == m && (d > keepD(m - 1) ||
+          (d == keepD(m - 1) && c >= keepC(m - 1)))) return
+      var p = size
+      if (size < m) size += 1 else p = m - 1
+      while (p > 0 && (keepD(p - 1) > d ||
+          (keepD(p - 1) == d && keepC(p - 1) > c))) {
+        keepD(p) = keepD(p - 1); keepC(p) = keepC(p - 1); p -= 1
+      }
+      keepD(p) = d; keepC(p) = c
+    }
+    var oi = 0
+    while (oi < kc) {
+      val grp = order(oi)
+      val dvc2 = cd(grp)
+      val lb = math.sqrt(math.max(0L, dvc2).toDouble) * (1.0 - 1e-12) - radius(grp)
+      val skip = size == m && lb > 0.0 &&
+        lb * lb * (1.0 - 1e-12) - 1.0 > keepD(size - 1).toDouble
+      if (!skip) {
+        val mem = members(grp)
+        var mi = 0
+        while (mi < mem.length) {
+          val f = mem(mi)
+          offer(n2u + norms(f) - 2L * dot(vecs(f), eu), cids(f))
+          mi += 1
+        }
+        work += mem.length
+      }
+      oi += 1
+    }
+    probes.add(work)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate[Any](size)(p =>
+        new GenericInternalRow(Array[Any](keepD(p), keepC(p)))))
   }
 }
 
@@ -192,6 +261,13 @@ object CentroidIndex {
   def nearest(eu: Column, n2u: Column, index: CentroidIndex): Column =
     Bridge.column(NearestCellExpr(
       Bridge.expression(eu), Bridge.expression(n2u), index))
+
+  /** Column form: ascending array<struct(dist_u, cid)> of the exact
+    * `m` nearest centroids (the probe-side `nprobe` fan-out). */
+  def nearestK(eu: Column, n2u: Column, index: CentroidIndex,
+               m: Int): Column =
+    Bridge.column(NearestCellsExpr(
+      Bridge.expression(eu), Bridge.expression(n2u), index, m))
 }
 
 /** `nearest_cell(e_u, n2u)` with the [[CentroidIndex]] riding as a
@@ -226,5 +302,40 @@ final case class NearestCellExpr(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NearestCellExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `nearest_cells(e_u, n2u)` — the top-`m` form of [[NearestCellExpr]]
+  * (probe-side nprobe fan-out): exact, (dist_u, cid)-ordered, pruned. */
+final case class NearestCellsExpr(left: Expression, right: Expression,
+                                  index: CentroidIndex, m: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"nearest_cells requires (array<bigint>, bigint), got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("dist_u", LongType, nullable = false),
+    StructField("cid", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "nearest_cells"
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    index.assignTop(l.asInstanceOf[ArrayData], r.asInstanceOf[Long], m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("cindex", index,
+      classOf[CentroidIndex].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $idx.assignTop($a, $b, $m);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCellsExpr =
     copy(left = newLeft, right = newRight)
 }

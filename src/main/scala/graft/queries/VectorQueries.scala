@@ -489,12 +489,12 @@ object VectorQueries extends QueryModule {
         .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
       val trained = StagedCache.persist(trainCentroids(s, d, ivfLloydIters))
       val index = persistedIvfIndex(s, d, e, trained, tag = "hybidx")
-      val probe = assignNearest(e.filter(col("vec_id") === 42),
+      val probe = withPcell(assignNearest(e.filter(col("vec_id") === 42),
           trained, keep = ivfNProbe)
         .select(col("cid").cast("int").as("cell"),
-          col("embedding").as("pv"), col("nrm").as("pnrm"))
+          col("embedding").as("pv"), col("nrm").as("pnrm")))
       val bySem = Window.orderBy(col("cos_sim").desc, col("doc_id"))
-      val sem = broadcast(probe).join(index, "cell")
+      val sem = broadcast(probe).join(index, Seq("pcell", "cell"))
         .filter(col("cand_id") =!= 42)
         .select(col("cand_id").as("doc_id"),
           round(VectorFunctions.dot(col("pv"), col("cv2"))
@@ -542,23 +542,31 @@ object VectorQueries extends QueryModule {
       VectorFunctions.microUnits(col("embedding")).as("e_u"))
       .withColumn("n2u", VectorFunctions.dotLong(col("e_u"), col("e_u")))
 
-  /** Top-`keep` nearest-centroid assignment via a row_number window —
-    * the PROBE-side form only (a probe batch is corpus/25 here, a tiny
-    * query set in production): the window shuffles every (vector,
-    * centroid) pair row, which is fine for a probe batch and ruinous
-    * for the corpus (n·K pair rows ≈ 20 GB/iteration at 100× sf0.1 —
-    * the measured round-10 wall after derived-K). Corpus-side argmin
-    * goes through [[assignMin]] instead. dist_u is the exact squared
-    * distance in µ² units, identical in both engines by construction
-    * (no float rounding anywhere in the ranking key). */
+  /** Top-`keep` nearest-centroid assignment (the probe-side nprobe
+    * fan-out) — the SAME pruned exact index as [[assignMin]], top-m
+    * form: per probe ~2·√K dot folds instead of the K the old
+    * crossJoin+window form materialized. The window form was "fine for
+    * a probe batch" only while probes stayed tiny relative to K — this
+    * suite's probe set is corpus/25, so at 1000× sf0.1 the probe-side
+    * window was 2.4 M × 29 k = 70 G pair rows, a resurrection of the
+    * exact wall [[assignMin]] killed (caught by the round-11 1000×
+    * measurement run). Results are BIT-IDENTICAL to the
+    * `row_number() OVER (ORDER BY dist_u, cid) <= keep` rows the
+    * DuckDB oracles compute (exact top-m, same total order, ties
+    * included). Output: e.*, dist_u, cid, rn (1-based). */
   private def assignNearest(e: DataFrame, cent: DataFrame,
-      keep: Int): DataFrame =
-    e.crossJoin(broadcast(cent))
-      .withColumn("dist_u", col("n2u") + col("c2u")
-        - lit(2L) * VectorFunctions.dotLong(col("e_u"), col("c_u")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("dist_u"), col("cid"))))
-      .filter(col("rn") <= keep)
+      keep: Int): DataFrame = {
+    val index = graft.functions.CentroidIndex.build(collectModel(cent))
+    val base = e.columns.toSeq
+    e.withColumn("_nk",
+        graft.functions.CentroidIndex.nearestK(col("e_u"), col("n2u"),
+          index, keep))
+      .select(base.map(col) :+ posexplode(col("_nk")).as(Seq("_i0", "_m")): _*)
+      .withColumn("dist_u", col("_m.dist_u"))
+      .withColumn("cid", col("_m.cid"))
+      .withColumn("rn", (col("_i0") + 1).cast("int"))
+      .drop("_i0", "_m")
+  }
 
   /** Nearest-centroid (argmin) assignment of EVERY vector — the 100 TB
     * corpus scan stage of IVF/k-means. The K-row trained model builds
@@ -785,22 +793,36 @@ object VectorQueries extends QueryModule {
       .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
     val trained = StagedCache.persist(trainCentroids(s, d, lloydIters))
     val index = persistedIvfIndex(s, d, e, trained, tag = "ivfidx")
-    val probesR = assignNearest(e.filter(col("vec_id") % 25 === 0),
+    val probesR = withPcell(assignNearest(e.filter(col("vec_id") % 25 === 0),
         trained, keep = nprobe)
       .select(col("cid").cast("int").as("cell"),
         col("vec_id").as("probe_id"),
-        col("embedding").as("pv"), col("nrm").as("pnrm"))
-    topK(broadcast(probesR).join(index, "cell")
+        col("embedding").as("pv"), col("nrm").as("pnrm")))
+    topK(broadcast(probesR).join(index, Seq("pcell", "cell"))
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
         round(VectorFunctions.dot(col("pv"), col("cv2"))
           / (col("pnrm") * col("cnrm")), 6).as("cos_sim")))
   }
 
+  /** Directory fan-out cap for the persisted index: cells hash into at
+    * most this many partition DIRECTORIES. With derived K the cell
+    * count grows with the corpus — partitioning by raw cell wrote 29 k
+    * directories × writer-task files at 1000× sf0.1 (a filesystem
+    * metadata storm measured at ~2× the whole query); hashing cells
+    * into a bounded pcell keeps the layout metadata-sane while probes
+    * still prune: a probe batch touches ≤ nprobe·batch pcells of 1024.
+    * Below the cap (every oracle SF) pcell ≡ cell — layout unchanged. */
+  private val ivfMaxDirs = 1024
+
   /** Build (or rebuild) the cell-partitioned inverted-file dataset and
-    * hand back its scan — (cell int, cand_id, cv2, cnrm). Shared by
-    * [[ivfPersistTopK]] and the hybrid-retrieval semantic arm; `tag`
-    * keeps concurrent queries' index directories apart. */
+    * hand back its scan — (pcell int partition, cell int, cand_id,
+    * cv2, cnrm). Probes join on (pcell, cell): pcell is derived from
+    * cell, so the join is semantically on cell while dynamic partition
+    * pruning binds to the directory column. The write repartitions by
+    * pcell so each directory gets a handful of files, not one per
+    * writer task. Shared by [[ivfPersistTopK]] and the hybrid-retrieval
+    * semantic arm; `tag` keeps concurrent queries' directories apart. */
   private def persistedIvfIndex(s: SparkSession, d: String, e: DataFrame,
       trained: DataFrame, tag: String): DataFrame = {
     val idxDir = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
@@ -808,9 +830,15 @@ object VectorQueries extends QueryModule {
     assignMin(e, trained)
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv2"),
         col("nrm").as("cnrm"), col("cid").cast("int").as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+      .withColumn("pcell", pmod(col("cell"), lit(ivfMaxDirs)).cast("int"))
+      .repartition(col("pcell"))
+      .write.mode("overwrite").partitionBy("pcell").parquet(idxDir)
     s.read.parquet(idxDir)
   }
+
+  /** Add the probe-side pcell key matching [[persistedIvfIndex]]. */
+  private def withPcell(probes: DataFrame): DataFrame =
+    probes.withColumn("pcell", pmod(col("cell"), lit(ivfMaxDirs)).cast("int"))
 
   import OracleSql.{cappedBucket, dot, dotLong, l2Norm, lshBucket, microUnits}
 

@@ -51,6 +51,43 @@ class NearestCellSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("indexed TOP-M equals the first m rows of the flat (dist, cid) " +
+       "order — ties and m > K included") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 10) {
+      val dim = 1 + rnd.nextInt(12)
+      val k = 1 + rnd.nextInt(60)
+      val base = (0 until k).map { i =>
+        val v = Array.fill(dim)((rnd.nextInt(2000001) - 1000000).toLong)
+        (i.toLong * 7 + 2, v, v.map(x => x * x).sum)
+      }
+      val model =
+        if (k >= 3) base.updated(k - 1, (base(k - 1)._1, base(1)._2.clone(), base(1)._3))
+        else base
+      val index = CentroidIndex.build(model)
+      for (t <- 0 until 80) {
+        val m = 1 + rnd.nextInt(k + 3) // sometimes m > K
+        val eu =
+          if (t % 5 == 0) model(rnd.nextInt(k))._2.clone()
+          else Array.fill(dim)((rnd.nextInt(2000001) - 1000000).toLong)
+        val n2u = eu.map(x => x * x).sum
+        val got = index.assignTop(new GenericArrayData(eu), n2u, m)
+        val want = model.map { case (cid, c, _) =>
+          var d = 0L; var i = 0
+          while (i < c.length) { val x = eu(i) - c(i); d += x * x; i += 1 }
+          (d, cid)
+        }.sorted.take(m)
+        assert(got.numElements() === want.length)
+        want.zipWithIndex.foreach { case ((d, c), i) =>
+          val row = got.getStruct(i, 2)
+          assert(row.getLong(0) === d && row.getLong(1) === c,
+            s"dim=$dim k=$k m=$m rank $i: got " +
+              s"(${row.getLong(0)}, ${row.getLong(1)}), want ($d, $c)")
+        }
+      }
+    }
+  }
+
   test("pruning does sub-n·K work on clustered geometry (the scale claim)") {
     val rnd = new scala.util.Random(42)
     val dim = 16
@@ -65,7 +102,7 @@ class NearestCellSpec extends AnyFunSuite with SparkSpec {
     }
     val index = CentroidIndex.build(model)
     val n = 2000
-    index.probes.set(0L)
+    index.probes.reset()
     for (_ <- 0 until n) {
       val near = model(rnd.nextInt(k))._2
       val eu = near.map(_ + (rnd.nextInt(10001) - 5000).toLong)
@@ -75,7 +112,7 @@ class NearestCellSpec extends AnyFunSuite with SparkSpec {
       assert(got.getLong(0) === bd && got.getLong(1) === bc)
     }
     val flatWork = n.toLong * k
-    assert(index.probes.get() < flatWork / 4,
-      s"pruned work ${index.probes.get()} should be well under flat $flatWork")
+    assert(index.probes.sum() < flatWork / 4,
+      s"pruned work ${index.probes.sum()} should be well under flat $flatWork")
   }
 }
