@@ -45,6 +45,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
+  private var writable: Boolean = false
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -52,6 +53,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires spark.sql.catalog.$name.root"))
+    // DDL is an explicit opt-in (spark.sql.catalog.<name>.writable):
+    // the driver's testdata lake is read-only BY CONTRACT, while a
+    // user lake root gets the full CREATE/DROP + DML lifecycle.
+    writable = Option(options.get("writable")).exists(_.toBoolean)
   }
 
   override def name(): String = catalogName
@@ -193,16 +198,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"catalog $catalogName is read-only: $op is not supported")
+      s"catalog $catalogName is read-only: $op is not supported " +
+        s"(set spark.sql.catalog.$catalogName.writable=true on a lake " +
+        "root you own to enable DDL)")
 
+  /** `CREATE TABLE` (and the table half of CTAS): a new transaction-log
+    * table — version 0 is an empty commit carrying the SCHEMA, so the
+    * table is immediately SELECT-able (0 rows) and every later INSERT
+    * is enforced against the declared shape. Writable catalogs only;
+    * partition transforms are not part of the log's layout contract. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = readOnly("createTable")
+      properties: util.Map[String, String]): Table = {
+    if (!writable) readOnly("createTable")
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      s"graft txn tables manage their own layout; PARTITIONED BY is " +
+        "not supported (use the log's clustered compaction instead)")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name)
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    TxnLog.create(spark, txnPath(ident).toString, empty)
+    txnTable(ident, None)
+  }
 
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = readOnly("alterTable")
 
-  override def dropTable(ident: Identifier): Boolean = readOnly("dropTable")
+  /** `DROP TABLE`: transaction-log tables only (the catalog owns their
+    * layout); plain parquet datasets under the root are someone
+    * else's data and stay refused even on writable catalogs. */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!writable) readOnly("dropTable")
+    if (!isTxnTable(ident)) {
+      if (tableExists(ident)) throw new UnsupportedOperationException(
+        s"$ident is a plain parquet dataset, not a graft txn table — " +
+          "refusing to drop data the catalog does not manage")
+      false
+    } else {
+      val d = txnPath(ident)
+      fs(d).delete(d, true)
+    }
+  }
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("renameTable")

@@ -20,6 +20,7 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     val r = s"${sys.props("java.io.tmpdir")}/graft_sqldml_${System.nanoTime()}"
     dml.conf.set("spark.sql.catalog.lake", classOf[GraftCatalog].getName)
     dml.conf.set("spark.sql.catalog.lake.root", r)
+    dml.conf.set("spark.sql.catalog.lake.writable", "true")
     r
   }
 
@@ -159,6 +160,45 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     // Either the parser refuses the syntax or the table refuses the
     // write — both are fine; silent tip-redirect is not.
     assert(TxnLog.read(dml, s"$root/ns/t_tt").count() === 2)
+  }
+
+  test("CREATE TABLE / CTAS / DROP TABLE complete the SQL lifecycle on " +
+       "a writable catalog; the declared schema is enforced from row one") {
+    import dml.implicits._
+    // root registers the writable catalog lazily.
+    val r = root
+    dml.sql("CREATE TABLE lake.ns.t_ddl (id BIGINT, s STRING)")
+    // Immediately SELECT-able: zero rows, declared schema.
+    assert(dml.sql("SELECT * FROM lake.ns.t_ddl").count() === 0)
+    assert(dml.table("lake.ns.t_ddl").schema.fieldNames.toSeq === Seq("id", "s"))
+    dml.sql("INSERT INTO lake.ns.t_ddl VALUES (1, 'a'), (2, 'b')")
+    assert(content("t_ddl") === Set((1L, "a"), (2L, "b")))
+    assert(TxnLog.latestVersion(dml, s"$r/ns/t_ddl") === 1L)
+    // Duplicate CREATE is an analysis error, not a silent overwrite.
+    intercept[Exception] {
+      dml.sql("CREATE TABLE lake.ns.t_ddl (x INT)")
+    }
+    assert(content("t_ddl").size === 2, "failed CREATE must not touch data")
+    // CTAS: catalog createTable + the V1 write in one statement.
+    dml.sql(
+      "CREATE TABLE lake.ns.t_ctas AS SELECT id * 10 AS id, s FROM lake.ns.t_ddl")
+    assert(content("t_ctas") === Set((10L, "a"), (20L, "b")))
+    // DML runs on the created table like any other.
+    dml.sql("DELETE FROM lake.ns.t_ctas WHERE id = 10")
+    assert(content("t_ctas") === Set((20L, "b")))
+    // DROP removes the txn table; plain parquet stays protected.
+    dml.sql("DROP TABLE lake.ns.t_ctas")
+    intercept[Exception] { dml.sql("SELECT * FROM lake.ns.t_ctas").collect() }
+    Seq((1L, "x")).toDF("id", "s").write.mode("overwrite")
+      .parquet(s"$r/ns/keepme.parquet")
+    val e = intercept[UnsupportedOperationException] {
+      dml.sql("DROP TABLE lake.ns.keepme")
+    }
+    assert(e.getMessage.contains("does not manage"))
+    // PARTITIONED BY is out of the log's layout contract.
+    intercept[UnsupportedOperationException] {
+      dml.sql("CREATE TABLE lake.ns.t_part (id BIGINT) PARTITIONED BY (id)")
+    }
   }
 
   test("a MoR-masked table joins and aggregates correctly through SQL " +

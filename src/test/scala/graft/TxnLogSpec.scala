@@ -685,6 +685,76 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("threaded mixed DML: appends, merges, MoR deletes, and " +
+       "compactions race freely — no lost or duplicated rows, every " +
+       "conflict surfaces as the documented type and resolves on retry") {
+    import spark.implicits._
+    val t = freshTable("stress")
+    TxnLog.create(spark, t,
+      (-8L to -1L).map(i => (i, "init", 0L)).toDF("doc_id", "lang", "n_chars"))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def guard(body: => Unit): Unit =
+      try body catch { case e: Throwable => errors.add(e) }
+    // Documented loser behavior: COW/compact abandons throw
+    // IllegalStateException, merge exhaustion throws
+    // ConcurrentModificationException — anything else is a bug.
+    def retrying(n: Int)(body: => Unit): Unit = {
+      var left = n
+      var done = false
+      while (!done && left > 0) {
+        left -= 1
+        try { body; done = true }
+        catch {
+          case _: IllegalStateException |
+               _: java.util.ConcurrentModificationException if left > 0 => ()
+        }
+      }
+      assert(done, "retries exhausted under stress")
+    }
+    val appender = new Thread(() => guard {
+      (0 until 5).foreach { i =>
+        TxnLog.append(spark, t,
+          Seq((100L + i, "app", i.toLong)).toDF("doc_id", "lang", "n_chars"))
+      }
+    })
+    val merger = new Thread(() => guard {
+      (1 to 4).foreach { i =>
+        TxnLog.merge(spark, t,
+          Seq((1000L, "mrg", i.toLong), (1001L, "mrg", i * 10L))
+            .toDF("doc_id", "lang", "n_chars"),
+          key = "doc_id", maxAttempts = 500)
+      }
+    })
+    val deleter = new Thread(() => guard {
+      (-4L to -1L).foreach { id =>
+        retrying(100) { TxnLog.deleteMoR(spark, t, col("doc_id") === id) }
+      }
+    })
+    val compactor = new Thread(() => guard {
+      (0 until 3).foreach { _ =>
+        retrying(100) { TxnLog.compact(spark, t, targetFiles = 2) }
+      }
+    })
+    val threads = Seq(appender, merger, deleter, compactor)
+    threads.foreach(_.start()); threads.foreach(_.join(600000))
+    assert(errors.isEmpty,
+      s"undocumented failure under stress: ${errors.toArray.mkString("; ")}")
+    val rows = TxnLog.read(spark, t).as[(Long, String, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // Row conservation across every interleaving: surviving init rows,
+    // every appended row, both merge keys — nothing else, no dupes
+    // (the map build would hide dupes; count pins it).
+    assert(TxnLog.read(spark, t).count() === rows.size, "duplicate doc_id")
+    val expectedIds = (-8L to -5L).toSet ++ (100L to 104L) ++ Set(1000L, 1001L)
+    assert(rows.keySet === expectedIds,
+      s"row loss/resurrection: got ${rows.keySet.toSeq.sorted}")
+    // The merger is sequential, so its keys end at its LAST merge.
+    assert(rows(1000L) === (("mrg", 4L)) && rows(1001L) === (("mrg", 40L)))
+    (100L to 104L).foreach(i => assert(rows(i) === (("app", i - 100L))))
+    // Time travel still resolves the creation state exactly.
+    assert(TxnLog.read(spark, t, Some(0L)).count() === 8)
+  }
+
   test("snapshot resolution replays from the newest checkpoint") {
     val t = freshTable("ckpt")
     TxnLog.create(spark, t, docs.filter(col("doc_id") === 0))
