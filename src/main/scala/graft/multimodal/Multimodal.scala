@@ -27,10 +27,17 @@ import org.apache.spark.sql.types._
   *    oracle-checked in `q_audio_decode`). VIDEO DECODE IS REAL
   *    ([[VideoCodec]], multi-frame GIF via JDK ImageIO — palette-exact
   *    animated-GIF encode on the fixture side, frame-sampled decode on
-  *    the query side, oracle-checked in `q_video_decode`). The
-  *    deterministic byte-histogram [[MediaCodec]] remains only as the
-  *    stand-in for the LEARNED embedding kernel (the one genuinely
-  *    absent library), with the batch shape a real model would use.
+  *    the query side, oracle-checked in `q_video_decode`). IMAGE
+  *    RESIZE IS REAL ([[ImageCodec.resizeNearest]] — explicit
+  *    nearest-neighbor resampling, decode→resample→re-encode,
+  *    oracle-checked end-to-end in `q_image_resize`). The LEARNED
+  *    EMBEDDING is a real inference shape ([[EmbedKernel]] — hashed
+  *    3-gram integer projection, oracle-checked in `q_embed_infer`).
+  *    Remaining stand-ins: the byte-histogram [[MediaCodec]] (generic
+  *    featurizer), the generic [[resizeStub]] for non-image media, and
+  *    the prefix-slice audio resample (a float-lerp kernel would
+  *    reintroduce exactly the cross-engine rounding class the µ-unit
+  *    work eliminated — deliberately out of contract).
   *  - **Never collect blobs.** All media paths are executor-side; the
   *    driver only ever sees metadata.
   */
@@ -254,6 +261,40 @@ object Multimodal {
       val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
       try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
       bos.toByteArray
+    }
+
+    /** REAL nearest-neighbor resize: decode, resample every output
+      * pixel from src (x·w DIV outW, y·h DIV outH) — the explicit
+      * floor mapping, so the sampling grid is engine-predictable and
+      * the oracle derives resized pixel sums exactly — re-encode PNG.
+      * This retires the byte-truncation resize stand-in for image
+      * rows: the output is a genuine image whose decode proves the
+      * kernel ran (a metadata-only "resize" fails the decoded dims,
+      * a wrong sampling grid fails the sums). None for undecodable
+      * input. */
+    def resizeNearest(bytes: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+      if (bytes == null) return None
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new java.awt.image.BufferedImage(
+        outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < outH) {
+        val sy = (y.toLong * h / outH).toInt
+        var x = 0
+        while (x < outW) {
+          out.setRGB(x, y, img.getRGB((x.toLong * w / outW).toInt, sy))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream(256)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(out, "png", ios) finally ios.close()
+      Some(bos.toByteArray)
     }
 
     /** Decode + per-channel pixel sums. Null for undecodable bytes. */
@@ -576,6 +617,23 @@ object Multimodal {
         Row(id, ImageCodec.encodePng(w, h, r, g, b), Row(w, h, null, null, "png"))
       }
     }(Encoders.row(schema))
+  }
+
+  /** Batched REAL resize over an image table: adds `png2` (the
+    * nearest-neighbor-resampled, re-encoded PNG) per row — the
+    * [[extractFeatures]] batch contract with [[ImageCodec.resizeNearest]]
+    * as the kernel. Undecodable rows carry null. */
+  def resizeImages(df: DataFrame, outW: Int, outH: Int,
+                   bytesCol: String = "png"): DataFrame = {
+    val outSchema = df.schema.add("png2", BinaryType)
+    val idx = df.schema.fieldIndex(bytesCol)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val resized = ImageCodec
+          .resizeNearest(row.getAs[Array[Byte]](idx), outW, outH).orNull
+        Row.fromSeq(row.toSeq :+ resized)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Batched real decode: adds decoded dimensions and per-channel pixel

@@ -123,6 +123,28 @@ object MultimodalQueries extends QueryModule {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // REAL image RESIZE end-to-end: planted PNGs resize to 7×5 through
+    // the explicit nearest-neighbor kernel (floor sampling grid:
+    // src = x·w DIV 7, y·h DIV 5), re-encode, then DECODE THE RESIZED
+    // BYTES for the answer — so a metadata-only "resize" fails the
+    // decoded dims and a wrong sampling grid fails the channel sums.
+    // The oracle derives the resized sums in closed form: the (0,0)
+    // corner pixel is replicated into a ceil(7/w) × ceil(5/h) block,
+    // every other output pixel is the fill. Retires the byte-slice
+    // resize stand-in for image rows.
+    "q_image_resize" -> ((s, d) => {
+      val imgs = Multimodal.imagesFromDocuments(Tables.documents(s, d))
+        .select(col("media_id"), col("png"))
+      val resized = Multimodal.resizeImages(imgs, outW = 7, outH = 5)
+        .select(col("media_id"), col("png2"))
+      Multimodal.decodeImages(resized, "png2")
+        .select(col("media_id"),
+          col("width_dec").cast("long").as("width_dec"),
+          col("height_dec").cast("long").as("height_dec"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    }),
+
     // Learned-embedding INFERENCE over the media table — the hashed
     // 3-gram linear projection ([[Multimodal.EmbedKernel]]): integer
     // weights derived from the mirrored hash60, so DuckDB recomputes
@@ -256,6 +278,21 @@ object MultimodalQueries extends QueryModule {
         | ((doc_id % 7) * 1000 + 1000)::BIGINT AS duration_ms
         | FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id"""
         .stripMargin.replace("\n", ""),
+
+    "q_image_resize" ->
+      """WITH p AS (SELECT doc_id,
+        |   (doc_id % 5 + 1)::BIGINT AS w, (doc_id % 3 + 1)::BIGINT AS h,
+        |   (doc_id * 37) % 256 AS r, (doc_id * 59) % 256 AS g,
+        |   (doc_id * 83) % 256 AS b
+        |  FROM documents),
+        | c AS (SELECT *, (7 + w - 1) // w AS cx, (5 + h - 1) // h AS cy
+        |  FROM p)
+        |SELECT doc_id AS media_id, 7::BIGINT AS width_dec,
+        | 5::BIGINT AS height_dec,
+        | ((35 - cx*cy) * r + cx*cy * ((r + 128) % 256))::BIGINT AS sum_r,
+        | ((35 - cx*cy) * g + cx*cy * ((g + 128) % 256))::BIGINT AS sum_g,
+        | ((35 - cx*cy) * b + cx*cy * ((b + 128) % 256))::BIGINT AS sum_b
+        | FROM c ORDER BY media_id""".stripMargin.replace("\n", ""),
 
     "q_embed_infer" -> {
       val wExpr = graft.queries.OracleSql.hash60(

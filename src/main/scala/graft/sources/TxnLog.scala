@@ -103,8 +103,14 @@ object TxnLog {
     // The schema rides base64-encoded: StructType.json is JSON-in-JSON
     // and the log's parser is deliberately regex-simple — encoding
     // sidesteps every escaping corner instead of hand-rolling them.
+    // Recorded FULLY NULLABLE: a column added by evolution reads as
+    // null from pre-evolution files, and the writer-side nullability
+    // of one batch (a non-null literal, say) must never make a log
+    // column "required" — the vectorized reader refuses files missing
+    // a required column, which would brick every evolved table.
     val schemaJson = schema.fold("")(s => ",\"schema64\":\"" +
-      java.util.Base64.getEncoder.encodeToString(s.json.getBytes("UTF-8")) + "\"")
+      java.util.Base64.getEncoder.encodeToString(
+        nullableSchema(s).json.getBytes("UTF-8")) + "\"")
     val body = "{\"adds\":[" + adds.map(JsonUtil.quote).mkString(",") +
       "],\"removes\":[" + removes.map(JsonUtil.quote).mkString(",") + "]" +
       txn.fold("")(t => ",\"txn\":" + JsonUtil.quote(t)) + statsJson + dvJson +
@@ -195,6 +201,21 @@ object TxnLog {
     if (i < 0) return Map.empty
     DvEntry.findAllMatchIn(balancedObject(body, i + 6))
       .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  /** Deep-nullable normalization for the log-recorded schema. */
+  private def nullableSchema(s: StructType): StructType =
+    StructType(s.fields.map(f =>
+      f.copy(dataType = nullableType(f.dataType), nullable = true)))
+
+  private def nullableType(dt: DataType): DataType = dt match {
+    case st: StructType => nullableSchema(st)
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(nullableType(et), containsNull = true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(nullableType(k), nullableType(v),
+        valueContainsNull = true)
+    case other => other
   }
 
   private val Schema64 = """"schema64":"([A-Za-z0-9+/=]+)"""".r

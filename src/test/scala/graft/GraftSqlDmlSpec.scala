@@ -201,6 +201,24 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("SQL scans of a schema-evolved table present the LOG schema — " +
+       "identical columns to the API read, old rows null in new columns") {
+    import dml.implicits._
+    val dir = freshTable("t_evo", Seq((1L, "a"), (2L, "b")))
+    TxnLog.append(dml, dir,
+      Seq((3L, "c", 7L)).toDF("id", "s", "score"), mergeSchema = true)
+    // SQL presents the evolved schema (round-10 advice: plain
+    // inference read ONE footer and could miss the new column).
+    val viaSql = dml.sql("SELECT id, s, score FROM lake.ns.t_evo ORDER BY id")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(viaSql === Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(7L))))
+    assert(dml.table("lake.ns.t_evo").schema.fieldNames.toSeq ===
+      TxnLog.read(dml, dir).schema.fieldNames.toSeq)
+    // A pre-evolution snapshot through SQL still presents the OLD shape.
+    assert(dml.sql("SELECT * FROM lake.ns.t_evo VERSION AS OF 0")
+      .schema.fieldNames.toSeq === Seq("id", "s"))
+  }
+
   test("a MoR-masked table joins and aggregates correctly through SQL " +
        "(the masked plan keeps exprId identity)") {
     import dml.implicits._
