@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, Supp
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A READ-ONLY DataSourceV2 `TableCatalog` that exposes a directory of
@@ -225,8 +225,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     txnTable(ident, None)
   }
 
+  /** `ALTER TABLE … ADD COLUMNS`: additive evolution as a data-less
+    * schema commit — replay learns the new shape, existing files read
+    * null in the added columns (the same semantics the API's
+    * mergeSchema append records). Only top-level ADD COLUMN is
+    * supported; anything else (drop/rename/retype) would rewrite data
+    * the log treats as immutable. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly("alterTable")
+      changes: TableChange*): Table = {
+    if (!writable) readOnly("alterTable")
+    if (!isTxnTable(ident)) throw new UnsupportedOperationException(
+      s"$ident is not a graft txn table; ALTER needs a _log")
+    val spark = SparkSession.active
+    val dir = txnPath(ident).toString
+    val cur = TxnLog.tableSchema(spark, dir).getOrElse(
+      new TxnTable(ident.toString, dir, None).schema)
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames().length != 1) throw new UnsupportedOperationException(
+          "graft txn ALTER supports top-level ADD COLUMNS only")
+        val name = a.fieldNames()(0)
+        if (cur.fieldNames.exists(_.equalsIgnoreCase(name)))
+          throw new IllegalArgumentException(
+            s"column '$name' already exists in $ident")
+        StructField(name, a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft txn ALTER supports ADD COLUMNS only (got $other): " +
+          "drop/rename/retype would rewrite immutable data files")
+    }
+    TxnLog.evolveSchema(spark, dir, StructType(cur.fields ++ added))
+    txnTable(ident, None)
+  }
 
   /** `DROP TABLE`: transaction-log tables only (the catalog owns their
     * layout); plain parquet datasets under the root are someone

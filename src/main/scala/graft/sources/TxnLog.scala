@@ -522,6 +522,16 @@ object TxnLog {
     }, s"create $table")
   }
 
+  /** Record an EVOLVED schema as a data-less commit (the `ALTER TABLE
+    * ADD COLUMNS` shape): no files move, replay just learns the new
+    * shape, existing files read null in the added columns. The caller
+    * (the catalog) validates additivity; this publishes atomically
+    * like any other commit. */
+  def evolveSchema(spark: SparkSession, table: String,
+                   schema: StructType): CommitResult =
+    mustCommit(commitLoop(spark, table, schema = Some(schema))(
+      _ => Some((Nil, Nil))), s"evolve $table")
+
   /** Append: blind adds — valid at ANY log position, so a lost race
     * just re-publishes the same files at the advanced version (the
     * staged data is never rewritten). Schema-enforced (see
@@ -1105,6 +1115,7 @@ object TxnLog {
         else if (dvs.nonEmpty) "DELETE (merge-on-read)"
         else if (adds.nonEmpty && removes.nonEmpty) "REWRITE (merge/compact/delete)"
         else if (removes.nonEmpty) "REMOVE"
+        else if (adds.isEmpty && body.contains("\"schema64\":")) "EVOLVE SCHEMA"
         else "APPEND"
       (v, new java.sql.Timestamp(f.getFileStatus(p).getModificationTime),
         op, adds.size.toLong, removes.size.toLong, dvs.size.toLong,

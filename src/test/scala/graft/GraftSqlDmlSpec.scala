@@ -201,6 +201,33 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("ALTER TABLE ADD COLUMNS evolves the schema as a data-less " +
+       "commit; non-additive changes are refused") {
+    import dml.implicits._
+    val dir = freshTable("t_alter", Seq((1L, "a")))
+    dml.sql("ALTER TABLE lake.ns.t_alter ADD COLUMNS (score BIGINT)")
+    // Data-less commit, new column null for existing rows.
+    assert(TxnLog.latestVersion(dml, dir) === 1L)
+    assert(dml.sql("SELECT id, s, score FROM lake.ns.t_alter")
+      .as[(Long, String, Option[Long])].collect().toSeq === Seq((1L, "a", None)))
+    // INSERT with the evolved shape lands without any further opt-in.
+    dml.sql("INSERT INTO lake.ns.t_alter VALUES (2, 'b', 9)")
+    assert(dml.sql("SELECT sum(score) AS x FROM lake.ns.t_alter")
+      .head().getLong(0) === 9L)
+    // History labels the evolution.
+    assert(TxnLog.history(dml, dir).select("operation")
+      .collect().map(_.getString(0)).contains("EVOLVE SCHEMA"))
+    // Duplicate add fails loudly (Spark's own FIELD_ALREADY_EXISTS
+    // analysis check fires before the catalog; either layer is fine).
+    val dup = intercept[Exception] {
+      dml.sql("ALTER TABLE lake.ns.t_alter ADD COLUMNS (score BIGINT)")
+    }
+    assert(dup.getMessage.toLowerCase.contains("score"))
+    intercept[UnsupportedOperationException] {
+      dml.sql("ALTER TABLE lake.ns.t_alter DROP COLUMN score")
+    }
+  }
+
   test("SQL scans of a schema-evolved table present the LOG schema — " +
        "identical columns to the API read, old rows null in new columns") {
     import dml.implicits._
