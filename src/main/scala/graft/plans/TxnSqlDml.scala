@@ -167,13 +167,22 @@ object TxnSqlDml {
     * corrupt the plan). */
   case class MaskedReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
-      lazy val writeTargets: Set[Int] = plan.collect {
-        case i: InsertIntoStatement => unwrapAliases(i.table)
-      }.flatten.map(System.identityHashCode).toSet
+      // REFERENCE identity, not identityHashCode ints: two distinct
+      // relation objects can share a hash, and a collision here would
+      // skip DV masking on a read — silently resurrecting deleted
+      // rows (round-11 advice).
+      lazy val writeTargets: java.util.Set[LogicalPlan] = {
+        val s = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+        plan.collect {
+          case i: InsertIntoStatement => unwrapAliases(i.table)
+        }.flatten.foreach(s.add)
+        s
+      }
       plan.resolveOperatorsUp {
         case r: DataSourceV2Relation if r.table.isInstanceOf[TxnTable] &&
             r.table.asInstanceOf[TxnTable].hasDvs &&
-            !writeTargets.contains(System.identityHashCode(r)) =>
+            !writeTargets.contains(r) =>
           val t = r.table.asInstanceOf[TxnTable]
           val masked = TxnLog.readState(spark, t.dir, t.files, Some(t.schema))
           val child = Bridge.planOf(masked)

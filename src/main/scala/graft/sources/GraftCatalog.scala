@@ -253,7 +253,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft txn ALTER supports ADD COLUMNS only (got $other): " +
           "drop/rename/retype would rewrite immutable data files")
     }
-    TxnLog.evolveSchema(spark, dir, StructType(cur.fields ++ added))
+    // The merge against the tip happens INSIDE the commit loop
+    // (re-validated per attempt): two concurrent additive ALTERs both
+    // survive, and a concurrent same-name addition fails as the
+    // metadata conflict it is — publishing cur+added computed here
+    // would silently drop the concurrent winner's column.
+    TxnLog.addColumns(spark, dir, added)
     txnTable(ident, None)
   }
 

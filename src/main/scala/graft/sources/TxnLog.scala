@@ -291,6 +291,14 @@ object TxnLog {
       version: Option[Long] = None): Option[StructType] =
     resolve(spark, table, version)._2
 
+  /** Live file set AND recorded schema from ONE log replay —
+    * table-load-time callers ([[TxnTable]]) need both, and resolving
+    * them separately replays the checkpoint + tail twice per
+    * statement (round-11 advice). */
+  def resolveSnapshot(spark: SparkSession, table: String,
+      version: Option[Long] = None): (Seq[(String, FileState)], Option[StructType]) =
+    resolve(spark, table, version)
+
   private def resolve(spark: SparkSession, table: String,
       version: Option[Long]): (Seq[(String, FileState)], Option[StructType]) = {
     val f = fs(spark, logDir(table))
@@ -468,11 +476,23 @@ object TxnLog {
     * commit is still wanted (append always is; overwrite/compact must
     * recompute their removes; an idempotent sink bows out if its batch
     * already landed) — returning None abandons WITHOUT publishing.
+    *
+    * `schema` is BY-NAME and re-evaluated on every attempt, AFTER the
+    * tip read: a schema computed once before the loop goes stale the
+    * moment a concurrent commit evolves the table — two concurrent
+    * additive evolutions would each re-publish tip+own-extras and the
+    * loser's column would silently vanish from replay (round-11
+    * advice, medium). Re-evaluating against the current tip makes a
+    * rebase re-merge (or re-fail enforcement) exactly like the
+    * reference lakehouse protocol's metadata-conflict check; the
+    * create-exclusive of tip+1 then guarantees the schema it recorded
+    * saw every commit at-or-before the tip it built on.
+    *
     * Returns the published version, or None if abandoned. */
   private def commitLoop(spark: SparkSession, table: String, txn: Option[String] = None,
                          stats: Map[String, FileStats] = Map.empty,
                          dvs: Map[String, String] = Map.empty,
-                         schema: Option[StructType] = None)
+                         schema: => Option[StructType] = None)
                         (attempt: Long => Option[(Seq[String], Seq[String])]): Option[CommitResult] = {
     val f = fs(spark, logDir(table))
     while (true) {
@@ -524,9 +544,27 @@ object TxnLog {
 
   /** Record an EVOLVED schema as a data-less commit (the `ALTER TABLE
     * ADD COLUMNS` shape): no files move, replay just learns the new
-    * shape, existing files read null in the added columns. The caller
-    * (the catalog) validates additivity; this publishes atomically
-    * like any other commit. */
+    * shape, existing files read null in the added columns. Re-merges
+    * `added` against the LOG TIP on every commit attempt, so two
+    * concurrent additive evolutions both survive (each rebase appends
+    * to the other's result) and a concurrent addition of the SAME
+    * column name fails loudly as the metadata conflict it is. */
+  def addColumns(spark: SparkSession, table: String,
+                 added: Seq[StructField]): CommitResult =
+    mustCommit(commitLoop(spark, table, schema = {
+      val cur = tableSchema(spark, table).getOrElse(StructType(Nil))
+      added.foreach { f =>
+        if (cur.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          throw new IllegalArgumentException(
+            s"column '${f.name}' already exists in $table (possibly added " +
+              "by a concurrent schema change — metadata conflict)")
+      }
+      Some(StructType(cur.fields ++ added.map(_.copy(nullable = true))))
+    })(_ => Some((Nil, Nil))), s"evolve $table")
+
+  /** Record an explicit full schema as a data-less commit — the
+    * internal form [[addColumns]] and column-mapping DDL build on.
+    * The caller owns conflict semantics; prefer [[addColumns]]. */
   def evolveSchema(spark: SparkSession, table: String,
                    schema: StructType): CommitResult =
     mustCommit(commitLoop(spark, table, schema = Some(schema))(
@@ -535,14 +573,16 @@ object TxnLog {
   /** Append: blind adds — valid at ANY log position, so a lost race
     * just re-publishes the same files at the advanced version (the
     * staged data is never rewritten). Schema-enforced (see
-    * [[enforceSchema]]); `mergeSchema = true` opts into additive
-    * evolution. */
+    * [[enforceSchema]]) — re-enforced against the tip on every commit
+    * attempt, so a rebase past a concurrent evolution re-merges
+    * instead of clobbering the winner's columns. */
   def append(spark: SparkSession, table: String, df: DataFrame,
              mergeSchema: Boolean = false): CommitResult = {
-    val sch = enforceSchema(spark, table, df, mergeSchema, "append")
+    enforceSchema(spark, table, df, mergeSchema, "append") // fail fast, pre-stage
     val staged = stage(spark, table, df)
-    mustCommit(commitLoop(spark, table, schema = sch)(_ => Some((staged, Nil))),
-      s"append to $table")
+    mustCommit(commitLoop(spark, table,
+      schema = enforceSchema(spark, table, df, mergeSchema, "append"))(
+      _ => Some((staged, Nil))), s"append to $table")
   }
 
   /** Per-file (count, min/max per stat column) over just-staged files —
@@ -598,10 +638,11 @@ object TxnLog {
   /** [[append]] with per-file stats on `statsCols` recorded in the log. */
   def appendWithStats(spark: SparkSession, table: String, df: DataFrame,
                       statsCols: Seq[String]): CommitResult = {
-    val sch = enforceSchema(spark, table, df, mergeSchema = false, "append")
+    enforceSchema(spark, table, df, mergeSchema = false, "append")
     val staged = stage(spark, table, df)
     mustCommit(commitLoop(spark, table,
-      stats = stagedStats(spark, table, staged, statsCols), schema = sch)(
+      stats = stagedStats(spark, table, staged, statsCols),
+      schema = enforceSchema(spark, table, df, mergeSchema = false, "append"))(
       _ => Some((staged, Nil))), s"append to $table")
   }
 
@@ -649,9 +690,11 @@ object TxnLog {
   def appendBatch(spark: SparkSession, table: String, df: DataFrame,
                   streamId: String, batchId: Long): Option[CommitResult] = {
     if (lastCommittedBatch(spark, table, streamId).exists(_ >= batchId)) return None
-    val sch = enforceSchema(spark, table, df, mergeSchema = false, "streaming append")
+    enforceSchema(spark, table, df, mergeSchema = false, "streaming append")
     val staged = stage(spark, table, df)
-    commitLoop(spark, table, txn = Some(s"$streamId:$batchId"), schema = sch) { _ =>
+    commitLoop(spark, table, txn = Some(s"$streamId:$batchId"),
+      schema = enforceSchema(spark, table, df, mergeSchema = false,
+        "streaming append")) { _ =>
       if (lastCommittedBatch(spark, table, streamId).exists(_ >= batchId)) None
       else Some((staged, Nil))
     }
@@ -1125,10 +1168,30 @@ object TxnLog {
       "n_added", "n_removed", "n_dv_bindings", "stream_txn")
   }
 
+  /** Default vacuum retention age: files younger than this are NEVER
+    * physically deleted, referenced or not. The guard exists for one
+    * reason — every DML path stages its data files under the table
+    * root BEFORE publishing the commit that references them, so "not
+    * referenced by any retained version" is true of a concurrent
+    * writer's in-flight files during its staging window (seconds at
+    * test scale, MINUTES at 100 TB for a large MERGE rewrite). A
+    * vacuum racing that window would delete the files, the writer's
+    * commit would still succeed, and the table would be broken at
+    * read time — silent data loss. An age floor closes the race for
+    * any writer that stages-and-commits within the retention window
+    * (the Delta tombstone-retention design, default 7 days);
+    * abandoned attempts older than it still get collected. */
+  val DefaultVacuumRetainMillis: Long = 7L * 24 * 60 * 60 * 1000
+
   /** Physically delete files no snapshot within the retention window
     * references: a file is deletable iff it is absent from EVERY
-    * retained version's file set. Returns the deleted paths. */
-  def vacuum(spark: SparkSession, table: String, retainVersions: Int): Seq[String] = {
+    * retained version's file set AND older than `retainMillis`
+    * (mtime-based — see [[DefaultVacuumRetainMillis]] for why the age
+    * floor is load-bearing, not cosmetic). Returns the deleted paths.
+    * `retainMillis = 0` disables the age guard (tests, or a table the
+    * caller KNOWS has no in-flight writers). */
+  def vacuum(spark: SparkSession, table: String, retainVersions: Int,
+             retainMillis: Long = DefaultVacuumRetainMillis): Seq[String] = {
     val f = fs(spark, new Path(table))
     val versions = listVersions(f, table, "v")
     val retained = versions.takeRight(math.max(1, retainVersions))
@@ -1137,9 +1200,15 @@ object TxnLog {
     // DV objects referenced by any retained version are live too —
     // bindings name the DV's staged DIRECTORY, so spare its contents.
     val liveDvDirs = full.flatMap(_._2.dv).toSet
+    val cutoff = System.currentTimeMillis() - retainMillis
     val onDisk = LakeMaintenanceFiles.list(spark, table)
-    val dead = onDisk.filterNot(p =>
-      live.contains(p) || liveDvDirs.exists(d => p.startsWith(d + "/")))
+    val dead = onDisk.filterNot { p =>
+      live.contains(p) || liveDvDirs.exists(d => p.startsWith(d + "/")) ||
+        // The age guard: an in-flight writer's staged-but-uncommitted
+        // file is younger than the window by construction.
+        (retainMillis > 0 &&
+          f.getFileStatus(new Path(table, p)).getModificationTime > cutoff)
+    }
     dead.foreach(p => f.delete(new Path(table, p), false))
     dead
   }

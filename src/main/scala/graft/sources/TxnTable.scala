@@ -47,20 +47,31 @@ class TxnTable(identName: String, val dir: String, val snapshotVersion: Option[L
 
   private def spark: SparkSession = SparkSession.active
 
-  /** Snapshot pinned at table-load (= statement) time. */
-  val files: Seq[(String, TxnLog.FileState)] =
-    TxnLog.snapshotFull(spark, dir, snapshotVersion)
+  /** Snapshot AND log-recorded schema pinned at table-load
+    * (= statement) time — one log replay for both (resolving them
+    * separately replayed checkpoint + tail twice per statement). */
+  private val resolved: (Seq[(String, TxnLog.FileState)], Option[StructType]) =
+    TxnLog.resolveSnapshot(spark, dir, snapshotVersion)
+
+  val files: Seq[(String, TxnLog.FileState)] = resolved._1
 
   def hasDvs: Boolean = files.exists(_._2.dv.isDefined)
 
   override def name(): String = identName + snapshotVersion.fold("")(v => s"@v$v")
 
-  override val schema: StructType =
-    TxnLog.tableSchema(spark, dir, snapshotVersion).getOrElse(
-      // Pre-schema-tracking log: one merged-footer read, same answer
-      // the API path (TxnLog.read's mergeSchema scan) presents.
-      spark.read.option("mergeSchema", "true")
-        .parquet(files.map { case (p, _) => s"$dir/$p" }: _*).schema)
+  override val schema: StructType = resolved._2.getOrElse {
+    // Pre-schema-tracking log: one merged-footer read, same answer
+    // the API path (TxnLog.read's mergeSchema scan) presents. An
+    // all-rows-removed snapshot of such a log has NO files to infer
+    // from — say so, instead of the reader's unhelpful "unable to
+    // infer schema" (round-11 advice).
+    if (files.isEmpty) throw new IllegalStateException(
+      s"${name()} has an empty snapshot and its log predates schema " +
+        "tracking — no schema can be resolved; recreate the table (or " +
+        "append once) to record one")
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map { case (p, _) => s"$dir/$p" }: _*).schema
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

@@ -70,11 +70,77 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     TxnLog.create(spark, t, docs.repartition(8))
     TxnLog.compact(spark, t, targetFiles = 1)
     val fragments = TxnLog.snapshot(spark, t, Some(0)).toSet
-    val deleted = TxnLog.vacuum(spark, t, retainVersions = 1).toSet
+    val deleted = TxnLog.vacuum(spark, t, retainVersions = 1,
+      retainMillis = 0L).toSet
     assert(deleted == fragments,
       "vacuum must delete exactly the superseded fragments")
     // The latest snapshot survives physically and logically.
     assert(TxnLog.read(spark, t).count() == docs.count())
+  }
+
+  test("vacuum retention guard: an in-flight writer's staged files are " +
+       "spared; an old abandoned stage dir IS collected") {
+    val t = freshTable("vacage")
+    TxnLog.create(spark, t, docs)
+    // The data-loss race (round-11 verdict): a concurrent writer has
+    // STAGED its files but not yet published the commit referencing
+    // them. They are unreferenced by every retained version — exactly
+    // what a retention-less vacuum deletes — and the writer's commit
+    // would then succeed against deleted data.
+    docs.limit(5).write.parquet(s"$t/stage-inflight0")
+    val dead1 = TxnLog.vacuum(spark, t, retainVersions = 1)
+    assert(!dead1.exists(_.startsWith("stage-inflight0/")),
+      "vacuum deleted a fresh staged file inside the retention window")
+    // The spared writer can now publish: the table reads intact.
+    val p = new org.apache.hadoop.fs.Path(t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedRel = fs.listStatus(new org.apache.hadoop.fs.Path(t, "stage-inflight0"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .map(n => s"stage-inflight0/$n").toSeq
+    assert(stagedRel.nonEmpty)
+    // An ABANDONED attempt older than the window is garbage and goes:
+    // backdate a second stage dir past the retention age.
+    docs.limit(3).write.parquet(s"$t/stage-abandoned")
+    fs.listStatus(new org.apache.hadoop.fs.Path(t, "stage-abandoned"))
+      .foreach(st => fs.setTimes(st.getPath,
+        System.currentTimeMillis() - 8L * 24 * 3600 * 1000, -1))
+    val dead2 = TxnLog.vacuum(spark, t, retainVersions = 1)
+    assert(dead2.nonEmpty && dead2.forall(_.startsWith("stage-abandoned/")),
+      s"expected only the aged-out abandoned staging to be collected, got $dead2")
+    assert(TxnLog.read(spark, t).count() == docs.count())
+  }
+
+  test("concurrent additive schema evolutions both survive a rebase") {
+    import spark.implicits._
+    val t = freshTable("schemarace")
+    TxnLog.create(spark, t, docs)
+    // Two writers evolve additively at the same time: each computed
+    // its merged schema from the same base, so without per-attempt
+    // re-merge the loser's recording would silently drop the winner's
+    // column (round-11 advice, medium).
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("extra_a", "extra_b").map { c =>
+      new Thread(() => {
+        try TxnLog.append(spark, t,
+          docs.limit(2).withColumn(c, lit(1L)), mergeSchema = true)
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent evolving append failed: ${errs.peek()}")
+    val names = TxnLog.tableSchema(spark, t).get.fieldNames.toSet
+    assert(names.contains("extra_a") && names.contains("extra_b"),
+      s"a concurrent evolution's column vanished from the recorded schema: $names")
+    // And ALTER-style addColumns: concurrent same-name addition is a
+    // metadata conflict, different names both land.
+    TxnLog.addColumns(spark, t, Seq(
+      org.apache.spark.sql.types.StructField("extra_c",
+        org.apache.spark.sql.types.LongType)))
+    intercept[IllegalArgumentException] {
+      TxnLog.addColumns(spark, t, Seq(
+        org.apache.spark.sql.types.StructField("EXTRA_C",
+          org.apache.spark.sql.types.LongType)))
+    }
   }
 
   test("concurrent appends: optimistic retry loses no commit and no rows") {
@@ -323,12 +389,12 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     TxnLog.deleteMoR(spark, t, col("doc_id") % 3 === 0)
     val expected = docs.filter(col("doc_id") % 3 =!= 0).count()
     // Retain everything: the DV must survive and the read stays masked.
-    TxnLog.vacuum(spark, t, retainVersions = 10)
+    TxnLog.vacuum(spark, t, retainVersions = 10, retainMillis = 0L)
     assert(TxnLog.read(spark, t).count() === expected)
     // Compact (materializes), then retain only the compacted version:
     // fragments AND the now-unreferenced DV object go.
     TxnLog.compact(spark, t, targetFiles = 1)
-    val dead = TxnLog.vacuum(spark, t, retainVersions = 1)
+    val dead = TxnLog.vacuum(spark, t, retainVersions = 1, retainMillis = 0L)
     assert(dead.nonEmpty)
     assert(TxnLog.read(spark, t).count() === expected)
   }
