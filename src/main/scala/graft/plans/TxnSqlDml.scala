@@ -69,7 +69,7 @@ object TxnSqlDml {
   private def rejectSubqueries(e: Expression, what: String): Unit =
     if (e.exists(_.isInstanceOf[SubqueryExpression]))
       throw new UnsupportedOperationException(
-        s"graft txn $what does not support subqueries in its condition " +
+        s"graft txn $what does not support subqueries here " +
           "yet — materialize the subquery and use MERGE, or the Scala API")
 
   /** Strip a leading qualifier naming the target (alias, table name,
@@ -101,7 +101,12 @@ object TxnSqlDml {
     case DeleteFromTable(t, cond) =>
       target(t).flatMap { case (parts, alias) =>
         txnDir(spark, parts).map { dir =>
-          rejectSubqueries(cond, "DELETE")
+          // Subqueries in the condition are SUPPORTED (`DELETE …
+          // WHERE k IN (SELECT …)` — the GDPR/decontamination shape):
+          // the log's delete resolves them through the session
+          // catalog and derives survivors from the POSITIVE match
+          // set (see TxnLog.delete), so no negated-subquery rewrite
+          // limitation applies.
           GraftDeleteCommand(dir, asColumn(cond, parts, alias)): LogicalPlan
         }
       }.getOrElse(plan)
@@ -109,8 +114,11 @@ object TxnSqlDml {
     case UpdateTable(t, assignments, cond) =>
       target(t).flatMap { case (parts, alias) =>
         txnDir(spark, parts).map { dir =>
-          cond.foreach(rejectSubqueries(_, "UPDATE"))
-          assignments.foreach(a => rejectSubqueries(a.value, "UPDATE"))
+          // WHERE subqueries fine (only the positive filter is ever
+          // evaluated in MoR update); SET-value subqueries stay out —
+          // a scalar subquery re-evaluated inside the mask+copy plan
+          // has no single-evaluation guarantee yet.
+          assignments.foreach(a => rejectSubqueries(a.value, "UPDATE SET"))
           val set = assignments.map { a =>
             val name = a.key match {
               case k: UnresolvedAttribute => k.nameParts.last
@@ -126,33 +134,67 @@ object TxnSqlDml {
         }
       }.getOrElse(plan)
 
-    case m @ MergeIntoTable(t, source, mergeCond,
+    case MergeIntoTable(t, source, mergeCond,
         matched, notMatched, bySource, withSchemaEvolution) =>
       target(t).flatMap { case (parts, alias) =>
         txnDir(spark, parts).map { dir =>
-          def unsupported(why: String): Nothing =
-            throw new UnsupportedOperationException(
-              s"graft txn MERGE supports exactly 'WHEN MATCHED THEN UPDATE " +
-                s"SET * WHEN NOT MATCHED THEN INSERT *' on an equi-key — $why")
-          if (withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION is not supported")
-          if (bySource.nonEmpty) unsupported("NOT MATCHED BY SOURCE clauses are not supported")
-          val key = mergeCond match {
-            case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-              if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
-              a.nameParts.last
-            case other => unsupported(
-              s"ON must be t.key = src.key on one same-named column, got $other")
+          if (withSchemaEvolution) throw new UnsupportedOperationException(
+            "graft txn MERGE: WITH SCHEMA EVOLUTION is not supported — " +
+              "evolve the table first (ALTER TABLE ADD COLUMNS)")
+          // Fast path — the canonical replace-by-key upsert
+          // (`WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *` on
+          // same-named equi-keys, no extra clauses): one window over
+          // the key exchange, file-pruned, no per-row clause chains.
+          val equiKeys: Option[Seq[String]] = {
+            def conjuncts(e: Expression): Seq[Expression] = e match {
+              case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+                conjuncts(l) ++ conjuncts(r)
+              case x => Seq(x)
+            }
+            val ks = conjuncts(mergeCond).map {
+              case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+                if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+                Some(a.nameParts.last)
+              case _ => None
+            }
+            if (ks.forall(_.isDefined)) Some(ks.flatten) else None
           }
-          (matched, notMatched) match {
-            case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) => ()
-            case _ => unsupported(
-              "conditional or column-listed WHEN clauses are not supported")
+          val starShape = (matched, notMatched) match {
+            case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) => true
+            case _ => false
           }
-          GraftMergeCommand(dir, source, key): LogicalPlan
+          if (equiKeys.isDefined && starShape && bySource.isEmpty)
+            GraftMergeCommand(dir, source, equiKeys.get): LogicalPlan
+          else
+            // General path: conditional / column-listed / DELETE /
+            // NOT MATCHED BY SOURCE clauses, arbitrary ON condition —
+            // the log's clause-form merge executor. Expressions are
+            // carried raw and translated against BOTH schemas at run
+            // time (the source's schema needs analysis).
+            GraftMergeClausesCommand(dir, source,
+              new MergeRaw(mergeCond, matched, notMatched, bySource),
+              tgtQuals(parts, alias), srcQuals(source)): LogicalPlan
         }
       }.getOrElse(plan)
 
     case _ => plan
+  }
+
+  /** Qualifier spellings that refer to the merge TARGET: alias, table
+    * name, catalog-path suffixes. */
+  private[plans] def tgtQuals(parts: Seq[String],
+                              alias: Option[String]): Seq[Seq[String]] =
+    (alias.map(Seq(_)).toSeq :+ Seq(parts.last)) ++
+      (2 to parts.length).map(parts.takeRight)
+
+  /** Qualifier spellings that refer to the merge SOURCE: its alias if
+    * aliased (which shadows the inner name, per SQL), else the
+    * relation's name suffixes; a bare subquery has none. */
+  private[plans] def srcQuals(p: LogicalPlan): Seq[Seq[String]] = p match {
+    case SubqueryAlias(id, _) => Seq(Seq(id.name))
+    case u: UnresolvedRelation =>
+      (1 to u.multipartIdentifier.length).map(u.multipartIdentifier.takeRight)
+    case _ => Nil
   }
 
   /** Analyzer rule applying DELETION-VECTOR masks to SQL scans: a
@@ -224,11 +266,13 @@ case class GraftUpdateCommand(dir: String, cond: Column,
   }
 }
 
-/** `MERGE INTO <txn table> USING src ON key WHEN MATCHED UPDATE SET *
+/** `MERGE INTO <txn table> USING src ON key(s) WHEN MATCHED UPDATE SET *
   * WHEN NOT MATCHED INSERT *` → [[TxnLog.merge]] (serializable,
-  * file-pruned upsert). The source plan analyzes at run time, so any
+  * file-pruned upsert; composite keys partition the resolution window
+  * on the whole tuple). The source plan analyzes at run time, so any
   * query shape works as the delta. */
-case class GraftMergeCommand(dir: String, source: LogicalPlan, key: String)
+case class GraftMergeCommand(dir: String, source: LogicalPlan,
+                             keys: Seq[String])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val delta = Bridge.ofRows(spark, source)
@@ -240,6 +284,16 @@ case class GraftMergeCommand(dir: String, source: LogicalPlan, key: String)
     // own schema enforcement.
     val aligned = TxnLog.tableSchema(spark, dir) match {
       case Some(schema) =>
+        // A table column MISSING from the source would only surface
+        // as a raw unionByName analysis error deep inside the merge —
+        // raise the documented contract message here instead
+        // (round-11 advice).
+        val missing = schema.fields.map(_.name).filterNot(tc =>
+          delta.columns.exists(_.equalsIgnoreCase(tc)))
+        if (missing.nonEmpty) throw new IllegalArgumentException(
+          s"MERGE … UPDATE SET * / INSERT * into $dir: the source must " +
+            s"provide every table column; missing ${missing.mkString(", ")} " +
+            "(use column-listed WHEN clauses for a partial merge)")
         delta.select(delta.columns.map { c =>
           schema.fields.find(_.name.equalsIgnoreCase(c)) match {
             case Some(f) =>
@@ -249,7 +303,103 @@ case class GraftMergeCommand(dir: String, source: LogicalPlan, key: String)
         }.toSeq: _*)
       case None => delta
     }
-    TxnLog.merge(spark, dir, aligned, key)
+    TxnLog.merge(spark, dir, aligned, keys, maxAttempts = 20)
+    Seq.empty
+  }
+}
+
+/** Opaque carrier for a clause-form merge's parse-time expressions: a
+  * deliberate NON-Product, so the analyzer's reflective expression
+  * walk does not find (and demand resolution of) expressions that by
+  * design only translate and resolve at RUN time, against both
+  * schemas. */
+final class MergeRaw(val cond: Expression, val matched: Seq[MergeAction],
+    val notMatched: Seq[MergeAction],
+    val bySource: Seq[MergeAction]) extends Serializable
+
+/** Clause-form `MERGE INTO` → [[TxnLog.mergeClauses]]: conditional /
+  * column-listed / DELETE / NOT MATCHED BY SOURCE clauses on an
+  * arbitrary ON condition. Expressions arrive RAW from the parse and
+  * are translated here, where both schemas are known: references
+  * qualified by the source's alias/name → the executor's
+  * [[TxnLog.SourcePrefix]] columns; target-qualified → bare;
+  * unqualified names resolve to whichever side uniquely has them
+  * (both sides = the standard's ambiguity error). */
+case class GraftMergeClausesCommand(dir: String, source: LogicalPlan,
+    raw: MergeRaw, tgtQuals: Seq[Seq[String]],
+    srcQuals: Seq[Seq[String]]) extends LeafRunnableCommand {
+
+  private def cond: Expression = raw.cond
+  private def matched: Seq[MergeAction] = raw.matched
+  private def notMatched: Seq[MergeAction] = raw.notMatched
+  private def bySource: Seq[MergeAction] = raw.bySource
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val srcDf = Bridge.ofRows(spark, source)
+    val srcCols = srcDf.columns.toSeq
+    val tgtSchema = TxnLog.tableSchema(spark, dir)
+      .getOrElse(TxnLog.read(spark, dir).schema)
+    def matches(parts: Seq[String], q: Seq[String]): Boolean =
+      parts.length > q.length &&
+        parts.take(q.length).map(_.toLowerCase) == q.map(_.toLowerCase)
+    def translate(e: Expression): Expression = e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        srcQuals.collectFirst {
+          case q if matches(a.nameParts, q) =>
+            val rest = a.nameParts.drop(q.length)
+            UnresolvedAttribute((TxnLog.SourcePrefix + rest.head) +: rest.tail)
+        }.orElse(tgtQuals.collectFirst {
+          case q if matches(a.nameParts, q) =>
+            UnresolvedAttribute(a.nameParts.drop(q.length))
+        }).getOrElse(a)
+      case a: UnresolvedAttribute =>
+        val n = a.nameParts.head
+        val inTgt = tgtSchema.fieldNames.exists(_.equalsIgnoreCase(n))
+        val inSrc = srcCols.exists(_.equalsIgnoreCase(n))
+        if (inTgt && inSrc) throw new IllegalArgumentException(
+          s"MERGE into $dir: reference '$n' is ambiguous — it exists in " +
+            "both the target and the source; qualify it (t.$n / s.$n)")
+        else if (inSrc)
+          UnresolvedAttribute((TxnLog.SourcePrefix + n) +: a.nameParts.tail)
+        else a
+    }
+    def tc(e: Expression): Column = Bridge.column(translate(e))
+    // SET * / INSERT *: every target column from the same-named source
+    // column — the star contract requires full coverage (a silently
+    // null-filled column on a star action is a data-corruption foot-gun).
+    lazy val starSet: Map[String, Column] = tgtSchema.fields.map { f =>
+      val sc = srcCols.find(_.equalsIgnoreCase(f.name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"MERGE star action into $dir: source lacks table column " +
+            s"'${f.name}' — list columns explicitly for a partial merge"))
+      f.name -> col(TxnLog.SourcePrefix + sc)
+    }.toMap
+    def assignName(k: Expression): String = k match {
+      case a: UnresolvedAttribute => a.nameParts.last
+      case other => throw new UnsupportedOperationException(
+        s"graft txn MERGE: unsupported assignment target $other " +
+          "(only plain columns)")
+    }
+    def updateClause(a: MergeAction): TxnLog.MergeClause = a match {
+      case UpdateAction(c, assigns, _) => TxnLog.MergeUpdate(c.map(tc),
+        assigns.map(asn => assignName(asn.key) -> tc(asn.value)).toMap)
+      case UpdateStarAction(c) => TxnLog.MergeUpdate(c.map(tc), starSet)
+      case DeleteAction(c) => TxnLog.MergeDelete(c.map(tc))
+      case other => throw new UnsupportedOperationException(
+        s"graft txn MERGE: unsupported WHEN [NOT] MATCHED action $other")
+    }
+    def insertClause(a: MergeAction): TxnLog.MergeInsert = a match {
+      case InsertAction(c, assigns) => TxnLog.MergeInsert(c.map(tc),
+        assigns.map(asn => assignName(asn.key) -> tc(asn.value)).toMap)
+      case InsertStarAction(c) => TxnLog.MergeInsert(c.map(tc), starSet)
+      case other => throw new UnsupportedOperationException(
+        s"graft txn MERGE: unsupported WHEN NOT MATCHED action $other")
+    }
+    TxnLog.mergeClauses(spark, dir, srcDf, tc(cond),
+      matched = matched.map(updateClause),
+      notMatched = notMatched.map(insertClause),
+      bySource = bySource.map(updateClause))
     Seq.empty
   }
 }

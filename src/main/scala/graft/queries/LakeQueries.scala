@@ -330,6 +330,75 @@ object LakeQueries extends QueryModule {
               |FROM gdml.dmlns.docs GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
+    // SQL DELETE with an IN-subquery condition — the decontamination
+    // shape (purge every document whose id appears in a benchmark/
+    // blocklist table) and the single most common delete in a GDPR
+    // pipeline. The blocklist is a SECOND txn table resolved through
+    // the catalog INSIDE the subquery; the log's delete derives
+    // survivors from the positive match set (anti-join on physical
+    // row identity), so no negated-subquery rewrite limitation
+    // applies. The oracle recomputes the surviving population with
+    // the same NOT IN; file-prune/row-identity mechanics are
+    // GraftSqlDmlSpec's.
+    "q_txn_sql_decon" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/deconns/docs"
+      val block = s"$base/deconns/blocklist"
+      for (t <- Seq(table, block)) {
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table, docs)
+      TxnLog.create(s, block, docs
+        .filter(col("doc_id") % 17 === 0 || col("n_chars") < 220L)
+        .select("doc_id"))
+      s.conf.set("spark.sql.catalog.gdecon",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gdecon.root", base)
+      s.sql("""DELETE FROM gdecon.deconns.docs
+              |WHERE doc_id IN (SELECT doc_id FROM gdecon.deconns.blocklist)"""
+        .stripMargin)
+      s.sql("""SELECT lang, count(*) AS row_cnt,
+              |  sum(n_chars) AS sum_chars, sum(doc_id) AS sum_id
+              |FROM gdecon.deconns.docs GROUP BY lang ORDER BY lang"""
+        .stripMargin)
+    }),
+
+    // Clause-form SQL MERGE: conditional WHEN MATCHED DELETE/UPDATE,
+    // a column-listed partial source (no lang column — star would be
+    // illegal here), and WHEN NOT MATCHED BY SOURCE — the full
+    // standard surface beyond the replace-by-key upsert, in ONE
+    // atomic commit. The oracle recomposes the clause semantics as a
+    // CASE over the source table; cardinality/ambiguity/isolation
+    // mechanics are GraftSqlDmlSpec's.
+    "q_txn_sql_merge_clauses" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/gmns/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table, docs)
+      s.conf.set("spark.sql.catalog.gmrg",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gmrg.root", base)
+      docs.createOrReplaceTempView("gmrg_src")
+      s.sql("""MERGE INTO gmrg.gmns.docs t
+              |USING (SELECT doc_id, n_chars FROM gmrg_src
+              |       WHERE doc_id % 3 = 0) u
+              |ON t.doc_id = u.doc_id
+              |WHEN MATCHED AND u.n_chars < 300 THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + u.n_chars
+              |WHEN NOT MATCHED BY SOURCE AND t.n_chars < 250
+              |  THEN UPDATE SET n_chars = 0""".stripMargin)
+      s.sql("""SELECT lang, count(*) AS row_cnt,
+              |  sum(n_chars) AS sum_chars, sum(doc_id) AS sum_id
+              |FROM gmrg.gmns.docs GROUP BY lang ORDER BY lang"""
+        .stripMargin)
+    }),
+
     // Multi-column stats-in-log: ONE set of commits records per-file
     // [min,max] for BOTH doc_id and n_chars, and the same log entries
     // serve a prune on either column — the Delta shape where skipping
@@ -445,6 +514,25 @@ object LakeQueries extends QueryModule {
         |        ELSE n_chars END AS nc
         |  FROM documents
         |  WHERE doc_id % 11 = 0 OR doc_id % 9 <> 0)
+        | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_sql_decon" ->
+      """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM documents
+        | WHERE doc_id NOT IN (SELECT doc_id FROM documents
+        |                      WHERE doc_id % 17 = 0 OR n_chars < 220)
+        | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_sql_merge_clauses" ->
+      """SELECT lang, count(*) AS row_cnt, sum(nc)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM (SELECT doc_id, lang,
+        |   CASE WHEN doc_id % 3 = 0 THEN n_chars * 2
+        |        WHEN n_chars < 250 THEN 0
+        |        ELSE n_chars END AS nc
+        |  FROM documents
+        |  WHERE NOT (doc_id % 3 = 0 AND n_chars < 300))
         | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
 
     "q_txn_skip2" ->

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 import graft.JsonUtil
@@ -748,10 +749,20 @@ object TxnLog {
     * after `maxAttempts` rebases rather than livelocking (round-10
     * advice). */
   def merge(spark: SparkSession, table: String, delta: DataFrame,
-            key: String, maxAttempts: Int = 20): CommitResult = {
+            key: String, maxAttempts: Int = 20): CommitResult =
+    merge(spark, table, delta, Seq(key), maxAttempts)
+
+  /** [[merge]] on a COMPOSITE key: a delta row replaces current rows
+    * sharing its whole key TUPLE. Pruning intersects per-column file
+    * stats — tuple equality needs every component equal, so a file
+    * disjoint from the delta's range on ANY key column provably holds
+    * no matching tuple. */
+  def merge(spark: SparkSession, table: String, delta: DataFrame,
+            keys: Seq[String], maxAttempts: Int): CommitResult = {
+    require(keys.nonEmpty, "merge needs at least one key column")
     var attempts = 0
     while (attempts < maxAttempts) {
-      mergeAttempt(spark, table, delta, key,
+      mergeAttempt(spark, table, delta, keys,
         latestVersion(spark, table)) match {
         case Some(r) => return r
         case None => attempts += 1 // the log moved while resolving — rebase and redo.
@@ -776,29 +787,41 @@ object TxnLog {
     * rewrite as before — pruning only ever shrinks the rewrite set,
     * never the semantics. */
   private[graft] def mergeAttempt(spark: SparkSession, table: String,
-      delta: DataFrame, key: String, base: Long): Option[CommitResult] = {
+      delta: DataFrame, key: String, base: Long): Option[CommitResult] =
+    mergeAttempt(spark, table, delta, Seq(key), base)
+
+  private[graft] def mergeAttempt(spark: SparkSession, table: String,
+      delta: DataFrame, keys: Seq[String], base: Long): Option[CommitResult] = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
     enforceSchema(spark, table, delta, mergeSchema = false, "merge")
     val baseFiles = snapshotFull(spark, table, Some(base))
-    val keyAsLong = col(key).try_cast("long")
-    val range = delta.agg(min(keyAsLong), max(keyAsLong),
-      count(when(keyAsLong.isNull, lit(1)))).head()
-    // Pruning is sound only when EVERY delta key has a long image:
-    // raw-equal keys have equal casts, so disjoint cast ranges prove
-    // disjoint keys — but a cast-null delta key (non-numeric string,
-    // or a null key, which merge's window groups as a key) is outside
-    // the range and could still match cast-null rows a mixed file's
-    // stats never covered. Any such key ⇒ full rewrite.
-    val touched =
-      if (range.isNullAt(0) || range.isNullAt(1) || range.getLong(2) > 0)
-        baseFiles
-      else {
-        val (dMin, dMax) = (range.getLong(0), range.getLong(1))
-        baseFiles.filter { case (_, st) =>
-          st.stats.forall(_.cols.get(key).forall(c => c.max >= dMin && c.min <= dMax))
-        }
+    // One agg pass: per key column, the delta's long-cast [min,max]
+    // and cast-null count. Pruning is sound only when EVERY delta key
+    // value on a column has a long image: raw-equal keys have equal
+    // casts, so disjoint cast ranges prove disjoint keys — but a
+    // cast-null delta key (non-numeric string, or a null key, which
+    // merge's window groups as a key) is outside the range and could
+    // still match cast-null rows a mixed file's stats never covered.
+    // A column with any such value never prunes; a file disjoint on
+    // ANY prunable key column holds no matching key TUPLE.
+    val rangeAggs = keys.flatMap { k =>
+      val kl = col(k).try_cast("long")
+      Seq(min(kl), max(kl), count(when(kl.isNull, lit(1))))
+    }
+    val range = delta.agg(rangeAggs.head, rangeAggs.tail: _*).head()
+    val bounds: Seq[Option[(String, Long, Long)]] = keys.zipWithIndex.map {
+      case (k, i) =>
+        val (mnI, mxI, nullI) = (3 * i, 3 * i + 1, 3 * i + 2)
+        if (range.isNullAt(mnI) || range.isNullAt(mxI) || range.getLong(nullI) > 0)
+          None
+        else Some((k, range.getLong(mnI), range.getLong(mxI)))
+    }
+    val touched = baseFiles.filter { case (_, st) =>
+      bounds.flatten.forall { case (k, dMin, dMax) =>
+        st.stats.forall(_.cols.get(k).forall(c => c.max >= dMin && c.min <= dMax))
       }
+    }
     // Every file pruned ⇒ no current row can share a delta key: the
     // merge degenerates to a pure insert of the delta.
     val resolved =
@@ -807,7 +830,8 @@ object TxnLog {
         val union = readState(spark, table, touched).withColumn("_src", lit(0))
           .unionByName(delta.withColumn("_src", lit(1)))
         union
-          .withColumn("_hasDelta", max("_src").over(Window.partitionBy(key)))
+          .withColumn("_hasDelta",
+            max("_src").over(Window.partitionBy(keys.map(col): _*)))
           // A key with any delta row keeps ONLY its delta rows; a key
           // without one keeps its current rows untouched.
           .filter(col("_src") === 1 || col("_hasDelta") === 0)
@@ -826,6 +850,258 @@ object TxnLog {
     }
     if (result.isEmpty) dropStaged(spark, table, staged)
     result
+  }
+
+  // ---- general (clause-form) MERGE ----------------------------------------
+
+  /** One `WHEN …` clause of a clause-form MERGE. Conditions and value
+    * expressions follow the joined-row column contract: TARGET columns
+    * by bare name, SOURCE columns prefixed [[SourcePrefix]] (the SQL
+    * front door translates qualified references into this shape). */
+  sealed trait MergeClause { def condition: Option[Column] }
+  /** WHEN [NOT] MATCHED [AND cond] THEN UPDATE SET … */
+  final case class MergeUpdate(condition: Option[Column],
+                               set: Map[String, Column]) extends MergeClause
+  /** WHEN [NOT] MATCHED [AND cond] THEN DELETE */
+  final case class MergeDelete(condition: Option[Column]) extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT (…) VALUES (…) — columns
+    * the clause omits insert NULL (the SQL default). */
+  final case class MergeInsert(condition: Option[Column],
+                               values: Map[String, Column]) extends MergeClause
+
+  /** The column prefix a clause-form merge's source travels under in
+    * the joined row (dodges target/source name collisions — a merge's
+    * whole point is that both sides share key names). */
+  val SourcePrefix = "__s_"
+
+  /** Source-row presence marker in the joined row — deliberately NOT
+    * `SourcePrefix + <plausible name>`, so a source column can never
+    * collide with it. */
+  private val SourceMarker = "__gf_src_present"
+
+  /** Clause-form ACID MERGE — the full SQL surface [[merge]]'s
+    * replace-by-key fast path cannot express: an arbitrary (not
+    * necessarily equi) ON condition, ordered conditional
+    * `WHEN MATCHED [AND …] THEN UPDATE/DELETE` clauses, column-listed
+    * `WHEN NOT MATCHED THEN INSERT`, and `WHEN NOT MATCHED BY SOURCE
+    * UPDATE/DELETE`. Standard-SQL semantics:
+    *
+    *  - each TARGET row takes the FIRST matched (or by-source) clause
+    *    whose condition is true, evaluated per clause order; no
+    *    applicable clause ⇒ the row is untouched;
+    *  - a target row with MORE THAN ONE source match where any matched
+    *    clause applies is the standard's cardinality violation and
+    *    throws — applying an arbitrary one would be nondeterministic;
+    *  - each source row matching NO target row takes the first
+    *    applicable NOT MATCHED clause and inserts (omitted columns
+    *    NULL), or vanishes.
+    *
+    * Execution is copy-on-write with FILE-LEVEL victim detection: one
+    * join pass finds the files containing any clause-affected row
+    * (bounded by `maxCollectedVictims`, like [[delete]]); ONLY those
+    * rewrite — at 100 TB a selective merge rewrites the touched
+    * sliver. `WHEN NOT MATCHED BY SOURCE` forces a full-table victim
+    * set (every unmatched target row is potentially affected, and
+    * unmatched is only provable against the whole join). Commits are
+    * serializable exactly like [[merge]]: pinned base, abandon on any
+    * concurrent commit, bounded rebase loop. Returns None when no
+    * clause affected any row (nothing published). */
+  def mergeClauses(spark: SparkSession, table: String, source: DataFrame,
+                   condition: Column,
+                   matched: Seq[MergeClause] = Nil,
+                   notMatched: Seq[MergeInsert] = Nil,
+                   bySource: Seq[MergeClause] = Nil,
+                   maxAttempts: Int = 20,
+                   maxCollectedVictims: Int = MaxCollectedVictims): Option[CommitResult] = {
+    require(matched.forall(!_.isInstanceOf[MergeInsert]),
+      "WHEN MATCHED supports UPDATE/DELETE only")
+    require(bySource.forall(!_.isInstanceOf[MergeInsert]),
+      "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE only")
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
+      "merge needs at least one WHEN clause")
+    import org.apache.spark.sql.functions.{col, lit}
+    // The source is read by several jobs (victim pass, rewrite,
+    // insert anti-join) and MUST present one consistent row set — a
+    // nondeterministic source query re-evaluating differently per job
+    // would tear the merge. Persist once, release at the end.
+    val src = source.select(source.columns.map(c =>
+        col(c).as(s"$SourcePrefix$c")).toSeq: _*)
+      .withColumn(SourceMarker, lit(true))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var attempts = 0
+      while (attempts < maxAttempts) {
+        mergeClausesAttempt(spark, table, src, condition, matched,
+          notMatched, bySource, maxCollectedVictims,
+          latestVersion(spark, table)) match {
+          case Right(r) => return r
+          case Left(()) => attempts += 1 // rebase
+        }
+      }
+      throw new java.util.ConcurrentModificationException(
+        s"merge on $table abandoned $maxAttempts consecutive attempts: " +
+          "sustained concurrent commits are outrunning the rebase loop")
+    } finally src.unpersist()
+  }
+
+  /** First-true-wins clause chain: the 0-based index of the first
+    * clause whose condition holds (missing condition = always), null
+    * when none does — evaluated under `gate` (presence side). */
+  private def clauseIndex(clauses: Seq[MergeClause], gate: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    clauses.zipWithIndex.foldRight(
+        lit(null).cast("int")) { case ((cl, i), acc) =>
+      when(gate && cl.condition.fold(lit(true))(c => c <=> true), lit(i))
+        .otherwise(acc)
+    }
+  }
+
+  /** One pinned-base clause-merge attempt; Left = log advanced, rebase. */
+  private def mergeClausesAttempt(spark: SparkSession, table: String,
+      src: DataFrame, condition: Column, matched: Seq[MergeClause],
+      notMatched: Seq[MergeInsert], bySource: Seq[MergeClause],
+      maxCollectedVictims: Int,
+      base: Long): Either[Unit, Option[CommitResult]] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, lit, max, row_number, when}
+    val full = snapshotFull(spark, table, Some(base))
+    val states = full.toMap
+    def taggedRead(files: Seq[(String, FileState)]): DataFrame = {
+      val (t, hadDv) = readTagged(spark, table, files)
+      if (hadDv) t
+      else t.withColumn("_gf_rel", relPathCol(spark, table))
+        .withColumn("_gf_idx", col("_metadata.row_index"))
+    }
+    val tgt = taggedRead(full)
+    val tableCols = tgt.columns.filterNot(Set("_gf_rel", "_gf_idx")).toSeq
+    val colType = tgt.schema.fields.map(f => f.name -> f.dataType).toMap
+    matched.collect { case MergeUpdate(_, set) => set.keys }.flatten
+      .++(notMatched.flatMap(_.values.keys))
+      .++(bySource.collect { case MergeUpdate(_, set) => set.keys }.flatten)
+      .foreach { k =>
+        require(tableCols.exists(_.equalsIgnoreCase(k)),
+          s"merge clause references column '$k' not in $table " +
+            s"(${tableCols.mkString(", ")})")
+      }
+    val sPresent = col(SourceMarker) <=> true
+
+    // ---- victim pass: which files contain a clause-affected row, and
+    // does any target row have >1 applicable source match (the
+    // standard's cardinality violation)?
+    val j0 = tgt.join(src, condition, "left_outer")
+    val mApp = clauseIndex(matched, sPresent).isNotNull
+    val bApp = clauseIndex(bySource, !sPresent).isNotNull
+    val hits = j0.filter(mApp || bApp)
+      .groupBy(col("_gf_rel"), col("_gf_idx"))
+      .agg(count(when(mApp, lit(1))).as("_c"))
+    val perFile = hits.groupBy(col("_gf_rel")).agg(max(col("_c")).as("_mx"))
+      .limit(maxCollectedVictims + 1).collect()
+    val overflow = perFile.length > maxCollectedVictims
+    if ((!overflow && perFile.exists(_.getLong(1) > 1)) ||
+        (overflow && hits.agg(max(col("_c"))).head().getLong(0) > 1))
+      throw new UnsupportedOperationException(
+        s"MERGE into $table: a target row has multiple applicable source " +
+          "matches — the standard's cardinality violation (applying an " +
+          "arbitrary one would be nondeterministic); de-duplicate the source")
+    // Pruning stays sound under NOT MATCHED BY SOURCE: the victim
+    // pass evaluated by-source applicability on the unmatched rows of
+    // the FULL left-outer join, so a file outside `perFile` provably
+    // contains no clause-affected row of either kind.
+    val victims: Seq[String] =
+      if (overflow) full.map(_._1)
+      else perFile.map(_.getString(0)).toSeq
+
+    // ---- rewrite pass over the victim files only.
+    val rewritten: Option[DataFrame] =
+      if (victims.isEmpty) None
+      else {
+        val vj = taggedRead(victims.map(p => p -> states(p)))
+          .join(src, condition, "left_outer")
+          .withColumn("_ma", clauseIndex(matched, sPresent))
+          .withColumn("_ba", clauseIndex(bySource, !sPresent))
+        // One decision row per target row: the applicable one if any
+        // (cardinality-checked unique), else an arbitrary no-op row —
+        // all no-op rows emit the identical unchanged target row.
+        val picked = vj.withColumn("_rn", row_number().over(
+            Window.partitionBy(col("_gf_rel"), col("_gf_idx"))
+              .orderBy(when(col("_ma").isNotNull || col("_ba").isNotNull,
+                lit(0)).otherwise(lit(1)))))
+          .filter(col("_rn") === 1)
+        def updValue(cl: MergeClause, c: String): Column = cl match {
+          case MergeUpdate(_, set) =>
+            set.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v }
+              .getOrElse(col(c))
+          case _ => col(c) // delete: value irrelevant, row dropped below
+        }
+        val keep =
+          chainKeep(matched, col("_ma")) && chainKeep(bySource, col("_ba"))
+        // The matched chain wraps the by-source chain: the two index
+        // spaces are disjoint (exactly one is non-null per decided
+        // row), so both collapse to the unchanged column when their
+        // index is null; all SET values evaluate against the ORIGINAL
+        // row (one simultaneous select, never sequential rebinding).
+        Some(picked.filter(keep).select(tableCols.map { c =>
+          val afterB = bySource.zipWithIndex.foldRight(col(c)) {
+            case ((cl, i), acc) =>
+              when(col("_ba") === i, updValue(cl, c)).otherwise(acc)
+          }
+          matched.zipWithIndex.foldRight(afterB) { case ((cl, i), acc) =>
+            when(col("_ma") === i, updValue(cl, c)).otherwise(acc)
+          }.cast(colType(c)).as(c)
+        }: _*))
+      }
+
+    // ---- insert pass: source rows matching NO target row take their
+    // first applicable NOT MATCHED clause. The anti-join runs against
+    // the FULL target (unmatched must be proven table-wide).
+    val inserts: Option[DataFrame] =
+      if (notMatched.isEmpty) None
+      else {
+        val un = src.join(tgt, condition, "left_anti")
+          .withColumn("_ia", clauseIndex(notMatched, lit(true)))
+          .filter(col("_ia").isNotNull)
+        Some(un.select(tableCols.map { c =>
+          notMatched.zipWithIndex.foldRight(lit(null).cast(colType(c))) {
+            case ((cl, i), acc) =>
+              when(col("_ia") === i,
+                cl.values.collectFirst {
+                  case (k, v) if k.equalsIgnoreCase(c) => v
+                }.getOrElse(lit(null))).otherwise(acc)
+          }.cast(colType(c)).as(c)
+        }: _*))
+      }
+
+    val result = (rewritten, inserts) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+    result match {
+      case None => Right(None)
+      case Some(resolved) =>
+        if (victims.isEmpty && resolved.isEmpty) return Right(None)
+        enforceSchema(spark, table, resolved, mergeSchema = false, "merge")
+        val staged = stage(spark, table, resolved)
+        val statCols = inheritedStatsCols(full)
+        val stats =
+          if (statCols.nonEmpty) stagedStats(spark, table, staged, statCols)
+          else Map.empty[String, FileStats]
+        val committed = commitLoop(spark, table, stats = stats) { v =>
+          if (v != base + 1) None else Some((staged, victims))
+        }
+        committed match {
+          case some @ Some(_) => Right(some)
+          case None => dropStaged(spark, table, staged); Left(())
+        }
+    }
+  }
+
+  /** Row-survival flag for one clause side: false iff the row's
+    * applicable clause is a DELETE. */
+  private def chainKeep(side: Seq[MergeClause], idx: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    side.zipWithIndex.foldRight(lit(true)) { case ((cl, i), acc) =>
+      when(idx === i, lit(!cl.isInstanceOf[MergeDelete])).otherwise(acc)
+    }
   }
 
   /** Soft cap on victim paths pulled through the row scan onto the
@@ -863,6 +1139,7 @@ object TxnLog {
     val keyed =
       if (hadDv) tagged
       else tagged.withColumn("_gf_rel", relPathCol(spark, table))
+        .withColumn("_gf_idx", col("_metadata.row_index"))
     // limit(cap+1) bounds BOTH driver memory and the job: one pass,
     // and the overflow signal is "more rows than the cap came back".
     val collected = keyed.filter(predicate)
@@ -873,9 +1150,29 @@ object TxnLog {
       if (collected.size > maxCollectedVictims) full.map(_._1) else collected
     // Survivors resolve through the victims' DV state too — rewriting
     // a DV-masked file must not resurrect its already-deleted rows.
-    val survivors = readState(spark, table,
-        victims.map(p => p -> states(p)))
-      .filter(!predicate.cast("boolean") <=> true)
+    val victimRead = readState(spark, table, victims.map(p => p -> states(p)))
+    val survivors =
+      if (!Bridge.expression(predicate).exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+        victimRead.filter(!predicate.cast("boolean") <=> true)
+      else {
+        // A SUBQUERY predicate (`DELETE … WHERE k IN (SELECT …)` — the
+        // decontamination shape) negates into an expression position
+        // Spark's subquery rewrite does not support; survivors come
+        // from the POSITIVE match set instead, anti-joined out on
+        // physical row identity — identical semantics (null/false
+        // predicate rows survive both ways).
+        val matchedKeys = keyed.filter(predicate)
+          .select(col("_gf_rel"), col("_gf_idx"))
+        val (vTagged, vHadDv) = readTagged(spark, table,
+          victims.map(p => p -> states(p)))
+        val vKeyed =
+          if (vHadDv) vTagged
+          else vTagged.withColumn("_gf_rel", relPathCol(spark, table))
+            .withColumn("_gf_idx", col("_metadata.row_index"))
+        vKeyed.join(matchedKeys, Seq("_gf_rel", "_gf_idx"), "left_anti")
+          .drop("_gf_rel", "_gf_idx")
+      }
     val staged = stage(spark, table, survivors)
     commitLoop(spark, table) { v =>
       val current = snapshotFull(spark, table, Some(v - 1)).toMap

@@ -114,19 +114,14 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
   test("unsupported DML shapes fail loudly with the reason; non-txn " +
        "tables are untouched by the intercept") {
     freshTable("t_err", Seq((1L, "a")))
+    // UPDATE SET values with subqueries stay rejected (no single-
+    // evaluation guarantee inside the mask+copy plan yet).
     val e1 = intercept[UnsupportedOperationException] {
       dml.sql(
-        """MERGE INTO lake.ns.t_err t
-          |USING (SELECT col1 AS id, col2 AS s FROM VALUES (1,'x')) s
-          |ON t.id = s.id
-          |WHEN MATCHED THEN DELETE""".stripMargin)
+        """UPDATE lake.ns.t_err
+          |SET s = (SELECT max(s) FROM lake.ns.t_err)""".stripMargin)
     }
-    assert(e1.getMessage.contains("supports exactly"))
-    val e2 = intercept[UnsupportedOperationException] {
-      dml.sql(
-        "DELETE FROM lake.ns.t_err WHERE id IN (SELECT id FROM lake.ns.t_err)")
-    }
-    assert(e2.getMessage.contains("subqueries"))
+    assert(e1.getMessage.contains("subqueries"))
     // DML on a PLAIN parquet table passes through to Spark's own error.
     import dml.implicits._
     Seq((1L, "x")).toDF("id", "s").write.mode("overwrite")
@@ -137,6 +132,113 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     assert(!e3.isInstanceOf[UnsupportedOperationException] ||
       !e3.getMessage.contains("graft"),
       s"plain-table DML must surface Spark's own error, got: ${e3.getMessage}")
+  }
+
+  test("DELETE with an IN subquery condition — the decontamination " +
+       "shape — routes to the pruned COW delete") {
+    val dir = freshTable("t_subq", (0L to 9L).map(i => (i, s"r$i")))
+    freshTable("t_block", Seq((2L, "x"), (5L, "x"), (7L, "x"), (100L, "x")))
+    dml.sql(
+      """DELETE FROM lake.ns.t_subq
+        |WHERE id IN (SELECT id FROM lake.ns.t_block)""".stripMargin)
+    assert(content("t_subq").map(_._1) === Set(0L, 1L, 3L, 4L, 6L, 8L, 9L))
+    // Still COW, one commit, time travel intact.
+    assert(TxnLog.snapshotFull(dml, dir).forall(_._2.dv.isEmpty))
+    assert(dml.sql("SELECT count(*) AS n FROM lake.ns.t_subq VERSION AS OF 0")
+      .head().getLong(0) === 10)
+    // EXISTS composed with plain predicates works through the same
+    // positive-match anti-join machinery.
+    dml.sql(
+      """DELETE FROM lake.ns.t_subq
+        |WHERE id = 9
+        |  AND EXISTS (SELECT 1 FROM lake.ns.t_block b WHERE b.id < 999)""".stripMargin)
+    assert(content("t_subq").map(_._1) === Set(0L, 1L, 3L, 4L, 6L, 8L))
+    // UPDATE with a WHERE subquery (positive filter only — supported).
+    dml.sql(
+      """UPDATE lake.ns.t_subq SET s = 'hit'
+        |WHERE id IN (SELECT id - 96 FROM lake.ns.t_block WHERE id = 100)""".stripMargin)
+    assert(content("t_subq").contains((4L, "hit")))
+  }
+
+  test("MERGE general clauses: conditional WHEN, column-listed UPDATE " +
+       "and INSERT, WHEN MATCHED DELETE") {
+    val dir = freshTable("t_gm", Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    dml.sql(
+      """MERGE INTO lake.ns.t_gm t
+        |USING (SELECT col1 AS id, col2 AS tag FROM
+        |        VALUES (1, 'keep'), (2, 'kill'), (3, 'keep'), (9, 'new')) u
+        |ON t.id = u.id
+        |WHEN MATCHED AND u.tag = 'kill' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET s = concat(t.s, '+', u.tag)
+        |WHEN NOT MATCHED AND u.tag = 'new' THEN INSERT (id, s) VALUES (u.id, u.tag)
+        |""".stripMargin)
+    assert(content("t_gm") ===
+      Set((1L, "a+keep"), (3L, "c+keep"), (4L, "d"), (9L, "new")))
+    // One atomic commit for the whole clause set.
+    assert(TxnLog.latestVersion(dml, dir) === 1L)
+    assert(dml.sql("SELECT count(*) AS n FROM lake.ns.t_gm VERSION AS OF 0")
+      .head().getLong(0) === 4)
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE updates and deletes unmatched " +
+       "target rows") {
+    freshTable("t_bys", Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    dml.sql(
+      """MERGE INTO lake.ns.t_bys t
+        |USING (SELECT col1 AS id FROM VALUES (1), (2)) u
+        |ON t.id = u.id
+        |WHEN MATCHED THEN UPDATE SET s = upper(t.s)
+        |WHEN NOT MATCHED BY SOURCE AND t.id = 3 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET s = 'orphan'""".stripMargin)
+    assert(content("t_bys") ===
+      Set((1L, "A"), (2L, "B"), (4L, "orphan")))
+  }
+
+  test("MERGE on a composite equi-key takes the fast path and resolves " +
+       "on the whole tuple") {
+    import dml.implicits._
+    val dir = s"$root/ns/t_mk"
+    TxnLog.create(dml, dir,
+      Seq((1L, "x", 10L), (1L, "y", 20L), (2L, "x", 30L))
+        .toDF("k1", "k2", "v"))
+    dml.sql(
+      """MERGE INTO lake.ns.t_mk t
+        |USING (SELECT col1 AS k1, col2 AS k2, col3 AS v FROM
+        |        VALUES (1, 'y', 99), (3, 'z', 7)) u
+        |ON t.k1 = u.k1 AND t.k2 = u.k2
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(dml.sql("SELECT k1, k2, v FROM lake.ns.t_mk")
+      .as[(Long, String, Long)].collect().toSet ===
+      Set((1L, "x", 10L), (1L, "y", 99L), (2L, "x", 30L), (3L, "z", 7L)))
+  }
+
+  test("MERGE cardinality violation (one target row, two applicable " +
+       "source matches) throws instead of picking arbitrarily") {
+    freshTable("t_card", Seq((1L, "a")))
+    val e = intercept[Exception] {
+      dml.sql(
+        """MERGE INTO lake.ns.t_card t
+          |USING (SELECT col1 AS id, col2 AS s FROM
+          |        VALUES (1, 'x'), (1, 'y')) u
+          |ON t.id = u.id
+          |WHEN MATCHED AND u.s = 'x' THEN UPDATE SET s = u.s
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("cardinality"), e.getMessage)
+    assert(content("t_card") === Set((1L, "a")), "failed merge must not publish")
+  }
+
+  test("MERGE ambiguous unqualified reference fails with a clear error") {
+    freshTable("t_amb", Seq((1L, "a")))
+    val e = intercept[Exception] {
+      dml.sql(
+        """MERGE INTO lake.ns.t_amb t
+          |USING (SELECT col1 AS id, col2 AS s FROM VALUES (1, 'x')) u
+          |ON t.id = u.id
+          |WHEN MATCHED THEN UPDATE SET s = concat(s, '!')""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("ambiguous"), e.getMessage)
   }
 
   test("schema enforcement reaches the SQL write path: a mistyped " +
