@@ -82,12 +82,21 @@ object TxnLog {
 
   // ---- log primitives ----------------------------------------------------
 
+  /** A schema recording in a commit: the logical table shape plus the
+    * RETIRED physical column names (column mapping's tombstones — a
+    * dropped column's physical slot must never be handed to a future
+    * ADD of the same name, or old files' data would resurrect under
+    * it). The retired set is re-recorded in full with every schema
+    * commit, so replay (and checkpoints) only ever need the latest. */
+  final case class SchemaCommit(schema: StructType,
+                                retired: Seq[String] = Nil)
+
   private def writeJson(f: FileSystem, p: Path, adds: Seq[String],
                         removes: Seq[String], exclusive: Boolean,
                         txn: Option[String] = None,
                         stats: Map[String, FileStats] = Map.empty,
                         dvs: Map[String, String] = Map.empty,
-                        schema: Option[StructType] = None): Boolean = {
+                        schema: Option[SchemaCommit] = None): Boolean = {
     val statsJson =
       if (stats.isEmpty) ""
       else ",\"stats\":{" + stats.toSeq.sortBy(_._1).map { case (path, st) =>
@@ -109,9 +118,13 @@ object TxnLog {
     // of one batch (a non-null literal, say) must never make a log
     // column "required" — the vectorized reader refuses files missing
     // a required column, which would brick every evolved table.
-    val schemaJson = schema.fold("")(s => ",\"schema64\":\"" +
-      java.util.Base64.getEncoder.encodeToString(
-        nullableSchema(s).json.getBytes("UTF-8")) + "\"")
+    val schemaJson = schema.fold("") { sc =>
+      val s = ",\"schema64\":\"" + java.util.Base64.getEncoder.encodeToString(
+        nullableSchema(sc.schema).json.getBytes("UTF-8")) + "\""
+      if (sc.retired.isEmpty) s
+      else s + ",\"retired64\":\"" + java.util.Base64.getEncoder
+        .encodeToString(sc.retired.mkString("\n").getBytes("UTF-8")) + "\""
+    }
     val body = "{\"adds\":[" + adds.map(JsonUtil.quote).mkString(",") +
       "],\"removes\":[" + removes.map(JsonUtil.quote).mkString(",") + "]" +
       txn.fold("")(t => ",\"txn\":" + JsonUtil.quote(t)) + statsJson + dvJson +
@@ -220,11 +233,18 @@ object TxnLog {
   }
 
   private val Schema64 = """"schema64":"([A-Za-z0-9+/=]+)"""".r
+  private val Retired64 = """"retired64":"([A-Za-z0-9+/=]+)"""".r
 
-  private def parseSchema(body: String): Option[StructType] =
-    Schema64.findFirstMatchIn(body).map(m => DataType.fromJson(
-      new String(java.util.Base64.getDecoder.decode(m.group(1)), "UTF-8"))
-      .asInstanceOf[StructType])
+  private def parseSchema(body: String): Option[SchemaCommit] =
+    Schema64.findFirstMatchIn(body).map { m =>
+      val s = DataType.fromJson(
+        new String(java.util.Base64.getDecoder.decode(m.group(1)), "UTF-8"))
+        .asInstanceOf[StructType]
+      val retired = Retired64.findFirstMatchIn(body).toSeq.flatMap(r =>
+        new String(java.util.Base64.getDecoder.decode(r.group(1)), "UTF-8")
+          .split("\n").toSeq.filter(_.nonEmpty))
+      SchemaCommit(s, retired)
+    }
 
   private def readTxn(f: FileSystem, p: Path): Option[String] = {
     val body = readBody(f, p)
@@ -290,18 +310,20 @@ object TxnLog {
     * before it wins), None for logs written before schema tracking. */
   def tableSchema(spark: SparkSession, table: String,
       version: Option[Long] = None): Option[StructType] =
-    resolve(spark, table, version)._2
+    resolve(spark, table, version)._2.map(_.schema)
 
   /** Live file set AND recorded schema from ONE log replay —
     * table-load-time callers ([[TxnTable]]) need both, and resolving
     * them separately replays the checkpoint + tail twice per
     * statement (round-11 advice). */
   def resolveSnapshot(spark: SparkSession, table: String,
-      version: Option[Long] = None): (Seq[(String, FileState)], Option[StructType]) =
-    resolve(spark, table, version)
+      version: Option[Long] = None): (Seq[(String, FileState)], Option[StructType]) = {
+    val (files, sc) = resolve(spark, table, version)
+    (files, sc.map(_.schema))
+  }
 
   private def resolve(spark: SparkSession, table: String,
-      version: Option[Long]): (Seq[(String, FileState)], Option[StructType]) = {
+      version: Option[Long]): (Seq[(String, FileState)], Option[SchemaCommit]) = {
     val f = fs(spark, logDir(table))
     val versions = listVersions(f, table, "v")
     require(versions.nonEmpty, s"not a TxnLog table: $table")
@@ -309,7 +331,7 @@ object TxnLog {
     require(versions.contains(v), s"version $v not in log (have ${versions.mkString(",")})")
     val ckpt = listVersions(f, table, "c").filter(_ <= v).lastOption
     val live = scala.collection.mutable.LinkedHashMap.empty[String, FileState]
-    var schema: Option[StructType] = None
+    var schema: Option[SchemaCommit] = None
     def apply(body: String): Unit = {
       val st = parseStats(body)
       val dv = parseDvs(body)
@@ -327,6 +349,56 @@ object TxnLog {
     (live.toSeq, schema)
   }
 
+  // ---- column mapping ------------------------------------------------------
+
+  /** Field-metadata key carrying a column's PHYSICAL (in-file) name
+    * when it differs from the logical one — the Delta column-mapping
+    * design: RENAME/DROP become pure metadata commits (the log's
+    * data files are immutable by contract), and reads translate
+    * physical → logical at scan time. Absent metadata means
+    * physical = logical (every pre-mapping table). */
+  val PhysicalNameKey = "graft.physical"
+
+  private[graft] def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalNameKey))
+      f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  private def physicalSchema(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = physicalName(f))))
+
+  private[graft] def hasMapping(s: StructType): Boolean =
+    s.fields.exists(f => physicalName(f) != f.name)
+
+  /** Physical→logical projection after a mapped scan; `extra` columns
+    * (mask keys) ride through untouched. No-op on unmapped schemas. */
+  private def toLogical(df: DataFrame, schema: StructType,
+                        extra: Seq[String] = Nil): DataFrame =
+    if (!hasMapping(schema)) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(schema.fields.map(f =>
+        col(s"`${physicalName(f)}`").as(f.name)).toSeq ++ extra.map(col): _*)
+    }
+
+  /** Rename a batch's logical columns to their physical names before
+    * staging — files ALWAYS carry physical names; columns unknown to
+    * the mapping (additive-evolution extras) stage under their own
+    * name, which IS their physical name. */
+  private def toPhysical(df: DataFrame, mapping: Option[StructType]): DataFrame =
+    mapping.filter(hasMapping) match {
+      case None => df
+      case Some(m) =>
+        import org.apache.spark.sql.functions.col
+        df.select(df.columns.map { c =>
+          m.fields.find(_.name.equalsIgnoreCase(c)) match {
+            case Some(f) if physicalName(f) != c =>
+              col(s"`$c`").as(physicalName(f))
+            case _ => col(s"`$c`")
+          }
+        }.toSeq: _*)
+    }
+
   /** DataFrame of the table at `version` (default latest). Paths are
     * passed explicitly, so a scan never lists the table directory and
     * staged/removed files are invisible regardless of physical state.
@@ -337,9 +409,9 @@ object TxnLog {
     * presents the old schema, exactly as the log semantics demand. */
   def read(spark: SparkSession, table: String,
            version: Option[Long] = None): DataFrame = {
-    val files = snapshotFull(spark, table, version)
+    val (files, schema) = resolveSnapshot(spark, table, version)
     require(files.nonEmpty, s"empty snapshot of $table at $version")
-    readState(spark, table, files)
+    readState(spark, table, files, schema)
   }
 
   /** Scan a resolved file set applying its deletion vectors: files
@@ -391,18 +463,33 @@ object TxnLog {
     * this path instead of re-deriving them downstream. */
   private def readTagged(spark: SparkSession, table: String,
       files: Seq[(String, FileState)],
-      schema: Option[StructType] = None): (DataFrame, Boolean) = {
+      schema: Option[StructType] = None,
+      tagAlways: Boolean = false): (DataFrame, Boolean) = {
     import org.apache.spark.sql.functions.col
-    val reader = schema.fold(spark.read.option("mergeSchema", "true"))(spark.read.schema)
+    // Files carry PHYSICAL column names; the scan binds to those and
+    // the projection back to logical names happens after the mask
+    // keys are derived (they need the raw scan — metadata columns do
+    // not survive an intervening projection reliably, which is also
+    // why DML callers take `tagAlways` here instead of adding the
+    // keys after the fact).
+    val reader = schema.fold(spark.read.option("mergeSchema", "true"))(s =>
+      spark.read.schema(nullableSchema(physicalSchema(s))))
     val base = reader.parquet(files.map { case (p, _) => s"$table/$p" }: _*)
     val dvDirs = files.flatMap(_._2.dv).distinct
-    if (dvDirs.isEmpty) (base, false)
+    val hasDv = dvDirs.nonEmpty
+    if (!hasDv && !tagAlways)
+      (schema.fold(base)(toLogical(base, _)), false)
     else {
-      val dv = spark.read.parquet(dvDirs.map(p => s"$table/$p"): _*)
-        .select(col("file").as("_gf_rel"), col("idx").as("_gf_idx"))
-      (base.withColumn("_gf_rel", relPathCol(spark, table))
+      val tagged = base.withColumn("_gf_rel", relPathCol(spark, table))
         .withColumn("_gf_idx", col("_metadata.row_index"))
-        .join(dv, Seq("_gf_rel", "_gf_idx"), "left_anti"), true)
+      val masked =
+        if (!hasDv) tagged
+        else tagged.join(
+          spark.read.parquet(dvDirs.map(p => s"$table/$p"): _*)
+            .select(col("file").as("_gf_rel"), col("idx").as("_gf_idx")),
+          Seq("_gf_rel", "_gf_idx"), "left_anti")
+      (schema.fold(masked)(
+        toLogical(masked, _, extra = Seq("_gf_rel", "_gf_idx"))), hasDv)
     }
   }
 
@@ -422,10 +509,10 @@ object TxnLog {
     * Returns the schema the commit should record: Some(merged) when it
     * changes (or when a legacy log has none yet), None otherwise. */
   private def enforceSchema(spark: SparkSession, table: String, df: DataFrame,
-                            mergeSchema: Boolean, what: String): Option[StructType] =
-    tableSchema(spark, table) match {
-      case None => Some(df.schema) // pre-tracking log: adopt from here on.
-      case Some(cur) =>
+                            mergeSchema: Boolean, what: String): Option[SchemaCommit] =
+    resolve(spark, table, None)._2 match {
+      case None => Some(SchemaCommit(df.schema)) // pre-tracking log: adopt from here on.
+      case Some(SchemaCommit(cur, retired)) =>
         val extras = scala.collection.mutable.ArrayBuffer.empty[StructField]
         df.schema.fields.foreach { fld =>
           cur.fields.find(_.name.equalsIgnoreCase(fld.name)) match {
@@ -442,20 +529,36 @@ object TxnLog {
                   s"$what to $table rejected: column '${fld.name}' does not " +
                     "exist in the table schema — pass mergeSchema = true to " +
                     "evolve additively")
+              // An evolution extra's physical slot is its own name —
+              // which must not shadow a RETIRED slot (old files would
+              // resurrect data under it) or a live physical of some
+              // OTHER logical column (one slot serving two columns).
+              val taken = retired ++ cur.fields.map(physicalName)
+              if (taken.exists(_.equalsIgnoreCase(fld.name)))
+                throw new IllegalArgumentException(
+                  s"$what to $table rejected: column '${fld.name}' names a " +
+                    "retired or remapped physical slot (a dropped/renamed " +
+                    "column used it) — use ALTER TABLE ADD COLUMNS, which " +
+                    "assigns a fresh physical slot")
               extras += fld
           }
         }
-        if (extras.isEmpty) None else Some(StructType(cur.fields ++ extras))
+        if (extras.isEmpty) None
+        else Some(SchemaCommit(StructType(cur.fields ++ extras), retired))
     }
 
   // ---- writers -----------------------------------------------------------
 
   /** Stage `df` as new parquet files under a unique subdirectory and
     * return their table-relative paths. Staging is invisible: nothing
-    * references the files until a commit publishes them. */
-  private def stage(spark: SparkSession, table: String, df: DataFrame): Seq[String] = {
+    * references the files until a commit publishes them. `mapping`
+    * (the table schema at the caller's pin) renames mapped logical
+    * columns to their PHYSICAL slots first — files always carry
+    * physical names. */
+  private def stage(spark: SparkSession, table: String, df: DataFrame,
+                    mapping: Option[StructType]): Seq[String] = {
     val sub = s"stage-${java.util.UUID.randomUUID().toString.take(12)}"
-    df.write.parquet(s"$table/$sub")
+    toPhysical(df, mapping).write.parquet(s"$table/$sub")
     val dir = new Path(table, sub)
     fs(spark, dir).listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet"))
@@ -493,7 +596,7 @@ object TxnLog {
   private def commitLoop(spark: SparkSession, table: String, txn: Option[String] = None,
                          stats: Map[String, FileStats] = Map.empty,
                          dvs: Map[String, String] = Map.empty,
-                         schema: => Option[StructType] = None)
+                         schema: => Option[SchemaCommit] = None)
                         (attempt: Long => Option[(Seq[String], Seq[String])]): Option[CommitResult] = {
     val f = fs(spark, logDir(table))
     while (true) {
@@ -537,8 +640,8 @@ object TxnLog {
   def create(spark: SparkSession, table: String, df: DataFrame): CommitResult = {
     val f = fs(spark, logDir(table))
     f.mkdirs(logDir(table))
-    val staged = stage(spark, table, df)
-    mustCommit(commitLoop(spark, table, schema = Some(df.schema)) { v =>
+    val staged = stage(spark, table, df, mapping = None)
+    mustCommit(commitLoop(spark, table, schema = Some(SchemaCommit(df.schema))) { v =>
       if (v != 0) None else Some((staged, Nil))
     }, s"create $table")
   }
@@ -553,23 +656,90 @@ object TxnLog {
   def addColumns(spark: SparkSession, table: String,
                  added: Seq[StructField]): CommitResult =
     mustCommit(commitLoop(spark, table, schema = {
-      val cur = tableSchema(spark, table).getOrElse(StructType(Nil))
+      val meta = resolve(spark, table, None)._2.getOrElse(SchemaCommit(StructType(Nil)))
+      val cur = meta.schema
       added.foreach { f =>
         if (cur.fieldNames.exists(_.equalsIgnoreCase(f.name)))
           throw new IllegalArgumentException(
             s"column '${f.name}' already exists in $table (possibly added " +
               "by a concurrent schema change — metadata conflict)")
       }
-      Some(StructType(cur.fields ++ added.map(_.copy(nullable = true))))
+      // A new column whose name shadows a RETIRED physical slot (or a
+      // live physical of a renamed column) gets a FRESH slot — the
+      // column-mapping rule that keeps old files' data from
+      // resurrecting under a re-added name. The slot is suffixed with
+      // the publishing version, unique by construction.
+      val taken = (meta.retired ++ cur.fields.map(physicalName))
+        .map(_.toLowerCase).toSet
+      val v = latestVersion(spark, table) + 1
+      val mapped = added.map { f =>
+        if (!taken.contains(f.name.toLowerCase)) f.copy(nullable = true)
+        else f.copy(nullable = true, metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(PhysicalNameKey, s"${f.name}__p$v").build())
+      }
+      Some(SchemaCommit(StructType(cur.fields ++ mapped), meta.retired))
     })(_ => Some((Nil, Nil))), s"evolve $table")
 
+  /** `ALTER TABLE … RENAME COLUMN` as a pure METADATA commit (column
+    * mapping): the field keeps its PHYSICAL slot — every immutable
+    * data file stays byte-identical — and only the logical name
+    * changes; reads translate at scan time, old snapshots time-travel
+    * under the old name, new writes bind to the new one. Re-validated
+    * against the tip per attempt like every schema commit. */
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String): CommitResult =
+    mustCommit(commitLoop(spark, table, schema = {
+      val meta = resolve(spark, table, None)._2.getOrElse(
+        throw new UnsupportedOperationException(
+          s"$table predates schema tracking; RENAME COLUMN needs a " +
+            "log-recorded schema (append once to record one)"))
+      val cur = meta.schema
+      val field = cur.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+        throw new IllegalArgumentException(s"no column '$from' in $table"))
+      if (cur.fieldNames.exists(_.equalsIgnoreCase(to)))
+        throw new IllegalArgumentException(
+          s"column '$to' already exists in $table")
+      val renamed = field.copy(name = to, metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(field.metadata)
+          .putString(PhysicalNameKey, physicalName(field)).build())
+      Some(SchemaCommit(StructType(cur.fields.map(f =>
+        if (f eq field) renamed else f)), meta.retired))
+    })(_ => Some((Nil, Nil))), s"rename column in $table")
+
+  /** `ALTER TABLE … DROP COLUMN` as a pure METADATA commit: the field
+    * leaves the logical schema, its physical slot joins the RETIRED
+    * set (so a later ADD of the same name maps to a fresh slot and
+    * never resurrects the old data), and no data file moves. Old
+    * snapshots still present the column under time travel. */
+  def dropColumn(spark: SparkSession, table: String,
+                 name: String): CommitResult =
+    mustCommit(commitLoop(spark, table, schema = {
+      val meta = resolve(spark, table, None)._2.getOrElse(
+        throw new UnsupportedOperationException(
+          s"$table predates schema tracking; DROP COLUMN needs a " +
+            "log-recorded schema (append once to record one)"))
+      val cur = meta.schema
+      val field = cur.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name' in $table"))
+      if (cur.fields.length < 2) throw new UnsupportedOperationException(
+        s"cannot drop the last column of $table")
+      Some(SchemaCommit(StructType(cur.fields.filterNot(_ eq field)),
+        (meta.retired :+ physicalName(field)).distinct))
+    })(_ => Some((Nil, Nil))), s"drop column in $table")
+
   /** Record an explicit full schema as a data-less commit — the
-    * internal form [[addColumns]] and column-mapping DDL build on.
-    * The caller owns conflict semantics; prefer [[addColumns]]. */
+    * internal form the catalog's ADD COLUMNS built on before
+    * [[addColumns]]; preserves the retired-slot set. The caller owns
+    * conflict semantics; prefer [[addColumns]]. */
   def evolveSchema(spark: SparkSession, table: String,
                    schema: StructType): CommitResult =
-    mustCommit(commitLoop(spark, table, schema = Some(schema))(
-      _ => Some((Nil, Nil))), s"evolve $table")
+    mustCommit(commitLoop(spark, table, schema = {
+      val retired = resolve(spark, table, None)._2.map(_.retired).getOrElse(Nil)
+      Some(SchemaCommit(schema, retired))
+    })(_ => Some((Nil, Nil))), s"evolve $table")
 
   /** Append: blind adds — valid at ANY log position, so a lost race
     * just re-publishes the same files at the advanced version (the
@@ -579,8 +749,9 @@ object TxnLog {
     * instead of clobbering the winner's columns. */
   def append(spark: SparkSession, table: String, df: DataFrame,
              mergeSchema: Boolean = false): CommitResult = {
+    val cur = tableSchema(spark, table)
     enforceSchema(spark, table, df, mergeSchema, "append") // fail fast, pre-stage
-    val staged = stage(spark, table, df)
+    val staged = stage(spark, table, df, cur)
     mustCommit(commitLoop(spark, table,
       schema = enforceSchema(spark, table, df, mergeSchema, "append"))(
       _ => Some((staged, Nil))), s"append to $table")
@@ -593,13 +764,23 @@ object TxnLog {
     * is file-count-sized — log metadata, never rows. A column that is
     * entirely null in a file gets no entry there (thus never prunes). */
   private def stagedStats(spark: SparkSession, table: String,
-                          staged: Seq[String], columns: Seq[String]): Map[String, FileStats] = {
+      staged: Seq[String], columns0: Seq[String],
+      mapping: Option[StructType] = None): Map[String, FileStats] = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    // Stats are keyed by LOGICAL name; the staged files carry PHYSICAL
+    // names, so the aggregation binds to the physical slot. Columns no
+    // longer in the schema (a rewrite inheriting stats across a DROP)
+    // are skipped — those files simply stop carrying that stat.
+    val phys: Map[String, String] = mapping.fold(Map.empty[String, String])(
+      _.fields.map(f => f.name.toLowerCase -> physicalName(f)).toMap)
+    val columns = columns0.filter(c =>
+      mapping.isEmpty || phys.contains(c.toLowerCase))
     if (columns.isEmpty) return Map.empty
+    def physOf(c: String): String = phys.getOrElse(c.toLowerCase, c)
     val prefix = encodedTablePrefix(spark, table) + "/"
     val aggs = count(lit(1)).as("_c") +: columns.flatMap(c => Seq(
-      min(col(c).try_cast("long")).as(s"_mn_$c"),
-      max(col(c).try_cast("long")).as(s"_mx_$c")))
+      min(col(s"`${physOf(c)}`").try_cast("long")).as(s"_mn_$c"),
+      max(col(s"`${physOf(c)}`").try_cast("long")).as(s"_mx_$c")))
     spark.read.parquet(staged.map(p => s"$table/$p"): _*)
       .groupBy(input_file_name().as("_f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -624,10 +805,10 @@ object TxnLog {
                       statsCols: Seq[String]): CommitResult = {
     val f = fs(spark, logDir(table))
     f.mkdirs(logDir(table))
-    val staged = stage(spark, table, df)
+    val staged = stage(spark, table, df, mapping = None)
     mustCommit(commitLoop(spark, table,
       stats = stagedStats(spark, table, staged, statsCols),
-      schema = Some(df.schema)) { v =>
+      schema = Some(SchemaCommit(df.schema))) { v =>
       if (v != 0) None else Some((staged, Nil))
     }, s"create $table")
   }
@@ -639,10 +820,11 @@ object TxnLog {
   /** [[append]] with per-file stats on `statsCols` recorded in the log. */
   def appendWithStats(spark: SparkSession, table: String, df: DataFrame,
                       statsCols: Seq[String]): CommitResult = {
+    val cur = tableSchema(spark, table)
     enforceSchema(spark, table, df, mergeSchema = false, "append")
-    val staged = stage(spark, table, df)
+    val staged = stage(spark, table, df, cur)
     mustCommit(commitLoop(spark, table,
-      stats = stagedStats(spark, table, staged, statsCols),
+      stats = stagedStats(spark, table, staged, statsCols, cur),
       schema = enforceSchema(spark, table, df, mergeSchema = false, "append"))(
       _ => Some((staged, Nil))), s"append to $table")
   }
@@ -664,7 +846,7 @@ object TxnLog {
   def readPruned(spark: SparkSession, table: String, column: String,
                  lo: Long, hi: Long, version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val all = snapshotFull(spark, table, version)
+    val (all, schema) = resolveSnapshot(spark, table, version)
     val kept = all.filter { case (_, st) =>
       st.stats.forall(_.cols.get(column).forall(c => c.max >= lo && c.min <= hi))
     }
@@ -675,7 +857,7 @@ object TxnLog {
     } else {
       // Stats bound the PRE-mask population, so they stay valid (an
       // over-approximation) under DVs; the DV anti-join still applies.
-      readState(spark, table, kept).filter(residual)
+      readState(spark, table, kept, schema).filter(residual)
     }
   }
 
@@ -691,8 +873,9 @@ object TxnLog {
   def appendBatch(spark: SparkSession, table: String, df: DataFrame,
                   streamId: String, batchId: Long): Option[CommitResult] = {
     if (lastCommittedBatch(spark, table, streamId).exists(_ >= batchId)) return None
+    val cur = tableSchema(spark, table)
     enforceSchema(spark, table, df, mergeSchema = false, "streaming append")
-    val staged = stage(spark, table, df)
+    val staged = stage(spark, table, df, cur)
     commitLoop(spark, table, txn = Some(s"$streamId:$batchId"),
       schema = enforceSchema(spark, table, df, mergeSchema = false,
         "streaming append")) { _ =>
@@ -722,8 +905,11 @@ object TxnLog {
     * than leaking past the overwrite. The commit re-baselines the
     * recorded schema to `df`'s (an overwrite owns the table shape). */
   def overwrite(spark: SparkSession, table: String, df: DataFrame): CommitResult = {
-    val staged = stage(spark, table, df)
-    mustCommit(commitLoop(spark, table, schema = Some(df.schema)) { v =>
+    // An overwrite re-baselines the schema PLAIN (physical = logical,
+    // no retired slots): every pre-overwrite file leaves the snapshot,
+    // so no old physical slot can leak into the new shape.
+    val staged = stage(spark, table, df, mapping = None)
+    mustCommit(commitLoop(spark, table, schema = Some(SchemaCommit(df.schema))) { v =>
       Some((staged, snapshot(spark, table, Some(v - 1))))
     }, s"overwrite $table")
   }
@@ -795,7 +981,8 @@ object TxnLog {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
     enforceSchema(spark, table, delta, mergeSchema = false, "merge")
-    val baseFiles = snapshotFull(spark, table, Some(base))
+    val (baseFiles, baseSchemaC) = resolve(spark, table, Some(base))
+    val baseSchema = baseSchemaC.map(_.schema)
     // One agg pass: per key column, the delta's long-cast [min,max]
     // and cast-null count. Pruning is sound only when EVERY delta key
     // value on a column has a long image: raw-equal keys have equal
@@ -827,7 +1014,8 @@ object TxnLog {
     val resolved =
       if (touched.isEmpty) delta
       else {
-        val union = readState(spark, table, touched).withColumn("_src", lit(0))
+        val union = readState(spark, table, touched, baseSchema)
+          .withColumn("_src", lit(0))
           .unionByName(delta.withColumn("_src", lit(1)))
         union
           .withColumn("_hasDelta",
@@ -837,13 +1025,14 @@ object TxnLog {
           .filter(col("_src") === 1 || col("_hasDelta") === 0)
           .drop("_src", "_hasDelta")
       }
-    val staged = stage(spark, table, resolved)
+    val staged = stage(spark, table, resolved, baseSchema)
     // Re-emit stats for the rewrite on every column the base carried —
     // otherwise every merge decays the table's skipping coverage and
     // the NEXT merge can no longer prune its own output.
     val statCols = inheritedStatsCols(baseFiles)
     val stats =
-      if (statCols.nonEmpty) stagedStats(spark, table, staged, statCols)
+      if (statCols.nonEmpty)
+        stagedStats(spark, table, staged, statCols, baseSchema)
       else Map.empty[String, FileStats]
     val result = commitLoop(spark, table, stats = stats) { v =>
       if (v != base + 1) None else Some((staged, touched.map(_._1)))
@@ -964,14 +1153,11 @@ object TxnLog {
       base: Long): Either[Unit, Option[CommitResult]] = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, count, lit, max, row_number, when}
-    val full = snapshotFull(spark, table, Some(base))
+    val (full, baseSchemaC) = resolve(spark, table, Some(base))
+    val baseSchema = baseSchemaC.map(_.schema)
     val states = full.toMap
-    def taggedRead(files: Seq[(String, FileState)]): DataFrame = {
-      val (t, hadDv) = readTagged(spark, table, files)
-      if (hadDv) t
-      else t.withColumn("_gf_rel", relPathCol(spark, table))
-        .withColumn("_gf_idx", col("_metadata.row_index"))
-    }
+    def taggedRead(files: Seq[(String, FileState)]): DataFrame =
+      readTagged(spark, table, files, baseSchema, tagAlways = true)._1
     val tgt = taggedRead(full)
     val tableCols = tgt.columns.filterNot(Set("_gf_rel", "_gf_idx")).toSeq
     val colType = tgt.schema.fields.map(f => f.name -> f.dataType).toMap
