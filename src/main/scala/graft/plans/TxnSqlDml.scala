@@ -222,8 +222,14 @@ object TxnSqlDml {
         s
       }
       plan.resolveOperatorsUp {
+        // Rewrites when the snapshot carries live DVs OR column mapping
+        // (renamed/dropped columns): both need readState — the former
+        // for the mask anti-join, the latter for the physical→logical
+        // name translation a bare parquet scan cannot do (it would
+        // silently return all-null for every renamed column).
         case r: DataSourceV2Relation if r.table.isInstanceOf[TxnTable] &&
-            r.table.asInstanceOf[TxnTable].hasDvs &&
+            (r.table.asInstanceOf[TxnTable].hasDvs ||
+              r.table.asInstanceOf[TxnTable].hasColumnMapping) &&
             !writeTargets.contains(r) =>
           val t = r.table.asInstanceOf[TxnTable]
           val masked = TxnLog.readState(spark, t.dir, t.files, Some(t.schema))

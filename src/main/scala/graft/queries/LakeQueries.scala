@@ -399,6 +399,41 @@ object LakeQueries extends QueryModule {
         .stripMargin)
     }),
 
+    // Column mapping end to end, all through SQL: RENAME COLUMN (pure
+    // metadata — the physical slot stays, reads translate at scan
+    // time), MoR UPDATE binding the RENAMED name in both SET and
+    // WHERE, DROP COLUMN (slot retires), re-ADD of the dropped name
+    // (fresh slot — old data must NOT resurrect, so pre-drop rows
+    // read null), INSERT under the post-ALTER shape, and a final SQL
+    // scan that must translate physical→logical on every file
+    // generation. The oracle recomposes the same pipeline from the
+    // source table; slot/retirement mechanics are ColumnMappingSpec's.
+    "q_txn_column_map" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/cmns/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table, docs)
+      s.conf.set("spark.sql.catalog.gcm",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gcm.root", base)
+      s.conf.set("spark.sql.catalog.gcm.writable", "true")
+      docs.createOrReplaceTempView("gcm_src")
+      s.sql("ALTER TABLE gcm.cmns.docs RENAME COLUMN n_chars TO chars")
+      s.sql("""UPDATE gcm.cmns.docs SET chars = chars + 1000
+              |WHERE doc_id % 7 = 0""".stripMargin)
+      s.sql("ALTER TABLE gcm.cmns.docs DROP COLUMN lang")
+      s.sql("ALTER TABLE gcm.cmns.docs ADD COLUMNS (lang STRING)")
+      s.sql("""INSERT INTO gcm.cmns.docs
+              |SELECT doc_id + 1000000, n_chars, lang FROM gcm_src
+              |WHERE doc_id % 13 = 0""".stripMargin)
+      s.sql("""SELECT coalesce(lang, '_') AS lang2, count(*) AS row_cnt,
+              |  sum(chars) AS sum_chars, sum(doc_id) AS sum_id
+              |FROM gcm.cmns.docs GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     // Multi-column stats-in-log: ONE set of commits records per-file
     // [min,max] for BOTH doc_id and n_chars, and the same log entries
     // serve a prune on either column — the Delta shape where skipping
@@ -534,6 +569,20 @@ object LakeQueries extends QueryModule {
         |  FROM documents
         |  WHERE NOT (doc_id % 3 = 0 AND n_chars < 300))
         | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_column_map" ->
+      """WITH upd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+        |         ELSE n_chars END AS chars,
+        |    NULL AS lang FROM documents),
+        |ins AS (
+        |  SELECT doc_id + 1000000 AS doc_id, n_chars AS chars, lang
+        |   FROM documents WHERE doc_id % 13 = 0),
+        |allr AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT coalesce(lang, '_') AS lang2, count(*) AS row_cnt,
+        |  sum(chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_id
+        | FROM allr GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", ""),
 
     "q_txn_skip2" ->
       """SELECT * FROM (

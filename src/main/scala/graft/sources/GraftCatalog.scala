@@ -225,12 +225,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     txnTable(ident, None)
   }
 
-  /** `ALTER TABLE … ADD COLUMNS`: additive evolution as a data-less
-    * schema commit — replay learns the new shape, existing files read
-    * null in the added columns (the same semantics the API's
-    * mergeSchema append records). Only top-level ADD COLUMN is
-    * supported; anything else (drop/rename/retype) would rewrite data
-    * the log treats as immutable. */
+  /** `ALTER TABLE … ADD COLUMNS / RENAME COLUMN / DROP COLUMN`: all
+    * three are DATA-LESS schema commits — no immutable data file moves.
+    * ADD evolves additively (existing files read null in the new
+    * columns); RENAME and DROP are column-mapping metadata commits
+    * (the field keeps/retires its PHYSICAL slot, reads translate at
+    * scan time, old snapshots time-travel under the old shape). Only
+    * top-level columns; retype would genuinely rewrite data and stays
+    * unsupported. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     if (!writable) readOnly("alterTable")
@@ -240,25 +242,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = txnPath(ident).toString
     val cur = TxnLog.tableSchema(spark, dir).getOrElse(
       new TxnTable(ident.toString, dir, None).schema)
-    val added = changes.map {
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      if (fieldNames.length != 1) throw new UnsupportedOperationException(
+        s"graft txn ALTER supports top-level $what only")
+      fieldNames(0)
+    }
+    val added = changes.collect {
       case a: TableChange.AddColumn =>
-        if (a.fieldNames().length != 1) throw new UnsupportedOperationException(
-          "graft txn ALTER supports top-level ADD COLUMNS only")
-        val name = a.fieldNames()(0)
+        val name = topLevel(a.fieldNames(), "ADD COLUMNS")
         if (cur.fieldNames.exists(_.equalsIgnoreCase(name)))
           throw new IllegalArgumentException(
             s"column '$name' already exists in $ident")
         StructField(name, a.dataType(), nullable = true)
-      case other => throw new UnsupportedOperationException(
-        s"graft txn ALTER supports ADD COLUMNS only (got $other): " +
-          "drop/rename/retype would rewrite immutable data files")
     }
-    // The merge against the tip happens INSIDE the commit loop
+    val rest = changes.filterNot(_.isInstanceOf[TableChange.AddColumn])
+    // The merge against the tip happens INSIDE each commit loop
     // (re-validated per attempt): two concurrent additive ALTERs both
     // survive, and a concurrent same-name addition fails as the
     // metadata conflict it is — publishing cur+added computed here
     // would silently drop the concurrent winner's column.
-    TxnLog.addColumns(spark, dir, added)
+    if (added.nonEmpty) TxnLog.addColumns(spark, dir, added)
+    rest.foreach {
+      case r: TableChange.RenameColumn =>
+        TxnLog.renameColumn(spark, dir,
+          topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
+      case d: TableChange.DeleteColumn =>
+        val name = topLevel(d.fieldNames(), "DROP COLUMN")
+        if (d.ifExists() && !cur.fieldNames.exists(_.equalsIgnoreCase(name))) ()
+        else TxnLog.dropColumn(spark, dir, name)
+      case other => throw new UnsupportedOperationException(
+        s"graft txn ALTER supports ADD/RENAME/DROP COLUMN only (got " +
+          s"$other): retype would rewrite immutable data files")
+    }
     txnTable(ident, None)
   }
 

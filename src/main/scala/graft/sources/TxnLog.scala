@@ -381,6 +381,30 @@ object TxnLog {
         col(s"`${physicalName(f)}`").as(f.name)).toSeq ++ extra.map(col): _*)
     }
 
+  /** Strip column-mapping metadata from a caller-provided schema
+    * before RECORDING it as a fresh baseline (create/overwrite): a
+    * DataFrame derived from a mapped-table read inherits
+    * [[PhysicalNameKey]] metadata through its scan aliases, but the
+    * freshly staged files carry the DataFrame's own (logical) column
+    * names — recording the stale mapping would make every later read
+    * bind absent physical slots and return all-null columns. */
+  private def stripMapping(s: StructType): StructType =
+    StructType(s.fields.map(stripMapping))
+
+  private def stripMapping(f: StructField): StructField =
+    if (!f.metadata.contains(PhysicalNameKey)) f
+    else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).remove(PhysicalNameKey).build())
+
+  /** Raw parquet files of this table read under its recorded schema:
+    * binds the PHYSICAL names in-file and projects back to logical —
+    * the incremental per-commit read path ([[TxnStreamProvider]]),
+    * which must translate names exactly like the snapshot read. */
+  private[graft] def readFiles(spark: SparkSession, table: String,
+      paths: Seq[String], schema: StructType): DataFrame =
+    toLogical(spark.read.schema(nullableSchema(physicalSchema(schema)))
+      .parquet(paths.map(p => s"$table/$p"): _*), schema)
+
   /** Rename a batch's logical columns to their physical names before
     * staging — files ALWAYS carry physical names; columns unknown to
     * the mapping (additive-evolution extras) stage under their own
@@ -540,7 +564,9 @@ object TxnLog {
                     "retired or remapped physical slot (a dropped/renamed " +
                     "column used it) — use ALTER TABLE ADD COLUMNS, which " +
                     "assigns a fresh physical slot")
-              extras += fld
+              // Stripped: a batch column sourced from ANOTHER mapped
+              // table would smuggle that table's physical binding in.
+              extras += stripMapping(fld)
           }
         }
         if (extras.isEmpty) None
@@ -641,7 +667,8 @@ object TxnLog {
     val f = fs(spark, logDir(table))
     f.mkdirs(logDir(table))
     val staged = stage(spark, table, df, mapping = None)
-    mustCommit(commitLoop(spark, table, schema = Some(SchemaCommit(df.schema))) { v =>
+    mustCommit(commitLoop(spark, table,
+      schema = Some(SchemaCommit(stripMapping(df.schema)))) { v =>
       if (v != 0) None else Some((staged, Nil))
     }, s"create $table")
   }
@@ -808,7 +835,7 @@ object TxnLog {
     val staged = stage(spark, table, df, mapping = None)
     mustCommit(commitLoop(spark, table,
       stats = stagedStats(spark, table, staged, statsCols),
-      schema = Some(SchemaCommit(df.schema))) { v =>
+      schema = Some(SchemaCommit(stripMapping(df.schema)))) { v =>
       if (v != 0) None else Some((staged, Nil))
     }, s"create $table")
   }
@@ -909,7 +936,8 @@ object TxnLog {
     // no retired slots): every pre-overwrite file leaves the snapshot,
     // so no old physical slot can leak into the new shape.
     val staged = stage(spark, table, df, mapping = None)
-    mustCommit(commitLoop(spark, table, schema = Some(SchemaCommit(df.schema))) { v =>
+    mustCommit(commitLoop(spark, table,
+      schema = Some(SchemaCommit(stripMapping(df.schema)))) { v =>
       Some((staged, snapshot(spark, table, Some(v - 1))))
     }, s"overwrite $table")
   }
@@ -1266,10 +1294,15 @@ object TxnLog {
       case Some(resolved) =>
         if (victims.isEmpty && resolved.isEmpty) return Right(None)
         enforceSchema(spark, table, resolved, mergeSchema = false, "merge")
-        val staged = stage(spark, table, resolved)
+        // `resolved` carries LOGICAL names (taggedRead projected them):
+        // stage under `baseSchema` so the files land with PHYSICAL names
+        // — `mapping = None` would stage logical-named files a mapped
+        // reader silently returns as all-null.
+        val staged = stage(spark, table, resolved, baseSchema)
         val statCols = inheritedStatsCols(full)
         val stats =
-          if (statCols.nonEmpty) stagedStats(spark, table, staged, statCols)
+          if (statCols.nonEmpty)
+            stagedStats(spark, table, staged, statCols, baseSchema)
           else Map.empty[String, FileStats]
         val committed = commitLoop(spark, table, stats = stats) { v =>
           if (v != base + 1) None else Some((staged, victims))
@@ -1316,16 +1349,20 @@ object TxnLog {
              predicate: Column,
              maxCollectedVictims: Int = MaxCollectedVictims): Option[CommitResult] = {
     import org.apache.spark.sql.functions.col
-    val full = snapshotFull(spark, table)
+    // Resolve files AND schema from one replay: the predicate binds to
+    // LOGICAL names, so a column-mapped table must read through its
+    // recorded schema (physical scan, logical projection) — a schema-
+    // less read would present physical names and the predicate on a
+    // renamed column would fail to resolve.
+    val (full, snapSchema) = resolveSnapshot(spark, table)
     val states = full.toMap
-    // Victim detection keys on the scan-computed relative path (the
-    // tagged read): input_file_name() cannot be added AFTER the DV
-    // anti-join — with a mask in play the plan has two file sources.
-    val (tagged, hadDv) = readTagged(spark, table, full)
-    val keyed =
-      if (hadDv) tagged
-      else tagged.withColumn("_gf_rel", relPathCol(spark, table))
-        .withColumn("_gf_idx", col("_metadata.row_index"))
+    // Victim detection keys on the scan-computed relative path
+    // (tagAlways): input_file_name() cannot be added AFTER the DV
+    // anti-join or the logical projection — with a mask in play the
+    // plan has two file sources, and metadata columns don't survive
+    // an intervening select.
+    val (keyed, _) = readTagged(spark, table, full, snapSchema,
+      tagAlways = true)
     // limit(cap+1) bounds BOTH driver memory and the job: one pass,
     // and the overflow signal is "more rows than the cap came back".
     val collected = keyed.filter(predicate)
@@ -1336,7 +1373,8 @@ object TxnLog {
       if (collected.size > maxCollectedVictims) full.map(_._1) else collected
     // Survivors resolve through the victims' DV state too — rewriting
     // a DV-masked file must not resurrect its already-deleted rows.
-    val victimRead = readState(spark, table, victims.map(p => p -> states(p)))
+    val victimRead = readState(spark, table,
+      victims.map(p => p -> states(p)), snapSchema)
     val survivors =
       if (!Bridge.expression(predicate).exists(
           _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
@@ -1350,16 +1388,12 @@ object TxnLog {
         // predicate rows survive both ways).
         val matchedKeys = keyed.filter(predicate)
           .select(col("_gf_rel"), col("_gf_idx"))
-        val (vTagged, vHadDv) = readTagged(spark, table,
-          victims.map(p => p -> states(p)))
-        val vKeyed =
-          if (vHadDv) vTagged
-          else vTagged.withColumn("_gf_rel", relPathCol(spark, table))
-            .withColumn("_gf_idx", col("_metadata.row_index"))
+        val (vKeyed, _) = readTagged(spark, table,
+          victims.map(p => p -> states(p)), snapSchema, tagAlways = true)
         vKeyed.join(matchedKeys, Seq("_gf_rel", "_gf_idx"), "left_anti")
           .drop("_gf_rel", "_gf_idx")
       }
-    val staged = stage(spark, table, survivors)
+    val staged = stage(spark, table, survivors, snapSchema)
     commitLoop(spark, table) { v =>
       val current = snapshotFull(spark, table, Some(v - 1)).toMap
       // Abandon if a victim was replaced OR its DV moved concurrently —
@@ -1421,16 +1455,16 @@ object TxnLog {
                      pin: Option[Long] = None)
       : Option[CommitResult] = {
     import org.apache.spark.sql.functions.col
-    val full = snapshotFull(spark, table, pin)
+    // Schema from the same replay as the file set: predicate and SET
+    // clauses bind to LOGICAL names, so a column-mapped table reads
+    // through its recorded schema and stages back under physical names.
+    val (full, snapSchema) = resolveSnapshot(spark, table, pin)
     val states = full.toMap
     // Victims among MoR-VISIBLE rows only (the tagged read applies
     // current DVs, so already-deleted rows can't be re-deleted into
     // the new mask twice — the fold below carries them exactly once).
-    val (tagged, hadDv) = readTagged(spark, table, full)
-    val keyed =
-      if (hadDv) tagged
-      else tagged.withColumn("_gf_rel", relPathCol(spark, table))
-        .withColumn("_gf_idx", col("_metadata.row_index"))
+    val (keyed, _) = readTagged(spark, table, full, snapSchema,
+      tagAlways = true)
     val matched = keyed.filter(predicate)
     if (matched.isEmpty) return None
     val victims = matched
@@ -1444,7 +1478,7 @@ object TxnLog {
       // copies must still satisfy the table schema (same enforcement
       // contract as append: fail the commit, not the read).
       enforceSchema(spark, table, updated, mergeSchema = false, what)
-      stage(spark, table, updated)
+      stage(spark, table, updated, snapSchema)
     }
     val oldDvDirs = full.flatMap(_._2.dv).distinct
     val newDv =
@@ -1502,7 +1536,15 @@ object TxnLog {
     val unchanged = from.collect {
       case (p, st) if toStates.get(p).contains(st) => p
     }.toSet
-    val schema = read(spark, table, Some(toVersion)).schema
+    // The LOG-RECORDED schema at toVersion, not the read's output
+    // schema: the diff reads raw churned files, and on a column-mapped
+    // table only the recorded schema knows the physical slot each
+    // logical column binds to (both sides read under to's schema, so
+    // a column added in between diffs as insert-with-value vs
+    // delete-with-null, same as before).
+    val schema = tableSchema(spark, table, Some(toVersion))
+      .map(nullableSchema)
+      .getOrElse(read(spark, table, Some(toVersion)).schema)
     def readSide(side: Seq[(String, FileState)]): DataFrame = {
       val churn = side.filterNot { case (p, _) => unchanged(p) }
       if (churn.isEmpty)
@@ -1553,21 +1595,24 @@ object TxnLog {
   private[graft] def compactAttempt(spark: SparkSession, table: String,
       base: Long, targetFiles: Int,
       clusterBy: Seq[Column] = Nil): Option[CommitResult] = {
-    val full = snapshotFull(spark, table, Some(base))
+    // Schema from the same replay: clusterBy keys bind to LOGICAL
+    // names, and the rewrite must stage back under PHYSICAL names on
+    // a column-mapped table.
+    val (full, snapSchema) = resolveSnapshot(spark, table, Some(base))
     val victims = full.map(_._1)
     // Rewriting resolves through the DVs and so MATERIALIZES them: the
     // compacted files carry no masks, deleted rows are physically gone,
     // and the old DV objects age out with the fragments via vacuum.
-    val resolved = readState(spark, table, full)
+    val resolved = readState(spark, table, full, snapSchema)
     val shaped =
       if (clusterBy.isEmpty) resolved.repartition(targetFiles)
       else resolved.repartitionByRange(targetFiles, clusterBy: _*)
         .sortWithinPartitions(clusterBy: _*)
-    val staged = stage(spark, table, shaped)
+    val staged = stage(spark, table, shaped, snapSchema)
     val statCols = inheritedStatsCols(full)
     val stats =
       if (statCols.isEmpty) Map.empty[String, FileStats]
-      else stagedStats(spark, table, staged, statCols)
+      else stagedStats(spark, table, staged, statCols, snapSchema)
     val result = commitLoop(spark, table, stats = stats) { v =>
       if (v != base + 1) None else Some((staged, victims))
     }
@@ -1588,18 +1633,19 @@ object TxnLog {
   def compactSmall(spark: SparkSession, table: String, maxFileBytes: Long,
                    targetFiles: Int): Option[CommitResult] = {
     val base = latestVersion(spark, table)
-    val full = snapshotFull(spark, table, Some(base))
+    val (full, snapSchema) = resolveSnapshot(spark, table, Some(base))
     val f = fs(spark, new Path(table))
     val victims = full.filter { case (p, _) =>
       f.getFileStatus(new Path(table, p)).getLen < maxFileBytes
     }
     if (victims.size < 2) return None
     val staged = stage(spark, table,
-      readState(spark, table, victims).repartition(targetFiles))
+      readState(spark, table, victims, snapSchema).repartition(targetFiles),
+      snapSchema)
     val statCols = inheritedStatsCols(victims)
     val stats =
       if (statCols.isEmpty) Map.empty[String, FileStats]
-      else stagedStats(spark, table, staged, statCols)
+      else stagedStats(spark, table, staged, statCols, snapSchema)
     commitLoop(spark, table, stats = stats) { v =>
       val current = snapshotFull(spark, table, Some(v - 1)).toMap
       if (victims.forall { case (p, st) => current.get(p).contains(st) })
@@ -1688,11 +1734,15 @@ object TxnLog {
     val dead = onDisk.filterNot { p =>
       live.contains(p) || liveDvDirs.exists(d => p.startsWith(d + "/")) ||
         // The age guard: an in-flight writer's staged-but-uncommitted
-        // file is younger than the window by construction.
+        // file is younger than the window by construction. A candidate
+        // that vanished between listing and probe (a racing vacuum, or
+        // dropStaged on an abandoned commit) is not ours to delete —
+        // treat it as retained rather than aborting the whole pass.
         (retainMillis > 0 &&
-          f.getFileStatus(new Path(table, p)).getModificationTime > cutoff)
+          scala.util.Try(f.getFileStatus(new Path(table, p))
+            .getModificationTime).toOption.forall(_ > cutoff))
     }
-    dead.foreach(p => f.delete(new Path(table, p), false))
+    dead.foreach(p => scala.util.Try(f.delete(new Path(table, p), false)))
     dead
   }
 

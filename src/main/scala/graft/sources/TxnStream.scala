@@ -226,8 +226,10 @@ private[sources] class TxnSource(spark: SparkSession, table: String,
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else
-        spark.read.schema(schema)
-          .parquet(files.map(p => s"$table/$p"): _*)
+        // readFiles, not a bare schema'd scan: on a column-mapped
+        // table the files carry PHYSICAL names and the stream schema
+        // is logical — the scan must translate like the snapshot read.
+        TxnLog.readFiles(spark, table, files, schema)
     Bridge.asStreaming(batch)
   }
 
@@ -256,8 +258,7 @@ private[sources] class TxnSource(spark: SparkSession, table: String,
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
               .withColumn("_change", lit("insert"))
-          else spark.read.schema(dataSchema)
-            .parquet(c.adds.map(p => s"$table/$p"): _*)
+          else TxnLog.readFiles(spark, table, c.adds, dataSchema)
             .withColumn("_change", lit("insert"))
         } else TxnLog.changes(spark, table, v - 1, v)
       }

@@ -57,6 +57,13 @@ class TxnTable(identName: String, val dir: String, val snapshotVersion: Option[L
 
   def hasDvs: Boolean = files.exists(_._2.dv.isDefined)
 
+  /** True when any column's physical (in-file) name differs from its
+    * logical one — post RENAME/DROP COLUMN. Data files carry PHYSICAL
+    * names, so a bare parquet scan under the logical schema would
+    * silently read the renamed column as all-null; such tables must
+    * read through [[TxnLog.readState]] (the masked-read rewrite). */
+  def hasColumnMapping: Boolean = resolved._2.exists(TxnLog.hasMapping)
+
   override def name(): String = identName + snapshotVersion.fold("")(v => s"@v$v")
 
   override val schema: StructType = resolved._2.getOrElse {
@@ -89,6 +96,14 @@ class TxnTable(identName: String, val dir: String, val snapshotVersion: Option[L
         s"${name()} carries live deletion vectors and this session has no " +
           "graft extensions to apply the mask — enable graft.GraftExtensions " +
           "(spark.sql.extensions) or read via TxnLog.read")
+    if (hasColumnMapping)
+      // A bare scan would bind the LOGICAL schema to files carrying
+      // PHYSICAL names and return all-null for every renamed column —
+      // refuse loudly rather than corrupt silently.
+      throw new UnsupportedOperationException(
+        s"${name()} uses column mapping (a column was renamed/dropped) and " +
+          "this session has no graft extensions to translate names — enable " +
+          "graft.GraftExtensions (spark.sql.extensions) or read via TxnLog.read")
     parquetDelegate.newScanBuilder(options)
   }
 

@@ -325,8 +325,12 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
       dml.sql("ALTER TABLE lake.ns.t_alter ADD COLUMNS (score BIGINT)")
     }
     assert(dup.getMessage.toLowerCase.contains("score"))
-    intercept[UnsupportedOperationException] {
-      dml.sql("ALTER TABLE lake.ns.t_alter DROP COLUMN score")
+    // RENAME/DROP are supported (column mapping, ColumnMappingSpec);
+    // a RETYPE would genuinely rewrite immutable files and is refused —
+    // by Spark's own ALTER analysis (narrowing cast) or by the catalog
+    // (anything else); either layer failing the statement is correct.
+    intercept[Exception] {
+      dml.sql("ALTER TABLE lake.ns.t_alter ALTER COLUMN score TYPE INT")
     }
   }
 

@@ -11,11 +11,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  /** q_txn_sql_dml drives DML through SQL text, which needs the
-    * parser/rule extensions — absent from the shared test session by
-    * design; it audits in the extension-wired session instead. */
+  /** The SQL-front-door queries need the graft extensions (the DML
+    * parser intercept for subquery DELETE / clause MERGE, and the
+    * masked-read rule for scans over live DVs / column mapping) —
+    * absent from the shared test session by design; they audit in the
+    * extension-wired session instead. */
   private def sessionFor(name: String) =
-    if (name == "q_txn_sql_dml") GraftSqlDmlSpec.session else spark
+    if (Set("q_txn_sql_dml", "q_txn_column_map",
+        "q_txn_sql_decon", "q_txn_sql_merge_clauses")(name))
+      GraftSqlDmlSpec.session
+    else spark
 
   private def formatted(name: String): String =
     SparkEntry.queries(name)(sessionFor(name), sf)
