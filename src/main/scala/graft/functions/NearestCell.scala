@@ -187,13 +187,41 @@ final class CentroidIndex(
 
 object CentroidIndex {
 
+  /** Content-addressed memo of built indexes: repeated queries over
+    * the same trained model (the ANN suite resolves one persisted
+    * quantizer and then builds per consumer) reuse ONE build instead
+    * of re-running the coarse k-means each time. Keyed by a digest of
+    * the FULL model content, so a collision would need an MD5 break,
+    * not a lucky hash. Bounded: models are K·dim longs (~15 MB at
+    * 1000× sf0.1); past 8 distinct models the memo clears — the k-
+    * means-iteration path builds per-iteration throwaway models and
+    * must not accumulate them. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, CentroidIndex]()
+
+  def buildCached(model: Seq[(Long, Array[Long], Long)]): CentroidIndex = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(java.lang.Long.BYTES)
+    def put(x: Long): Unit = {
+      bb.clear(); bb.putLong(x); md.update(bb.array())
+    }
+    model.foreach { case (cid, vec, c2u) =>
+      put(cid); put(vec.length.toLong); vec.foreach(put); put(c2u)
+    }
+    val key = md.digest().map("%02x".format(_)).mkString
+    if (memo.size > 8) memo.clear()
+    memo.computeIfAbsent(key, _ => build(model))
+  }
+
   /** Build the two-level index from the trained model rows
     * (cid, c_u, c2u). Grouping is a short driver-side k-means over the
     * K centroids themselves (K rows, never corpus data): Kc = ⌈√K⌉
     * seeds from the cid order, 4 refinement sweeps in double
-    * arithmetic. The grouping affects ONLY pruning efficiency, never
-    * results — any partition of the centroids yields the same exact
-    * argmin. */
+    * arithmetic, the assign step parallel across the K rows (the one
+    * driver-side O(K·√K·dim) loop in the family — single-threaded it
+    * was seconds of driver stall at the 1000× model size). The
+    * grouping affects ONLY pruning efficiency, never results — any
+    * partition of the centroids yields the same exact argmin. */
   def build(model: Seq[(Long, Array[Long], Long)]): CentroidIndex = {
     val sorted = model.sortBy(_._1).toArray
     val k = sorted.length
@@ -207,24 +235,26 @@ object CentroidIndex {
     var assign = new Array[Int](k)
     var sweep = 0
     while (sweep < 4) {
-      var i = 0
-      while (i < k) {
+      val cs = centers
+      val asn = assign
+      // Parallel over the K model rows: each index writes its own
+      // assign slot, reads only the (immutable this sweep) centers.
+      java.util.stream.IntStream.range(0, k).parallel().forEach { i =>
         var bg = 0; var bd = Double.MaxValue
         var g = 0
         while (g < kc) {
           var d = 0.0; var p = 0
           while (p < dim) {
-            val t = vecs(i)(p).toDouble - centers(g)(p); d += t * t; p += 1
+            val t = vecs(i)(p).toDouble - cs(g)(p); d += t * t; p += 1
           }
           if (d < bd) { bd = d; bg = g }
           g += 1
         }
-        assign(i) = bg
-        i += 1
+        asn(i) = bg
       }
       val sums = Array.fill(kc)(new Array[Double](dim))
       val cnt = new Array[Int](kc)
-      i = 0
+      var i = 0
       while (i < k) {
         val g = assign(i); cnt(g) += 1
         var p = 0

@@ -487,8 +487,7 @@ object VectorQueries extends QueryModule {
       // documented ANN recall trade lives in BOTH engines identically.
       val e = embWithEu(s, d)
         .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
-      val trained = StagedCache.persist(trainCentroids(s, d, ivfLloydIters))
-      val index = persistedIvfIndex(s, d, e, trained, tag = "hybidx")
+      val (index, trained) = ensureIvfIndex(s, d, ivfLloydIters)
       val probe = withPcell(assignNearest(e.filter(col("vec_id") === 42),
           trained, keep = ivfNProbe)
         .select(col("cid").cast("int").as("cell"),
@@ -556,7 +555,7 @@ object VectorQueries extends QueryModule {
     * included). Output: e.*, dist_u, cid, rn (1-based). */
   private def assignNearest(e: DataFrame, cent: DataFrame,
       keep: Int): DataFrame = {
-    val index = graft.functions.CentroidIndex.build(collectModel(cent))
+    val index = graft.functions.CentroidIndex.buildCached(collectModel(cent))
     val base = e.columns.toSeq
     e.withColumn("_nk",
         graft.functions.CentroidIndex.nearestK(col("e_u"), col("n2u"),
@@ -587,7 +586,7 @@ object VectorQueries extends QueryModule {
     * broadcast shipped through the driver anyway; K = n/2048 stays a
     * model-artifact size (29 k rows ≈ 15 MB at 1000× sf0.1). */
   private[graft] def assignMin(e: DataFrame, cent: DataFrame): DataFrame = {
-    val index = graft.functions.CentroidIndex.build(collectModel(cent))
+    val index = graft.functions.CentroidIndex.buildCached(collectModel(cent))
     assignMinIndexed(e, index)
   }
 
@@ -791,8 +790,7 @@ object VectorQueries extends QueryModule {
       nprobe: Int, lloydIters: Int): DataFrame = {
     val e = embWithEu(s, d)
       .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
-    val trained = StagedCache.persist(trainCentroids(s, d, lloydIters))
-    val index = persistedIvfIndex(s, d, e, trained, tag = "ivfidx")
+    val (index, trained) = ensureIvfIndex(s, d, lloydIters)
     val probesR = withPcell(assignNearest(e.filter(col("vec_id") % 25 === 0),
         trained, keep = nprobe)
       .select(col("cid").cast("int").as("cell"),
@@ -815,25 +813,41 @@ object VectorQueries extends QueryModule {
     * Below the cap (every oracle SF) pcell ≡ cell — layout unchanged. */
   private val ivfMaxDirs = 1024
 
-  /** Build (or rebuild) the cell-partitioned inverted-file dataset and
-    * hand back its scan — (pcell int partition, cell int, cand_id,
-    * cv2, cnrm). Probes join on (pcell, cell): pcell is derived from
-    * cell, so the join is semantically on cell while dynamic partition
-    * pruning binds to the directory column. The write repartitions by
-    * pcell so each directory gets a handful of files, not one per
-    * writer task. Shared by [[ivfPersistTopK]] and the hybrid-retrieval
-    * semantic arm; `tag` keeps concurrent queries' directories apart. */
-  private def persistedIvfIndex(s: SparkSession, d: String, e: DataFrame,
-      trained: DataFrame, tag: String): DataFrame = {
-    val idxDir = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
-      s"${s.sparkContext.applicationId}_${new java.io.File(d).getName}"
-    assignMin(e, trained)
-      .select(col("vec_id").as("cand_id"), col("embedding").as("cv2"),
-        col("nrm").as("cnrm"), col("cid").cast("int").as("cell"))
-      .withColumn("pcell", pmod(col("cell"), lit(ivfMaxDirs)).cast("int"))
-      .repartition(col("pcell"))
-      .write.mode("overwrite").partitionBy("pcell").parquet(idxDir)
-    s.read.parquet(idxDir)
+  /** The LIFECYCLE-MANAGED persisted IVF index: resolve (building at
+    * most once per corpus content) the cell-partitioned inverted-file
+    * artifact and return both its scan — (pcell int partition, cell
+    * int, cand_id, cv2, cnrm) — and the TRAINED QUANTIZER it was
+    * built under (read back from the artifact, so a reuse skips
+    * retraining entirely — training is the expensive half). Probes
+    * join on (pcell, cell): pcell is derived from cell, so the join
+    * is semantically on cell while dynamic partition pruning binds to
+    * the directory column. The write repartitions by pcell so each
+    * directory gets a handful of files, not one per writer task.
+    *
+    * Shared by [[ivfPersistTopK]] and the hybrid-retrieval semantic
+    * arm — ONE artifact, not a rebuild per consumer: within a session
+    * the second consumer resolves instantly; across sessions the
+    * content address ([[graft.operators.AnnIndexStore]]) revalidates
+    * against the corpus fingerprint, which is the round-11 "index
+    * rebuilds per query" scale-killer closed. Deterministic training
+    * keeps a reused artifact bit-identical to a fresh build, so the
+    * DuckDB oracle holds either way. */
+  private def ensureIvfIndex(s: SparkSession, d: String,
+      lloydIters: Int): (DataFrame, DataFrame) = {
+    val dir = graft.operators.AnnIndexStore.ensure(s, d, "ivf",
+      s"iters=$lloydIters,dirs=$ivfMaxDirs,cell=$targetCell,v=1") { out =>
+      val e = embWithEu(s, d)
+        .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
+      val trained = StagedCache.persist(trainCentroids(s, d, lloydIters))
+      trained.coalesce(1).write.parquet(s"$out/model")
+      assignMin(e, trained)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("cv2"),
+          col("nrm").as("cnrm"), col("cid").cast("int").as("cell"))
+        .withColumn("pcell", pmod(col("cell"), lit(ivfMaxDirs)).cast("int"))
+        .repartition(col("pcell"))
+        .write.partitionBy("pcell").parquet(s"$out/postings")
+    }
+    (s.read.parquet(s"$dir/postings"), s.read.parquet(s"$dir/model"))
   }
 
   /** Add the probe-side pcell key matching [[persistedIvfIndex]]. */
