@@ -1394,7 +1394,14 @@ object TxnLog {
           .drop("_gf_rel", "_gf_idx")
       }
     val staged = stage(spark, table, survivors, snapSchema)
-    commitLoop(spark, table) { v =>
+    // Re-emit stats on every column the victims carried — without
+    // this each delete decays the table's skipping coverage (the same
+    // inheritance merge and compact already do).
+    val statCols = inheritedStatsCols(victims.map(p => p -> states(p)))
+    val stats =
+      if (statCols.isEmpty) Map.empty[String, FileStats]
+      else stagedStats(spark, table, staged, statCols, snapSchema)
+    commitLoop(spark, table, stats = stats) { v =>
       val current = snapshotFull(spark, table, Some(v - 1)).toMap
       // Abandon if a victim was replaced OR its DV moved concurrently —
       // either way the staged survivors were computed from stale rows.
@@ -1480,6 +1487,15 @@ object TxnLog {
       enforceSchema(spark, table, updated, mergeSchema = false, what)
       stage(spark, table, updated, snapSchema)
     }
+    // The updated copies inherit stats coverage like every rewrite —
+    // an UPDATE stream must not erode the table's skipping columns.
+    val addStats =
+      if (adds.isEmpty) Map.empty[String, FileStats]
+      else {
+        val statCols = inheritedStatsCols(full)
+        if (statCols.isEmpty) Map.empty[String, FileStats]
+        else stagedStats(spark, table, adds, statCols, snapSchema)
+      }
     val oldDvDirs = full.flatMap(_._2.dv).distinct
     val newDv =
       if (oldDvDirs.isEmpty) victims
@@ -1501,7 +1517,7 @@ object TxnLog {
         s"$what on $table matched rows but bound zero live files — " +
           "relative-path derivation is inconsistent with the snapshot")
     val binding = boundFiles.map(_ -> sub).toMap
-    commitLoop(spark, table, dvs = binding) { v =>
+    commitLoop(spark, table, dvs = binding, stats = addStats) { v =>
       val current = snapshotFull(spark, table, Some(v - 1)).toMap
       if (boundFiles.forall(p => current.get(p).contains(states(p))))
         Some((adds, Nil))

@@ -61,6 +61,24 @@ class AnnIndexStoreSpec extends AnyFunSuite with SparkSpec {
       "old artifact is immutable — a pinned reader may still hold it")
   }
 
+  test("a TxnLog corpus fingerprints by LOG VERSION: commits invalidate, " +
+       "vacuum/staging noise does not") {
+    import spark.implicits._
+    import graft.sources.TxnLog
+    val d = s"${sys.props("java.io.tmpdir")}/graft_annidx_${spark.sparkContext.applicationId}_txn"
+    val p = new org.apache.hadoop.fs.Path(d)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    TxnLog.create(spark, d, Seq((1L, Seq(1L))).toDF("vec_id", "embedding"))
+    val f1 = AnnIndexStore.corpusFingerprint(spark, d)
+    // Uncommitted staged junk is invisible content — same fingerprint.
+    spark.range(1).write.parquet(s"$d/stage-junk")
+    assert(AnnIndexStore.corpusFingerprint(spark, d) === f1)
+    TxnLog.append(spark, d, Seq((2L, Seq(2L))).toDF("vec_id", "embedding"))
+    assert(AnnIndexStore.corpusFingerprint(spark, d) !== f1,
+      "a commit must change the corpus fingerprint")
+  }
+
   test("different params → different artifacts; a throwing build " +
        "publishes NOTHING") {
     val corpus = freshCorpus("params")

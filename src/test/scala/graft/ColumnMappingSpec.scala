@@ -153,6 +153,30 @@ class ColumnMappingSpec extends AnyFunSuite with SparkSpec {
     assert(ow.count() === 5 && ow.filter(col("len").isNull).count() === 0)
   }
 
+  test("the streaming source tails a RENAMED table with values intact " +
+       "in both the initial snapshot and the incremental per-commit reads") {
+    import spark.implicits._
+    val t = freshTable("stream")
+    TxnLog.create(spark, t, mkDocs(spark, 6))
+    TxnLog.renameColumn(spark, t, "txt", "body")
+    val q = spark.readStream.format("graft-txn").load(t)
+      .writeStream.format("memory").queryName("cmap_tail").start()
+    try {
+      q.processAllAvailable()
+      val snap = spark.table("cmap_tail")
+      assert(snap.columns.toSeq === Seq("id", "body", "n"))
+      assert(snap.filter(col("body").isNull).count() === 0,
+        "initial snapshot lost renamed-column values")
+      // Incremental path: a post-rename append's files carry the
+      // physical slot; the per-commit read must translate too.
+      TxnLog.append(spark, t, Seq((50L, "fresh", 2L)).toDF("id", "body", "n"))
+      q.processAllAvailable()
+      assert(spark.table("cmap_tail").filter(col("body") === "fresh").count() === 1)
+      assert(spark.table("cmap_tail").filter(col("body").isNull).count() === 0,
+        "incremental read lost renamed-column values")
+    } finally q.stop()
+  }
+
   test("SQL surface: ALTER RENAME/DROP/ADD through the catalog, scans " +
        "translate names, and a mapped scan without extensions refuses") {
     val dml = GraftSqlDmlSpec.session
