@@ -20,6 +20,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo(cls, name), builder))
     }
+    // Table-valued CDC/audit surface over txn-log tables:
+    //   SELECT * FROM table_changes('/path/to/table', v1, v2)
+    //   SELECT * FROM table_history('/path/to/table')
+    // — the SQL face of TxnLog.changes/history (the Delta-style TVFs).
+    // Arguments are literals folded at analysis; the plan is the same
+    // churned-files-only diff the Scala API builds.
+    GraftExtensions.tableFunctionBuilders.foreach { case (name, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.sources.TxnLog", name), builder))
+    }
     ext.injectPlannerStrategy(_ =>
       org.apache.spark.sql.graftasof.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.GraftNativeRewrite)
@@ -35,6 +45,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  private def literalString(e: Expression, usage: String): String = {
+    require(e.foldable, usage)
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case bad => throw new IllegalArgumentException(s"$usage; got $bad")
+    }
+  }
+
+  private def literalLong(e: Expression, usage: String): Long = {
+    require(e.foldable, usage)
+    e.eval() match {
+      case n: java.lang.Number => n.longValue()
+      case bad => throw new IllegalArgumentException(s"$usage; got $bad")
+    }
+  }
+
+  /** Table-valued functions (path-addressed; catalog tables resolve
+    * their own time travel through `VERSION AS OF`). Each builder runs
+    * at analysis time in the active session and returns the SAME
+    * logical plan the Scala API builds — churned-files-only CDC diff,
+    * driver-metadata history. */
+  private[graft] val tableFunctionBuilders: Seq[(String,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    ("table_changes", { children =>
+      val u = "usage: table_changes('/path/to/txn/table', fromVersion, toVersion)"
+      require(children.length == 3, u)
+      val spark = org.apache.spark.sql.SparkSession.active
+      org.apache.spark.sql.graftbridge.Bridge.planOf(
+        graft.sources.TxnLog.changes(spark, literalString(children(0), u),
+          literalLong(children(1), u), literalLong(children(2), u)))
+    }),
+    ("table_history", { children =>
+      val u = "usage: table_history('/path/to/txn/table')"
+      require(children.length == 1, u)
+      val spark = org.apache.spark.sql.SparkSession.active
+      org.apache.spark.sql.graftbridge.Bridge.planOf(
+        graft.sources.TxnLog.history(spark, literalString(children(0), u)))
+    }))
 
   /** Fold a literal argument to Int with a clean analysis-time error
     * (never an executor NPE/ClassCastException). */

@@ -199,6 +199,28 @@ object LakeQueries extends QueryModule {
         .orderBy("_change", "lang")
     }),
 
+    // The CDC TVF surface: the SAME net-changes diff as q_txn_changes,
+    // consumed as SQL TEXT through the table_changes(...) table-valued
+    // function (the Delta-style CDC front door) — grouping, filtering,
+    // and joining over the TVF run through the ordinary analyzer. The
+    // TVF registration/arity mechanics are GraftSqlDmlSpec's.
+    "q_txn_changes_sql" -> ((s, d) => {
+      val table = s"${scratch(s, d)}/txncdfsql"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table, docs.filter(col("doc_id") % 2 === 0))
+      TxnLog.append(s, table, docs.filter(col("doc_id") % 2 =!= 0))
+      TxnLog.delete(s, table, col("n_chars") < 300L)
+      s.sql(s"""SELECT _change, lang, count(*) AS row_cnt,
+               |  sum(doc_id) AS sum_id
+               |FROM table_changes('$table', 0,
+               |  ${TxnLog.latestVersion(s, table)})
+               |GROUP BY _change, lang
+               |ORDER BY _change, lang""".stripMargin)
+    }),
+
     // Merge-on-read DELETE via deletion vectors: two cumulative masks
     // land as commits that rewrite NO data file (write cost ∝ deleted
     // rows — the needle-delete shape at 100 TB), and the read-side
@@ -526,6 +548,17 @@ object LakeQueries extends QueryModule {
         | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
 
     "q_txn_changes" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS _change, lang, count(*) AS row_cnt,
+        |    sum(doc_id)::BIGINT AS sum_id FROM documents
+        |   WHERE doc_id % 2 = 1 AND n_chars >= 300 GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'delete' AS _change, lang, count(*) AS row_cnt,
+        |    sum(doc_id)::BIGINT AS sum_id FROM documents
+        |   WHERE doc_id % 2 = 0 AND n_chars < 300 GROUP BY 2)
+        | ORDER BY _change, lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_changes_sql" ->
       """SELECT * FROM (
         |  SELECT 'insert' AS _change, lang, count(*) AS row_cnt,
         |    sum(doc_id)::BIGINT AS sum_id FROM documents

@@ -352,6 +352,33 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
       .schema.fieldNames.toSeq === Seq("id", "s"))
   }
 
+  test("table_changes / table_history TVFs expose CDC and the audit " +
+       "log through SQL") {
+    import dml.implicits._
+    val dir = freshTable("t_tvf", Seq((1L, "a"), (2L, "b")))
+    dml.sql(s"INSERT INTO lake.ns.t_tvf VALUES (3, 'c')")
+    dml.sql(s"DELETE FROM lake.ns.t_tvf WHERE id = 1")
+    // v0 create, v1 insert, v2 delete — net change v0→v2.
+    val changes = dml.sql(
+      s"SELECT _change, id, s FROM table_changes('$dir', 0, 2) ORDER BY id")
+      .as[(String, Long, String)].collect().toSeq
+    assert(changes === Seq(("delete", 1L, "a"), ("insert", 3L, "c")))
+    // The TVF composes like any relation (join back to the table).
+    assert(dml.sql(
+      s"""SELECT count(*) FROM table_changes('$dir', 0, 2) c
+         |JOIN lake.ns.t_tvf t ON c.id = t.id""".stripMargin)
+      .head().getLong(0) === 1L)
+    val hist = dml.sql(
+      s"SELECT version, operation FROM table_history('$dir') ORDER BY version")
+      .as[(Long, String)].collect().toSeq
+    assert(hist.map(_._1) === Seq(0L, 1L, 2L))
+    assert(hist.head._2 === "CREATE")
+    assert(hist(2)._2.startsWith("REWRITE"))
+    // Bad arity fails at analysis with the usage string.
+    val e = intercept[Exception] { dml.sql(s"SELECT * FROM table_history()") }
+    assert(e.getMessage.contains("usage"))
+  }
+
   test("a MoR-masked table joins and aggregates correctly through SQL " +
        "(the masked plan keeps exprId identity)") {
     import dml.implicits._

@@ -17,7 +17,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     * absent from the shared test session by design; they audit in the
     * extension-wired session instead. */
   private def sessionFor(name: String) =
-    if (Set("q_txn_sql_dml", "q_txn_column_map",
+    if (Set("q_txn_sql_dml", "q_txn_column_map", "q_txn_changes_sql",
         "q_txn_sql_decon", "q_txn_sql_merge_clauses")(name))
       GraftSqlDmlSpec.session
     else spark
