@@ -484,6 +484,27 @@ object LakeQueries extends QueryModule {
         .orderBy("via", "doc_id")
     }),
 
+    // STRING data skipping through the default typed stats: three
+    // lang-banded commits record string [min,max] per file WITHOUT any
+    // opt-in (the Delta always-on convention), and a BETWEEN range read
+    // prunes non-intersecting files in UTF-8 byte order before any
+    // footer opens. The oracle is the plain string filter; the
+    // file-subset and kind-mismatch soundness pins are TxnStatsSpec's.
+    "q_txn_skip_str" -> ((s, d) => {
+      val table = s"${scratch(s, d)}/txnskipstr"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table, docs.filter(col("lang") < "es").repartition(3))
+      TxnLog.append(s, table,
+        docs.filter(col("lang") >= "es" && col("lang") < "m").repartition(3))
+      TxnLog.append(s, table, docs.filter(col("lang") >= "m").repartition(3))
+      TxnLog.readPrunedString(s, table, "lang", "es", "zz")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // Stats-driven data skipping: write the table partitioned by
     // source, ANALYZE n_chars into the _stats sidecar, then answer a
     // high-end range query through the sidecar — partitions whose
@@ -557,6 +578,11 @@ object LakeQueries extends QueryModule {
         |    sum(doc_id)::BIGINT AS sum_id FROM documents
         |   WHERE doc_id % 2 = 0 AND n_chars < 300 GROUP BY 2)
         | ORDER BY _change, lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_skip_str" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        | WHERE lang BETWEEN 'es' AND 'zz'
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
 
     "q_txn_changes_sql" ->
       """SELECT * FROM (

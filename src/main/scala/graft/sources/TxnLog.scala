@@ -52,8 +52,17 @@ object TxnLog {
   final case class Commit(version: Long, adds: Seq[String], removes: Seq[String],
                           dvs: Map[String, String] = Map.empty)
 
-  /** One column's [min,max] (as longs) within one file. */
-  final case class ColStats(min: Long, max: Long)
+  /** One column's [min,max] within one file — TYPED: numeric-family
+    * columns (integral, boolean, date-as-days, timestamp-as-micros)
+    * canonicalize to longs; string columns carry string bounds
+    * (`minStr`/`maxStr` non-null, the long pair unused). A pruning
+    * read checks the KIND before trusting a bound, so a long-range
+    * prune over string stats (or vice versa) never prunes — mixed
+    * logs stay sound. */
+  final case class ColStats(min: Long, max: Long,
+                            minStr: String = null, maxStr: String = null) {
+    def isString: Boolean = minStr != null
+  }
 
   /** Per-file statistics carried IN the commit entry (the Delta
     * stats-in-log design, VLDB 2020 §4.2): the file's row count plus
@@ -102,7 +111,11 @@ object TxnLog {
       else ",\"stats\":{" + stats.toSeq.sortBy(_._1).map { case (path, st) =>
         JsonUtil.quote(path) + ":[" + st.count + ",{" +
           st.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
-            JsonUtil.quote(c) + ":[" + cs.min + "," + cs.max + "]"
+            val bounds =
+              if (cs.isString)
+                JsonUtil.quote(cs.minStr) + "," + JsonUtil.quote(cs.maxStr)
+              else cs.min + "," + cs.max
+            JsonUtil.quote(c) + ":[" + bounds + "]"
           }.mkString(",") + "}]"
       }.mkString(",") + "}"
     val dvJson =
@@ -192,9 +205,12 @@ object TxnLog {
     throw new IllegalStateException("unterminated JSON object in log entry")
   }
 
-  // One file's stats: "path":[count,{"col":[min,max],…}]
+  // One file's stats: "path":[count,{"col":[min,max],…}] — bounds are
+  // bare longs (numeric-canonical columns) or quoted strings.
   private val FileStatsEntry = """"([^"]+)":\[(\d+),\{""".r
   private val ColStatsEntry = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
+  private val StrStatsEntry =
+    """"([^"]+)":\["((?:[^"\\]|\\.)*)","((?:[^"\\]|\\.)*)"\]""".r
 
   private def parseStats(body: String): Map[String, FileStats] = {
     val i = body.indexOf("\"stats\":{")
@@ -202,9 +218,12 @@ object TxnLog {
     val obj = balancedObject(body, i + 8)
     FileStatsEntry.findAllMatchIn(obj).map { m =>
       val colsObj = balancedObject(obj, m.end - 1)
-      m.group(1) -> FileStats(m.group(2).toLong,
-        ColStatsEntry.findAllMatchIn(colsObj).map(cm =>
-          cm.group(1) -> ColStats(cm.group(2).toLong, cm.group(3).toLong)).toMap)
+      val longs = ColStatsEntry.findAllMatchIn(colsObj).map(cm =>
+        cm.group(1) -> ColStats(cm.group(2).toLong, cm.group(3).toLong))
+      val strs = StrStatsEntry.findAllMatchIn(colsObj).map(cm =>
+        cm.group(1) -> ColStats(0L, 0L, JsonUtil.unescape(cm.group(2)),
+          JsonUtil.unescape(cm.group(3))))
+      m.group(1) -> FileStats(m.group(2).toLong, (longs ++ strs).toMap)
     }.toMap
   }
 
@@ -662,12 +681,16 @@ object TxnLog {
     r.getOrElse(throw new IllegalStateException(s"$what abandoned after conflict"))
 
   /** Create the table (version 0) from `df`; the commit records the
-    * schema, which every later append is enforced against. */
+    * schema, which every later append is enforced against. Per-file
+    * [min,max] stats are collected BY DEFAULT on every supported
+    * column ([[statsKind]]) — the Delta convention: skipping coverage
+    * should not depend on the writer remembering an opt-in. */
   def create(spark: SparkSession, table: String, df: DataFrame): CommitResult = {
     val f = fs(spark, logDir(table))
     f.mkdirs(logDir(table))
     val staged = stage(spark, table, df, mapping = None)
     mustCommit(commitLoop(spark, table,
+      stats = stagedStats(spark, table, staged, defaultStatsCols(df.schema)),
       schema = Some(SchemaCommit(stripMapping(df.schema)))) { v =>
       if (v != 0) None else Some((staged, Nil))
     }, s"create $table")
@@ -780,6 +803,8 @@ object TxnLog {
     enforceSchema(spark, table, df, mergeSchema, "append") // fail fast, pre-stage
     val staged = stage(spark, table, df, cur)
     mustCommit(commitLoop(spark, table,
+      stats = stagedStats(spark, table, staged,
+        defaultStatsCols(cur.getOrElse(df.schema)), cur),
       schema = enforceSchema(spark, table, df, mergeSchema, "append"))(
       _ => Some((staged, Nil))), s"append to $table")
   }
@@ -790,26 +815,95 @@ object TxnLog {
     * into the writer; the commit shape is identical), and the result
     * is file-count-sized — log metadata, never rows. A column that is
     * entirely null in a file gets no entry there (thus never prunes). */
+  /** Column types auto-stats cover: exact long canonicalization
+    * (integral/boolean; date→days; timestamp→micros) or raw string
+    * bounds. Floats are deliberately OUT — NaN/Infinity poison a
+    * long canonicalization and Spark's NaN ordering makes naive
+    * min/max bounds unsound for pruning. */
+  private def statsKind(dt: DataType): Option[Boolean] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Some(true)
+      case ByteType | ShortType | IntegerType | LongType | BooleanType |
+           DateType | TimestampType => Some(false)
+      case _ => None
+    }
+  }
+
+  /** Default stats columns for a write: every supported top-level
+    * column, capped (the Delta convention — stats on the first 32). */
+  private def defaultStatsCols(schema: StructType): Seq[String] =
+    schema.fields.filter(f => statsKind(f.dataType).isDefined)
+      .take(32).map(_.name).toSeq
+
+  /** The long canonicalization stats use for numeric-family columns. */
+  private def canonLong(c: Column, dt: DataType): Column = {
+    import org.apache.spark.sql.functions.{unix_date, unix_micros}
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    dt match {
+      case DateType => unix_date(c).cast("long")
+      case TimestampType => unix_micros(c)
+      case _ => c.try_cast("long")
+    }
+  }
+
+  /** One merge key's delta-side bound, typed to match the stats kind;
+    * a kind MISMATCH (numeric bound vs string stats or vice versa)
+    * never prunes. */
+  private sealed trait KeyBound {
+    def key: String
+    def intersects(c: ColStats): Boolean
+  }
+  private final case class LongBound(key: String, lo: Long, hi: Long)
+      extends KeyBound {
+    def intersects(c: ColStats): Boolean =
+      c.isString || (c.max >= lo && c.min <= hi)
+  }
+  private final case class StrBound(key: String, lo: String, hi: String)
+      extends KeyBound {
+    def intersects(c: ColStats): Boolean =
+      !c.isString ||
+        (utf8Compare(c.maxStr, lo) >= 0 && utf8Compare(c.minStr, hi) <= 0)
+  }
+
   private def stagedStats(spark: SparkSession, table: String,
       staged: Seq[String], columns0: Seq[String],
       mapping: Option[StructType] = None): Map[String, FileStats] = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, unix_date, unix_micros}
+    import org.apache.spark.sql.types.{DateType, TimestampType}
     // Stats are keyed by LOGICAL name; the staged files carry PHYSICAL
     // names, so the aggregation binds to the physical slot. Columns no
     // longer in the schema (a rewrite inheriting stats across a DROP)
     // are skipped — those files simply stop carrying that stat.
     val phys: Map[String, String] = mapping.fold(Map.empty[String, String])(
       _.fields.map(f => f.name.toLowerCase -> physicalName(f)).toMap)
-    val columns = columns0.filter(c =>
+    val columns1 = columns0.filter(c =>
       mapping.isEmpty || phys.contains(c.toLowerCase))
-    if (columns.isEmpty) return Map.empty
+    if (columns1.isEmpty || staged.isEmpty) return Map.empty
     def physOf(c: String): String = phys.getOrElse(c.toLowerCase, c)
     val prefix = encodedTablePrefix(spark, table) + "/"
-    val aggs = count(lit(1)).as("_c") +: columns.flatMap(c => Seq(
-      min(col(s"`${physOf(c)}`").try_cast("long")).as(s"_mn_$c"),
-      max(col(s"`${physOf(c)}`").try_cast("long")).as(s"_mx_$c")))
-    spark.read.parquet(staged.map(p => s"$table/$p"): _*)
-      .groupBy(input_file_name().as("_f"))
+    val base = spark.read.parquet(staged.map(p => s"$table/$p"): _*)
+    val dtypes: Map[String, DataType] =
+      base.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    // (logical, physical, isString) for columns present in the staged
+    // files with a supported type; the rest carry no stats (and so
+    // never prune — sound by construction).
+    val columns: Seq[(String, String, Boolean)] = columns1.flatMap { c =>
+      val p = physOf(c)
+      dtypes.get(p.toLowerCase).flatMap(statsKind).map(s => (c, p, s))
+    }
+    if (columns.isEmpty) return Map.empty
+    def canon(p: String): org.apache.spark.sql.Column =
+      dtypes(p.toLowerCase) match {
+        case DateType => unix_date(col(s"`$p`")).cast("long")
+        case TimestampType => unix_micros(col(s"`$p`"))
+        case _ => col(s"`$p`").try_cast("long")
+      }
+    val aggs = count(lit(1)).as("_c") +: columns.flatMap { case (c, p, isStr) =>
+      val v = if (isStr) col(s"`$p`") else canon(p)
+      Seq(min(v).as(s"_mn_$c"), max(v).as(s"_mx_$c"))
+    }
+    base.groupBy(input_file_name().as("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
@@ -818,9 +912,11 @@ object TxnLog {
           s"staged-file scan reported a path outside $table: $full")
         val rel = full.substring(prefix.length)
         // Row layout: 0 = file, 1 = count, then (min,max) per column.
-        val cols = columns.zipWithIndex.flatMap { case (c, i) =>
+        val cols = columns.zipWithIndex.flatMap { case ((c, _, isStr), i) =>
           val (mnI, mxI) = (2 + 2 * i, 3 + 2 * i)
           if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+          else if (isStr)
+            Some(c -> ColStats(0L, 0L, r.getString(mnI), r.getString(mxI)))
           else Some(c -> ColStats(r.getLong(mnI), r.getLong(mxI)))
         }.toMap
         rel -> FileStats(r.getLong(1), cols)
@@ -873,18 +969,63 @@ object TxnLog {
   def readPruned(spark: SparkSession, table: String, column: String,
                  lo: Long, hi: Long, version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // String-kind stats can never prove a LONG range disjoint — such
+    // files always scan (sound, never wrong). The residual compares
+    // the CANONICAL long form — the same days/micros/cast image the
+    // stats recorded, so a date/timestamp range filters rows, not
+    // nulls them out.
+    prunedRead(spark, table, version,
+      c => c.isString || (c.max >= lo && c.min <= hi), column,
+      df => canonLong(col(column),
+        df.schema.fields.find(_.name.equalsIgnoreCase(column))
+          .map(_.dataType)
+          .getOrElse(org.apache.spark.sql.types.LongType))
+        .between(lo, hi))
+  }
+
+  /** [[readPruned]] for STRING ranges: prunes on the string bounds the
+    * default stats record, compared in UTF-8 BYTE order — the order
+    * Spark's min/max computed them in (UTF8String.binaryCompare); a
+    * driver-side UTF-16 comparison would disagree beyond the BMP and
+    * could wrongly prune. Semantics: `column BETWEEN lo AND hi`. */
+  def readPrunedString(spark: SparkSession, table: String, column: String,
+      lo: String, hi: String, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    prunedRead(spark, table, version,
+      c => !c.isString ||
+        (utf8Compare(c.maxStr, lo) >= 0 && utf8Compare(c.minStr, hi) <= 0),
+      column, _ => col(column).between(lit(lo), lit(hi)))
+  }
+
+  /** Unsigned byte-wise comparison of the UTF-8 encodings — exactly
+    * UTF8String's binary order. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def prunedRead(spark: SparkSession, table: String,
+      version: Option[Long], keep: ColStats => Boolean, column: String,
+      residual: DataFrame => Column): DataFrame = {
     val (all, schema) = resolveSnapshot(spark, table, version)
     val kept = all.filter { case (_, st) =>
-      st.stats.forall(_.cols.get(column).forall(c => c.max >= lo && c.min <= hi))
+      st.stats.forall(_.cols.get(column).forall(keep))
     }
-    val residual = col(column).try_cast("long").between(lo, hi)
     if (kept.isEmpty) {
       // Nothing can match; keep the caller's schema contract anyway.
       read(spark, table, version).filter(org.apache.spark.sql.functions.lit(false))
     } else {
       // Stats bound the PRE-mask population, so they stay valid (an
       // over-approximation) under DVs; the DV anti-join still applies.
-      readState(spark, table, kept, schema).filter(residual)
+      val df = readState(spark, table, kept, schema)
+      df.filter(residual(df))
     }
   }
 
@@ -904,6 +1045,8 @@ object TxnLog {
     enforceSchema(spark, table, df, mergeSchema = false, "streaming append")
     val staged = stage(spark, table, df, cur)
     commitLoop(spark, table, txn = Some(s"$streamId:$batchId"),
+      stats = stagedStats(spark, table, staged,
+        defaultStatsCols(cur.getOrElse(df.schema)), cur),
       schema = enforceSchema(spark, table, df, mergeSchema = false,
         "streaming append")) { _ =>
       if (lastCommittedBatch(spark, table, streamId).exists(_ >= batchId)) None
@@ -937,6 +1080,7 @@ object TxnLog {
     // so no old physical slot can leak into the new shape.
     val staged = stage(spark, table, df, mapping = None)
     mustCommit(commitLoop(spark, table,
+      stats = stagedStats(spark, table, staged, defaultStatsCols(df.schema)),
       schema = Some(SchemaCommit(stripMapping(df.schema)))) { v =>
       Some((staged, snapshot(spark, table, Some(v - 1))))
     }, s"overwrite $table")
@@ -1011,30 +1155,44 @@ object TxnLog {
     enforceSchema(spark, table, delta, mergeSchema = false, "merge")
     val (baseFiles, baseSchemaC) = resolve(spark, table, Some(base))
     val baseSchema = baseSchemaC.map(_.schema)
-    // One agg pass: per key column, the delta's long-cast [min,max]
-    // and cast-null count. Pruning is sound only when EVERY delta key
-    // value on a column has a long image: raw-equal keys have equal
-    // casts, so disjoint cast ranges prove disjoint keys — but a
-    // cast-null delta key (non-numeric string, or a null key, which
-    // merge's window groups as a key) is outside the range and could
-    // still match cast-null rows a mixed file's stats never covered.
-    // A column with any such value never prunes; a file disjoint on
-    // ANY prunable key column holds no matching key TUPLE.
-    val rangeAggs = keys.flatMap { k =>
-      val kl = col(k).try_cast("long")
-      Seq(min(kl), max(kl), count(when(kl.isNull, lit(1))))
+    // One agg pass: per key column, the delta's TYPED [min,max] (long
+    // canonical for numeric/date/time keys, raw string for string
+    // keys — matching the stats kind) and a null count. Pruning is
+    // sound only when EVERY delta key value on a column has an image:
+    // raw-equal keys have equal canonical forms, so disjoint ranges
+    // prove disjoint keys — but a canonical-null delta key (a
+    // non-castable value, or a null key, which merge's window groups
+    // as a key) is outside the range and could still match rows a
+    // mixed file's stats never covered. A column with any such value
+    // never prunes; a file disjoint on ANY prunable key column holds
+    // no matching key TUPLE, and a kind mismatch never prunes.
+    val keyFields: Seq[(String, Option[Boolean], Column)] = keys.map { k =>
+      val fld = delta.schema.fields.find(_.name.equalsIgnoreCase(k))
+      val kind = fld.flatMap(f => statsKind(f.dataType))
+      val v = kind match {
+        case Some(true) => col(k)
+        case Some(false) => canonLong(col(k), fld.get.dataType)
+        case None => lit(null).cast("long") // unsupported type: no pruning
+      }
+      (k, kind, v)
+    }
+    val rangeAggs = keyFields.flatMap { case (_, _, v) =>
+      Seq(min(v), max(v), count(when(v.isNull, lit(1))))
     }
     val range = delta.agg(rangeAggs.head, rangeAggs.tail: _*).head()
-    val bounds: Seq[Option[(String, Long, Long)]] = keys.zipWithIndex.map {
-      case (k, i) =>
+    val bounds: Seq[Option[KeyBound]] = keyFields.zipWithIndex.map {
+      case ((k, kind, _), i) =>
         val (mnI, mxI, nullI) = (3 * i, 3 * i + 1, 3 * i + 2)
-        if (range.isNullAt(mnI) || range.isNullAt(mxI) || range.getLong(nullI) > 0)
+        if (kind.isEmpty || range.isNullAt(mnI) || range.isNullAt(mxI) ||
+            range.getLong(nullI) > 0)
           None
-        else Some((k, range.getLong(mnI), range.getLong(mxI)))
+        else if (kind.contains(true))
+          Some(StrBound(k, range.getString(mnI), range.getString(mxI)))
+        else Some(LongBound(k, range.getLong(mnI), range.getLong(mxI)))
     }
     val touched = baseFiles.filter { case (_, st) =>
-      bounds.flatten.forall { case (k, dMin, dMax) =>
-        st.stats.forall(_.cols.get(k).forall(c => c.max >= dMin && c.min <= dMax))
+      bounds.flatten.forall { b =>
+        st.stats.forall(_.cols.get(b.key).forall(b.intersects))
       }
     }
     // Every file pruned ⇒ no current row can share a delta key: the
