@@ -44,6 +44,10 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized
       // reader rejects; read as ns-longs and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TIMESTAMP_MICROS, not the INT96 default: INT96 carries no
+      // usable footer statistics, so timestamp columns would lose
+      // stats-in-log skipping entirely.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // Naive parquet timestamps (isAdjustedToUTC=false, the driver's
       // current fixture flavor) must read as TIMESTAMP, not NTZ:
       // unix_micros and interval arithmetic reject NTZ, and with a UTC

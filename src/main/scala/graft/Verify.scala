@@ -34,6 +34,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The DUMPS must stay INT96: the driver's pyarrow-vs-DuckDB compare
+    // reads TIMESTAMP_MICROS parquet as tz-AWARE and the oracle side as
+    // naive — 7 timestamp queries would hash-mismatch on tzinfo alone.
+    // GraftSession's MICROS default (footer-stats-capable) stays for
+    // real sessions; only this gate's result encoding pins the legacy
+    // form the comparator has always read.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
     new java.io.File(outDir).mkdirs()
     // Local-iteration subset (mirrors SPARK_GRAFT_BENCH_ONLY): dump only
     // the named queries. The driver's gate never sets it, so the full

@@ -866,61 +866,118 @@ object TxnLog {
         (utf8Compare(c.maxStr, lo) >= 0 && utf8Compare(c.minStr, hi) <= 0)
   }
 
+  /** One column chunk's canonical bounds from the FOOTER statistics
+    * the parquet writer already produced: Left = long-canonical
+    * (plain ints/longs; boolean 0/1; date days; timestamp micros —
+    * MILLIS widened, matching [[canonLong]]'s reader-side image),
+    * Right = UTF-8 string bounds. None = no trustworthy stats for
+    * this chunk (INT96 timestamps, floats, absent/empty stats) — the
+    * column then carries no entry for the file and never prunes. */
+  private def chunkBounds(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[Either[(Long, Long), (String, String)]] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val st = cc.getStatistics
+    if (st == null || st.isEmpty || !st.hasNonNullValue) return None
+    val pt = cc.getPrimitiveType
+    val ann = pt.getLogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case INT64 =>
+        val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+        val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+        ann match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(Left((mn, mx)))
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                Some(Left((mn * 1000L, mx * 1000L)))
+              case _ => None // NANOS: reader canonical is micros; skip
+            }
+          case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => None
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+              if !i.isSigned => None
+          case _ => Some(Left((mn, mx)))
+        }
+      case INT32 =>
+        val mn = st.genericGetMin.asInstanceOf[java.lang.Integer].longValue()
+        val mx = st.genericGetMax.asInstanceOf[java.lang.Integer].longValue()
+        ann match {
+          case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+            Some(Left((mn, mx))) // days — the unix_date canonical image
+          case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => None
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+              if !i.isSigned => None
+          case _ => Some(Left((mn, mx)))
+        }
+      case BOOLEAN =>
+        val mn = if (st.genericGetMin.asInstanceOf[java.lang.Boolean]) 1L else 0L
+        val mx = if (st.genericGetMax.asInstanceOf[java.lang.Boolean]) 1L else 0L
+        Some(Left((mn, mx)))
+      case BINARY if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some(Right((
+          st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+            .toStringUsingUTF8,
+          st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+            .toStringUsingUTF8)))
+      case _ => None // INT96 timestamps, floats, fixed — no sound bounds
+    }
+  }
+
+  /** Per-file (count, typed min/max per stat column) over just-staged
+    * files — read from the parquet FOOTERS the write already produced:
+    * O(files) driver-side metadata reads, never a data re-scan (the
+    * Delta stats-in-writer design — the stats job an agg-based
+    * collection would run costs a full extra pass over every commit's
+    * data). Bounds merge across row groups; a row group without
+    * trustworthy stats drops the column for that file (which then
+    * never prunes — sound). */
   private def stagedStats(spark: SparkSession, table: String,
       staged: Seq[String], columns0: Seq[String],
       mapping: Option[StructType] = None): Map[String, FileStats] = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, unix_date, unix_micros}
-    import org.apache.spark.sql.types.{DateType, TimestampType}
+    import scala.jdk.CollectionConverters._
     // Stats are keyed by LOGICAL name; the staged files carry PHYSICAL
-    // names, so the aggregation binds to the physical slot. Columns no
+    // names, so the footer lookup binds the physical slot. Columns no
     // longer in the schema (a rewrite inheriting stats across a DROP)
     // are skipped — those files simply stop carrying that stat.
     val phys: Map[String, String] = mapping.fold(Map.empty[String, String])(
       _.fields.map(f => f.name.toLowerCase -> physicalName(f)).toMap)
-    val columns1 = columns0.filter(c =>
+    val columns = columns0.filter(c =>
       mapping.isEmpty || phys.contains(c.toLowerCase))
-    if (columns1.isEmpty || staged.isEmpty) return Map.empty
+    if (columns.isEmpty || staged.isEmpty) return Map.empty
     def physOf(c: String): String = phys.getOrElse(c.toLowerCase, c)
-    val prefix = encodedTablePrefix(spark, table) + "/"
-    val base = spark.read.parquet(staged.map(p => s"$table/$p"): _*)
-    val dtypes: Map[String, DataType] =
-      base.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
-    // (logical, physical, isString) for columns present in the staged
-    // files with a supported type; the rest carry no stats (and so
-    // never prune — sound by construction).
-    val columns: Seq[(String, String, Boolean)] = columns1.flatMap { c =>
-      val p = physOf(c)
-      dtypes.get(p.toLowerCase).flatMap(statsKind).map(s => (c, p, s))
-    }
-    if (columns.isEmpty) return Map.empty
-    def canon(p: String): org.apache.spark.sql.Column =
-      dtypes(p.toLowerCase) match {
-        case DateType => unix_date(col(s"`$p`")).cast("long")
-        case TimestampType => unix_micros(col(s"`$p`"))
-        case _ => col(s"`$p`").try_cast("long")
-      }
-    val aggs = count(lit(1)).as("_c") +: columns.flatMap { case (c, p, isStr) =>
-      val v = if (isStr) col(s"`$p`") else canon(p)
-      Seq(min(v).as(s"_mn_$c"), max(v).as(s"_mx_$c"))
-    }
-    base.groupBy(input_file_name().as("_f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .map { r =>
-        val full = r.getString(0)
-        require(full.startsWith(prefix),
-          s"staged-file scan reported a path outside $table: $full")
-        val rel = full.substring(prefix.length)
-        // Row layout: 0 = file, 1 = count, then (min,max) per column.
-        val cols = columns.zipWithIndex.flatMap { case ((c, _, isStr), i) =>
-          val (mnI, mxI) = (2 + 2 * i, 3 + 2 * i)
-          if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
-          else if (isStr)
-            Some(c -> ColStats(0L, 0L, r.getString(mnI), r.getString(mxI)))
-          else Some(c -> ColStats(r.getLong(mnI), r.getLong(mxI)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    staged.map { rel =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(table, rel), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val cols = columns.flatMap { c =>
+          val p = physOf(c).toLowerCase
+          val per = blocks.map(_.getColumns.asScala
+            .find(_.getPath.toDotString.toLowerCase == p)
+            .flatMap(chunkBounds))
+          if (per.isEmpty || per.exists(_.isEmpty)) None
+          else {
+            val bs = per.map(_.get)
+            val longs = bs.collect { case Left(b) => b }
+            val strs = bs.collect { case Right(b) => b }
+            if (longs.size == bs.size)
+              Some(c -> ColStats(longs.map(_._1).min, longs.map(_._2).max))
+            else if (strs.size == bs.size)
+              Some(c -> ColStats(0L, 0L,
+                strs.map(_._1).reduce((a, b) =>
+                  if (utf8Compare(a, b) <= 0) a else b),
+                strs.map(_._2).reduce((a, b) =>
+                  if (utf8Compare(a, b) >= 0) a else b)))
+            else None // mixed kinds across row groups: cannot happen, stay sound
+          }
         }.toMap
-        rel -> FileStats(r.getLong(1), cols)
-      }.toMap
+        rel -> FileStats(rows, cols)
+      } finally reader.close()
+    }.toMap
   }
 
   /** [[create]] with per-file stats on `statsCols` recorded in the log. */

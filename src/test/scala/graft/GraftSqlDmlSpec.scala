@@ -408,6 +408,10 @@ object GraftSqlDmlSpec {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TIMESTAMP_MICROS, not the INT96 default: INT96 carries no
+      // usable footer statistics, so timestamp columns would lose
+      // stats-in-log skipping entirely.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // withExtensions, not the config key: the extensions CONFIG is
       // read from the SparkContext's conf, which is already fixed by

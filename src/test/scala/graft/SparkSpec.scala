@@ -33,6 +33,10 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TIMESTAMP_MICROS, not the INT96 default: INT96 carries no
+      // usable footer statistics, so timestamp columns would lose
+      // stats-in-log skipping entirely.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
