@@ -505,6 +505,34 @@ object LakeQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // BLOOM-index point lookup: four residue-banded commits give every
+    // file the FULL doc_id range (min/max stats intersect any probe —
+    // range skipping is structurally useless here, the high-cardinality
+    // unsorted-key shape), and the per-file bloom sidecars written by
+    // createWithBloom/appendWithBloom are the only metadata that can
+    // prune. The probe ids are all ≡ 1 (mod 4), so only one commit's
+    // files survive the driver-side bloom screen; the oracle is the
+    // plain IN filter — pruning must be answer-invisible at any SF.
+    // Kept-file mechanics (subset size, no false negatives, vacuum
+    // sweep) are BloomIndexSpec's.
+    "q_txn_bloom_skip" -> ((s, d) => {
+      val table = s"${scratch(s, d)}/txnbloom"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+      TxnLog.createWithBloom(s, table,
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0).repartition(2),
+        Seq("doc_id"))
+      (1 to 3).foreach { r =>
+        TxnLog.appendWithBloom(s, table,
+          docs.filter(pmod(col("doc_id"), lit(4)) === r).repartition(2),
+          Seq("doc_id"))
+      }
+      TxnLog.readPrunedEq(s, table, "doc_id", bloomProbeIds)
+        .orderBy("doc_id")
+    }),
+
     // Stats-driven data skipping: write the table partitioned by
     // source, ANALYZE n_chars into the _stats sidecar, then answer a
     // high-end range query through the sidecar — partitions whose
@@ -524,7 +552,16 @@ object LakeQueries extends QueryModule {
     })
   )
 
+  /** All ≡ 1 (mod 4): one residue band's files hold every hit. */
+  private val bloomProbeIds: Seq[Any] =
+    Seq(1L, 5L, 9L, 13L, 17L, 29L, 57L, 101L, 201L, 401L)
+
   def oracle: Map[String, String] = Map(
+    "q_txn_bloom_skip" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         | WHERE doc_id IN (${bloomProbeIds.mkString(",")})
+         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
     "q_compact_files" ->
       """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id

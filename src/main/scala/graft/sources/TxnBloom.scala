@@ -1,0 +1,299 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-FILE Bloom-filter sidecars for the transaction log — the
+  * point-lookup data-skipping index min/max stats cannot provide.
+  *
+  * Why this exists at 100 TB: the log's [min,max] stats prune RANGE
+  * predicates on columns correlated with ingest order, but an equality
+  * or IN-list probe on a high-cardinality UNSORTED column (a document
+  * id, a content hash, a user key) intersects every file's full-range
+  * bounds — stats keep everything and the query scans the table. A
+  * per-file Bloom filter answers "might this file contain value v?"
+  * driver-side from O(bits) metadata, so a key lookup over a
+  * million-file table opens only the files whose filter fires — the
+  * Databricks/Iceberg bloom-index design (sidecar per data file,
+  * consulted at planning time, false-positive-only so pruning can
+  * never change an answer).
+  *
+  * Mechanics:
+  *  - **Sidecar layout.** `table/_bloom/<column>/<rel %2F-encoded>.bloom`,
+  *    keyed by the LOGICAL column name (lowercased) and the data
+  *    file's table-relative path. Data files are immutable, so a
+  *    sidecar stays valid for every log version that references its
+  *    file; a file with no sidecar simply never prunes (mixed
+  *    coverage stays sound — rewrites/compactions drop coverage, they
+  *    never corrupt it).
+  *  - **Hashing.** k=7 probes by double hashing
+  *    `pos_i = xxhash64(v, SALT+i) mod m` — k independent salted
+  *    chains; the write side evaluates the codegen'd
+  *    [[org.apache.spark.sql.functions.xxhash64]] inside the staging
+  *    pass, and the read side evaluates the SAME Catalyst
+  *    [[XxHash64]] expression on literals, so writer and prober agree
+  *    bit-for-bit by construction (no re-implemented hash to drift).
+  *    Integral columns hash through a cast to LONG so an INT writer
+  *    and a Long probe value land identically; strings hash their
+  *    UTF-8 bytes.
+  *  - **Sizing.** m = nextPow2(rows × 10 bits) clamped to [2^10, 2^23]
+  *    bits (≤ 1 MiB per file per column, ~0.8% fpp at 10 bits/key) —
+  *    row counts come from the parquet footers the write already
+  *    produced, so sizing costs no extra scan.
+  *  - **Build cost.** ONE aggregation pass over just-staged files
+  *    (group by file, OR the bitsets map-side) — the explicit opt-in
+  *    price of a point-lookup index, exactly the write-time pass the
+  *    Databricks bloom index charges. Stats stay footer-sourced and
+  *    free; blooms are the one index that genuinely needs the values.
+  *
+  * Reference behavior anchor: the reference engine has no skipping
+  * index of any kind (full-scan MapReduce); this is part of the
+  * beyond-reference lakehouse surface (SURVEY §2 extension).
+  */
+object TxnBloom {
+
+  private val Magic = 0x47424C46 // "GBLF"
+  private val FormatVersion = 1
+  private val K = 7
+  private val BitsPerKey = 10L
+  private val MinBits = 1L << 10
+  private val MaxBits = 1L << 23
+  /** Second-hash salt (the public golden-ratio mixing constant). */
+  private val Salt = 0x9E3779B97F4A7C15L
+
+  /** Column types the index supports: exact long canonicalization for
+    * integral types, raw UTF-8 for strings. Floats (NaN), nested and
+    * binary types are out — same soundness boundary as stats. */
+  private def canon(c: Column, dt: DataType): Option[Column] = dt match {
+    case StringType => Some(c)
+    case ByteType | ShortType | IntegerType | LongType => Some(c.cast(LongType))
+    case _ => None
+  }
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def bloomDir(table: String, column: String): Path =
+    new Path(table, s"_bloom/${column.toLowerCase}")
+
+  /** Table-relative data path <-> sidecar file name. Staged paths are
+    * `stage-<uuid>/part-*.parquet`; the encoding keeps the sidecar a
+    * single flat name under the column directory. */
+  private def enc(rel: String): String =
+    rel.replace("%", "%25").replace("/", "%2F")
+  private def dec(name: String): String =
+    name.stripSuffix(".bloom").replace("%2F", "/").replace("%25", "%")
+
+  private final case class BloomIn(m: Long, pos: Seq[Long])
+
+  /** OR-merge bitset aggregator: each input row carries its file's bit
+    * width (constant within a group) and its k probe positions; the
+    * buffer allocates on first reduce and ORs map-side, so the shuffle
+    * moves one bitset per file per map partition, never row hashes. */
+  private object BloomOrAgg
+      extends Aggregator[BloomIn, Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = Array.emptyByteArray
+    def reduce(b: Array[Byte], in: BloomIn): Array[Byte] = {
+      val buf = if (b.nonEmpty) b else new Array[Byte](((in.m + 7) / 8).toInt)
+      in.pos.foreach { p =>
+        val i = (p >> 3).toInt
+        buf(i) = (buf(i) | (1 << (p & 7).toInt)).toByte
+      }
+      buf
+    }
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        var i = 0
+        while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+        a
+      }
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  private def nextPow2(n: Long): Long = {
+    var m = 1L
+    while (m < n) m <<= 1
+    m
+  }
+
+  private def mBitsFor(rows: Long): Long =
+    math.min(MaxBits, math.max(MinBits, nextPow2(rows * BitsPerKey)))
+
+  /** The k RAW probe hashes (pre-modulus — the width is per-file and
+    * applied downstream) of one row as a Column: k independent salted
+    * xxhash64 chains, `h_i = xxhash64(v, Salt + i)`, rather than the
+    * classic `h1 + i·h2` double-hash — the additive form overflows
+    * longs by design, which ANSI mode (the session default) rejects;
+    * folding the probe index into the hash chain keeps every step
+    * inside the hash, costs one extra mix per probe, and stays
+    * bit-identical between the codegen'd writer and the literal-eval
+    * prober. Null values probe nothing (an equality predicate never
+    * matches null, so nulls need no representation and no
+    * false-positive budget). */
+  private def rawProbeExpr(c: Column): Column = {
+    val arr = array((0 until K).map(i => xxhash64(c, lit(Salt + i))): _*)
+    when(c.isNull, array().cast("array<long>")).otherwise(arr)
+  }
+
+  /** The same k positions driver-side, via the SAME Catalyst
+    * expression the writer ran — evaluated on literals, so there is
+    * exactly one hash implementation in play. */
+  private def probePositions(v: Any, mBits: Long): Array[Long] = {
+    val l = v match {
+      case s: String => Literal(s)
+      case n: Number => Literal(n.longValue())
+      case other =>
+        throw new IllegalArgumentException(
+          s"bloom probe values must be strings or integers, got: $other")
+    }
+    Array.tabulate(K) { i =>
+      val h = XxHash64(Seq(l, Literal(Salt + i)), 42L).eval(null)
+        .asInstanceOf[Long]
+      java.lang.Math.floorMod(h, mBits)
+    }
+  }
+
+  private def footerRows(spark: SparkSession, table: String, rel: String): Long = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(table, rel), spark.sparkContext.hadoopConfiguration))
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Build and publish bloom sidecars for just-staged files, one per
+    * (file, column). Runs ONE aggregation over only the staged data;
+    * bit widths are per-file from footer row counts. `mapping` is the
+    * snapshot schema when the table is column-mapped — staged files
+    * carry PHYSICAL names, sidecars are keyed by the LOGICAL name the
+    * probe will use. Sidecars land BEFORE the commit publishes; an
+    * abandoned commit's orphans go with its staged files at vacuum. */
+  private[sources] def writeSidecars(spark: SparkSession, table: String,
+      staged: Seq[String], columns: Seq[String], schema: StructType,
+      mapping: Option[StructType]): Unit = {
+    if (staged.isEmpty || columns.isEmpty) return
+    val phys: Map[String, String] = mapping.fold(Map.empty[String, String])(
+      _.fields.map(f => f.name.toLowerCase -> TxnLog.physicalName(f)).toMap)
+    def physOf(c: String): String = phys.getOrElse(c.toLowerCase, c)
+    val resolved = columns.map { c =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"bloom column $c not in schema"))
+      require(canon(col("x"), f.dataType).isDefined,
+        s"bloom column $c has unsupported type ${f.dataType.simpleString} " +
+          "(supported: string, byte/short/int/long)")
+      (c, physOf(c), f.dataType)
+    }
+    val mByRel: Map[String, Long] =
+      staged.map(rel => rel -> mBitsFor(footerRows(spark, table, rel))).toMap
+    val absolute = staged.map(rel => new Path(table, rel).toString)
+    val relC = regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1)
+    val u = udaf(BloomOrAgg, Encoders.product[BloomIn])
+    val rows = spark.read.parquet(absolute: _*)
+      .select(relC.as("_gb_rel") +: resolved.map { case (c, p, dt) =>
+        rawProbeExpr(canon(col(p), dt).get).as(s"_gb_raw_$c")
+      }: _*)
+      .withColumn("_gb_m", element_at(typedLit(mByRel), col("_gb_rel")))
+      .select(col("_gb_rel") +: col("_gb_m") +: resolved.map { case (c, _, _) =>
+        transform(col(s"_gb_raw_$c"), h => pmod(h, col("_gb_m"))).as(s"_gb_pos_$c")
+      }: _*)
+      .groupBy("_gb_rel")
+      .agg(u(col("_gb_m"), col(s"_gb_pos_${resolved.head._1}"))
+             .as(s"_gb_bits_${resolved.head._1}"),
+        resolved.tail.map { case (c, _, _) =>
+          u(col("_gb_m"), col(s"_gb_pos_$c")).as(s"_gb_bits_$c")
+        }: _*)
+      .collect()
+    val f = fs(spark, new Path(table))
+    rows.foreach { r =>
+      val rel = r.getString(0)
+      val m = mByRel(rel)
+      resolved.foreach { case (c, _, _) =>
+        val bits = r.getAs[Array[Byte]](s"_gb_bits_$c")
+        val dir = bloomDir(table, c)
+        f.mkdirs(dir)
+        val out = new java.io.DataOutputStream(
+          f.create(new Path(dir, enc(rel) + ".bloom"), true))
+        try {
+          out.writeInt(Magic); out.writeInt(FormatVersion)
+          out.writeInt(K); out.writeLong(m)
+          out.writeInt(bits.length); out.write(bits)
+        } finally out.close()
+      }
+    }
+  }
+
+  private final case class Sidecar(k: Int, mBits: Long, bits: Array[Byte]) {
+    def mightContain(pos: Array[Long]): Boolean =
+      pos.forall(p => (bits((p >> 3).toInt) & (1 << (p & 7).toInt)) != 0)
+  }
+
+  private def readSidecar(f: FileSystem, p: Path): Option[Sidecar] = {
+    val in = new java.io.DataInputStream(f.open(p))
+    try {
+      if (in.readInt() != Magic || in.readInt() != FormatVersion) return None
+      val k = in.readInt()
+      val m = in.readLong()
+      val n = in.readInt()
+      val bits = new Array[Byte](n)
+      in.readFully(bits)
+      Some(Sidecar(k, m, bits))
+    } catch { case _: java.io.IOException => None } finally in.close()
+  }
+
+  /** Keep only the files whose bloom CANNOT rule out every probe
+    * value. Files without a sidecar (pre-index commits, compaction
+    * rewrites) always stay — pruning is false-positive-only. Called
+    * AFTER stats screening so only stats-surviving files' sidecars
+    * are ever opened; the sidecar directory is listed ONCE (no
+    * per-file existence probes — at a million files that listing is
+    * the difference between one metadata round-trip and a million). */
+  private[graft] def filterByBloom(spark: SparkSession, table: String,
+      column: String, values: Seq[Any],
+      files: Seq[(String, TxnLog.FileState)]): Seq[(String, TxnLog.FileState)] = {
+    val dir = bloomDir(table, column)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return files
+    val present: Map[String, Path] =
+      f.listStatus(dir).map(st => dec(st.getPath.getName) -> st.getPath).toMap
+    // Probe positions depend on mBits, which varies per file; memoize
+    // per distinct width so a uniform commit hashes each value once.
+    val posCache = scala.collection.mutable.Map.empty[Long, Seq[Array[Long]]]
+    def positionsFor(m: Long): Seq[Array[Long]] =
+      posCache.getOrElseUpdate(m, values.map(v => probePositions(v, m)))
+    files.filter { case (rel, _) =>
+      present.get(rel) match {
+        case None => true
+        case Some(p) =>
+          readSidecar(f, p).forall(sc =>
+            positionsFor(sc.mBits).exists(sc.mightContain))
+      }
+    }
+  }
+
+  /** Delete sidecars whose data file is physically gone — the
+    * companion sweep to [[TxnLog.vacuum]]'s data-file pass (a sidecar
+    * is only meaningful while its immutable data file exists; time
+    * travel keeps using sidecars of retained old files untouched). */
+  private[sources] def vacuumSidecars(spark: SparkSession, table: String): Seq[String] = {
+    val root = new Path(table, "_bloom")
+    val f = fs(spark, root)
+    if (!f.exists(root)) return Nil
+    f.listStatus(root).toSeq.flatMap { colDir =>
+      f.listStatus(colDir.getPath).toSeq.flatMap { st =>
+        val rel = dec(st.getPath.getName)
+        if (f.exists(new Path(table, rel))) Nil
+        else {
+          scala.util.Try(f.delete(st.getPath, false))
+          Seq(s"_bloom/${colDir.getPath.getName}/${st.getPath.getName}")
+        }
+      }
+    }
+  }
+}

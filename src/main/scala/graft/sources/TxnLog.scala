@@ -1013,6 +1013,78 @@ object TxnLog {
                       statsCol: String): CommitResult =
     appendWithStats(spark, table, df, Seq(statsCol))
 
+  /** [[create]] additionally publishing per-file BLOOM sidecars on
+    * `bloomCols` — the point-lookup skipping index ([[TxnBloom]]).
+    * Default stats still record; the bloom is the opt-in extra (it
+    * costs one aggregation pass over the staged data, the one index
+    * that genuinely needs the values, not just the footers). */
+  def createWithBloom(spark: SparkSession, table: String, df: DataFrame,
+                      bloomCols: Seq[String]): CommitResult = {
+    val f = fs(spark, logDir(table))
+    f.mkdirs(logDir(table))
+    val staged = stage(spark, table, df, mapping = None)
+    TxnBloom.writeSidecars(spark, table, staged, bloomCols, df.schema,
+      mapping = None)
+    mustCommit(commitLoop(spark, table,
+      stats = stagedStats(spark, table, staged, defaultStatsCols(df.schema)),
+      schema = Some(SchemaCommit(stripMapping(df.schema)))) { v =>
+      if (v != 0) None else Some((staged, Nil))
+    }, s"create $table")
+  }
+
+  /** [[append]] additionally publishing bloom sidecars on `bloomCols`
+    * for the new files (existing files keep whatever coverage they
+    * have — mixed coverage is sound, uncovered files never prune). */
+  def appendWithBloom(spark: SparkSession, table: String, df: DataFrame,
+                      bloomCols: Seq[String]): CommitResult = {
+    val cur = tableSchema(spark, table)
+    enforceSchema(spark, table, df, mergeSchema = false, "append")
+    val staged = stage(spark, table, df, cur)
+    TxnBloom.writeSidecars(spark, table, staged, bloomCols,
+      cur.getOrElse(df.schema), cur)
+    mustCommit(commitLoop(spark, table,
+      stats = stagedStats(spark, table, staged,
+        defaultStatsCols(cur.getOrElse(df.schema)), cur),
+      schema = enforceSchema(spark, table, df, mergeSchema = false, "append"))(
+      _ => Some((staged, Nil))), s"append to $table")
+  }
+
+  /** Point-lookup read: `column IN (values)` with FILE-level skipping
+    * from BOTH metadata tiers — the log's [min,max] stats screen first
+    * (free, already resolved), then the bloom sidecars rule out files
+    * whose filter cannot contain any probe value. Only stats-surviving
+    * files' sidecars are opened. Files lacking either tier always
+    * scan, and the residual IN filter applies regardless, so pruning
+    * can never change the answer — semantics are exactly
+    * `read(...).filter(col(column).isin(values))`. At 100 TB this is
+    * the id-lookup path: a probe over a million-file table plans from
+    * driver-side metadata and opens the handful of files that might
+    * hold the keys. Values must be strings or integers (the supported
+    * bloom types; numeric probes compare on the long canonical). */
+  def readPrunedEq(spark: SparkSession, table: String, column: String,
+                   values: Seq[Any], version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(values.nonEmpty, "readPrunedEq needs at least one probe value")
+    val (all, schema) = resolveSnapshot(spark, table, version)
+    val statsKept = all.filter { case (_, st) =>
+      st.stats.forall(_.cols.get(column).forall(cs =>
+        values.exists {
+          case s: String => !cs.isString ||
+            (utf8Compare(s, cs.minStr) >= 0 && utf8Compare(s, cs.maxStr) <= 0)
+          case n: Number =>
+            cs.isString || (n.longValue() >= cs.min && n.longValue() <= cs.max)
+          case _ => true
+        }))
+    }
+    val kept = TxnBloom.filterByBloom(spark, table, column, values, statsKept)
+    if (kept.isEmpty)
+      read(spark, table, version).filter(lit(false))
+    else {
+      val df = readState(spark, table, kept, schema)
+      df.filter(col(column).isin(values: _*))
+    }
+  }
+
   /** Data-skipping read: resolve the snapshot WITH its log-carried
     * stats and plan the scan over only the files whose [min,max] on
     * `column` intersects [lo,hi] — the others are pruned from the file
@@ -1974,7 +2046,10 @@ object TxnLog {
             .getModificationTime).toOption.forall(_ > cutoff))
     }
     dead.foreach(p => scala.util.Try(f.delete(new Path(table, p), false)))
-    dead
+    // Bloom sidecars ride their data file's lifetime: once the data
+    // file is physically gone (this pass or an earlier one), its
+    // sidecars are unreachable metadata — sweep them in the same pass.
+    dead ++ TxnBloom.vacuumSidecars(spark, table)
   }
 
   /** Data files physically present under the table root (staged or

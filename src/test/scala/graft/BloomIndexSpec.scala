@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxnLog
+
+/** Per-file bloom sidecars ([[graft.sources.TxnBloom]]): point-lookup
+  * file skipping that min/max stats cannot provide. These pin the
+  * mechanics DuckDB cannot see — the kept-file subset, false-negative
+  * impossibility, mixed-coverage soundness, and the vacuum sweep; the
+  * value-level answer is q_txn_bloom_skip's oracle. */
+class BloomIndexSpec extends AnyFunSuite with SparkSpec {
+
+  private def freshTable(tag: String): String = {
+    val t = s"${sys.props("java.io.tmpdir")}/graft_bloom_${spark.sparkContext.applicationId}_$tag"
+    val p = new org.apache.hadoop.fs.Path(t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    t
+  }
+
+  private def listSidecars(t: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(t, "_bloom")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.flatMap(d =>
+      fs.listStatus(d.getPath).toSeq.map(_.getPath.toString))
+  }
+
+  /** Residue-banded fixture: every file spans the FULL id range (so
+    * min/max stats keep everything) but holds only one residue class
+    * (so the bloom is the only metadata that can prune). */
+  private def residueTable(tag: String, mod: Int): String = {
+    import spark.implicits._
+    val t = freshTable(tag)
+    val ids = (0L until 400L).map(i => (i, s"name-$i", i % 10))
+    val df = ids.toDF("id", "name", "grp")
+    TxnLog.createWithBloom(spark, t,
+      df.filter(col("id") % mod === 0).coalesce(1), Seq("id", "name"))
+    (1 until mod).foreach { r =>
+      TxnLog.appendWithBloom(spark, t,
+        df.filter(col("id") % mod === r).coalesce(1), Seq("id", "name"))
+    }
+    t
+  }
+
+  test("readPrunedEq matches the plain IN filter exactly (long and string)") {
+    val t = residueTable("eq", 4)
+    val wantIds = Seq(1L, 5L, 13L, 101L, 399L)
+    val got = TxnLog.readPrunedEq(spark, t, "id", wantIds)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val expected = TxnLog.read(spark, t)
+      .filter(col("id").isin(wantIds: _*)).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === expected && got === wantIds.sorted)
+
+    val wantNames = Seq("name-7", "name-42", "name-999999")
+    val gotN = TxnLog.readPrunedEq(spark, t, "name", wantNames)
+      .orderBy("name").collect().map(_.getString(1)).toSeq
+    assert(gotN === Seq("name-42", "name-7"))
+  }
+
+  test("bloom prunes files stats cannot: residue-class probes keep only " +
+       "the matching residue files") {
+    val t = residueTable("prune", 4)
+    // All four files span [0,399] on id — stats keep all of them.
+    // Ids ≡ 1 (mod 4) live in exactly one file; the bloom must keep
+    // only that file (false positives could keep more, but with 4
+    // files at ~0.8% fpp keeping all 4 would be a broken filter).
+    val probes = Seq(1L, 5L, 9L, 13L)
+    val all = TxnLog.snapshotFull(spark, t)
+    val kept = graft.sources.TxnBloom.filterByBloom(spark, t, "id", probes, all)
+    assert(all.size === 4)
+    assert(kept.size < all.size, s"bloom kept ${kept.size} of ${all.size}")
+    // And never below 1: the residue-1 file must survive.
+    assert(kept.nonEmpty)
+  }
+
+  test("no false negatives: every present value survives its file's bloom") {
+    val t = residueTable("fneg", 4)
+    val all = TxnLog.snapshotFull(spark, t)
+    // Probe every id actually present, one at a time, against the full
+    // file set — the owning file must always be kept.
+    (0L until 400L by 7L).foreach { id =>
+      val kept = graft.sources.TxnBloom.filterByBloom(spark, t, "id", Seq(id), all)
+      val rows = TxnLog.readPrunedEq(spark, t, "id", Seq(id)).count()
+      assert(rows === 1L, s"id=$id lost by pruning (kept ${kept.size} files)")
+    }
+  }
+
+  test("mixed coverage is sound: files from plain appends never prune") {
+    import spark.implicits._
+    val t = freshTable("mixed")
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "name")
+    TxnLog.createWithBloom(spark, t,
+      df.filter(col("id") < 50), Seq("id"))
+    TxnLog.append(spark, t, df.filter(col("id") >= 50)) // no bloom
+    val got = TxnLog.readPrunedEq(spark, t, "id", Seq(7L, 77L))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(7L, 77L))
+  }
+
+  test("unsupported bloom column types fail loudly at write time") {
+    import spark.implicits._
+    val t = freshTable("types")
+    val df = Seq((1L, 1.5)).toDF("id", "f")
+    intercept[IllegalArgumentException] {
+      TxnLog.createWithBloom(spark, t, df, Seq("f"))
+    }
+    intercept[IllegalArgumentException] {
+      TxnLog.createWithBloom(spark, t, df, Seq("nope"))
+    }
+  }
+
+  test("vacuum sweeps sidecars of physically-deleted files, keeps live ones") {
+    import spark.implicits._
+    val t = freshTable("vac")
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "name")
+    TxnLog.createWithBloom(spark, t, df.filter(col("id") < 50).coalesce(1), Seq("id"))
+    TxnLog.appendWithBloom(spark, t, df.filter(col("id") >= 50).coalesce(1), Seq("id"))
+    assert(listSidecars(t).size === 2)
+    // Overwrite removes both original files from the live set; vacuum
+    // with zero retention deletes them physically and must take their
+    // sidecars along (retainVersions=1 keeps only the overwrite).
+    TxnLog.overwrite(spark, t, df.coalesce(1))
+    val deleted = TxnLog.vacuum(spark, t, retainVersions = 1, retainMillis = 0L)
+    assert(deleted.exists(_.startsWith("_bloom/")),
+      s"vacuum must report swept sidecars, got: $deleted")
+    assert(listSidecars(t).isEmpty,
+      "both orphaned sidecars swept (overwrite's files carry none)")
+    // The data still reads fine post-vacuum (no pruning available).
+    assert(TxnLog.readPrunedEq(spark, t, "id", Seq(3L)).count() === 1L)
+  }
+
+  test("readPrunedEq composes stats + bloom: stats screen range-disjoint " +
+       "files before any sidecar opens") {
+    import spark.implicits._
+    val t = freshTable("compose")
+    val df = (0L until 300L).map(i => (i, s"v$i")).toDF("id", "name")
+    // Range-banded commits: stats alone prune two of three.
+    TxnLog.createWithBloom(spark, t, df.filter(col("id") < 100).coalesce(1), Seq("id"))
+    TxnLog.appendWithBloom(spark, t,
+      df.filter(col("id") >= 100 && col("id") < 200).coalesce(1), Seq("id"))
+    TxnLog.appendWithBloom(spark, t, df.filter(col("id") >= 200).coalesce(1), Seq("id"))
+    val got = TxnLog.readPrunedEq(spark, t, "id", Seq(150L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(150L))
+    // A value outside every band returns empty without scanning.
+    assert(TxnLog.readPrunedEq(spark, t, "id", Seq(99999L)).count() === 0L)
+  }
+}
