@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.operators.SkewGuard
-import graft.sources.Tables
+import graft.sources.{Tables, TxnLog}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (64-dim `array<float>`), the similarity-search band of the north-star
@@ -240,6 +240,18 @@ object VectorQueries extends QueryModule {
     // trained quantizer, same assignment, same rerank — bit-identical
     // results, same oracle.
     "q_ann_ivf_persist" -> ((s, d) => ivfPersistTopK(s, d,
+      nprobe = ivfNProbe, lloydIters = ivfLloydIters)),
+
+    // INCREMENTAL index maintenance: the corpus is a TxnLog table that
+    // ADVANCES (base create, then an append of 1/5 of the vectors);
+    // the persisted IVF index follows it by adding one postings
+    // GENERATION for just the appended rows under the quantizer
+    // trained at the BASE version — no retrain, refresh cost ∝ batch
+    // (see [[ensureIvfIndexIncremental]]). The oracle trains its
+    // Lloyd chain on the base population only and assigns everything,
+    // exactly the pinned-quantizer semantics; chain/no-retrain/
+    // fallback mechanics are IvfRefreshSpec's.
+    "q_ann_ivf_refresh" -> ((s, d) => ivfRefreshTopK(s, d,
       nprobe = ivfNProbe, lloydIters = ivfLloydIters)),
 
     // Full k-means trainer (K = [[derivedK]], 3 Lloyd iterations) — the model-
@@ -537,7 +549,13 @@ object VectorQueries extends QueryModule {
     * double (the r7–r9 q_kmeans hash-red was a representable half at
     * the 6th decimal rounding differently across engines). */
   private def embWithEu(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+    withEu(Tables.embeddings(s, d))
+
+  /** (vec_id, embedding) + the integer µ-unit carrier (e_u, n2u), from
+    * any embeddings-shaped source (the directory table or a TxnLog
+    * snapshot/delta). */
+  private def withEu(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
       VectorFunctions.microUnits(col("embedding")).as("e_u"))
       .withColumn("n2u", VectorFunctions.dotLong(col("e_u"), col("e_u")))
 
@@ -659,9 +677,20 @@ object VectorQueries extends QueryModule {
     * bit-identical to the historical chain. Shared by the k-means
     * trainer, the IVF quantizer, and the Recall sweep. */
   private[graft] def trainCentroids(s: SparkSession, d: String,
+      iters: Int): DataFrame =
+    trainCentroidsOn(s, embWithEu(s, d), iters)
+
+  /** [[trainCentroids]] over an explicit corpus DataFrame (vec_id,
+    * e_u, n2u — extra columns ignored): the form a TxnLog-backed
+    * corpus trains through, where "the corpus" is a versioned snapshot
+    * rather than a directory. K/seed/stride all derive from THIS
+    * population, so a base-version training run is reproducible from
+    * the base snapshot alone — what keeps an incrementally-refreshed
+    * index's quantizer pinned and oracle-mirrorable. */
+  private[graft] def trainCentroidsOn(s: SparkSession, corpus: DataFrame,
       iters: Int): DataFrame = {
     import s.implicits._
-    val n = Tables.embeddings(s, d).count()
+    val n = corpus.count()
     val k = derivedK(n)
     // Train the quantizer on a deterministic ~64·K subsample (every
     // stride-th vec_id) — the standard IVF training regime (~30–256
@@ -675,7 +704,7 @@ object VectorQueries extends QueryModule {
     val stride = math.max(1L, n / (64L * k))
     // Trimmed to the integer carrier; persisted because every
     // iteration re-scans it.
-    val e = embWithEu(s, d).select(col("vec_id"), col("e_u"), col("n2u"))
+    val e = corpus.select(col("vec_id"), col("e_u"), col("n2u"))
     val tr = StagedCache.persist(e.filter(col("vec_id") % stride === 0))
     var model: Seq[(Long, Seq[Long], Long, Long)] =
       e.filter(col("vec_id") < k)
@@ -854,6 +883,103 @@ object VectorQueries extends QueryModule {
   private def withPcell(probes: DataFrame): DataFrame =
     probes.withColumn("pcell", pmod(col("cell"), lit(ivfMaxDirs)).cast("int"))
 
+  /** Scratch root for TxnLog-backed vector corpora (the refresh query
+    * writes a real versioned table), keyed like LakeQueries' so
+    * concurrent Bench/Verify sessions never collide. */
+  private def vecScratch(s: SparkSession, d: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_vec_${s.sparkContext.applicationId}_${new java.io.File(d).getName}"
+
+  /** Write one postings GENERATION for `e` (must carry vec_id,
+    * embedding, e_u, n2u, nrm) under `out` — the same cell-partitioned
+    * layout as [[ensureIvfIndex]], so every generation of a chain
+    * shares the directory shape and one multi-root scan partition-
+    * prunes across all of them. */
+  private def writeIvfGeneration(e: DataFrame, trained: DataFrame,
+      out: String): Unit =
+    assignMin(e, trained)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv2"),
+        col("nrm").as("cnrm"), col("cid").cast("int").as("cell"))
+      .withColumn("pcell", pmod(col("cell"), lit(ivfMaxDirs)).cast("int"))
+      .repartition(col("pcell"))
+      .write.partitionBy("pcell").parquet(s"$out/postings")
+
+  /** The INCREMENTALLY-MAINTAINED persisted IVF index over a TxnLog
+    * corpus ([[graft.operators.AnnIndexStore.ensureIncremental]]): the
+    * first resolution trains the quantizer on the corpus snapshot and
+    * writes the full postings; every later corpus ADVANCE adds one
+    * postings generation holding only the appended rows' assignments
+    * under the SAME pinned quantizer — refresh cost ∝ batch, never
+    * ∝ corpus, which is what lets the index follow a streaming ingest
+    * at 100 TB (a delete/rewrite in the interval falls back to a full
+    * retrain — the correctness-preserving policy). Returns the chain
+    * (one postings directory per generation) and the pinned
+    * quantizer. */
+  private[graft] def ensureIvfIndexIncremental(s: SparkSession,
+      table: String, lloydIters: Int)
+      : (graft.operators.AnnIndexStore.ChainedIndex, DataFrame) = {
+    def corpusAt(v: Option[Long]): DataFrame =
+      withEu(TxnLog.read(s, table, v))
+        .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
+    val chain = graft.operators.AnnIndexStore.ensureIncremental(
+      s, table, "ivftxn",
+      s"iters=$lloydIters,dirs=$ivfMaxDirs,cell=$targetCell,v=1") {
+      (out, trainV) =>
+        val corpus = corpusAt(Some(trainV))
+        val trained = StagedCache.persist(
+          trainCentroidsOn(s, corpus, lloydIters))
+        trained.coalesce(1).write.parquet(s"$out/model")
+        writeIvfGeneration(corpus, trained, out)
+    } { (parent, out, fromV, toV) =>
+      // The pinned quantizer: copied forward (K rows — model-artifact
+      // sized) so every generation self-serves model + delta postings.
+      val model = s.read.parquet(s"$parent/model")
+      model.coalesce(1).write.parquet(s"$out/model")
+      val delta = withEu(TxnLog.readAppended(s, table, fromV, Some(toV)))
+        .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
+      writeIvfGeneration(delta, model, out)
+    }
+    (chain, s.read.parquet(s"${chain.dir}/model"))
+  }
+
+  /** q_ann_ivf_refresh body: base corpus (vec_id ≢ 0 mod 5) as a
+    * TxnLog table, index built at v0 (quantizer trains on BASE only),
+    * delta appended at v1, index REFRESHED (delta generation, no
+    * retrain), then the standard probe batch (vec_id ≡ 0 mod 25, over
+    * the full corpus) served from the chained index. */
+  private[graft] def ivfRefreshTopK(s: SparkSession, d: String,
+      nprobe: Int, lloydIters: Int): DataFrame = {
+    val table = s"${vecScratch(s, d)}/annrefresh"
+    val p = new org.apache.hadoop.fs.Path(table)
+    val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fsys.exists(p)) fsys.delete(p, true)
+    val emb = Tables.embeddings(s, d)
+    TxnLog.create(s, table, emb.filter(col("vec_id") % 5 =!= 0))
+    ensureIvfIndexIncremental(s, table, lloydIters) // v0: trains on base
+    TxnLog.append(s, table, emb.filter(col("vec_id") % 5 === 0))
+    val (chain, trained) =
+      ensureIvfIndexIncremental(s, table, lloydIters) // v1: delta generation
+    val e = withEu(TxnLog.read(s, table))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
+    val probesR = withPcell(assignNearest(
+        e.filter(col("vec_id") % 25 === 0), trained, keep = nprobe)
+      .select(col("cid").cast("int").as("cell"),
+        col("vec_id").as("probe_id"),
+        col("embedding").as("pv"), col("nrm").as("pnrm")))
+    // One broadcast join PER GENERATION (a multi-root partitioned read
+    // trips Spark's conflicting-directory check): each generation's
+    // scan keeps its own partition pruning on pcell, and the scored
+    // pairs union BEFORE the single top-k — generation count is
+    // refresh cadence (small by policy), never data-sized.
+    val pairs = chain.postingsDirs.map { dir =>
+      broadcast(probesR).join(s.read.parquet(dir), Seq("pcell", "cell"))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .select(col("probe_id"), col("cand_id"),
+          round(VectorFunctions.dot(col("pv"), col("cv2"))
+            / (col("pnrm") * col("cnrm")), 6).as("cos_sim"))
+    }.reduce(_.unionByName(_))
+    topK(pairs)
+  }
+
   import OracleSql.{cappedBucket, dot, dotLong, l2Norm, lshBucket, microUnits}
 
   private def cosSql(a: String, b: String): String =
@@ -927,6 +1053,42 @@ object VectorQueries extends QueryModule {
        | dfin AS (SELECT b.vec_id, b.embedding, cid,
        |    (b.n2u + c2u - 2 * ${dotLong("b.e_u", "c_u", dim)})::BIGINT AS dist_u
        |   FROM base b CROSS JOIN $t),
+       | r1 AS (SELECT vec_id, embedding, cid AS cell, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY dist_u, cid) AS rn FROM dfin),
+       | probes AS (SELECT cell, vec_id AS probe_id, embedding AS pv
+       |   FROM r1 WHERE vec_id % 25 = 0 AND rn <= $nprobe),
+       | cands AS (SELECT cell, vec_id AS cand_id, embedding AS cv2
+       |   FROM r1 WHERE rn = 1),
+       | scored AS (SELECT probe_id, cand_id,
+       |   ${cosSql("pv", "cv2")} AS cos_sim
+       |  FROM probes p JOIN cands c ON c.cell = p.cell
+       |   AND c.cand_id != p.probe_id),
+       |$topKSql""".stripMargin.replace("\n", "")
+  }
+
+  /** q_ann_ivf_refresh's oracle: identical probe/cand/rerank chain to
+    * [[ivfOracleSql]], except the quantizer (seed, K, training stride
+    * and sample) derives from the BASE population (vec_id ≢ 0 mod 5)
+    * while the final assignment covers EVERYTHING — the
+    * pinned-quantizer + delta-generation semantics of the incremental
+    * index, recomposed by DuckDB from the source table alone. */
+  private def refreshOracleSql(nprobe: Int): String = {
+    val t = s"t$ivfLloydIters"
+    s"""WITH allv AS (SELECT vec_id, embedding, e_u,
+       |    ${dotLong("e_u", "e_u", dim)} AS n2u
+       |   FROM (SELECT vec_id, embedding,
+       |     ${microUnits("embedding")} AS e_u FROM embeddings)),
+       | base AS (SELECT * FROM allv WHERE vec_id % 5 != 0),
+       | seed AS (SELECT vec_id AS cid, e_u AS c_u, n2u AS c2u
+       |   FROM base WHERE vec_id <
+       |     (SELECT greatest(16, count(*) // $targetCell) FROM base)),
+       | tr AS (SELECT * FROM base WHERE vec_id %
+       |   (SELECT greatest(1, count(*) //
+       |      (64 * greatest(16, count(*) // $targetCell))) FROM base) = 0),
+       |${lloydTrainSql(ivfLloydIters)},
+       | dfin AS (SELECT b.vec_id, b.embedding, cid,
+       |    (b.n2u + c2u - 2 * ${dotLong("b.e_u", "c_u", dim)})::BIGINT AS dist_u
+       |   FROM allv b CROSS JOIN $t),
        | r1 AS (SELECT vec_id, embedding, cid AS cell, row_number() OVER
        |    (PARTITION BY vec_id ORDER BY dist_u, cid) AS rn FROM dfin),
        | probes AS (SELECT cell, vec_id AS probe_id, embedding AS pv
@@ -1016,6 +1178,7 @@ object VectorQueries extends QueryModule {
     // candidate TRANSPORT differs: parquet round-trip + pruned scan
     // instead of an in-memory join), so the same CTE chain checks it.
     "q_ann_ivf_persist" -> ivfOracleSql(ivfNProbe),
+    "q_ann_ivf_refresh" -> refreshOracleSql(ivfNProbe),
 
     "q_kmeans" ->
       s"""$baseSeedSql,

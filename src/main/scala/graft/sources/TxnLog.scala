@@ -1158,6 +1158,26 @@ object TxnLog {
     }
   }
 
+  /** Rows in files ADDED after `fromVersion`, up to `toVersion`
+    * (inclusive; default latest) — the delta read an incremental
+    * consumer (index refresh, downstream sync) runs per corpus
+    * advance: cost ∝ new files, never ∝ table. File-granular: it means
+    * "rows appended" only while the interval contains NO removes — a
+    * rewrite (compaction, MERGE, overwrite) re-publishes OLD rows in
+    * new files, so interval-with-removes callers must fall back to a
+    * full read or the CDC diff (readChangeFeed's job);
+    * [[graft.operators.AnnIndexStore.ensureIncremental]] checks the
+    * interval's commits before taking this path. */
+  def readAppended(spark: SparkSession, table: String, fromVersion: Long,
+                   toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val before = snapshot(spark, table, Some(fromVersion)).toSet
+    val (after, schema) = resolveSnapshot(spark, table, toVersion)
+    val fresh = after.filterNot { case (p, _) => before.contains(p) }
+    if (fresh.isEmpty) read(spark, table, toVersion).filter(lit(false))
+    else readState(spark, table, fresh, schema)
+  }
+
   /** Idempotent append for exactly-once streaming sinks: the commit
     * carries a `streamId:batchId` txn marker, and a batch at-or-below
     * the stream's high-water mark is dropped WITHOUT publishing — so a
