@@ -101,4 +101,38 @@ class IvfRefreshSpec extends AnyFunSuite with SparkSpec {
       assert(ids === want)
     } finally spark.conf.unset("spark.graft.ann.indexRoot")
   }
+
+  test("the index follows a STREAMING ingest: sink-committed batches " +
+       "refresh as one delta generation, full coverage") {
+    val d = "/root/testdata/sf0.001"
+    val root = freshDir("sstore")
+    spark.conf.set("spark.graft.ann.indexRoot", root)
+    try {
+      val t = s"${freshDir("scorpus")}/tbl"
+      val srcT = s"${freshDir("ssrc")}/tbl"
+      val emb = graft.sources.Tables.embeddings(spark, d)
+      TxnLog.create(spark, t, emb.filter(col("vec_id") % 5 =!= 0))
+      val (c0, _) = graft.queries.VectorQueries
+        .ensureIvfIndexIncremental(spark, t, lloydIters = 1)
+      assert(c0.postingsDirs.size === 1)
+      // The delta arrives through the exactly-once streaming sink —
+      // the production ingest path the index must follow.
+      TxnLog.create(spark, srcT, emb.filter(col("vec_id") % 5 === 0))
+      val q = spark.readStream.format("graft-txn").load(srcT)
+        .writeStream.format("graft-txn")
+        .option("path", t).option("streamId", "ivf-ingest")
+        .option("checkpointLocation", freshDir("sckpt"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val (c1, _) = graft.queries.VectorQueries
+        .ensureIvfIndexIncremental(spark, t, lloydIters = 1)
+      assert(c1.postingsDirs.size === 2,
+        "the sink's append must land as ONE delta generation")
+      val ids = c1.postingsDirs
+        .map(p => spark.read.parquet(p).select("cand_id"))
+        .reduce(_ union _).collect().map(_.getLong(0)).sorted.toSeq
+      val want = emb.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === want)
+    } finally spark.conf.unset("spark.graft.ann.indexRoot")
+  }
 }
