@@ -250,6 +250,55 @@ object TxnSqlDml {
   }
 }
 
+/** `VACUUM '<path>' [RETAIN <n> VERSIONS]` — the SQL face of
+  * [[TxnLog.vacuum]]: physically delete files unreferenced by the
+  * retained versions (age-guarded — see vacuum's retention floor);
+  * returns the deleted table-relative paths, one row each. Default
+  * retention is the current version only — time travel past a vacuum
+  * is explicitly traded away, the Delta convention. The age floor has
+  * no statement clause; `spark.graft.vacuum.retainMillis` overrides
+  * the 7-day default (0 disables — tests, or a table the operator
+  * KNOWS has no in-flight writers). */
+case class GraftVacuumCommand(dir: String, retainVersions: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "path", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val retainMillis = spark.conf.getOption("spark.graft.vacuum.retainMillis")
+      .map(_.toLong).getOrElse(TxnLog.DefaultVacuumRetainMillis)
+    TxnLog.vacuum(spark, dir, retainVersions, retainMillis).map(Row(_))
+  }
+}
+
+/** `OPTIMIZE '<path>' [TARGET <n> FILES] [CLUSTER BY (c1, ...)]` — the
+  * SQL face of [[TxnLog.compact]]: logical full compaction (old
+  * versions still resolve until VACUUM), optionally range-clustered on
+  * the given keys so stats-in-log pruning bites on later range scans.
+  * TARGET defaults to ⌈snapshot bytes / 128 MiB⌉ — the standard
+  * file-sizing heuristic, computed from the live file listing. */
+case class GraftOptimizeCommand(dir: String, targetFiles: Option[Int],
+                                clusterBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq("version", "added", "removed").map(n =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        n, org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val target = targetFiles.getOrElse {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes = TxnLog.snapshot(spark, dir)
+        .map(rel => f.getFileStatus(new org.apache.hadoop.fs.Path(dir, rel)).getLen)
+        .sum
+      math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+    }
+    val r = TxnLog.compact(spark, dir, target,
+      clusterBy.map(org.apache.spark.sql.functions.col))
+    Seq(Row(r.version, r.added.toLong, r.removed.toLong))
+  }
+}
+
 /** `DELETE FROM <txn table> WHERE cond` → [[TxnLog.delete]] (pruned
   * copy-on-write; only files containing matches rewrite). */
 case class GraftDeleteCommand(dir: String, cond: Column)
@@ -412,16 +461,49 @@ case class GraftMergeClausesCommand(dir: String, source: LogicalPlan,
 
 /** Parser wrapper delegating everything to Spark's parser, then
   * applying [[TxnSqlDml.rewrite]] to the parsed plan (see there for
-  * why DML interception must happen pre-analysis). */
+  * why DML interception must happen pre-analysis). Statements Spark's
+  * grammar has no production for — the lake-maintenance commands
+  * `VACUUM` and `OPTIMIZE` — are recognized BEFORE delegation (the
+  * Delta-parser pattern: extension grammar first, fall through to the
+  * session parser for everything else) and parse to lazy
+  * [[LeafRunnableCommand]]s, so EXPLAIN never executes them. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def spark = SparkSession.active
 
+  private val vacuumRe =
+    """(?is)^\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+  private val optimizeRe =
+    ("""(?is)^\s*OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+)\s+FILES)?""" +
+      """(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
+  private val explainRe = """(?is)^\s*EXPLAIN\s+(.*)$""".r
+
+  /** The extension statements, recognized by shape BEFORE the session
+    * grammar sees the text (which has no production for them). Both
+    * sql() entry points must consult this — Spark 4 routes sql() via
+    * parsePlanWithParameters. */
+  private def maintenancePlan(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case vacuumRe(path, n) =>
+        Some(GraftVacuumCommand(path, Option(n).map(_.toInt).getOrElse(1)))
+      case optimizeRe(path, n, cols) =>
+        Some(GraftOptimizeCommand(path, Option(n).map(_.toInt),
+          Option(cols).toSeq.flatMap(_.split(','))
+            .map(_.trim).filter(_.nonEmpty)))
+      case explainRe(rest) =>
+        maintenancePlan(rest).map(p =>
+          org.apache.spark.sql.execution.command.ExplainCommand(
+            p, org.apache.spark.sql.execution.SimpleMode))
+      case _ => None
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    TxnSqlDml.rewrite(spark, delegate.parsePlan(sqlText))
+    maintenancePlan(sqlText).getOrElse(
+      TxnSqlDml.rewrite(spark, delegate.parsePlan(sqlText)))
 
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan =
-    TxnSqlDml.rewrite(spark, delegate.parsePlanWithParameters(sqlText, ctx))
+    maintenancePlan(sqlText).getOrElse(
+      TxnSqlDml.rewrite(spark, delegate.parsePlanWithParameters(sqlText, ctx)))
 
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)

@@ -505,6 +505,38 @@ object LakeQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // SQL maintenance front door: the fragmented table is compacted by
+    // an `OPTIMIZE ... TARGET ... CLUSTER BY` STATEMENT (the parser
+    // extension — Spark's grammar has no production for it) and the
+    // superseded fragments swept by SQL `VACUUM`, then the post-
+    // maintenance table must still be exactly the source rows. The
+    // statement plumbing (laziness under EXPLAIN, RETAIN semantics,
+    // clustered sort order, swept-path report) is GraftSqlDmlSpec's.
+    "q_txn_sql_optimize" -> ((s, d) => {
+      val table = s"${scratch(s, d)}/sqlopt"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table,
+        docs.filter(col("doc_id") % 3 === 0).repartition(4))
+      TxnLog.append(s, table,
+        docs.filter(col("doc_id") % 3 === 1).repartition(4))
+      TxnLog.append(s, table,
+        docs.filter(col("doc_id") % 3 === 2).repartition(4))
+      s.sql(s"OPTIMIZE '$table' TARGET 2 FILES CLUSTER BY (lang, doc_id)")
+        .collect()
+      s.conf.set("spark.graft.vacuum.retainMillis", "0")
+      try s.sql(s"VACUUM '$table'").collect()
+      finally s.conf.unset("spark.graft.vacuum.retainMillis")
+      TxnLog.read(s, table)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
+
     // BLOOM-index point lookup: four residue-banded commits give every
     // file the FULL doc_id range (min/max stats intersect any probe —
     // range skipping is structurally useless here, the high-cardinality
@@ -557,6 +589,11 @@ object LakeQueries extends QueryModule {
     Seq(1L, 5L, 9L, 13L, 17L, 29L, 57L, 101L, 201L, 401L)
 
   def oracle: Map[String, String] = Map(
+    "q_txn_sql_optimize" ->
+      """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM documents GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
     "q_txn_bloom_skip" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          | WHERE doc_id IN (${bloomProbeIds.mkString(",")})

@@ -391,6 +391,62 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(got === Seq(("k0", 2L), ("k1", 2L), ("k2", 2L)))
   }
+
+  test("OPTIMIZE compacts through SQL (clustered, lazy — EXPLAIN runs " +
+       "nothing) and VACUUM reports the swept fragments") {
+    import dml.implicits._
+    val dir = freshTable("t_opt", Seq((5L, "e"), (3L, "c")))
+    TxnLog.append(dml, dir, Seq((1L, "a"), (4L, "d")).toDF("id", "s"))
+    TxnLog.append(dml, dir, Seq((2L, "b")).toDF("id", "s"))
+    val filesBefore = TxnLog.snapshot(dml, dir).size
+    assert(filesBefore >= 3)
+    // EXPLAIN parses the extension statement without executing it.
+    dml.sql(s"EXPLAIN OPTIMIZE '$dir' TARGET 1 FILES").collect()
+    assert(TxnLog.snapshot(dml, dir).size === filesBefore,
+      "EXPLAIN must not run the compaction")
+    val r = dml.sql(s"OPTIMIZE '$dir' TARGET 1 FILES CLUSTER BY (id)")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r.size === 1 && r.head._2 === 1L && r.head._3 === filesBefore.toLong)
+    assert(TxnLog.snapshot(dml, dir).size === 1)
+    assert(content("t_opt") ===
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // The clustered single file is globally sorted on id.
+    val ids = dml.sql(s"SELECT id FROM lake.ns.t_opt")
+      .as[Long].collect().toSeq
+    assert(ids === ids.sorted, "CLUSTER BY (id) must locally sort the output")
+    // VACUUM with zero age floor: the pre-compaction fragments sweep.
+    dml.conf.set("spark.graft.vacuum.retainMillis", "0")
+    try {
+      val swept = dml.sql(s"VACUUM '$dir'").as[String].collect().toSeq
+      assert(swept.size >= filesBefore,
+        s"expected >= $filesBefore swept fragments, got $swept")
+      assert(content("t_opt").size === 5, "vacuum must not touch live data")
+    } finally dml.conf.unset("spark.graft.vacuum.retainMillis")
+  }
+
+  test("OPTIMIZE without TARGET sizes from the live bytes; RETAIN n " +
+       "VERSIONS keeps time travel to the retained window") {
+    import dml.implicits._
+    val dir = freshTable("t_opt2", (0L to 20L).map(i => (i, s"v$i")))
+    TxnLog.append(dml, dir, Seq((21L, "x")).toDF("id", "s"))
+    val r = dml.sql(s"OPTIMIZE '$dir'").as[(Long, Long, Long)].head()
+    assert(r._2 === 1L, "tiny table: byte-derived target is 1 file")
+    dml.conf.set("spark.graft.vacuum.retainMillis", "0")
+    try {
+      dml.sql(s"VACUUM '$dir' RETAIN 2 VERSIONS").collect()
+      // v1 (pre-compaction tip) stays resolvable — and with it v0,
+      // whose files are a SUBSET of v1's (append keeps old files):
+      // retention is file-based, so earlier versions sharing every
+      // file with a retained one ride along.
+      assert(TxnLog.read(dml, dir, Some(1L)).count() === 22L)
+      assert(TxnLog.read(dml, dir, Some(0L)).count() === 21L)
+      // RETAIN 1 sweeps the pre-compaction fragments: only the
+      // compacted tip survives.
+      dml.sql(s"VACUUM '$dir'").collect()
+      assert(TxnLog.read(dml, dir).count() === 22L)
+      intercept[Exception] { TxnLog.read(dml, dir, Some(1L)).count() }
+    } finally dml.conf.unset("spark.graft.vacuum.retainMillis")
+  }
 }
 
 object GraftSqlDmlSpec {
