@@ -299,6 +299,22 @@ case class GraftOptimizeCommand(dir: String, targetFiles: Option[Int],
   }
 }
 
+/** `RESTORE '<path>' [TO] VERSION AS OF n` — the SQL face of
+  * [[TxnLog.restore]]: one metadata-only commit re-publishing the
+  * target snapshot (files + stats + DV bindings + schema); history
+  * keeps every in-between state. */
+case class GraftRestoreCommand(dir: String, toVersion: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq("version", "added", "removed").map(n =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        n, org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = TxnLog.restore(spark, dir, toVersion)
+    Seq(Row(r.version, r.added.toLong, r.removed.toLong))
+  }
+}
+
 /** `DELETE FROM <txn table> WHERE cond` → [[TxnLog.delete]] (pruned
   * copy-on-write; only files containing matches rewrite). */
 case class GraftDeleteCommand(dir: String, cond: Column)
@@ -475,6 +491,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val optimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+)\s+FILES)?""" +
       """(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
+  private val restoreRe =
+    """(?is)^\s*RESTORE\s+'([^']+)'\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val explainRe = """(?is)^\s*EXPLAIN\s+(.*)$""".r
 
   /** The extension statements, recognized by shape BEFORE the session
@@ -489,6 +507,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftOptimizeCommand(path, Option(n).map(_.toInt),
           Option(cols).toSeq.flatMap(_.split(','))
             .map(_.trim).filter(_.nonEmpty)))
+      case restoreRe(path, v) =>
+        Some(GraftRestoreCommand(path, v.toLong))
       case explainRe(rest) =>
         maintenancePlan(rest).map(p =>
           org.apache.spark.sql.execution.command.ExplainCommand(

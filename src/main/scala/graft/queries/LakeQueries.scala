@@ -537,6 +537,33 @@ object LakeQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // RESTORE: the table takes real damage through SQL (a DELETE
+    // removing every third row) and is rolled back by a RESTORE
+    // STATEMENT to the pre-delete version — one metadata-only commit
+    // re-publishing that snapshot's files/stats/schema. The oracle is
+    // the full source recompose: a restore that loses or duplicates a
+    // single row fails the hash. DV re-binding, schema rollback, and
+    // vacuumed-target refusal are GraftSqlDmlSpec's.
+    "q_txn_restore" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/rstns/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table, docs.filter(col("doc_id") % 2 === 0))  // v0
+      TxnLog.append(s, table, docs.filter(col("doc_id") % 2 === 1))  // v1
+      s.conf.set("spark.sql.catalog.grst",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.grst.root", base)
+      s.conf.set("spark.sql.catalog.grst.writable", "true")
+      s.sql("DELETE FROM grst.rstns.docs WHERE doc_id % 3 = 0")      // v2
+      s.sql(s"RESTORE '$table' TO VERSION AS OF 1").collect()        // v3
+      s.sql("""SELECT lang, count(*) AS row_cnt, sum(n_chars) AS sum_chars,
+              |  sum(doc_id) AS sum_id
+              |FROM grst.rstns.docs GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // BLOOM-index point lookup: four residue-banded commits give every
     // file the FULL doc_id range (min/max stats intersect any probe —
     // range skipping is structurally useless here, the high-cardinality
@@ -589,6 +616,11 @@ object LakeQueries extends QueryModule {
     Seq(1L, 5L, 9L, 13L, 17L, 29L, 57L, 101L, 201L, 401L)
 
   def oracle: Map[String, String] = Map(
+    "q_txn_restore" ->
+      """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM documents GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
     "q_txn_sql_optimize" ->
       """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
         |  sum(doc_id)::BIGINT AS sum_id

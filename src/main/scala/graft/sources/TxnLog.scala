@@ -1158,6 +1158,37 @@ object TxnLog {
     }
   }
 
+  /** RESTORE the table to the state of `toVersion`, as ONE NEW commit
+    * (the Delta RESTORE shape): the commit removes every currently-live
+    * file and re-adds `toVersion`'s full file set WITH its stats and
+    * DV bindings, and re-records that snapshot's schema — so the
+    * restore is itself versioned history (an audit sees it, a second
+    * restore can undo it) and later time travel still resolves the
+    * in-between states. Pure log metadata: no data file moves or
+    * rewrites, O(files) driver work — the only restore that makes
+    * sense at 100 TB. Fails loudly if any of the target snapshot's
+    * files has been vacuumed away (a silent partial restore would
+    * "succeed" into data loss); rebases past concurrent commits like
+    * every other writer — the restored state is toVersion's regardless
+    * of what landed meanwhile, which is the documented last-writer-
+    * wins semantics of RESTORE. */
+  def restore(spark: SparkSession, table: String, toVersion: Long): CommitResult = {
+    val (want, wantSchema) = resolve(spark, table, Some(toVersion))
+    val f = fs(spark, new Path(table))
+    val missing = want.map(_._1)
+      .filterNot(rel => f.exists(new Path(table, rel)))
+    require(missing.isEmpty,
+      s"cannot restore $table to v$toVersion: ${missing.size} of its " +
+        s"files were vacuumed (first: ${missing.headOption.getOrElse("")})")
+    mustCommit(commitLoop(spark, table,
+      stats = want.collect { case (p, FileState(Some(st), _)) => p -> st }.toMap,
+      dvs = want.collect { case (p, FileState(_, Some(d))) => p -> d }.toMap,
+      schema = wantSchema) { v =>
+      val cur = snapshot(spark, table, Some(v - 1))
+      Some((want.map(_._1), cur))
+    }, s"restore $table to v$toVersion")
+  }
+
   /** Rows in files ADDED after `fromVersion`, up to `toVersion`
     * (inclusive; default latest) — the delta read an incremental
     * consumer (index refresh, downstream sync) runs per corpus

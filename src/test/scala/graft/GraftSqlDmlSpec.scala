@@ -447,6 +447,53 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
       intercept[Exception] { TxnLog.read(dml, dir, Some(1L)).count() }
     } finally dml.conf.unset("spark.graft.vacuum.retainMillis")
   }
+
+  test("RESTORE a merge-on-read UPDATE away and back: the DV binding " +
+       "reverts and re-applies with the snapshot") {
+    import dml.implicits._
+    val dir = freshTable("t_rstdv", Seq((1L, "a"), (2L, "b")))   // v0
+    dml.sql("UPDATE lake.ns.t_rstdv SET s = 'z' WHERE id = 2")   // v1: DV + copy
+    assert(content("t_rstdv") === Set((1L, "a"), (2L, "z")))
+    dml.sql(s"RESTORE '$dir' VERSION AS OF 0").collect()
+    assert(content("t_rstdv") === Set((1L, "a"), (2L, "b")))
+    // Forward again: the re-added base file carries v1's DV binding.
+    dml.sql(s"RESTORE '$dir' VERSION AS OF 1").collect()
+    assert(content("t_rstdv") === Set((1L, "a"), (2L, "z")))
+  }
+
+  test("RESTORE re-publishes an old snapshot as a NEW commit: data, " +
+       "stats, and schema all roll back; history keeps the " +
+       "in-between states; restore-of-restore round-trips") {
+    import dml.implicits._
+    val dir = freshTable("t_rst",
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))   // v0
+    dml.sql(s"DELETE FROM lake.ns.t_rst WHERE id IN (2, 4)") // v1 (COW)
+    dml.sql("ALTER TABLE lake.ns.t_rst ADD COLUMNS (extra STRING)") // v2
+    assert(content("t_rst") === Set((1L, "a"), (3L, "c")))
+    val r = dml.sql(s"RESTORE '$dir' TO VERSION AS OF 0")
+      .as[(Long, Long, Long)].head()
+    assert(r._1 === 3L, "restore is itself a versioned commit")
+    // Full v0 state back: rows AND the pre-ALTER two-column schema.
+    assert(content("t_rst") ===
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(dml.sql("SELECT * FROM lake.ns.t_rst").columns.toSeq
+      === Seq("id", "s"))
+    // The in-between states still time-travel.
+    assert(TxnLog.read(dml, dir, Some(1L)).count() === 2L)
+    assert(TxnLog.tableSchema(dml, dir, Some(2L)).get.fieldNames.toSeq
+      === Seq("id", "s", "extra"))
+    // Restore forward to the deleted state — RESTORE is symmetric.
+    dml.sql(s"RESTORE '$dir' VERSION AS OF 1").collect()
+    assert(content("t_rst") === Set((1L, "a"), (3L, "c")))
+    // A vacuumed target refuses loudly instead of part-restoring.
+    dml.conf.set("spark.graft.vacuum.retainMillis", "0")
+    try dml.sql(s"VACUUM '$dir'").collect()
+    finally dml.conf.unset("spark.graft.vacuum.retainMillis")
+    val e = intercept[Exception] {
+      dml.sql(s"RESTORE '$dir' VERSION AS OF 0").collect()
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
 }
 
 object GraftSqlDmlSpec {
