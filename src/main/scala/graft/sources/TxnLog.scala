@@ -347,8 +347,13 @@ object TxnLog {
     val versions = listVersions(f, table, "v")
     require(versions.nonEmpty, s"not a TxnLog table: $table")
     val v = version.getOrElse(versions.last)
-    require(versions.contains(v), s"version $v not in log (have ${versions.mkString(",")})")
-    val ckpt = listVersions(f, table, "c").filter(_ <= v).lastOption
+    val ckpts = listVersions(f, table, "c")
+    // A checkpoint-only version (its v-file cleaned by [[cleanupLog]])
+    // still resolves — the checkpoint IS its full state.
+    require(versions.contains(v) || ckpts.contains(v),
+      s"version $v not in log (have ${versions.mkString(",")}; " +
+        "older entries may have been cleaned — see cleanupLog)")
+    val ckpt = ckpts.filter(_ <= v).lastOption
     val live = scala.collection.mutable.LinkedHashMap.empty[String, FileState]
     var schema: Option[SchemaCommit] = None
     def apply(body: String): Unit = {
@@ -1156,6 +1161,37 @@ object TxnLog {
       val df = readState(spark, table, kept, schema)
       df.filter(residual(df))
     }
+  }
+
+  /** LOG cleanup: delete commit entries a checkpoint supersedes — the
+    * metadata half of vacuum. A streaming-ingest table commits every
+    * micro-batch; at 100 TB cadence the `_log` listing itself becomes
+    * the bottleneck (every snapshot resolution lists it), so superseded
+    * entries must retire like data files do. Keeps the newest
+    * `retainVersions` version files PLUS everything a retained read
+    * could replay: with `cpCut` = the newest checkpoint at-or-below the
+    * retention floor, any retained version resolves from a checkpoint
+    * ≥ cpCut and its tail — so entries strictly BELOW cpCut (and
+    * checkpoints below it) are unreachable from every retained read
+    * and delete. Time travel to a cleaned version refuses loudly
+    * (resolve's require); the cpCut version itself stays resolvable
+    * forever through its checkpoint. A stream resuming from an offset
+    * below cpCut fails (the Delta log-retention-vs-stream-lag trade) —
+    * size `retainVersions` to the slowest consumer. Returns deleted
+    * log file names. */
+  def cleanupLog(spark: SparkSession, table: String,
+                 retainVersions: Int = CheckpointInterval): Seq[String] = {
+    val f = fs(spark, logDir(table))
+    val versions = listVersions(f, table, "v")
+    val ckpts = listVersions(f, table, "c")
+    if (versions.isEmpty || ckpts.isEmpty) return Nil
+    val keepFrom = versions.last - math.max(1, retainVersions) + 1
+    val cpCut = ckpts.filter(_ <= keepFrom).lastOption.getOrElse(return Nil)
+    val deadV = versions.filter(_ < cpCut).map(v => f"v$v%08d.json")
+    val deadC = ckpts.filter(_ < cpCut).map(c => f"c$c%08d.json")
+    (deadV ++ deadC).filter(n =>
+      scala.util.Try(f.delete(new Path(logDir(table), n), false))
+        .getOrElse(false))
   }
 
   /** RESTORE the table to the state of `toVersion`, as ONE NEW commit
