@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the masked plan during resolution.
     ext.injectResolutionRule(session =>
       graft.plans.TxnSqlDml.MaskedReadRule(session))
+    // SQL point-lookups over bloom-indexed txn tables file-prune
+    // through the sidecar index at plan time.
+    ext.injectResolutionRule(session =>
+      graft.plans.TxnSqlDml.BloomScanRule(session))
   }
 }
 

@@ -248,6 +248,105 @@ object TxnSqlDml {
       case other => Seq(other)
     }
   }
+
+  /** Analyzer rule giving SQL POINT-LOOKUPS the file-level bloom+stats
+    * screen ([[graft.sources.TxnBloom]]): a `Filter` whose condition
+    * carries an equality/IN conjunct with literal string/integral
+    * values, over a [[TxnTable]] relation with bloom coverage on that
+    * column, re-plans the scan over only the files the two metadata
+    * tiers cannot rule out. The FULL original filter stays on top
+    * (bloom pruning is false-positive-only), and the rewrite keeps the
+    * relation's exprIds, so the answer is the plain filtered scan's by
+    * construction. Gated on index existence — un-indexed tables keep
+    * their native scan plan untouched. */
+  case class BloomScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, In}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+
+    /** A FOLDABLE probe value as the index's canonical form. */
+    private def litVal(e: Expression): Option[Any] =
+      if (!e.foldable) None
+      else e.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+        case n: java.lang.Number => Some(n)
+        case _ => None
+      }
+
+    /** The probed attribute, looking through LOSSLESS integral-widening
+      * casts the analyzer inserts for type coercion (an int column
+      * probed with a long literal becomes `cast(col AS bigint) = lit`);
+      * the index hashes integral columns through a cast to LONG, so
+      * the widened comparison and the sidecar agree. Any other cast
+      * (string↔numeric, date math) disqualifies the conjunct. */
+    private def attrOf(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference
+          if a.dataType == StringType || a.dataType == ByteType ||
+            a.dataType == ShortType || a.dataType == IntegerType ||
+            a.dataType == LongType => Some(a)
+      case c: Cast if c.dataType == LongType || c.dataType == IntegerType =>
+        attrOf(c.child)
+      case _ => None
+    }
+
+    /** First equality/IN conjunct with all-foldable probe values. */
+    private def probe(cond: Expression): Option[(String, Seq[Any])] = {
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+      conjuncts(cond).view.map {
+        case In(k, vs) if vs.nonEmpty =>
+          (attrOf(k), vs.map(litVal)) match {
+            case (Some(a), vals) if vals.forall(_.isDefined) =>
+              Some(a.name -> vals.map(_.get))
+            case _ => None
+          }
+        case EqualTo(l, r) =>
+          (for (a <- attrOf(l); x <- litVal(r)) yield a.name -> Seq[Any](x))
+            .orElse(
+              for (a <- attrOf(r); x <- litVal(l)) yield a.name -> Seq[Any](x))
+        case _ => None
+      }.collectFirst { case Some(p) => p }
+    }
+
+    /** The relation under any alias chain (the catalog wraps scans in
+      * SubqueryAlias; dropping it is safe post-resolution — references
+      * above are already bound by exprId). */
+    private def underAliases(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => underAliases(c)
+      case other => other
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperatorsUp {
+        case f @ Filter(cond, child)
+            if f.resolved &&
+              underAliases(child).isInstanceOf[DataSourceV2Relation] &&
+              underAliases(child).asInstanceOf[DataSourceV2Relation]
+                .table.isInstanceOf[TxnTable] =>
+          val r = underAliases(child).asInstanceOf[DataSourceV2Relation]
+          val t = r.table.asInstanceOf[TxnTable]
+          probe(cond).filter { case (c, _) =>
+            graft.sources.TxnBloom.hasIndex(spark, t.dir, c)
+          }.flatMap { case (c, values) =>
+            val kept = TxnLog.pruneFilesEq(spark, t.dir, c, values, t.files)
+            if (kept.size >= t.files.size) None // nothing pruned: keep plan
+            else if (kept.isEmpty)
+              Some(org.apache.spark.sql.catalyst.plans.logical
+                .LocalRelation(r.output): LogicalPlan)
+            else {
+              val pruned = TxnLog.readState(spark, t.dir, kept, Some(t.schema))
+              val child = Bridge.planOf(pruned)
+              Some(Filter(cond, Project(r.output.map { a =>
+                val src = child.output.find(_.name.equalsIgnoreCase(a.name))
+                  .getOrElse(throw new IllegalStateException(
+                    s"bloom-pruned read of ${t.name()} lost column ${a.name}"))
+                Alias(src, a.name)(exprId = a.exprId)
+              }, child)): LogicalPlan)
+            }
+          }.getOrElse(f)
+      }
+  }
 }
 
 /** `VACUUM '<path>' [RETAIN <n> VERSIONS]` — the SQL face of

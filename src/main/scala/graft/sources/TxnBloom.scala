@@ -277,6 +277,15 @@ object TxnBloom {
     }
   }
 
+  /** Whether `column` has any bloom sidecar coverage on this table —
+    * one directory-existence probe; gates the SQL scan rule so only
+    * indexed tables pay a plan rewrite. */
+  private[graft] def hasIndex(spark: SparkSession, table: String,
+      column: String): Boolean = {
+    val d = bloomDir(table, column)
+    fs(spark, d).exists(d)
+  }
+
   /** Delete sidecars whose data file is physically gone — the
     * companion sweep to [[TxnLog.vacuum]]'s data-file pass (a sidecar
     * is only meaningful while its immutable data file exists; time

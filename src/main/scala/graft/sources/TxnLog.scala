@@ -1071,23 +1071,34 @@ object TxnLog {
     import org.apache.spark.sql.functions.{col, lit}
     require(values.nonEmpty, "readPrunedEq needs at least one probe value")
     val (all, schema) = resolveSnapshot(spark, table, version)
-    val statsKept = all.filter { case (_, st) =>
-      st.stats.forall(_.cols.get(column).forall(cs =>
-        values.exists {
-          case s: String => !cs.isString ||
-            (utf8Compare(s, cs.minStr) >= 0 && utf8Compare(s, cs.maxStr) <= 0)
-          case n: Number =>
-            cs.isString || (n.longValue() >= cs.min && n.longValue() <= cs.max)
-          case _ => true
-        }))
-    }
-    val kept = TxnBloom.filterByBloom(spark, table, column, values, statsKept)
+    val kept = pruneFilesEq(spark, table, column, values, all)
     if (kept.isEmpty)
       read(spark, table, version).filter(lit(false))
     else {
       val df = readState(spark, table, kept, schema)
       df.filter(col(column).isin(values: _*))
     }
+  }
+
+  /** The two-tier equality file screen shared by [[readPrunedEq]] and
+    * the SQL bloom-scan rule: stats first (free — already resolved),
+    * then bloom sidecars for the survivors only. False-positive-only
+    * on both tiers; the caller's residual predicate stays mandatory. */
+  private[graft] def pruneFilesEq(spark: SparkSession, table: String,
+      column: String, values: Seq[Any],
+      files: Seq[(String, FileState)]): Seq[(String, FileState)] = {
+    val statsKept = files.filter { case (_, st) =>
+      st.stats.forall(_.cols.find(_._1.equalsIgnoreCase(column)).map(_._2)
+        .forall(cs =>
+          values.exists {
+            case s: String => !cs.isString ||
+              (utf8Compare(s, cs.minStr) >= 0 && utf8Compare(s, cs.maxStr) <= 0)
+            case n: Number =>
+              cs.isString || (n.longValue() >= cs.min && n.longValue() <= cs.max)
+            case _ => true
+          }))
+    }
+    TxnBloom.filterByBloom(spark, table, column, values, statsKept)
   }
 
   /** Data-skipping read: resolve the snapshot WITH its log-carried

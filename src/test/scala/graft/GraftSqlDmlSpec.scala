@@ -448,6 +448,38 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     } finally dml.conf.unset("spark.graft.vacuum.retainMillis")
   }
 
+  test("SQL point-lookup over a bloom-indexed table file-prunes at " +
+       "plan time; un-indexed predicates keep the native scan") {
+    import dml.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = s"$root/ns/t_bloom"
+    val df = (0L until 400L).map(i => (i, s"n$i")).toDF("id", "s")
+    TxnLog.createWithBloom(dml, dir,
+      df.filter(col("id") % 4 === 0).coalesce(1), Seq("id"))
+    (1 to 3).foreach(r => TxnLog.appendWithBloom(dml, dir,
+      df.filter(col("id") % 4 === r).coalesce(1), Seq("id")))
+    // Residue-banded files: every file spans [0,399] on id, so only
+    // the bloom can prune; ids ≡ 1 (mod 4) live in ONE file.
+    val q = dml.sql("SELECT id, s FROM lake.ns.t_bloom WHERE id IN (1, 5, 9)")
+    assert(q.as[(Long, String)].collect().toSet ===
+      Set((1L, "n1"), (5L, "n5"), (9L, "n9")))
+    val scanned = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }
+    assert(scanned.nonEmpty && scanned.sum < 4,
+      s"bloom rule must re-plan over a file subset, scanned: $scanned")
+    // Un-indexed column: the catalog's native DSv2 scan stays.
+    val q2 = dml.sql("SELECT id, s FROM lake.ns.t_bloom WHERE s = 'n3'")
+    assert(q2.as[(Long, String)].collect().toSet === Set((3L, "n3")))
+    assert(q2.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.isEmpty, "no bloom coverage on s: plan must be untouched")
+    // A probe no tier can contain plans to the empty relation.
+    assert(dml.sql("SELECT * FROM lake.ns.t_bloom WHERE id = 40000")
+      .count() === 0L)
+  }
+
   test("RESTORE a merge-on-read UPDATE away and back: the DV binding " +
        "reverts and re-applies with the snapshot") {
     import dml.implicits._

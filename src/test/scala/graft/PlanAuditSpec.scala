@@ -18,7 +18,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     * extension-wired session instead. */
   private def sessionFor(name: String) =
     if (Set("q_txn_sql_dml", "q_txn_column_map", "q_txn_changes_sql",
-        "q_txn_sql_decon", "q_txn_sql_merge_clauses")(name))
+        "q_txn_sql_decon", "q_txn_sql_merge_clauses",
+        "q_txn_sql_optimize", "q_txn_restore")(name))
       GraftSqlDmlSpec.session
     else spark
 
