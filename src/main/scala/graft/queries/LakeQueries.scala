@@ -592,6 +592,33 @@ object LakeQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // The SAME point-lookup through the SQL FRONT DOOR: the bloom-scan
+    // resolution rule re-plans `WHERE doc_id IN (...)` over the file
+    // subset the sidecar index keeps (plan-shape pin in
+    // GraftSqlDmlSpec); result must equal the plain IN filter.
+    "q_txn_bloom_sql" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/blns/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+      TxnLog.createWithBloom(s, table,
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0).repartition(2),
+        Seq("doc_id"))
+      (1 to 3).foreach { r =>
+        TxnLog.appendWithBloom(s, table,
+          docs.filter(pmod(col("doc_id"), lit(4)) === r).repartition(2),
+          Seq("doc_id"))
+      }
+      s.conf.set("spark.sql.catalog.gbl",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gbl.root", base)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM gbl.blns.docs
+               | WHERE doc_id IN (${bloomProbeIds.mkString(",")})
+               | ORDER BY doc_id""".stripMargin)
+    }),
+
     // Stats-driven data skipping: write the table partitioned by
     // source, ANALYZE n_chars into the _stats sidecar, then answer a
     // high-end range query through the sidecar — partitions whose
@@ -627,6 +654,11 @@ object LakeQueries extends QueryModule {
         | FROM documents GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
 
     "q_txn_bloom_skip" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         | WHERE doc_id IN (${bloomProbeIds.mkString(",")})
+         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    "q_txn_bloom_sql" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          | WHERE doc_id IN (${bloomProbeIds.mkString(",")})
          | ORDER BY doc_id""".stripMargin.replace("\n", ""),
