@@ -177,19 +177,30 @@ object TxnBloom {
     * abandoned commit's orphans go with its staged files at vacuum. */
   private[sources] def writeSidecars(spark: SparkSession, table: String,
       staged: Seq[String], columns: Seq[String], schema: StructType,
-      mapping: Option[StructType]): Unit = {
+      mapping: Option[StructType], lenient: Boolean = false): Unit = {
     if (staged.isEmpty || columns.isEmpty) return
     val phys: Map[String, String] = mapping.fold(Map.empty[String, String])(
       _.fields.map(f => f.name.toLowerCase -> TxnLog.physicalName(f)).toMap)
     def physOf(c: String): String = phys.getOrElse(c.toLowerCase, c)
-    val resolved = columns.map { c =>
-      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-        throw new IllegalArgumentException(s"bloom column $c not in schema"))
-      require(canon(col("x"), f.dataType).isDefined,
-        s"bloom column $c has unsupported type ${f.dataType.simpleString} " +
-          "(supported: string, byte/short/int/long)")
-      (c, physOf(c), f.dataType)
+    // Lenient mode (the config-driven auto path): a configured column
+    // absent from THIS staged frame (a DV-object write, a projection)
+    // or of an unsupported type is skipped — files without sidecars
+    // never prune, so partial coverage stays sound. The explicit API
+    // keeps its loud failure.
+    val resolved = columns.flatMap { c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c)) match {
+        case None if lenient => None
+        case None =>
+          throw new IllegalArgumentException(s"bloom column $c not in schema")
+        case Some(f) if canon(col("x"), f.dataType).isEmpty =>
+          if (lenient) None
+          else throw new IllegalArgumentException(
+            s"bloom column $c has unsupported type ${f.dataType.simpleString} " +
+              "(supported: string, byte/short/int/long)")
+        case Some(f) => Some((c, physOf(c), f.dataType))
+      }
     }
+    if (resolved.isEmpty) return
     val mByRel: Map[String, Long] =
       staged.map(rel => rel -> mBitsFor(footerRows(spark, table, rel))).toMap
     val absolute = staged.map(rel => new Path(table, rel).toString)
@@ -286,6 +297,52 @@ object TxnBloom {
     fs(spark, d).exists(d)
   }
 
+  /** Loud validation for the explicit configure-time API. */
+  private[sources] def validate(cols: Seq[String], schema: StructType): Unit =
+    cols.foreach { c =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"bloom column $c not in schema"))
+      require(canon(col("x"), f.dataType).isDefined,
+        s"bloom column $c has unsupported type ${f.dataType.simpleString} " +
+          "(supported: string, byte/short/int/long)")
+    }
+
+  private def configFile(table: String): Path =
+    new Path(table, "_bloom/_columns.txt")
+
+  /** The table's CONFIGURED bloom columns — coverage as a property of
+    * the TABLE, not of writer discipline (the same principle the
+    * default-on stats follow): once configured, EVERY staging write —
+    * plain appends, streaming batches, MERGE survivors, compaction
+    * rewrites — produces sidecars for its new files, so DML and
+    * maintenance cannot erode point-lookup coverage. */
+  private[graft] def configuredCols(spark: SparkSession,
+      table: String): Seq[String] = {
+    val p = configFile(table)
+    val f = fs(spark, p)
+    if (!f.exists(p)) Nil
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
+  /** Record `cols` (unioned with any existing config) as the table's
+    * bloom columns. */
+  private[graft] def writeConfig(spark: SparkSession, table: String,
+      cols: Seq[String]): Unit = {
+    val merged = (configuredCols(spark, table) ++ cols)
+      .map(_.toLowerCase).distinct.sorted
+    val p = configFile(table)
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try out.write(merged.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Delete sidecars whose data file is physically gone — the
     * companion sweep to [[TxnLog.vacuum]]'s data-file pass (a sidecar
     * is only meaningful while its immutable data file exists; time
@@ -294,7 +351,10 @@ object TxnBloom {
     val root = new Path(table, "_bloom")
     val f = fs(spark, root)
     if (!f.exists(root)) return Nil
-    f.listStatus(root).toSeq.flatMap { colDir =>
+    // Only column DIRECTORIES hold sidecars; `_columns.txt` (the
+    // table's index configuration) lives alongside them and must
+    // never be swept.
+    f.listStatus(root).toSeq.filter(_.isDirectory).flatMap { colDir =>
       f.listStatus(colDir.getPath).toSeq.flatMap { st =>
         val rel = dec(st.getPath.getName)
         if (f.exists(new Path(table, rel))) Nil

@@ -610,9 +610,21 @@ object TxnLog {
     val sub = s"stage-${java.util.UUID.randomUUID().toString.take(12)}"
     toPhysical(df, mapping).write.parquet(s"$table/$sub")
     val dir = new Path(table, sub)
-    fs(spark, dir).listStatus(dir).toSeq.map(_.getPath.getName)
+    val staged = fs(spark, dir).listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet"))
       .map(n => s"$sub/$n")
+    // Bloom coverage is a TABLE property: every staging write — plain
+    // appends, streaming batches, MERGE survivors, compaction
+    // rewrites, DV objects — consults the configured columns here, so
+    // DML and maintenance keep point-lookup coverage instead of
+    // eroding it (the stats-inheritance principle applied to the
+    // bloom tier). Lenient: frames lacking a configured column (DV
+    // objects) just skip it.
+    val bloomCols = TxnBloom.configuredCols(spark, table)
+    if (bloomCols.nonEmpty)
+      TxnBloom.writeSidecars(spark, table, staged, bloomCols, df.schema,
+        mapping, lenient = true)
+    staged
   }
 
   /** Physically drop an abandoned attempt's staged files eagerly —
@@ -1018,40 +1030,31 @@ object TxnLog {
                       statsCol: String): CommitResult =
     appendWithStats(spark, table, df, Seq(statsCol))
 
-  /** [[create]] additionally publishing per-file BLOOM sidecars on
-    * `bloomCols` — the point-lookup skipping index ([[TxnBloom]]).
+  /** [[create]] additionally CONFIGURING `bloomCols` as the table's
+    * bloom-index columns ([[TxnBloom]]) — coverage is a property of
+    * the TABLE from this point on: this write and every later staging
+    * write (plain appends, streaming batches, MERGE survivors,
+    * compaction rewrites) publishes per-file sidecars for them.
     * Default stats still record; the bloom is the opt-in extra (it
-    * costs one aggregation pass over the staged data, the one index
-    * that genuinely needs the values, not just the footers). */
+    * costs one aggregation pass over each commit's staged data — the
+    * one index that genuinely needs the values, not just the
+    * footers). */
   def createWithBloom(spark: SparkSession, table: String, df: DataFrame,
                       bloomCols: Seq[String]): CommitResult = {
-    val f = fs(spark, logDir(table))
-    f.mkdirs(logDir(table))
-    val staged = stage(spark, table, df, mapping = None)
-    TxnBloom.writeSidecars(spark, table, staged, bloomCols, df.schema,
-      mapping = None)
-    mustCommit(commitLoop(spark, table,
-      stats = stagedStats(spark, table, staged, defaultStatsCols(df.schema)),
-      schema = Some(SchemaCommit(stripMapping(df.schema)))) { v =>
-      if (v != 0) None else Some((staged, Nil))
-    }, s"create $table")
+    TxnBloom.validate(bloomCols, df.schema)
+    TxnBloom.writeConfig(spark, table, bloomCols)
+    create(spark, table, df)
   }
 
-  /** [[append]] additionally publishing bloom sidecars on `bloomCols`
-    * for the new files (existing files keep whatever coverage they
-    * have — mixed coverage is sound, uncovered files never prune). */
+  /** [[append]] additionally configuring `bloomCols` (unioned with any
+    * existing config) as the table's bloom columns — this and every
+    * later write publishes sidecars for them; files from BEFORE the
+    * configuration keep no coverage and simply never prune. */
   def appendWithBloom(spark: SparkSession, table: String, df: DataFrame,
                       bloomCols: Seq[String]): CommitResult = {
-    val cur = tableSchema(spark, table)
-    enforceSchema(spark, table, df, mergeSchema = false, "append")
-    val staged = stage(spark, table, df, cur)
-    TxnBloom.writeSidecars(spark, table, staged, bloomCols,
-      cur.getOrElse(df.schema), cur)
-    mustCommit(commitLoop(spark, table,
-      stats = stagedStats(spark, table, staged,
-        defaultStatsCols(cur.getOrElse(df.schema)), cur),
-      schema = enforceSchema(spark, table, df, mergeSchema = false, "append"))(
-      _ => Some((staged, Nil))), s"append to $table")
+    TxnBloom.validate(bloomCols, df.schema)
+    TxnBloom.writeConfig(spark, table, bloomCols)
+    append(spark, table, df)
   }
 
   /** Point-lookup read: `column IN (values)` with FILE-level skipping

@@ -24,7 +24,7 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
     val p = new org.apache.hadoop.fs.Path(t, "_bloom")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.flatMap(d =>
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap(d =>
       fs.listStatus(d.getPath).toSeq.map(_.getPath.toString))
   }
 
@@ -89,16 +89,44 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("mixed coverage is sound: files from plain appends never prune") {
+  test("coverage is a TABLE property: plain appends and compaction " +
+       "rewrites keep producing sidecars once configured") {
     import spark.implicits._
-    val t = freshTable("mixed")
+    val t = freshTable("tableprop")
     val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "name")
     TxnLog.createWithBloom(spark, t,
-      df.filter(col("id") < 50), Seq("id"))
-    TxnLog.append(spark, t, df.filter(col("id") >= 50)) // no bloom
+      df.filter(col("id") < 50).coalesce(1), Seq("id"))
+    // A PLAIN append after configuration still gets sidecars.
+    TxnLog.append(spark, t, df.filter(col("id") >= 50).coalesce(1))
+    assert(listSidecars(t).size === 2,
+      "the plain append's file must carry a sidecar (config-driven)")
     val got = TxnLog.readPrunedEq(spark, t, "id", Seq(7L, 77L))
       .orderBy("id").collect().map(_.getLong(0)).toSeq
     assert(got === Seq(7L, 77L))
+    // A compaction REWRITE keeps coverage: the new file is indexed.
+    TxnLog.compact(spark, t, targetFiles = 1)
+    val all = TxnLog.snapshotFull(spark, t)
+    assert(all.size === 1)
+    val kept = graft.sources.TxnBloom.filterByBloom(spark, t, "id",
+      Seq(999999L), all)
+    assert(kept.isEmpty,
+      "the compacted file must have a working sidecar (absent value prunes)")
+    assert(TxnLog.readPrunedEq(spark, t, "id", Seq(7L)).count() === 1L)
+  }
+
+  test("pre-configuration files have no coverage and never prune " +
+       "(mixed coverage is sound)") {
+    import spark.implicits._
+    val t = freshTable("preconf")
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "name")
+    TxnLog.create(spark, t, df.filter(col("id") < 50).coalesce(1)) // no index
+    TxnLog.appendWithBloom(spark, t,
+      df.filter(col("id") >= 50).coalesce(1), Seq("id"))
+    assert(listSidecars(t).size === 1,
+      "only the post-configuration file is covered")
+    val got = TxnLog.readPrunedEq(spark, t, "id", Seq(7L, 77L))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(7L, 77L), "the uncovered file must always scan")
   }
 
   test("unsupported bloom column types fail loudly at write time") {
@@ -122,14 +150,14 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
     assert(listSidecars(t).size === 2)
     // Overwrite removes both original files from the live set; vacuum
     // with zero retention deletes them physically and must take their
-    // sidecars along (retainVersions=1 keeps only the overwrite).
+    // sidecars along — while the overwrite's OWN file keeps the
+    // sidecar the table-property config gave it.
     TxnLog.overwrite(spark, t, df.coalesce(1))
     val deleted = TxnLog.vacuum(spark, t, retainVersions = 1, retainMillis = 0L)
-    assert(deleted.exists(_.startsWith("_bloom/")),
-      s"vacuum must report swept sidecars, got: $deleted")
-    assert(listSidecars(t).isEmpty,
-      "both orphaned sidecars swept (overwrite's files carry none)")
-    // The data still reads fine post-vacuum (no pruning available).
+    assert(deleted.count(_.startsWith("_bloom/")) === 2,
+      s"vacuum must sweep exactly the two orphaned sidecars, got: $deleted")
+    assert(listSidecars(t).size === 1,
+      "the live overwrite file keeps its config-driven sidecar")
     assert(TxnLog.readPrunedEq(spark, t, "id", Seq(3L)).count() === 1L)
   }
 
