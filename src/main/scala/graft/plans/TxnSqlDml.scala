@@ -398,6 +398,28 @@ case class GraftOptimizeCommand(dir: String, targetFiles: Option[Int],
   }
 }
 
+/** `ALTER TABLE '<path>' ADD CONSTRAINT name CHECK (expr)` — the SQL
+  * face of [[TxnLog.addConstraint]]: existing rows validate first (a
+  * violated ADD fails loudly), then every later staged write enforces
+  * the expression per row inside its own write pass. */
+case class GraftAddConstraintCommand(dir: String, name: String,
+                                     expression: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    TxnLog.addConstraint(spark, dir, name, expression)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE '<path>' DROP CONSTRAINT name`. */
+case class GraftDropConstraintCommand(dir: String, name: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    TxnLog.dropConstraint(spark, dir, name)
+    Seq.empty
+  }
+}
+
 /** `RESTORE '<path>' [TO] VERSION AS OF n` — the SQL face of
   * [[TxnLog.restore]]: one metadata-only commit re-publishing the
   * target snapshot (files + stats + DV bindings + schema); history
@@ -592,6 +614,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val restoreRe =
     """(?is)^\s*RESTORE\s+'([^']+)'\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val addConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
+  private val dropConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
   private val explainRe = """(?is)^\s*EXPLAIN\s+(.*)$""".r
 
   /** The extension statements, recognized by shape BEFORE the session
@@ -608,6 +636,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             .map(_.trim).filter(_.nonEmpty)))
       case restoreRe(path, v) =>
         Some(GraftRestoreCommand(path, v.toLong))
+      case addConstraintRe(path, name, e) =>
+        Some(GraftAddConstraintCommand(path, name, e.trim))
+      case dropConstraintRe(path, name) =>
+        Some(GraftDropConstraintCommand(path, name))
       case explainRe(rest) =>
         maintenancePlan(rest).map(p =>
           org.apache.spark.sql.execution.command.ExplainCommand(

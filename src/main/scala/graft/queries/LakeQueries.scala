@@ -564,6 +564,38 @@ object LakeQueries extends QueryModule {
               |FROM grst.rstns.docs GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
+    // CHECK constraints: the ingest quality gate — a constraint is
+    // added through SQL, valid writes land, and a VIOLATING insert is
+    // attempted and must FAIL (the query throws if it somehow lands:
+    // the final count recomputes from the table, so a leaked bad row
+    // breaks the hash). Write-path mechanics (MoR update violations,
+    // checkpoint survival, rename refusal) are ConstraintSpec's.
+    "q_txn_constraint" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/ckns/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table, docs.filter(col("doc_id") % 2 === 0))
+      s.sql(s"ALTER TABLE '$table' ADD CONSTRAINT chars_ok " +
+        "CHECK (n_chars >= 0 AND doc_id >= 0)")
+      TxnLog.append(s, table, docs.filter(col("doc_id") % 2 === 1))
+      val violated =
+        try {
+          TxnLog.append(s, table,
+            docs.filter(col("doc_id") % 97 === 0)
+              .withColumn("n_chars", lit(-1L)))
+          false
+        } catch { case _: Exception => true }
+      require(violated, "the violating append must fail the write")
+      TxnLog.read(s, table)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("row_cnt"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang")
+    }),
+
     // BLOOM-index point lookup: four residue-banded commits give every
     // file the FULL doc_id range (min/max stats intersect any probe —
     // range skipping is structurally useless here, the high-cardinality
@@ -643,6 +675,11 @@ object LakeQueries extends QueryModule {
     Seq(1L, 5L, 9L, 13L, 17L, 29L, 57L, 101L, 201L, 401L)
 
   def oracle: Map[String, String] = Map(
+    "q_txn_constraint" ->
+      """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        | FROM documents GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
     "q_txn_restore" ->
       """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
         |  sum(doc_id)::BIGINT AS sum_id

@@ -98,7 +98,8 @@ object TxnLog {
     * it). The retired set is re-recorded in full with every schema
     * commit, so replay (and checkpoints) only ever need the latest. */
   final case class SchemaCommit(schema: StructType,
-                                retired: Seq[String] = Nil)
+                                retired: Seq[String] = Nil,
+                                constraints: Map[String, String] = Map.empty)
 
   private def writeJson(f: FileSystem, p: Path, adds: Seq[String],
                         removes: Seq[String], exclusive: Boolean,
@@ -134,9 +135,19 @@ object TxnLog {
     val schemaJson = schema.fold("") { sc =>
       val s = ",\"schema64\":\"" + java.util.Base64.getEncoder.encodeToString(
         nullableSchema(sc.schema).json.getBytes("UTF-8")) + "\""
-      if (sc.retired.isEmpty) s
-      else s + ",\"retired64\":\"" + java.util.Base64.getEncoder
-        .encodeToString(sc.retired.mkString("\n").getBytes("UTF-8")) + "\""
+      val r =
+        if (sc.retired.isEmpty) s
+        else s + ",\"retired64\":\"" + java.util.Base64.getEncoder
+          .encodeToString(sc.retired.mkString("\n").getBytes("UTF-8")) + "\""
+      // CHECK constraints ride the schema commit the same way: the
+      // full map re-recorded each time, so replay/checkpoints need
+      // only the latest. name\texpr lines, base64 for the same
+      // JSON-in-JSON reason as the schema.
+      if (sc.constraints.isEmpty) r
+      else r + ",\"constraints64\":\"" + java.util.Base64.getEncoder
+        .encodeToString(sc.constraints.toSeq.sorted
+          .map { case (n, e) => s"$n\t$e" }
+          .mkString("\n").getBytes("UTF-8")) + "\""
     }
     val body = "{\"adds\":[" + adds.map(JsonUtil.quote).mkString(",") +
       "],\"removes\":[" + removes.map(JsonUtil.quote).mkString(",") + "]" +
@@ -253,6 +264,7 @@ object TxnLog {
 
   private val Schema64 = """"schema64":"([A-Za-z0-9+/=]+)"""".r
   private val Retired64 = """"retired64":"([A-Za-z0-9+/=]+)"""".r
+  private val Constraints64 = """"constraints64":"([A-Za-z0-9+/=]+)"""".r
 
   private def parseSchema(body: String): Option[SchemaCommit] =
     Schema64.findFirstMatchIn(body).map { m =>
@@ -262,7 +274,13 @@ object TxnLog {
       val retired = Retired64.findFirstMatchIn(body).toSeq.flatMap(r =>
         new String(java.util.Base64.getDecoder.decode(r.group(1)), "UTF-8")
           .split("\n").toSeq.filter(_.nonEmpty))
-      SchemaCommit(s, retired)
+      val constraints = Constraints64.findFirstMatchIn(body).toSeq.flatMap(c =>
+        new String(java.util.Base64.getDecoder.decode(c.group(1)), "UTF-8")
+          .split("\n").toSeq.filter(_.contains("\t")).map { line =>
+            val i = line.indexOf('\t')
+            line.substring(0, i) -> line.substring(i + 1)
+          }).toMap
+      SchemaCommit(s, retired, constraints)
     }
 
   private def readTxn(f: FileSystem, p: Path): Option[String] = {
@@ -560,7 +578,7 @@ object TxnLog {
                             mergeSchema: Boolean, what: String): Option[SchemaCommit] =
     resolve(spark, table, None)._2 match {
       case None => Some(SchemaCommit(df.schema)) // pre-tracking log: adopt from here on.
-      case Some(SchemaCommit(cur, retired)) =>
+      case Some(SchemaCommit(cur, retired, constraints)) =>
         val extras = scala.collection.mutable.ArrayBuffer.empty[StructField]
         df.schema.fields.foreach { fld =>
           cur.fields.find(_.name.equalsIgnoreCase(fld.name)) match {
@@ -594,7 +612,8 @@ object TxnLog {
           }
         }
         if (extras.isEmpty) None
-        else Some(SchemaCommit(StructType(cur.fields ++ extras), retired))
+        else Some(SchemaCommit(StructType(cur.fields ++ extras), retired,
+          constraints))
     }
 
   // ---- writers -----------------------------------------------------------
@@ -608,7 +627,37 @@ object TxnLog {
   private def stage(spark: SparkSession, table: String, df: DataFrame,
                     mapping: Option[StructType]): Seq[String] = {
     val sub = s"stage-${java.util.UUID.randomUUID().toString.take(12)}"
-    toPhysical(df, mapping).write.parquet(s"$table/$sub")
+    // CHECK constraints evaluate INSIDE the staging write — one fused
+    // per-row predicate, no second pass: a violating row raises before
+    // anything commits, on every path (append, streaming batch, MERGE
+    // resolution, UPDATE copies, compaction — an UPDATE can introduce
+    // a violation, so rewrites check too). Only constraints whose
+    // referenced columns all exist in THIS frame apply: DV objects and
+    // other non-row frames carry none of them, and user frames are
+    // schema-enforced before staging, so a missing column here is
+    // by-design, not a hole. SQL semantics: NULL passes, FALSE raises.
+    val guarded = {
+      val cs = scala.util.Try(resolve(spark, table, None)._2)
+        .toOption.flatten.map(_.constraints).getOrElse(Map.empty)
+      val names = df.schema.fieldNames.map(_.toLowerCase).toSet
+      cs.foldLeft(df) { case (d, (n, e)) =>
+        val refs = scala.util.Try(spark.sessionState.sqlParser
+          .parseExpression(e).references.map(_.name.toLowerCase).toSet)
+          .getOrElse(Set.empty[String])
+        if (refs.isEmpty || !refs.subsetOf(names)) d
+        else d.filter(org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.expr(e),
+            org.apache.spark.sql.functions.lit(true)),
+          org.apache.spark.sql.functions.lit(true))
+          .otherwise(org.apache.spark.sql.functions.raise_error(
+            org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit(
+                s"CHECK constraint '$n' violated on write to $table: ($e)"
+              )))))
+      }
+    }
+    toPhysical(guarded, mapping).write.parquet(s"$table/$sub")
     val dir = new Path(table, sub)
     val staged = fs(spark, dir).listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet"))
@@ -746,7 +795,8 @@ object TxnLog {
             .withMetadata(f.metadata)
             .putString(PhysicalNameKey, s"${f.name}__p$v").build())
       }
-      Some(SchemaCommit(StructType(cur.fields ++ mapped), meta.retired))
+      Some(SchemaCommit(StructType(cur.fields ++ mapped), meta.retired,
+        meta.constraints))
     })(_ => Some((Nil, Nil))), s"evolve $table")
 
   /** `ALTER TABLE … RENAME COLUMN` as a pure METADATA commit (column
@@ -768,12 +818,20 @@ object TxnLog {
       if (cur.fieldNames.exists(_.equalsIgnoreCase(to)))
         throw new IllegalArgumentException(
           s"column '$to' already exists in $table")
+      // A CHECK constraint's expression TEXT binds the current name —
+      // renaming under it would silently unbind (or worse, re-bind to
+      // a later column of the old name). Refuse, like Delta: drop the
+      // constraint, rename, re-add under the new name.
+      constraintsReferencing(meta.constraints, from).foreach(c =>
+        throw new IllegalArgumentException(
+          s"cannot rename '$from': CHECK constraint '$c' references it " +
+            "(drop the constraint first, re-add it under the new name)"))
       val renamed = field.copy(name = to, metadata =
         new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(field.metadata)
           .putString(PhysicalNameKey, physicalName(field)).build())
       Some(SchemaCommit(StructType(cur.fields.map(f =>
-        if (f eq field) renamed else f)), meta.retired))
+        if (f eq field) renamed else f)), meta.retired, meta.constraints))
     })(_ => Some((Nil, Nil))), s"rename column in $table")
 
   /** `ALTER TABLE … DROP COLUMN` as a pure METADATA commit: the field
@@ -793,8 +851,12 @@ object TxnLog {
         throw new IllegalArgumentException(s"no column '$name' in $table"))
       if (cur.fields.length < 2) throw new UnsupportedOperationException(
         s"cannot drop the last column of $table")
+      constraintsReferencing(meta.constraints, name).foreach(c =>
+        throw new IllegalArgumentException(
+          s"cannot drop '$name': CHECK constraint '$c' references it " +
+            "(drop the constraint first)"))
       Some(SchemaCommit(StructType(cur.fields.filterNot(_ eq field)),
-        (meta.retired :+ physicalName(field)).distinct))
+        (meta.retired :+ physicalName(field)).distinct, meta.constraints))
     })(_ => Some((Nil, Nil))), s"drop column in $table")
 
   /** Record an explicit full schema as a data-less commit — the
@@ -804,9 +866,71 @@ object TxnLog {
   def evolveSchema(spark: SparkSession, table: String,
                    schema: StructType): CommitResult =
     mustCommit(commitLoop(spark, table, schema = {
-      val retired = resolve(spark, table, None)._2.map(_.retired).getOrElse(Nil)
-      Some(SchemaCommit(schema, retired))
+      val meta = resolve(spark, table, None)._2
+      Some(SchemaCommit(schema, meta.map(_.retired).getOrElse(Nil),
+        meta.map(_.constraints).getOrElse(Map.empty)))
     })(_ => Some((Nil, Nil))), s"evolve $table")
+
+  /** Constraint names whose expression TEXT references `column` (word
+    * match on the parsed expression's attribute names — not substring,
+    * so `id2` never false-positives a constraint on `id`). */
+  private def constraintsReferencing(constraints: Map[String, String],
+      column: String): Option[String] =
+    constraints.collectFirst { case (n, e) if scala.util.Try(
+        org.apache.spark.sql.SparkSession.active.sessionState.sqlParser
+          .parseExpression(e).references.map(_.name.toLowerCase).toSet
+          .contains(column.toLowerCase)).getOrElse(
+        e.toLowerCase.contains(column.toLowerCase)) => n }
+
+  /** `ALTER TABLE … ADD CONSTRAINT name CHECK (expr)`: validate the
+    * EXISTING rows first (one scan — a constraint that the current
+    * data already violates must fail at ADD time, not poison every
+    * later write), then record it as a data-less schema commit. From
+    * then on EVERY staged write (append, streaming batch, MERGE,
+    * UPDATE copies, compaction) evaluates the expression per row
+    * inside its own write pass — violations fail the WRITE before the
+    * commit, which is the only place a 100 TB ingest can afford the
+    * check (a post-hoc audit scan would read the table again). SQL
+    * NULL semantics: only FALSE violates; NULL passes. */
+  def addConstraint(spark: SparkSession, table: String,
+                    name: String, expression: String): CommitResult = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name '$name' must be an identifier")
+    // Parse now: an unparseable expression must fail here, loudly.
+    spark.sessionState.sqlParser.parseExpression(expression)
+    import org.apache.spark.sql.functions.{coalesce, count, expr, lit, when}
+    val violations = read(spark, table)
+      .filter(!coalesce(expr(expression), lit(true)))
+      .agg(count(lit(1))).head().getLong(0)
+    require(violations == 0L,
+      s"cannot add CHECK constraint '$name' to $table: $violations " +
+        s"existing rows violate ($expression)")
+    mustCommit(commitLoop(spark, table, schema = {
+      val meta = resolve(spark, table, None)._2.getOrElse(
+        throw new UnsupportedOperationException(
+          s"$table predates schema tracking; ADD CONSTRAINT needs a " +
+            "log-recorded schema (append once to record one)"))
+      require(!meta.constraints.contains(name),
+        s"constraint '$name' already exists on $table")
+      Some(meta.copy(constraints = meta.constraints + (name -> expression)))
+    })(_ => Some((Nil, Nil))), s"add constraint to $table")
+  }
+
+  /** Drop a CHECK constraint — a data-less schema commit. */
+  def dropConstraint(spark: SparkSession, table: String,
+                     name: String): CommitResult =
+    mustCommit(commitLoop(spark, table, schema = {
+      val meta = resolve(spark, table, None)._2.getOrElse(
+        throw new IllegalArgumentException(s"no constraints on $table"))
+      require(meta.constraints.contains(name),
+        s"no CHECK constraint '$name' on $table " +
+          s"(have: ${meta.constraints.keys.toSeq.sorted.mkString(", ")})")
+      Some(meta.copy(constraints = meta.constraints - name))
+    })(_ => Some((Nil, Nil))), s"drop constraint from $table")
+
+  /** The table's CHECK constraints at the latest version. */
+  def constraints(spark: SparkSession, table: String): Map[String, String] =
+    resolve(spark, table, None)._2.map(_.constraints).getOrElse(Map.empty)
 
   /** Append: blind adds — valid at ANY log position, so a lost race
     * just re-publishes the same files at the advanced version (the
@@ -1307,11 +1431,15 @@ object TxnLog {
   def overwrite(spark: SparkSession, table: String, df: DataFrame): CommitResult = {
     // An overwrite re-baselines the schema PLAIN (physical = logical,
     // no retired slots): every pre-overwrite file leaves the snapshot,
-    // so no old physical slot can leak into the new shape.
+    // so no old physical slot can leak into the new shape. CHECK
+    // constraints are TABLE invariants and survive it — the staged
+    // write above already validated the replacement rows against them.
     val staged = stage(spark, table, df, mapping = None)
     mustCommit(commitLoop(spark, table,
       stats = stagedStats(spark, table, staged, defaultStatsCols(df.schema)),
-      schema = Some(SchemaCommit(stripMapping(df.schema)))) { v =>
+      schema = Some(SchemaCommit(stripMapping(df.schema),
+        constraints = scala.util.Try(resolve(spark, table, None)._2)
+          .toOption.flatten.map(_.constraints).getOrElse(Map.empty)))) { v =>
       Some((staged, snapshot(spark, table, Some(v - 1))))
     }, s"overwrite $table")
   }
