@@ -111,6 +111,30 @@ class ConstraintSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.read(spark, t).count() === 2L)
   }
 
+  test("the exactly-once streaming sink enforces constraints per " +
+       "batch: a violating batch fails the query, nothing publishes") {
+    import spark.implicits._
+    val dst = freshTable("stream")
+    val src = freshTable("streamsrc")
+    TxnLog.create(spark, dst, Seq((1L, "a")).toDF("id", "s"))
+    TxnLog.addConstraint(spark, dst, "pos_id", "id > 0")
+    TxnLog.create(spark, src, Seq((2L, "b"), (-3L, "bad")).toDF("id", "s"))
+    val q = spark.readStream.format("graft-txn").load(src)
+      .writeStream.format("graft-txn")
+      .option("path", dst).option("streamId", "ck-ingest")
+      .option("checkpointLocation", freshTable("streamckpt"))
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(e.getMessage.contains("pos_id") ||
+      Option(e.getCause).exists(c => Option(c.getMessage).exists(
+        _.contains("pos_id"))) || e.toString.contains("pos_id"))
+    assert(TxnLog.read(spark, dst).count() === 1L,
+      "the violating batch must publish nothing")
+  }
+
   test("SQL statements: ADD CONSTRAINT enforces through the catalog " +
        "INSERT path; DROP CONSTRAINT lifts it") {
     val dml = GraftSqlDmlSpec.session
