@@ -87,6 +87,14 @@ object GraftExtensions {
       val spark = org.apache.spark.sql.SparkSession.active
       org.apache.spark.sql.graftbridge.Bridge.planOf(
         graft.sources.TxnLog.history(spark, literalString(children(0), u)))
+    }),
+    ("table_files", { children =>
+      val u = "usage: table_files('/path/to/txn/table'[, version])"
+      require(children.nonEmpty && children.length <= 2, u)
+      val spark = org.apache.spark.sql.SparkSession.active
+      org.apache.spark.sql.graftbridge.Bridge.planOf(
+        graft.sources.TxnLog.files(spark, literalString(children(0), u),
+          children.lift(1).map(literalLong(_, u))))
     }))
 
   /** Fold a literal argument to Int with a clean analysis-time error

@@ -2199,6 +2199,28 @@ object TxnLog {
     * log metadata only (the log is file-count-sized, never row-sized);
     * ordered newest first, the operational audit surface every
     * lakehouse exposes. */
+  /** Live-file inventory of a snapshot — the DESCRIBE DETAIL shape:
+    * one row per live file with its size, log-carried row count and
+    * stat coverage, DV binding, and bloom sidecar coverage. Pure
+    * driver metadata (log replay + one file status per row); the SQL
+    * face is the `table_files('<path>' [, version])` TVF. */
+  def files(spark: SparkSession, table: String,
+            version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, new Path(table))
+    val bloomCols = TxnBloom.configuredCols(spark, table)
+    val rows = snapshotFull(spark, table, version).map { case (rel, st) =>
+      (rel,
+        f.getFileStatus(new Path(table, rel)).getLen,
+        st.stats.map(_.count).getOrElse(-1L),
+        st.stats.map(_.cols.size.toLong).getOrElse(0L),
+        st.dv.orNull,
+        bloomCols.mkString(","))
+    }
+    rows.toDF("path", "size_bytes", "row_count", "n_stat_cols",
+      "dv_binding", "bloom_cols")
+  }
+
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val f = fs(spark, logDir(table))

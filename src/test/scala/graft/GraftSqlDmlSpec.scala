@@ -374,6 +374,15 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     assert(hist.map(_._1) === Seq(0L, 1L, 2L))
     assert(hist.head._2 === "CREATE")
     assert(hist(2)._2.startsWith("REWRITE"))
+    // table_files: one row per live file, log-carried counts, version
+    // arg pins a snapshot (v0 had two files' worth of rows = 2).
+    val live = dml.sql(s"SELECT path, row_count FROM table_files('$dir')")
+      .as[(String, Long)].collect().toSeq
+    assert(live.nonEmpty && live.forall(_._2 >= 0L))
+    assert(dml.sql(s"SELECT sum(row_count) FROM table_files('$dir')")
+      .head().getLong(0) === 2L) // post-delete: rows 2 and 3
+    assert(dml.sql(s"SELECT sum(row_count) FROM table_files('$dir', 0)")
+      .head().getLong(0) === 2L) // v0: rows 1 and 2
     // Bad arity fails at analysis with the usage string.
     val e = intercept[Exception] { dml.sql(s"SELECT * FROM table_history()") }
     assert(e.getMessage.contains("usage"))
