@@ -1398,7 +1398,7 @@ object TxnLog {
     val cur = tableSchema(spark, table)
     enforceSchema(spark, table, df, mergeSchema = false, "streaming append")
     val staged = stage(spark, table, df, cur)
-    commitLoop(spark, table, txn = Some(s"$streamId:$batchId"),
+    val r = commitLoop(spark, table, txn = Some(s"$streamId:$batchId"),
       stats = stagedStats(spark, table, staged,
         defaultStatsCols(cur.getOrElse(df.schema)), cur),
       schema = enforceSchema(spark, table, df, mergeSchema = false,
@@ -1406,6 +1406,34 @@ object TxnLog {
       if (lastCommittedBatch(spark, table, streamId).exists(_ >= batchId)) None
       else Some((staged, Nil))
     }
+    // AUTO-COMPACTION for streaming ingest: a micro-batch sink is the
+    // table's small-file factory, and at 100 TB "run OPTIMIZE
+    // sometimes" is an operational hole, not a plan. When
+    // `spark.graft.autoCompact.minFiles` is set and at least that many
+    // live files sit under `spark.graft.autoCompact.maxFileBytes`
+    // (default 32 MiB), the sink folds a small-file compaction in
+    // AFTER its commit — compactSmall is race-safe (abandons if a
+    // victim was replaced; rebases past concurrent appends) and
+    // best-effort here: a lost race just leaves the files for the
+    // next batch. Old versions still resolve the fragments until
+    // vacuum, so exactly-once replay semantics are untouched.
+    if (r.isDefined) {
+      spark.conf.getOption("spark.graft.autoCompact.minFiles")
+        .map(_.toInt).foreach { minFiles =>
+        val maxBytes = spark.conf
+          .getOption("spark.graft.autoCompact.maxFileBytes")
+          .map(_.toLong).getOrElse(32L << 20)
+        val f = fs(spark, new Path(table))
+        val sizes = snapshot(spark, table)
+          .map(rel => f.getFileStatus(new Path(table, rel)).getLen)
+          .filter(_ < maxBytes)
+        if (sizes.size >= minFiles)
+          scala.util.Try(compactSmall(spark, table, maxBytes,
+            targetFiles = math.max(1,
+              ((sizes.sum + maxBytes - 1) / maxBytes).toInt)))
+      }
+    }
+    r
   }
 
   /** The stream's committed high-water mark: max batchId across every

@@ -228,6 +228,28 @@ class TxnStreamSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("auto-compaction folds small-file hygiene into the sink: the " +
+       "ingested table ends with fewer live files, identical rows") {
+    import spark.implicits._
+    val dst = freshTable("acdst")
+    TxnLog.create(spark, dst, Seq((0L, "seed")).toDF("id", "s"))
+    spark.conf.set("spark.graft.autoCompact.minFiles", "4")
+    try {
+      // Each appendBatch is one tiny file; past 4 small files the sink
+      // compacts them down as part of its own commit cycle.
+      (1L to 8L).foreach(b =>
+        TxnLog.appendBatch(spark, dst, Seq((b, s"r$b")).toDF("id", "s"),
+          "ac-stream", b))
+      val live = TxnLog.snapshot(spark, dst).size
+      assert(live < 9, s"auto-compact must have merged small files ($live)")
+      assert(TxnLog.read(spark, dst).count() === 9L)
+      // Exactly-once replay is untouched: a re-delivered batch no-ops.
+      assert(TxnLog.appendBatch(spark, dst,
+        Seq((5L, "dup")).toDF("id", "s"), "ac-stream", 5L).isEmpty)
+      assert(TxnLog.read(spark, dst).count() === 9L)
+    } finally spark.conf.unset("spark.graft.autoCompact.minFiles")
+  }
+
   test("readChangeFeed streams DML commits as net _change-tagged rows " +
        "and an incremental MV folded from them matches the table") {
     import org.apache.spark.sql.functions.col
