@@ -8,7 +8,8 @@ import graft.sources.TxnLog
 
 /** Model-based check of the transaction log's whole DML surface: a
   * seeded random program of append / overwrite / merge / COW-delete /
-  * MoR-delete / MoR-update / compact / vacuum runs against BOTH the
+  * MoR-delete / MoR-update / compact / vacuum / RESTORE / log-cleanup
+  * runs against BOTH the
   * real log and a driver-side reference model (a plain Map keyed by
   * id), and after EVERY op the table read must equal the model exactly.
   * Ops compose in ways the per-op specs never enumerate (update over a
@@ -39,7 +40,7 @@ class TxnModelSpec extends AnyFunSuite with SparkSpec {
       (TxnLog.latestVersion(spark, t), model))
 
     for (step <- 1 to 12) {
-      val op = rnd.nextInt(8)
+      val op = rnd.nextInt(10)
       op match {
         case 0 => // append fresh ids
           val rows = (0 until 1 + rnd.nextInt(5)).map { _ =>
@@ -90,6 +91,18 @@ class TxnModelSpec extends AnyFunSuite with SparkSpec {
           model = next
         case 7 => // vacuum a random retention window (read-invisible)
           TxnLog.vacuum(spark, t, retainVersions = 1 + rnd.nextInt(5))
+        case 8 => // RESTORE to a random recorded version; a target that
+          // vacuum/cleanup made unreachable refuses loudly = a no-op.
+          val (v, m) = versions(rnd.nextInt(versions.size))
+          try {
+            TxnLog.restore(spark, t, v)
+            model = m
+          } catch {
+            case e: Exception if Option(e.getMessage).exists(msg =>
+              msg.contains("vacuumed") || msg.contains("not in log")) => ()
+          }
+        case 9 => // log cleanup (tip-read-invisible)
+          TxnLog.cleanupLog(spark, t, retainVersions = 1 + rnd.nextInt(5))
       }
       // Deletes can empty the table; the log read contract requires a
       // non-empty snapshot, so re-seed when a program empties it.
@@ -100,7 +113,7 @@ class TxnModelSpec extends AnyFunSuite with SparkSpec {
       }
       assert(readTable(t) === model,
         s"seed=$seed step=$step op=$op diverged from the model")
-      if (op != 7) // vacuum publishes no version
+      if (op != 7 && op != 9) // vacuum/cleanup publish no version
         versions += ((TxnLog.latestVersion(spark, t), model))
     }
 
