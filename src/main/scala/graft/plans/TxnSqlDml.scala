@@ -138,9 +138,6 @@ object TxnSqlDml {
         matched, notMatched, bySource, withSchemaEvolution) =>
       target(t).flatMap { case (parts, alias) =>
         txnDir(spark, parts).map { dir =>
-          if (withSchemaEvolution) throw new UnsupportedOperationException(
-            "graft txn MERGE: WITH SCHEMA EVOLUTION is not supported — " +
-              "evolve the table first (ALTER TABLE ADD COLUMNS)")
           // Fast path — the canonical replace-by-key upsert
           // (`WHEN MATCHED UPDATE SET * WHEN NOT MATCHED INSERT *` on
           // same-named equi-keys, no extra clauses): one window over
@@ -164,7 +161,17 @@ object TxnSqlDml {
             case _ => false
           }
           if (equiKeys.isDefined && starShape && bySource.isEmpty)
-            GraftMergeCommand(dir, source, equiKeys.get): LogicalPlan
+            // WITH SCHEMA EVOLUTION rides the fast path only: extras
+            // in the source evolve the schema inside the merge commit
+            // ([[TxnLog.mergeEvolve]]).
+            GraftMergeCommand(dir, source, equiKeys.get,
+              evolve = withSchemaEvolution): LogicalPlan
+          else if (withSchemaEvolution)
+            // Per-clause partial evolution has no sound default.
+            throw new UnsupportedOperationException(
+              "graft txn MERGE WITH SCHEMA EVOLUTION supports only the " +
+                "equi-key UPDATE SET * / INSERT * shape — evolve the " +
+                "table first (ALTER TABLE ADD COLUMNS) for clause forms")
           else
             // General path: conditional / column-listed / DELETE /
             // NOT MATCHED BY SOURCE clauses, arbitrary ON condition —
@@ -464,7 +471,7 @@ case class GraftUpdateCommand(dir: String, cond: Column,
   * on the whole tuple). The source plan analyzes at run time, so any
   * query shape works as the delta. */
 case class GraftMergeCommand(dir: String, source: LogicalPlan,
-                             keys: Seq[String])
+                             keys: Seq[String], evolve: Boolean = false)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val delta = Bridge.ofRows(spark, source)
@@ -482,7 +489,7 @@ case class GraftMergeCommand(dir: String, source: LogicalPlan,
         // (round-11 advice).
         val missing = schema.fields.map(_.name).filterNot(tc =>
           delta.columns.exists(_.equalsIgnoreCase(tc)))
-        if (missing.nonEmpty) throw new IllegalArgumentException(
+        if (missing.nonEmpty && !evolve) throw new IllegalArgumentException(
           s"MERGE … UPDATE SET * / INSERT * into $dir: the source must " +
             s"provide every table column; missing ${missing.mkString(", ")} " +
             "(use column-listed WHEN clauses for a partial merge)")
@@ -495,7 +502,8 @@ case class GraftMergeCommand(dir: String, source: LogicalPlan,
         }.toSeq: _*)
       case None => delta
     }
-    TxnLog.merge(spark, dir, aligned, keys, maxAttempts = 20)
+    if (evolve) TxnLog.mergeEvolve(spark, dir, aligned, keys)
+    else TxnLog.merge(spark, dir, aligned, keys, maxAttempts = 20)
     Seq.empty
   }
 }

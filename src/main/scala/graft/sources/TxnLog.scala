@@ -1496,18 +1496,32 @@ object TxnLog {
             key: String, maxAttempts: Int = 20): CommitResult =
     merge(spark, table, delta, Seq(key), maxAttempts)
 
+  /** [[merge]] WITH SCHEMA EVOLUTION: delta columns the table lacks
+    * evolve the schema additively in the SAME commit (the Delta
+    * `MERGE WITH SCHEMA EVOLUTION` semantics) — survivors and
+    * untouched files read as null in the new columns, exactly like
+    * append-side evolution. */
+  def mergeEvolve(spark: SparkSession, table: String, delta: DataFrame,
+                  keys: Seq[String], maxAttempts: Int = 20): CommitResult =
+    mergeImpl(spark, table, delta, keys, maxAttempts, mergeSchema = true)
+
   /** [[merge]] on a COMPOSITE key: a delta row replaces current rows
     * sharing its whole key TUPLE. Pruning intersects per-column file
     * stats — tuple equality needs every component equal, so a file
     * disjoint from the delta's range on ANY key column provably holds
     * no matching tuple. */
   def merge(spark: SparkSession, table: String, delta: DataFrame,
-            keys: Seq[String], maxAttempts: Int): CommitResult = {
+            keys: Seq[String], maxAttempts: Int): CommitResult =
+    mergeImpl(spark, table, delta, keys, maxAttempts, mergeSchema = false)
+
+  private def mergeImpl(spark: SparkSession, table: String, delta: DataFrame,
+            keys: Seq[String], maxAttempts: Int,
+            mergeSchema: Boolean): CommitResult = {
     require(keys.nonEmpty, "merge needs at least one key column")
     var attempts = 0
     while (attempts < maxAttempts) {
       mergeAttempt(spark, table, delta, keys,
-        latestVersion(spark, table)) match {
+        latestVersion(spark, table), mergeSchema) match {
         case Some(r) => return r
         case None => attempts += 1 // the log moved while resolving — rebase and redo.
       }
@@ -1532,13 +1546,18 @@ object TxnLog {
     * never the semantics. */
   private[graft] def mergeAttempt(spark: SparkSession, table: String,
       delta: DataFrame, key: String, base: Long): Option[CommitResult] =
-    mergeAttempt(spark, table, delta, Seq(key), base)
+    mergeAttempt(spark, table, delta, Seq(key), base, mergeSchema = false)
 
   private[graft] def mergeAttempt(spark: SparkSession, table: String,
-      delta: DataFrame, keys: Seq[String], base: Long): Option[CommitResult] = {
+      delta: DataFrame, keys: Seq[String], base: Long,
+      mergeSchema: Boolean = false): Option[CommitResult] = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
-    enforceSchema(spark, table, delta, mergeSchema = false, "merge")
+    // With evolution on, extras in the delta produce the merged schema
+    // to record WITH this commit (computed against the pinned base —
+    // the commit only publishes at base+1, so it cannot clobber a
+    // concurrent evolution; a lost race recomputes from the new tip).
+    val evolved = enforceSchema(spark, table, delta, mergeSchema, "merge")
     val (baseFiles, baseSchemaC) = resolve(spark, table, Some(base))
     val baseSchema = baseSchemaC.map(_.schema)
     // One agg pass: per key column, the delta's TYPED [min,max] (long
@@ -1588,7 +1607,8 @@ object TxnLog {
       else {
         val union = readState(spark, table, touched, baseSchema)
           .withColumn("_src", lit(0))
-          .unionByName(delta.withColumn("_src", lit(1)))
+          .unionByName(delta.withColumn("_src", lit(1)),
+            allowMissingColumns = mergeSchema)
         union
           .withColumn("_hasDelta",
             max("_src").over(Window.partitionBy(keys.map(col): _*)))
@@ -1606,7 +1626,8 @@ object TxnLog {
       if (statCols.nonEmpty)
         stagedStats(spark, table, staged, statCols, baseSchema)
       else Map.empty[String, FileStats]
-    val result = commitLoop(spark, table, stats = stats) { v =>
+    val result = commitLoop(spark, table, stats = stats,
+      schema = evolved) { v =>
       if (v != base + 1) None else Some((staged, touched.map(_._1)))
     }
     if (result.isEmpty) dropStaged(spark, table, staged)

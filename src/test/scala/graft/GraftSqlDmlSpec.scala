@@ -457,6 +457,48 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     } finally dml.conf.unset("spark.graft.vacuum.retainMillis")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source extras evolve the schema " +
+       "inside the merge commit; old rows read null; clause forms refuse") {
+    import dml.implicits._
+    val dir = freshTable("t_mevo", Seq((1L, "a"), (2L, "b")))
+    dml.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO lake.ns.t_mevo t
+        |USING (SELECT 2L AS id, 'B' AS s, 99L AS extra
+        |       UNION ALL SELECT 3L, 'c', 7L) src
+        |ON t.id = src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = dml.sql(
+      "SELECT id, s, extra FROM lake.ns.t_mevo ORDER BY id")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(got === Seq((1L, "a", None), (2L, "B", Some(99L)),
+      (3L, "c", Some(7L))))
+    // One commit did data + schema: time travel to just before shows
+    // the pre-evolution two-column shape.
+    assert(TxnLog.tableSchema(dml, dir).get.fieldNames.toSeq
+      === Seq("id", "s", "extra"))
+    assert(TxnLog.tableSchema(dml, dir, Some(0L)).get.fieldNames.toSeq
+      === Seq("id", "s"))
+    // Without the keyword, extras still refuse (schema enforcement).
+    intercept[Exception] {
+      dml.sql(
+        """MERGE INTO lake.ns.t_mevo t
+          |USING (SELECT 9L AS id, 'z' AS s, 1L AS extra, 2L AS more) src
+          |ON t.id = src.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    // Clause forms refuse the keyword with the remedy.
+    val e = intercept[UnsupportedOperationException] {
+      dml.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO lake.ns.t_mevo t
+          |USING (SELECT 2L AS id, 'x' AS s) src
+          |ON t.id = src.id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("ALTER TABLE ADD COLUMNS"))
+  }
+
   test("SQL point-lookup over a bloom-indexed table file-prunes at " +
        "plan time; un-indexed predicates keep the native scan") {
     import dml.implicits._
