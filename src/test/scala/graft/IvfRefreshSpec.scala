@@ -71,6 +71,16 @@ class IvfRefreshSpec extends AnyFunSuite with SparkSpec {
       val c2 = resolve()
       assert(fulls === 2 && deltas === 1)
       assert(c2.postingsDirs.size === 1 && c2.trainedAt === 2L)
+
+      // A MoR delete produces NO file removes — only a DV binding —
+      // but it still changes visible content: an already-built
+      // generation's postings would keep serving the masked rows, so
+      // it must ALSO force the full path, never a delta.
+      TxnLog.deleteMoR(spark, t, col("id") === 7L)
+      val c3 = resolve()
+      assert(fulls === 3 && deltas === 1,
+        "a DV-only interval must retrain, not delta-refresh")
+      assert(c3.postingsDirs.size === 1 && c3.trainedAt === 3L)
     } finally spark.conf.unset("spark.graft.ann.indexRoot")
   }
 
