@@ -657,7 +657,18 @@ object TxnLog {
               )))))
       }
     }
-    toPhysical(guarded, mapping).write.parquet(s"$table/$sub")
+    // OPTIMIZE-WRITE (opt-in): a REBALANCE hint ahead of the staged
+    // write lets AQE size output partitions to its advisory target —
+    // the write-side complement to auto-compaction (prevent the
+    // small-file spray instead of repairing it). Opt-in because it
+    // inserts a shuffle: correct for wide writers (a 16-task stream
+    // sink spraying 16 tiny files per batch), wasted for writers that
+    // already partition deliberately.
+    val shaped =
+      if (spark.conf.getOption("spark.graft.write.rebalance").contains("true"))
+        guarded.hint("REBALANCE")
+      else guarded
+    toPhysical(shaped, mapping).write.parquet(s"$table/$sub")
     val dir = new Path(table, sub)
     val staged = fs(spark, dir).listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet"))

@@ -821,6 +821,21 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.read(spark, t, Some(0L)).count() === 8)
   }
 
+  test("optimize-write (opt-in REBALANCE staging) collapses a wide " +
+       "writer's small-file spray; rows and stats intact") {
+    val t = freshTable("optwrite")
+    spark.conf.set("spark.graft.write.rebalance", "true")
+    try {
+      TxnLog.create(spark, t, docs.repartition(16))
+      val files = TxnLog.snapshot(spark, t).size
+      assert(files <= 2,
+        s"REBALANCE staging should coalesce 16 writer tasks, got $files files")
+      assert(TxnLog.read(spark, t).count() === docs.count())
+      // Stats still recorded on the shaped output.
+      assert(TxnLog.snapshotFull(spark, t).forall(_._2.stats.isDefined))
+    } finally spark.conf.unset("spark.graft.write.rebalance")
+  }
+
   test("snapshot resolution replays from the newest checkpoint") {
     val t = freshTable("ckpt")
     TxnLog.create(spark, t, docs.filter(col("doc_id") === 0))
