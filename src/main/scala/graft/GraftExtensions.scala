@@ -95,6 +95,16 @@ object GraftExtensions {
       org.apache.spark.sql.graftbridge.Bridge.planOf(
         graft.sources.TxnLog.files(spark, literalString(children(0), u),
           children.lift(1).map(literalLong(_, u))))
+    }),
+    ("table_constraints", { children =>
+      val u = "usage: table_constraints('/path/to/txn/table')"
+      require(children.length == 1, u)
+      val spark = org.apache.spark.sql.SparkSession.active
+      import spark.implicits._
+      org.apache.spark.sql.graftbridge.Bridge.planOf(
+        graft.sources.TxnLog.constraints(spark,
+            literalString(children(0), u))
+          .toSeq.sortBy(_._1).toDF("name", "expression"))
     }))
 
   /** Fold a literal argument to Int with a clean analysis-time error

@@ -427,6 +427,18 @@ case class GraftDropConstraintCommand(dir: String, name: String)
   }
 }
 
+/** `ALTER TABLE '<path>' ADD GENERATED COLUMN name AS (expr)` — the
+  * SQL face of [[TxnLog.addGeneratedColumn]] (type inferred from the
+  * expression against the current schema). */
+case class GraftAddGeneratedCommand(dir: String, name: String,
+                                    expression: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    TxnLog.addGeneratedColumn(spark, dir, name, expression)
+    Seq.empty
+  }
+}
+
 /** `RESTORE '<path>' [TO] VERSION AS OF n` — the SQL face of
   * [[TxnLog.restore]]: one metadata-only commit re-publishing the
   * target snapshot (files + stats + DV bindings + schema); history
@@ -628,6 +640,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val dropConstraintRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
+  private val addGeneratedRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+GENERATED\s+COLUMN\s+""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\((.+)\)\s*;?\s*$""").r
   private val explainRe = """(?is)^\s*EXPLAIN\s+(.*)$""".r
 
   /** The extension statements, recognized by shape BEFORE the session
@@ -648,6 +663,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Some(GraftAddConstraintCommand(path, name, e.trim))
       case dropConstraintRe(path, name) =>
         Some(GraftDropConstraintCommand(path, name))
+      case addGeneratedRe(path, name, e) =>
+        Some(GraftAddGeneratedCommand(path, name, e.trim))
       case explainRe(rest) =>
         maintenancePlan(rest).map(p =>
           org.apache.spark.sql.execution.command.ExplainCommand(

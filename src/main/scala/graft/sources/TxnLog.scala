@@ -627,6 +627,27 @@ object TxnLog {
   private def stage(spark: SparkSession, table: String, df: DataFrame,
                     mapping: Option[StructType]): Seq[String] = {
     val sub = s"stage-${java.util.UUID.randomUUID().toString.take(12)}"
+    // GENERATED columns derive INSIDE the staging write, before the
+    // constraint guard (constraints may reference them): a frame
+    // missing the column gets it computed; a frame CARRYING it (a
+    // rewrite's survivors, a writer-supplied value) gets it RECOMPUTED
+    // — "GENERATED ALWAYS AS" means the column is never writer-owned,
+    // which also makes MoR-update copies self-heal when their source
+    // columns changed. Frames whose columns can't resolve the
+    // expression (DV objects) skip, like constraints.
+    val gen = mapping.fold(df) { schema =>
+      val names = df.schema.fieldNames.map(_.toLowerCase).toSet
+      schema.fields.filter(_.metadata.contains(GeneratedExprKey))
+        .foldLeft(df) { (d, fld) =>
+          val text = fld.metadata.getString(GeneratedExprKey)
+          val refs = scala.util.Try(spark.sessionState.sqlParser
+            .parseExpression(text).references.map(_.name.toLowerCase).toSet)
+            .getOrElse(Set.empty[String])
+          if (refs.isEmpty || !refs.subsetOf(names)) d
+          else d.withColumn(fld.name,
+            org.apache.spark.sql.functions.expr(text).cast(fld.dataType))
+        }
+    }
     // CHECK constraints evaluate INSIDE the staging write — one fused
     // per-row predicate, no second pass: a violating row raises before
     // anything commits, on every path (append, streaming batch, MERGE
@@ -639,8 +660,8 @@ object TxnLog {
     val guarded = {
       val cs = scala.util.Try(resolve(spark, table, None)._2)
         .toOption.flatten.map(_.constraints).getOrElse(Map.empty)
-      val names = df.schema.fieldNames.map(_.toLowerCase).toSet
-      cs.foldLeft(df) { case (d, (n, e)) =>
+      val names = gen.schema.fieldNames.map(_.toLowerCase).toSet
+      cs.foldLeft(gen) { case (d, (n, e)) =>
         val refs = scala.util.Try(spark.sessionState.sqlParser
           .parseExpression(e).references.map(_.name.toLowerCase).toSet)
           .getOrElse(Set.empty[String])
@@ -942,6 +963,32 @@ object TxnLog {
   /** The table's CHECK constraints at the latest version. */
   def constraints(spark: SparkSession, table: String): Map[String, String] =
     resolve(spark, table, None)._2.map(_.constraints).getOrElse(Map.empty)
+
+  /** Field-metadata key carrying a GENERATED column's expression. */
+  val GeneratedExprKey = "graft.generated"
+
+  /** Add a GENERATED column: `name` is ALWAYS derived as `expression`
+    * (over the other columns) — writers that omit it get it computed
+    * inside the staging write; writers that supply it are CHECKED
+    * row-by-row against the expression (a mismatch raises before the
+    * commit, like a constraint violation). The point at 100 TB: a
+    * derived skipping key (the day of a timestamp, a hash prefix of a
+    * url) recorded as a TABLE property is computed consistently by
+    * every writer forever, so the default stats (and any bloom
+    * config) on it stay trustworthy for pruning — writer-discipline
+    * derivation drifts, table-property derivation cannot. The type is
+    * inferred from the expression against the current schema; rows
+    * from BEFORE the addition read null (they predate the column —
+    * the standard evolution semantics). */
+  def addGeneratedColumn(spark: SparkSession, table: String,
+                         name: String, expression: String): CommitResult = {
+    import org.apache.spark.sql.functions.expr
+    val dt = read(spark, table).select(expr(expression)).schema.head.dataType
+    addColumns(spark, table, Seq(org.apache.spark.sql.types.StructField(
+      name, dt, nullable = true,
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(GeneratedExprKey, expression).build())))
+  }
 
   /** Append: blind adds — valid at ANY log position, so a lost race
     * just re-publishes the same files at the advanced version (the
