@@ -537,6 +537,34 @@ object LakeQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // GENERATED column: added mid-history through SQL, so the table
+    // carries all three populations the semantics define — rows from
+    // BEFORE the addition (derived value null), rows written WITHOUT
+    // the column (computed inside the staged write), and rows written
+    // WITH a bogus value (recomputed — never writer-owned). The
+    // oracle recomposes the same split from the source table; the
+    // write-path mechanics are GeneratedColumnSpec's.
+    "q_txn_generated" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/gnns/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table, docs.filter(col("doc_id") % 3 === 0))
+      s.sql(s"ALTER TABLE '$table' ADD GENERATED COLUMN size_band " +
+        "AS (n_chars DIV 100)")
+      TxnLog.append(s, table, docs.filter(col("doc_id") % 3 === 1))
+      TxnLog.append(s, table,
+        docs.filter(col("doc_id") % 3 === 2)
+          .withColumn("size_band", lit(-999L))) // bogus: must be recomputed
+      TxnLog.read(s, table)
+        .groupBy(coalesce(col("size_band"), lit(-1L)).as("size_band"))
+        .agg(count(lit(1)).as("row_cnt"), sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("size_band")
+    }),
+
     // RESTORE: the table takes real damage through SQL (a DELETE
     // removing every third row) and is rolled back by a RESTORE
     // STATEMENT to the pre-delete version — one metadata-only commit
@@ -675,6 +703,14 @@ object LakeQueries extends QueryModule {
     Seq(1L, 5L, 9L, 13L, 17L, 29L, 57L, 101L, 201L, 401L)
 
   def oracle: Map[String, String] = Map(
+    "q_txn_generated" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN -1
+        |   ELSE n_chars // 100 END AS size_band,
+        |  count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM documents GROUP BY 1 ORDER BY size_band"""
+        .stripMargin.replace("\n", ""),
+
     "q_txn_constraint" ->
       """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id

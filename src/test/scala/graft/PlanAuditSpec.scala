@@ -20,7 +20,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
     if (Set("q_txn_sql_dml", "q_txn_column_map", "q_txn_changes_sql",
         "q_txn_sql_decon", "q_txn_sql_merge_clauses",
         "q_txn_sql_optimize", "q_txn_restore", "q_txn_constraint",
-        "q_txn_bloom_sql")(name))
+        "q_txn_bloom_sql", "q_txn_generated")(name))
       GraftSqlDmlSpec.session
     else spark
 
