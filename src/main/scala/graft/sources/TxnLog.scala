@@ -858,6 +858,10 @@ object TxnLog {
         throw new IllegalArgumentException(
           s"cannot rename '$from': CHECK constraint '$c' references it " +
             "(drop the constraint first, re-add it under the new name)"))
+      constraintsReferencing(generatedExprs(cur), from).foreach(g =>
+        throw new IllegalArgumentException(
+          s"cannot rename '$from': GENERATED column '$g' derives from it " +
+            "(drop the generated column first, re-add it under the new name)"))
       val renamed = field.copy(name = to, metadata =
         new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(field.metadata)
@@ -887,6 +891,11 @@ object TxnLog {
         throw new IllegalArgumentException(
           s"cannot drop '$name': CHECK constraint '$c' references it " +
             "(drop the constraint first)"))
+      constraintsReferencing(
+          generatedExprs(cur).filterNot(_._1.equalsIgnoreCase(name)), name)
+        .foreach(g => throw new IllegalArgumentException(
+          s"cannot drop '$name': GENERATED column '$g' derives from it " +
+            "(drop the generated column first)"))
       Some(SchemaCommit(StructType(cur.fields.filterNot(_ eq field)),
         (meta.retired :+ physicalName(field)).distinct, meta.constraints))
     })(_ => Some((Nil, Nil))), s"drop column in $table")
@@ -902,6 +911,12 @@ object TxnLog {
       Some(SchemaCommit(schema, meta.map(_.retired).getOrElse(Nil),
         meta.map(_.constraints).getOrElse(Map.empty)))
     })(_ => Some((Nil, Nil))), s"evolve $table")
+
+  /** The table's GENERATED columns as (name -> expression) — the same
+    * shape as constraints, for shared reference analysis. */
+  private def generatedExprs(schema: StructType): Map[String, String] =
+    schema.fields.filter(_.metadata.contains(GeneratedExprKey))
+      .map(f => f.name -> f.metadata.getString(GeneratedExprKey)).toMap
 
   /** Constraint names whose expression TEXT references `column` (word
     * match on the parsed expression's attribute names — not substring,

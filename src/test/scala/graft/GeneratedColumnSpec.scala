@@ -55,6 +55,24 @@ class GeneratedColumnSpec extends AnyFunSuite with SparkSpec {
     assert(pruned === (2L to 4L).toSeq)
   }
 
+  test("renaming or dropping a column a GENERATED expression derives " +
+       "from refuses; dropping the generated column itself is fine") {
+    import spark.implicits._
+    val t = freshTable("refs")
+    TxnLog.create(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    TxnLog.addGeneratedColumn(spark, t, "id2", "id * 2")
+    intercept[IllegalArgumentException] {
+      TxnLog.renameColumn(spark, t, "id", "ident")
+    }
+    intercept[IllegalArgumentException] { TxnLog.dropColumn(spark, t, "id") }
+    // The derived column itself drops freely (it references id, but a
+    // column never blocks its own removal).
+    TxnLog.dropColumn(spark, t, "id2")
+    TxnLog.renameColumn(spark, t, "id", "ident") // now unblocked
+    assert(TxnLog.tableSchema(spark, t).get.fieldNames.toSeq
+      === Seq("ident", "s"))
+  }
+
   test("SQL: ADD GENERATED COLUMN infers the type from the expression; " +
        "the catalog INSERT path derives it") {
     val dml = GraftSqlDmlSpec.session
