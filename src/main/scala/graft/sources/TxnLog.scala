@@ -938,7 +938,14 @@ object TxnLog {
     * inside its own write pass — violations fail the WRITE before the
     * commit, which is the only place a 100 TB ingest can afford the
     * check (a post-hoc audit scan would read the table again). SQL
-    * NULL semantics: only FALSE violates; NULL passes. */
+    * NULL semantics: only FALSE violates; NULL passes.
+    *
+    * Known race window (documented, Delta closes it with full
+    * metadata-conflict detection): a writer whose STAGING pass ran
+    * before this ADD but whose commit lands after it has not evaluated
+    * the new expression — run ADD CONSTRAINT in a writer-quiet window,
+    * or follow it with a one-scan audit
+    * (`read(t).filter(!coalesce(expr, true))`). */
   def addConstraint(spark: SparkSession, table: String,
                     name: String, expression: String): CommitResult = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
