@@ -307,39 +307,43 @@ object TxnBloom {
           "(supported: string, byte/short/int/long)")
     }
 
-  private def configFile(table: String): Path =
-    new Path(table, "_bloom/_columns.txt")
-
   /** The table's CONFIGURED bloom columns — coverage as a property of
     * the TABLE, not of writer discipline (the same principle the
     * default-on stats follow): once configured, EVERY staging write —
     * plain appends, streaming batches, MERGE survivors, compaction
     * rewrites — produces sidecars for its new files, so DML and
-    * maintenance cannot erode point-lookup coverage. */
+    * maintenance cannot erode point-lookup coverage. The config is a
+    * GROW-ONLY union of `_bloom/_columns*.txt` files: each configure
+    * call publishes its own immutable file, so concurrent configures
+    * can never lose each other's columns (a read-merge-overwrite
+    * design would). */
   private[graft] def configuredCols(spark: SparkSession,
       table: String): Seq[String] = {
-    val p = configFile(table)
-    val f = fs(spark, p)
-    if (!f.exists(p)) Nil
-    else {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty).toList
-      finally in.close()
-    }
+    val dir = new Path(table, "_bloom")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).toSeq
+      .filter(st => !st.isDirectory && st.getPath.getName.startsWith("_columns"))
+      .flatMap { st =>
+        val in = f.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+      }.map(_.toLowerCase).distinct.sorted
   }
 
-  /** Record `cols` (unioned with any existing config) as the table's
-    * bloom columns. */
+  /** Record `cols` as (additional) bloom columns: published as one new
+    * immutable config file when not already covered. */
   private[graft] def writeConfig(spark: SparkSession, table: String,
       cols: Seq[String]): Unit = {
-    val merged = (configuredCols(spark, table) ++ cols)
-      .map(_.toLowerCase).distinct.sorted
-    val p = configFile(table)
+    val wanted = cols.map(_.toLowerCase).distinct.sorted
+    if (wanted.forall(configuredCols(spark, table).contains)) return
+    val p = new Path(table,
+      s"_bloom/_columns-${java.util.UUID.randomUUID().toString.take(12)}.txt")
     val f = fs(spark, p)
     f.mkdirs(p.getParent)
-    val out = f.create(p, true)
-    try out.write(merged.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val out = f.create(p, false)
+    try out.write(wanted.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
   }
 
