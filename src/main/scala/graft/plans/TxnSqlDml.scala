@@ -365,7 +365,8 @@ object TxnSqlDml {
   * no statement clause; `spark.graft.vacuum.retainMillis` overrides
   * the 7-day default (0 disables — tests, or a table the operator
   * KNOWS has no in-flight writers). */
-case class GraftVacuumCommand(dir: String, retainVersions: Int)
+case class GraftVacuumCommand(dir: String, retainVersions: Int,
+                              dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
@@ -373,8 +374,20 @@ case class GraftVacuumCommand(dir: String, retainVersions: Int)
   override def run(spark: SparkSession): Seq[Row] = {
     val retainMillis = spark.conf.getOption("spark.graft.vacuum.retainMillis")
       .map(_.toLong).getOrElse(TxnLog.DefaultVacuumRetainMillis)
-    TxnLog.vacuum(spark, dir, retainVersions, retainMillis).map(Row(_))
+    TxnLog.vacuum(spark, dir, retainVersions, retainMillis, dryRun)
+      .map(Row(_))
   }
+}
+
+/** `REINDEX BLOOM '<path>'` — the SQL face of [[TxnLog.indexBloom]]:
+  * backfill sidecars for live files lacking coverage on any
+  * configured column; returns the re-indexed paths. */
+case class GraftReindexCommand(dir: String) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "path", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    TxnLog.indexBloom(spark, dir).map(Row(_))
 }
 
 /** `OPTIMIZE '<path>' [TARGET <n> FILES] [CLUSTER BY (c1, ...)]` — the
@@ -628,7 +641,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def spark = SparkSession.active
 
   private val vacuumRe =
-    """(?is)^\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+    ("""(?is)^\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
+      """(\s+DRY\s+RUN)?\s*;?\s*$""").r
+  private val reindexRe =
+    """(?is)^\s*REINDEX\s+BLOOM\s+'([^']+)'\s*;?\s*$""".r
   private val optimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+)\s+FILES)?""" +
       """(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
@@ -651,8 +667,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * parsePlanWithParameters. */
   private def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case vacuumRe(path, n) =>
-        Some(GraftVacuumCommand(path, Option(n).map(_.toInt).getOrElse(1)))
+      case vacuumRe(path, n, dry) =>
+        Some(GraftVacuumCommand(path, Option(n).map(_.toInt).getOrElse(1),
+          dryRun = dry != null))
+      case reindexRe(path) =>
+        Some(GraftReindexCommand(path))
       case optimizeRe(path, n, cols) =>
         Some(GraftOptimizeCommand(path, Option(n).map(_.toInt),
           Option(cols).toSeq.flatMap(_.split(','))

@@ -347,6 +347,15 @@ object TxnBloom {
     finally out.close()
   }
 
+  /** Rel paths that already have a sidecar for `column` (one listing). */
+  private[graft] def covered(spark: SparkSession, table: String,
+      column: String): Set[String] = {
+    val d = bloomDir(table, column)
+    val f = fs(spark, d)
+    if (!f.exists(d)) Set.empty
+    else f.listStatus(d).map(st => dec(st.getPath.getName)).toSet
+  }
+
   /** Delete sidecars whose data file is physically gone — the
     * companion sweep to [[TxnLog.vacuum]]'s data-file pass (a sidecar
     * is only meaningful while its immutable data file exists; time

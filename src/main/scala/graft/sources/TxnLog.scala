@@ -1261,6 +1261,26 @@ object TxnLog {
     append(spark, table, df)
   }
 
+  /** BACKFILL the bloom index: build sidecars for every live file
+    * LACKING one on any configured column (files from before the
+    * configuration, or from engines without it) — one aggregation
+    * over just the uncovered files. Closes the only coverage gap the
+    * table-property design leaves; after it, every live file prunes.
+    * Returns the re-indexed rel paths. */
+  def indexBloom(spark: SparkSession, table: String): Seq[String] = {
+    val cols = TxnBloom.configuredCols(spark, table)
+    if (cols.isEmpty) return Nil
+    val (files, schemaOpt) = resolveSnapshot(spark, table, None)
+    val coveredBy = cols.map(c => c -> TxnBloom.covered(spark, table, c)).toMap
+    val missing = files.map(_._1).filter(rel =>
+      cols.exists(c => !coveredBy(c).contains(rel)))
+    if (missing.isEmpty) return Nil
+    val schema = schemaOpt.getOrElse(read(spark, table).schema)
+    TxnBloom.writeSidecars(spark, table, missing, cols, schema,
+      schemaOpt, lenient = true)
+    missing
+  }
+
   /** Point-lookup read: `column IN (values)` with FILE-level skipping
     * from BOTH metadata tiers — the log's [min,max] stats screen first
     * (free, already resolved), then the bloom sidecars rule out files
@@ -2403,7 +2423,8 @@ object TxnLog {
     * `retainMillis = 0` disables the age guard (tests, or a table the
     * caller KNOWS has no in-flight writers). */
   def vacuum(spark: SparkSession, table: String, retainVersions: Int,
-             retainMillis: Long = DefaultVacuumRetainMillis): Seq[String] = {
+             retainMillis: Long = DefaultVacuumRetainMillis,
+             dryRun: Boolean = false): Seq[String] = {
     val f = fs(spark, new Path(table))
     val versions = listVersions(f, table, "v")
     val retained = versions.takeRight(math.max(1, retainVersions))
@@ -2425,6 +2446,7 @@ object TxnLog {
           scala.util.Try(f.getFileStatus(new Path(table, p))
             .getModificationTime).toOption.forall(_ > cutoff))
     }
+    if (dryRun) return dead // report the candidates, touch nothing
     dead.foreach(p => scala.util.Try(f.delete(new Path(table, p), false)))
     // Bloom sidecars ride their data file's lifetime: once the data
     // file is physically gone (this pass or an earlier one), its

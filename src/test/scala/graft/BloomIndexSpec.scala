@@ -161,6 +161,35 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.readPrunedEq(spark, t, "id", Seq(3L)).count() === 1L)
   }
 
+  test("REINDEX BLOOM backfills pre-configuration files; VACUUM DRY RUN " +
+       "reports without deleting") {
+    import spark.implicits._
+    val t = freshTable("reindex")
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "name")
+    TxnLog.create(spark, t, df.filter(col("id") < 50).coalesce(1)) // uncovered
+    TxnLog.appendWithBloom(spark, t,
+      df.filter(col("id") >= 50).coalesce(1), Seq("id"))
+    assert(listSidecars(t).size === 1)
+    val reindexed = TxnLog.indexBloom(spark, t)
+    assert(reindexed.size === 1, s"one uncovered file expected: $reindexed")
+    assert(listSidecars(t).size === 2)
+    // Now EVERY file prunes: an absent value keeps zero files.
+    val all = TxnLog.snapshotFull(spark, t)
+    assert(graft.sources.TxnBloom
+      .filterByBloom(spark, t, "id", Seq(424242L), all).isEmpty)
+    // Idempotent: nothing left to index.
+    assert(TxnLog.indexBloom(spark, t) === Nil)
+    // DRY RUN: candidates reported, nothing touched.
+    TxnLog.compact(spark, t, targetFiles = 1)
+    val preview = TxnLog.vacuum(spark, t, retainVersions = 1,
+      retainMillis = 0L, dryRun = true)
+    assert(preview.size === 2)
+    assert(TxnLog.read(spark, t, Some(1L)).count() === 100L,
+      "dry run must not delete anything")
+    val real = TxnLog.vacuum(spark, t, retainVersions = 1, retainMillis = 0L)
+    assert(real.toSet.intersect(preview.toSet) === preview.toSet)
+  }
+
   test("readPrunedEq composes stats + bloom: stats screen range-disjoint " +
        "files before any sidecar opens") {
     import spark.implicits._
