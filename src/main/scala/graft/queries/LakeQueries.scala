@@ -537,6 +537,30 @@ object LakeQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // ADOPT: a pre-existing PLAIN parquet dataset becomes a txn table
+    // in place (zero data movement — the 100 TB migration story), then
+    // the full surface applies: an append lands as v1 and a stats-
+    // pruned range read serves from the adopted files' footer stats.
+    // The oracle recomposes from the source; zero-movement/mtime/
+    // refusal mechanics are TxnLogSpec's.
+    "q_txn_adopt" -> ((s, d) => {
+      val table = s"${scratch(s, d)}/adopted"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      docs.filter(col("doc_id") % 2 === 0).repartition(3).write.parquet(table)
+      TxnLog.adopt(s, table)
+      TxnLog.append(s, table, docs.filter(col("doc_id") % 2 === 1))
+      TxnLog.readPruned(s, table, "n_chars", 460L, Long.MaxValue)
+        .withColumn("via", lit("hi"))
+        .unionByName(TxnLog.read(s, table)
+          .filter(col("n_chars") < 460L).withColumn("via", lit("lo")))
+        .groupBy("via", "lang")
+        .agg(count(lit(1)).as("row_cnt"), sum("doc_id").as("sum_id"))
+        .orderBy("via", "lang")
+    }),
+
     // GENERATED column: added mid-history through SQL, so the table
     // carries all three populations the semantics define — rows from
     // BEFORE the addition (derived value null), rows written WITHOUT
@@ -703,6 +727,12 @@ object LakeQueries extends QueryModule {
     Seq(1L, 5L, 9L, 13L, 17L, 29L, 57L, 101L, 201L, 401L)
 
   def oracle: Map[String, String] = Map(
+    "q_txn_adopt" ->
+      """SELECT CASE WHEN n_chars >= 460 THEN 'hi' ELSE 'lo' END AS via,
+        |  lang, count(*) AS row_cnt, sum(doc_id)::BIGINT AS sum_id
+        | FROM documents GROUP BY 1, 2 ORDER BY via, lang"""
+        .stripMargin.replace("\n", ""),
+
     "q_txn_generated" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN -1
         |   ELSE n_chars // 100 END AS size_band,

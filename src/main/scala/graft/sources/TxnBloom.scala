@@ -204,7 +204,18 @@ object TxnBloom {
     val mByRel: Map[String, Long] =
       staged.map(rel => rel -> mBitsFor(footerRows(spark, table, rel))).toMap
     val absolute = staged.map(rel => new Path(table, rel).toString)
-    val relC = regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1)
+    // Table-relative path by QUALIFIED-prefix strip (the same contract
+    // as the DV mask keys): input_file_name() reports the Path-URI
+    // string form, and a fixed segment-count regex would mis-key
+    // adopted files living at the table ROOT (one segment) vs staged
+    // files (stage-x/part-y, two).
+    val pfx = fs(spark, new Path(table))
+      .makeQualified(new Path(table)).toUri.toString + "/"
+    val relC = when(input_file_name().startsWith(pfx),
+      input_file_name().substr(lit(pfx.length + 1), lit(1 << 20)))
+      .otherwise(raise_error(concat(
+        lit(s"bloom build: scan file outside table $table: "),
+        input_file_name())))
     val u = udaf(BloomOrAgg, Encoders.product[BloomIn])
     val rows = spark.read.parquet(absolute: _*)
       .select(relC.as("_gb_rel") +: resolved.map { case (c, p, dt) =>

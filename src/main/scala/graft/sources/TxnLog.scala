@@ -900,6 +900,52 @@ object TxnLog {
         (meta.retired :+ physicalName(field)).distinct, meta.constraints))
     })(_ => Some((Nil, Nil))), s"drop column in $table")
 
+  /** ADOPT a plain parquet directory as a transaction-log table IN
+    * PLACE — the `CONVERT TO DELTA` shape: version 0 references the
+    * existing files where they sit (zero data movement — the only
+    * migration that exists at 100 TB), records the directory's schema,
+    * and collects the default footer stats for every file, so
+    * skipping works from the first post-adoption read. After
+    * adoption the directory IS a txn table: appends, DML, time
+    * travel, maintenance all apply; the pre-adoption files behave
+    * exactly like any commit-0 files.
+    *
+    * Hive-partitioned layouts (`k=v` directories) refuse: the
+    * partition VALUES live in directory names, which the log's
+    * explicit-file reads do not re-derive — adopting one would
+    * silently drop the partition columns. Flatten (or read-write
+    * through create) first. */
+  def adopt(spark: SparkSession, table: String): CommitResult = {
+    val root = new Path(table)
+    val f = fs(spark, root)
+    require(f.exists(root), s"no such directory: $table")
+    require(!f.exists(logDir(table)), s"$table is already a txn table")
+    val rels = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prefix = f.makeQualified(root).toString + "/"
+    def walk(d: Path): Unit =
+      f.listStatus(d).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          require(!name.contains("="),
+            s"cannot adopt $table: hive-partitioned layout ($name) — " +
+              "partition values live in directory names the log's " +
+              "explicit-file reads do not re-derive")
+          walk(st.getPath)
+        } else if (name.endsWith(".parquet"))
+          rels += f.makeQualified(st.getPath).toString.stripPrefix(prefix)
+      }
+    walk(root)
+    require(rels.nonEmpty, s"no parquet files to adopt under $table")
+    val schema = spark.read.parquet(table).schema
+    f.mkdirs(logDir(table))
+    mustCommit(commitLoop(spark, table,
+      stats = stagedStats(spark, table, rels.toSeq,
+        defaultStatsCols(schema)),
+      schema = Some(SchemaCommit(stripMapping(schema)))) { v =>
+      if (v != 0) None else Some((rels.toSeq, Nil))
+    }, s"adopt $table")
+  }
+
   /** Record an explicit full schema as a data-less commit — the
     * internal form the catalog's ADD COLUMNS built on before
     * [[addColumns]]; preserves the retired-slot set. The caller owns

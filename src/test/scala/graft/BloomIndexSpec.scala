@@ -190,6 +190,25 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
     assert(real.toSet.intersect(preview.toSet) === preview.toSet)
   }
 
+  test("an ADOPTED table indexes root-level files correctly (rel-path " +
+       "derivation is prefix-based, not segment-count-based)") {
+    import spark.implicits._
+    val t = freshTable("adoptbloom")
+    (0L until 200L).map(i => (i, s"n$i")).toDF("id", "name")
+      .coalesce(2).write.parquet(t) // plain files AT THE TABLE ROOT
+    TxnLog.adopt(spark, t)
+    graft.sources.TxnBloom.writeConfig(spark, t, Seq("id"))
+    val reindexed = TxnLog.indexBloom(spark, t)
+    assert(reindexed.size === 2 && reindexed.forall(!_.contains("/")),
+      s"root-level rel paths expected: $reindexed")
+    val all = TxnLog.snapshotFull(spark, t)
+    assert(graft.sources.TxnBloom
+      .filterByBloom(spark, t, "id", Seq(999999L), all).isEmpty,
+      "the adopted files' sidecars must actually work")
+    assert(TxnLog.readPrunedEq(spark, t, "id", Seq(7L, 150L))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(7L, 150L))
+  }
+
   test("readPrunedEq composes stats + bloom: stats screen range-disjoint " +
        "files before any sidecar opens") {
     import spark.implicits._

@@ -821,6 +821,42 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.read(spark, t, Some(0L)).count() === 8)
   }
 
+  test("ADOPT converts a plain parquet directory in place: zero data " +
+       "movement, stats from the first read, full txn surface after") {
+    val t = freshTable("adopt")
+    docs.repartition(3).write.parquet(t) // a plain pre-existing dataset
+    val filesBefore = {
+      val p = new org.apache.hadoop.fs.Path(t)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).map(st => st.getPath.getName -> st.getModificationTime)
+        .filter(_._1.endsWith(".parquet")).toMap
+    }
+    TxnLog.adopt(spark, t)
+    // Zero movement: same files, untouched mtimes.
+    val p = new org.apache.hadoop.fs.Path(t)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val after = fsys.listStatus(p).map(st =>
+      st.getPath.getName -> st.getModificationTime)
+      .filter(_._1.endsWith(".parquet")).toMap
+    assert(after === filesBefore, "adoption must not touch data files")
+    assert(TxnLog.read(spark, t).count() === docs.count())
+    // Footer stats landed: a disjoint range prunes without scanning.
+    assert(TxnLog.readPruned(spark, t, "doc_id", 10L, 12L).count() ===
+      docs.filter(col("doc_id").between(10, 12)).count())
+    // The full surface applies post-adoption.
+    TxnLog.append(spark, t, docs.limit(3))
+    assert(TxnLog.read(spark, t).count() === docs.count() + 3)
+    assert(TxnLog.read(spark, t, Some(0L)).count() === docs.count())
+    TxnLog.delete(spark, t, col("doc_id") === 1L)
+    assert(TxnLog.read(spark, t).filter(col("doc_id") === 1L).count() === 0L)
+    // Double adoption and partitioned layouts refuse.
+    intercept[IllegalArgumentException] { TxnLog.adopt(spark, t) }
+    val part = freshTable("adoptpart")
+    docs.write.partitionBy("lang").parquet(part)
+    val e = intercept[IllegalArgumentException] { TxnLog.adopt(spark, part) }
+    assert(e.getMessage.contains("partition"))
+  }
+
   test("optimize-write (opt-in REBALANCE staging) collapses a wide " +
        "writer's small-file spray; rows and stats intact") {
     val t = freshTable("optwrite")
