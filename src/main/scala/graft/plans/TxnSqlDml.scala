@@ -379,6 +379,20 @@ case class GraftVacuumCommand(dir: String, retainVersions: Int,
   }
 }
 
+/** `CONVERT TO TXN '<path>'` — the SQL face of [[TxnLog.adopt]]:
+  * in-place adoption of a plain parquet directory; returns
+  * (version, added). */
+case class GraftConvertCommand(dir: String) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq("version", "added").map(n =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        n, org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = TxnLog.adopt(spark, dir)
+    Seq(Row(r.version, r.added.toLong))
+  }
+}
+
 /** `REINDEX BLOOM '<path>'` — the SQL face of [[TxnLog.indexBloom]]:
   * backfill sidecars for live files lacking coverage on any
   * configured column; returns the re-indexed paths. */
@@ -645,6 +659,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val reindexRe =
     """(?is)^\s*REINDEX\s+BLOOM\s+'([^']+)'\s*;?\s*$""".r
+  private val convertRe =
+    """(?is)^\s*CONVERT\s+TO\s+TXN\s+'([^']+)'\s*;?\s*$""".r
   private val optimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+)\s+FILES)?""" +
       """(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
@@ -672,6 +688,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           dryRun = dry != null))
       case reindexRe(path) =>
         Some(GraftReindexCommand(path))
+      case convertRe(path) =>
+        Some(GraftConvertCommand(path))
       case optimizeRe(path, n, cols) =>
         Some(GraftOptimizeCommand(path, Option(n).map(_.toInt),
           Option(cols).toSeq.flatMap(_.split(','))

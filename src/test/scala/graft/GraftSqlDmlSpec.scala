@@ -457,6 +457,19 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     } finally dml.conf.unset("spark.graft.vacuum.retainMillis")
   }
 
+  test("CONVERT TO TXN adopts a plain directory through SQL; the " +
+       "catalog then serves it like any txn table") {
+    import dml.implicits._
+    val dir = s"$root/ns/t_conv"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.parquet(dir)
+    val r = dml.sql(s"CONVERT TO TXN '$dir'").as[(Long, Long)].head()
+    assert(r._1 === 0L && r._2 >= 1L)
+    dml.sql("INSERT INTO lake.ns.t_conv VALUES (3, 'c')")
+    assert(content("t_conv") === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(dml.sql(s"SELECT count(*) FROM table_files('$dir')")
+      .head().getLong(0) >= 2L)
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION: source extras evolve the schema " +
        "inside the merge commit; old rows read null; clause forms refuse") {
     import dml.implicits._
