@@ -537,6 +537,35 @@ object LakeQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // NULL-existence skipping: a sparse optional column (null for
+    // English docs) banded so one commit's files are ALL-null and the
+    // other's dense — IS NOT NULL readers prune the all-null files,
+    // IS NULL audits prune the dense ones, both from the footer-
+    // sourced null counts in the log (no file opens). The oracle is
+    // the plain null-split; file-subset and sentinel mechanics are
+    // TxnStatsSpec's.
+    "q_txn_skip_null" -> ((s, d) => {
+      val table = s"${scratch(s, d)}/skipnull"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("optional", expr("nullif(lang, 'en')"))
+      TxnLog.create(s, table,
+        docs.filter(col("lang") === "en").repartition(2))
+      TxnLog.append(s, table,
+        docs.filter(col("lang") =!= "en").repartition(2))
+      TxnLog.readPrunedNull(s, table, "optional", isNull = false)
+        .withColumn("via", lit("notnull"))
+        .unionByName(TxnLog.readPrunedNull(s, table, "optional",
+          isNull = true).withColumn("via", lit("isnull")))
+        .groupBy("via")
+        .agg(count(lit(1)).as("row_cnt"), sum("doc_id").as("sum_id"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("via")
+    }),
+
     // ADOPT: a pre-existing PLAIN parquet dataset becomes a txn table
     // in place (zero data movement — the 100 TB migration story), then
     // the full surface applies: an append lands as v1 and a stats-
@@ -727,6 +756,13 @@ object LakeQueries extends QueryModule {
     Seq(1L, 5L, 9L, 13L, 17L, 29L, 57L, 101L, 201L, 401L)
 
   def oracle: Map[String, String] = Map(
+    "q_txn_skip_null" ->
+      """SELECT CASE WHEN lang = 'en' THEN 'isnull' ELSE 'notnull' END AS via,
+        |  count(*) AS row_cnt, sum(doc_id)::BIGINT AS sum_id,
+        |  sum(n_chars)::BIGINT AS sum_chars
+        | FROM documents GROUP BY 1 ORDER BY via"""
+        .stripMargin.replace("\n", ""),
+
     "q_txn_adopt" ->
       """SELECT CASE WHEN n_chars >= 460 THEN 'hi' ELSE 'lo' END AS via,
         |  lang, count(*) AS row_cnt, sum(doc_id)::BIGINT AS sum_id

@@ -60,8 +60,14 @@ object TxnLog {
     * prune over string stats (or vice versa) never prunes — mixed
     * logs stay sound. */
   final case class ColStats(min: Long, max: Long,
-                            minStr: String = null, maxStr: String = null) {
+                            minStr: String = null, maxStr: String = null,
+                            nulls: Long = -1L) {
     def isString: Boolean = minStr != null
+    /** All-null column in this file: encoded as the EMPTY long range
+      * (max < min) — every range/equality intersection test fails, so
+      * value pruning of such files is automatic AND sound (no non-null
+      * value exists; range/IN predicates never match null). */
+    def isAllNull: Boolean = !isString && max < min
   }
 
   /** Per-file statistics carried IN the commit entry (the Delta
@@ -116,7 +122,10 @@ object TxnLog {
               if (cs.isString)
                 JsonUtil.quote(cs.minStr) + "," + JsonUtil.quote(cs.maxStr)
               else cs.min + "," + cs.max
-            JsonUtil.quote(c) + ":[" + bounds + "]"
+            // Null count rides as an optional third element; absent =
+            // unknown (pre-nulls log entries parse identically).
+            val tail = if (cs.nulls >= 0) "," + cs.nulls else ""
+            JsonUtil.quote(c) + ":[" + bounds + tail + "]"
           }.mkString(",") + "}]"
       }.mkString(",") + "}"
     val dvJson =
@@ -219,9 +228,10 @@ object TxnLog {
   // One file's stats: "path":[count,{"col":[min,max],…}] — bounds are
   // bare longs (numeric-canonical columns) or quoted strings.
   private val FileStatsEntry = """"([^"]+)":\[(\d+),\{""".r
-  private val ColStatsEntry = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
+  private val ColStatsEntry =
+    """"([^"]+)":\[(-?\d+),(-?\d+)(?:,(-?\d+))?\]""".r
   private val StrStatsEntry =
-    """"([^"]+)":\["((?:[^"\\]|\\.)*)","((?:[^"\\]|\\.)*)"\]""".r
+    """"([^"]+)":\["((?:[^"\\]|\\.)*)","((?:[^"\\]|\\.)*)"(?:,(-?\d+))?\]""".r
 
   private def parseStats(body: String): Map[String, FileStats] = {
     val i = body.indexOf("\"stats\":{")
@@ -229,11 +239,13 @@ object TxnLog {
     val obj = balancedObject(body, i + 8)
     FileStatsEntry.findAllMatchIn(obj).map { m =>
       val colsObj = balancedObject(obj, m.end - 1)
+      def nl(g: String): Long = if (g == null) -1L else g.toLong
       val longs = ColStatsEntry.findAllMatchIn(colsObj).map(cm =>
-        cm.group(1) -> ColStats(cm.group(2).toLong, cm.group(3).toLong))
+        cm.group(1) -> ColStats(cm.group(2).toLong, cm.group(3).toLong,
+          nulls = nl(cm.group(4))))
       val strs = StrStatsEntry.findAllMatchIn(colsObj).map(cm =>
         cm.group(1) -> ColStats(0L, 0L, JsonUtil.unescape(cm.group(2)),
-          JsonUtil.unescape(cm.group(3))))
+          JsonUtil.unescape(cm.group(3)), nulls = nl(cm.group(4))))
       m.group(1) -> FileStats(m.group(2).toLong, (longs ++ strs).toMap)
     }.toMap
   }
@@ -1223,23 +1235,43 @@ object TxnLog {
         val rows = blocks.map(_.getRowCount).sum
         val cols = columns.flatMap { c =>
           val p = physOf(c).toLowerCase
-          val per = blocks.map(_.getColumns.asScala
-            .find(_.getPath.toDotString.toLowerCase == p)
-            .flatMap(chunkBounds))
-          if (per.isEmpty || per.exists(_.isEmpty)) None
+          val chunks = blocks.map(_.getColumns.asScala
+            .find(_.getPath.toDotString.toLowerCase == p))
+          if (chunks.isEmpty || chunks.exists(_.isEmpty)) None
           else {
-            val bs = per.map(_.get)
-            val longs = bs.collect { case Left(b) => b }
-            val strs = bs.collect { case Right(b) => b }
-            if (longs.size == bs.size)
-              Some(c -> ColStats(longs.map(_._1).min, longs.map(_._2).max))
-            else if (strs.size == bs.size)
-              Some(c -> ColStats(0L, 0L,
-                strs.map(_._1).reduce((a, b) =>
-                  if (utf8Compare(a, b) <= 0) a else b),
-                strs.map(_._2).reduce((a, b) =>
-                  if (utf8Compare(a, b) >= 0) a else b)))
-            else None // mixed kinds across row groups: cannot happen, stay sound
+            val ccs = chunks.map(_.get)
+            // Null count: footer-sourced like the bounds; -1 = unknown
+            // (any chunk without a set count poisons the file's).
+            val nullsPer = ccs.map { cc =>
+              val st = cc.getStatistics
+              if (st != null && st.isNumNullsSet) Some(st.getNumNulls)
+              else None
+            }
+            val nulls =
+              if (nullsPer.forall(_.isDefined)) nullsPer.flatten.sum else -1L
+            val per = ccs.map(chunkBounds)
+            if (per.forall(_.isDefined)) {
+              val bs = per.map(_.get)
+              val longs = bs.collect { case Left(b) => b }
+              val strs = bs.collect { case Right(b) => b }
+              if (longs.size == bs.size)
+                Some(c -> ColStats(longs.map(_._1).min, longs.map(_._2).max,
+                  nulls = nulls))
+              else if (strs.size == bs.size)
+                Some(c -> ColStats(0L, 0L,
+                  strs.map(_._1).reduce((a, b) =>
+                    if (utf8Compare(a, b) <= 0) a else b),
+                  strs.map(_._2).reduce((a, b) =>
+                    if (utf8Compare(a, b) >= 0) a else b), nulls = nulls))
+              else None // mixed kinds across row groups: stay sound
+            } else if (nulls == rows && rows > 0L)
+              // EVERY value in this file is null — bounds cannot exist.
+              // The EMPTY-range sentinel (max < min): all range/
+              // equality intersection tests fail, so value reads prune
+              // the file automatically (no non-null value can match),
+              // and IS-NULL-aware reads see nulls == count.
+              Some(c -> ColStats(Long.MaxValue, Long.MinValue, nulls = nulls))
+            else None
           }
         }.toMap
         rel -> FileStats(rows, cols)
@@ -1399,6 +1431,35 @@ object TxnLog {
           .map(_.dataType)
           .getOrElse(org.apache.spark.sql.types.LongType))
         .between(lo, hi))
+  }
+
+  /** NULL-EXISTENCE skipping from the footer-sourced null counts:
+    * `isNull = false` reads `column IS NOT NULL` pruning files whose
+    * every value is null (nulls == count); `isNull = true` reads
+    * `column IS NULL` pruning files with zero nulls. The sparse-column
+    * shape at 100 TB: an optional field that is 99% null makes
+    * IS NOT NULL readers touch the sliver of files that carry values
+    * — and IS NULL audits skip the dense majority. Files without a
+    * known null count always scan; the residual applies regardless. */
+  def readPrunedNull(spark: SparkSession, table: String, column: String,
+                     isNull: Boolean,
+                     version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (all, schema) = resolveSnapshot(spark, table, version)
+    val kept = all.filter { case (_, st) =>
+      st.stats.forall { fs =>
+        fs.cols.find(_._1.equalsIgnoreCase(column)).map(_._2).forall(cs =>
+          if (cs.nulls < 0) true // unknown: always scan
+          else if (isNull) cs.nulls > 0
+          else cs.nulls < fs.count)
+      }
+    }
+    if (kept.isEmpty)
+      read(spark, table, version).filter(org.apache.spark.sql.functions.lit(false))
+    else {
+      val df = readState(spark, table, kept, schema)
+      df.filter(if (isNull) col(column).isNull else col(column).isNotNull)
+    }
   }
 
   /** [[readPruned]] for STRING ranges: prunes on the string bounds the

@@ -34,9 +34,9 @@ class TxnStatsSpec extends AnyFunSuite with SparkSpec {
     val stats = TxnLog.snapshotFull(spark, t).flatMap(_._2.stats)
     assert(stats.nonEmpty, "create must record default stats")
     val cols = stats.head.cols
-    assert(cols("id") === TxnLog.ColStats(1L, 9L))
+    assert(cols("id") === TxnLog.ColStats(1L, 9L, nulls = 0L))
     assert(cols("s").isString && cols("s").minStr === "alpha" &&
-      cols("s").maxStr === "omega")
+      cols("s").maxStr === "omega" && cols("s").nulls === 0L)
     // date → days since epoch; timestamp → micros.
     assert(cols("d").min === java.time.LocalDate.parse("2020-01-02").toEpochDay)
     assert(cols("d").max === java.time.LocalDate.parse("2021-06-07").toEpochDay)
@@ -48,6 +48,36 @@ class TxnStatsSpec extends AnyFunSuite with SparkSpec {
     TxnLog.append(spark, t, df.coalesce(1))
     val replayed = TxnLog.snapshotFull(spark, t).flatMap(_._2.stats)
     assert(replayed.size === 2 && replayed.forall(_.cols("s").isString))
+  }
+
+  test("null-count stats: readPrunedNull prunes by null existence, the " +
+       "all-null sentinel auto-prunes value reads, and old entries " +
+       "without counts stay sound") {
+    import spark.implicits._
+    val t = freshTable("nulls")
+    // Three files: dense (no nulls), mixed, all-null on column v.
+    TxnLog.create(spark, t,
+      Seq((1L, Some(10L)), (2L, Some(20L))).toDF("id", "v").coalesce(1))
+    TxnLog.append(spark, t,
+      Seq((3L, Some(30L)), (4L, None: Option[Long])).toDF("id", "v").coalesce(1))
+    TxnLog.append(spark, t,
+      Seq((5L, None: Option[Long]), (6L, None: Option[Long]))
+        .toDF("id", "v").coalesce(1))
+    val stats = TxnLog.snapshotFull(spark, t).flatMap(_._2.stats)
+    assert(stats.map(_.cols("v").nulls).sorted === Seq(0L, 1L, 2L))
+    assert(stats.count(_.cols("v").isAllNull) === 1,
+      "the all-null file must carry the empty-range sentinel")
+    // IS NOT NULL: the all-null file prunes; answer matches the filter.
+    assert(TxnLog.readPrunedNull(spark, t, "v", isNull = false)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // IS NULL: the dense file prunes.
+    assert(TxnLog.readPrunedNull(spark, t, "v", isNull = true)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(4L, 5L, 6L))
+    // The sentinel auto-prunes VALUE reads of the all-null file.
+    assert(TxnLog.readPruned(spark, t, "v", 0L, Long.MaxValue)
+      .count() === 3L)
+    assert(TxnLog.readPrunedEq(spark, t, "v", Seq(10L, 30L))
+      .count() === 2L)
   }
 
   test("readPrunedString prunes files by UTF-8 bounds and matches the " +
