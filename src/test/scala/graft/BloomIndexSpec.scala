@@ -141,6 +141,44 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: across random corpora, present values are NEVER lost " +
+       "and the false-positive rate stays near design (seeded)") {
+    import spark.implicits._
+    for (seed <- Seq(11L, 23L)) {
+      val rnd = new scala.util.Random(seed)
+      val t = freshTable(s"prop$seed")
+      val n = 300 + rnd.nextInt(300)
+      // Random longs (sparse key space) and random unicode-ish strings.
+      val rows = (0 until n).map { i =>
+        (rnd.nextLong(1L << 40),
+          new String(Array.fill(2 + rnd.nextInt(10))(
+            (0x30 + rnd.nextInt(0x4000)).toChar)) + i)
+      }.distinct
+      TxnLog.createWithBloom(spark, t,
+        rows.toDF("k", "s").repartition(3), Seq("k", "s"))
+      val all = TxnLog.snapshotFull(spark, t)
+      // No false negatives: every present value keeps >= 1 file and
+      // readPrunedEq finds its row(s).
+      rnd.shuffle(rows).take(40).foreach { case (k, s) =>
+        assert(graft.sources.TxnBloom
+          .filterByBloom(spark, t, "k", Seq(k), all).nonEmpty, s"lost k=$k")
+        assert(graft.sources.TxnBloom
+          .filterByBloom(spark, t, "s", Seq(s), all).nonEmpty, s"lost s=$s")
+        assert(TxnLog.readPrunedEq(spark, t, "s", Seq(s)).count() >= 1L)
+      }
+      // False-positive rate: absent keys should keep ~0 of 3 files
+      // (design fpp ~0.8%/file at 10 bits/key; allow generous slack).
+      val absentProbes = 200
+      val keptFiles = (0 until absentProbes).map { _ =>
+        val absent = -1L - rnd.nextLong(1L << 40).abs
+        graft.sources.TxnBloom
+          .filterByBloom(spark, t, "k", Seq(absent), all).size
+      }.sum
+      assert(keptFiles <= absentProbes * 3 / 10,
+        s"fpp too high: $keptFiles file-hits over $absentProbes probes")
+    }
+  }
+
   test("vacuum sweeps sidecars of physically-deleted files, keeps live ones") {
     import spark.implicits._
     val t = freshTable("vac")
