@@ -141,6 +141,26 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("RESTORE and the bloom index compose: re-added files keep their " +
+       "working sidecars, and pruning serves the restored snapshot") {
+    import spark.implicits._
+    val t = freshTable("restore")
+    val df = (0L until 200L).map(i => (i, s"v$i")).toDF("id", "name")
+    TxnLog.createWithBloom(spark, t,
+      df.filter(col("id") % 2 === 0).coalesce(1), Seq("id"))
+    TxnLog.append(spark, t, df.filter(col("id") % 2 === 1).coalesce(1))
+    TxnLog.delete(spark, t, col("id") < 100L) // v2: rewrites survivors
+    TxnLog.restore(spark, t, 1L)              // v3: both originals back
+    // The restored files' sidecars (written at commit time) still
+    // serve: an absent probe prunes everything, a present one answers.
+    val all = TxnLog.snapshotFull(spark, t)
+    assert(graft.sources.TxnBloom
+      .filterByBloom(spark, t, "id", Seq(999999L), all).isEmpty)
+    assert(TxnLog.readPrunedEq(spark, t, "id", Seq(7L, 42L))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(7L, 42L))
+    assert(TxnLog.read(spark, t).count() === 200L)
+  }
+
   test("property: across random corpora, present values are NEVER lost " +
        "and the false-positive rate stays near design (seeded)") {
     import spark.implicits._

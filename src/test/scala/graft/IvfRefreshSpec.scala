@@ -112,6 +112,38 @@ class IvfRefreshSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset("spark.graft.ann.indexRoot")
   }
 
+  test("a chain deepens across MULTIPLE refreshes: three generations, " +
+       "one quantizer, exact coverage at every step") {
+    val d = "/root/testdata/sf0.001"
+    val root = freshDir("deepstore")
+    spark.conf.set("spark.graft.ann.indexRoot", root)
+    try {
+      val t = s"${freshDir("deepcorpus")}/tbl"
+      val emb = graft.sources.Tables.embeddings(spark, d)
+      TxnLog.create(spark, t, emb.filter(col("vec_id") % 3 === 0))
+      val (c0, m0) = graft.queries.VectorQueries
+        .ensureIvfIndexIncremental(spark, t, lloydIters = 1)
+      TxnLog.append(spark, t, emb.filter(col("vec_id") % 3 === 1))
+      val (c1, _) = graft.queries.VectorQueries
+        .ensureIvfIndexIncremental(spark, t, lloydIters = 1)
+      TxnLog.append(spark, t, emb.filter(col("vec_id") % 3 === 2))
+      val (c2, m2) = graft.queries.VectorQueries
+        .ensureIvfIndexIncremental(spark, t, lloydIters = 1)
+      assert(c0.postingsDirs.size === 1 && c1.postingsDirs.size === 2 &&
+        c2.postingsDirs.size === 3)
+      assert(c2.postingsDirs.take(2) === c1.postingsDirs,
+        "the deeper chain must extend, not rebuild, the shallower one")
+      assert(m0.orderBy("cid").collect().map(_.toString).toSeq ===
+        m2.orderBy("cid").collect().map(_.toString).toSeq,
+        "three generations, one pinned quantizer")
+      val ids = c2.postingsDirs
+        .map(p => spark.read.parquet(p).select("cand_id"))
+        .reduce(_ union _).collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === emb.select("vec_id").collect()
+        .map(_.getLong(0)).sorted.toSeq)
+    } finally spark.conf.unset("spark.graft.ann.indexRoot")
+  }
+
   test("the index follows a STREAMING ingest: sink-committed batches " +
        "refresh as one delta generation, full coverage") {
     val d = "/root/testdata/sf0.001"
