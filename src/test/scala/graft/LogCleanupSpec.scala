@@ -74,6 +74,40 @@ class LogCleanupSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.read(spark, t).count() === 13L)
   }
 
+  test("a stream resuming from a cleaned-away offset fails loudly " +
+       "(the log-retention-vs-stream-lag trade), a fresh stream works") {
+    import spark.implicits._
+    val t = freshTable("streamlag")
+    TxnLog.create(spark, t, Seq((0L, "r0")).toDF("id", "s"))
+    val ckpt = freshTable("streamlagckpt")
+    val dst = s"${freshTable("streamlagdst")}/tbl"
+    // Tail into a lake sink (checkpoint-recoverable), then fall far
+    // behind while commits + cleanup run.
+    def tail(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft-txn").load(t)
+        .writeStream.format("graft-txn")
+        .option("path", dst).option("streamId", "lag")
+        .option("checkpointLocation", ckpt).start()
+    val q0 = tail()
+    try q0.processAllAvailable() finally q0.stop()
+    (1L to 24L).foreach(i =>
+      TxnLog.append(spark, t, Seq((i, s"r$i")).toDF("id", "s")))
+    assert(TxnLog.cleanupLog(spark, t, retainVersions = 3).nonEmpty)
+    // The lagging stream's next offset was retired: loud failure.
+    val q1 = tail()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    // A FRESH stream (snapshot start) serves the full current state.
+    val q2 = spark.readStream.format("graft-txn").load(t)
+      .writeStream.format("memory").queryName("lag_fresh").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("lag_fresh").count() === 25L)
+    } finally q2.stop()
+  }
+
   test("no checkpoint at-or-below the retention floor: cleanup is a " +
        "no-op rather than breaking a retained replay") {
     import spark.implicits._

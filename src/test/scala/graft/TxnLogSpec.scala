@@ -857,6 +857,31 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("partition"))
   }
 
+  test("the full invariant stack composes on an ADOPTED table: " +
+       "constraint + generated column + bloom + restore in sequence") {
+    import spark.implicits._
+    val t = freshTable("adoptstack")
+    (0L until 100L).map(i => (i, i * 3L)).toDF("id", "n")
+      .coalesce(2).write.parquet(t)
+    TxnLog.adopt(spark, t)                                        // v0
+    TxnLog.addConstraint(spark, t, "pos", "n >= 0")               // v1
+    TxnLog.addGeneratedColumn(spark, t, "band", "n DIV 30")       // v2
+    graft.sources.TxnBloom.writeConfig(spark, t, Seq("id"))
+    TxnLog.indexBloom(spark, t)
+    TxnLog.append(spark, t, Seq((100L, 300L)).toDF("id", "n"))    // v3
+    assert(TxnLog.read(spark, t).filter(col("id") === 100L)
+      .select("band").head().getLong(0) === 10L)
+    intercept[Exception] {
+      TxnLog.append(spark, t, Seq((101L, -1L)).toDF("id", "n"))
+    }
+    assert(TxnLog.readPrunedEq(spark, t, "id", Seq(42L, 100L))
+      .count() === 2L)
+    TxnLog.restore(spark, t, 0L)                                  // v4
+    assert(TxnLog.read(spark, t).count() === 100L)
+    assert(TxnLog.read(spark, t).columns.toSeq === Seq("id", "n"),
+      "restore rolls the schema (and its metadata) back to v0")
+  }
+
   test("optimize-write (opt-in REBALANCE staging) collapses a wide " +
        "writer's small-file spray; rows and stats intact") {
     val t = freshTable("optwrite")
