@@ -284,14 +284,27 @@ object TxnSqlDml {
       * probed with a long literal becomes `cast(col AS bigint) = lit`);
       * the index hashes integral columns through a cast to LONG, so
       * the widened comparison and the sidecar agree. Any other cast
-      * (string↔numeric, date math) disqualifies the conjunct. */
+      * disqualifies the conjunct: a STRING column under a numeric cast
+      * (`cast(s AS BIGINT) = 42`, or the ANSI coercion of `s = 42`)
+      * compares on the numeric image while the sidecar holds STRING
+      * hashes — probing it would wrongly prune files holding '42' or
+      * '042' — and a NARROWING cast (`cast(longCol AS INT)`) changes
+      * values (or ANSI-errors) before the compare, so the raw column's
+      * sidecar proves nothing about it. */
+    private def intWidth(dt: org.apache.spark.sql.types.DataType): Int =
+      dt match {
+        case ByteType => 1; case ShortType => 2
+        case IntegerType => 4; case LongType => 8
+        case _ => 0 // StringType and everything else: not integral
+      }
     private def attrOf(e: Expression): Option[AttributeReference] = e match {
       case a: AttributeReference
           if a.dataType == StringType || a.dataType == ByteType ||
             a.dataType == ShortType || a.dataType == IntegerType ||
             a.dataType == LongType => Some(a)
-      case c: Cast if c.dataType == LongType || c.dataType == IntegerType =>
-        attrOf(c.child)
+      case c: Cast if intWidth(c.dataType) > 0 =>
+        attrOf(c.child).filter(a =>
+          intWidth(a.dataType) > 0 && intWidth(a.dataType) <= intWidth(c.dataType))
       case _ => None
     }
 
@@ -422,7 +435,8 @@ case class GraftOptimizeCommand(dir: String, targetFiles: Option[Int],
       val p = new org.apache.hadoop.fs.Path(dir)
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val bytes = TxnLog.snapshot(spark, dir)
-        .map(rel => f.getFileStatus(new org.apache.hadoop.fs.Path(dir, rel)).getLen)
+        .map(rel => scala.util.Try(f.getFileStatus(
+          new org.apache.hadoop.fs.Path(dir, rel)).getLen).getOrElse(0L))
         .sum
       math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
     }
@@ -526,12 +540,21 @@ case class GraftMergeCommand(dir: String, source: LogicalPlan,
         // as a raw unionByName analysis error deep inside the merge —
         // raise the documented contract message here instead
         // (round-11 advice).
+        // The guard holds WITH SCHEMA EVOLUTION too: evolution only
+        // admits source EXTRAS (new columns the table lacks). A source
+        // MISSING an existing table column under a star action would
+        // silently NULL that column on every matched row — Delta's
+        // MERGE WITH SCHEMA EVOLUTION preserves unassigned target
+        // columns, and silent data destruction is never the evolve
+        // upgrade a user asked for (round-13 advice, medium).
         val missing = schema.fields.map(_.name).filterNot(tc =>
           delta.columns.exists(_.equalsIgnoreCase(tc)))
-        if (missing.nonEmpty && !evolve) throw new IllegalArgumentException(
+        if (missing.nonEmpty) throw new IllegalArgumentException(
           s"MERGE … UPDATE SET * / INSERT * into $dir: the source must " +
             s"provide every table column; missing ${missing.mkString(", ")} " +
-            "(use column-listed WHEN clauses for a partial merge)")
+            "(use column-listed WHEN clauses for a partial merge" +
+            (if (evolve) "; WITH SCHEMA EVOLUTION only admits source EXTRAS)"
+             else ")"))
         delta.select(delta.columns.map { c =>
           schema.fields.find(_.name.equalsIgnoreCase(c)) match {
             case Some(f) =>

@@ -713,9 +713,15 @@ object TxnLog {
     // eroding it (the stats-inheritance principle applied to the
     // bloom tier). Lenient: frames lacking a configured column (DV
     // objects) just skip it.
+    // The POST-generation schema: a bloom-configured GENERATED column
+    // (a hash prefix, a derived day) is recomputed into the staged
+    // frame above but absent from the caller's df — sidecars must see
+    // it or every normal write erodes point-lookup coverage on exactly
+    // the derived-skipping-key case the two features compose for
+    // (round-13 advice, low).
     val bloomCols = TxnBloom.configuredCols(spark, table)
     if (bloomCols.nonEmpty)
-      TxnBloom.writeSidecars(spark, table, staged, bloomCols, df.schema,
+      TxnBloom.writeSidecars(spark, table, staged, bloomCols, gen.schema,
         mapping, lenient = true)
     staged
   }
@@ -1049,9 +1055,14 @@ object TxnLog {
 
   /** Add a GENERATED column: `name` is ALWAYS derived as `expression`
     * (over the other columns) — writers that omit it get it computed
-    * inside the staging write; writers that supply it are CHECKED
-    * row-by-row against the expression (a mismatch raises before the
-    * commit, like a constraint violation). The point at 100 TB: a
+    * inside the staging write; writers that SUPPLY it get their value
+    * silently RECOMPUTED (overwritten) by the expression — "GENERATED
+    * ALWAYS AS" means the column is never writer-owned, so a stale or
+    * bogus writer value can never land (q_txn_generated pins this).
+    * Asymmetry with constraints: [[overwrite]] re-baselines the schema
+    * to the new frame's, which DROPS generated definitions (the new
+    * shape is writer-owned by definition) while CHECK constraints
+    * survive as table invariants. The point at 100 TB: a
     * derived skipping key (the day of a timestamp, a hash prefix of a
     * url) recorded as a TABLE property is computed consistently by
     * every writer forever, so the default stats (and any bloom
@@ -1631,8 +1642,14 @@ object TxnLog {
           .getOption("spark.graft.autoCompact.maxFileBytes")
           .map(_.toLong).getOrElse(32L << 20)
         val f = fs(spark, new Path(table))
+        // Best-effort by intent: this probe runs AFTER the batch's
+        // commit published, so a file a concurrent vacuum/DML removed
+        // in the window must not crash the (already-committed) stream
+        // — a missing file simply isn't a compaction candidate
+        // (round-13 advice, low).
         val sizes = snapshot(spark, table)
-          .map(rel => f.getFileStatus(new Path(table, rel)).getLen)
+          .flatMap(rel => scala.util.Try(
+            f.getFileStatus(new Path(table, rel)).getLen).toOption)
           .filter(_ < maxBytes)
         if (sizes.size >= minFiles)
           scala.util.Try(compactSmall(spark, table, maxBytes,
@@ -2423,8 +2440,13 @@ object TxnLog {
     val base = latestVersion(spark, table)
     val (full, snapSchema) = resolveSnapshot(spark, table, Some(base))
     val f = fs(spark, new Path(table))
+    // A file a concurrent DML replaced (and vacuum already swept) in
+    // the window since the snapshot resolved is not a candidate — the
+    // commit loop's victim-identity check re-verifies anyway; probing
+    // it must not crash the maintenance pass (round-13 advice, low).
     val victims = full.filter { case (p, _) =>
-      f.getFileStatus(new Path(table, p)).getLen < maxFileBytes
+      scala.util.Try(f.getFileStatus(new Path(table, p)).getLen)
+        .toOption.exists(_ < maxFileBytes)
     }
     if (victims.size < 2) return None
     val staged = stage(spark, table,
@@ -2467,7 +2489,11 @@ object TxnLog {
     val bloomCols = TxnBloom.configuredCols(spark, table)
     val rows = snapshotFull(spark, table, version).map { case (rel, st) =>
       (rel,
-        f.getFileStatus(new Path(table, rel)).getLen,
+        // -1 = physically missing (vacuumed under a time-travel
+        // version, or swept in the listing window) — inventory rows
+        // must report, not crash (round-13 advice, low).
+        scala.util.Try(f.getFileStatus(new Path(table, rel)).getLen)
+          .getOrElse(-1L),
         st.stats.map(_.count).getOrElse(-1L),
         st.stats.map(_.cols.size.toLong).getOrElse(0L),
         st.dv.orNull,

@@ -512,6 +512,53 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("ALTER TABLE ADD COLUMNS"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION refuses a source MISSING an existing " +
+       "table column (evolution admits EXTRAS only — no silent nulling)") {
+    import dml.implicits._
+    freshTable("t_mevomiss", Seq((1L, "a"), (2L, "b")))
+    val e = intercept[IllegalArgumentException] {
+      dml.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO lake.ns.t_mevomiss t
+          |USING (SELECT 2L AS id, 5L AS extra) src
+          |ON t.id = src.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("missing s") &&
+      e.getMessage.contains("EXTRAS"))
+    // Nothing landed: the guard fired before any commit.
+    assert(content("t_mevomiss") === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("bloom scan rule never probes through a STRING→numeric cast: " +
+       "CAST(s AS BIGINT) = n scans (numeric-image compare, string-hash " +
+       "sidecar) instead of wrongly pruning") {
+    import dml.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = s"$root/ns/t_bloomcast"
+    // All-numeric-text keys so the ANSI cast evaluates cleanly;
+    // '007' = BIGINT 7 under the cast, but xxhash64('007') is not
+    // xxhash64(7L) — a cast-blind probe would prune the file.
+    val df = (0L until 40L).map(i => (f"$i%03d", i)).toDF("sid", "v")
+    TxnLog.createWithBloom(dml, dir,
+      df.filter(col("v") % 2 === 0).coalesce(1), Seq("sid"))
+    TxnLog.appendWithBloom(dml, dir,
+      df.filter(col("v") % 2 === 1).coalesce(1), Seq("sid"))
+    val q = dml.sql(
+      "SELECT sid, v FROM lake.ns.t_bloomcast WHERE CAST(sid AS BIGINT) = 7")
+    assert(q.as[(String, Long)].collect().toSeq === Seq(("007", 7L)),
+      "the numeric-cast probe must scan, not prune the row away")
+    // The direct string probe still prunes to one file.
+    val q2 = dml.sql("SELECT sid, v FROM lake.ns.t_bloomcast WHERE sid = '007'")
+    assert(q2.as[(String, Long)].collect().toSeq === Seq(("007", 7L)))
+    val scanned = q2.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }
+    assert(scanned.nonEmpty && scanned.sum === 1,
+      s"string-literal probe should keep one file, scanned: $scanned")
+  }
+
   test("SQL point-lookup over a bloom-indexed table file-prunes at " +
        "plan time; un-indexed predicates keep the native scan") {
     import dml.implicits._
