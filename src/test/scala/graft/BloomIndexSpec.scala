@@ -267,6 +267,95 @@ class BloomIndexSpec extends AnyFunSuite with SparkSpec {
       .orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(7L, 150L))
   }
 
+  test("sidecars consolidate per commit: a multi-file staged batch " +
+       "publishes ONE segment per column, not one file per data file") {
+    import spark.implicits._
+    val t = freshTable("seg")
+    val df = (0L until 400L).map(i => (i, s"n$i")).toDF("id", "name")
+    TxnLog.createWithBloom(spark, t, df.repartition(8), Seq("id", "name"))
+    assert(TxnLog.snapshotFull(spark, t).size === 8)
+    val sidecars = listSidecars(t)
+    assert(sidecars.size === 2,
+      s"8 data files x 2 columns must yield 2 segments, got: $sidecars")
+    assert(sidecars.forall(_.endsWith(".gbs")))
+    // Every staged file is covered through its segment's index.
+    assert(graft.sources.TxnBloom.covered(spark, t, "id").size === 8)
+    // And the probe prunes: an absent value keeps zero of 8 files.
+    val all = TxnLog.snapshotFull(spark, t)
+    assert(graft.sources.TxnBloom
+      .filterByBloom(spark, t, "id", Seq(999999L), all).isEmpty)
+    assert(TxnLog.readPrunedEq(spark, t, "id", Seq(7L)).count() === 1L)
+  }
+
+  test("probe parity: the distributed probe (zero local-open budget) " +
+       "keeps EXACTLY the files the driver-serial probe keeps") {
+    val t = residueTable("parity", 4)
+    val all = TxnLog.snapshotFull(spark, t)
+    val probes: Seq[Seq[Any]] = Seq(Seq(1L), Seq(2L, 7L), Seq(999999L),
+      Seq("name-3", "name-42"), Seq(0L, 1L, 2L, 3L))
+    probes.foreach { vs =>
+      val col = if (vs.head.isInstanceOf[String]) "name" else "id"
+      // COLD distributed run first (budget 0 forces the Spark job),
+      // then a COLD driver-serial run — caches cleared between, so
+      // both paths actually exercise their I/O.
+      graft.sources.TxnBloom.clearProbeCaches()
+      spark.conf.set("spark.graft.bloom.probe.localOpens", "0")
+      val dist =
+        try graft.sources.TxnBloom
+          .filterByBloom(spark, t, col, vs, all).map(_._1).toSet
+        finally spark.conf.unset("spark.graft.bloom.probe.localOpens")
+      graft.sources.TxnBloom.clearProbeCaches()
+      val local = graft.sources.TxnBloom
+        .filterByBloom(spark, t, col, vs, all).map(_._1).toSet
+      assert(dist === local, s"probe $vs: distributed=$dist local=$local")
+    }
+  }
+
+  test("a partially-dead segment survives vacuum whole; a fully-dead " +
+       "segment is swept") {
+    import spark.implicits._
+    val t = freshTable("segvac")
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "name")
+    // One two-file commit -> one segment covering both files.
+    TxnLog.createWithBloom(spark, t, df.repartition(2), Seq("id"))
+    assert(listSidecars(t).size === 1)
+    // Compact to 1 file: both originals leave the live set; vacuum
+    // deletes them physically -> the segment is fully dead and sweeps,
+    // while the rewrite's own segment stays.
+    TxnLog.compact(spark, t, targetFiles = 1)
+    assert(listSidecars(t).size === 2)
+    val deleted = TxnLog.vacuum(spark, t, retainVersions = 1, retainMillis = 0L)
+    assert(deleted.count(_.startsWith("_bloom/")) === 1,
+      s"exactly the fully-dead segment sweeps, got: $deleted")
+    assert(listSidecars(t).size === 1)
+    assert(TxnLog.readPrunedEq(spark, t, "id", Seq(7L)).count() === 1L)
+  }
+
+  test("corrupt or foreign files under _bloom never prune and never " +
+       "crash (false-positive-only even against garbage metadata)") {
+    import spark.implicits._
+    val t = residueTable("garbage", 4)
+    val p = new org.apache.hadoop.fs.Path(t, "_bloom/id")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // A truncated legacy sidecar claiming to cover a live file, plus a
+    // garbage segment: neither may produce a verdict.
+    val rel = TxnLog.snapshot(spark, t).head
+    val enc = rel.replace("%", "%25").replace("/", "%2F")
+    for (name <- Seq(s"$enc.bloom", "seg-garbage.gbs")) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(p, name), true)
+      try out.write(Array.fill[Byte](40)(0x5A)) finally out.close()
+    }
+    val all = TxnLog.snapshotFull(spark, t)
+    // Every present id still found (the garbage-covered file stays).
+    assert(TxnLog.readPrunedEq(spark, t, "id", Seq(0L, 1L, 2L, 3L))
+      .count() === 4L)
+    // Distributed path tolerates the garbage too.
+    spark.conf.set("spark.graft.bloom.probe.localOpens", "0")
+    try assert(graft.sources.TxnBloom
+      .filterByBloom(spark, t, "id", Seq(1L), all).nonEmpty)
+    finally spark.conf.unset("spark.graft.bloom.probe.localOpens")
+  }
+
   test("readPrunedEq composes stats + bloom: stats screen range-disjoint " +
        "files before any sidecar opens") {
     import spark.implicits._
