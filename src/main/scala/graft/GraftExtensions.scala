@@ -74,12 +74,28 @@ object GraftExtensions {
   private[graft] val tableFunctionBuilders: Seq[(String,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
     ("table_changes", { children =>
-      val u = "usage: table_changes('/path/to/txn/table', fromVersion, toVersion)"
+      val u = "usage: table_changes('/path/to/txn/table', fromVersion|" +
+        "'fromTimestamp', toVersion|'toTimestamp')"
       require(children.length == 3, u)
       val spark = org.apache.spark.sql.SparkSession.active
+      val table = literalString(children(0), u)
+      // A version bound may be a commit number or a timestamp string —
+      // the latter resolves through the SAME commit-mtime rule as the
+      // catalog's TIMESTAMP AS OF, so `table_changes(p, t1, t2)` is
+      // exactly the diff of the snapshots you'd read at t1 and t2.
+      def bound(e: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+        require(e.foldable, u)
+        e.eval() match {
+          case n: java.lang.Number => n.longValue()
+          case s: org.apache.spark.unsafe.types.UTF8String =>
+            graft.sources.TxnLog.versionAtTimestamp(spark, table,
+              graft.sources.TxnLog.parseTsMicros(s.toString))
+          case bad => throw new IllegalArgumentException(s"$u; got $bad")
+        }
+      }
       org.apache.spark.sql.graftbridge.Bridge.planOf(
-        graft.sources.TxnLog.changes(spark, literalString(children(0), u),
-          literalLong(children(1), u), literalLong(children(2), u)))
+        graft.sources.TxnLog.changes(spark, table,
+          bound(children(1)), bound(children(2))))
     }),
     ("table_history", { children =>
       val u = "usage: table_history('/path/to/txn/table')"

@@ -537,6 +537,46 @@ object LakeQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // Catalog-NAME-addressed maintenance: the same lifecycle as
+    // q_txn_sql_optimize but every verb — ADD CONSTRAINT, OPTIMIZE,
+    // RESTORE, VACUUM — addresses the table as `<catalog>.<ns>.<tbl>`
+    // (the form real SQL users write; the parser resolves the
+    // identifier through the registered GraftCatalog to the txn dir).
+    // The post-maintenance table must still be exactly the source
+    // rows; name-resolution mechanics and failure modes are
+    // GraftSqlDmlSpec's.
+    "q_txn_sql_named" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/named/sqlnamed"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      s.conf.set("spark.sql.catalog.lakeq", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.lakeq.root", base)
+      s.conf.set("spark.sql.catalog.lakeq.writable", "true")
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table,
+        docs.filter(col("doc_id") % 3 === 0).repartition(4))         // v0
+      TxnLog.append(s, table,
+        docs.filter(col("doc_id") % 3 === 1).repartition(4))         // v1
+      TxnLog.append(s, table,
+        docs.filter(col("doc_id") % 3 === 2).repartition(4))         // v2
+      s.sql("ALTER TABLE lakeq.named.sqlnamed ADD CONSTRAINT " +
+        "chars_nonneg CHECK (n_chars >= 0)")                         // v3
+      s.sql("OPTIMIZE lakeq.named.sqlnamed TARGET 2 FILES " +
+        "CLUSTER BY (lang, doc_id)").collect()                       // v4
+      s.sql("RESTORE lakeq.named.sqlnamed VERSION AS OF 2").collect() // v5
+      s.conf.set("spark.graft.vacuum.retainMillis", "0")
+      try s.sql("VACUUM lakeq.named.sqlnamed").collect()
+      finally s.conf.unset("spark.graft.vacuum.retainMillis")
+      TxnLog.read(s, table)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
+
     // NULL-existence skipping: a sparse optional column (null for
     // English docs) banded so one commit's files are ALL-null and the
     // other's dense — IS NOT NULL readers prune the all-null files,
@@ -732,6 +772,39 @@ object LakeQueries extends QueryModule {
                | ORDER BY doc_id""".stripMargin)
     }),
 
+    // The SEMI-JOIN face of the bloom point lookup: the probe list is
+    // an IN-SUBQUERY over a small dim (the deleted-ids / sampled-docs
+    // lookup shape) instead of literals. The scan rule evaluates the
+    // capped subquery once at plan time and file-prunes through the
+    // same two metadata tiers; the original InSubquery filter stays on
+    // top, so the answer is the plain semi-join's by construction —
+    // which is exactly what the oracle checks. Plan-shape (file
+    // subset, dim-too-big bailout) is GraftSqlDmlSpec's.
+    "q_txn_bloom_semijoin" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/blsj/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+      TxnLog.createWithBloom(s, table,
+        docs.filter(pmod(col("doc_id"), lit(4)) === 0).repartition(2),
+        Seq("doc_id"))
+      (1 to 3).foreach { r =>
+        TxnLog.appendWithBloom(s, table,
+          docs.filter(pmod(col("doc_id"), lit(4)) === r).repartition(2),
+          Seq("doc_id"))
+      }
+      s.conf.set("spark.sql.catalog.gbsj",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gbsj.root", base)
+      s.sql(s"""SELECT doc_id, lang, source, n_chars FROM gbsj.blsj.docs
+               | WHERE doc_id IN (SELECT doc_id
+               |   FROM parquet.`$d/documents.parquet`
+               |   WHERE doc_id % 499 = 0)
+               | ORDER BY doc_id""".stripMargin)
+    }),
+
     // Stats-driven data skipping: write the table partitioned by
     // source, ANALYZE n_chars into the _stats sidecar, then answer a
     // high-end range query through the sidecar — partitions whose
@@ -792,6 +865,11 @@ object LakeQueries extends QueryModule {
         |  sum(doc_id)::BIGINT AS sum_id
         | FROM documents GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
 
+    "q_txn_sql_named" ->
+      """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM documents GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
     "q_txn_bloom_skip" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          | WHERE doc_id IN (${bloomProbeIds.mkString(",")})
@@ -801,6 +879,11 @@ object LakeQueries extends QueryModule {
       s"""SELECT doc_id, lang, source, n_chars FROM documents
          | WHERE doc_id IN (${bloomProbeIds.mkString(",")})
          | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    "q_txn_bloom_semijoin" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        | WHERE doc_id IN (SELECT doc_id FROM documents WHERE doc_id % 499 = 0)
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
 
     "q_compact_files" ->
       """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,

@@ -170,19 +170,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     if (!isTxnTable(ident)) throw new UnsupportedOperationException(
       s"$ident is not a transaction-log table; TIMESTAMP AS OF needs a _log")
-    val logP = new Path(txnPath(ident), "_log")
-    val f = fs(logP)
-    val cutoffMs = timestampMicros / 1000L
-    val versions = f.listStatus(logP).toSeq
-      .filter(st => st.getPath.getName.startsWith("v"))
-      .filter(_.getModificationTime <= cutoffMs)
-      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong)
-    // A too-early timestamp is NOT "table not found" — the table
-    // exists; the request predates its first commit. Say so.
-    if (versions.isEmpty) throw new IllegalArgumentException(
-      s"TIMESTAMP AS OF on $ident: the timestamp is before the table's " +
-        "earliest available commit — nothing to travel to")
-    txnTable(ident, Some(versions.max))
+    txnTable(ident, Some(TxnLog.versionAtTimestamp(
+      SparkSession.active, txnPath(ident).toString, timestampMicros)))
   }
 
   /** Resolve through the log and hand back the [[TxnTable]] face:

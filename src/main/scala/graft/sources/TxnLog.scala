@@ -2329,6 +2329,48 @@ object TxnLog {
     * table; EXCEPT ALL over that churn then nets out rows a compaction
     * merely moved between files. Bag semantics throughout: k extra
     * copies of a row diff as k inserts. */
+  /** The newest commit version whose version file landed at-or-before
+    * `cutoffMicros` (epoch micros) — commit mtime IS the commit time,
+    * the same contract the catalog's `TIMESTAMP AS OF` uses; this is
+    * the shared resolver behind it, `RESTORE … TIMESTAMP AS OF`, and
+    * the timestamp-addressed `table_changes` TVF, so every
+    * timestamp-addressed verb answers with the same snapshot. */
+  def versionAtTimestamp(spark: SparkSession, table: String,
+                         cutoffMicros: Long): Long = {
+    val f = fs(spark, logDir(table))
+    val cutoffMs = cutoffMicros / 1000L
+    val versions = f.listStatus(logDir(table)).toSeq
+      .filter(st => st.getPath.getName.startsWith("v"))
+      .filter(_.getModificationTime <= cutoffMs)
+      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".json").toLong)
+    // A too-early timestamp is NOT "table not found" — the table
+    // exists; the request predates its first commit. Say so.
+    if (versions.isEmpty) throw new IllegalArgumentException(
+      s"TIMESTAMP AS OF on $table: the timestamp is before the table's " +
+        "earliest available commit — nothing to travel to")
+    versions.max
+  }
+
+  /** Parse a SQL timestamp string (`yyyy-MM-dd[ HH:mm:ss[.f…]]`) to
+    * epoch micros under the engine's UTC session convention. */
+  private[graft] def parseTsMicros(s: String): Long = {
+    val t = s.trim
+    val ldt =
+      try java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.time.LocalDate.parse(t).atStartOfDay()
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"cannot parse timestamp '$s' (expected " +
+                  "yyyy-MM-dd[ HH:mm:ss[.ffffff]], UTC)")
+          }
+      }
+    val i = ldt.toInstant(java.time.ZoneOffset.UTC)
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
   def changes(spark: SparkSession, table: String,
               fromVersion: Long, toVersion: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit

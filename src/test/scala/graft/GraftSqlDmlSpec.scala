@@ -591,6 +591,123 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
       .count() === 0L)
   }
 
+  test("maintenance statements address tables by CATALOG NAME: every " +
+       "verb resolves lake.ns.t through the catalog to the txn dir") {
+    import dml.implicits._
+    val dir = freshTable("t_named", (0L to 19L).map(i => (i, s"r$i")))
+    dml.sql("INSERT INTO lake.ns.t_named VALUES (20, 'x')")
+    // ALTER forms by name.
+    dml.sql("ALTER TABLE lake.ns.t_named ADD CONSTRAINT nonneg CHECK (id >= 0)")
+    assert(TxnLog.constraints(dml, dir).contains("nonneg"))
+    dml.sql("ALTER TABLE lake.ns.t_named ADD GENERATED COLUMN id2 AS (id * 2)")
+    // Pre-addition rows read null; a NEW write derives it (the bogus
+    // writer value is recomputed — GENERATED ALWAYS AS semantics).
+    dml.sql("INSERT INTO lake.ns.t_named VALUES (21, 'y', -999)")
+    assert(dml.sql("SELECT id2 FROM lake.ns.t_named WHERE id = 21")
+      .head().getLong(0) === 42L)
+    dml.sql("ALTER TABLE lake.ns.t_named DROP CONSTRAINT nonneg")
+    assert(!TxnLog.constraints(dml, dir).contains("nonneg"))
+    // OPTIMIZE / REINDEX BLOOM / RESTORE / VACUUM by name.
+    graft.sources.TxnBloom.writeConfig(dml, dir, Seq("id"))
+    assert(dml.sql("REINDEX BLOOM lake.ns.t_named").count() >= 1L)
+    dml.sql("OPTIMIZE lake.ns.t_named TARGET 1 FILES").collect()
+    dml.sql("RESTORE lake.ns.t_named VERSION AS OF 0").collect()
+    assert(content("t_named").map(_._1) === (0L to 19L).toSet)
+    dml.conf.set("spark.graft.vacuum.retainMillis", "0")
+    try assert(dml.sql("VACUUM lake.ns.t_named").count() >= 1L)
+    finally dml.conf.unset("spark.graft.vacuum.retainMillis")
+    assert(content("t_named").map(_._1) === (0L to 19L).toSet)
+    // A graft verb on an unresolvable bare name fails with the remedy.
+    val e = intercept[Exception] { dml.sql("VACUUM lake.ns.no_such_table") }
+    assert(e.getMessage.contains("does not resolve"))
+    // An ALTER CONSTRAINT on a non-graft name falls through to the
+    // session grammar (Spark owns ALTERs on other catalogs) — the
+    // error is Spark's, not the graft remedy message.
+    val e2 = intercept[Exception] {
+      dml.sql("ALTER TABLE spark_catalog.default.nope ADD CONSTRAINT c CHECK (1 = 1)")
+    }
+    assert(!e2.getMessage.contains("does not resolve"))
+  }
+
+  test("TIMESTAMP AS OF addresses RESTORE and table_changes through " +
+       "commit mtimes (same resolver as the catalog's time travel)") {
+    import dml.implicits._
+    val dir = freshTable("t_ts", Seq((1L, "a"), (2L, "b")))        // v0
+    Thread.sleep(30) // commit-mtime resolution: keep versions apart
+    dml.sql("INSERT INTO lake.ns.t_ts VALUES (3, 'c')")            // v1
+    Thread.sleep(30)
+    dml.sql("DELETE FROM lake.ns.t_ts WHERE id = 1")               // v2
+    val logDir = new org.apache.hadoop.fs.Path(dir, "_log")
+    val fs = logDir.getFileSystem(dml.sparkContext.hadoopConfiguration)
+    def tsOf(v: Long): String = {
+      val ms = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(logDir, f"v$v%08d.json")).getModificationTime
+      java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    }
+    // Changes between the v1 and v2 SNAPSHOT TIMES = the delete diff.
+    val changed = dml.sql(
+      s"SELECT _change, id FROM table_changes('$dir', '${tsOf(1L)}', '${tsOf(2L)}')")
+      .as[(String, Long)].collect().toSet
+    assert(changed === Set(("delete", 1L)))
+    // RESTORE to the v1 time brings row 1 back.
+    dml.sql(s"RESTORE lake.ns.t_ts TIMESTAMP AS OF '${tsOf(1L)}'").collect()
+    assert(content("t_ts") === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // A pre-creation timestamp refuses loudly.
+    val e = intercept[Exception] {
+      dml.sql(s"RESTORE lake.ns.t_ts TIMESTAMP AS OF '1999-01-01'").collect()
+    }
+    assert(e.getMessage.contains("earliest available commit"))
+  }
+
+  test("bloom scan rule prunes through an IN-SUBQUERY over a small dim; " +
+       "an over-cap dim bails out to the native plan") {
+    import dml.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = s"$root/ns/t_bloomsq"
+    val df = (0L until 400L).map(i => (i, s"n$i")).toDF("id", "s")
+    TxnLog.createWithBloom(dml, dir,
+      df.filter(col("id") % 4 === 0).coalesce(1), Seq("id"))
+    (1 to 3).foreach(r => TxnLog.appendWithBloom(dml, dir,
+      df.filter(col("id") % 4 === r).coalesce(1), Seq("id")))
+    // Residue-banded files: only the bloom can prune; ids ≡ 1 (mod 4)
+    // live in ONE file. The dim arrives as a subquery, not literals.
+    val q = dml.sql(
+      """SELECT id, s FROM lake.ns.t_bloomsq
+        |WHERE id IN (SELECT col1 FROM VALUES (1L), (5L), (9L))""".stripMargin)
+    assert(q.as[(Long, String)].collect().toSet ===
+      Set((1L, "n1"), (5L, "n5"), (9L, "n9")))
+    // The semi-join plan runs under AQE — walk adaptive/stage wrappers
+    // to reach the file scans.
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Int] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(st.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(s.relation.location.inputFiles.length)
+      case other =>
+        (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val scanned = scans(q.queryExecution.executedPlan)
+    assert(scanned.nonEmpty && scanned.sum < 4,
+      s"IN-subquery must file-prune like the literal form, scanned: $scanned")
+    // Cap exceeded (or disabled): the native DSv2 plan stays untouched
+    // and the answer is identical.
+    dml.conf.set("spark.graft.bloom.probe.inSubqueryMaxRows", "0")
+    try {
+      val q2 = dml.sql(
+        """SELECT id, s FROM lake.ns.t_bloomsq
+          |WHERE id IN (SELECT col1 FROM VALUES (1L), (5L), (9L))""".stripMargin)
+      assert(q2.as[(Long, String)].collect().toSet ===
+        Set((1L, "n1"), (5L, "n5"), (9L, "n9")))
+      assert(scans(q2.queryExecution.executedPlan).isEmpty,
+        "disabled subquery probing must keep the native scan")
+    } finally dml.conf.unset("spark.graft.bloom.probe.inSubqueryMaxRows")
+  }
+
   test("RESTORE a merge-on-read UPDATE away and back: the DV binding " +
        "reverts and re-applies with the snapshot") {
     import dml.implicits._

@@ -19,8 +19,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
   private def sessionFor(name: String) =
     if (Set("q_txn_sql_dml", "q_txn_column_map", "q_txn_changes_sql",
         "q_txn_sql_decon", "q_txn_sql_merge_clauses",
-        "q_txn_sql_optimize", "q_txn_restore", "q_txn_constraint",
-        "q_txn_bloom_sql", "q_txn_generated")(name))
+        "q_txn_sql_optimize", "q_txn_sql_named", "q_txn_restore",
+        "q_txn_constraint", "q_txn_bloom_sql", "q_txn_bloom_semijoin",
+        "q_txn_generated")(name))
       GraftSqlDmlSpec.session
     else spark
 
