@@ -37,14 +37,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // TxnSqlDml for why the analyzer's row-level path can't be joined
     // from an extension) …
     ext.injectParser((_, parser) => new graft.plans.GraftSqlParser(parser))
-    // … and SQL SCANS of deletion-vector-carrying tables rewrite to
-    // the masked plan during resolution.
-    ext.injectResolutionRule(session =>
-      graft.plans.TxnSqlDml.MaskedReadRule(session))
-    // SQL point-lookups over bloom-indexed txn tables file-prune
-    // through the sidecar index at plan time.
+    // SQL point-lookups over bloom-indexed (or partitioned) txn
+    // tables file-prune through the metadata tiers at plan time —
+    // injected BEFORE the masked-read rule so a Filter-over-relation
+    // gets the pruned rewrite first (its readState plan applies DV
+    // masks and partition attachment too); relations the prune rule
+    // leaves alone still get the masked rewrite below in the same
+    // resolution iteration.
     ext.injectResolutionRule(session =>
       graft.plans.TxnSqlDml.BloomScanRule(session))
+    // … and SQL SCANS of deletion-vector-carrying, column-mapped, or
+    // partitioned tables rewrite to the readState plan during
+    // resolution.
+    ext.injectResolutionRule(session =>
+      graft.plans.TxnSqlDml.MaskedReadRule(session))
   }
 }
 

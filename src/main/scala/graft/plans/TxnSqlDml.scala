@@ -238,7 +238,8 @@ object TxnSqlDml {
         // silently return all-null for every renamed column).
         case r: DataSourceV2Relation if r.table.isInstanceOf[TxnTable] &&
             (r.table.asInstanceOf[TxnTable].hasDvs ||
-              r.table.asInstanceOf[TxnTable].hasColumnMapping) &&
+              r.table.asInstanceOf[TxnTable].hasColumnMapping ||
+              r.table.asInstanceOf[TxnTable].isPartitioned) &&
             !writeTargets.contains(r) =>
           val t = r.table.asInstanceOf[TxnTable]
           val masked = TxnLog.readState(spark, t.dir, t.files, Some(t.schema))
@@ -383,8 +384,13 @@ object TxnSqlDml {
                 .table.isInstanceOf[TxnTable] =>
           val r = underAliases(child).asInstanceOf[DataSourceV2Relation]
           val t = r.table.asInstanceOf[TxnTable]
+          // Eligible probes: a bloom-indexed column, or a PARTITION
+          // column (tier-0 pruning needs no index — the values ride
+          // the file paths pruneFilesEq already consults).
           probe(cond).filter { case (c, _) =>
-            graft.sources.TxnBloom.hasIndex(spark, t.dir, c)
+            TxnLog.partitionFields(t.schema)
+              .exists(_.name.equalsIgnoreCase(c)) ||
+              graft.sources.TxnBloom.hasIndex(spark, t.dir, c)
           }.flatMap { case (c, values) =>
             val kept = TxnLog.pruneFilesEq(spark, t.dir, c, values, t.files)
             if (kept.size >= t.files.size) None // nothing pruned: keep plan

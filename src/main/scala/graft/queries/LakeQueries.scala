@@ -537,6 +537,35 @@ object LakeQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // PARTITIONED txn table lifecycle: hive-laid create + append,
+    // partition-equality PRUNED read (tier-0: file list filtered on
+    // the path-carried values before stats), and the O(1) metadata
+    // partition DROP (retention's shape at 100 TB — a day of a 100 TB
+    // table leaves the snapshot without a byte moving). The oracle
+    // recomposes both reads from the source table, so a drop that
+    // misses files, a prune that drops rows, or a partition value
+    // mangled in the path round-trip all fail the hash. Layout and
+    // metadata-only mechanics are TxnPartitionSpec's.
+    "q_txn_partition" -> ((s, d) => {
+      val table = s"${scratch(s, d)}/parted"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+      TxnLog.createPartitioned(s, table,
+        docs.filter(col("doc_id") % 2 === 0).repartition(2), Seq("lang"))
+      TxnLog.append(s, table, docs.filter(col("doc_id") % 2 =!= 0).repartition(2))
+      TxnLog.dropPartition(s, table, "lang", "en")
+      TxnLog.readPrunedPartition(s, table, "lang", Seq("de", "fr"))
+        .withColumn("via", lit("prune"))
+        .unionByName(TxnLog.read(s, table).withColumn("via", lit("full")))
+        .groupBy("via", "lang")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("via", "lang")
+    }),
+
     // Catalog-NAME-addressed maintenance: the same lifecycle as
     // q_txn_sql_optimize but every verb — ADD CONSTRAINT, OPTIMIZE,
     // RESTORE, VACUUM — addresses the table as `<catalog>.<ns>.<tbl>`
@@ -869,6 +898,17 @@ object LakeQueries extends QueryModule {
       """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
         |  sum(doc_id)::BIGINT AS sum_id
         | FROM documents GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_partition" ->
+      """SELECT * FROM (
+        |  SELECT 'prune' AS via, lang, count(*) AS row_cnt,
+        |    sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_id
+        |   FROM documents WHERE lang IN ('de', 'fr') GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'full' AS via, lang, count(*) AS row_cnt,
+        |    sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_id
+        |   FROM documents WHERE lang <> 'en' GROUP BY 2)
+        | ORDER BY via, lang""".stripMargin.replace("\n", ""),
 
     "q_txn_bloom_skip" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents

@@ -200,9 +200,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (!writable) readOnly("createTable")
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      s"graft txn tables manage their own layout; PARTITIONED BY is " +
-        "not supported (use the log's clustered compaction instead)")
+    // `PARTITIONED BY (col, ...)` — identity transforms only (bucket/
+    // days/etc. would need value derivation the hive layout cannot
+    // round-trip); routes to the log's partitioned create, so every
+    // later INSERT lays files out hive-style and partition pruning /
+    // dropPartition apply.
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        t.references.head.fieldNames.head
+      case other => throw new UnsupportedOperationException(
+        s"graft txn tables support PARTITIONED BY (top-level identity " +
+          s"columns) only, got: $other")
+    }
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
@@ -210,7 +220,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val spark = SparkSession.active
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    TxnLog.create(spark, txnPath(ident).toString, empty)
+    if (partCols.isEmpty) TxnLog.create(spark, txnPath(ident).toString, empty)
+    else TxnLog.createPartitioned(spark, txnPath(ident).toString, empty,
+      partCols)
     txnTable(ident, None)
   }
 

@@ -209,6 +209,14 @@ object TxnBloom {
         case None if lenient => None
         case None =>
           throw new IllegalArgumentException(s"bloom column $c not in schema")
+        // A PARTITION column's value rides the file paths — it prunes
+        // exactly (tier 0) and the hive-laid files don't even carry
+        // the column, so a bloom on it is both pointless and unbuildable.
+        case Some(f) if f.metadata.contains(TxnLog.PartitionColKey) =>
+          if (lenient) None
+          else throw new IllegalArgumentException(
+            s"bloom column $c is a partition column — partition values " +
+              "prune from the file paths already")
         case Some(f) if canon(col("x"), f.dataType).isEmpty =>
           if (lenient) None
           else throw new IllegalArgumentException(

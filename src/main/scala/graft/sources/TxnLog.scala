@@ -456,8 +456,9 @@ object TxnLog {
     * which must translate names exactly like the snapshot read. */
   private[graft] def readFiles(spark: SparkSession, table: String,
       paths: Seq[String], schema: StructType): DataFrame =
-    toLogical(spark.read.schema(nullableSchema(physicalSchema(schema)))
-      .parquet(paths.map(p => s"$table/$p"): _*), schema)
+    toLogical(attachPartitionCols(
+      spark.read.schema(nullableSchema(physicalSchema(schema)))
+        .parquet(paths.map(p => s"$table/$p"): _*), schema, paths), schema)
 
   /** Rename a batch's logical columns to their physical names before
     * staging — files ALWAYS carry physical names; columns unknown to
@@ -476,6 +477,105 @@ object TxnLog {
           }
         }.toSeq: _*)
     }
+
+  // ---- partitioned tables --------------------------------------------------
+
+  /** Field-metadata key marking a PARTITION column (value = ordinal).
+    * Partitioned txn tables lay data files out hive-style
+    * (`stage-x/col=value/part-*.parquet`): the VALUE lives in the
+    * table-relative path the log already records per file, so
+    * partition pruning — and the O(1) metadata partition DROP — read
+    * it with zero extra log format. Riding field metadata (like
+    * [[GeneratedExprKey]]) means every schema-carrying commit
+    * preserves the partitioning automatically. */
+  val PartitionColKey = "graft.partition"
+
+  /** Spark's hive-default sentinel for a NULL partition value. */
+  private val NullPartName = "__HIVE_DEFAULT_PARTITION__"
+
+  /** The schema's partition fields in partition order (empty =
+    * unpartitioned — every pre-partitioning table). */
+  private[graft] def partitionFields(s: StructType): Seq[StructField] =
+    s.fields.filter(_.metadata.contains(PartitionColKey))
+      .sortBy(_.metadata.getLong(PartitionColKey)).toSeq
+
+  /** The table's partition column names (logical), in order. */
+  def partitionColumns(spark: SparkSession, table: String): Seq[String] =
+    tableSchema(spark, table).fold(Seq.empty[String])(
+      partitionFields(_).map(_.name))
+
+  /** Inverse of the hive path escaping Spark's partitioned writer
+    * applies (`%XX` for the reserved char set) — decoded driver-side
+    * per distinct VALUE, never per row. */
+  private[graft] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The RAW (still-escaped) `column=value` segment value in a
+    * table-relative path, if present; case-insensitive column match. */
+  private def rawPartValue(rel: String, column: String): Option[String] = {
+    val pfx = column.toLowerCase + "="
+    rel.split('/').iterator.filter(_.toLowerCase.startsWith(pfx))
+      .map(_.substring(pfx.length)).nextOption()
+  }
+
+  /** The DECODED partition value of `column` in a rel path — None when
+    * the path has no such segment, Some(null) for the null sentinel. */
+  private[graft] def partValueOf(rel: String, column: String): Option[String] =
+    rawPartValue(rel, column).map(v =>
+      if (v == NullPartName) null else unescapePathName(v))
+
+  /** Attach partition columns to a raw file scan: each partition
+    * field's value is derived from the scanned file's PATH (the same
+    * `col=value` segment the log's rel path records) — a codegen'd
+    * regexp over `input_file_name()` plus a driver-built
+    * escaped→decoded literal map (one entry per DISTINCT partition
+    * value, never per file), then a cast to the recorded type. This
+    * deliberately avoids Spark's directory-discovery reader: discovery
+    * rejects k=v segments nested under the log's non-k=v staging dirs
+    * (CONFLICTING_DIRECTORY_STRUCTURES), and a per-file union plan
+    * would explode at real file counts. Files lacking the segment
+    * (never produced by a partitioned stage) read null — sound, and
+    * DV/metadata objects never take this path. */
+  private def attachPartitionCols(df: DataFrame, schema: StructType,
+      rels: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, input_file_name, lit, regexp_extract, typedLit, when}
+    val parts = partitionFields(schema)
+    if (parts.isEmpty) return df
+    parts.foldLeft(df) { (d, f) =>
+      val phys = physicalName(f)
+      val distinctRaw = rels.flatMap(rawPartValue(_, phys)).distinct
+      // `input_file_name()` reports the Path-URI string form (the same
+      // SparkPath.urlEncoded contract relPathCol documents), so the
+      // hive-escaped on-disk segment (`with%20space`) appears
+      // URI-encoded AGAIN (`with%2520space`) — the map keys must be in
+      // THAT encoding or special-char values silently read null.
+      def uriEncode(seg: String): String =
+        new java.net.URI(null, null, "/" + seg, null).getRawPath.substring(1)
+      val decodeMap: Map[String, String] = distinctRaw
+        .filter(_ != NullPartName)
+        .map(v => uriEncode(v) -> unescapePathName(v)).toMap
+      val esc = regexp_extract(input_file_name(),
+        "/" + java.util.regex.Pattern.quote(phys) + "=([^/]+)/", 1)
+      val v =
+        if (decodeMap.isEmpty) lit(null).cast(f.dataType)
+        else when(esc === "" || esc === NullPartName,
+          lit(null).cast(f.dataType))
+          .otherwise(element_at(typedLit(decodeMap), esc).cast(f.dataType))
+      d.withColumn(phys, v)
+    }
+  }
 
   /** DataFrame of the table at `version` (default latest). Paths are
     * passed explicitly, so a scan never lists the table directory and
@@ -552,7 +652,13 @@ object TxnLog {
     // keys after the fact).
     val reader = schema.fold(spark.read.option("mergeSchema", "true"))(s =>
       spark.read.schema(nullableSchema(physicalSchema(s))))
-    val base = reader.parquet(files.map { case (p, _) => s"$table/$p" }: _*)
+    val raw = reader.parquet(files.map { case (p, _) => s"$table/$p" }: _*)
+    // Partitioned tables: the files do not CARRY the partition
+    // columns (hive layout) — they derive from the file paths here,
+    // before masking/projection, so every downstream consumer (DV
+    // joins, DML rewrites, CDC diffs) sees them as ordinary columns.
+    val base = schema.fold(raw)(s =>
+      attachPartitionCols(raw, s, files.map(_._1)))
     val dvDirs = files.flatMap(_._2.dv).distinct
     val hasDv = dvDirs.nonEmpty
     if (!hasDv && !tagAlways)
@@ -701,11 +807,30 @@ object TxnLog {
       if (spark.conf.getOption("spark.graft.write.rebalance").contains("true"))
         guarded.hint("REBALANCE")
       else guarded
-    toPhysical(shaped, mapping).write.parquet(s"$table/$sub")
+    // PARTITIONED tables stage hive-style (`stage-x/col=value/…`): the
+    // partition values live in the rel paths the commit records, so
+    // EVERY staging write — appends, MERGE survivors, UPDATE copies,
+    // compaction rewrites — preserves the layout and partition pruning
+    // never erodes. Frames lacking the partition columns (DV objects,
+    // other metadata frames) stage flat; they are never read as data.
+    val partCols: Seq[String] =
+      partitionFields(mapping.getOrElse(df.schema)).map(physicalName)
+    val physical = toPhysical(shaped, mapping)
+    val frameCols = physical.schema.fieldNames.map(_.toLowerCase).toSet
+    if (partCols.nonEmpty && partCols.forall(c => frameCols(c.toLowerCase)))
+      physical.write.partitionBy(partCols: _*).parquet(s"$table/$sub")
+    else physical.write.parquet(s"$table/$sub")
     val dir = new Path(table, sub)
-    val staged = fs(spark, dir).listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet"))
-      .map(n => s"$sub/$n")
+    val f = fs(spark, dir)
+    val pfx0 = f.makeQualified(dir).toString + "/"
+    val stagedBuf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = f.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet"))
+        stagedBuf += s"$sub/${f.makeQualified(st.getPath).toString.stripPrefix(pfx0)}"
+    }
+    val staged: Seq[String] = stagedBuf.toSeq
     // Bloom coverage is a TABLE property: every staging write — plain
     // appends, streaming batches, MERGE survivors, compaction
     // rewrites, DV objects — consults the configured columns here, so
@@ -719,7 +844,13 @@ object TxnLog {
     // it or every normal write erodes point-lookup coverage on exactly
     // the derived-skipping-key case the two features compose for
     // (round-13 advice, low).
+    // Partition columns never carry sidecars: their values prune from
+    // the paths (tier 0) and the hive-laid files don't contain the
+    // column — filtered on the TABLE schema because a plain append's
+    // frame carries no partition metadata.
+    val partLower = partCols.map(_.toLowerCase).toSet
     val bloomCols = TxnBloom.configuredCols(spark, table)
+      .filterNot(c => partLower(c.toLowerCase))
     if (bloomCols.nonEmpty)
       TxnBloom.writeSidecars(spark, table, staged, bloomCols, gen.schema,
         mapping, lenient = true)
@@ -812,6 +943,91 @@ object TxnLog {
     }, s"create $table")
   }
 
+  /** [[create]] with PARTITION columns — the Delta/Iceberg
+    * `PARTITIONED BY` shape: data files lay out hive-style under each
+    * commit's staging directory, the partition VALUES ride the rel
+    * paths the log records, and from then on every write (appends,
+    * MERGE survivors, compaction rewrites) preserves the layout.
+    * What it buys at 100 TB: partition-equality reads prune the file
+    * LIST before stats or footers ([[readPrunedPartition]] /
+    * [[pruneFilesEq]]), and retention becomes [[dropPartition]] — an
+    * O(1) METADATA commit that drops a day of a 100 TB table without
+    * touching a byte of data. Partition column types are restricted
+    * to the dir-string-round-trippable set (string/integral/date/
+    * boolean), same soundness boundary as Delta's. */
+  def createPartitioned(spark: SparkSession, table: String, df: DataFrame,
+                        partCols: Seq[String]): CommitResult = {
+    import org.apache.spark.sql.functions.col
+    require(partCols.nonEmpty, "createPartitioned needs partition columns")
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields
+    val supported: Set[DataType] = Set(StringType, ByteType, ShortType,
+      IntegerType, LongType, BooleanType, DateType)
+    partCols.foreach { c =>
+      val f = fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '$c' not in the frame's schema"))
+      require(supported.contains(f.dataType),
+        s"partition column '$c' has unsupported type " +
+          s"${f.dataType.simpleString} (supported: string, integral, " +
+          "boolean, date — values must round-trip through path strings)")
+    }
+    val annotated = df.select(fields.map { f =>
+      partCols.zipWithIndex.find(_._1.equalsIgnoreCase(f.name)) match {
+        case Some((_, i)) =>
+          col(s"`${f.name}`").as(f.name,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).putLong(PartitionColKey, i).build())
+        case None => col(s"`${f.name}`")
+      }
+    }.toSeq: _*)
+    create(spark, table, annotated)
+  }
+
+  /** Drop one partition as a PURE METADATA commit: every live file
+    * whose path carries `column=value` leaves the snapshot — no data
+    * file is read, rewritten, or deleted (vacuum reclaims the bytes
+    * after retention, and time travel still resolves the partition
+    * until then). THE reason partitioned tables exist at 100 TB:
+    * retention by partition is one O(files-in-log) driver commit.
+    * Returns the commit; the removed count rides `CommitResult`. */
+  def dropPartition(spark: SparkSession, table: String, column: String,
+                    value: Any): CommitResult = {
+    val schema = tableSchema(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table records no schema"))
+    require(partitionFields(schema).exists(_.name.equalsIgnoreCase(column)),
+      s"'$column' is not a partition column of $table " +
+        s"(partitions: ${partitionFields(schema).map(_.name).mkString(", ")})")
+    val want = Option(value).map(_.toString).orNull
+    mustCommit(commitLoop(spark, table) { v =>
+      val victims = snapshotFull(spark, table, Some(v - 1)).collect {
+        case (rel, _) if partValueOf(rel, column).contains(want) => rel
+      }
+      Some((Nil, victims))
+    }, s"drop partition $column=$value of $table")
+  }
+
+  /** Partition-equality read: plan the scan over only the files whose
+    * path-carried partition value matches — zero metadata beyond the
+    * log's own file list. Files without the segment always scan and
+    * the residual filter applies, so pruning can never change the
+    * answer; semantics are exactly `read(...).filter(col <=> value)`
+    * for the partition column. */
+  def readPrunedPartition(spark: SparkSession, table: String, column: String,
+      values: Seq[Any], version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(values.nonEmpty, "readPrunedPartition needs probe values")
+    val (all, schema) = resolveSnapshot(spark, table, version)
+    val want = values.map(v => Option(v).map(_.toString).orNull).toSet
+    val kept = all.filter { case (rel, _) =>
+      partValueOf(rel, column).forall(want.contains)
+    }
+    if (kept.isEmpty) read(spark, table, version).filter(lit(false))
+    else readState(spark, table, kept, schema)
+      .filter(col(column).isin(values.filter(_ != null): _*) ||
+        (if (values.contains(null)) col(column).isNull else lit(false)))
+  }
+
   /** Record an EVOLVED schema as a data-less commit (the `ALTER TABLE
     * ADD COLUMNS` shape): no files move, replay just learns the new
     * shape, existing files read null in the added columns. Re-merges
@@ -868,6 +1084,15 @@ object TxnLog {
       if (cur.fieldNames.exists(_.equalsIgnoreCase(to)))
         throw new IllegalArgumentException(
           s"column '$to' already exists in $table")
+      // A partition column's name is baked into every data file's
+      // PATH (`col=value` segments) — a metadata rename cannot touch
+      // those, so old and new files would disagree on the segment
+      // name and partition reads/drops would silently miss half the
+      // table. Refuse, like Delta.
+      if (field.metadata.contains(PartitionColKey))
+        throw new IllegalArgumentException(
+          s"cannot rename partition column '$from' of $table: its name " +
+            "is baked into the data files' directory layout")
       // A CHECK constraint's expression TEXT binds the current name —
       // renaming under it would silently unbind (or worse, re-bind to
       // a later column of the old name). Refuse, like Delta: drop the
@@ -905,6 +1130,10 @@ object TxnLog {
         throw new IllegalArgumentException(s"no column '$name' in $table"))
       if (cur.fields.length < 2) throw new UnsupportedOperationException(
         s"cannot drop the last column of $table")
+      if (field.metadata.contains(PartitionColKey))
+        throw new IllegalArgumentException(
+          s"cannot drop partition column '$name' of $table: the data " +
+            "files' directory layout depends on it")
       constraintsReferencing(meta.constraints, name).foreach(c =>
         throw new IllegalArgumentException(
           s"cannot drop '$name': CHECK constraint '$c' references it " +
@@ -928,11 +1157,13 @@ object TxnLog {
     * travel, maintenance all apply; the pre-adoption files behave
     * exactly like any commit-0 files.
     *
-    * Hive-partitioned layouts (`k=v` directories) refuse: the
-    * partition VALUES live in directory names, which the log's
-    * explicit-file reads do not re-derive — adopting one would
-    * silently drop the partition columns. Flatten (or read-write
-    * through create) first. */
+    * Hive-partitioned layouts (`k=v` directories) adopt as PARTITIONED
+    * txn tables: the partition column names/values are harvested from
+    * the directory structure (every file must carry the same partition
+    * column sequence — a mixed layout refuses loudly), their types
+    * come from Spark's standard partition-value inference, and the
+    * adopted table then prunes and partition-drops exactly like one
+    * built by [[createPartitioned]]. */
   def adopt(spark: SparkSession, table: String): CommitResult = {
     val root = new Path(table)
     val f = fs(spark, root)
@@ -942,19 +1173,36 @@ object TxnLog {
     val prefix = f.makeQualified(root).toString + "/"
     def walk(d: Path): Unit =
       f.listStatus(d).foreach { st =>
-        val name = st.getPath.getName
-        if (st.isDirectory) {
-          require(!name.contains("="),
-            s"cannot adopt $table: hive-partitioned layout ($name) — " +
-              "partition values live in directory names the log's " +
-              "explicit-file reads do not re-derive")
-          walk(st.getPath)
-        } else if (name.endsWith(".parquet"))
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet"))
           rels += f.makeQualified(st.getPath).toString.stripPrefix(prefix)
       }
     walk(root)
     require(rels.nonEmpty, s"no parquet files to adopt under $table")
-    val schema = spark.read.parquet(table).schema
+    // Harvest the hive partition column sequence from the paths; every
+    // file must agree (a half-partitioned directory has no one sound
+    // read shape — refuse rather than silently null partition values).
+    def colsOf(rel: String): Seq[String] =
+      rel.split('/').toSeq.dropRight(1).filter(_.contains('='))
+        .map(seg => seg.substring(0, seg.indexOf('=')))
+    val partCols = colsOf(rels.head)
+    rels.foreach { rel =>
+      require(colsOf(rel) == partCols,
+        s"cannot adopt $table: inconsistent partition layout — " +
+          s"'${rels.head}' carries [${partCols.mkString(",")}] but " +
+          s"'$rel' carries [${colsOf(rel).mkString(",")}]")
+    }
+    // spark.read.parquet(table) runs the standard directory discovery:
+    // partition columns land in the schema with inferred types.
+    val inferred = spark.read.parquet(table).schema
+    val schema = StructType(inferred.fields.map { fld =>
+      partCols.zipWithIndex.find(_._1.equalsIgnoreCase(fld.name)) match {
+        case Some((_, i)) => fld.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(fld.metadata).putLong(PartitionColKey, i).build())
+        case None => fld
+      }
+    })
     f.mkdirs(logDir(table))
     mustCommit(commitLoop(spark, table,
       stats = stagedStats(spark, table, rels.toSeq,
@@ -1346,6 +1594,13 @@ object TxnLog {
   def appendWithBloom(spark: SparkSession, table: String, df: DataFrame,
                       bloomCols: Seq[String]): CommitResult = {
     TxnBloom.validate(bloomCols, df.schema)
+    tableSchema(spark, table).foreach { ts =>
+      val parts = partitionFields(ts).map(_.name.toLowerCase).toSet
+      bloomCols.find(c => parts(c.toLowerCase)).foreach(c =>
+        throw new IllegalArgumentException(
+          s"bloom column $c is a partition column of $table — partition " +
+            "values prune from the file paths already"))
+    }
     TxnBloom.writeConfig(spark, table, bloomCols)
     append(spark, table, df)
   }
@@ -1403,7 +1658,14 @@ object TxnLog {
   private[graft] def pruneFilesEq(spark: SparkSession, table: String,
       column: String, values: Seq[Any],
       files: Seq[(String, FileState)]): Seq[(String, FileState)] = {
-    val statsKept = files.filter { case (_, st) =>
+    // Tier 0 (free): a PARTITION column's value rides the rel path —
+    // an equality probe keeps only matching-partition files before a
+    // single stat is consulted. Files without the segment always stay.
+    val want: Set[String] = values.map(String.valueOf(_)).toSet
+    val partKept = files.filter { case (rel, _) =>
+      partValueOf(rel, column).forall(v => v != null && want.contains(v))
+    }
+    val statsKept = partKept.filter { case (_, st) =>
       st.stats.forall(_.cols.find(_._1.equalsIgnoreCase(column)).map(_._2)
         .forall(cs =>
           values.exists {

@@ -64,6 +64,13 @@ class TxnTable(identName: String, val dir: String, val snapshotVersion: Option[L
     * read through [[TxnLog.readState]] (the masked-read rewrite). */
   def hasColumnMapping: Boolean = resolved._2.exists(TxnLog.hasMapping)
 
+  /** True for PARTITIONED tables: the hive-laid data files do not
+    * carry the partition columns (their values ride the paths), so a
+    * bare parquet scan would silently read them as all-null — same
+    * must-read-through-readState contract as column mapping. */
+  def isPartitioned: Boolean =
+    resolved._2.exists(s => TxnLog.partitionFields(s).nonEmpty)
+
   override def name(): String = identName + snapshotVersion.fold("")(v => s"@v$v")
 
   override val schema: StructType = resolved._2.getOrElse {
@@ -103,6 +110,11 @@ class TxnTable(identName: String, val dir: String, val snapshotVersion: Option[L
       throw new UnsupportedOperationException(
         s"${name()} uses column mapping (a column was renamed/dropped) and " +
           "this session has no graft extensions to translate names — enable " +
+          "graft.GraftExtensions (spark.sql.extensions) or read via TxnLog.read")
+    if (isPartitioned)
+      throw new UnsupportedOperationException(
+        s"${name()} is partitioned (values live in the file paths) and this " +
+          "session has no graft extensions to attach them — enable " +
           "graft.GraftExtensions (spark.sql.extensions) or read via TxnLog.read")
     parquetDelegate.newScanBuilder(options)
   }

@@ -297,10 +297,8 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
       dml.sql("DROP TABLE lake.ns.keepme")
     }
     assert(e.getMessage.contains("does not manage"))
-    // PARTITIONED BY is out of the log's layout contract.
-    intercept[UnsupportedOperationException] {
-      dml.sql("CREATE TABLE lake.ns.t_part (id BIGINT) PARTITIONED BY (id)")
-    }
+    // PARTITIONED BY (identity) is supported since round 14 — the
+    // dedicated test below owns it; non-identity transforms refuse.
   }
 
   test("ALTER TABLE ADD COLUMNS evolves the schema as a data-less " +
@@ -706,6 +704,38 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
       assert(scans(q2.queryExecution.executedPlan).isEmpty,
         "disabled subquery probing must keep the native scan")
     } finally dml.conf.unset("spark.graft.bloom.probe.inSubqueryMaxRows")
+  }
+
+  test("CREATE TABLE ... PARTITIONED BY routes to the partitioned " +
+       "create: INSERTs lay out hive-style and partition-drop applies") {
+    import dml.implicits._
+    val dir = s"$root/ns/t_parted"
+    dml.sql("CREATE TABLE lake.ns.t_parted (id BIGINT, s STRING, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    assert(TxnLog.partitionColumns(dml, dir) === Seq("lang"))
+    dml.sql("INSERT INTO lake.ns.t_parted VALUES " +
+      "(1, 'a', 'en'), (2, 'b', 'de'), (3, 'c', 'en')")
+    assert(TxnLog.snapshot(dml, dir).forall(_.contains("lang=")),
+      "INSERT INTO must stage hive-laid files")
+    val q = dml.sql("SELECT id FROM lake.ns.t_parted WHERE lang = 'en'")
+    assert(q.as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    // Tier-0 partition pruning fires at plan time: only lang=en files
+    // reach the scan.
+    val scanned = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles
+    }.flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains("lang=en")),
+      s"SQL partition filter must prune the file list, scanned: ${scanned.toSeq}")
+    TxnLog.dropPartition(dml, dir, "lang", "en")
+    assert(dml.sql("SELECT id, lang FROM lake.ns.t_parted")
+      .as[(Long, String)].collect().toSeq === Seq((2L, "de")))
+    // Non-identity transforms refuse loudly.
+    val e = intercept[Exception] {
+      dml.sql("CREATE TABLE lake.ns.t_partbad (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+    }
+    assert(e.getMessage.contains("identity"))
   }
 
   test("RESTORE a merge-on-read UPDATE away and back: the DV binding " +

@@ -849,12 +849,14 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.read(spark, t, Some(0L)).count() === docs.count())
     TxnLog.delete(spark, t, col("doc_id") === 1L)
     assert(TxnLog.read(spark, t).filter(col("doc_id") === 1L).count() === 0L)
-    // Double adoption and partitioned layouts refuse.
+    // Double adoption refuses; hive-partitioned layouts now ADOPT as
+    // partitioned tables (TxnPartitionSpec owns that surface).
     intercept[IllegalArgumentException] { TxnLog.adopt(spark, t) }
     val part = freshTable("adoptpart")
     docs.write.partitionBy("lang").parquet(part)
-    val e = intercept[IllegalArgumentException] { TxnLog.adopt(spark, part) }
-    assert(e.getMessage.contains("partition"))
+    TxnLog.adopt(spark, part)
+    assert(TxnLog.partitionColumns(spark, part) === Seq("lang"))
+    assert(TxnLog.read(spark, part).count() === docs.count())
   }
 
   test("the full invariant stack composes on an ADOPTED table: " +

@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxnLog
+
+/** Partitioned transaction-log tables: hive-laid staging, path-carried
+  * partition values, tier-0 file pruning, the O(1) metadata partition
+  * DROP, and hive-layout adoption. The value-level answer is
+  * q_txn_partition's oracle; these pin the file-layout and
+  * metadata-only mechanics DuckDB cannot see. */
+class TxnPartitionSpec extends AnyFunSuite with SparkSpec {
+
+  private def freshTable(tag: String): String = {
+    val t = s"${sys.props("java.io.tmpdir")}/graft_part_${spark.sparkContext.applicationId}_$tag"
+    val p = new org.apache.hadoop.fs.Path(t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    t
+  }
+
+  private def fixture(tag: String): String = {
+    import spark.implicits._
+    val t = freshTable(tag)
+    val df = (0L until 300L)
+      .map(i => (i, s"n$i", Seq("en", "de", "fr")(i.toInt % 3)))
+      .toDF("id", "s", "lang")
+    TxnLog.createPartitioned(spark, t,
+      df.filter(col("id") < 150).repartition(2), Seq("lang"))
+    TxnLog.append(spark, t, df.filter(col("id") >= 150).repartition(2))
+    t
+  }
+
+  test("create + append lay files out hive-style and the read round-trips " +
+       "values, types, and row population exactly") {
+    import spark.implicits._
+    val t = fixture("roundtrip")
+    val rels = TxnLog.snapshot(spark, t)
+    assert(rels.nonEmpty && rels.forall(_.matches("stage-[^/]+/lang=[^/]+/.*\\.parquet")),
+      s"hive layout expected, got: ${rels.take(3)}")
+    assert(TxnLog.partitionColumns(spark, t) === Seq("lang"))
+    val got = TxnLog.read(spark, t).as[(Long, String, String)].collect().toSet
+    val want = (0L until 300L)
+      .map(i => (i, s"n$i", Seq("en", "de", "fr")(i.toInt % 3))).toSet
+    assert(got === want)
+    // The schema presents the partition column as an ordinary column.
+    assert(TxnLog.read(spark, t).schema.fieldNames.toSeq === Seq("id", "s", "lang"))
+  }
+
+  test("partition-equality reads prune the FILE LIST before stats " +
+       "(tier 0), and readPrunedEq composes the partition tier") {
+    val t = fixture("prune")
+    val all = TxnLog.snapshotFull(spark, t)
+    val enFiles = all.map(_._1).count(_.contains("lang=en"))
+    assert(enFiles > 0 && enFiles < all.size)
+    // The pruned read scans only the matching partition's files.
+    val df = TxnLog.readPrunedPartition(spark, t, "lang", Seq("en"))
+    val scanned = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }.sum
+    assert(scanned === enFiles, s"scanned $scanned of ${all.size}, want $enFiles")
+    assert(df.count() === 100L)
+    // readPrunedEq on the partition column prunes identically (tier 0
+    // fires — the partition column has no footer stats to consult).
+    assert(TxnLog.readPrunedEq(spark, t, "lang", Seq("de")).count() === 100L)
+    val kept = TxnLog.pruneFilesEq(spark, t, "lang", Seq("de"), all)
+    assert(kept.map(_._1).forall(_.contains("lang=de")))
+    // An absent partition value plans to the empty relation.
+    assert(TxnLog.readPrunedPartition(spark, t, "lang", Seq("zz")).count() === 0L)
+  }
+
+  test("dropPartition is METADATA-ONLY: no byte moves, the snapshot " +
+       "excludes the partition, time travel still resolves it, vacuum " +
+       "reclaims it") {
+    val t = fixture("drop")
+    val p = new org.apache.hadoop.fs.Path(t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def diskFiles: Int = {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet") &&
+            !st.getPath.toString.contains("/_")) n += 1
+      }
+      n
+    }
+    val before = diskFiles
+    val vBefore = TxnLog.latestVersion(spark, t)
+    TxnLog.dropPartition(spark, t, "lang", "en")
+    assert(diskFiles === before, "a partition drop must not touch data files")
+    assert(TxnLog.latestVersion(spark, t) === vBefore + 1)
+    assert(TxnLog.read(spark, t).filter(col("lang") === "en").count() === 0L)
+    assert(TxnLog.read(spark, t).count() === 200L)
+    // Time travel still serves the dropped partition.
+    assert(TxnLog.read(spark, t, Some(vBefore))
+      .filter(col("lang") === "en").count() === 100L)
+    // Vacuum reclaims the dropped files after retention.
+    val swept = TxnLog.vacuum(spark, t, retainVersions = 1, retainMillis = 0L)
+    assert(swept.count(_.contains("lang=en")) > 0)
+    assert(TxnLog.read(spark, t).count() === 200L)
+    // Dropping a non-partition column refuses.
+    intercept[IllegalArgumentException] {
+      TxnLog.dropPartition(spark, t, "s", "n1")
+    }
+  }
+
+  test("DML preserves the layout: COW DELETE and MoR UPDATE rewrite " +
+       "into hive-laid files and the partition read stays pruned") {
+    val t = fixture("dml")
+    TxnLog.delete(spark, t, col("id") % 10 === 0)      // COW rewrite
+    TxnLog.updateMoR(spark, t, col("id") === 7L,
+      Map("s" -> lit("updated")))                      // DV + copy
+    val rels = TxnLog.snapshot(spark, t)
+    assert(rels.forall(_.contains("lang=")),
+      s"every live data file must stay hive-laid: ${rels.filterNot(_.contains("lang="))}")
+    // en ⇔ id%3==0 (100 ids); deleted en ids ⇔ id%30==0 (10 ids).
+    val en = TxnLog.readPrunedPartition(spark, t, "lang", Seq("en"))
+    assert(en.count() === 90L)
+    assert(TxnLog.read(spark, t).filter(col("s") === "updated").count() === 1L)
+  }
+
+  test("MERGE into a partitioned table resolves by key and keeps the " +
+       "layout; the full surface composes") {
+    import spark.implicits._
+    val t = fixture("merge")
+    val delta = Seq((3L, "upd3", "en"), (999L, "new", "de"))
+      .toDF("id", "s", "lang")
+    TxnLog.merge(spark, t, delta, "id")
+    val got = TxnLog.read(spark, t)
+      .filter(col("id").isin(3L, 999L))
+      .as[(Long, String, String)].collect().toSet
+    assert(got === Set((3L, "upd3", "en"), (999L, "new", "de")))
+    assert(TxnLog.snapshot(spark, t).forall(_.contains("lang=")))
+  }
+
+  test("null and special-char partition values round-trip through the " +
+       "path escaping; equality prunes never match the null partition") {
+    import spark.implicits._
+    val t = freshTable("specials")
+    val df = Seq((1L, "a", "with space"), (2L, "b", "pct%40"),
+      (3L, "c", null), (4L, "d", "eq=colon:")).toDF("id", "s", "grp")
+    TxnLog.createPartitioned(spark, t, df.coalesce(1), Seq("grp"))
+    val got = TxnLog.read(spark, t)
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(got === Set((1L, "a", Some("with space")), (2L, "b", Some("pct%40")),
+      (3L, "c", None), (4L, "d", Some("eq=colon:"))))
+    assert(TxnLog.readPrunedPartition(spark, t, "grp", Seq("with space"))
+      .count() === 1L)
+    // Equality probe on the partition column drops the null-partition
+    // file (an equality can never match null).
+    val all = TxnLog.snapshotFull(spark, t)
+    val kept = TxnLog.pruneFilesEq(spark, t, "grp", Seq("pct%40"), all)
+    assert(kept.size === 1 && kept.head._1.contains("grp=pct"))
+    // dropPartition of one value leaves the null partition alone.
+    TxnLog.dropPartition(spark, t, "grp", "eq=colon:")
+    assert(TxnLog.read(spark, t).count() === 3L)
+  }
+
+  test("integral partition columns prune numerically and round-trip " +
+       "their type") {
+    import spark.implicits._
+    val t = freshTable("intpart")
+    val df = (0L until 90L).map(i => (i, i % 3)).toDF("id", "day")
+    TxnLog.createPartitioned(spark, t, df.repartition(2), Seq("day"))
+    assert(TxnLog.read(spark, t).schema("day").dataType
+      === org.apache.spark.sql.types.LongType)
+    assert(TxnLog.readPrunedPartition(spark, t, "day", Seq(1L)).count() === 30L)
+    assert(TxnLog.readPrunedEq(spark, t, "day", Seq(2L)).count() === 30L)
+    assert(TxnLog.read(spark, t).filter(col("day") === 0L)
+      .agg(sum("id")).head().getLong(0)
+      === (0L until 90L).filter(_ % 3 == 0).sum)
+  }
+
+  test("ADOPT harvests a hive layout: partition columns, inferred " +
+       "types, pruning, and partition-drop all work on the adopted " +
+       "table; a mixed layout refuses") {
+    import spark.implicits._
+    val t = freshTable("adopt")
+    (0L until 200L).map(i => (i, s"n$i", Seq("en", "de")(i.toInt % 2), i % 4))
+      .toDF("id", "s", "lang", "bucket")
+      .write.partitionBy("lang", "bucket").parquet(t)
+    TxnLog.adopt(spark, t)
+    assert(TxnLog.partitionColumns(spark, t) === Seq("lang", "bucket"))
+    // Discovery-inferred integer type for bucket.
+    val dt = TxnLog.read(spark, t).schema("bucket").dataType
+    assert(dt === org.apache.spark.sql.types.IntegerType ||
+      dt === org.apache.spark.sql.types.LongType, s"got $dt")
+    assert(TxnLog.read(spark, t).count() === 200L)
+    assert(TxnLog.readPrunedPartition(spark, t, "lang", Seq("de")).count() === 100L)
+    val all = TxnLog.snapshotFull(spark, t)
+    val kept = TxnLog.pruneFilesEq(spark, t, "bucket", Seq(3L), all)
+    assert(kept.nonEmpty && kept.map(_._1).forall(_.contains("bucket=3")))
+    TxnLog.dropPartition(spark, t, "lang", "en")
+    assert(TxnLog.read(spark, t).count() === 100L)
+    // An append after adoption stays hive-laid.
+    TxnLog.append(spark, t,
+      Seq((999L, "x", "de", 9L)).toDF("id", "s", "lang", "bucket")
+        .withColumn("bucket", col("bucket").cast(dt)))
+    assert(TxnLog.snapshot(spark, t)
+      .filter(_.startsWith("stage-")).forall(_.contains("lang=")))
+    assert(TxnLog.read(spark, t).count() === 101L)
+
+    // Mixed layout refuses loudly.
+    val t2 = freshTable("adoptmixed")
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$t2/flat")
+    Seq((2L, "b", "en")).toDF("id", "s", "lang")
+      .write.partitionBy("lang").parquet(s"$t2/hive")
+    val e = intercept[IllegalArgumentException] { TxnLog.adopt(spark, t2) }
+    assert(e.getMessage.contains("inconsistent partition layout"))
+  }
+
+  test("partition columns refuse RENAME/DROP COLUMN and bloom " +
+       "configuration (their values live in the paths)") {
+    val t = fixture("guards")
+    val e1 = intercept[Exception] { TxnLog.renameColumn(spark, t, "lang", "l2") }
+    assert(e1.getMessage.contains("partition column"))
+    val e2 = intercept[Exception] { TxnLog.dropColumn(spark, t, "lang") }
+    assert(e2.getMessage.contains("partition column"))
+    import spark.implicits._
+    val e3 = intercept[IllegalArgumentException] {
+      TxnLog.appendWithBloom(spark, t,
+        Seq((9999L, "x", "en")).toDF("id", "s", "lang"), Seq("lang"))
+    }
+    assert(e3.getMessage.contains("partition column"))
+    // A bloom on a NON-partition column of a partitioned table works:
+    // sidecars build from the hive-laid files (which carry it).
+    TxnLog.appendWithBloom(spark, t,
+      Seq((10000L, "bloomed", "de")).toDF("id", "s", "lang"), Seq("s"))
+    assert(TxnLog.readPrunedEq(spark, t, "s", Seq("bloomed")).count() === 1L)
+  }
+
+  test("compaction preserves the hive layout and the restored " +
+       "snapshot keeps pruning") {
+    val t = fixture("compact")
+    TxnLog.compact(spark, t, targetFiles = 1)
+    val rels = TxnLog.snapshot(spark, t)
+    assert(rels.forall(_.contains("lang=")),
+      s"compaction output must stay hive-laid: $rels")
+    // One target file PER PARTITION (partitionBy splits the rewrite).
+    assert(rels.size === 3, s"one compacted file per partition: $rels")
+    assert(TxnLog.read(spark, t).count() === 300L)
+    assert(TxnLog.readPrunedPartition(spark, t, "lang", Seq("fr")).count() === 100L)
+  }
+}
