@@ -127,6 +127,14 @@ object GraftExtensions {
         graft.sources.TxnLog.constraints(spark,
             literalString(children(0), u))
           .toSeq.sortBy(_._1).toDF("name", "expression"))
+    }),
+    ("table_partitions", { children =>
+      val u = "usage: table_partitions('/path/to/txn/table'[, version])"
+      require(children.nonEmpty && children.length <= 2, u)
+      val spark = org.apache.spark.sql.SparkSession.active
+      org.apache.spark.sql.graftbridge.Bridge.planOf(
+        graft.sources.TxnLog.partitions(spark, literalString(children(0), u),
+          children.lift(1).map(literalLong(_, u))))
     }))
 
   /** Fold a literal argument to Int with a clean analysis-time error

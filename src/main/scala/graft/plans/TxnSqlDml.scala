@@ -548,6 +548,23 @@ case class GraftRestoreCommand(dir: String, toVersion: Option[Long],
   }
 }
 
+/** `ALTER TABLE <target> DROP PARTITION (col = value)` — the SQL face
+  * of [[TxnLog.dropPartition]]: one metadata commit removes the
+  * partition's files from the snapshot (zero data I/O; vacuum
+  * reclaims after retention, time travel still resolves it). Returns
+  * the removed file count. */
+case class GraftDropPartitionCommand(dir: String, column: String,
+                                     value: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "removed", org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = TxnLog.dropPartition(spark, dir, column, value)
+    Seq(Row(r.removed.toLong))
+  }
+}
+
 /** `DELETE FROM <txn table> WHERE cond` → [[TxnLog.delete]] (pruned
   * copy-on-write; only files containing matches rewrite). */
 case class GraftDeleteCommand(dir: String, cond: Column)
@@ -758,6 +775,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val addGeneratedRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tgt\\s+ADD\\s+GENERATED\\s+COLUMN\\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\((.+)\)\s*;?\s*$""").r
+  private val dropPartitionRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tgt\\s+DROP\\s+PARTITION\\s*\\(\\s*""" +
+      """([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(?:'([^']*)'|(\S+?))\s*\)\s*;?\s*$""").r
   private val explainRe = """(?is)^\s*EXPLAIN\s+(.*)$""".r
 
   /** Resolve a statement target to its txn directory: quoted paths
@@ -815,6 +835,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case addGeneratedRe(tgt, name, e) =>
         resolveTarget(tgt).map(d =>
           GraftAddGeneratedCommand(d, name, e.trim): LogicalPlan)
+      case dropPartitionRe(tgt, col, quoted, bare) =>
+        resolveTarget(tgt).map(d =>
+          GraftDropPartitionCommand(d, col,
+            Option(quoted).getOrElse(bare)): LogicalPlan)
       case explainRe(rest) =>
         maintenancePlan(rest).map(p =>
           org.apache.spark.sql.execution.command.ExplainCommand(

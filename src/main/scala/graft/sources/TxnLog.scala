@@ -1028,6 +1028,32 @@ object TxnLog {
         (if (values.contains(null)) col(column).isNull else lit(false)))
   }
 
+  /** SHOW PARTITIONS: one row per live partition with its file count
+    * and log-carried row count (-1 when any member file lacks stats).
+    * Pure driver metadata — the log's file list plus path parsing; no
+    * file opens. The SQL face is the `table_partitions('<path>'
+    * [, version])` TVF. */
+  def partitions(spark: SparkSession, table: String,
+                 version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val (files, schemaOpt) = resolveSnapshot(spark, table, version)
+    val parts = schemaOpt.map(partitionFields).getOrElse(Nil)
+    require(parts.nonEmpty, s"$table is not partitioned")
+    val rows = files
+      .groupBy(f => parts.map(p =>
+        partValueOf(f._1, physicalName(p)).getOrElse(null)))
+      .toSeq.map { case (vals, fs) =>
+        val rendered = parts.map(_.name).zip(vals)
+          .map { case (k, v) => s"$k=${Option(v).getOrElse("null")}" }
+          .mkString("/")
+        val counts = fs.map(_._2.stats.map(_.count))
+        val nRows =
+          if (counts.forall(_.isDefined)) counts.flatten.sum else -1L
+        (rendered, fs.size.toLong, nRows)
+      }
+    rows.toDF("partition", "n_files", "n_rows").orderBy("partition")
+  }
+
   /** Record an EVOLVED schema as a data-less commit (the `ALTER TABLE
     * ADD COLUMNS` shape): no files move, replay just learns the new
     * shape, existing files read null in the added columns. Re-merges

@@ -736,6 +736,17 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
         "PARTITIONED BY (days(ts))")
     }
     assert(e.getMessage.contains("identity"))
+    // ALTER TABLE ... DROP PARTITION and the inventory TVF: rebuild the
+    // dropped partition's data, inventory it, drop it by SQL.
+    dml.sql("INSERT INTO lake.ns.t_parted VALUES (4, 'd', 'en'), (5, 'e', 'fr')")
+    assert(dml.sql(s"SELECT partition, n_rows FROM table_partitions('$dir')")
+      .as[(String, Long)].collect().toMap
+      === Map("lang=de" -> 1L, "lang=en" -> 1L, "lang=fr" -> 1L))
+    assert(dml.sql(
+      "ALTER TABLE lake.ns.t_parted DROP PARTITION (lang = 'en')")
+      .head().getLong(0) >= 1L)
+    assert(dml.sql("SELECT id FROM lake.ns.t_parted ORDER BY id")
+      .as[Long].collect().toSeq === Seq(2L, 5L))
   }
 
   test("RESTORE a merge-on-read UPDATE away and back: the DV binding " +

@@ -232,6 +232,43 @@ class TxnPartitionSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.readPrunedEq(spark, t, "s", Seq("bloomed")).count() === 1L)
   }
 
+  test("exactly-once streaming appends land hive-laid on a partitioned " +
+       "table and replayed batches stay dropped") {
+    import spark.implicits._
+    val t = freshTable("stream")
+    TxnLog.createPartitioned(spark, t,
+      Seq((0L, "seed", "en")).toDF("id", "s", "lang"), Seq("lang"))
+    val b0 = Seq((1L, "a", "en"), (2L, "b", "de")).toDF("id", "s", "lang")
+    assert(TxnLog.appendBatch(spark, t, b0, "streamA", 0L).isDefined)
+    // Replay of the same batchId is dropped without publishing.
+    assert(TxnLog.appendBatch(spark, t, b0, "streamA", 0L).isEmpty)
+    assert(TxnLog.appendBatch(spark, t,
+      Seq((3L, "c", "fr")).toDF("id", "s", "lang"), "streamA", 1L).isDefined)
+    assert(TxnLog.read(spark, t).count() === 4L)
+    assert(TxnLog.snapshot(spark, t).forall(_.contains("lang=")),
+      "streaming batches must stage hive-laid like any other write")
+    assert(TxnLog.readPrunedPartition(spark, t, "lang", Seq("de"))
+      .as[(Long, String, String)].collect().toSeq === Seq((2L, "b", "de")))
+  }
+
+  test("partitions() inventories the live partitions from log metadata " +
+       "(file counts + stats-carried row counts, no file opens)") {
+    import spark.implicits._
+    val t = fixture("inventory")
+    val inv = TxnLog.partitions(spark, t)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(inv.map(_._1) === Seq("lang=de", "lang=en", "lang=fr"))
+    assert(inv.map(_._3).sum === 300L, s"stats-carried rows: $inv")
+    TxnLog.dropPartition(spark, t, "lang", "fr")
+    assert(TxnLog.partitions(spark, t)
+      .as[(String, Long, Long)].collect().map(_._1).toSeq
+      === Seq("lang=de", "lang=en"))
+    // Unpartitioned tables refuse.
+    val t2 = freshTable("invflat")
+    TxnLog.create(spark, t2, Seq((1L, "x")).toDF("id", "s"))
+    intercept[IllegalArgumentException] { TxnLog.partitions(spark, t2) }
+  }
+
   test("compaction preserves the hive layout and the restored " +
        "snapshot keeps pruning") {
     val t = fixture("compact")
