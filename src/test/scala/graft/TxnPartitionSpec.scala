@@ -269,6 +269,27 @@ class TxnPartitionSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] { TxnLog.partitions(spark, t2) }
   }
 
+  test("column mapping composes with partitioning: renaming a " +
+       "NON-partition column leaves the layout and partition reads intact") {
+    import spark.implicits._
+    val t = fixture("mapinterplay")
+    TxnLog.renameColumn(spark, t, "s", "label")
+    assert(TxnLog.read(spark, t).schema.fieldNames.toSeq
+      === Seq("id", "label", "lang"))
+    assert(TxnLog.readPrunedPartition(spark, t, "lang", Seq("en"))
+      .filter(col("label") === "n3").count() === 1L)
+    // A post-rename append still stages hive-laid (physical slot for
+    // 'label' is the old 's'; the partition column keeps its own name).
+    TxnLog.append(spark, t, Seq((9999L, "tail", "de")).toDF("id", "label", "lang"))
+    assert(TxnLog.snapshot(spark, t).forall(_.contains("lang=")))
+    assert(TxnLog.readPrunedPartition(spark, t, "lang", Seq("de"))
+      .filter(col("id") === 9999L).select("label").as[String].head() === "tail")
+    // And a MoR update on the renamed column under a partition filter.
+    TxnLog.updateMoR(spark, t, col("id") === 9999L, Map("label" -> lit("upd")))
+    assert(TxnLog.readPrunedPartition(spark, t, "lang", Seq("de"))
+      .filter(col("id") === 9999L).select("label").as[String].head() === "upd")
+  }
+
   test("compaction preserves the hive layout and the restored " +
        "snapshot keeps pruning") {
     val t = fixture("compact")
