@@ -548,6 +548,23 @@ case class GraftRestoreCommand(dir: String, toVersion: Option[Long],
   }
 }
 
+/** `OPTIMIZE <target> PARTITION (col = value) [TARGET n FILES]` — the
+  * SQL face of [[TxnLog.compactPartition]]: rewrite one partition's
+  * files without churning the rest of the table. Returns (version,
+  * added, removed); all-zero when fewer than two files qualified. */
+case class GraftOptimizePartitionCommand(dir: String, column: String,
+    value: String, targetFiles: Int) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq("version", "added", "removed").map(n =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        n, org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    TxnLog.compactPartition(spark, dir, column, value, targetFiles) match {
+      case Some(r) => Seq(Row(r.version, r.added.toLong, r.removed.toLong))
+      case None => Seq(Row(-1L, 0L, 0L))
+    }
+}
+
 /** `ALTER TABLE <target> DROP PARTITION (col = value)` — the SQL face
   * of [[TxnLog.dropPartition]]: one metadata commit removes the
   * partition's files from the snapshot (zero data I/O; vacuum
@@ -761,7 +778,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val convertRe =
     s"""(?is)^\\s*CONVERT\\s+TO\\s+TXN\\s+'([^']+)'\\s*;?\\s*$$""".r
   private val optimizeRe =
-    (s"""(?is)^\\s*OPTIMIZE\\s+$Tgt(?:\\s+TARGET\\s+(\\d+)\\s+FILES)?""" +
+    (s"""(?is)^\\s*OPTIMIZE\\s+$Tgt""" +
+      """(?:\s+PARTITION\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(?:'([^']*)'|([^\s)]+))\s*\))?""" +
+      """(?:\s+TARGET\s+(\d+)\s+FILES)?""" +
       """(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val restoreRe =
     (s"""(?is)^\\s*RESTORE\\s+$Tgt\\s+(?:TO\\s+)?""" +
@@ -815,7 +834,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         // CONVERT stays path-only BY DESIGN: its target is a plain
         // parquet directory that is not a catalog table yet.
         Some(GraftConvertCommand(path))
-      case optimizeRe(tgt, n, cols) =>
+      case optimizeRe(tgt, pcol, pq, pb, n, cols) if pcol != null =>
+        // Partition-scoped OPTIMIZE: compact ONE partition's files.
+        // CLUSTER BY composes poorly with a single-partition rewrite
+        // (the z-range split multiplies the target count) — refuse.
+        if (cols != null) throw new IllegalArgumentException(
+          "OPTIMIZE ... PARTITION does not take CLUSTER BY — cluster " +
+            "the whole table, or compact the partition plain")
+        Some(GraftOptimizePartitionCommand(resolveOrThrow(tgt), pcol,
+          Option(pq).getOrElse(pb), Option(n).map(_.toInt).getOrElse(1)))
+      case optimizeRe(tgt, _, _, _, n, cols) =>
         Some(GraftOptimizeCommand(resolveOrThrow(tgt), Option(n).map(_.toInt),
           Option(cols).toSeq.flatMap(_.split(','))
             .map(_.trim).filter(_.nonEmpty)))

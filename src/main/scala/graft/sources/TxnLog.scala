@@ -2801,6 +2801,51 @@ object TxnLog {
     }
   }
 
+  /** PARTITION-SCOPED compaction: rewrite only ONE partition's live
+    * files into `targetFiles` files — at 100 TB the maintenance pass
+    * compacts the hot ingest partition (today's date, the active
+    * tenant) without touching the petabytes of cold partitions a
+    * full OPTIMIZE would churn. Victims' DV masks materialize into
+    * the rewrite (readState applies them); the staged output lands
+    * hive-laid under the same partition value by construction.
+    * Rebases past concurrent appends; abandons if a victim was
+    * replaced or re-masked. None when fewer than two files qualify. */
+  def compactPartition(spark: SparkSession, table: String, column: String,
+      value: Any, targetFiles: Int = 1): Option[CommitResult] = {
+    val schema = tableSchema(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table records no schema"))
+    require(partitionFields(schema).exists(_.name.equalsIgnoreCase(column)),
+      s"'$column' is not a partition column of $table " +
+        s"(partitions: ${partitionFields(schema).map(_.name).mkString(", ")})")
+    val base = latestVersion(spark, table)
+    val (full, snapSchema) = resolveSnapshot(spark, table, Some(base))
+    val want = Option(value).map(_.toString).orNull
+    val victims = full.filter { case (rel, _) =>
+      partValueOf(rel, column).contains(want)
+    }
+    if (victims.size < 2) return None
+    val staged = stage(spark, table,
+      readState(spark, table, victims, snapSchema).repartition(targetFiles),
+      snapSchema)
+    val statCols = inheritedStatsCols(victims)
+    val stats =
+      if (statCols.isEmpty) Map.empty[String, FileStats]
+      else stagedStats(spark, table, staged, statCols, snapSchema)
+    commitLoop(spark, table, stats = stats) { v =>
+      val current = snapshotFull(spark, table, Some(v - 1)).toMap
+      if (victims.forall { case (p, st) => current.get(p).contains(st) })
+        Some((staged, victims.map(_._1)))
+      else None
+    } match {
+      case some @ Some(_) => some
+      case None =>
+        dropStaged(spark, table, staged)
+        throw new IllegalStateException(
+          s"compactPartition on $table abandoned: a victim file was " +
+            "replaced or re-masked concurrently")
+    }
+  }
+
   /** DESCRIBE HISTORY: one row per commit — version, commit time
     * (version-file mtime), adds/removes/DV-binding counts, the derived
     * operation kind, and the streaming txn marker if any. Driver-side

@@ -742,6 +742,22 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     assert(dml.sql(s"SELECT partition, n_rows FROM table_partitions('$dir')")
       .as[(String, Long)].collect().toMap
       === Map("lang=de" -> 1L, "lang=en" -> 1L, "lang=fr" -> 1L))
+    // Partition-scoped OPTIMIZE: two more en inserts (the earlier
+    // DROP PARTITION removed en) make two en fragments; the statement
+    // compacts exactly them, leaving the other partitions alone.
+    dml.sql("INSERT INTO lake.ns.t_parted VALUES (6, 'f', 'en')")
+    dml.sql("INSERT INTO lake.ns.t_parted VALUES (7, 'g', 'en')")
+    val opt = dml.sql(
+      "OPTIMIZE lake.ns.t_parted PARTITION (lang = 'en') TARGET 1 FILES")
+      .as[(Long, Long, Long)].head()
+    // en fragments: id 4's file (from the earlier insert) + 6 + 7.
+    assert(opt._2 === 1L && opt._3 === 3L, s"expected 3->1 rewrite, got $opt")
+    assert(dml.sql("SELECT id FROM lake.ns.t_parted WHERE lang = 'en' ORDER BY id")
+      .as[Long].collect().toSeq === Seq(4L, 6L, 7L))
+    intercept[Exception] {
+      dml.sql("OPTIMIZE lake.ns.t_parted PARTITION (lang = 'en') " +
+        "CLUSTER BY (id)")
+    }
     assert(dml.sql(
       "ALTER TABLE lake.ns.t_parted DROP PARTITION (lang = 'en')")
       .head().getLong(0) >= 1L)

@@ -269,6 +269,29 @@ class TxnPartitionSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] { TxnLog.partitions(spark, t2) }
   }
 
+  test("compactPartition rewrites ONE partition's files and leaves " +
+       "every other partition's files untouched by identity") {
+    val t = fixture("pcompact") // 2 commits x 2 files x 3 langs
+    val before = TxnLog.snapshotFull(spark, t)
+    val othersBefore = before.filterNot(_._1.contains("lang=en")).toSet
+    val enBefore = before.count(_._1.contains("lang=en"))
+    assert(enBefore >= 2)
+    val r = TxnLog.compactPartition(spark, t, "lang", "en", targetFiles = 1)
+    assert(r.isDefined && r.get.removed === enBefore && r.get.added === 1)
+    val after = TxnLog.snapshotFull(spark, t)
+    assert(after.filterNot(_._1.contains("lang=en")).toSet === othersBefore,
+      "non-target partitions must keep their exact file states")
+    assert(after.count(_._1.contains("lang=en")) === 1)
+    assert(TxnLog.read(spark, t).count() === 300L)
+    assert(TxnLog.readPrunedPartition(spark, t, "lang", Seq("en")).count() === 100L)
+    // A single-file partition has nothing to compact.
+    assert(TxnLog.compactPartition(spark, t, "lang", "en").isEmpty)
+    // Non-partition columns refuse.
+    intercept[IllegalArgumentException] {
+      TxnLog.compactPartition(spark, t, "s", "n1")
+    }
+  }
+
   test("column mapping composes with partitioning: renaming a " +
        "NON-partition column leaves the layout and partition reads intact") {
     import spark.implicits._
