@@ -1745,8 +1745,17 @@ object TxnLog {
                      version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val (all, schema) = resolveSnapshot(spark, table, version)
-    val kept = all.filter { case (_, st) =>
-      st.stats.forall { fs =>
+    // Partition tier: a partition column is constant per file, so the
+    // path answers the null question EXACTLY — a value file has zero
+    // nulls, a null-sentinel file is all-null.
+    val partField = schema.flatMap(s =>
+      partitionFields(s).find(_.name.equalsIgnoreCase(column)))
+    val kept = all.filter { case (rel, st) =>
+      val partOk = partField.forall { f =>
+        partValueOf(rel, physicalName(f)).forall(v =>
+          if (v == null) isNull else !isNull)
+      }
+      partOk && st.stats.forall { fs =>
         fs.cols.find(_._1.equalsIgnoreCase(column)).map(_._2).forall(cs =>
           if (cs.nulls < 0) true // unknown: always scan
           else if (isNull) cs.nulls > 0
@@ -1789,12 +1798,50 @@ object TxnLog {
     x.length - y.length
   }
 
+  /** A PARTITION value as the ColStats image a stats predicate
+    * understands: the single exact value becomes [v, v] in the stats'
+    * canonical kind (long for integral/boolean/date, raw string for
+    * strings), a null-partition file becomes the all-null sentinel
+    * (empty range, unknown null count — conservative for null-reads).
+    * This is what lets every stats-driven pruned read (range, string
+    * range, IS [NOT] NULL) prune on partition columns with ZERO new
+    * predicate code — the partition tier just synthesizes perfect
+    * per-file stats from the path. None = unparseable value or
+    * unsupported type: no pruning, always sound. */
+  private def partColStats(f: StructField, v: String): Option[ColStats] = {
+    import org.apache.spark.sql.types._
+    if (v == null)
+      return Some(ColStats(Long.MaxValue, Long.MinValue, nulls = -1L))
+    f.dataType match {
+      case StringType => Some(ColStats(0L, 0L, v, v, nulls = 0L))
+      case ByteType | ShortType | IntegerType | LongType =>
+        scala.util.Try(v.toLong).toOption.map(l => ColStats(l, l, nulls = 0L))
+      case BooleanType =>
+        val l = if (v.equalsIgnoreCase("true")) 1L else 0L
+        Some(ColStats(l, l, nulls = 0L))
+      case DateType =>
+        scala.util.Try(java.time.LocalDate.parse(v).toEpochDay).toOption
+          .map(l => ColStats(l, l, nulls = 0L))
+      case _ => None
+    }
+  }
+
   private def prunedRead(spark: SparkSession, table: String,
       version: Option[Long], keep: ColStats => Boolean, column: String,
       residual: DataFrame => Column): DataFrame = {
     val (all, schema) = resolveSnapshot(spark, table, version)
-    val kept = all.filter { case (_, st) =>
-      st.stats.forall(_.cols.get(column).forall(keep))
+    // Partition tier: when `column` is a partition column, each file's
+    // path-carried value synthesizes exact [v,v] stats the SAME keep
+    // predicate screens — so range/string/null pruned reads prune
+    // date- or key-partitioned tables from the file list alone.
+    val partField = schema.flatMap(s =>
+      partitionFields(s).find(_.name.equalsIgnoreCase(column)))
+    val kept = all.filter { case (rel, st) =>
+      val partOk = partField.forall { f =>
+        partValueOf(rel, physicalName(f))
+          .flatMap(partColStats(f, _)).forall(keep)
+      }
+      partOk && st.stats.forall(_.cols.get(column).forall(keep))
     }
     if (kept.isEmpty) {
       // Nothing can match; keep the caller's schema contract anyway.

@@ -269,6 +269,43 @@ class TxnPartitionSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] { TxnLog.partitions(spark, t2) }
   }
 
+  test("range, string-range, and null pruned reads all prune on the " +
+       "partition tier (path-synthesized exact stats)") {
+    import spark.implicits._
+    val t = freshTable("rangeprune")
+    val df = (0L until 300L).map(i => (i, s"n$i", i % 3)).toDF("id", "s", "day")
+    TxnLog.createPartitioned(spark, t, df.repartition(2), Seq("day"))
+    def scannedFiles(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.toSeq
+      }.flatten
+    // LONG range on the integral partition column: only day∈[1,2] dirs.
+    val r = TxnLog.readPruned(spark, t, "day", 1L, 2L)
+    assert(r.count() === 200L)
+    assert(scannedFiles(r).forall(f => f.contains("day=1") || f.contains("day=2")),
+      s"range read must prune day=0: ${scannedFiles(r)}")
+    // STRING range on a string partition column.
+    val t2 = freshTable("strprune")
+    val sdf = (0L until 90L).map(i => (i, Seq("aa", "mm", "zz")(i.toInt % 3)))
+      .toDF("id", "grp")
+    TxnLog.createPartitioned(spark, t2, sdf.repartition(2), Seq("grp"))
+    val rs = TxnLog.readPrunedString(spark, t2, "grp", "a", "n")
+    assert(rs.count() === 60L)
+    assert(scannedFiles(rs).forall(f => f.contains("grp=aa") || f.contains("grp=mm")))
+    // NULL reads: the path answers exactly.
+    val t3 = freshTable("nullprune")
+    val ndf = Seq((1L, "en"), (2L, null), (3L, "en"), (4L, null))
+      .toDF("id", "grp")
+    TxnLog.createPartitioned(spark, t3, ndf.coalesce(1), Seq("grp"))
+    val rn = TxnLog.readPrunedNull(spark, t3, "grp", isNull = true)
+    assert(rn.select("id").as[Long].collect().sorted.toSeq === Seq(2L, 4L))
+    assert(scannedFiles(rn).forall(_.contains("__HIVE_DEFAULT_PARTITION__")))
+    val rnn = TxnLog.readPrunedNull(spark, t3, "grp", isNull = false)
+    assert(rnn.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    assert(scannedFiles(rnn).forall(_.contains("grp=en")))
+  }
+
   test("compactPartition rewrites ONE partition's files and leaves " +
        "every other partition's files untouched by identity") {
     val t = fixture("pcompact") // 2 commits x 2 files x 3 langs
