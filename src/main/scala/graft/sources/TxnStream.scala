@@ -94,8 +94,15 @@ class TxnStreamProvider extends StreamSourceProvider with StreamSinkProvider
     require(!(params.contains("startingversion") &&
         params.contains("startingtimestamp")),
       "startingVersion and startingTimestamp are mutually exclusive")
+    // The LOG-RECORDED schema, not the read's output schema: the
+    // recorded fields carry the column-mapping / partition-column /
+    // generated-expression METADATA the incremental reads need (a
+    // partitioned table's values attach by that metadata — an output
+    // schema stripped of it would stream the partition column as
+    // all-null). Pre-schema-tracking logs fall back to inference.
     val base = schema.getOrElse(
-      TxnLog.read(ctx.sparkSession, tablePath(params)).schema)
+      TxnLog.tableSchema(ctx.sparkSession, tablePath(params)).getOrElse(
+        TxnLog.read(ctx.sparkSession, tablePath(params)).schema))
     (shortName(),
       if (cdf(params)) base.add("_change", "string", nullable = false)
       else base)

@@ -38,6 +38,28 @@ class TxnStreamSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("a PARTITIONED table streams with its partition column values " +
+       "attached (snapshot and incremental tails alike)") {
+    import spark.implicits._
+    val table = freshTable("parttail")
+    TxnLog.createPartitioned(spark, table,
+      Seq((1L, "a", "en"), (2L, "b", "de")).toDF("id", "s", "lang"),
+      Seq("lang"))
+    val q = spark.readStream.format("graft-txn").load(table)
+      .writeStream.format("memory").queryName("txn_parttail").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txn_parttail").as[(Long, String, String)]
+        .collect().sorted === Array((1L, "a", "en"), (2L, "b", "de")))
+      TxnLog.append(spark, table, Seq((3L, "c", "fr")).toDF("id", "s", "lang"))
+      q.processAllAvailable()
+      assert(spark.table("txn_parttail").as[(Long, String, String)]
+        .collect().sorted
+        === Array((1L, "a", "en"), (2L, "b", "de"), (3L, "c", "fr")),
+        "the incremental leg must attach partition values from paths too")
+    } finally q.stop()
+  }
+
   test("a pre-stream compaction is invisible (snapshot start), but a " +
        "mid-stream rewrite fails fast without ignoreChanges") {
     import spark.implicits._
