@@ -350,6 +350,26 @@ class TxnPartitionSpec extends AnyFunSuite with SparkSpec {
       .filter(col("id") === 9999L).select("label").as[String].head() === "upd")
   }
 
+  test("partition metadata survives checkpoint replay: 12+ commits, " +
+       "log cleanup, then prune/drop still work from the checkpoint") {
+    import spark.implicits._
+    val t = freshTable("ckpt")
+    TxnLog.createPartitioned(spark, t,
+      Seq((0L, "v0", "en")).toDF("id", "s", "lang"), Seq("lang"))
+    (1L to 12L).foreach { i =>
+      TxnLog.append(spark, t,
+        Seq((i, s"v$i", Seq("en", "de")(i.toInt % 2))).toDF("id", "s", "lang"))
+    }
+    // Past CheckpointInterval: resolution now replays a checkpoint.
+    TxnLog.cleanupLog(spark, t, retainVersions = 2)
+    assert(TxnLog.partitionColumns(spark, t) === Seq("lang"),
+      "the checkpointed schema must keep the partition metadata")
+    assert(TxnLog.read(spark, t).count() === 13L)
+    assert(TxnLog.readPrunedPartition(spark, t, "lang", Seq("de")).count() === 6L)
+    TxnLog.dropPartition(spark, t, "lang", "de")
+    assert(TxnLog.read(spark, t).count() === 7L)
+  }
+
   test("compaction preserves the hive layout and the restored " +
        "snapshot keeps pruning") {
     val t = fixture("compact")
