@@ -350,6 +350,38 @@ class TxnPartitionSpec extends AnyFunSuite with SparkSpec {
       .filter(col("id") === 9999L).select("label").as[String].head() === "upd")
   }
 
+  test("property: random unicode partition values round-trip the path " +
+       "encoding and prune exactly (seeded)") {
+    import spark.implicits._
+    for (seed <- Seq(7L, 31L)) {
+      val rnd = new scala.util.Random(seed)
+      val t = freshTable(s"prop$seed")
+      // Path-hostile material: spaces, %, =, :, #, quotes, unicode.
+      val alphabet = "ab %=:#'\"\\u00e9\\u4e2d?*|<>~`!@$^&()[]{}+-"
+      val values = (0 until 8).map { i =>
+        (0 until 1 + rnd.nextInt(8)).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString + i
+      }.distinct
+      val rows = values.zipWithIndex.flatMap { case (v, i) =>
+        (0 until 3).map(j => (i * 10L + j, v))
+      }
+      TxnLog.createPartitioned(spark, t, rows.toDF("id", "grp").coalesce(1),
+        Seq("grp"))
+      val got = TxnLog.read(spark, t).as[(Long, String)].collect().toSet
+      assert(got === rows.toSet, s"seed=$seed round-trip failed")
+      values.foreach { v =>
+        val pruned = TxnLog.readPrunedPartition(spark, t, "grp", Seq(v))
+        assert(pruned.count() === 3L, s"seed=$seed value '$v' mis-pruned")
+        assert(pruned.as[(Long, String)].collect().forall(_._2 == v))
+      }
+      // Drop one random value; its rows vanish, others are intact.
+      val victim = values(rnd.nextInt(values.length))
+      TxnLog.dropPartition(spark, t, "grp", victim)
+      assert(TxnLog.read(spark, t).filter(col("grp") === victim).count() === 0L)
+      assert(TxnLog.read(spark, t).count() === (values.length - 1) * 3L)
+    }
+  }
+
   test("partition metadata survives checkpoint replay: 12+ commits, " +
        "log cleanup, then prune/drop still work from the checkpoint") {
     import spark.implicits._
