@@ -3003,6 +3003,18 @@ object TxnLog {
     }
     if (dryRun) return dead // report the candidates, touch nothing
     dead.foreach(p => scala.util.Try(f.delete(new Path(table, p), false)))
+    // Emptied staging/partition directories go with their files — a
+    // partitioned table's vacuum otherwise litters one empty
+    // `stage-x/col=value/` chain per reclaimed partition. Non-recursive
+    // deletes bottom-up: a dir that still holds anything (a racing
+    // writer's fresh file) just fails the delete and stays — no
+    // force, no recursion, nothing but empty shells can go.
+    dead.map(p => p.substring(0, p.lastIndexOf('/').max(0)))
+      .filter(_.nonEmpty).distinct
+      .flatMap(d => d.split('/').inits.toSeq.init.map(_.mkString("/")))
+      .distinct.sortBy(-_.length)
+      .filter(d => d.startsWith("stage-") && !d.startsWith("_"))
+      .foreach(d => scala.util.Try(f.delete(new Path(table, d), false)))
     // Bloom sidecars ride their data file's lifetime: once the data
     // file is physically gone (this pass or an earlier one), its
     // sidecars are unreachable metadata — sweep them in the same pass.

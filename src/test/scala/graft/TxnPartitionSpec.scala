@@ -350,6 +350,41 @@ class TxnPartitionSpec extends AnyFunSuite with SparkSpec {
       .filter(col("id") === 9999L).select("label").as[String].head() === "upd")
   }
 
+  test("CDC over a partitioned table carries partition values; a " +
+       "dropPartition commit streams as deletes; vacuum sweeps the " +
+       "emptied partition directories") {
+    import spark.implicits._
+    val t = freshTable("cdc")
+    val df = (0L until 60L)
+      .map(i => (i, Seq("en", "de", "fr")(i.toInt % 3))).toDF("id", "lang")
+    TxnLog.createPartitioned(spark, t,
+      df.filter(col("id") < 30).coalesce(1), Seq("lang"))          // v0
+    TxnLog.append(spark, t, df.filter(col("id") >= 30).coalesce(1)) // v1
+    TxnLog.dropPartition(spark, t, "lang", "de")                    // v2
+    val ch = TxnLog.changes(spark, t, 1L, 2L)
+      .select("_change", "id", "lang").as[(String, Long, String)]
+      .collect().toSeq
+    assert(ch.forall(c => c._1 == "delete" && c._3 == "de"),
+      s"the drop must stream as deletes WITH partition values: ${ch.take(3)}")
+    assert(ch.size === 20)
+    // Vacuum reclaims the dropped files AND their emptied lang=de dirs.
+    TxnLog.vacuum(spark, t, retainVersions = 1, retainMillis = 0L)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftoverDe = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(t), true)
+      var found = false
+      while (it.hasNext) if (it.next().getPath.toString.contains("lang=de"))
+        found = true
+      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(t))
+        .filter(_.isDirectory).flatMap(d => fs.listStatus(d.getPath))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("lang=de"))
+      found || dirs.nonEmpty
+    }
+    assert(!leftoverDe, "vacuum must sweep the emptied lang=de directories")
+    assert(TxnLog.read(spark, t).count() === 40L)
+  }
+
   test("property: random unicode partition values round-trip the path " +
        "encoding and prune exactly (seeded)") {
     import spark.implicits._
