@@ -1333,10 +1333,12 @@ object TxnLog {
     * silently RECOMPUTED (overwritten) by the expression — "GENERATED
     * ALWAYS AS" means the column is never writer-owned, so a stale or
     * bogus writer value can never land (q_txn_generated pins this).
-    * Asymmetry with constraints: [[overwrite]] re-baselines the schema
-    * to the new frame's, which DROPS generated definitions (the new
-    * shape is writer-owned by definition) while CHECK constraints
-    * survive as table invariants. The point at 100 TB: a
+    * Like CHECK constraints, the definition is a TABLE invariant:
+    * [[overwrite]] carries it through its schema re-baseline for
+    * columns the replacement frame keeps (same name and type) and
+    * recomputes the value into the replacement rows; dropping the
+    * column from the overwrite frame drops the definition with it.
+    * The point at 100 TB: a
     * derived skipping key (the day of a timestamp, a hash prefix of a
     * url) recorded as a TABLE property is computed consistently by
     * every writer forever, so the default stats (and any bloom
@@ -2018,15 +2020,41 @@ object TxnLog {
   def overwrite(spark: SparkSession, table: String, df: DataFrame): CommitResult = {
     // An overwrite re-baselines the schema PLAIN (physical = logical,
     // no retired slots): every pre-overwrite file leaves the snapshot,
-    // so no old physical slot can leak into the new shape. CHECK
-    // constraints are TABLE invariants and survive it — the staged
-    // write above already validated the replacement rows against them.
-    val staged = stage(spark, table, df, mapping = None)
+    // so no old physical slot can leak into the new shape. TABLE
+    // INVARIANTS survive it: CHECK constraints (validated against the
+    // replacement rows in the staged write), GENERATED definitions
+    // (recomputed into the replacement rows — a writer-supplied value
+    // is overwritten like on any other path), and PARTITION columns
+    // (the replacement stages hive-laid) — each carried for columns
+    // the new frame still has under the same name and type; a column
+    // the frame dropped takes its invariant with it (the overwrite
+    // owns the shape). Round-13 advice documented the old
+    // drop-generated asymmetry; this closes it.
+    val curMeta = scala.util.Try(resolve(spark, table, None)._2)
+      .toOption.flatten
+    val preserved = StructType(stripMapping(df.schema).fields.map { f =>
+      curMeta.flatMap(_.schema.fields.find(cf =>
+          cf.name.equalsIgnoreCase(f.name) &&
+            cf.dataType.catalogString == f.dataType.catalogString)) match {
+        case Some(cf) if cf.metadata.contains(GeneratedExprKey) ||
+            cf.metadata.contains(PartitionColKey) =>
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          if (cf.metadata.contains(GeneratedExprKey))
+            mb.putString(GeneratedExprKey,
+              cf.metadata.getString(GeneratedExprKey))
+          if (cf.metadata.contains(PartitionColKey))
+            mb.putLong(PartitionColKey,
+              cf.metadata.getLong(PartitionColKey))
+          f.copy(metadata = mb.build())
+        case _ => f
+      }
+    })
+    val staged = stage(spark, table, df, mapping = Some(preserved))
     mustCommit(commitLoop(spark, table,
       stats = stagedStats(spark, table, staged, defaultStatsCols(df.schema)),
-      schema = Some(SchemaCommit(stripMapping(df.schema),
-        constraints = scala.util.Try(resolve(spark, table, None)._2)
-          .toOption.flatten.map(_.constraints).getOrElse(Map.empty)))) { v =>
+      schema = Some(SchemaCommit(preserved,
+        constraints = curMeta.map(_.constraints).getOrElse(Map.empty)))) { v =>
       Some((staged, snapshot(spark, table, Some(v - 1))))
     }, s"overwrite $table")
   }

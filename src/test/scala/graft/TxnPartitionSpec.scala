@@ -350,6 +350,35 @@ class TxnPartitionSpec extends AnyFunSuite with SparkSpec {
       .filter(col("id") === 9999L).select("label").as[String].head() === "upd")
   }
 
+  test("overwrite preserves TABLE invariants: partitioning and " +
+       "GENERATED definitions survive the schema re-baseline") {
+    import spark.implicits._
+    val t = fixture("ovw")
+    TxnLog.addGeneratedColumn(spark, t, "id2", "id * 2")
+    // Overwrite with a frame carrying all columns (bogus id2 values —
+    // GENERATED ALWAYS recomputes them).
+    val repl = (0L until 50L)
+      .map(i => (i, s"r$i", Seq("en", "de")(i.toInt % 2), -999L))
+      .toDF("id", "s", "lang", "id2")
+    TxnLog.overwrite(spark, t, repl)
+    assert(TxnLog.partitionColumns(spark, t) === Seq("lang"),
+      "partitioning must survive the overwrite")
+    assert(TxnLog.snapshot(spark, t).forall(_.contains("lang=")),
+      "the replacement rows must stage hive-laid")
+    assert(TxnLog.read(spark, t).agg(sum("id2")).head.getLong(0)
+      === 2L * (0L until 50L).sum, "generated values must recompute")
+    // Later appends keep deriving and partitioning.
+    TxnLog.append(spark, t, Seq((100L, "x", "fr", -1L))
+      .toDF("id", "s", "lang", "id2"))
+    assert(TxnLog.readPrunedPartition(spark, t, "lang", Seq("fr"))
+      .select("id2").as[Long].head() === 200L)
+    // Dropping the generated column from the frame drops the invariant
+    // (the overwrite owns the shape).
+    TxnLog.overwrite(spark, t, Seq((1L, "y")).toDF("id", "s"))
+    assert(TxnLog.partitionColumns(spark, t) === Nil)
+    assert(TxnLog.read(spark, t).schema.fieldNames.toSeq === Seq("id", "s"))
+  }
+
   test("CDC over a partitioned table carries partition values; a " +
        "dropPartition commit streams as deletes; vacuum sweeps the " +
        "emptied partition directories") {
