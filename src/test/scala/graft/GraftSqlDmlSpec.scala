@@ -763,6 +763,13 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
       .head().getLong(0) >= 1L)
     assert(dml.sql("SELECT id FROM lake.ns.t_parted ORDER BY id")
       .as[Long].collect().toSeq === Seq(2L, 5L))
+    // INSERT OVERWRITE keeps the table partitioned (overwrite carries
+    // the invariant through its re-baseline).
+    dml.sql("INSERT OVERWRITE lake.ns.t_parted VALUES (9, 'z', 'es')")
+    assert(TxnLog.partitionColumns(dml, dir) === Seq("lang"))
+    assert(TxnLog.snapshot(dml, dir).forall(_.contains("lang=")))
+    assert(dml.sql("SELECT id, lang FROM lake.ns.t_parted")
+      .as[(Long, String)].collect().toSeq === Seq((9L, "es")))
   }
 
   test("RESTORE a merge-on-read UPDATE away and back: the DV binding " +
