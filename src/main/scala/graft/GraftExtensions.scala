@@ -64,6 +64,23 @@ object GraftExtensions {
     }
   }
 
+  /** A TVF's table argument: a filesystem path verbatim, or a
+    * `catalog.ns.table` NAME resolved through a registered
+    * [[graft.sources.GraftCatalog]] — the same addressing the
+    * maintenance statements take, so `table_changes('lake.ns.t', …)`
+    * works like `VACUUM lake.ns.t`. Dotted strings that do NOT
+    * resolve fall through as paths (a relative path can contain
+    * dots), keeping every existing call site untouched. */
+  private def tableArg(e: Expression, usage: String): String = {
+    val raw = literalString(e, usage)
+    if (raw.contains('/') || raw.contains('\\')) return raw
+    val spark = org.apache.spark.sql.SparkSession.active
+    scala.util.Try(spark.sessionState.sqlParser.parseMultipartIdentifier(raw))
+      .toOption
+      .flatMap(graft.plans.TxnSqlDml.txnDir(spark, _))
+      .getOrElse(raw)
+  }
+
   private def literalLong(e: Expression, usage: String): Long = {
     require(e.foldable, usage)
     e.eval() match {
@@ -84,7 +101,7 @@ object GraftExtensions {
         "'fromTimestamp', toVersion|'toTimestamp')"
       require(children.length == 3, u)
       val spark = org.apache.spark.sql.SparkSession.active
-      val table = literalString(children(0), u)
+      val table = tableArg(children(0), u)
       // A version bound may be a commit number or a timestamp string —
       // the latter resolves through the SAME commit-mtime rule as the
       // catalog's TIMESTAMP AS OF, so `table_changes(p, t1, t2)` is
@@ -108,14 +125,14 @@ object GraftExtensions {
       require(children.length == 1, u)
       val spark = org.apache.spark.sql.SparkSession.active
       org.apache.spark.sql.graftbridge.Bridge.planOf(
-        graft.sources.TxnLog.history(spark, literalString(children(0), u)))
+        graft.sources.TxnLog.history(spark, tableArg(children(0), u)))
     }),
     ("table_files", { children =>
       val u = "usage: table_files('/path/to/txn/table'[, version])"
       require(children.nonEmpty && children.length <= 2, u)
       val spark = org.apache.spark.sql.SparkSession.active
       org.apache.spark.sql.graftbridge.Bridge.planOf(
-        graft.sources.TxnLog.files(spark, literalString(children(0), u),
+        graft.sources.TxnLog.files(spark, tableArg(children(0), u),
           children.lift(1).map(literalLong(_, u))))
     }),
     ("table_constraints", { children =>
@@ -125,7 +142,7 @@ object GraftExtensions {
       import spark.implicits._
       org.apache.spark.sql.graftbridge.Bridge.planOf(
         graft.sources.TxnLog.constraints(spark,
-            literalString(children(0), u))
+            tableArg(children(0), u))
           .toSeq.sortBy(_._1).toDF("name", "expression"))
     }),
     ("table_partitions", { children =>
@@ -133,7 +150,7 @@ object GraftExtensions {
       require(children.nonEmpty && children.length <= 2, u)
       val spark = org.apache.spark.sql.SparkSession.active
       org.apache.spark.sql.graftbridge.Bridge.planOf(
-        graft.sources.TxnLog.partitions(spark, literalString(children(0), u),
+        graft.sources.TxnLog.partitions(spark, tableArg(children(0), u),
           children.lift(1).map(literalLong(_, u))))
     }))
 

@@ -615,6 +615,12 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     try assert(dml.sql("VACUUM lake.ns.t_named").count() >= 1L)
     finally dml.conf.unset("spark.graft.vacuum.retainMillis")
     assert(content("t_named").map(_._1) === (0L to 19L).toSet)
+    // TVFs take the same name addressing: a 'catalog.ns.table' string
+    // resolves like the statements do (paths keep working verbatim).
+    assert(dml.sql("SELECT count(*) FROM table_history('lake.ns.t_named')")
+      .head().getLong(0) >= 5L)
+    assert(dml.sql("SELECT count(*) FROM table_files('lake.ns.t_named')")
+      .head().getLong(0) >= 1L)
     // A graft verb on an unresolvable bare name fails with the remedy.
     val e = intercept[Exception] { dml.sql("VACUUM lake.ns.no_such_table") }
     assert(e.getMessage.contains("does not resolve"))
