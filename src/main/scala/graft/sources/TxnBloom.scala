@@ -321,6 +321,11 @@ object TxnBloom {
       val k = in.readInt()
       val m = in.readLong()
       val n = in.readInt()
+      // Structural sanity beyond the magic: garbage that happens to
+      // carry it must yield None (no verdict, file stays), never an
+      // allocation blow-up or a mod-by-zero in the probe.
+      if (k <= 0 || k > 64 || m < MinBits || m > MaxBits ||
+          n < 0 || n > ((MaxBits >> 3) + 16).toInt) return None
       val bits = new Array[Byte](n)
       in.readFully(bits)
       Some(Sidecar(k, m, bits))
@@ -392,10 +397,12 @@ object TxnBloom {
           indexOffset > len - 12) return None
       in.seek(indexOffset)
       val n = in.readInt()
+      if (n < 0 || n > (1 << 24)) return None // corrupt count: no verdicts
       val out = Map.newBuilder[String, Long]
       var i = 0
       while (i < n) {
         val relLen = in.readInt()
+        if (relLen <= 0 || relLen > (1 << 16)) return None
         val b = new Array[Byte](relLen)
         in.readFully(b)
         out += new String(b, "UTF-8") -> in.readLong()
@@ -412,7 +419,8 @@ object TxnBloom {
       val k = in.readInt()
       val m = in.readLong()
       val n = in.readInt()
-      if (n < 0 || n > (MaxBits >> 3) + 16) return None
+      if (k <= 0 || k > 64 || m < MinBits || m > MaxBits ||
+          n < 0 || n > (MaxBits >> 3) + 16) return None
       val bits = new Array[Byte](n)
       in.readFully(bits)
       Some(Sidecar(k, m, bits))

@@ -3041,7 +3041,12 @@ object TxnLog {
       .filter(_.nonEmpty).distinct
       .flatMap(d => d.split('/').inits.toSeq.init.map(_.mkString("/")))
       .distinct.sortBy(-_.length)
-      .filter(d => d.startsWith("stage-") && !d.startsWith("_"))
+      // Only dirs the ENGINE laid out are candidates: staging dirs and
+      // hive `k=v` partition dirs (adopted tables keep theirs at the
+      // table root) — every segment must be one of the two, so `_log`,
+      // `_bloom`, and user-placed directories can never be touched.
+      .filter(_.split('/').forall(seg =>
+        seg.startsWith("stage-") || seg.contains('=')))
       .foreach(d => scala.util.Try(f.delete(new Path(table, d), false)))
     // Bloom sidecars ride their data file's lifetime: once the data
     // file is physically gone (this pass or an earlier one), its
