@@ -100,6 +100,34 @@ object TxnSqlDml {
   /** The parse-plan rewrite: DML over txn tables → runnable commands.
     * Anything else passes through untouched. */
   def rewrite(spark: SparkSession, plan: LogicalPlan): LogicalPlan = plan match {
+    // STATIC-partition INSERT over a txn table: Spark's grammar parses
+    // `INSERT [OVERWRITE] t PARTITION (col = v, …) SELECT …` into an
+    // InsertIntoStatement with a partitionSpec the DSv2 write path
+    // cannot express — route OVERWRITE to the log's atomic
+    // single-partition replace, and plain INSERT to an append with the
+    // spec'd literals attached. Dynamic entries (`PARTITION (col)`)
+    // stay unsupported explicitly.
+    case InsertIntoStatement(t, spec, userCols, query, overwrite,
+        ifNotExists, byName) if spec.nonEmpty =>
+      target(t).flatMap { case (parts, _) =>
+        txnDir(spark, parts).map { dir =>
+          if (ifNotExists) throw new UnsupportedOperationException(
+            "graft txn INSERT: IF NOT EXISTS partition guards are not " +
+              "supported — the overwrite is atomic; guard in the caller")
+          if (userCols.nonEmpty || byName) throw new UnsupportedOperationException(
+            "graft txn PARTITION inserts take positional full-row queries " +
+              "(no column list / BY NAME)")
+          val static = spec.map { case (c, vOpt) =>
+            c -> vOpt.getOrElse(throw new UnsupportedOperationException(
+              s"graft txn INSERT: dynamic partition column '$c' — give the " +
+                "value statically (PARTITION (col = 'v')) or include the " +
+                "column in the query without a PARTITION clause"))
+          }
+          GraftInsertPartitionCommand(dir, static, query,
+            overwrite): LogicalPlan
+        }
+      }.getOrElse(plan)
+
     case DeleteFromTable(t, cond) =>
       target(t).flatMap { case (parts, alias) =>
         txnDir(spark, parts).map { dir =>
@@ -545,6 +573,49 @@ case class GraftRestoreCommand(dir: String, toVersion: Option[Long],
           "RESTORE needs VERSION AS OF or TIMESTAMP AS OF")))))
     val r = TxnLog.restore(spark, dir, v)
     Seq(Row(r.version, r.added.toLong, r.removed.toLong))
+  }
+}
+
+/** `INSERT [OVERWRITE] <txn table> PARTITION (col = v, …) <query>` —
+  * OVERWRITE replaces the partition atomically
+  * ([[TxnLog.overwritePartition]]); plain INSERT appends the query's
+  * rows with the spec'd literal values attached. The query plan
+  * analyzes at run time, like the MERGE source. */
+case class GraftInsertPartitionCommand(dir: String,
+    spec: Map[String, String], query: LogicalPlan, overwrite: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val raw = Bridge.ofRows(spark, query)
+    val schema = TxnLog.tableSchema(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir records no schema"))
+    // INSERT is POSITIONAL: the query supplies every NON-spec table
+    // column in order (a VALUES list arrives as col1/col2/…), aligned
+    // and cast here like Spark's own column alignment — ANSI casts, so
+    // a lossy mismatch still errors.
+    val nonSpec = schema.fields.filterNot(f =>
+      spec.keys.exists(_.equalsIgnoreCase(f.name)))
+    require(raw.columns.length == nonSpec.length,
+      s"INSERT … PARTITION into $dir: the query must supply the " +
+        s"${nonSpec.length} non-partition column(s) " +
+        s"${nonSpec.map(_.name).mkString(", ")} positionally; " +
+        s"got ${raw.columns.length} column(s)")
+    val df = raw.toDF(nonSpec.map(_.name).toIndexedSeq: _*)
+      .select(nonSpec.map(f =>
+        col(s"`${f.name}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    if (overwrite)
+      TxnLog.overwritePartition(spark, dir,
+        spec.map { case (c, v) => c -> (v: Any) }, df)
+    else {
+      val full = spec.foldLeft(df) { case (d, (c, v)) =>
+        val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(s"no column '$c' in $dir"))
+          .dataType
+        d.withColumn(c, lit(v).cast(dt))
+      }
+      TxnLog.append(spark, dir, full)
+    }
+    Seq.empty
   }
 }
 

@@ -1007,6 +1007,54 @@ object TxnLog {
     }, s"drop partition $column=$value of $table")
   }
 
+  /** REPLACE one partition atomically: everything under the static
+    * `spec` leaves the snapshot and `df`'s rows land in its place, in
+    * ONE commit (readers see the old partition or the new one, never a
+    * mix) — the `INSERT OVERWRITE … PARTITION (col=v)` /
+    * Delta-replaceWhere shape, and the daily-rebuild primitive at
+    * 100 TB (recompute a day, swap it in; the rest of the table never
+    * moves). `df` must NOT carry the spec'd columns — the static spec
+    * owns them (standard static-partition semantics); they are
+    * appended as cast literals, so every staged row provably lands in
+    * the replaced partition. Removes recompute against the CURRENT
+    * snapshot on every retry, like [[overwrite]]. */
+  def overwritePartition(spark: SparkSession, table: String,
+      spec: Map[String, Any], df: DataFrame): CommitResult = {
+    import org.apache.spark.sql.functions.lit
+    require(spec.nonEmpty, "overwritePartition needs a partition spec")
+    val schema = tableSchema(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table records no schema"))
+    val parts = partitionFields(schema)
+    spec.keys.foreach { c =>
+      require(parts.exists(_.name.equalsIgnoreCase(c)),
+        s"'$c' is not a partition column of $table " +
+          s"(partitions: ${parts.map(_.name).mkString(", ")})")
+      require(!df.columns.exists(_.equalsIgnoreCase(c)),
+        s"the query must not produce static partition column '$c' — " +
+          "the PARTITION spec owns its value")
+    }
+    val full = spec.foldLeft(df) { case (d, (c, v)) =>
+      val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+      d.withColumn(c, lit(v).cast(dt))
+    }
+    val cur = tableSchema(spark, table)
+    enforceSchema(spark, table, full, mergeSchema = false,
+      "partition overwrite")
+    val staged = stage(spark, table, full, cur)
+    val want: Map[String, String] =
+      spec.map { case (c, v) => c -> Option(v).map(_.toString).orNull }
+    mustCommit(commitLoop(spark, table,
+      stats = stagedStats(spark, table, staged,
+        defaultStatsCols(cur.getOrElse(full.schema)), cur)) { v =>
+      val victims = snapshotFull(spark, table, Some(v - 1)).collect {
+        case (rel, _) if want.forall { case (c, value) =>
+          partValueOf(rel, c).contains(value)
+        } => rel
+      }
+      Some((staged, victims))
+    }, s"overwrite partition ${spec.mkString(",")} of $table")
+  }
+
   /** Partition-equality read: plan the scan over only the files whose
     * path-carried partition value matches — zero metadata beyond the
     * log's own file list. Files without the segment always scan and

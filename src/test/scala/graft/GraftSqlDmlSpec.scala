@@ -776,6 +776,24 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.snapshot(dml, dir).forall(_.contains("lang=")))
     assert(dml.sql("SELECT id, lang FROM lake.ns.t_parted")
       .as[(Long, String)].collect().toSeq === Seq((9L, "es")))
+    // STATIC-partition INSERTs: plain INSERT appends with the literal,
+    // OVERWRITE replaces exactly that partition.
+    dml.sql("INSERT INTO lake.ns.t_parted PARTITION (lang = 'en') " +
+      "VALUES (10, 'j'), (11, 'k')")
+    assert(dml.sql("SELECT id FROM lake.ns.t_parted WHERE lang = 'en'")
+      .as[Long].collect().sorted.toSeq === Seq(10L, 11L))
+    dml.sql("INSERT OVERWRITE lake.ns.t_parted PARTITION (lang = 'en') " +
+      "VALUES (12, 'm')")
+    assert(dml.sql("SELECT id, s, lang FROM lake.ns.t_parted ORDER BY id")
+      .as[(Long, String, String)].collect().toSeq
+      === Seq((9L, "z", "es"), (12L, "m", "en")),
+      "the es partition must survive the en replace")
+    // Dynamic partition entries refuse with the remedy.
+    val ed = intercept[Exception] {
+      dml.sql("INSERT OVERWRITE lake.ns.t_parted PARTITION (lang) " +
+        "VALUES (13, 'n', 'fr')")
+    }
+    assert(ed.getMessage.contains("dynamic partition"))
   }
 
   test("RESTORE a merge-on-read UPDATE away and back: the DV binding " +

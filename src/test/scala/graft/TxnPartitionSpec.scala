@@ -350,6 +350,38 @@ class TxnPartitionSpec extends AnyFunSuite with SparkSpec {
       .filter(col("id") === 9999L).select("label").as[String].head() === "upd")
   }
 
+  test("overwritePartition replaces ONE partition atomically: other " +
+       "partitions' files are untouched, time travel keeps the old " +
+       "partition, the spec owns its column") {
+    import spark.implicits._
+    val t = fixture("povw") // en/de/fr, 100 rows each
+    val before = TxnLog.snapshotFull(spark, t)
+    val othersBefore = before.filterNot(_._1.contains("lang=en")).toSet
+    val v = TxnLog.latestVersion(spark, t)
+    val repl = (1000L until 1005L).map(i => (i, s"new$i")).toDF("id", "s")
+    TxnLog.overwritePartition(spark, t, Map("lang" -> "en"), repl)
+    assert(TxnLog.latestVersion(spark, t) === v + 1, "one atomic commit")
+    val after = TxnLog.snapshotFull(spark, t)
+    assert(after.filterNot(_._1.contains("lang=en")).toSet === othersBefore)
+    assert(TxnLog.readPrunedPartition(spark, t, "lang", Seq("en"))
+      .select("id").as[Long].collect().sorted.toSeq
+      === (1000L until 1005L).toSeq)
+    assert(TxnLog.read(spark, t).count() === 205L)
+    // Time travel still serves the replaced partition.
+    assert(TxnLog.read(spark, t, Some(v))
+      .filter(col("lang") === "en").count() === 100L)
+    // The frame must not carry the spec'd column.
+    intercept[IllegalArgumentException] {
+      TxnLog.overwritePartition(spark, t, Map("lang" -> "de"),
+        Seq((1L, "x", "de")).toDF("id", "s", "lang"))
+    }
+    // Non-partition spec columns refuse.
+    intercept[IllegalArgumentException] {
+      TxnLog.overwritePartition(spark, t, Map("s" -> "x"),
+        Seq((1L, "en")).toDF("id", "lang"))
+    }
+  }
+
   test("overwrite preserves TABLE invariants: partitioning and " +
        "GENERATED definitions survive the schema re-baseline") {
     import spark.implicits._
