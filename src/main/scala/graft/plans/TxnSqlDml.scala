@@ -624,13 +624,15 @@ case class GraftInsertPartitionCommand(dir: String,
   * files without churning the rest of the table. Returns (version,
   * added, removed); all-zero when fewer than two files qualified. */
 case class GraftOptimizePartitionCommand(dir: String, column: String,
-    value: String, targetFiles: Int) extends LeafRunnableCommand {
+    value: String, targetFiles: Int,
+    clusterBy: Seq[String] = Nil) extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq("version", "added", "removed").map(n =>
       org.apache.spark.sql.catalyst.expressions.AttributeReference(
         n, org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    TxnLog.compactPartition(spark, dir, column, value, targetFiles) match {
+    TxnLog.compactPartition(spark, dir, column, value, targetFiles,
+      clusterBy.map(org.apache.spark.sql.functions.col)) match {
       case Some(r) => Seq(Row(r.version, r.added.toLong, r.removed.toLong))
       case None => Seq(Row(-1L, 0L, 0L))
     }
@@ -906,14 +908,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         // parquet directory that is not a catalog table yet.
         Some(GraftConvertCommand(path))
       case optimizeRe(tgt, pcol, pq, pb, n, cols) if pcol != null =>
-        // Partition-scoped OPTIMIZE: compact ONE partition's files.
-        // CLUSTER BY composes poorly with a single-partition rewrite
-        // (the z-range split multiplies the target count) — refuse.
-        if (cols != null) throw new IllegalArgumentException(
-          "OPTIMIZE ... PARTITION does not take CLUSTER BY — cluster " +
-            "the whole table, or compact the partition plain")
+        // Partition-scoped OPTIMIZE: compact (and optionally cluster)
+        // ONE partition's files.
         Some(GraftOptimizePartitionCommand(resolveOrThrow(tgt), pcol,
-          Option(pq).getOrElse(pb), Option(n).map(_.toInt).getOrElse(1)))
+          Option(pq).getOrElse(pb), Option(n).map(_.toInt).getOrElse(1),
+          Option(cols).toSeq.flatMap(_.split(','))
+            .map(_.trim).filter(_.nonEmpty)))
       case optimizeRe(tgt, _, _, _, n, cols) =>
         Some(GraftOptimizeCommand(resolveOrThrow(tgt), Option(n).map(_.toInt),
           Option(cols).toSeq.flatMap(_.split(','))

@@ -2934,7 +2934,8 @@ object TxnLog {
     * Rebases past concurrent appends; abandons if a victim was
     * replaced or re-masked. None when fewer than two files qualify. */
   def compactPartition(spark: SparkSession, table: String, column: String,
-      value: Any, targetFiles: Int = 1): Option[CommitResult] = {
+      value: Any, targetFiles: Int = 1,
+      clusterBy: Seq[Column] = Nil): Option[CommitResult] = {
     val schema = tableSchema(spark, table).getOrElse(
       throw new IllegalArgumentException(s"$table records no schema"))
     require(partitionFields(schema).exists(_.name.equalsIgnoreCase(column)),
@@ -2947,9 +2948,15 @@ object TxnLog {
       partValueOf(rel, column).contains(want)
     }
     if (victims.size < 2) return None
-    val staged = stage(spark, table,
-      readState(spark, table, victims, snapSchema).repartition(targetFiles),
-      snapSchema)
+    val resolved = readState(spark, table, victims, snapSchema)
+    // Optional Z-ORDER of the hot partition: range partition + local
+    // sort on the cluster keys WITHIN the rewrite, so stats-in-log
+    // pruning bites on later range scans of exactly this partition.
+    val shaped =
+      if (clusterBy.isEmpty) resolved.repartition(targetFiles)
+      else resolved.repartitionByRange(targetFiles, clusterBy: _*)
+        .sortWithinPartitions(clusterBy: _*)
+    val staged = stage(spark, table, shaped, snapSchema)
     val statCols = inheritedStatsCols(victims)
     val stats =
       if (statCols.isEmpty) Map.empty[String, FileStats]

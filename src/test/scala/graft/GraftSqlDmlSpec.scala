@@ -760,10 +760,13 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     assert(opt._2 === 1L && opt._3 === 3L, s"expected 3->1 rewrite, got $opt")
     assert(dml.sql("SELECT id FROM lake.ns.t_parted WHERE lang = 'en' ORDER BY id")
       .as[Long].collect().toSeq === Seq(4L, 6L, 7L))
-    intercept[Exception] {
-      dml.sql("OPTIMIZE lake.ns.t_parted PARTITION (lang = 'en') " +
-        "CLUSTER BY (id)")
-    }
+    // Clustered single-partition rewrite: z-order the hot partition.
+    dml.sql("INSERT INTO lake.ns.t_parted VALUES (8, 'h', 'en')")
+    val optC = dml.sql("OPTIMIZE lake.ns.t_parted PARTITION (lang = 'en') " +
+      "TARGET 1 FILES CLUSTER BY (id)").as[(Long, Long, Long)].head()
+    assert(optC._2 === 1L && optC._3 === 2L, s"clustered rewrite: $optC")
+    assert(dml.sql("SELECT id FROM lake.ns.t_parted WHERE lang = 'en'")
+      .as[Long].collect().sorted.toSeq === Seq(4L, 6L, 7L, 8L))
     assert(dml.sql(
       "ALTER TABLE lake.ns.t_parted DROP PARTITION (lang = 'en')")
       .head().getLong(0) >= 1L)
