@@ -395,6 +395,60 @@ object TxnSqlDml {
       }.collectFirst { case Some(p) => p }
     }
 
+    /** First RANGE-bounded integral conjunct set: comparison operators
+      * over ONE raw-integral attribute with foldable numeric bounds,
+      * folded to a closed [lo, hi] (strict bounds tighten by one;
+      * BETWEEN arrives pre-expanded to >=/<=). Restricted to integral
+      * columns, where the stats' long canonical IS the value — the
+      * date/timestamp canonical image and string byte-order cases stay
+      * out of the SQL rule (the typed API reads cover them). */
+    private def rangeProbe(cond: Expression): Option[(String, Long, Long)] = {
+      import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+      def intAttr(e: Expression): Option[AttributeReference] =
+        attrOf(e).filter(_.dataType != StringType)
+      def numVal(e: Expression): Option[Long] =
+        litVal(e).collect { case n: java.lang.Number => n.longValue() }
+      val bounds = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Long, Long)]
+      def tighten(name: String, lo: Long = Long.MinValue,
+          hi: Long = Long.MaxValue): Unit = {
+        val (l0, h0) = bounds.getOrElse(name, (Long.MinValue, Long.MaxValue))
+        bounds(name) = (math.max(l0, lo), math.min(h0, hi))
+      }
+      conjuncts(cond).foreach {
+        // Spark 4 keeps BETWEEN as a RuntimeReplaceable `Between`
+        // until optimization — the rule runs at resolution and must
+        // read it directly.
+        case b: org.apache.spark.sql.catalyst.expressions.Between =>
+          for (a <- intAttr(b.input); x <- numVal(b.lower))
+            tighten(a.name, lo = x)
+          for (a <- intAttr(b.input); x <- numVal(b.upper))
+            tighten(a.name, hi = x)
+        case GreaterThanOrEqual(k, v) =>
+          for (a <- intAttr(k); x <- numVal(v)) tighten(a.name, lo = x)
+          for (a <- intAttr(v); x <- numVal(k)) tighten(a.name, hi = x)
+        case LessThanOrEqual(k, v) =>
+          for (a <- intAttr(k); x <- numVal(v)) tighten(a.name, hi = x)
+          for (a <- intAttr(v); x <- numVal(k)) tighten(a.name, lo = x)
+        case GreaterThan(k, v) =>
+          for (a <- intAttr(k); x <- numVal(v) if x < Long.MaxValue)
+            tighten(a.name, lo = x + 1)
+          for (a <- intAttr(v); x <- numVal(k) if x > Long.MinValue)
+            tighten(a.name, hi = x - 1)
+        case LessThan(k, v) =>
+          for (a <- intAttr(k); x <- numVal(v) if x > Long.MinValue)
+            tighten(a.name, hi = x - 1)
+          for (a <- intAttr(v); x <- numVal(k) if x < Long.MaxValue)
+            tighten(a.name, lo = x + 1)
+        case _ =>
+      }
+      bounds.headOption.map { case (n, (lo, hi)) => (n, lo, hi) }
+    }
+
     /** The relation under any alias chain (the catalog wraps scans in
       * SubqueryAlias; dropping it is safe post-resolution — references
       * above are already bound by exprId). */
@@ -412,15 +466,21 @@ object TxnSqlDml {
                 .table.isInstanceOf[TxnTable] =>
           val r = underAliases(child).asInstanceOf[DataSourceV2Relation]
           val t = r.table.asInstanceOf[TxnTable]
-          // Eligible probes: a bloom-indexed column, or a PARTITION
-          // column (tier-0 pruning needs no index — the values ride
-          // the file paths pruneFilesEq already consults).
+          // Eligible POINT probes: a bloom-indexed column, or a
+          // PARTITION column (tier-0 pruning needs no index — the
+          // values ride the file paths pruneFilesEq already consults).
+          // With no point probe, a RANGE conjunct over an integral
+          // column prunes through the log stats / partition values —
+          // the SQL face of readPruned.
           probe(cond).filter { case (c, _) =>
             TxnLog.partitionFields(t.schema)
               .exists(_.name.equalsIgnoreCase(c)) ||
               graft.sources.TxnBloom.hasIndex(spark, t.dir, c)
-          }.flatMap { case (c, values) =>
-            val kept = TxnLog.pruneFilesEq(spark, t.dir, c, values, t.files)
+          }.map { case (c, values) =>
+            TxnLog.pruneFilesEq(spark, t.dir, c, values, t.files)
+          }.orElse(rangeProbe(cond).map { case (c, lo, hi) =>
+            TxnLog.pruneFilesRange(spark, t.dir, c, lo, hi, t.files)
+          }).flatMap { kept =>
             if (kept.size >= t.files.size) None // nothing pruned: keep plan
             else if (kept.isEmpty)
               Some(org.apache.spark.sql.catalyst.plans.logical

@@ -801,6 +801,36 @@ object LakeQueries extends QueryModule {
                | ORDER BY doc_id""".stripMargin)
     }),
 
+    // The SQL face of stats-range skipping: value-banded commits (each
+    // band's files carry tight [min,max] on n_chars), then a plain SQL
+    // range WHERE over the catalog table — the scan rule folds the
+    // conjuncts to [lo,hi] and prunes the file list through the log
+    // stats at plan time, exactly like the API's readPruned. The
+    // residual filter stays, so the oracle (the plain range filter)
+    // must hash-match; the scanned-file-subset pin is
+    // GraftSqlDmlSpec's.
+    "q_txn_range_sql" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/rng/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table,
+        docs.filter(col("n_chars") < 300).repartition(2))
+      TxnLog.append(s, table,
+        docs.filter(col("n_chars") >= 300 && col("n_chars") < 450)
+          .repartition(2))
+      TxnLog.append(s, table,
+        docs.filter(col("n_chars") >= 450).repartition(2))
+      s.conf.set("spark.sql.catalog.grng",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.grng.root", base)
+      s.sql("""SELECT doc_id, lang, n_chars FROM grng.rng.docs
+              | WHERE n_chars BETWEEN 460 AND 5000
+              | ORDER BY doc_id""".stripMargin)
+    }),
+
     // The SEMI-JOIN face of the bloom point lookup: the probe list is
     // an IN-SUBQUERY over a small dim (the deleted-ids / sampled-docs
     // lookup shape) instead of literals. The scan rule evaluates the
@@ -923,6 +953,11 @@ object LakeQueries extends QueryModule {
     "q_txn_bloom_semijoin" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         | WHERE doc_id IN (SELECT doc_id FROM documents WHERE doc_id % 499 = 0)
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
+
+    "q_txn_range_sql" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        | WHERE n_chars BETWEEN 460 AND 5000
         | ORDER BY doc_id""".stripMargin.replace("\n", ""),
 
     "q_compact_files" ->

@@ -1727,6 +1727,28 @@ object TxnLog {
     }
   }
 
+  /** RANGE file screen for the SQL scan rule: partition values
+    * (tier 0, exact) and log stats bound `column` against [lo, hi]
+    * on the LONG canonical — restricted by the caller to raw integral
+    * columns, where the canonical IS the value (no date/timestamp
+    * image subtleties). False-positive-only; the residual filter
+    * stays mandatory. */
+  private[graft] def pruneFilesRange(spark: SparkSession, table: String,
+      column: String, lo: Long, hi: Long,
+      files: Seq[(String, FileState)]): Seq[(String, FileState)] = {
+    val partField = tableSchema(spark, table).flatMap(s =>
+      partitionFields(s).find(_.name.equalsIgnoreCase(column)))
+    def keep(c: ColStats): Boolean =
+      c.isString || (c.max >= lo && c.min <= hi)
+    files.filter { case (rel, st) =>
+      val pOk = partField.forall(f =>
+        partValueOf(rel, physicalName(f))
+          .flatMap(partColStats(f, _)).forall(keep))
+      pOk && st.stats.forall(
+        _.cols.find(_._1.equalsIgnoreCase(column)).map(_._2).forall(keep))
+    }
+  }
+
   /** The two-tier equality file screen shared by [[readPrunedEq]] and
     * the SQL bloom-scan rule: stats first (free — already resolved),
     * then bloom sidecars for the survivors only. False-positive-only

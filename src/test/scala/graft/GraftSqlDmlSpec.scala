@@ -666,6 +666,47 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("earliest available commit"))
   }
 
+  test("SQL RANGE predicates file-prune through the log stats: " +
+       "value-banded commits scan only the intersecting band") {
+    import dml.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = s"$root/ns/t_range"
+    val df = (0L until 300L).map(i => (i, s"n$i")).toDF("id", "s")
+    // Three value-banded commits: [0,100), [100,200), [200,300).
+    TxnLog.create(dml, dir, df.filter(col("id") < 100).coalesce(1))
+    TxnLog.append(dml, dir,
+      df.filter(col("id") >= 100 && col("id") < 200).coalesce(1))
+    TxnLog.append(dml, dir, df.filter(col("id") >= 200).coalesce(1))
+    val q = dml.sql(
+      "SELECT id, s FROM lake.ns.t_range WHERE id BETWEEN 120 AND 150")
+    assert(q.as[(Long, String)].collect().map(_._1).sorted.toSeq
+      === (120L to 150L).toSeq)
+    val scanned = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }
+    assert(scanned.nonEmpty && scanned.sum === 1,
+      s"range must keep only the middle band, scanned: $scanned")
+    // Strict bounds tighten correctly (id > 199 excludes band 2).
+    // The count plan runs under AQE — walk adaptive wrappers.
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Int] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(st.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(s.relation.location.inputFiles.length)
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val q2 = dml.sql("SELECT count(*) FROM lake.ns.t_range WHERE id > 199")
+    assert(q2.head().getLong(0) === 100L)
+    val scanned2 = scans(q2.queryExecution.executedPlan)
+    assert(scanned2.sum === 1, s"strict bound must prune, scanned: $scanned2")
+    // A disjoint range plans to the empty relation.
+    assert(dml.sql("SELECT * FROM lake.ns.t_range WHERE id >= 1000")
+      .count() === 0L)
+  }
+
   test("bloom scan rule prunes through an IN-SUBQUERY over a small dim; " +
        "an over-cap dim bails out to the native plan") {
     import dml.implicits._
