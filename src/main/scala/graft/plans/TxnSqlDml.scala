@@ -347,50 +347,93 @@ object TxnSqlDml {
       * rewrite without reading further (CollectLimit stops early), and
       * the ORIGINAL InSubquery filter always stays on top, so the
       * plan-time evaluation can only ever shrink the file list, never
-      * the answer. Type soundness is attrOf's: the analyzer coerces
-      * the subquery's output to the comparison type inside the
-      * ListQuery plan, so string columns see string values and
-      * integral columns see integral values — a string-vs-numeric
+      * the answer. That soundness argument needs the subquery to be
+      * DETERMINISTIC (plan-time and runtime evaluations must agree on
+      * the value set) — the caller gates on `plan.deterministic`
+      * (round-14 advice, medium). Type soundness is attrOf's: the
+      * analyzer coerces the subquery's output to the comparison type
+      * inside the ListQuery plan, so string columns see string values
+      * and integral columns see integral values — a string-vs-numeric
       * coercion shows up as a Cast over the ATTRIBUTE and disqualifies
       * there, same as the literal form. */
-    private def subqueryValues(plan: LogicalPlan): Option[Seq[Any]] = {
+    private def subqueryValues(exprId: Long, plan: LogicalPlan): Option[Seq[Any]] = {
       val maxRows = spark.conf
         .getOption("spark.graft.bloom.probe.inSubqueryMaxRows")
         .map(_.toInt).getOrElse(1000)
       if (maxRows <= 0) return None
-      val rows =
-        try Bridge.ofRows(spark, plan).limit(maxRows + 1).collect()
-        catch { case scala.util.control.NonFatal(_) => return None }
-      if (rows.isEmpty || rows.length > maxRows) return None
-      val vals = rows.toSeq.map(_.get(0)).filter(_ != null).distinct
-      if (vals.nonEmpty && vals.forall(v =>
-          v.isInstanceOf[String] || v.isInstanceOf[java.lang.Number]))
-        Some(vals)
-      else None
+      // Memoized per ListQuery exprId: the analyzer's fixpoint
+      // re-applies this rule several times over the SAME resolved
+      // subquery instance when the rewrite does not fire (nothing
+      // pruned), and each application would re-run a plan-time Spark
+      // job otherwise. Same exprId ⇒ same resolved plan instance ⇒
+      // the runtime evaluation it memoizes against is pinned to the
+      // same resolved relations, so the memo can never disagree with
+      // the filter it serves. Bounded LRU; a fresh analysis mints
+      // fresh exprIds, so entries are never wrongly shared.
+      val key = (exprId, maxRows)
+      val hit = subqMemo.get(key)
+      if (hit != null) return hit
+      val computed: Option[Seq[Any]] = {
+        val rows =
+          try Bridge.ofRows(spark, plan).limit(maxRows + 1).collect()
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (rows == null || rows.isEmpty || rows.length > maxRows) None
+        else {
+          val vals = rows.toSeq.map(_.get(0)).filter(_ != null).distinct
+          if (vals.nonEmpty && vals.forall(v =>
+              v.isInstanceOf[String] || v.isInstanceOf[java.lang.Number]))
+            Some(vals)
+          else None
+        }
+      }
+      subqMemo.put(key, computed)
+      computed
     }
 
-    /** First equality/IN/IN-subquery conjunct with usable probe values. */
-    private def probe(cond: Expression): Option[(String, Seq[Any])] = {
+    private val subqMemo = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(Long, Int), Option[Seq[Any]]](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Long, Int), Option[Seq[Any]]]): Boolean =
+          size > 64
+      })
+
+    /** First equality/IN/IN-subquery conjunct over an ELIGIBLE column
+      * (bloom-indexed or partition — the caller's predicate) with
+      * usable probe values. Eligibility screens BEFORE any plan-time
+      * subquery evaluation: a filter over an unindexed column must
+      * never pay a collect job just to learn the rewrite can't fire
+      * (round-14 advice, low). The subquery form additionally requires
+      * a DETERMINISTIC plan — a rand()-sampled dim would evaluate to
+      * different value sets at plan time and run time, and pruning
+      * from the plan-time set could drop rows the runtime filter
+      * keeps (round-14 advice, medium). */
+    private def probe(cond: Expression,
+        eligible: String => Boolean): Option[(String, Seq[Any])] = {
       import org.apache.spark.sql.catalyst.expressions.InSubquery
       def conjuncts(e: Expression): Seq[Expression] = e match {
         case And(l, r) => conjuncts(l) ++ conjuncts(r)
         case x => Seq(x)
       }
+      def okAttr(e: Expression): Option[AttributeReference] =
+        attrOf(e).filter(a => eligible(a.name))
       conjuncts(cond).view.map {
         case In(k, vs) if vs.nonEmpty =>
-          (attrOf(k), vs.map(litVal)) match {
+          (okAttr(k), vs.map(litVal)) match {
             case (Some(a), vals) if vals.forall(_.isDefined) =>
               Some(a.name -> vals.map(_.get))
             case _ => None
           }
         case EqualTo(l, r) =>
-          (for (a <- attrOf(l); x <- litVal(r)) yield a.name -> Seq[Any](x))
+          (for (a <- okAttr(l); x <- litVal(r)) yield a.name -> Seq[Any](x))
             .orElse(
-              for (a <- attrOf(r); x <- litVal(l)) yield a.name -> Seq[Any](x))
+              for (a <- okAttr(r); x <- litVal(l)) yield a.name -> Seq[Any](x))
         case s: InSubquery
-            if s.values.length == 1 && s.query.plan.resolved =>
-          for (a <- attrOf(s.values.head);
-               vs <- subqueryValues(s.query.plan)) yield a.name -> vs
+            if s.values.length == 1 && s.query.plan.resolved &&
+              s.query.plan.deterministic =>
+          for (a <- okAttr(s.values.head);
+               vs <- subqueryValues(s.query.exprId.id, s.query.plan))
+            yield a.name -> vs
         case _ => None
       }.collectFirst { case Some(p) => p }
     }
@@ -469,14 +512,15 @@ object TxnSqlDml {
           // Eligible POINT probes: a bloom-indexed column, or a
           // PARTITION column (tier-0 pruning needs no index — the
           // values ride the file paths pruneFilesEq already consults).
-          // With no point probe, a RANGE conjunct over an integral
-          // column prunes through the log stats / partition values —
-          // the SQL face of readPruned.
-          probe(cond).filter { case (c, _) =>
+          // Eligibility is checked INSIDE probe(), before any
+          // IN-subquery plan-time evaluation. With no point probe, a
+          // RANGE conjunct over an integral column prunes through the
+          // log stats / partition values — the SQL face of readPruned.
+          val eligible: String => Boolean = c =>
             TxnLog.partitionFields(t.schema)
               .exists(_.name.equalsIgnoreCase(c)) ||
               graft.sources.TxnBloom.hasIndex(spark, t.dir, c)
-          }.map { case (c, values) =>
+          probe(cond, eligible).map { case (c, values) =>
             TxnLog.pruneFilesEq(spark, t.dir, c, values, t.files)
           }.orElse(rangeProbe(cond).map { case (c, lo, hi) =>
             TxnLog.pruneFilesRange(spark, t.dir, c, lo, hi, t.files)
@@ -649,10 +693,26 @@ case class GraftInsertPartitionCommand(dir: String,
     val raw = Bridge.ofRows(spark, query)
     val schema = TxnLog.tableSchema(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir records no schema"))
+    // The spec must name PARTITION columns — on BOTH verbs (the
+    // OVERWRITE path re-validates inside overwritePartition; the
+    // append path previously accepted any column, unlike standard SQL
+    // — round-14 advice, low).
+    val parts = TxnLog.partitionFields(schema)
+    spec.keys.foreach { c =>
+      require(parts.exists(_.name.equalsIgnoreCase(c)),
+        s"INSERT … PARTITION into $dir: '$c' is not a partition column " +
+          s"(partitions: ${parts.map(_.name).mkString(", ")})")
+    }
     // INSERT is POSITIONAL: the query supplies every NON-spec table
     // column in order (a VALUES list arrives as col1/col2/…), aligned
-    // and cast here like Spark's own column alignment — ANSI casts, so
-    // a lossy mismatch still errors.
+    // and cast here like Spark's own column alignment. Casts are
+    // EXPLICITLY ANSI (not session-mode): with spark.sql.ansi.enabled
+    // =false a plain cast silently nulls/truncates a mistyped value
+    // where native INSERT store assignment errors (round-14 advice).
+    def ansiCast(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      Bridge.column(org.apache.spark.sql.catalyst.expressions.Cast(
+        Bridge.expression(c), dt, None,
+        org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI))
     val nonSpec = schema.fields.filterNot(f =>
       spec.keys.exists(_.equalsIgnoreCase(f.name)))
     require(raw.columns.length == nonSpec.length,
@@ -662,16 +722,14 @@ case class GraftInsertPartitionCommand(dir: String,
         s"got ${raw.columns.length} column(s)")
     val df = raw.toDF(nonSpec.map(_.name).toIndexedSeq: _*)
       .select(nonSpec.map(f =>
-        col(s"`${f.name}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        ansiCast(col(s"`${f.name}`"), f.dataType).as(f.name)).toIndexedSeq: _*)
     if (overwrite)
       TxnLog.overwritePartition(spark, dir,
         spec.map { case (c, v) => c -> (v: Any) }, df)
     else {
       val full = spec.foldLeft(df) { case (d, (c, v)) =>
-        val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-          throw new IllegalArgumentException(s"no column '$c' in $dir"))
-          .dataType
-        d.withColumn(c, lit(v).cast(dt))
+        val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+        d.withColumn(c, ansiCast(lit(v), dt))
       }
       TxnLog.append(spark, dir, full)
     }

@@ -697,6 +697,23 @@ object TxnLog {
     resolve(spark, table, None)._2 match {
       case None => Some(SchemaCommit(df.schema)) // pre-tracking log: adopt from here on.
       case Some(SchemaCommit(cur, retired, constraints)) =>
+        // PARTITIONED tables: every user data write must CARRY the
+        // partition columns. A frame without them would stage FLAT
+        // (no `col=value` segment), and those rows then read as
+        // partition-null while dropPartition/overwritePartition select
+        // victims BY the path segment — so a later DROP/OVERWRITE of
+        // the null partition would silently leave them in place,
+        // breaking the atomic-replace contract (round-14 advice,
+        // medium). Only enforced here, on user writes — internal
+        // frames (DV objects, stats) never pass enforceSchema.
+        val missingPart = partitionFields(cur).map(_.name).filterNot(pc =>
+          df.schema.fieldNames.exists(_.equalsIgnoreCase(pc)))
+        if (missingPart.nonEmpty)
+          throw new IllegalArgumentException(
+            s"$what to $table rejected: the table is partitioned by " +
+              s"${partitionFields(cur).map(_.name).mkString(", ")} and " +
+              s"every data write must carry the partition column(s); " +
+              s"missing ${missingPart.mkString(", ")}")
         val extras = scala.collection.mutable.ArrayBuffer.empty[StructField]
         df.schema.fields.foreach { fld =>
           cur.fields.find(_.name.equalsIgnoreCase(fld.name)) match {
@@ -1759,9 +1776,21 @@ object TxnLog {
     // Tier 0 (free): a PARTITION column's value rides the rel path —
     // an equality probe keeps only matching-partition files before a
     // single stat is consulted. Files without the segment always stay.
+    // The path segment carries the PHYSICAL name — resolve through the
+    // schema like every other partition-tier consumer (pruneFilesRange,
+    // readPrunedNulls), so the tier stays correct even if the
+    // rename-refusal guard on partition columns is ever relaxed
+    // (round-14 advice, low).
     val want: Set[String] = values.map(String.valueOf(_)).toSet
-    val partKept = files.filter { case (rel, _) =>
-      partValueOf(rel, column).forall(v => v != null && want.contains(v))
+    val partField = tableSchema(spark, table).flatMap(s =>
+      partitionFields(s).find(_.name.equalsIgnoreCase(column)))
+    val partKept = partField match {
+      case Some(f) =>
+        val phys = physicalName(f)
+        files.filter { case (rel, _) =>
+          partValueOf(rel, phys).forall(v => v != null && want.contains(v))
+        }
+      case None => files
     }
     val statsKept = partKept.filter { case (_, st) =>
       st.stats.forall(_.cols.find(_._1.equalsIgnoreCase(column)).map(_._2)
