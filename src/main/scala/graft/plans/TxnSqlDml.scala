@@ -100,13 +100,16 @@ object TxnSqlDml {
   /** The parse-plan rewrite: DML over txn tables → runnable commands.
     * Anything else passes through untouched. */
   def rewrite(spark: SparkSession, plan: LogicalPlan): LogicalPlan = plan match {
-    // STATIC-partition INSERT over a txn table: Spark's grammar parses
-    // `INSERT [OVERWRITE] t PARTITION (col = v, …) SELECT …` into an
+    // PARTITION-spec INSERT over a txn table: Spark's grammar parses
+    // `INSERT [OVERWRITE] t PARTITION (col [= v], …) SELECT …` into an
     // InsertIntoStatement with a partitionSpec the DSv2 write path
-    // cannot express — route OVERWRITE to the log's atomic
-    // single-partition replace, and plain INSERT to an append with the
-    // spec'd literals attached. Dynamic entries (`PARTITION (col)`)
-    // stay unsupported explicitly.
+    // cannot express. STATIC entries (`col = v`) attach as literals;
+    // OVERWRITE with all-static spec is the log's atomic
+    // single-partition replace; DYNAMIC entries (`PARTITION (col)`)
+    // take the value from the query's rows — plain INSERT appends
+    // (equivalent to no spec), OVERWRITE replaces EXACTLY the
+    // partitions the query produces (one atomic commit, Spark's
+    // partitionOverwriteMode=dynamic semantics).
     case InsertIntoStatement(t, spec, userCols, query, overwrite,
         ifNotExists, byName) if spec.nonEmpty =>
       target(t).flatMap { case (parts, _) =>
@@ -117,13 +120,9 @@ object TxnSqlDml {
           if (userCols.nonEmpty || byName) throw new UnsupportedOperationException(
             "graft txn PARTITION inserts take positional full-row queries " +
               "(no column list / BY NAME)")
-          val static = spec.map { case (c, vOpt) =>
-            c -> vOpt.getOrElse(throw new UnsupportedOperationException(
-              s"graft txn INSERT: dynamic partition column '$c' — give the " +
-                "value statically (PARTITION (col = 'v')) or include the " +
-                "column in the query without a PARTITION clause"))
-          }
-          GraftInsertPartitionCommand(dir, static, query,
+          val static = spec.collect { case (c, Some(v)) => c -> v }
+          val dynamic = spec.collect { case (c, None) => c }.toSeq
+          GraftInsertPartitionCommand(dir, static, dynamic, query,
             overwrite): LogicalPlan
         }
       }.getOrElse(plan)
@@ -680,31 +679,37 @@ case class GraftRestoreCommand(dir: String, toVersion: Option[Long],
   }
 }
 
-/** `INSERT [OVERWRITE] <txn table> PARTITION (col = v, …) <query>` —
-  * OVERWRITE replaces the partition atomically
-  * ([[TxnLog.overwritePartition]]); plain INSERT appends the query's
-  * rows with the spec'd literal values attached. The query plan
+/** `INSERT [OVERWRITE] <txn table> PARTITION (col [= v], …) <query>` —
+  * all-static OVERWRITE replaces the spec'd partition atomically
+  * ([[TxnLog.overwritePartition]]); OVERWRITE with DYNAMIC entries
+  * replaces exactly the partitions the query produces
+  * ([[TxnLog.overwritePartitionsDynamic]] — mixed static+dynamic
+  * attaches the static literals first, so the replaced set is the
+  * static slice × the produced dynamic values); plain INSERT appends
+  * the query's rows with the static literals attached. The query plan
   * analyzes at run time, like the MERGE source. */
 case class GraftInsertPartitionCommand(dir: String,
-    spec: Map[String, String], query: LogicalPlan, overwrite: Boolean)
+    spec: Map[String, String], dynamicCols: Seq[String],
+    query: LogicalPlan, overwrite: Boolean)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, lit}
     val raw = Bridge.ofRows(spark, query)
     val schema = TxnLog.tableSchema(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"$dir records no schema"))
-    // The spec must name PARTITION columns — on BOTH verbs (the
-    // OVERWRITE path re-validates inside overwritePartition; the
-    // append path previously accepted any column, unlike standard SQL
-    // — round-14 advice, low).
+    // The spec (static AND dynamic entries) must name PARTITION
+    // columns — on BOTH verbs (the OVERWRITE path re-validates inside
+    // overwritePartition; the append path previously accepted any
+    // column, unlike standard SQL — round-14 advice, low).
     val parts = TxnLog.partitionFields(schema)
-    spec.keys.foreach { c =>
+    (spec.keys ++ dynamicCols).foreach { c =>
       require(parts.exists(_.name.equalsIgnoreCase(c)),
         s"INSERT … PARTITION into $dir: '$c' is not a partition column " +
           s"(partitions: ${parts.map(_.name).mkString(", ")})")
     }
-    // INSERT is POSITIONAL: the query supplies every NON-spec table
-    // column in order (a VALUES list arrives as col1/col2/…), aligned
+    // INSERT is POSITIONAL: the query supplies every NON-STATIC table
+    // column in TABLE SCHEMA ORDER (dynamic partition columns at their
+    // schema positions; a VALUES list arrives as col1/col2/…), aligned
     // and cast here like Spark's own column alignment. Casts are
     // EXPLICITLY ANSI (not session-mode): with spark.sql.ansi.enabled
     // =false a plain cast silently nulls/truncates a mistyped value
@@ -713,62 +718,86 @@ case class GraftInsertPartitionCommand(dir: String,
       Bridge.column(org.apache.spark.sql.catalyst.expressions.Cast(
         Bridge.expression(c), dt, None,
         org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI))
-    val nonSpec = schema.fields.filterNot(f =>
+    val nonStatic = schema.fields.filterNot(f =>
       spec.keys.exists(_.equalsIgnoreCase(f.name)))
-    require(raw.columns.length == nonSpec.length,
+    require(raw.columns.length == nonStatic.length,
       s"INSERT … PARTITION into $dir: the query must supply the " +
-        s"${nonSpec.length} non-partition column(s) " +
-        s"${nonSpec.map(_.name).mkString(", ")} positionally; " +
+        s"${nonStatic.length} non-static column(s) " +
+        s"${nonStatic.map(_.name).mkString(", ")} positionally; " +
         s"got ${raw.columns.length} column(s)")
-    val df = raw.toDF(nonSpec.map(_.name).toIndexedSeq: _*)
-      .select(nonSpec.map(f =>
+    val df = raw.toDF(nonStatic.map(_.name).toIndexedSeq: _*)
+      .select(nonStatic.map(f =>
         ansiCast(col(s"`${f.name}`"), f.dataType).as(f.name)).toIndexedSeq: _*)
-    if (overwrite)
+    def withStatics(d: org.apache.spark.sql.DataFrame) =
+      spec.foldLeft(d) { case (acc, (c, v)) =>
+        val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+        acc.withColumn(c, ansiCast(lit(v), dt))
+      }
+    if (overwrite && dynamicCols.nonEmpty)
+      TxnLog.overwritePartitionsDynamic(spark, dir, withStatics(df))
+    else if (overwrite)
       TxnLog.overwritePartition(spark, dir,
         spec.map { case (c, v) => c -> (v: Any) }, df)
-    else {
-      val full = spec.foldLeft(df) { case (d, (c, v)) =>
-        val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
-        d.withColumn(c, ansiCast(lit(v), dt))
-      }
-      TxnLog.append(spark, dir, full)
-    }
+    else
+      TxnLog.append(spark, dir, withStatics(df))
     Seq.empty
   }
 }
 
-/** `OPTIMIZE <target> PARTITION (col = value) [TARGET n FILES]` — the
-  * SQL face of [[TxnLog.compactPartition]]: rewrite one partition's
-  * files without churning the rest of the table. Returns (version,
-  * added, removed); all-zero when fewer than two files qualified. */
-case class GraftOptimizePartitionCommand(dir: String, column: String,
-    value: String, targetFiles: Int,
+/** `OPTIMIZE <target> PARTITION (c1 = v1[, c2 = v2…]) [TARGET n FILES]
+  * [CLUSTER BY (…)]` — the SQL face of [[TxnLog.compactPartition]]:
+  * rewrite one partition slice's files without churning the rest of
+  * the table. Returns (version, added, removed); all-zero when fewer
+  * than two files qualified. */
+case class GraftOptimizePartitionCommand(dir: String,
+    spec: Seq[(String, String)], targetFiles: Int,
     clusterBy: Seq[String] = Nil) extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq("version", "added", "removed").map(n =>
       org.apache.spark.sql.catalyst.expressions.AttributeReference(
         n, org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    TxnLog.compactPartition(spark, dir, column, value, targetFiles,
+    TxnLog.compactPartition(spark, dir,
+      spec.toMap.map { case (c, v) => c -> (v: Any) }, targetFiles,
       clusterBy.map(org.apache.spark.sql.functions.col)) match {
       case Some(r) => Seq(Row(r.version, r.added.toLong, r.removed.toLong))
       case None => Seq(Row(-1L, 0L, 0L))
     }
 }
 
-/** `ALTER TABLE <target> DROP PARTITION (col = value)` — the SQL face
-  * of [[TxnLog.dropPartition]]: one metadata commit removes the
-  * partition's files from the snapshot (zero data I/O; vacuum
-  * reclaims after retention, time travel still resolves it). Returns
-  * the removed file count. */
-case class GraftDropPartitionCommand(dir: String, column: String,
-                                     value: String)
+/** `ALTER TABLE <target> DROP PARTITION (c1 = v1[, c2 = v2…])` — the
+  * SQL face of [[TxnLog.dropPartition]]: one metadata commit removes
+  * the matching files from the snapshot (zero data I/O; vacuum
+  * reclaims after retention, time travel still resolves it). A partial
+  * spec over a multi-column layout drops the whole matching slice.
+  * Returns the removed file count. */
+case class GraftDropPartitionCommand(dir: String,
+                                     spec: Seq[(String, String)])
     extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
       "removed", org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val r = TxnLog.dropPartition(spark, dir, column, value)
+    val r = TxnLog.dropPartition(spark, dir,
+      spec.toMap.map { case (c, v) => c -> (v: Any) })
+    Seq(Row(r.removed.toLong))
+  }
+}
+
+/** `ALTER TABLE <target> DROP PARTITION WHERE <predicate>` — the
+  * retention idiom (`WHERE dt < '2026-01-01'`): one metadata commit
+  * drops EVERY partition whose typed tuple satisfies the predicate
+  * ([[TxnLog.dropPartitionsWhere]] — evaluated over the
+  * partition-count-sized tuple relation, never the data). Returns the
+  * removed file count. */
+case class GraftDropPartitionsWhereCommand(dir: String, predicate: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "removed", org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = TxnLog.dropPartitionsWhere(spark, dir,
+      org.apache.spark.sql.functions.expr(predicate))
     Seq(Row(r.removed.toLong))
   }
 }
@@ -970,7 +999,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     s"""(?is)^\\s*CONVERT\\s+TO\\s+TXN\\s+'([^']+)'\\s*;?\\s*$$""".r
   private val optimizeRe =
     (s"""(?is)^\\s*OPTIMIZE\\s+$Tgt""" +
-      """(?:\s+PARTITION\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(?:'([^']*)'|([^\s)]+))\s*\))?""" +
+      """(?:\s+PARTITION\s*\(([^)]*)\))?""" +
       """(?:\s+TARGET\s+(\d+)\s+FILES)?""" +
       """(?:\s+CLUSTER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val restoreRe =
@@ -986,8 +1015,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tgt\\s+ADD\\s+GENERATED\\s+COLUMN\\s+""" +
       """([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\((.+)\)\s*;?\s*$""").r
   private val dropPartitionRe =
-    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tgt\\s+DROP\\s+PARTITION\\s*\\(\\s*""" +
-      """([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(?:'([^']*)'|(\S+?))\s*\)\s*;?\s*$""").r
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tgt\\s+DROP\\s+PARTITION\\s*""" +
+      """\(([^)]*)\)\s*;?\s*$""").r
+  private val dropPartitionWhereRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tgt\\s+DROP\\s+PARTITION\\s+""" +
+      """WHERE\s+(.+?)\s*;?\s*$""").r
+
+  /** Parse a `(c1 = v1[, c2 = v2…])` partition-spec body — values
+    * quoted or bare; rejects residue the pair scan didn't consume, so
+    * a typo'd spec fails loudly instead of silently dropping pairs. */
+  private def parsePartSpec(body: String): Seq[(String, String)] = {
+    val pair =
+      """([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(?:'([^']*)'|([^\s,']+))""".r
+    val pairs = pair.findAllMatchIn(body).map(m =>
+      m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))).toSeq
+    val residue = pair.replaceAllIn(body, "").replaceAll("[\\s,]", "")
+    require(pairs.nonEmpty && residue.isEmpty,
+      s"malformed PARTITION spec '($body)' — expected (col = value" +
+        "[, col = value…]) with quoted or bare values")
+    pairs
+  }
   private val explainRe = """(?is)^\s*EXPLAIN\s+(.*)$""".r
 
   /** Resolve a statement target to its txn directory: quoted paths
@@ -1025,14 +1072,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         // CONVERT stays path-only BY DESIGN: its target is a plain
         // parquet directory that is not a catalog table yet.
         Some(GraftConvertCommand(path))
-      case optimizeRe(tgt, pcol, pq, pb, n, cols) if pcol != null =>
+      case optimizeRe(tgt, pbody, n, cols) if pbody != null =>
         // Partition-scoped OPTIMIZE: compact (and optionally cluster)
-        // ONE partition's files.
-        Some(GraftOptimizePartitionCommand(resolveOrThrow(tgt), pcol,
-          Option(pq).getOrElse(pb), Option(n).map(_.toInt).getOrElse(1),
+        // ONE partition slice's files; multi-column specs allowed.
+        Some(GraftOptimizePartitionCommand(resolveOrThrow(tgt),
+          parsePartSpec(pbody), Option(n).map(_.toInt).getOrElse(1),
           Option(cols).toSeq.flatMap(_.split(','))
             .map(_.trim).filter(_.nonEmpty)))
-      case optimizeRe(tgt, _, _, _, n, cols) =>
+      case optimizeRe(tgt, _, n, cols) =>
         Some(GraftOptimizeCommand(resolveOrThrow(tgt), Option(n).map(_.toInt),
           Option(cols).toSeq.flatMap(_.split(','))
             .map(_.trim).filter(_.nonEmpty)))
@@ -1052,10 +1099,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case addGeneratedRe(tgt, name, e) =>
         resolveTarget(tgt).map(d =>
           GraftAddGeneratedCommand(d, name, e.trim): LogicalPlan)
-      case dropPartitionRe(tgt, col, quoted, bare) =>
+      case dropPartitionWhereRe(tgt, pred) =>
         resolveTarget(tgt).map(d =>
-          GraftDropPartitionCommand(d, col,
-            Option(quoted).getOrElse(bare)): LogicalPlan)
+          GraftDropPartitionsWhereCommand(d, pred.trim): LogicalPlan)
+      case dropPartitionRe(tgt, body) =>
+        resolveTarget(tgt).map(d =>
+          GraftDropPartitionCommand(d, parsePartSpec(body)): LogicalPlan)
       case explainRe(rest) =>
         maintenancePlan(rest).map(p =>
           org.apache.spark.sql.execution.command.ExplainCommand(

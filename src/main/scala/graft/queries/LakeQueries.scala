@@ -864,6 +864,83 @@ object LakeQueries extends QueryModule {
                | ORDER BY doc_id""".stripMargin)
     }),
 
+    // STATIC-partition INSERT, end to end: partitioned create, an
+    // `INSERT INTO … PARTITION (lang='en')` append, the daily-rebuild
+    // primitive `INSERT OVERWRITE … PARTITION (lang='en')` (atomic
+    // single-partition replace — Delta replaceWhere / Spark static
+    // partition overwrite semantics), and a partition-scoped
+    // `OPTIMIZE … PARTITION … CLUSTER BY` rewrite of the hot
+    // partition. The oracle replays the replace: en must be exactly
+    // the final recompute, the other partitions exactly the original
+    // create — a leaked pre-overwrite row, a lost partition, or a
+    // compaction that churns rows all fail the hash. Statement
+    // mechanics (layout, refusals) are GraftSqlDmlSpec's.
+    "q_txn_insert_partition" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/insp/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+      TxnLog.createPartitioned(s, table,
+        docs.filter(col("doc_id") % 2 === 0).repartition(2), Seq("lang"))
+      s.conf.set("spark.sql.catalog.gip",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gip.root", base)
+      docs.createOrReplaceTempView("gip_src")
+      s.sql("""INSERT INTO gip.insp.docs PARTITION (lang = 'en')
+              |SELECT doc_id, source, n_chars FROM gip_src
+              |WHERE lang = 'en' AND doc_id % 2 = 1""".stripMargin)
+      s.sql("""INSERT OVERWRITE gip.insp.docs PARTITION (lang = 'en')
+              |SELECT doc_id, source, n_chars FROM gip_src
+              |WHERE lang = 'en' AND n_chars >= 300""".stripMargin)
+      s.sql("OPTIMIZE gip.insp.docs PARTITION (lang = 'en') " +
+        "TARGET 1 FILES CLUSTER BY (doc_id)").collect()
+      TxnLog.read(s, table)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
+
+    // DYNAMIC partition overwrite + predicate retention: one
+    // `INSERT OVERWRITE … PARTITION (lang)` replaces EXACTLY the
+    // partitions the query produces (de and fr, recomputed with a
+    // +100000 shift so leaked old rows are arithmetic-visible) in one
+    // atomic commit while en/es/zh never move — then
+    // `ALTER TABLE … DROP PARTITION WHERE lang >= 'zh'` drops the zh
+    // partition through the typed-tuple predicate (the retention
+    // idiom) as one metadata commit. The oracle recomposes the three
+    // populations; empty-frame/atomicity mechanics are
+    // TxnPartitionSpec's, statement mechanics GraftSqlDmlSpec's.
+    "q_txn_insert_dynamic" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/insd/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+      TxnLog.createPartitioned(s, table, docs.repartition(2), Seq("lang"))
+      s.conf.set("spark.sql.catalog.gid",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gid.root", base)
+      docs.createOrReplaceTempView("gid_src")
+      s.sql("""INSERT OVERWRITE gid.insd.docs PARTITION (lang)
+              |SELECT doc_id, lang, source, n_chars + 100000 FROM gid_src
+              |WHERE lang IN ('de', 'fr') AND doc_id % 3 = 0""".stripMargin)
+      s.sql("ALTER TABLE gid.insd.docs DROP PARTITION WHERE lang >= 'zh'")
+        .collect()
+      TxnLog.read(s, table)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
+
     // Stats-driven data skipping: write the table partitioned by
     // source, ANALYZE n_chars into the _stats sidecar, then answer a
     // high-end range query through the sidecar — partitions whose
@@ -939,6 +1016,25 @@ object LakeQueries extends QueryModule {
         |    sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_id
         |   FROM documents WHERE lang <> 'en' GROUP BY 2)
         | ORDER BY via, lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_insert_partition" ->
+      """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM documents
+        | WHERE (lang = 'en' AND n_chars >= 300)
+        |    OR (lang <> 'en' AND doc_id % 2 = 0)
+        | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_insert_dynamic" ->
+      """SELECT lang, count(*) AS row_cnt, sum(nc)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM (
+        |  SELECT doc_id, lang, n_chars + 100000 AS nc FROM documents
+        |   WHERE lang IN ('de', 'fr') AND doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars AS nc FROM documents
+        |   WHERE lang NOT IN ('de', 'fr', 'zh'))
+        | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
 
     "q_txn_bloom_skip" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
@@ -1001,6 +1001,18 @@ object TxnLog {
     create(spark, table, annotated)
   }
 
+  /** The PHYSICAL path-segment name of a partition column addressed by
+    * its logical name — every partition-tier victim/prune match must go
+    * through this (the path carries physical names; partition columns
+    * currently refuse rename, but the invariant should not be
+    * load-bearing at a distance). Throws on a non-partition column. */
+  private def partPhys(table: String, schema: StructType,
+                       column: String): String =
+    partitionFields(schema).find(_.name.equalsIgnoreCase(column))
+      .map(physicalName).getOrElse(throw new IllegalArgumentException(
+        s"'$column' is not a partition column of $table " +
+          s"(partitions: ${partitionFields(schema).map(_.name).mkString(", ")})"))
+
   /** Drop one partition as a PURE METADATA commit: every live file
     * whose path carries `column=value` leaves the snapshot — no data
     * file is read, rewritten, or deleted (vacuum reclaims the bytes
@@ -1009,19 +1021,80 @@ object TxnLog {
     * retention by partition is one O(files-in-log) driver commit.
     * Returns the commit; the removed count rides `CommitResult`. */
   def dropPartition(spark: SparkSession, table: String, column: String,
-                    value: Any): CommitResult = {
+                    value: Any): CommitResult =
+    dropPartition(spark, table, Map(column -> value))
+
+  /** Multi-column form: drop every live file whose path matches ALL of
+    * `spec`'s (column → value) entries — a PARTIAL spec over a
+    * multi-column layout drops the whole matching slice (every
+    * `tenant=x` day at once). Same O(1)-metadata contract as the
+    * single-column form; one atomic commit. */
+  def dropPartition(spark: SparkSession, table: String,
+                    spec: Map[String, Any]): CommitResult = {
+    require(spec.nonEmpty, "dropPartition needs a partition spec")
     val schema = tableSchema(spark, table).getOrElse(
       throw new IllegalArgumentException(s"$table records no schema"))
-    require(partitionFields(schema).exists(_.name.equalsIgnoreCase(column)),
-      s"'$column' is not a partition column of $table " +
-        s"(partitions: ${partitionFields(schema).map(_.name).mkString(", ")})")
-    val want = Option(value).map(_.toString).orNull
+    val want: Seq[(String, String)] = spec.toSeq.map { case (c, v) =>
+      partPhys(table, schema, c) -> Option(v).map(_.toString).orNull
+    }
     mustCommit(commitLoop(spark, table) { v =>
       val victims = snapshotFull(spark, table, Some(v - 1)).collect {
-        case (rel, _) if partValueOf(rel, column).contains(want) => rel
+        case (rel, _) if want.forall { case (phys, value) =>
+          partValueOf(rel, phys).contains(value)
+        } => rel
       }
       Some((Nil, victims))
-    }, s"drop partition $column=$value of $table")
+    }, s"drop partition ${spec.mkString(",")} of $table")
+  }
+
+  /** PREDICATE partition drop — the retention idiom (`DROP PARTITION
+    * WHERE dt < '2026-01-01'`): evaluate `cond` over the table's live
+    * partition TUPLES (typed, decoded from the paths — a
+    * partition-count-sized local relation, never the data) and drop
+    * every file in a matching partition, all in ONE metadata commit.
+    * The predicate may reference partition columns only (anything else
+    * fails resolution loudly). N matching partitions leave in a single
+    * atomic commit — time travel still resolves them until vacuum. */
+  def dropPartitionsWhere(spark: SparkSession, table: String,
+                          cond: Column): CommitResult = {
+    import org.apache.spark.sql.functions.col
+    val schema = tableSchema(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table records no schema"))
+    val parts = partitionFields(schema)
+    require(parts.nonEmpty, s"$table is not partitioned")
+    mustCommit(commitLoop(spark, table) { v =>
+      val files = snapshotFull(spark, table, Some(v - 1))
+      // Distinct live tuples (string-form, path-decoded), evaluated as
+      // a TYPED local relation so the predicate sees real values
+      // (dates compare as dates, ints as ints) — identical decode+cast
+      // semantics to the read path's attachPartitionCols.
+      val tuples: IndexedSeq[Seq[String]] = files.map { case (rel, _) =>
+        parts.map(p => partValueOf(rel, physicalName(p)).orNull)
+      }.distinct.toIndexedSeq
+      if (tuples.isEmpty) Some((Nil, Nil))
+      else {
+        val rows = tuples.zipWithIndex.map { case (t, i) =>
+          Row.fromSeq(i.toLong +: t)
+        }
+        val strSchema = StructType(
+          StructField("_gf_tuple_idx", org.apache.spark.sql.types.LongType,
+            nullable = false) +:
+            parts.map(p => StructField(p.name,
+              org.apache.spark.sql.types.StringType, nullable = true)))
+        val typed = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), strSchema)
+          .select(col("_gf_tuple_idx") +: parts.map(p =>
+            col(s"`${p.name}`").cast(p.dataType).as(p.name)): _*)
+        val hit: Set[Int] = typed.filter(cond)
+          .select("_gf_tuple_idx").collect().map(_.getLong(0).toInt).toSet
+        val victimTuples = hit.map(tuples(_)).toSet
+        val victims = files.collect {
+          case (rel, _) if victimTuples.contains(
+            parts.map(p => partValueOf(rel, physicalName(p)).orNull)) => rel
+        }
+        Some((Nil, victims))
+      }
+    }, s"drop partitions WHERE of $table")
   }
 
   /** REPLACE one partition atomically: everything under the static
@@ -1058,18 +1131,69 @@ object TxnLog {
     enforceSchema(spark, table, full, mergeSchema = false,
       "partition overwrite")
     val staged = stage(spark, table, full, cur)
-    val want: Map[String, String] =
-      spec.map { case (c, v) => c -> Option(v).map(_.toString).orNull }
+    val want: Seq[(String, String)] = spec.toSeq.map { case (c, v) =>
+      partPhys(table, schema, c) -> Option(v).map(_.toString).orNull
+    }
     mustCommit(commitLoop(spark, table,
       stats = stagedStats(spark, table, staged,
         defaultStatsCols(cur.getOrElse(full.schema)), cur)) { v =>
       val victims = snapshotFull(spark, table, Some(v - 1)).collect {
-        case (rel, _) if want.forall { case (c, value) =>
-          partValueOf(rel, c).contains(value)
+        case (rel, _) if want.forall { case (phys, value) =>
+          partValueOf(rel, phys).contains(value)
         } => rel
       }
       Some((staged, victims))
     }, s"overwrite partition ${spec.mkString(",")} of $table")
+  }
+
+  /** DYNAMIC partition overwrite — replace EXACTLY the partitions the
+    * frame produces, in one atomic commit (Spark's
+    * `partitionOverwriteMode=dynamic` / Hive dynamic-partition-insert
+    * semantics): the frame carries the partition column(s); its
+    * distinct partition tuples are computed (a partition-count-sized
+    * aggregate of the batch, never the table), every live file in one
+    * of those partitions leaves the snapshot, and the staged files
+    * land in their place. Partitions the frame does NOT touch never
+    * move — the daily multi-partition rebuild primitive (recompute
+    * three days in one query, swap exactly those three in). An EMPTY
+    * frame replaces nothing and commits nothing (the Delta
+    * convention for dynamic mode — no silent truncate). Victim
+    * selection recomputes against the CURRENT snapshot on every
+    * retry, so concurrent appends to replaced partitions are
+    * superseded rather than leaked past the overwrite. */
+  def overwritePartitionsDynamic(spark: SparkSession, table: String,
+                                 df: DataFrame): CommitResult = {
+    import org.apache.spark.sql.functions.col
+    val schema = tableSchema(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table records no schema"))
+    val parts = partitionFields(schema)
+    require(parts.nonEmpty, s"$table is not partitioned — dynamic " +
+      "partition overwrite needs partition columns (use overwrite)")
+    val cur = tableSchema(spark, table)
+    enforceSchema(spark, table, df, mergeSchema = false,
+      "dynamic partition overwrite")
+    // The replaced set: the batch's distinct partition tuples in the
+    // same string form the paths carry (toString matches the
+    // partitioned writer's dir rendering for the supported types).
+    val replaced: Set[Seq[String]] = df
+      .select(parts.map(p => col(s"`${p.name}`")): _*)
+      .distinct().collect()
+      .map(r => parts.indices.map(i =>
+        Option(r.get(i)).map(_.toString).orNull): Seq[String])
+      .toSet
+    if (replaced.isEmpty)
+      return CommitResult(latestVersion(spark, table), 0, 0)
+    val physNames = parts.map(physicalName)
+    val staged = stage(spark, table, df, cur)
+    mustCommit(commitLoop(spark, table,
+      stats = stagedStats(spark, table, staged,
+        defaultStatsCols(cur.getOrElse(df.schema)), cur)) { v =>
+      val victims = snapshotFull(spark, table, Some(v - 1)).collect {
+        case (rel, _) if replaced.contains(
+          physNames.map(pn => partValueOf(rel, pn).orNull)) => rel
+      }
+      Some((staged, victims))
+    }, s"dynamic partition overwrite of $table")
   }
 
   /** Partition-equality read: plan the scan over only the files whose
@@ -2986,17 +3110,28 @@ object TxnLog {
     * replaced or re-masked. None when fewer than two files qualify. */
   def compactPartition(spark: SparkSession, table: String, column: String,
       value: Any, targetFiles: Int = 1,
-      clusterBy: Seq[Column] = Nil): Option[CommitResult] = {
+      clusterBy: Seq[Column] = Nil): Option[CommitResult] =
+    compactPartition(spark, table, Map(column -> value), targetFiles,
+      clusterBy)
+
+  /** Multi-column form: compact the files matching ALL of `spec`'s
+    * (column → value) entries — a partial spec compacts the whole
+    * matching slice. */
+  def compactPartition(spark: SparkSession, table: String,
+      spec: Map[String, Any], targetFiles: Int,
+      clusterBy: Seq[Column]): Option[CommitResult] = {
+    require(spec.nonEmpty, "compactPartition needs a partition spec")
     val schema = tableSchema(spark, table).getOrElse(
       throw new IllegalArgumentException(s"$table records no schema"))
-    require(partitionFields(schema).exists(_.name.equalsIgnoreCase(column)),
-      s"'$column' is not a partition column of $table " +
-        s"(partitions: ${partitionFields(schema).map(_.name).mkString(", ")})")
+    val want: Seq[(String, String)] = spec.toSeq.map { case (c, v) =>
+      partPhys(table, schema, c) -> Option(v).map(_.toString).orNull
+    }
     val base = latestVersion(spark, table)
     val (full, snapSchema) = resolveSnapshot(spark, table, Some(base))
-    val want = Option(value).map(_.toString).orNull
     val victims = full.filter { case (rel, _) =>
-      partValueOf(rel, column).contains(want)
+      want.forall { case (phys, value) =>
+        partValueOf(rel, phys).contains(value)
+      }
     }
     if (victims.size < 2) return None
     val resolved = readState(spark, table, victims, snapSchema)

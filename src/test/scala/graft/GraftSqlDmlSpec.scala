@@ -832,12 +832,67 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, String, String)].collect().toSeq
       === Seq((9L, "z", "es"), (12L, "m", "en")),
       "the es partition must survive the en replace")
-    // Dynamic partition entries refuse with the remedy.
-    val ed = intercept[Exception] {
-      dml.sql("INSERT OVERWRITE lake.ns.t_parted PARTITION (lang) " +
-        "VALUES (13, 'n', 'fr')")
+    // DYNAMIC partition overwrite: replace EXACTLY the partitions the
+    // query produces (es and fr here) — en must not move.
+    dml.sql("INSERT OVERWRITE lake.ns.t_parted PARTITION (lang) " +
+      "VALUES (13, 'n', 'fr'), (14, 'p', 'es')")
+    assert(dml.sql("SELECT id, s, lang FROM lake.ns.t_parted ORDER BY id")
+      .as[(Long, String, String)].collect().toSeq
+      === Seq((12L, "m", "en"), (13L, "n", "fr"), (14L, "p", "es")),
+      "dynamic overwrite must replace produced partitions only")
+    // Plain INSERT with a dynamic entry is just an append.
+    dml.sql("INSERT INTO lake.ns.t_parted PARTITION (lang) VALUES (15, 'q', 'en')")
+    assert(dml.sql("SELECT id FROM lake.ns.t_parted WHERE lang = 'en'")
+      .as[Long].collect().sorted.toSeq === Seq(12L, 15L))
+  }
+
+  test("multi-column partition specs in SQL: DROP PARTITION full/" +
+       "partial, DROP PARTITION WHERE (typed), OPTIMIZE PARTITION, " +
+       "and mixed static+dynamic INSERT OVERWRITE") {
+    import dml.implicits._
+    val dir = s"$root/ns/t_mc"
+    dml.sql("CREATE TABLE lake.ns.t_mc (id BIGINT, lang STRING, band BIGINT) " +
+      "PARTITIONED BY (lang, band)")
+    dml.sql("INSERT INTO lake.ns.t_mc VALUES " +
+      "(1, 'en', 0), (2, 'en', 1), (3, 'de', 0), (4, 'de', 1), (5, 'fr', 2)")
+    def ids: Seq[Long] = dml.sql("SELECT id FROM lake.ns.t_mc ORDER BY id")
+      .as[Long].collect().toSeq
+    // Full two-column spec drops exactly the (en, 1) slice.
+    assert(dml.sql(
+      "ALTER TABLE lake.ns.t_mc DROP PARTITION (lang = 'en', band = 1)")
+      .head().getLong(0) >= 1L)
+    assert(ids === Seq(1L, 3L, 4L, 5L))
+    // Partial spec drops the whole matching slice (both de bands).
+    dml.sql("ALTER TABLE lake.ns.t_mc DROP PARTITION (lang = 'de')")
+    assert(ids === Seq(1L, 5L))
+    // Predicate drop is TYPED: band >= 2 is a numeric compare over the
+    // decoded tuple, not a string compare on path text.
+    val v0 = TxnLog.latestVersion(dml, dir)
+    dml.sql("ALTER TABLE lake.ns.t_mc DROP PARTITION WHERE band >= 2")
+    assert(TxnLog.latestVersion(dml, dir) === v0 + 1)
+    assert(ids === Seq(1L))
+    // Malformed specs fail loudly, not by silently dropping pairs.
+    val em = intercept[Exception] {
+      dml.sql("ALTER TABLE lake.ns.t_mc DROP PARTITION (lang = 'en' oops)")
     }
-    assert(ed.getMessage.contains("dynamic partition"))
+    assert(em.getMessage.contains("malformed PARTITION spec"))
+    // Multi-column partition-scoped OPTIMIZE: fragment (en, 0), then
+    // compact exactly that slice.
+    dml.sql("INSERT INTO lake.ns.t_mc VALUES (6, 'en', 0)")
+    dml.sql("INSERT INTO lake.ns.t_mc VALUES (7, 'en', 0)")
+    val opt = dml.sql("OPTIMIZE lake.ns.t_mc PARTITION (lang = 'en', band = 0) " +
+      "TARGET 1 FILES").as[(Long, Long, Long)].head()
+    assert(opt._2 === 1L && opt._3 === 3L, s"expected 3->1 rewrite, got $opt")
+    assert(ids === Seq(1L, 6L, 7L))
+    // Mixed static+dynamic OVERWRITE: lang pinned to 'en', band from
+    // the rows — replaces exactly (en, 0), leaves (en, 5) alone.
+    dml.sql("INSERT INTO lake.ns.t_mc VALUES (8, 'en', 5)")
+    dml.sql("INSERT OVERWRITE lake.ns.t_mc PARTITION (lang = 'en', band) " +
+      "VALUES (9, 0)")
+    assert(dml.sql("SELECT id, lang, band FROM lake.ns.t_mc ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq
+      === Seq((8L, "en", 5L), (9L, "en", 0L)),
+      "mixed static+dynamic must replace the static-slice x produced bands")
   }
 
   test("RESTORE a merge-on-read UPDATE away and back: the DV binding " +

@@ -510,4 +510,142 @@ class TxnPartitionSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.read(spark, t).count() === 300L)
     assert(TxnLog.readPrunedPartition(spark, t, "lang", Seq("fr")).count() === 100L)
   }
+
+  test("overwritePartitionsDynamic replaces EXACTLY the partitions the " +
+       "frame produces, in one atomic commit; an empty frame is a " +
+       "no-op; an unpartitioned table refuses") {
+    import spark.implicits._
+    val t = fixture("dyn") // 300 rows: en/de/fr x 100 each
+    val v0 = TxnLog.latestVersion(spark, t)
+    // Recompute de and fr only (ids < 60 of each); en must not move.
+    val repl = (0L until 60L).filter(_ % 3 != 0)
+      .map(i => (i, s"NEW$i", Seq("en", "de", "fr")(i.toInt % 3)))
+      .toDF("id", "s", "lang")
+    val r = TxnLog.overwritePartitionsDynamic(spark, t, repl)
+    assert(r.version === v0 + 1, "one atomic commit for N partitions")
+    val byLang = TxnLog.read(spark, t).groupBy("lang").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byLang === Map("en" -> 100L, "de" -> 20L, "fr" -> 20L),
+      s"untouched en, replaced de/fr: $byLang")
+    assert(TxnLog.read(spark, t).filter(col("lang") =!= "en")
+      .select("s").as[String].collect().forall(_.startsWith("NEW")))
+    // Empty frame: nothing replaced, nothing committed.
+    val r2 = TxnLog.overwritePartitionsDynamic(spark, t,
+      repl.filter(lit(false)))
+    assert(r2.version === r.version && r2.added === 0 && r2.removed === 0,
+      "dynamic overwrite of an empty frame must not truncate anything")
+    assert(TxnLog.read(spark, t).count() === 140L)
+    // Unpartitioned tables refuse (use overwrite for a full replace).
+    val flat = freshTable("dynflat")
+    TxnLog.create(spark, flat, Seq((1L, "a")).toDF("id", "s"))
+    intercept[IllegalArgumentException] {
+      TxnLog.overwritePartitionsDynamic(spark, flat,
+        Seq((2L, "b")).toDF("id", "s"))
+    }
+  }
+
+  test("multi-column partition specs: full and PARTIAL specs address " +
+       "the matching slice on drop/compact, and dropPartitionsWhere " +
+       "drops N partitions in ONE typed-predicate metadata commit") {
+    import spark.implicits._
+    val t = freshTable("multicol")
+    val df = (0L until 120L)
+      .map(i => (i, Seq("en", "de", "fr")(i.toInt % 3), i % 2))
+      .toDF("id", "lang", "band")
+    TxnLog.createPartitioned(spark, t, df.repartition(2),
+      Seq("lang", "band"))
+    assert(TxnLog.read(spark, t).count() === 120L)
+    // Full two-column spec: exactly the (en, 1) slice leaves.
+    val v0 = TxnLog.latestVersion(spark, t)
+    TxnLog.dropPartition(spark, t, Map("lang" -> "en", "band" -> 1L))
+    assert(TxnLog.latestVersion(spark, t) === v0 + 1)
+    assert(TxnLog.read(spark, t)
+      .filter(col("lang") === "en" && col("band") === 1).count() === 0L)
+    assert(TxnLog.read(spark, t).count() === 100L)
+    // PARTIAL spec: every de partition (both bands) in one commit.
+    TxnLog.dropPartition(spark, t, Map("lang" -> "de"))
+    assert(TxnLog.latestVersion(spark, t) === v0 + 2)
+    assert(TxnLog.read(spark, t).filter(col("lang") === "de").count() === 0L)
+    assert(TxnLog.read(spark, t).count() === 60L)
+    // Predicate drop, TYPED: band is a LONG in the tuple relation, so
+    // a numeric comparison works (not string compare on path text).
+    // Drops (fr, 1) — the only live band >= 1 partition — plus proves
+    // multi-partition atomicity with (en|fr, 0) retained.
+    val r = TxnLog.dropPartitionsWhere(spark, t, col("band") >= 1)
+    assert(r.version === v0 + 3, "N matching partitions, ONE commit")
+    assert(TxnLog.read(spark, t).filter(col("band") >= 1).count() === 0L)
+    assert(TxnLog.read(spark, t).count() === 40L)
+    // Predicate referencing a NON-partition column fails resolution.
+    intercept[Exception] {
+      TxnLog.dropPartitionsWhere(spark, t, col("id") > 5)
+    }
+    // Multi-column compact: the (en, 0) slice (2 files from the
+    // 2-way staged create) rewrites to 1; the fr slice never moves.
+    val frFiles = TxnLog.snapshot(spark, t).filter(_.contains("lang=fr"))
+    val rc = TxnLog.compactPartition(spark, t,
+      Map("lang" -> "en", "band" -> 0L), targetFiles = 1, clusterBy = Nil)
+    assert(rc.exists(_.removed >= 2))
+    assert(TxnLog.snapshot(spark, t).filter(_.contains("lang=fr"))
+      === frFiles, "compacting one slice must not churn others")
+    assert(TxnLog.read(spark, t).count() === 40L)
+  }
+
+  test("data writes missing a partition column are REJECTED at schema " +
+       "enforcement — flat-staged rows would silently escape " +
+       "partition-addressed DROP/OVERWRITE victim selection") {
+    import spark.implicits._
+    val t = fixture("guard")
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.append(spark, t, Seq((999L, "x")).toDF("id", "s"))
+    }
+    assert(e.getMessage.contains("partition column"))
+    assert(TxnLog.read(spark, t).count() === 300L, "nothing committed")
+  }
+
+  test("concurrent overwritePartition writers on DISJOINT partitions " +
+       "all land (retry, never loss); SAME-partition writers " +
+       "serialize to exactly one batch's rows (atomic last-wins)") {
+    import spark.implicits._
+    val t = fixture("conc") // en/de/fr x 100
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // Disjoint: one writer per partition, all replacing concurrently.
+    val langs = Seq("en", "de", "fr")
+    val disjoint = langs.zipWithIndex.map { case (lang, k) =>
+      new Thread(() => {
+        try {
+          val rows = (0 to k).map(j => (10000L + k * 100 + j, s"W$lang$j"))
+          TxnLog.overwritePartition(spark, t, Map("lang" -> lang),
+            rows.toDF("id", "s"))
+        } catch { case x: Throwable => errs.add(x) }
+      })
+    }
+    disjoint.foreach(_.start()); disjoint.foreach(_.join())
+    assert(errs.isEmpty, s"disjoint partition overwrite failed: ${errs.peek()}")
+    val byLang = TxnLog.read(spark, t).groupBy("lang").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byLang === Map("en" -> 1L, "de" -> 2L, "fr" -> 3L),
+      s"every disjoint writer must land its full batch: $byLang")
+    // Same partition: four concurrent replaces of en; the final state
+    // must be EXACTLY one writer's batch — serialized last-wins, no
+    // interleaved mix, no union.
+    val contenders = (1 to 4).map { k =>
+      new Thread(() => {
+        try {
+          val rows = (0 until k).map(j => (20000L + k * 100 + j, s"C$k-$j"))
+          TxnLog.overwritePartition(spark, t, Map("lang" -> "en"),
+            rows.toDF("id", "s"))
+        } catch { case x: Throwable => errs.add(x) }
+      })
+    }
+    contenders.foreach(_.start()); contenders.foreach(_.join())
+    assert(errs.isEmpty, s"same-partition overwrite failed: ${errs.peek()}")
+    val enIds = TxnLog.read(spark, t).filter(col("lang") === "en")
+      .select("id").as[Long].collect().toSet
+    val batches = (1 to 4).map(k =>
+      (0 until k).map(j => 20000L + k * 100 + j).toSet)
+    assert(batches.contains(enIds),
+      s"final en partition must be exactly one writer's batch, got $enIds")
+    // Other partitions untouched by the en contention.
+    assert(TxnLog.read(spark, t).filter(col("lang") =!= "en").count() === 5L)
+  }
 }
