@@ -488,19 +488,39 @@ object CorpusQueries extends QueryModule {
     // smoothed mass) instead of dropping the bigram. Determinism: the
     // ratio is a difference of per-TYPE micro-scaled longs, so per-doc
     // sums are exact and the top-k tiebreak (w desc, doc_id) is total.
-    // Plan: two bounded model aggs + one scoring scan; the only
-    // corpus-sized shuffle is the per-doc groupBy, and the final top-k
-    // is TakeOrderedAndProject (no global sort) — at 100 TB the model
-    // tables are still 289 rows.
+    // Plan: ONE bounded model agg trains BOTH NLL surfaces — the raw
+    // and target-domain bigram counts fall out of the same aggregate
+    // (count + conditional sum over the SAME encoded pass; the
+    // round-14 form re-derived `enc` per model and tokenized the
+    // corpus three times — at 100 TB each pass is a full-table read).
+    // Arithmetic per model is bigramNll's exactly, so the oracle hash
+    // is unchanged. Total corpus passes: one model pass + one scoring
+    // scan; the only corpus-sized shuffle is the per-doc groupBy, and
+    // the final top-k is TakeOrderedAndProject (no global sort) — at
+    // 100 TB the model tables are still 289 rows.
     "q_dsir_select" -> ((s, d) => {
       val k = 50
       val targets = Seq("src0", "src1", "src2", "src3")
       val docs = Tables.documents(s, d)
       val vocab = bigramVocab(docs)
       def enc = bigramIds(docs, vocab)
-      val model = bigramNll(s, enc, "nll_raw_u")
-        .join(bigramNll(s, enc.filter(col("source").isin(targets: _*)), "nll_tgt_u"),
-          Seq("t1", "t2"))
+      val isTgt = col("source").isin(targets: _*)
+      val c2 = enc.groupBy("t1", "t2").agg(
+        count(lit(1)).as("c12_raw"),
+        sum(isTgt.cast("long")).as("c12_tgt"))
+      val c1 = c2.groupBy("t1").agg(
+        sum(col("c12_raw")).as("c1_raw"),
+        sum(col("c12_tgt")).as("c1_tgt"))
+      def nllU(c1c: Column, c12c: Column) =
+        round(log(
+          (coalesce(c1c, lit(0L)) + lit(BigramVTypes.toLong)).cast("double") /
+            (coalesce(c12c, lit(0L)) + lit(1L)).cast("double")) * lit(1e6))
+          .cast("long")
+      val model = bigramGrid(s)
+        .join(c2, Seq("t1", "t2"), "left").join(c1, Seq("t1"), "left")
+        .select(col("t1"), col("t2"),
+          nllU(col("c1_raw"), col("c12_raw")).as("nll_raw_u"),
+          nllU(col("c1_tgt"), col("c12_tgt")).as("nll_tgt_u"))
       enc.filter(!col("source").isin(targets: _*))
         .join(broadcast(model), Seq("t1", "t2"))
         .groupBy("doc_id", "source")

@@ -426,6 +426,16 @@ object TxnBloom {
       Some(Sidecar(k, m, bits))
     } catch { case _: java.io.IOException => None }
 
+  /** TEST-ONLY injected latency per SOURCE OPEN (ms) — BloomProbeBench
+    * uses it to model object-store metadata round-trips (10–50 ms per
+    * GET) on a local filesystem, measuring where the distributed probe
+    * crosses over the serial one and whether the 64-open default
+    * budget holds there. A static volatile (not a conf) so local-mode
+    * executor tasks see it too; always 0 outside the bench. */
+  @volatile private[graft] var testOpenDelayMs: Long = 0L
+  private def simulatedOpenLatency(): Unit =
+    if (testOpenDelayMs > 0L) Thread.sleep(testOpenDelayMs)
+
   /** Probe one SOURCE file (a `seg-*.gbs` segment or a legacy
     * `*.bloom` sidecar) against `values`, restricted to rel paths in
     * `needed`: emits (rel, keep) verdicts for every covered needed
@@ -445,12 +455,14 @@ object TxnBloom {
       val rel = dec(p.getName)
       if (!needed(rel)) Nil
       else entryCache.get(key).orElse {
+        simulatedOpenLatency()
         val sc = readSidecar(f, p)
         sc.foreach(entryCache.put(key, _))
         sc
       }.map(sc => Seq(rel -> keep(sc))).getOrElse(Nil)
     } else {
       val idx = indexCache.get(key).orElse {
+        simulatedOpenLatency()
         val i = readSegmentIndex(f, p, len)
         i.foreach(indexCache.put(key, _))
         i
@@ -466,6 +478,7 @@ object TxnBloom {
       val fromDisk =
         if (missing.isEmpty) Nil
         else {
+          simulatedOpenLatency()
           val in = f.open(p)
           // Forward seeks only: read in offset order.
           try missing.sortBy(_._2).flatMap { case (rel, off) =>
@@ -488,12 +501,20 @@ object TxnBloom {
     * difference between one metadata round-trip and a million).
     *
     * Execution: sources fully answerable from the driver cache cost
-    * zero I/O; up to `spark.graft.bloom.probe.localOpens` (default
-    * 64) cold sources are opened serially (and cached); a colder
-    * probe — the first lookup on a freshly-planned many-commit table
-    * — fans the opens out as ONE Spark metadata job, so wall time is
-    * opens/parallelism instead of a driver stall proportional to the
-    * table's commit count (round-13 verdict #1). */
+    * zero I/O. Cold sources are MEASURED, not guessed (round-14
+    * verdict #8): the first few open serially and time themselves,
+    * and the remainder go serial only when BOTH (a) the count is
+    * within `spark.graft.bloom.probe.localOpens` (default 64) and
+    * (b) the projected serial wall (measured ms/open × remaining) is
+    * under `spark.graft.bloom.probe.crossoverMs` (default 250 — about
+    * the cost of launching the ONE Spark metadata job the distributed
+    * path uses). On a local FS (~0.3 ms/open) hundreds of opens stay
+    * serial; on object-store latency (10–50 ms/GET, where
+    * BloomProbeBench's injected-latency sweep put the crossover at
+    * ~15–25 opens) the same probe fans out after the sample — wall
+    * time opens/parallelism instead of a driver stall ∝ commit count
+    * (round-13 verdict #1). `localOpens = 0` forces the distributed
+    * path outright. */
   private[graft] def filterByBloom(spark: SparkSession, table: String,
       column: String, values: Seq[Any],
       files: Seq[(String, TxnLog.FileState)]): Seq[(String, TxnLog.FileState)] = {
@@ -539,22 +560,45 @@ object TxnBloom {
     if (cold.nonEmpty) {
       val budget = spark.conf.getOption("spark.graft.bloom.probe.localOpens")
         .map(_.toInt).getOrElse(64)
+      val crossoverMs = spark.conf
+        .getOption("spark.graft.bloom.probe.crossoverMs")
+        .map(_.toDouble).getOrElse(250.0)
+      def serial(srcs: Seq[(String, Long, Long)]): Seq[(String, Boolean)] =
+        srcs.flatMap { case (p, mt, ln) =>
+          probeSource(f, p, mt, ln, neededSet, values)
+        }
+      def distribute(srcs: Seq[(String, Long, Long)]): Seq[(String, Boolean)] = {
+        val sc = spark.sparkContext
+        val confB = sc.broadcast(new SerConf(sc.hadoopConfiguration))
+        val neededB = sc.broadcast(neededSet)
+        val vals = values
+        val tasks = math.min(srcs.size,
+          math.max(1, sc.defaultParallelism * 2))
+        sc.parallelize(srcs, tasks).flatMap { case (p, mt, ln) =>
+          val pf = new Path(p).getFileSystem(confB.value.value)
+          probeSource(pf, p, mt, ln, neededB.value, vals)
+        }.collect().toSeq
+      }
       val results: Seq[(String, Boolean)] =
-        if (cold.size <= budget)
-          cold.toSeq.flatMap { case (p, mt, ln) =>
-            probeSource(f, p, mt, ln, neededSet, values)
-          }
+        if (budget <= 0) distribute(cold.toSeq)
         else {
-          val sc = spark.sparkContext
-          val confB = sc.broadcast(new SerConf(sc.hadoopConfiguration))
-          val neededB = sc.broadcast(neededSet)
-          val vals = values
-          val tasks = math.min(cold.size,
-            math.max(1, sc.defaultParallelism * 2))
-          sc.parallelize(cold.toSeq, tasks).flatMap { case (p, mt, ln) =>
-            val pf = new Path(p).getFileSystem(confB.value.value)
-            probeSource(pf, p, mt, ln, neededB.value, vals)
-          }.collect().toSeq
+          // Sample-then-decide: open a few serially (cheap on every
+          // store), project the remainder from the measured ms/open,
+          // and distribute when EITHER the fixed budget or the
+          // projected wall says the driver loop would stall.
+          val sampleN = math.min(math.min(8, budget), cold.size)
+          val t0 = System.nanoTime()
+          val sampled = serial(cold.take(sampleN).toSeq)
+          val sampleMs = (System.nanoTime() - t0) / 1e6
+          val rest = cold.drop(sampleN).toSeq
+          val projectedMs = if (sampleN == 0) 0.0
+            else sampleMs / sampleN * rest.size
+          val restResults =
+            if (rest.isEmpty) Nil
+            else if (rest.size <= budget - sampleN &&
+                projectedMs <= crossoverMs) serial(rest)
+            else distribute(rest)
+          sampled ++ restResults
         }
       results.foreach { case (rel, k) => verdicts(rel) = k }
     }

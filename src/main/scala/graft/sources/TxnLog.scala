@@ -538,19 +538,24 @@ object TxnLog {
 
   /** Attach partition columns to a raw file scan: each partition
     * field's value is derived from the scanned file's PATH (the same
-    * `col=value` segment the log's rel path records) — a codegen'd
-    * regexp over `input_file_name()` plus a driver-built
-    * escaped→decoded literal map (one entry per DISTINCT partition
-    * value, never per file), then a cast to the recorded type. This
-    * deliberately avoids Spark's directory-discovery reader: discovery
-    * rejects k=v segments nested under the log's non-k=v staging dirs
+    * `col=value` segment the log's rel path records) — one codegen'd
+    * O(1) segment-scan + hash-probe expression over
+    * `input_file_name()` ([[graft.functions.PartValueDecodeExpr]],
+    * with a driver-built escaped→decoded table of one entry per
+    * DISTINCT partition value, never per file), then a cast to the
+    * recorded type. Per-row cost is INDEPENDENT of partition
+    * cardinality — the round-14 form probed a literal map linearly,
+    * paying O(partitions) string compares per row on full scans of a
+    * high-cardinality table. This deliberately avoids Spark's
+    * directory-discovery reader: discovery rejects k=v segments nested
+    * under the log's non-k=v staging dirs
     * (CONFLICTING_DIRECTORY_STRUCTURES), and a per-file union plan
     * would explode at real file counts. Files lacking the segment
     * (never produced by a partitioned stage) read null — sound, and
     * DV/metadata objects never take this path. */
   private def attachPartitionCols(df: DataFrame, schema: StructType,
       rels: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, element_at, input_file_name, lit, regexp_extract, typedLit, when}
+    import org.apache.spark.sql.functions.{input_file_name, lit}
     val parts = partitionFields(schema)
     if (parts.isEmpty) return df
     parts.foldLeft(df) { (d, f) =>
@@ -559,20 +564,18 @@ object TxnLog {
       // `input_file_name()` reports the Path-URI string form (the same
       // SparkPath.urlEncoded contract relPathCol documents), so the
       // hive-escaped on-disk segment (`with%20space`) appears
-      // URI-encoded AGAIN (`with%2520space`) — the map keys must be in
-      // THAT encoding or special-char values silently read null.
+      // URI-encoded AGAIN (`with%2520space`) — the table keys must be
+      // in THAT encoding or special-char values silently read null.
       def uriEncode(seg: String): String =
         new java.net.URI(null, null, "/" + seg, null).getRawPath.substring(1)
-      val decodeMap: Map[String, String] = distinctRaw
-        .filter(_ != NullPartName)
-        .map(v => uriEncode(v) -> unescapePathName(v)).toMap
-      val esc = regexp_extract(input_file_name(),
-        "/" + java.util.regex.Pattern.quote(phys) + "=([^/]+)/", 1)
+      val pairs = distinctRaw.filter(_ != NullPartName)
+        .map(v => uriEncode(v) -> unescapePathName(v)).toArray
       val v =
-        if (decodeMap.isEmpty) lit(null).cast(f.dataType)
-        else when(esc === "" || esc === NullPartName,
-          lit(null).cast(f.dataType))
-          .otherwise(element_at(typedLit(decodeMap), esc).cast(f.dataType))
+        if (pairs.isEmpty) lit(null).cast(f.dataType)
+        else Bridge.column(graft.functions.PartValueDecodeExpr(
+          Bridge.expression(input_file_name()),
+          new graft.functions.PartDecodeTable(
+            s"/$phys=", NullPartName, pairs))).cast(f.dataType)
       d.withColumn(phys, v)
     }
   }

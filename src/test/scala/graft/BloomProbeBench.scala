@@ -50,9 +50,74 @@ object BloomProbeBench {
     }
   }
 
+  /** LATENCY-MODEL mode (`… graft.BloomProbeBench sweep <delayMs>`):
+    * every source open sleeps `delayMs` first — the object-store
+    * metadata-GET model the local FS can't exhibit (~0.3 ms/open vs
+    * 10–50 ms real) — and the serial-vs-distributed crossover is swept
+    * over cold-source counts around the 64-open default budget. Each
+    * source is a legacy per-file sidecar so opens == sources exactly. */
+  private def latencySweep(spark: org.apache.spark.sql.SparkSession,
+      root: String, f: org.apache.hadoop.fs.FileSystem,
+      delayMs: Long): Unit = {
+    println(s"== injected per-open latency: ${delayMs}ms ==")
+    TxnBloom.testOpenDelayMs = delayMs
+    try {
+      for (k <- Seq(8, 32, 64, 128, 256, 1024)) {
+        val t = s"$root/sweep$k"
+        val rels = (0 until k).map(i => f"stage-sweep/part-$i%06d.parquet")
+        val files = rels.map(r => r -> TxnLog.FileState(None, None))
+        def bits(i: Int): Array[Byte] = {
+          val rnd = new scala.util.Random(i * 2654435761L)
+          Array.fill((MBits / 8).toInt)(rnd.nextInt(256).toByte)
+        }
+        plantLegacy(f, t, rels, bits)
+        val probes = Seq[Any](42L, "doc-abc")
+        def run(tag: String, budget: String): (Double, Set[String]) = {
+          spark.conf.set("spark.graft.bloom.probe.localOpens", budget)
+          // Pin the adaptive crossover out of the way: the sweep
+          // measures the RAW serial-vs-distributed walls the adaptive
+          // default is tuned FROM.
+          spark.conf.set("spark.graft.bloom.probe.crossoverMs", "1e18")
+          TxnBloom.clearProbeCaches()
+          val t0 = System.nanoTime()
+          val kept = TxnBloom.filterByBloom(spark, t, "id", probes, files)
+            .map(_._1).toSet
+          (((System.nanoTime() - t0) / 1e6), kept)
+        }
+        val (serialMs, kS) = run("serial", Int.MaxValue.toString)
+        val (distMs, kD) = run("dist", "0")
+        // The ADAPTIVE default (sample-project-decide) must land near
+        // the winner, not the loser, at every point.
+        spark.conf.unset("spark.graft.bloom.probe.localOpens")
+        spark.conf.unset("spark.graft.bloom.probe.crossoverMs")
+        TxnBloom.clearProbeCaches()
+        val tA = System.nanoTime()
+        val kA = TxnBloom.filterByBloom(spark, t, "id", probes, files)
+          .map(_._1).toSet
+        val adaptiveMs = (System.nanoTime() - tA) / 1e6
+        require(kS == kD && kS == kA, s"parity violated at k=$k")
+        println(f"cold=$k%5d  serial=${serialMs}%8.0f ms  " +
+          f"distributed=${distMs}%8.0f ms  adaptive=${adaptiveMs}%8.0f ms  " +
+          f"winner=${if (distMs < serialMs) "distributed" else "serial"}")
+      }
+    } finally {
+      TxnBloom.testOpenDelayMs = 0L
+      spark.conf.unset("spark.graft.bloom.probe.localOpens")
+      spark.conf.unset("spark.graft.bloom.probe.crossoverMs")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("bloom-probe-bench").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("sweep")) {
+      val delayMs = args.lift(1).map(_.toLong).getOrElse(10L)
+      val root = s"${sys.props("java.io.tmpdir")}/graft_bloomsweep_${System.nanoTime()}"
+      val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try latencySweep(spark, root, f, delayMs)
+      finally { f.delete(new Path(root), true); spark.stop() }
+      return
+    }
     val n = args.headOption.map(_.toInt).getOrElse(24000)
     val root = s"${sys.props("java.io.tmpdir")}/graft_bloomprobe_${System.nanoTime()}"
     val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -75,10 +140,13 @@ object BloomProbeBench {
       kept
     }
 
-    // (a) r13 design: N per-file sidecars, driver-serial loop.
+    // (a) r13 design: N per-file sidecars, driver-serial loop. The
+    // adaptive crossover is pinned out of the way for the serial legs
+    // (the bench measures the raw walls the default is tuned from).
     val tLegacy = s"$root/legacy"
     plantLegacy(f, tLegacy, rels, bits)
     spark.conf.set("spark.graft.bloom.probe.localOpens", Int.MaxValue.toString)
+    spark.conf.set("spark.graft.bloom.probe.crossoverMs", "1e18")
     TxnBloom.clearProbeCaches()
     val keptLegacy = timed(s"legacy  $n per-file sidecars, serial driver") {
       TxnBloom.filterByBloom(spark, tLegacy, "id", probes, files)
@@ -108,6 +176,7 @@ object BloomProbeBench {
         .map(_._1).toSet
     }
     spark.conf.unset("spark.graft.bloom.probe.localOpens")
+    spark.conf.unset("spark.graft.bloom.probe.crossoverMs")
 
     // (d) warm repeat: the interactive-session steady state.
     val keptWarm = timed("segment warm (driver cache)") {

@@ -54,7 +54,67 @@ object PartScale {
     val (invS, inv) = timed(
       TxnLog.partitions(spark, t).collect().map(_.toString).mkString(";"))
 
+    // (e) ATTACH cost vs partition CARDINALITY: the same 2M rows
+    // partitioned 5 ways vs 5000 ways, then a full-scan aggregate that
+    // consumes the path-attached partition column. The round-14 form
+    // probed a literal map linearly (O(partitions) per row — the 5000
+    // leg would pay ~1000x the per-row attach cost); the O(1)
+    // hash-probe expression must hold the two walls level.
+    val rows = spark.range(0, 2000000L, 1, 16)
+      .select(col("id"),
+        (col("id") % 5).cast("string").as("p5"),
+        (col("id") % 5000).cast("string").as("p5k"))
+    // Co-locate keys per task pre-write: one file per partition, not
+    // tasks x partitions.
+    val (build5S, _) = timed(TxnLog.createPartitioned(spark,
+      s"$root/card5", rows.select("id", "p5").repartition(16, col("p5")),
+      Seq("p5")))
+    val (build5kS, _) = timed(TxnLog.createPartitioned(spark,
+      s"$root/card5k", rows.select("id", "p5k").repartition(32, col("p5k")),
+      Seq("p5k")))
+    // Isolate the ATTACH cost from the file-count overhead (5000 small
+    // files pay per-file scan setup regardless of attach): measure the
+    // same table's scan twice — once consuming only `id` (the unused
+    // partition projection prunes away) and once consuming the
+    // attached partition column. Overhead = consume − scan-only.
+    def attachAgg(table: String, c: String): (Double, Double, Long) = {
+      val d = TxnLog.read(spark, table)
+      d.agg(count(col("id"))).head.getLong(0) // warm listing/footers
+      val (s0, _) = timed(d.agg(count(col("id"))).head.getLong(0))
+      val (s1, v) = timed(d.agg(count(col(c)),
+        sum(length(col(c)))).head.getLong(0))
+      (s0, s1, v.asInstanceOf[Long])
+    }
+    val (scan5S, a5S, c5) = attachAgg(s"$root/card5", "p5")
+    val (scan5kS, a5kS, c5k) = attachAgg(s"$root/card5k", "p5k")
+    require(c5 == 2000000L && c5k == 2000000L,
+      s"attach must fill every row: $c5 / $c5k")
+    // A/B against the ROUND-14 form on the 5000-partition table: the
+    // same scan with the partition value attached by
+    // regexp_extract + element_at(typedLit(map)) — Catalyst's
+    // GetMapValue probes the 5000-entry literal map LINEARLY per row.
+    val legacyMap: Map[String, String] =
+      (0 until 5000).map(i => i.toString -> i.toString).toMap
+    val rawScan = spark.read.parquet(TxnLog.snapshot(spark, s"$root/card5k")
+      .map(rel => s"$root/card5k/$rel"): _*)
+    val escSeg = regexp_extract(input_file_name(), "/p5k=([^/]+)/", 1)
+    val legacy = rawScan.withColumn("p5k",
+      when(escSeg === "", lit(null).cast("string"))
+        .otherwise(element_at(typedLit(legacyMap), escSeg)))
+    legacy.agg(count(col("id"))).head.getLong(0) // warm
+    val (legacyS, legacyC) = timed(legacy.agg(count(col("p5k")),
+      sum(length(col("p5k")))).head.getLong(0))
+    require(legacyC.asInstanceOf[Long] == 2000000L)
+
     println(s"""{"metric":"part_scale","sf_dir":"$sfDir","files":$nFiles,""" +
+      s""""attach_rows":2000000,""" +
+      s""""scan_only_5part_sec":${scan5S.formatted("%.2f")},""" +
+      s""""attach_5part_sec":${a5S.formatted("%.2f")},""" +
+      s""""scan_only_5000part_sec":${scan5kS.formatted("%.2f")},""" +
+      s""""attach_5000part_sec":${a5kS.formatted("%.2f")},""" +
+      s""""attach_5000part_linear_probe_sec":${legacyS.formatted("%.2f")},""" +
+      s""""attach_build5_sec":${build5S.formatted("%.1f")},""" +
+      s""""attach_build5000_sec":${build5kS.formatted("%.1f")},""" +
       s""""create_plain_sec":${plainS.formatted("%.1f")},""" +
       s""""create_part_sec":${partS.formatted("%.1f")},""" +
       s""""agg_full_sec":${fullS.formatted("%.2f")},""" +
