@@ -802,6 +802,37 @@ case class GraftDropPartitionsWhereCommand(dir: String, predicate: String)
   }
 }
 
+/** `INSERT INTO <txn table> REPLACE WHERE <cond> <query>` — the SQL
+  * face of [[TxnLog.overwriteWhere]] (Delta's replaceWhere, which OSS
+  * Spark exposes only as a writer option): atomically replace exactly
+  * the predicate region with the query's rows, validated to all
+  * satisfy the predicate. The query supplies every table column
+  * positionally; casts are explicitly ANSI like the PARTITION insert. */
+case class GraftReplaceWhereCommand(dir: String, predicate: String,
+                                    query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = Bridge.ofRows(spark, query)
+    val schema = TxnLog.tableSchema(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir records no schema"))
+    require(raw.columns.length == schema.fields.length,
+      s"INSERT … REPLACE WHERE into $dir: the query must supply all " +
+        s"${schema.fields.length} table column(s) " +
+        s"${schema.fields.map(_.name).mkString(", ")} positionally; " +
+        s"got ${raw.columns.length}")
+    def ansiCast(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      Bridge.column(org.apache.spark.sql.catalyst.expressions.Cast(
+        Bridge.expression(c), dt, None,
+        org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI))
+    val df = raw.toDF(schema.fields.map(_.name).toIndexedSeq: _*)
+      .select(schema.fields.map(f =>
+        ansiCast(col(s"`${f.name}`"), f.dataType).as(f.name)).toIndexedSeq: _*)
+    TxnLog.overwriteWhere(spark, dir, expr(predicate), df)
+    Seq.empty
+  }
+}
+
 /** `DELETE FROM <txn table> WHERE cond` → [[TxnLog.delete]] (pruned
   * copy-on-write; only files containing matches rewrite). */
 case class GraftDeleteCommand(dir: String, cond: Column)
@@ -1035,6 +1066,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         "[, col = value…]) with quoted or bare values")
     pairs
   }
+  /** `INSERT INTO <tgt> REPLACE WHERE <cond> <query>` — OSS Spark has
+    * no grammar production for replaceWhere (Delta ships it as a
+    * writer option only), so the statement is recognized here: the
+    * predicate runs to the first query-start keyword, the query tail
+    * parses through the session grammar. */
+  private val replaceWhereRe =
+    (s"""(?is)^\\s*INSERT\\s+INTO\\s+$Tgt\\s+REPLACE\\s+WHERE\\s+""" +
+      """(.+?)\s+((?:SELECT|VALUES|WITH|TABLE|FROM)\b.*?)\s*;?\s*$""").r
+
   private val explainRe = """(?is)^\s*EXPLAIN\s+(.*)$""".r
 
   /** Resolve a statement target to its txn directory: quoted paths
@@ -1099,6 +1139,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case addGeneratedRe(tgt, name, e) =>
         resolveTarget(tgt).map(d =>
           GraftAddGeneratedCommand(d, name, e.trim): LogicalPlan)
+      case replaceWhereRe(tgt, pred, query) =>
+        resolveTarget(tgt).map(d =>
+          GraftReplaceWhereCommand(d, pred.trim,
+            delegate.parseQuery(query)): LogicalPlan)
       case dropPartitionWhereRe(tgt, pred) =>
         resolveTarget(tgt).map(d =>
           GraftDropPartitionsWhereCommand(d, pred.trim): LogicalPlan)

@@ -941,6 +941,38 @@ object LakeQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // PREDICATE overwrite — Delta's replaceWhere as a STATEMENT
+    // (`INSERT INTO … REPLACE WHERE <cond> <query>`, a grammar OSS
+    // Spark lacks): one atomic commit replaces exactly the predicate
+    // region (long docs) with a recompute whose rows are VALIDATED to
+    // satisfy the predicate; rows outside the region — including
+    // non-matching rows in partially-matching files — must survive
+    // the copy-on-write untouched. The oracle recomposes the two
+    // populations; contract/refusal/concurrency mechanics are
+    // TxnLogSpec's and GraftSqlDmlSpec's.
+    "q_txn_replace_where" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/rwns/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table, docs.repartition(3))
+      s.conf.set("spark.sql.catalog.grw",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.grw.root", base)
+      docs.createOrReplaceTempView("grw_src")
+      s.sql("""INSERT INTO grw.rwns.docs REPLACE WHERE n_chars >= 400
+              |SELECT doc_id, lang, n_chars + 100000 FROM grw_src
+              |WHERE n_chars >= 400 AND doc_id % 2 = 0""".stripMargin)
+      TxnLog.read(s, table)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
+
     // Stats-driven data skipping: write the table partitioned by
     // source, ANALYZE n_chars into the _stats sidecar, then answer a
     // high-end range query through the sidecar — partitions whose
@@ -1023,6 +1055,17 @@ object LakeQueries extends QueryModule {
         | FROM documents
         | WHERE (lang = 'en' AND n_chars >= 300)
         |    OR (lang <> 'en' AND doc_id % 2 = 0)
+        | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_replace_where" ->
+      """SELECT lang, count(*) AS row_cnt, sum(nc)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM (
+        |  SELECT doc_id, lang, n_chars AS nc FROM documents
+        |   WHERE n_chars < 400
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars + 100000 AS nc FROM documents
+        |   WHERE n_chars >= 400 AND doc_id % 2 = 0)
         | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
 
     "q_txn_insert_dynamic" ->

@@ -1199,6 +1199,78 @@ object TxnLog {
     }, s"dynamic partition overwrite of $table")
   }
 
+  /** PREDICATE overwrite — Delta's `replaceWhere`: atomically replace
+    * exactly the rows matching `predicate` with `df`'s rows, in ONE
+    * commit (readers see the old region or the new one, never a mix).
+    * The general form of [[overwritePartition]]: the predicate may
+    * reference ANY columns; only files that actually CONTAIN matching
+    * rows rewrite (the same one-scan victim binding as [[delete]], cap
+    * and full-rewrite degradation included), their non-matching rows
+    * survive, and `df` lands alongside. The Delta contract is
+    * enforced: every replacement row must satisfy the predicate (a
+    * row escaping it would silently widen the overwrite) — validated
+    * distributed, fails loudly before anything stages. Subquery
+    * predicates are rejected (their negation — needed for both the
+    * survivor filter and the validation — lands in an expression
+    * position Spark's subquery rewrite does not support; materialize
+    * the subquery or use DELETE + append). Abandons loudly if a
+    * victim file was replaced concurrently, like [[delete]]. */
+  def overwriteWhere(spark: SparkSession, table: String, predicate: Column,
+      df: DataFrame,
+      maxCollectedVictims: Int = MaxCollectedVictims): CommitResult = {
+    import org.apache.spark.sql.functions.col
+    require(!Bridge.expression(predicate).exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+      s"overwriteWhere on $table: subquery predicates are not supported " +
+        "(the survivor/validation negation has no subquery-rewrite " +
+        "position) — materialize the subquery, or DELETE then append")
+    val cur = tableSchema(spark, table)
+    enforceSchema(spark, table, df, mergeSchema = false,
+      "replaceWhere overwrite")
+    // The replaceWhere contract, validated BEFORE any staging I/O.
+    val escapees = df.filter(!predicate.cast("boolean") <=> true).take(1)
+    require(escapees.isEmpty,
+      s"overwriteWhere on $table: replacement rows must ALL satisfy the " +
+        s"predicate (found e.g. ${escapees.headOption.getOrElse("")}) — " +
+        "widen the predicate or fix the producing query")
+    val (full, snapSchema) = resolveSnapshot(spark, table)
+    val states = full.toMap
+    val (keyed, _) = readTagged(spark, table, full, snapSchema,
+      tagAlways = true)
+    val collected = keyed.filter(predicate)
+      .select(col("_gf_rel")).distinct().limit(maxCollectedVictims + 1)
+      .collect().map(_.getString(0)).toSeq
+    val victims =
+      if (collected.size > maxCollectedVictims) full.map(_._1) else collected
+    val survivorsStaged =
+      if (victims.isEmpty) Nil
+      else {
+        val victimRead = readState(spark, table,
+          victims.map(p => p -> states(p)), snapSchema)
+        stage(spark, table,
+          victimRead.filter(!predicate.cast("boolean") <=> true), snapSchema)
+      }
+    val newStaged = stage(spark, table, df, cur)
+    val statCols = inheritedStatsCols(full)
+    val stats =
+      if (statCols.isEmpty) Map.empty[String, FileStats]
+      else stagedStats(spark, table, survivorsStaged ++ newStaged,
+        statCols, snapSchema)
+    commitLoop(spark, table, stats = stats) { v =>
+      val current = snapshotFull(spark, table, Some(v - 1)).toMap
+      if (victims.forall(p => current.get(p).contains(states(p))))
+        Some((survivorsStaged ++ newStaged, victims))
+      else None
+    } match {
+      case Some(r) => r
+      case None =>
+        dropStaged(spark, table, survivorsStaged ++ newStaged)
+        throw new IllegalStateException(
+          s"overwriteWhere on $table abandoned: a victim file was " +
+            "replaced concurrently")
+    }
+  }
+
   /** Partition-equality read: plan the scan over only the files whose
     * path-carried partition value matches — zero metadata beyond the
     * log's own file list. Files without the segment always scan and

@@ -895,6 +895,32 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
       "mixed static+dynamic must replace the static-slice x produced bands")
   }
 
+  test("INSERT INTO ... REPLACE WHERE replaces exactly the predicate " +
+       "region in one commit; escaping rows refuse; EXPLAIN runs " +
+       "nothing") {
+    import dml.implicits._
+    val dir = freshTable("t_rw",
+      (0L to 9L).map(i => (i, s"v$i")))
+    val v0 = TxnLog.latestVersion(dml, dir)
+    // EXPLAIN is lazy — no commit, no data change.
+    dml.sql("EXPLAIN INSERT INTO lake.ns.t_rw REPLACE WHERE id >= 5 " +
+      "SELECT id + 100, s FROM lake.ns.t_rw WHERE id >= 5").collect()
+    assert(TxnLog.latestVersion(dml, dir) === v0, "EXPLAIN must not run")
+    dml.sql("INSERT INTO lake.ns.t_rw REPLACE WHERE id >= 5 " +
+      "VALUES (7, 'seven'), (99, 'big')")
+    assert(content("t_rw") ===
+      ((0L to 4L).map(i => (i, s"v$i")).toSet + ((7L, "seven")) + ((99L, "big"))),
+      "rows below the predicate survive; the region is exactly replaced")
+    assert(TxnLog.latestVersion(dml, dir) === v0 + 1, "one atomic commit")
+    // A replacement row OUTSIDE the region fails loudly, no commit.
+    val e = intercept[Exception] {
+      dml.sql("INSERT INTO lake.ns.t_rw REPLACE WHERE id >= 50 " +
+        "VALUES (1, 'escapee')")
+    }
+    assert(e.getMessage.contains("satisfy the predicate"))
+    assert(TxnLog.latestVersion(dml, dir) === v0 + 1)
+  }
+
   test("RESTORE a merge-on-read UPDATE away and back: the DV binding " +
        "reverts and re-applies with the snapshot") {
     import dml.implicits._

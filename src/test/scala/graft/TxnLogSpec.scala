@@ -899,6 +899,47 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset("spark.graft.write.rebalance")
   }
 
+  test("overwriteWhere replaces EXACTLY the predicate region in one " +
+       "atomic commit: non-matching rows in victim files survive, " +
+       "escaping replacement rows are rejected, subquery predicates " +
+       "refuse, and time travel keeps the pre-replace state") {
+    import spark.implicits._
+    val t = freshTable("rwhere")
+    // Two files split by doc_id band so the predicate (on n_chars)
+    // cross-cuts files — partially-matching files must rewrite their
+    // survivors, not drop them.
+    TxnLog.create(spark, t, docs.filter(col("doc_id") < 250).coalesce(1))
+    TxnLog.append(spark, t, docs.filter(col("doc_id") >= 250).coalesce(1))
+    val vPre = TxnLog.latestVersion(spark, t)
+    val pred = col("n_chars") >= 400L
+    val replacement = docs.filter(pred && col("doc_id") % 2 === 0)
+      .withColumn("n_chars", col("n_chars") + 100000L)
+    val r = TxnLog.overwriteWhere(spark, t, pred, replacement)
+    assert(r.version === vPre + 1, "one atomic commit")
+    val got = TxnLog.read(spark, t).as[(Long, String, Long)].collect().toSet
+    val want = docs.filter(!pred).as[(Long, String, Long)].collect().toSet ++
+      replacement.as[(Long, String, Long)].collect().toSet
+    assert(got === want, "survivors + replacement, nothing else")
+    // Time travel still serves the pre-replace region.
+    assert(TxnLog.read(spark, t, Some(vPre)).filter(pred).count() ===
+      docs.filter(pred).count())
+    // The Delta contract: a replacement row OUTSIDE the predicate
+    // region fails loudly before anything commits.
+    val vNow = TxnLog.latestVersion(spark, t)
+    intercept[IllegalArgumentException] {
+      TxnLog.overwriteWhere(spark, t, col("n_chars") >= 500000L,
+        Seq((1L, "xx", 7L)).toDF("doc_id", "lang", "n_chars"))
+    }
+    assert(TxnLog.latestVersion(spark, t) === vNow, "nothing committed")
+    // Subquery predicates refuse with the remedy.
+    docs.limit(3).createOrReplaceTempView("rw_dim")
+    intercept[IllegalArgumentException] {
+      TxnLog.overwriteWhere(spark, t,
+        col("doc_id").isin() || expr("doc_id IN (SELECT doc_id FROM rw_dim)"),
+        replacement)
+    }
+  }
+
   test("snapshot resolution replays from the newest checkpoint") {
     val t = freshTable("ckpt")
     TxnLog.create(spark, t, docs.filter(col("doc_id") === 0))
