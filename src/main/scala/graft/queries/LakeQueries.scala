@@ -941,6 +941,41 @@ object LakeQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // GENERATED partition column — derived partitioning end to end:
+    // `CREATE TABLE … (band BIGINT GENERATED ALWAYS AS (n_chars DIV
+    // 100)) PARTITIONED BY (band)`, a write that NEVER supplies the
+    // column (the engine derives it inside the staged write and lays
+    // out hive-style), tier-0 pruning on the derived value, and the
+    // O(1) metadata drop of one derived band. The oracle recomputes
+    // the derivation in DuckDB; recompute/refusal mechanics are
+    // GraftSqlDmlSpec's.
+    "q_txn_gen_partition" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/gpns/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      s.conf.set("spark.sql.catalog.ggp",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.ggp.root", base)
+      s.conf.set("spark.sql.catalog.ggp.writable", "true")
+      s.sql("""CREATE TABLE ggp.gpns.docs (doc_id BIGINT, lang STRING,
+              |  n_chars BIGINT,
+              |  band BIGINT GENERATED ALWAYS AS (n_chars DIV 100))
+              |PARTITIONED BY (band)""".stripMargin)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.append(s, table, docs) // band derived, never supplied
+      TxnLog.dropPartition(s, table, "band", 2L)
+      TxnLog.readPrunedPartition(s, table, "band", Seq(4L, 5L))
+        .withColumn("via", lit("prune"))
+        .unionByName(TxnLog.read(s, table).withColumn("via", lit("full")))
+        .groupBy("via", "band")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("via", "band")
+    }),
+
     // PREDICATE overwrite — Delta's replaceWhere as a STATEMENT
     // (`INSERT INTO … REPLACE WHERE <cond> <query>`, a grammar OSS
     // Spark lacks): one atomic commit replaces exactly the predicate
@@ -1056,6 +1091,19 @@ object LakeQueries extends QueryModule {
         | WHERE (lang = 'en' AND n_chars >= 300)
         |    OR (lang <> 'en' AND doc_id % 2 = 0)
         | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_gen_partition" ->
+      """SELECT * FROM (
+        |  SELECT 'prune' AS via, n_chars // 100 AS band,
+        |    count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
+        |    sum(doc_id)::BIGINT AS sum_id
+        |   FROM documents WHERE n_chars // 100 IN (4, 5) GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'full' AS via, n_chars // 100 AS band,
+        |    count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
+        |    sum(doc_id)::BIGINT AS sum_id
+        |   FROM documents WHERE n_chars // 100 <> 2 GROUP BY 2)
+        | ORDER BY via, band""".stripMargin.replace("\n", ""),
 
     "q_txn_replace_where" ->
       """SELECT lang, count(*) AS row_cnt, sum(nc)::BIGINT AS sum_chars,

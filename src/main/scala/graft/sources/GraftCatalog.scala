@@ -191,11 +191,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"(set spark.sql.catalog.$catalogName.writable=true on a lake " +
         "root you own to enable DDL)")
 
+  /** Declared so Spark's analysis admits `GENERATED ALWAYS AS (expr)`
+    * column clauses in CREATE TABLE — the expressions arrive in the
+    * schema's field metadata (GeneratedColumn's key) and translate to
+    * the log's own generated-column invariant in [[createTable]]. */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+
   /** `CREATE TABLE` (and the table half of CTAS): a new transaction-log
     * table — version 0 is an empty commit carrying the SCHEMA, so the
     * table is immediately SELECT-able (0 rows) and every later INSERT
     * is enforced against the declared shape. Writable catalogs only;
-    * partition transforms are not part of the log's layout contract. */
+    * partition transforms are not part of the log's layout contract.
+    *
+    * `GENERATED ALWAYS AS` columns translate to the log's
+    * [[TxnLog.GeneratedExprKey]] invariant (derived inside every
+    * staged write; writer-supplied values recomputed — never
+    * writer-owned). COMPOSED WITH `PARTITIONED BY`, this is the
+    * derived-partitioning idiom (`day DATE GENERATED ALWAYS AS
+    * (CAST(ts AS DATE))` + `PARTITIONED BY (day)`): writers supply
+    * only the natural columns, the engine derives the partition value
+    * consistently forever, and pruning/dropPartition stay
+    * trustworthy — writer-discipline derivation drifts, table-property
+    * derivation cannot. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -224,6 +244,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else TxnLog.createPartitioned(spark, txnPath(ident).toString, empty,
       partCols)
     txnTable(ident, None)
+  }
+
+  /** The V2-Column form Spark's CREATE TABLE exec actually calls —
+    * overridden because the default delegation to the StructType form
+    * DROPS `Column.generationExpression()` on the floor (the
+    * capability above only admits the syntax); the expressions
+    * translate to the log's own [[TxnLog.GeneratedExprKey]] invariant
+    * here, then the StructType path runs unchanged. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val fields = columns.map { c =>
+      val base = Option(c.metadataInJSON())
+        .map(org.apache.spark.sql.types.Metadata.fromJson)
+        .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(base)
+      Option(c.comment()).foreach(mb.putString("comment", _))
+      Option(c.generationExpression()).foreach(
+        mb.putString(TxnLog.GeneratedExprKey, _))
+      if (c.defaultValue() != null) throw new UnsupportedOperationException(
+        s"graft txn tables do not support column DEFAULT values yet " +
+          s"(column '${c.name}')")
+      StructField(c.name, c.dataType, c.nullable, mb.build())
+    }
+    createTable(ident, StructType(fields), partitions, properties)
   }
 
   /** `ALTER TABLE … ADD COLUMNS / RENAME COLUMN / DROP COLUMN`: all

@@ -709,8 +709,24 @@ object TxnLog {
         // breaking the atomic-replace contract (round-14 advice,
         // medium). Only enforced here, on user writes — internal
         // frames (DV objects, stats) never pass enforceSchema.
-        val missingPart = partitionFields(cur).map(_.name).filterNot(pc =>
-          df.schema.fieldNames.exists(_.equalsIgnoreCase(pc)))
+        // GENERATED partition columns are exempt WHEN DERIVABLE: stage()
+        // computes them into every frame whose columns cover the
+        // expression's references BEFORE the hive-laid write, so a
+        // writer omitting them still lands in the right partition —
+        // the derived-partitioning idiom (day generated from ts). A
+        // frame missing BOTH the column and its sources would stage
+        // flat, so that case still rejects.
+        val frameNames = df.schema.fieldNames.map(_.toLowerCase).toSet
+        val missingPart = partitionFields(cur).filterNot { f =>
+          frameNames(f.name.toLowerCase) ||
+            (f.metadata.contains(GeneratedExprKey) && {
+              val refs = scala.util.Try(spark.sessionState.sqlParser
+                .parseExpression(f.metadata.getString(GeneratedExprKey))
+                .references.map(_.name.toLowerCase).toSet)
+                .getOrElse(Set.empty[String])
+              refs.nonEmpty && refs.subsetOf(frameNames)
+            })
+        }.map(_.name)
         if (missingPart.nonEmpty)
           throw new IllegalArgumentException(
             s"$what to $table rejected: the table is partitioned by " +
@@ -1126,6 +1142,33 @@ object TxnLog {
         s"the query must not produce static partition column '$c' — " +
           "the PARTITION spec owns its value")
     }
+    // GENERATED spec columns: stage() will RECOMPUTE the value from
+    // the frame's source columns, overriding the attached literal — a
+    // row whose derived value disagrees with the spec would land in a
+    // DIFFERENT partition than the one being replaced, silently
+    // moving data. Validate the contract up front (replaceWhere's
+    // pattern): every row's derived value must equal the spec.
+    spec.foreach { case (c, v) =>
+      val f = parts.find(_.name.equalsIgnoreCase(c)).get
+      if (f.metadata.contains(GeneratedExprKey)) {
+        val text = f.metadata.getString(GeneratedExprKey)
+        val refs = scala.util.Try(spark.sessionState.sqlParser
+          .parseExpression(text).references.map(_.name.toLowerCase).toSet)
+          .getOrElse(Set.empty[String])
+        val names = df.schema.fieldNames.map(_.toLowerCase).toSet
+        if (refs.nonEmpty && refs.subsetOf(names)) {
+          val derived = org.apache.spark.sql.functions.expr(text)
+            .cast(f.dataType)
+          val bad = df.filter(!(derived <=> lit(v).cast(f.dataType))).take(1)
+          require(bad.isEmpty,
+            s"overwritePartition on $table: '$c' is GENERATED AS ($text) " +
+              s"and some rows derive a value != the spec'd '$v' (e.g. " +
+              s"${bad.headOption.getOrElse("")}) — they would land " +
+              "outside the replaced partition; fix the frame or use " +
+              "the dynamic overwrite")
+        }
+      }
+    }
     val full = spec.foldLeft(df) { case (d, (c, v)) =>
       val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
       d.withColumn(c, lit(v).cast(dt))
@@ -1175,10 +1218,26 @@ object TxnLog {
     val cur = tableSchema(spark, table)
     enforceSchema(spark, table, df, mergeSchema = false,
       "dynamic partition overwrite")
+    // GENERATED partition columns recompute HERE exactly as stage()
+    // will (writer-supplied values are never owned): victim selection
+    // must key on the values the staged files will actually land
+    // under — a bogus or omitted writer value driving the replaced
+    // set would remove one partition while the rows land in another.
+    val genApplied = parts.filter(_.metadata.contains(GeneratedExprKey))
+      .foldLeft(df) { (d, f) =>
+        val text = f.metadata.getString(GeneratedExprKey)
+        val refs = scala.util.Try(spark.sessionState.sqlParser
+          .parseExpression(text).references.map(_.name.toLowerCase).toSet)
+          .getOrElse(Set.empty[String])
+        val names = d.schema.fieldNames.map(_.toLowerCase).toSet
+        if (refs.isEmpty || !refs.subsetOf(names)) d
+        else d.withColumn(f.name,
+          org.apache.spark.sql.functions.expr(text).cast(f.dataType))
+      }
     // The replaced set: the batch's distinct partition tuples in the
     // same string form the paths carry (toString matches the
     // partitioned writer's dir rendering for the supported types).
-    val replaced: Set[Seq[String]] = df
+    val replaced: Set[Seq[String]] = genApplied
       .select(parts.map(p => col(s"`${p.name}`")): _*)
       .distinct().collect()
       .map(r => parts.indices.map(i =>

@@ -895,6 +895,62 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
       "mixed static+dynamic must replace the static-slice x produced bands")
   }
 
+  test("GENERATED ALWAYS AS partition columns — derived partitioning: " +
+       "writers omit the column, the engine derives and lays out " +
+       "hive-style; bogus writer values recompute; static spec " +
+       "mismatches refuse; dynamic overwrite keys on derived values") {
+    import dml.implicits._
+    val dir = s"$root/ns/t_gp"
+    dml.sql("CREATE TABLE lake.ns.t_gp (id BIGINT, ts TIMESTAMP, " +
+      "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) " +
+      "PARTITIONED BY (day)")
+    assert(TxnLog.partitionColumns(dml, dir) === Seq("day"))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // API append WITHOUT the generated partition column: derived
+    // inside the staged write, hive-laid under the derived day.
+    TxnLog.append(dml, dir, Seq(
+      (1L, ts("2026-01-01 12:00:00")),
+      (2L, ts("2026-01-02 12:00:00")),
+      (3L, ts("2026-01-02 13:00:00"))).toDF("id", "ts"))
+    assert(TxnLog.snapshot(dml, dir).filter(_.endsWith(".parquet"))
+      .forall(_.contains("day=")), "derived hive layout expected")
+    // SQL INSERT with a BOGUS day: GENERATED ALWAYS means the writer
+    // never owns it — recomputed from ts.
+    dml.sql("INSERT INTO lake.ns.t_gp VALUES " +
+      "(4, TIMESTAMP'2026-01-03 12:00:00', DATE'1999-01-01')")
+    val got = dml.sql("SELECT id, CAST(day AS STRING) FROM lake.ns.t_gp")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "2026-01-01", 2L -> "2026-01-02",
+      3L -> "2026-01-02", 4L -> "2026-01-03"), s"derived days: $got")
+    // Tier-0 pruning and the metadata drop work on the DERIVED value.
+    assert(TxnLog.readPrunedPartition(dml, dir, "day",
+      Seq("2026-01-02")).count() === 2L)
+    TxnLog.dropPartition(dml, dir, "day", "2026-01-02")
+    assert(dml.sql("SELECT id FROM lake.ns.t_gp ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 4L))
+    // A frame missing BOTH the column and its source still rejects
+    // (it would stage flat and escape partition-addressed DROP).
+    intercept[IllegalArgumentException] {
+      TxnLog.append(dml, dir, Seq(Tuple1(9L)).toDF("id"))
+    }
+    // Static spec whose rows DERIVE a different day refuses — the
+    // recompute would land them outside the replaced partition.
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.overwritePartition(dml, dir, Map("day" -> "2026-01-01"),
+        Seq((5L, ts("2026-02-07 12:00:00"))).toDF("id", "ts"))
+    }
+    assert(e.getMessage.contains("GENERATED"))
+    // Dynamic overwrite keys the replaced set on the RECOMPUTED day,
+    // even against a bogus writer-supplied value: only 2026-01-03
+    // is replaced, 2026-01-01 survives.
+    TxnLog.overwritePartitionsDynamic(dml, dir,
+      Seq((6L, ts("2026-01-03 12:00:00"), java.sql.Date.valueOf("1999-01-01")))
+        .toDF("id", "ts", "day"))
+    assert(dml.sql("SELECT id, CAST(day AS STRING) FROM lake.ns.t_gp")
+      .as[(Long, String)].collect().toSet ===
+      Set((1L, "2026-01-01"), (6L, "2026-01-03")))
+  }
+
   test("INSERT INTO ... REPLACE WHERE replaces exactly the predicate " +
        "region in one commit; escaping rows refuse; EXPLAIN runs " +
        "nothing") {

@@ -22,7 +22,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         "q_txn_sql_optimize", "q_txn_sql_named", "q_txn_restore",
         "q_txn_constraint", "q_txn_bloom_sql", "q_txn_bloom_semijoin",
         "q_txn_range_sql", "q_txn_generated", "q_txn_insert_partition",
-        "q_txn_insert_dynamic", "q_txn_replace_where")(name))
+        "q_txn_insert_dynamic", "q_txn_replace_where",
+        "q_txn_gen_partition")(name))
       GraftSqlDmlSpec.session
     else spark
 
