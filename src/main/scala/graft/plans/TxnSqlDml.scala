@@ -596,6 +596,9 @@ case class GraftReindexCommand(dir: String) extends LeafRunnableCommand {
   * SQL face of [[TxnLog.compact]]: logical full compaction (old
   * versions still resolve until VACUUM), optionally range-clustered on
   * the given keys so stats-in-log pruning bites on later range scans.
+  * With NO explicit clause, the table's RECORDED `CLUSTER BY` columns
+  * (the liquid-clustering-style property declared at CREATE) apply —
+  * maintenance and declaration agree on the layout keys forever.
   * TARGET defaults to ⌈snapshot bytes / 128 MiB⌉ — the standard
   * file-sizing heuristic, computed from the live file listing. */
 case class GraftOptimizeCommand(dir: String, targetFiles: Option[Int],
@@ -615,8 +618,11 @@ case class GraftOptimizeCommand(dir: String, targetFiles: Option[Int],
         .sum
       math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
     }
+    val keys =
+      if (clusterBy.nonEmpty) clusterBy
+      else TxnLog.clusterColumnsOf(spark, dir)
     val r = TxnLog.compact(spark, dir, target,
-      clusterBy.map(org.apache.spark.sql.functions.col))
+      keys.map(org.apache.spark.sql.functions.col))
     Seq(Row(r.version, r.added.toLong, r.removed.toLong))
   }
 }
@@ -756,13 +762,17 @@ case class GraftOptimizePartitionCommand(dir: String,
     Seq("version", "added", "removed").map(n =>
       org.apache.spark.sql.catalyst.expressions.AttributeReference(
         n, org.apache.spark.sql.types.LongType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    val keys =
+      if (clusterBy.nonEmpty) clusterBy
+      else TxnLog.clusterColumnsOf(spark, dir)
     TxnLog.compactPartition(spark, dir,
       spec.toMap.map { case (c, v) => c -> (v: Any) }, targetFiles,
-      clusterBy.map(org.apache.spark.sql.functions.col)) match {
+      keys.map(org.apache.spark.sql.functions.col)) match {
       case Some(r) => Seq(Row(r.version, r.added.toLong, r.removed.toLong))
       case None => Seq(Row(-1L, 0L, 0L))
     }
+  }
 }
 
 /** `ALTER TABLE <target> DROP PARTITION (c1 = v1[, c2 = v2…])` — the

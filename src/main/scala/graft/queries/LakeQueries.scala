@@ -941,6 +941,38 @@ object LakeQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // CLUSTER BY as a TABLE PROPERTY (liquid-clustering style): the
+    // keys are declared ONCE at CREATE, three residue-sliced appends
+    // land files that each span the full n_chars range (range
+    // skipping structurally useless), and a bare `OPTIMIZE` — no
+    // CLUSTER BY clause — range-clusters on the recorded keys so the
+    // closing range query prunes through the log stats. The oracle is
+    // the plain range filter; property mechanics (recorded keys,
+    // explicit-clause override, pruned-file pin) are
+    // GraftSqlDmlSpec's.
+    "q_txn_cluster_sql" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/clns/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      s.conf.set("spark.sql.catalog.gcl",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gcl.root", base)
+      s.conf.set("spark.sql.catalog.gcl.writable", "true")
+      s.sql("""CREATE TABLE gcl.clns.docs (doc_id BIGINT, lang STRING,
+              |  n_chars BIGINT) CLUSTER BY (n_chars)""".stripMargin)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      (0 to 2).foreach { r =>
+        TxnLog.append(s, table,
+          docs.filter(col("doc_id") % 3 === r).repartition(2))
+      }
+      s.sql("OPTIMIZE gcl.clns.docs TARGET 3 FILES").collect()
+      s.sql("""SELECT doc_id, lang, n_chars FROM gcl.clns.docs
+              | WHERE n_chars BETWEEN 460 AND 5000
+              | ORDER BY doc_id""".stripMargin)
+    }),
+
     // GENERATED partition column — derived partitioning end to end:
     // `CREATE TABLE … (band BIGINT GENERATED ALWAYS AS (n_chars DIV
     // 100)) PARTITIONED BY (band)`, a write that NEVER supplies the
@@ -1091,6 +1123,11 @@ object LakeQueries extends QueryModule {
         | WHERE (lang = 'en' AND n_chars >= 300)
         |    OR (lang <> 'en' AND doc_id % 2 = 0)
         | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_cluster_sql" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        | WHERE n_chars BETWEEN 460 AND 5000
+        | ORDER BY doc_id""".stripMargin.replace("\n", ""),
 
     "q_txn_gen_partition" ->
       """SELECT * FROM (

@@ -222,10 +222,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!writable) readOnly("createTable")
     // `PARTITIONED BY (col, ...)` — identity transforms only (bucket/
     // days/etc. would need value derivation the hive layout cannot
-    // round-trip); routes to the log's partitioned create, so every
-    // later INSERT lays files out hive-style and partition pruning /
-    // dropPartition apply.
-    val partCols = partitions.toSeq.map {
+    // round-trip) — and `CLUSTER BY (col, ...)` (liquid-clustering
+    // style: recorded as a TABLE PROPERTY so OPTIMIZE with no explicit
+    // clause range-clusters on these keys; the grammar makes the two
+    // mutually exclusive). Partitioning routes to the log's
+    // partitioned create, so every later INSERT lays files out
+    // hive-style and partition pruning / dropPartition apply.
+    val (clusterTs, partTs) = partitions.toSeq.partition(t =>
+      org.apache.spark.sql.connector.expressions.ClusterByTransform
+        .unapply(t).isDefined)
+    val clusterCols: Seq[String] = clusterTs.flatMap(t =>
+      org.apache.spark.sql.connector.expressions.ClusterByTransform
+        .unapply(t).get.map { r =>
+          if (r.fieldNames.length != 1) throw new UnsupportedOperationException(
+            s"graft txn tables support CLUSTER BY (top-level columns) " +
+              s"only, got: ${r.fieldNames.mkString(".")}")
+          val n = r.fieldNames.head
+          if (!schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+            throw new IllegalArgumentException(
+              s"CLUSTER BY column '$n' not in the table schema")
+          n
+        })
+    val partCols = partTs.map {
       case t if t.name == "identity" && t.references.length == 1 &&
           t.references.head.fieldNames.length == 1 =>
         t.references.head.fieldNames.head
@@ -238,8 +256,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         .TableAlreadyExistsException(
           Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name)
     val spark = SparkSession.active
+    val annotated = StructType(schema.fields.map { f =>
+      clusterCols.zipWithIndex.find(_._1.equalsIgnoreCase(f.name)) match {
+        case Some((_, i)) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(TxnLog.ClusterColKey, i.toLong).build())
+        case None => f
+      }
+    })
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], annotated)
     if (partCols.isEmpty) TxnLog.create(spark, txnPath(ident).toString, empty)
     else TxnLog.createPartitioned(spark, txnPath(ident).toString, empty,
       partCols)

@@ -493,6 +493,25 @@ object TxnLog {
   /** Spark's hive-default sentinel for a NULL partition value. */
   private val NullPartName = "__HIVE_DEFAULT_PARTITION__"
 
+  /** Field-metadata key marking a CLUSTER BY column (value = ordinal)
+    * — the liquid-clustering-style TABLE PROPERTY: `OPTIMIZE` with no
+    * explicit CLUSTER BY clause range-clusters on these columns, so
+    * the maintenance job and every ad-hoc operator agree on the
+    * layout keys forever (writer-discipline clustering drifts,
+    * table-property clustering cannot). Unlike partition columns the
+    * values are NOT path-baked — clustering only shapes file contents
+    * for stats-in-log pruning — so no rename/drop guard is needed. */
+  val ClusterColKey = "graft.cluster"
+
+  /** The schema's CLUSTER BY columns in declared order (empty = none). */
+  private[graft] def clusterColumns(s: StructType): Seq[String] =
+    s.fields.filter(_.metadata.contains(ClusterColKey))
+      .sortBy(_.metadata.getLong(ClusterColKey)).map(_.name).toSeq
+
+  /** The table's recorded CLUSTER BY columns at the latest version. */
+  def clusterColumnsOf(spark: SparkSession, table: String): Seq[String] =
+    tableSchema(spark, table).fold(Seq.empty[String])(clusterColumns)
+
   /** The schema's partition fields in partition order (empty =
     * unpartitioned — every pre-partitioning table). */
   private[graft] def partitionFields(s: StructType): Seq[StructField] =

@@ -895,6 +895,54 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
       "mixed static+dynamic must replace the static-slice x produced bands")
   }
 
+  test("CREATE TABLE ... CLUSTER BY records the layout keys as a table " +
+       "property: OPTIMIZE with no clause range-clusters on them, an " +
+       "explicit clause overrides, and range scans prune the " +
+       "clustered files") {
+    import dml.implicits._
+    val dir = s"$root/ns/t_cl"
+    dml.sql("CREATE TABLE lake.ns.t_cl (id BIGINT, v BIGINT) " +
+      "CLUSTER BY (v)")
+    assert(TxnLog.clusterColumnsOf(dml, dir) === Seq("v"))
+    // Three residue-sliced appends: every file spans the full v range,
+    // so range skipping is structurally useless BEFORE clustering.
+    (0 to 2).foreach { r =>
+      dml.sql(s"INSERT INTO lake.ns.t_cl SELECT id, id * 7 % 1000 " +
+        s"FROM range(0, 300) WHERE id % 3 = $r")
+    }
+    def scannedFiles(q: String): Int = {
+      val plan = dml.sql(q).queryExecution.executedPlan
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[Int] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(s.plan)
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(s.relation.location.inputFiles.length)
+          case other => other.children.flatMap(walk)
+        }
+      walk(plan).sum
+    }
+    // OPTIMIZE with NO clause: clusters on the RECORDED keys.
+    val opt = dml.sql("OPTIMIZE lake.ns.t_cl TARGET 3 FILES")
+      .as[(Long, Long, Long)].head()
+    assert(opt._2 === 3L && opt._3 >= 3L, s"n->3 clustered rewrite: $opt")
+    val scanned = scannedFiles(
+      "SELECT id FROM lake.ns.t_cl WHERE v BETWEEN 0 AND 99")
+    assert(scanned < 3, s"clustered range scan must prune, scanned $scanned/3")
+    // Row population intact through the clustered rewrite.
+    assert(dml.sql("SELECT sum(id), count(*) FROM lake.ns.t_cl")
+      .as[(Long, Long)].head() === ((300L * 299 / 2, 300L)))
+    // An explicit clause still overrides the recorded keys.
+    dml.sql("OPTIMIZE lake.ns.t_cl TARGET 2 FILES CLUSTER BY (id)").collect()
+    assert(dml.sql("SELECT count(*) FROM lake.ns.t_cl").as[Long].head() === 300L)
+    // CLUSTER BY on a column the schema lacks refuses at CREATE.
+    intercept[Exception] {
+      dml.sql("CREATE TABLE lake.ns.t_clbad (id BIGINT) CLUSTER BY (nope)")
+    }
+  }
+
   test("GENERATED ALWAYS AS partition columns — derived partitioning: " +
        "writers omit the column, the engine derives and lays out " +
        "hive-style; bogus writer values recompute; static spec " +
