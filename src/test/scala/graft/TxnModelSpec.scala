@@ -40,7 +40,7 @@ class TxnModelSpec extends AnyFunSuite with SparkSpec {
       (TxnLog.latestVersion(spark, t), model))
 
     for (step <- 1 to 12) {
-      val op = rnd.nextInt(10)
+      val op = rnd.nextInt(11)
       op match {
         case 0 => // append fresh ids
           val rows = (0 until 1 + rnd.nextInt(5)).map { _ =>
@@ -103,6 +103,15 @@ class TxnModelSpec extends AnyFunSuite with SparkSpec {
           }
         case 9 => // log cleanup (tip-read-invisible)
           TxnLog.cleanupLog(spark, t, retainVersions = 1 + rnd.nextInt(5))
+        case 10 => // replaceWhere: swap the v >= thr region for fresh
+          // rows (all satisfying the predicate — the validated
+          // contract); an empty replacement is a pure region delete.
+          val thr = rnd.nextLong(1000)
+          val rows = (0 until rnd.nextInt(4)).map { _ =>
+            nextId += 1; nextId -> (thr + rnd.nextLong(500))
+          }
+          TxnLog.overwriteWhere(spark, t, col("v") >= thr, df(rows))
+          model = model.filter(_._2 < thr) ++ rows
       }
       // Deletes can empty the table; the log read contract requires a
       // non-empty snapshot, so re-seed when a program empties it.
