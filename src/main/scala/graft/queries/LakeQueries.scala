@@ -941,6 +941,42 @@ object LakeQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // IDENTITY column — engine-assigned surrogate keys: `rid BIGINT
+    // GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 3)`,
+    // two appends that never supply the column (the log-carried
+    // watermark allocates and advances inside each commit). WHICH row
+    // gets WHICH id is engine-owned, so the oracle checks the
+    // closed-form invariants instead: n distinct values forming
+    // exactly the arithmetic sequence (min/max/sum in closed form
+    // over the corpus count). Uniqueness under concurrent appenders,
+    // ALWAYS/BY DEFAULT policies, and RESTORE watermark rollback are
+    // GraftSqlDmlSpec's.
+    "q_txn_identity" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/idns/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      s.conf.set("spark.sql.catalog.gidn",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gidn.root", base)
+      s.conf.set("spark.sql.catalog.gidn.writable", "true")
+      s.sql("""CREATE TABLE gidn.idns.docs (
+              |  rid BIGINT GENERATED ALWAYS AS IDENTITY
+              |    (START WITH 10 INCREMENT BY 3),
+              |  doc_id BIGINT, lang STRING)""".stripMargin)
+      val docs = Tables.documents(s, d).select("doc_id", "lang")
+      TxnLog.append(s, table, docs.filter(col("doc_id") % 2 === 0))
+      TxnLog.append(s, table, docs.filter(col("doc_id") % 2 === 1))
+      TxnLog.read(s, table).agg(
+        count(lit(1)).as("row_cnt"),
+        countDistinct(col("rid")).as("id_ndv"),
+        min("rid").as("min_id"),
+        max("rid").as("max_id"),
+        sum("rid").as("sum_rid"),
+        sum("doc_id").as("sum_doc"))
+    }),
+
     // CLUSTER BY as a TABLE PROPERTY (liquid-clustering style): the
     // keys are declared ONCE at CREATE, three residue-sliced appends
     // land files that each span the full n_chars range (range
@@ -1123,6 +1159,15 @@ object LakeQueries extends QueryModule {
         | WHERE (lang = 'en' AND n_chars >= 300)
         |    OR (lang <> 'en' AND doc_id % 2 = 0)
         | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_identity" ->
+      """SELECT count(*) AS row_cnt, count(*) AS id_ndv,
+        |  10::BIGINT AS min_id,
+        |  (10 + 3 * (count(*) - 1))::BIGINT AS max_id,
+        |  (10 * count(*) + 3 * (count(*) * (count(*) - 1) // 2))::BIGINT
+        |    AS sum_rid,
+        |  sum(doc_id)::BIGINT AS sum_doc
+        | FROM documents""".stripMargin.replace("\n", ""),
 
     "q_txn_cluster_sql" ->
       """SELECT doc_id, lang, n_chars FROM documents

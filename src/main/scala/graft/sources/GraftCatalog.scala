@@ -192,13 +192,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "root you own to enable DDL)")
 
   /** Declared so Spark's analysis admits `GENERATED ALWAYS AS (expr)`
-    * column clauses in CREATE TABLE — the expressions arrive in the
-    * schema's field metadata (GeneratedColumn's key) and translate to
-    * the log's own generated-column invariant in [[createTable]]. */
+    * and `GENERATED … AS IDENTITY` column clauses in CREATE TABLE —
+    * both arrive on the V2 Column objects and translate to the log's
+    * own invariants in [[createTable]]. */
   override def capabilities(): util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** `CREATE TABLE` (and the table half of CTAS): a new transaction-log
     * table — version 0 is an empty commit carrying the SCHEMA, so the
@@ -292,6 +295,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       Option(c.comment()).foreach(mb.putString("comment", _))
       Option(c.generationExpression()).foreach(
         mb.putString(TxnLog.GeneratedExprKey, _))
+      Option(c.identityColumnSpec()).foreach { id =>
+        if (c.dataType != org.apache.spark.sql.types.LongType &&
+            c.dataType != org.apache.spark.sql.types.IntegerType)
+          throw new UnsupportedOperationException(
+            s"identity column '${c.name}' must be BIGINT or INT, got " +
+              c.dataType.catalogString)
+        mb.putLong(TxnLog.IdentityStartKey, id.getStart)
+        mb.putLong(TxnLog.IdentityStepKey, id.getStep)
+        mb.putBoolean(TxnLog.IdentityExplicitKey, id.isAllowExplicitInsert)
+      }
       if (c.defaultValue() != null) throw new UnsupportedOperationException(
         s"graft txn tables do not support column DEFAULT values yet " +
           s"(column '${c.name}')")

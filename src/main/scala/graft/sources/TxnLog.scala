@@ -1699,22 +1699,150 @@ object TxnLog {
         .putString(GeneratedExprKey, expression).build())))
   }
 
+  // ---- IDENTITY columns ----------------------------------------------------
+
+  /** Field-metadata keys for `GENERATED … AS IDENTITY` columns: the
+    * declared start/step and the explicit-insert policy ride the
+    * recorded schema like every other table invariant, and the
+    * allocation WATERMARK (the next value to hand out) advances in
+    * the SAME schema commit as the write that consumed it — so
+    * uniqueness needs no side channel, survives checkpoints/RESTORE
+    * (a restore rolls the watermark back with the data, exactly the
+    * re-issuable state it re-publishes), and two concurrent
+    * allocators are serialized by the commit race itself. */
+  val IdentityStartKey = "graft.identity.start"
+  val IdentityStepKey = "graft.identity.step"
+  val IdentityExplicitKey = "graft.identity.explicit"
+  val IdentityNextKey = "graft.identity.next"
+
+  private[graft] def identityField(s: StructType): Option[StructField] =
+    s.fields.find(_.metadata.contains(IdentityStartKey))
+
+  /** The next value this table's identity column would allocate. */
+  private def identityNext(f: StructField): Long =
+    if (f.metadata.contains(IdentityNextKey))
+      f.metadata.getLong(IdentityNextKey)
+    else f.metadata.getLong(IdentityStartKey)
+
+  private def tipIdentityNext(spark: SparkSession, table: String): Option[Long] =
+    resolve(spark, table, None)._2.flatMap(sc =>
+      identityField(sc.schema).map(identityNext))
+
+  /** Assign identity values to the rows that need them (frame missing
+    * the column, or carrying NULL there): values are
+    * `next + step·i` over a per-batch dense index (zipWithIndex — one
+    * count job + one map over the BATCH, never the table). Returns
+    * the completed frame and, when anything was allocated,
+    * (allocatedFrom, newNext) for the commit's watermark check and
+    * advance. GENERATED ALWAYS (allowExplicit=false) refuses non-null
+    * writer values — the column is never writer-owned; BY DEFAULT
+    * keeps them (and does NOT advance the watermark past them — the
+    * standard engine contract: explicit inserts can collide with
+    * future allocations unless the user re-syncs). */
+  private def assignIdentity(spark: SparkSession, table: String,
+      df: DataFrame, schema: StructType): (DataFrame, Option[(Long, Long)]) =
+    identityField(schema) match {
+      case None => (df, None)
+      case Some(f) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val step = f.metadata.getLong(IdentityStepKey)
+        val allowExplicit = f.metadata.contains(IdentityExplicitKey) &&
+          f.metadata.getBoolean(IdentityExplicitKey)
+        val next = identityNext(f)
+        val hasCol = df.columns.exists(_.equalsIgnoreCase(f.name))
+        if (hasCol && !allowExplicit) {
+          val bad = df.filter(col(f.name).isNotNull).take(1)
+          require(bad.isEmpty,
+            s"append to $table: '${f.name}' is GENERATED ALWAYS AS " +
+              s"IDENTITY — writers never own its values (found e.g. " +
+              s"${bad.headOption.getOrElse("")}); omit the column or " +
+              "pass NULL to have it assigned")
+        }
+        val framed =
+          if (hasCol) df
+          else df.withColumn(f.name, lit(null).cast(f.dataType))
+        val keep = framed.filter(col(f.name).isNotNull)
+        val toAssign = framed.filter(col(f.name).isNull)
+        val pos = framed.schema.fieldIndex(
+          framed.schema.fieldNames.find(_.equalsIgnoreCase(f.name)).get)
+        val n = toAssign.count()
+        if (n == 0L) (df, None)
+        else {
+          val longCol = f.dataType == org.apache.spark.sql.types.LongType
+          val assignedRdd = toAssign.rdd.zipWithIndex().map { case (r, i) =>
+            val v = next + step * i
+            Row.fromSeq(r.toSeq.updated(pos,
+              if (longCol) v else v.toInt))
+          }
+          val assigned = spark.createDataFrame(assignedRdd, framed.schema)
+          val out =
+            if (hasCol) keep.unionByName(assigned) else assigned
+          (out, Some((next, next + step * n)))
+        }
+    }
+
+  /** `schema` (with watermark) the identity append records: the
+    * batch's own evolution result if any, else the TIP's schema
+    * commit (so concurrent evolutions/constraints are never
+    * clobbered), with the identity field's watermark advanced. */
+  private def schemaWithWatermark(spark: SparkSession, table: String,
+      newNext: Long, evolved: Option[SchemaCommit]): Option[SchemaCommit] =
+    evolved.orElse(resolve(spark, table, None)._2).map { sc =>
+      sc.copy(schema = StructType(sc.schema.fields.map { f =>
+        if (f.metadata.contains(IdentityStartKey))
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong(IdentityNextKey, newNext)
+            .build())
+        else f
+      }))
+    }
+
   /** Append: blind adds — valid at ANY log position, so a lost race
     * just re-publishes the same files at the advanced version (the
     * staged data is never rewritten). Schema-enforced (see
     * [[enforceSchema]]) — re-enforced against the tip on every commit
     * attempt, so a rebase past a concurrent evolution re-merges
-    * instead of clobbering the winner's columns. */
+    * instead of clobbering the winner's columns. IDENTITY columns are
+    * assigned here from the log-carried watermark; the commit aborts
+    * and the whole allocation+staging retries if a concurrent writer
+    * advanced the watermark first (the staged ids would collide), so
+    * generated values are unique across any interleaving. */
   def append(spark: SparkSession, table: String, df: DataFrame,
              mergeSchema: Boolean = false): CommitResult = {
-    val cur = tableSchema(spark, table)
-    enforceSchema(spark, table, df, mergeSchema, "append") // fail fast, pre-stage
-    val staged = stage(spark, table, df, cur)
-    mustCommit(commitLoop(spark, table,
-      stats = stagedStats(spark, table, staged,
-        defaultStatsCols(cur.getOrElse(df.schema)), cur),
-      schema = enforceSchema(spark, table, df, mergeSchema, "append"))(
-      _ => Some((staged, Nil))), s"append to $table")
+    var attempt = 0
+    while (true) {
+      val cur = tableSchema(spark, table)
+      val (df2, alloc) = cur match {
+        case Some(s) => assignIdentity(spark, table, df, s)
+        case None => (df, None)
+      }
+      enforceSchema(spark, table, df2, mergeSchema, "append") // fail fast
+      val staged = stage(spark, table, df2, cur)
+      val committed = commitLoop(spark, table,
+        stats = stagedStats(spark, table, staged,
+          defaultStatsCols(cur.getOrElse(df2.schema)), cur),
+        schema = alloc match {
+          case Some((_, newNext)) => schemaWithWatermark(spark, table,
+            newNext, enforceSchema(spark, table, df2, mergeSchema, "append"))
+          case None => enforceSchema(spark, table, df2, mergeSchema, "append")
+        }) { _ =>
+        // Identity allocations are valid ONLY if the watermark we
+        // allocated from is still the tip's — a concurrent identity
+        // append staged overlapping values otherwise.
+        if (alloc.exists { case (from, _) =>
+            !tipIdentityNext(spark, table).contains(from) }) None
+        else Some((staged, Nil))
+      }
+      committed match {
+        case Some(c) => return c
+        case None =>
+          dropStaged(spark, table, staged)
+          attempt += 1
+          require(attempt < 20,
+            s"append to $table: identity allocation lost ${attempt} races")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Per-file (count, min/max per stat column) over just-staged files —
@@ -2328,6 +2456,17 @@ object TxnLog {
     if (lastCommittedBatch(spark, table, streamId).exists(_ >= batchId)) return None
     val cur = tableSchema(spark, table)
     enforceSchema(spark, table, df, mergeSchema = false, "streaming append")
+    // IDENTITY tables refuse the streaming sink for now: the
+    // exactly-once replay contract (same batchId re-publishes the SAME
+    // staged files) and watermark-retry reallocation contradict — a
+    // replayed batch must not draw fresh ids. Loud beats silent nulls.
+    cur.flatMap(identityField).filterNot(f =>
+      df.columns.exists(_.equalsIgnoreCase(f.name))).foreach { f =>
+      throw new UnsupportedOperationException(
+        s"streaming append to $table: identity column '${f.name}' " +
+          "cannot be assigned exactly-once under replay — supply the " +
+          "column explicitly in the stream or use batch appends")
+    }
     val staged = stage(spark, table, df, cur)
     val r = commitLoop(spark, table, txn = Some(s"$streamId:$batchId"),
       stats = stagedStats(spark, table, staged,
@@ -2413,7 +2552,8 @@ object TxnLog {
           cf.name.equalsIgnoreCase(f.name) &&
             cf.dataType.catalogString == f.dataType.catalogString)) match {
         case Some(cf) if cf.metadata.contains(GeneratedExprKey) ||
-            cf.metadata.contains(PartitionColKey) =>
+            cf.metadata.contains(PartitionColKey) ||
+            cf.metadata.contains(IdentityStartKey) =>
           val mb = new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata)
           if (cf.metadata.contains(GeneratedExprKey))
@@ -2422,6 +2562,20 @@ object TxnLog {
           if (cf.metadata.contains(PartitionColKey))
             mb.putLong(PartitionColKey,
               cf.metadata.getLong(PartitionColKey))
+          if (cf.metadata.contains(IdentityStartKey)) {
+            // Identity survives an overwrite WITH its watermark — the
+            // replacement rows carried explicit values, so the next
+            // allocation must still be past everything ever handed out.
+            mb.putLong(IdentityStartKey,
+              cf.metadata.getLong(IdentityStartKey))
+            mb.putLong(IdentityStepKey, cf.metadata.getLong(IdentityStepKey))
+            if (cf.metadata.contains(IdentityExplicitKey))
+              mb.putBoolean(IdentityExplicitKey,
+                cf.metadata.getBoolean(IdentityExplicitKey))
+            if (cf.metadata.contains(IdentityNextKey))
+              mb.putLong(IdentityNextKey,
+                cf.metadata.getLong(IdentityNextKey))
+          }
           f.copy(metadata = mb.build())
         case _ => f
       }

@@ -895,6 +895,61 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
       "mixed static+dynamic must replace the static-slice x produced bands")
   }
 
+  test("GENERATED AS IDENTITY columns: engine-assigned unique values " +
+       "across appends, ALWAYS refuses explicit values, BY DEFAULT " +
+       "keeps them, concurrent appenders never collide, and RESTORE " +
+       "rolls the watermark back with the data") {
+    import dml.implicits._
+    val dir = s"$root/ns/t_id"
+    dml.sql("CREATE TABLE lake.ns.t_id (rid BIGINT GENERATED ALWAYS " +
+      "AS IDENTITY (START WITH 10 INCREMENT BY 3), s STRING)")
+    def rids: Seq[Long] = dml.sql("SELECT rid FROM lake.ns.t_id")
+      .as[Long].collect().sorted.toSeq
+    TxnLog.append(dml, dir, Seq("a", "b", "c").toDF("s"))      // v1
+    assert(rids === Seq(10L, 13L, 16L))
+    TxnLog.append(dml, dir, Seq("d", "e").toDF("s"))           // v2
+    assert(rids === Seq(10L, 13L, 16L, 19L, 22L),
+      "the watermark must continue across appends")
+    // SQL INSERT: NULL placeholder assigns; a non-null value refuses
+    // (GENERATED ALWAYS is never writer-owned).
+    dml.sql("INSERT INTO lake.ns.t_id VALUES (NULL, 'f')")
+    assert(rids === Seq(10L, 13L, 16L, 19L, 22L, 25L))
+    val e = intercept[Exception] {
+      dml.sql("INSERT INTO lake.ns.t_id VALUES (999, 'g')")
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+    // BY DEFAULT: explicit values land as given, NULLs still assign.
+    dml.sql("CREATE TABLE lake.ns.t_idd (rid BIGINT GENERATED BY " +
+      "DEFAULT AS IDENTITY, s STRING)")
+    dml.sql("INSERT INTO lake.ns.t_idd VALUES (100, 'x'), (NULL, 'y')")
+    assert(dml.sql("SELECT rid FROM lake.ns.t_idd")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 100L))
+    // CONCURRENT appenders: the allocation is watermark-checked at
+    // commit and restaged on loss, so ids never collide.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { k =>
+      new Thread(() => {
+        try TxnLog.append(dml, dir,
+          (1 to 5).map(j => s"c$k-$j").toDF("s"))
+        catch { case x: Throwable => errs.add(x) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent identity append failed: ${errs.peek()}")
+    val all = rids
+    assert(all.size === 26 && all.distinct.size === 26,
+      s"20 concurrent allocations must be unique: $all")
+    assert(all === (0 until 26).map(10L + 3L * _),
+      "allocations must be exactly the arithmetic sequence — no gaps " +
+        s"under contention either: $all")
+    // RESTORE rolls the watermark back WITH the data: the next
+    // allocation re-issues exactly what the rolled-back commits had.
+    dml.sql(s"RESTORE '$dir' VERSION AS OF 1").collect()
+    assert(rids === Seq(10L, 13L, 16L))
+    TxnLog.append(dml, dir, Seq("z").toDF("s"))
+    assert(rids === Seq(10L, 13L, 16L, 19L))
+  }
+
   test("CREATE TABLE ... CLUSTER BY records the layout keys as a table " +
        "property: OPTIMIZE with no clause range-clusters on them, an " +
        "explicit clause overrides, and range scans prune the " +

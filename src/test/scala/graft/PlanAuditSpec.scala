@@ -23,7 +23,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         "q_txn_constraint", "q_txn_bloom_sql", "q_txn_bloom_semijoin",
         "q_txn_range_sql", "q_txn_generated", "q_txn_insert_partition",
         "q_txn_insert_dynamic", "q_txn_replace_where",
-        "q_txn_gen_partition", "q_txn_cluster_sql")(name))
+        "q_txn_gen_partition", "q_txn_cluster_sql",
+        "q_txn_identity")(name))
       GraftSqlDmlSpec.session
     else spark
 
