@@ -794,6 +794,20 @@ case class GraftDropPartitionCommand(dir: String,
   }
 }
 
+/** `ALTER TABLE <target> SYNC IDENTITY` — the SQL face of
+  * [[TxnLog.syncIdentity]]: realign the identity watermark past every
+  * existing value (metadata-first through the log stats), the repair
+  * after GENERATED BY DEFAULT explicit inserts. Returns the version
+  * (unchanged when already aligned). */
+case class GraftSyncIdentityCommand(dir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "version", org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxnLog.syncIdentity(spark, dir).version))
+}
+
 /** `ALTER TABLE <target> DROP PARTITION WHERE <predicate>` — the
   * retention idiom (`WHERE dt < '2026-01-01'`): one metadata commit
   * drops EVERY partition whose typed tuple satisfies the predicate
@@ -1058,6 +1072,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val dropPartitionRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tgt\\s+DROP\\s+PARTITION\\s*""" +
       """\(([^)]*)\)\s*;?\s*$""").r
+  private val syncIdentityRe =
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tgt\\s+SYNC\\s+IDENTITY\\s*;?\\s*$$""".r
   private val dropPartitionWhereRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Tgt\\s+DROP\\s+PARTITION\\s+""" +
       """WHERE\s+(.+?)\s*;?\s*$""").r
@@ -1159,6 +1175,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case dropPartitionRe(tgt, body) =>
         resolveTarget(tgt).map(d =>
           GraftDropPartitionCommand(d, parsePartSpec(body)): LogicalPlan)
+      case syncIdentityRe(tgt) =>
+        resolveTarget(tgt).map(d =>
+          GraftSyncIdentityCommand(d): LogicalPlan)
       case explainRe(rest) =>
         maintenancePlan(rest).map(p =>
           org.apache.spark.sql.execution.command.ExplainCommand(

@@ -1797,6 +1797,60 @@ object TxnLog {
       }))
     }
 
+  /** `ALTER TABLE … SYNC IDENTITY`: realign the allocation watermark
+    * past every EXISTING value — the repair after `GENERATED BY
+    * DEFAULT` explicit inserts landed values at-or-beyond the
+    * watermark (future allocations would collide). METADATA-FIRST:
+    * when every live file carries log stats on the identity column,
+    * the max comes from the commit entries alone (zero data I/O — the
+    * 100 TB shape); only stat-less files scan, and only that column.
+    * The new watermark is the smallest `start + k·step` strictly past
+    * the observed extreme (sequence-aligned, like the engine's own
+    * allocations); never moves BACKWARD. One data-less schema commit;
+    * no-op (returns current version) if already aligned. */
+  def syncIdentity(spark: SparkSession, table: String): CommitResult = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val sc = resolve(spark, table, None)._2.getOrElse(
+      throw new IllegalArgumentException(s"$table records no schema"))
+    val f = identityField(sc.schema).getOrElse(
+      throw new IllegalArgumentException(s"$table has no identity column"))
+    val step = f.metadata.getLong(IdentityStepKey)
+    val start = f.metadata.getLong(IdentityStartKey)
+    val (files, schemaOpt) = resolveSnapshot(spark, table, None)
+    // Tier 1: the log's per-file [min,max] on the identity column.
+    val statBounds = files.map(_._2.stats.flatMap(
+      _.cols.find(_._1.equalsIgnoreCase(f.name)).map(_._2)))
+    val covered = statBounds.forall(_.isDefined)
+    val extreme: Option[Long] =
+      if (files.isEmpty) None
+      else if (covered) {
+        val bs = statBounds.flatten
+        Some(if (step > 0) bs.map(_.max).max else bs.map(_.min).min)
+      } else {
+        val agg = readState(spark, table, files, schemaOpt)
+          .agg((if (step > 0) max(col(f.name)) else min(col(f.name)))
+            .cast("long"))
+          .head()
+        if (agg.isNullAt(0)) None else Some(agg.getLong(0))
+      }
+    val cur = identityNext(f)
+    val aligned = extreme match {
+      case None => cur
+      case Some(x) =>
+        // Smallest start + k·step (k >= 0) strictly past x in the
+        // step's direction; floorDiv keeps the k bound exact for
+        // every sign combination.
+        val k = math.max(0L, Math.floorDiv(x - start, step) + 1L)
+        val cand = start + k * step
+        if (step > 0) math.max(cur, cand) else math.min(cur, cand)
+    }
+    if (aligned == cur)
+      return CommitResult(latestVersion(spark, table), 0, 0)
+    mustCommit(commitLoop(spark, table,
+      schema = schemaWithWatermark(spark, table, aligned, None))(
+      _ => Some((Nil, Nil))), s"sync identity on $table")
+  }
+
   /** Append: blind adds — valid at ANY log position, so a lost race
     * just re-publishes the same files at the advanced version (the
     * staged data is never rewritten). Schema-enforced (see

@@ -924,6 +924,17 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     dml.sql("INSERT INTO lake.ns.t_idd VALUES (100, 'x'), (NULL, 'y')")
     assert(dml.sql("SELECT rid FROM lake.ns.t_idd")
       .as[Long].collect().sorted.toSeq === Seq(1L, 100L))
+    // SYNC IDENTITY realigns the watermark past the explicit 100 —
+    // the repair that keeps future allocations collision-free.
+    dml.sql("ALTER TABLE lake.ns.t_idd SYNC IDENTITY").collect()
+    dml.sql("INSERT INTO lake.ns.t_idd VALUES (NULL, 'z')")
+    assert(dml.sql("SELECT rid FROM lake.ns.t_idd")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 100L, 101L),
+      "post-sync allocation must start past the explicit maximum")
+    // Already-aligned sync is a version-preserving no-op.
+    val vAligned = TxnLog.latestVersion(dml, s"$root/ns/t_idd")
+    dml.sql("ALTER TABLE lake.ns.t_idd SYNC IDENTITY").collect()
+    assert(TxnLog.latestVersion(dml, s"$root/ns/t_idd") === vAligned)
     // CONCURRENT appenders: the allocation is watermark-checked at
     // commit and restaged on loss, so ids never collide.
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
