@@ -1772,7 +1772,16 @@ object TxnLog {
           val assignedRdd = toAssign.rdd.zipWithIndex().map { case (r, i) =>
             val v = next + step * i
             Row.fromSeq(r.toSeq.updated(pos,
-              if (longCol) v else v.toInt))
+              if (longCol) v
+              else {
+                // INT identity: overflow must FAIL, not wrap — a
+                // silently truncated id breaks the uniqueness contract.
+                if (v > Int.MaxValue || v < Int.MinValue)
+                  throw new ArithmeticException(
+                    s"identity value $v overflows the INT column — " +
+                      "recreate the column as BIGINT")
+                v.toInt
+              }))
           }
           val assigned = spark.createDataFrame(assignedRdd, framed.schema)
           val out =
