@@ -647,5 +647,26 @@ class TxnPartitionSpec extends AnyFunSuite with SparkSpec {
       s"final en partition must be exactly one writer's batch, got $enIds")
     // Other partitions untouched by the en contention.
     assert(TxnLog.read(spark, t).filter(col("lang") =!= "en").count() === 5L)
+    // CROSS-VERB disjointness: a COW DELETE inside fr races an
+    // overwritePartition of de — victim sets are disjoint (victim
+    // scoping subsumes partition scoping), so BOTH land.
+    val errs2 = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val crossA = new Thread(() => {
+      try TxnLog.overwritePartition(spark, t, Map("lang" -> "de"),
+        Seq((30000L, "DE")).toDF("id", "s"))
+      catch { case x: Throwable => errs2.add(x) }
+    })
+    val crossB = new Thread(() => {
+      try TxnLog.delete(spark, t,
+        col("lang") === "fr" && col("id") >= 10202L)
+      catch { case x: Throwable => errs2.add(x) }
+    })
+    crossA.start(); crossB.start(); crossA.join(); crossB.join()
+    assert(errs2.isEmpty, s"disjoint cross-verb race failed: ${errs2.peek()}")
+    assert(TxnLog.read(spark, t).filter(col("lang") === "de")
+      .select("id").as[Long].collect().toSeq === Seq(30000L))
+    assert(TxnLog.read(spark, t).filter(col("lang") === "fr")
+      .select("id").as[Long].collect().toSet === Set(10200L, 10201L),
+      "the fr delete must land alongside the de overwrite")
   }
 }
