@@ -941,6 +941,40 @@ object LakeQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // Column DEFAULT values: declared at CREATE (`score BIGINT
+    // DEFAULT 777`), filled by BOTH front doors — the graft API append
+    // omitting the column (stage computes it in) and a SQL
+    // column-list INSERT (Spark's own default resolution, admitted by
+    // the catalog capability and the schema-carried metadata). The
+    // oracle recomposes the populations with the literal; the
+    // explicit-NULL/DEFAULT-keyword/ALTER-refusal mechanics are
+    // GraftSqlDmlSpec's.
+    "q_txn_default" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/defns/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      s.conf.set("spark.sql.catalog.gdef",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gdef.root", base)
+      s.conf.set("spark.sql.catalog.gdef.writable", "true")
+      s.sql("""CREATE TABLE gdef.defns.docs (doc_id BIGINT, lang STRING,
+              |  score BIGINT DEFAULT 777)""".stripMargin)
+      val docs = Tables.documents(s, d).select("doc_id", "lang")
+      TxnLog.append(s, table, docs) // score omitted -> default fills
+      docs.createOrReplaceTempView("gdef_src")
+      s.sql("""INSERT INTO gdef.defns.docs (doc_id, lang)
+              |SELECT doc_id + 1000000, lang FROM gdef_src
+              |WHERE doc_id % 7 = 0""".stripMargin)
+      TxnLog.read(s, table)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("score").as("sum_score"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
+
     // IDENTITY column — engine-assigned surrogate keys: `rid BIGINT
     // GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 3)`,
     // two appends that never supply the column (the log-carried
@@ -1159,6 +1193,16 @@ object LakeQueries extends QueryModule {
         | WHERE (lang = 'en' AND n_chars >= 300)
         |    OR (lang <> 'en' AND doc_id % 2 = 0)
         | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_default" ->
+      """WITH allr AS (
+        |  SELECT doc_id, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang FROM documents WHERE doc_id % 7 = 0)
+        |SELECT lang, count(*) AS row_cnt,
+        |  (777 * count(*))::BIGINT AS sum_score,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM allr GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
 
     "q_txn_identity" ->
       """SELECT count(*) AS row_cnt, count(*) AS id_ndv,

@@ -201,7 +201,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** `CREATE TABLE` (and the table half of CTAS): a new transaction-log
     * table — version 0 is an empty commit carrying the SCHEMA, so the
@@ -305,9 +307,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         mb.putLong(TxnLog.IdentityStepKey, id.getStep)
         mb.putBoolean(TxnLog.IdentityExplicitKey, id.isAllowExplicitInsert)
       }
-      if (c.defaultValue() != null) throw new UnsupportedOperationException(
-        s"graft txn tables do not support column DEFAULT values yet " +
-          s"(column '${c.name}')")
+      Option(c.defaultValue()).foreach { dv =>
+        // Spark's OWN metadata keys: analysis fills column-list
+        // INSERTs / DEFAULT keywords from them (given the capability),
+        // so the SQL front door needs no engine-side rewrite; the
+        // graft write paths fill omitted columns in stage().
+        val sql = Option(dv.getSql).getOrElse(
+          throw new UnsupportedOperationException(
+            s"DEFAULT for '${c.name}' carries no SQL form"))
+        val k = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        mb.putString(k.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+        mb.putString(k.EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql)
+      }
       StructField(c.name, c.dataType, c.nullable, mb.build())
     }
     createTable(ident, StructType(fields), partitions, properties)
@@ -341,6 +352,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         if (cur.fieldNames.exists(_.equalsIgnoreCase(name)))
           throw new IllegalArgumentException(
             s"column '$name' already exists in $ident")
+        // A default on an ADDED column would need EXISTS_DEFAULT
+        // read-side semantics (pre-existing rows read the default, not
+        // null) that the plain parquet scan cannot honor soundly —
+        // refuse loudly rather than silently dropping the clause.
+        // CREATE-time defaults are fully supported (every file carries
+        // the column, filled at write).
+        if (a.defaultValue() != null) throw new UnsupportedOperationException(
+          s"ALTER TABLE ADD COLUMNS with DEFAULT is not supported on " +
+            s"graft txn tables (column '$name') — declare defaults at " +
+            "CREATE TABLE, or add the column and backfill with UPDATE")
         StructField(name, a.dataType(), nullable = true)
     }
     val rest = changes.filterNot(_.isInstanceOf[TableChange.AddColumn])

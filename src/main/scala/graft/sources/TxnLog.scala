@@ -800,6 +800,32 @@ object TxnLog {
   private def stage(spark: SparkSession, table: String, df: DataFrame,
                     mapping: Option[StructType]): Seq[String] = {
     val sub = s"stage-${java.util.UUID.randomUUID().toString.take(12)}"
+    // Column DEFAULTS fill first (a generated expression may reference
+    // a defaulted column): a frame OMITTING a defaulted column gets
+    // the default computed in — so the graft write paths honor the
+    // declared default exactly like Spark's own column-list INSERT
+    // resolution does. Only MISSING columns fill; an explicit NULL is
+    // a value, not an omission (standard DEFAULT semantics, unlike
+    // identity's null-assignment contract). DV/metadata frames carry
+    // none of the table's columns structure and are unaffected
+    // (withColumn on them is harmless — they are never read as data —
+    // but skipping keeps them byte-identical): skip frames that carry
+    // NONE of the schema's columns.
+    val defaulted = mapping.fold(df) { schema =>
+      val names = df.schema.fieldNames.map(_.toLowerCase).toSet
+      val anyTableCol = schema.fields.exists(f => names(f.name.toLowerCase))
+      if (!anyTableCol) df
+      else {
+        val key = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          .CURRENT_DEFAULT_COLUMN_METADATA_KEY
+        schema.fields
+          .filter(f => f.metadata.contains(key) && !names(f.name.toLowerCase))
+          .foldLeft(df) { (d, f) =>
+            d.withColumn(f.name, org.apache.spark.sql.functions
+              .expr(f.metadata.getString(key)).cast(f.dataType))
+          }
+      }
+    }
     // GENERATED columns derive INSIDE the staging write, before the
     // constraint guard (constraints may reference them): a frame
     // missing the column gets it computed; a frame CARRYING it (a
@@ -808,10 +834,10 @@ object TxnLog {
     // which also makes MoR-update copies self-heal when their source
     // columns changed. Frames whose columns can't resolve the
     // expression (DV objects) skip, like constraints.
-    val gen = mapping.fold(df) { schema =>
-      val names = df.schema.fieldNames.map(_.toLowerCase).toSet
+    val gen = mapping.fold(defaulted) { schema =>
+      val names = defaulted.schema.fieldNames.map(_.toLowerCase).toSet
       schema.fields.filter(_.metadata.contains(GeneratedExprKey))
-        .foldLeft(df) { (d, fld) =>
+        .foldLeft(defaulted) { (d, fld) =>
           val text = fld.metadata.getString(GeneratedExprKey)
           val refs = scala.util.Try(spark.sessionState.sqlParser
             .parseExpression(text).references.map(_.name.toLowerCase).toSet)

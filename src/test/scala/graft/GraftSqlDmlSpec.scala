@@ -895,6 +895,36 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
       "mixed static+dynamic must replace the static-slice x produced bands")
   }
 
+  test("column DEFAULT values: CREATE-time declarations fill " +
+       "column-list INSERTs, DEFAULT keywords, and graft-API writes " +
+       "omitting the column; explicit NULL stays NULL; ALTER ADD " +
+       "with DEFAULT refuses") {
+    import dml.implicits._
+    val dir = s"$root/ns/t_def"
+    dml.sql("CREATE TABLE lake.ns.t_def (id BIGINT, " +
+      "score BIGINT DEFAULT 42, tag STRING DEFAULT 'none')")
+    dml.sql("INSERT INTO lake.ns.t_def VALUES (1, 7, 'a')")
+    dml.sql("INSERT INTO lake.ns.t_def (id) VALUES (2)")
+    dml.sql("INSERT INTO lake.ns.t_def VALUES (3, DEFAULT, DEFAULT)")
+    // The graft API write path fills OMITTED defaulted columns too.
+    TxnLog.append(dml, dir, Seq(Tuple1(4L)).toDF("id"))
+    // An explicit NULL is a VALUE, not an omission.
+    dml.sql("INSERT INTO lake.ns.t_def VALUES (5, NULL, NULL)")
+    val got = dml.sql(
+      "SELECT id, score, tag FROM lake.ns.t_def ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "<null>" else r.getString(2))).toSeq
+    assert(got === Seq((1L, 7L, "a"), (2L, 42L, "none"),
+      (3L, 42L, "none"), (4L, 42L, "none"), (5L, -1L, "<null>")), s"$got")
+    // ADD COLUMNS with DEFAULT would need exists-default read
+    // semantics for pre-existing rows — refuses loudly.
+    val e = intercept[Exception] {
+      dml.sql("ALTER TABLE lake.ns.t_def ADD COLUMNS (extra BIGINT DEFAULT 9)")
+    }
+    assert(e.getMessage.contains("DEFAULT"))
+  }
+
   test("GENERATED AS IDENTITY columns: engine-assigned unique values " +
        "across appends, ALWAYS refuses explicit values, BY DEFAULT " +
        "keeps them, concurrent appenders never collide, and RESTORE " +
