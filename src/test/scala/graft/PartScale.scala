@@ -54,6 +54,26 @@ object PartScale {
     val (invS, inv) = timed(
       TxnLog.partitions(spark, t).collect().map(_.toString).mkString(";"))
 
+    // (f) round-15 verbs at corpus scale:
+    //   dynamic overwrite — recompute ONE partition (de), replace it
+    //   atomically; cost must be ∝ the partition, never the table;
+    val deRepl = docs.filter(col("lang") === "de")
+      .withColumn("n_chars", col("n_chars") + 1L)
+    val (dynS, dynR) = timed(
+      TxnLog.overwritePartitionsDynamic(spark, t, deRepl))
+    //   predicate retention drop — every lang >= 'fr' partition in ONE
+    //   typed-predicate metadata commit;
+    val (dwS, dwR) = timed(
+      TxnLog.dropPartitionsWhere(spark, t, col("lang") >= "fr"))
+    //   replaceWhere on the PLAIN table — the worst case (the
+    //   predicate region spreads over every file, so victim binding
+    //   and the rewrite are table-scale by construction; partitioned
+    //   regions should use the partition verbs above).
+    val (rwS, _) = timed(TxnLog.overwriteWhere(spark, s"$root/plain",
+      col("n_chars") >= 500L,
+      docs.filter(col("n_chars") >= 500L)
+        .withColumn("n_chars", col("n_chars") + 1L)))
+
     // (e) ATTACH cost vs partition CARDINALITY: the same 2M rows
     // partitioned 5 ways vs 5000 ways, then a full-scan aggregate that
     // consumes the path-attached partition column. The round-14 form
@@ -121,6 +141,11 @@ object PartScale {
       s""""agg_pruned_sec":${pruneS.formatted("%.2f")},""" +
       s""""drop_partition_sec":${dropS.formatted("%.3f")},""" +
       s""""dropped_files":${r.asInstanceOf[TxnLog.CommitResult].removed},""" +
+      s""""dyn_overwrite_1of4_sec":${dynS.formatted("%.1f")},""" +
+      s""""dyn_overwrite_removed":${dynR.asInstanceOf[TxnLog.CommitResult].removed},""" +
+      s""""drop_where_sec":${dwS.formatted("%.3f")},""" +
+      s""""drop_where_removed":${dwR.asInstanceOf[TxnLog.CommitResult].removed},""" +
+      s""""replace_where_plain_sec":${rwS.formatted("%.1f")},""" +
       s""""inventory_sec":${invS.formatted("%.2f")},""" +
       s""""inventory":"$inv"}""")
     fs.delete(fsp, true)
