@@ -1167,6 +1167,92 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("vacuumed"))
   }
+
+  test("identity columns hold on EVERY write path (round-15 advice): " +
+       "MERGE INSERT assigns, UPDATE SET on ALWAYS refuses, " +
+       "replace-by-key merge assigns fresh ids, overwrite assigns " +
+       "carried NULLs, and the watermark is one sequence across paths") {
+    import dml.implicits._
+    val dir = s"$root/ns/t_idm"
+    dml.sql("CREATE TABLE lake.ns.t_idm (rid BIGINT GENERATED ALWAYS " +
+      "AS IDENTITY, id BIGINT, s STRING)")
+    dml.sql("INSERT INTO lake.ns.t_idm VALUES (NULL, 1, 'a'), (NULL, 2, 'b')")
+    def rows: Set[(Long, Long, String)] =
+      dml.sql("SELECT rid, id, s FROM lake.ns.t_idm")
+        .as[(Long, Long, String)].collect().toSet
+    assert(rows.map(_._1) === Set(1L, 2L))
+    // SQL MERGE: the NOT MATCHED INSERT omits rid -> engine-assigned
+    // the next watermark value; the matched UPDATE keeps its rid.
+    Seq((2L, "B"), (3L, "c")).toDF("id", "s")
+      .createOrReplaceTempView("idm_src")
+    dml.sql("""MERGE INTO lake.ns.t_idm t USING idm_src s ON t.id = s.id
+              |WHEN MATCHED THEN UPDATE SET s = s.s
+              |WHEN NOT MATCHED THEN INSERT (id, s) VALUES (s.id, s.s)"""
+      .stripMargin)
+    assert(rows === Set((1L, 1L, "a"), (2L, 2L, "B"), (3L, 3L, "c")),
+      "merge insert must assign the next id; updates keep theirs")
+    // UPDATE SET on a GENERATED ALWAYS identity column refuses.
+    val e1 = intercept[Exception] {
+      dml.sql("""MERGE INTO lake.ns.t_idm t USING idm_src s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET rid = 99""".stripMargin)
+    }
+    assert(e1.getMessage.contains("GENERATED ALWAYS"))
+    // Replace-by-key merge (API): the delta omits rid entirely, so
+    // every delta row gets a fresh id (the replace-the-whole-row
+    // contract); untouched rows keep theirs; ids stay unique.
+    TxnLog.merge(dml, dir, Seq((3L, "C2"), (4L, "d")).toDF("id", "s"), "id")
+    val afterMerge = rows
+    assert(afterMerge.map(_._2) === Set(1L, 2L, 3L, 4L))
+    assert(afterMerge.map(_._1).size === 4, s"ids must be unique: $afterMerge")
+    assert(afterMerge.collect { case (r, 1L, _) => r } === Set(1L),
+      "untouched rows keep their ids")
+    // An ALWAYS delta carrying explicit values refuses.
+    val e2 = intercept[Exception] {
+      TxnLog.merge(dml, dir,
+        Seq((999L, 5L, "x")).toDF("rid", "id", "s"), "id")
+    }
+    assert(e2.getMessage.contains("GENERATED ALWAYS"))
+    // Overwrite with a CARRIED all-NULL identity column assigns from
+    // the continuing watermark — no collision with anything ever
+    // handed out, and the next INSERT continues past it.
+    val maxBefore = afterMerge.map(_._1).max
+    TxnLog.overwrite(dml, dir,
+      Seq((Option.empty[Long], 10L, "x"), (Option.empty[Long], 11L, "y"))
+        .toDF("rid", "id", "s"))
+    val afterOw = rows
+    assert(afterOw.map(_._2) === Set(10L, 11L))
+    assert(afterOw.map(_._1).forall(_ > maxBefore),
+      s"overwrite-assigned ids must come from the continuing watermark: " +
+        s"$afterOw (watermark was past $maxBefore)")
+    dml.sql("INSERT INTO lake.ns.t_idm VALUES (NULL, 12, 'z')")
+    val all = rows.map(_._1)
+    assert(all.size === 3 && all.max === afterOw.map(_._1).max + 1,
+      s"the sequence continues across paths: $all")
+  }
+
+  test("a DEFAULTed partition column exempts the missing-partition-" +
+       "column rejection: stage() fills the default BEFORE the " +
+       "hive-laid write, so the file lands under its segment " +
+       "(round-15 advice, low)") {
+    import dml.implicits._
+    val dir = s"$root/ns/t_pdef"
+    dml.sql("CREATE TABLE lake.ns.t_pdef (id BIGINT, " +
+      "region STRING DEFAULT 'emea') PARTITIONED BY (region)")
+    // A frame OMITTING the partition column is accepted — the default
+    // fills in, and the row is partition-addressable.
+    TxnLog.append(dml, dir, Seq(Tuple1(1L)).toDF("id"))
+    dml.sql("INSERT INTO lake.ns.t_pdef VALUES (2, 'apac')")
+    assert(dml.sql("SELECT id, region FROM lake.ns.t_pdef")
+      .as[(Long, String)].collect().toSet ===
+      Set((1L, "emea"), (2L, "apac")))
+    assert(TxnLog.snapshot(dml, dir).exists(_.contains("region=emea")),
+      "the defaulted row must land hive-laid under its segment")
+    // ... which makes it a real partition: the O(1) metadata drop
+    // removes exactly the defaulted rows.
+    TxnLog.dropPartition(dml, dir, "region", "emea")
+    assert(dml.sql("SELECT id FROM lake.ns.t_pdef")
+      .as[Long].collect().toSeq === Seq(2L))
+  }
 }
 
 object GraftSqlDmlSpec {

@@ -940,6 +940,39 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("NULL-predicate rows SURVIVE delete and overwriteWhere (rows are " +
+       "affected only where the predicate is TRUE), and a NULL-predicate " +
+       "replacement row is an escapee — round-15 advice, high") {
+    import spark.implicits._
+    val t = freshTable("nullpred")
+    // score is NULL for ids 3 and 7 — `score > 3` is NULL there, and
+    // SQL DELETE/replaceWhere semantics must keep those rows.
+    val rows = Seq((1L, Some(1L)), (2L, Some(5L)), (3L, None),
+      (4L, Some(9L)), (7L, None)).toDF("id", "score")
+    TxnLog.create(spark, t, rows.coalesce(1))
+    val pred = col("score") > 3L
+    // --- delete: only TRUE rows (2, 4) go; NULL rows (3, 7) survive.
+    assert(TxnLog.delete(spark, t, pred).isDefined)
+    assert(TxnLog.read(spark, t).select("id").as[Long].collect().toSet ===
+      Set(1L, 3L, 7L), "null-predicate rows must survive DELETE")
+    // --- overwriteWhere on a fresh copy: survivors = FALSE and NULL.
+    val t2 = freshTable("nullpred2")
+    TxnLog.create(spark, t2, rows.coalesce(1))
+    TxnLog.overwriteWhere(spark, t2, pred,
+      Seq((10L, Some(100L))).toDF("id", "score"))
+    assert(TxnLog.read(spark, t2).select("id").as[Long].collect().toSet ===
+      Set(1L, 3L, 7L, 10L),
+      "replaceWhere must keep null-predicate rows and land the replacement")
+    // --- contract check: a replacement row where the predicate is NULL
+    // does NOT satisfy it — escapee, rejected before anything stages.
+    val vNow = TxnLog.latestVersion(spark, t2)
+    intercept[IllegalArgumentException] {
+      TxnLog.overwriteWhere(spark, t2, pred,
+        Seq((11L, None: Option[Long])).toDF("id", "score"))
+    }
+    assert(TxnLog.latestVersion(spark, t2) === vNow, "nothing committed")
+  }
+
   test("snapshot resolution replays from the newest checkpoint") {
     val t = freshTable("ckpt")
     TxnLog.create(spark, t, docs.filter(col("doc_id") === 0))
