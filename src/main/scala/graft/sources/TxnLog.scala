@@ -1246,21 +1246,27 @@ object TxnLog {
   /** DYNAMIC partition overwrite — replace EXACTLY the partitions the
     * frame produces, in one atomic commit (Spark's
     * `partitionOverwriteMode=dynamic` / Hive dynamic-partition-insert
-    * semantics): the frame carries the partition column(s); its
-    * distinct partition tuples are computed (a partition-count-sized
-    * aggregate of the batch, never the table), every live file in one
-    * of those partitions leaves the snapshot, and the staged files
-    * land in their place. Partitions the frame does NOT touch never
-    * move — the daily multi-partition rebuild primitive (recompute
-    * three days in one query, swap exactly those three in). An EMPTY
-    * frame replaces nothing and commits nothing (the Delta
-    * convention for dynamic mode — no silent truncate). Victim
-    * selection recomputes against the CURRENT snapshot on every
-    * retry, so concurrent appends to replaced partitions are
+    * semantics): the frame carries the partition column(s); the
+    * replaced set is derived FROM THE STAGED FILES' own `col=value`
+    * path segments (the Delta AddFile discipline — round-15 advice:
+    * deriving it from a SEPARATE execution of the frame lets a
+    * nondeterministic or concurrently-changing source stage rows into
+    * partitions absent from the replaced set, leaking old rows beside
+    * new). One execution, zero extra jobs — the staged write IS the
+    * partition discovery, generated columns included (stage computes
+    * them). Every live file in a replaced partition leaves the
+    * snapshot; partitions the frame does NOT touch never move — the
+    * daily multi-partition rebuild primitive (recompute three days in
+    * one query, swap exactly those three in). A legacy flat file with
+    * NO partition segment is never victimized (missing segment =
+    * no-match; use overwrite/compact to adopt such files into the
+    * layout). An EMPTY frame replaces nothing and commits nothing
+    * (the Delta convention for dynamic mode — no silent truncate).
+    * Victim selection recomputes against the CURRENT snapshot on
+    * every retry, so concurrent appends to replaced partitions are
     * superseded rather than leaked past the overwrite. */
   def overwritePartitionsDynamic(spark: SparkSession, table: String,
                                  df: DataFrame): CommitResult = {
-    import org.apache.spark.sql.functions.col
     val schema = tableSchema(spark, table).getOrElse(
       throw new IllegalArgumentException(s"$table records no schema"))
     val parts = partitionFields(schema)
@@ -1269,41 +1275,28 @@ object TxnLog {
     val cur = tableSchema(spark, table)
     enforceSchema(spark, table, df, mergeSchema = false,
       "dynamic partition overwrite")
-    // GENERATED partition columns recompute HERE exactly as stage()
-    // will (writer-supplied values are never owned): victim selection
-    // must key on the values the staged files will actually land
-    // under — a bogus or omitted writer value driving the replaced
-    // set would remove one partition while the rows land in another.
-    val genApplied = parts.filter(_.metadata.contains(GeneratedExprKey))
-      .foldLeft(df) { (d, f) =>
-        val text = f.metadata.getString(GeneratedExprKey)
-        val refs = scala.util.Try(spark.sessionState.sqlParser
-          .parseExpression(text).references.map(_.name.toLowerCase).toSet)
-          .getOrElse(Set.empty[String])
-        val names = d.schema.fieldNames.map(_.toLowerCase).toSet
-        if (refs.isEmpty || !refs.subsetOf(names)) d
-        else d.withColumn(f.name,
-          org.apache.spark.sql.functions.expr(text).cast(f.dataType))
-      }
-    // The replaced set: the batch's distinct partition tuples in the
-    // same string form the paths carry (toString matches the
-    // partitioned writer's dir rendering for the supported types).
-    val replaced: Set[Seq[String]] = genApplied
-      .select(parts.map(p => col(s"`${p.name}`")): _*)
-      .distinct().collect()
-      .map(r => parts.indices.map(i =>
-        Option(r.get(i)).map(_.toString).orNull): Seq[String])
-      .toSet
-    if (replaced.isEmpty)
-      return CommitResult(latestVersion(spark, table), 0, 0)
     val physNames = parts.map(physicalName)
     val staged = stage(spark, table, df, cur)
+    // The replaced set: the partition tuples the staged files ACTUALLY
+    // landed under — pure driver path parsing of the staged list, the
+    // exact values victim matching keys on (same decode both sides).
+    val replaced: Set[Seq[String]] = staged.flatMap { rel =>
+      val vals = physNames.map(pn => partValueOf(rel, pn))
+      if (vals.forall(_.isDefined)) Some(vals.map(_.get): Seq[String])
+      else None
+    }.toSet
+    if (replaced.isEmpty) {
+      dropStaged(spark, table, staged)
+      return CommitResult(latestVersion(spark, table), 0, 0)
+    }
     mustCommit(commitLoop(spark, table,
       stats = stagedStats(spark, table, staged,
         defaultStatsCols(cur.getOrElse(df.schema)), cur)) { v =>
       val victims = snapshotFull(spark, table, Some(v - 1)).collect {
-        case (rel, _) if replaced.contains(
-          physNames.map(pn => partValueOf(rel, pn).orNull)) => rel
+        case (rel, _) if {
+          val vals = physNames.map(pn => partValueOf(rel, pn))
+          vals.forall(_.isDefined) && replaced.contains(vals.map(_.get))
+        } => rel
       }
       Some((staged, victims))
     }, s"dynamic partition overwrite of $table")

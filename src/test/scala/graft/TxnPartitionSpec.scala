@@ -542,6 +542,19 @@ class TxnPartitionSpec extends AnyFunSuite with SparkSpec {
       TxnLog.overwritePartitionsDynamic(spark, flat,
         Seq((2L, "b")).toDF("id", "s"))
     }
+    // NULL partition values address the null partition and ONLY it —
+    // the replaced set is derived from the staged files' own path
+    // segments (round-15 advice), and the null tuple round-trips.
+    val tn = freshTable("dynnull")
+    TxnLog.createPartitioned(spark, tn,
+      Seq((1L, Some("en")), (2L, Option.empty[String]), (3L, Some("de")))
+        .toDF("id", "lang"), Seq("lang"))
+    TxnLog.overwritePartitionsDynamic(spark, tn,
+      Seq((20L, Option.empty[String])).toDF("id", "lang"))
+    assert(TxnLog.read(spark, tn).select("id").as[Long].collect().toSet ===
+      Set(1L, 3L, 20L),
+      "a null-partition dynamic overwrite replaces exactly the null " +
+        "partition; en/de never move")
   }
 
   test("multi-column partition specs: full and PARTIAL specs address " +
