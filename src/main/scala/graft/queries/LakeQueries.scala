@@ -1011,6 +1011,49 @@ object LakeQueries extends QueryModule {
         sum("doc_id").as("sum_doc"))
     }),
 
+    // SYNC IDENTITY oracle-gated (round-15 verdict): GENERATED BY
+    // DEFAULT identity, an engine-assigned batch (1..nA), EXPLICIT
+    // high inserts (1000000 + doc_id — the standard contract leaves
+    // the watermark behind them), `ALTER TABLE … SYNC IDENTITY`
+    // realigning the watermark past the observed maximum from LOG
+    // STATS alone, then a second engine batch that must continue
+    // collision-free from there. WHICH row takes WHICH id is
+    // engine-owned; the SEQUENCE is closed-form, so the oracle checks
+    // count/ndv/min/max/sum invariants computed from the corpus.
+    "q_txn_identity_sync" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/idsy/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      s.conf.set("spark.sql.catalog.gids",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gids.root", base)
+      s.conf.set("spark.sql.catalog.gids.writable", "true")
+      s.sql("""CREATE TABLE gids.idsy.docs (
+              |  rid BIGINT GENERATED BY DEFAULT AS IDENTITY,
+              |  doc_id BIGINT, lang STRING)""".stripMargin)
+      val docs = Tables.documents(s, d).select("doc_id", "lang")
+      // Engine batch A: rid omitted -> assigned 1..nA.
+      TxnLog.append(s, table, docs.filter(col("doc_id") % 2 === 0))
+      // Explicit high inserts: BY DEFAULT keeps writer values and
+      // does NOT advance the watermark past them.
+      TxnLog.append(s, table, docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("rid", col("doc_id") + 1000000L)
+        .select("rid", "doc_id", "lang"))
+      // The repair: realign the watermark past every existing value.
+      s.sql("ALTER TABLE gids.idsy.docs SYNC IDENTITY").collect()
+      // Engine batch B: continues from (1000000 + max_explicit) + 1.
+      TxnLog.append(s, table, docs.filter(col("doc_id") % 2 === 1))
+      TxnLog.read(s, table).agg(
+        count(lit(1)).as("row_cnt"),
+        countDistinct(col("rid")).as("id_ndv"),
+        min("rid").as("min_id"),
+        max("rid").as("max_id"),
+        sum("rid").as("sum_rid"),
+        sum("doc_id").as("sum_doc"))
+    }),
+
     // CLUSTER BY as a TABLE PROPERTY (liquid-clustering style): the
     // keys are declared ONCE at CREATE, three residue-sliced appends
     // land files that each span the full n_chars range (range
@@ -1212,6 +1255,24 @@ object LakeQueries extends QueryModule {
         |    AS sum_rid,
         |  sum(doc_id)::BIGINT AS sum_doc
         | FROM documents""".stripMargin.replace("\n", ""),
+
+    "q_txn_identity_sync" ->
+      """WITH a AS (SELECT count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS s
+        |             FROM documents WHERE doc_id % 2 = 0),
+        |     e AS (SELECT count(*)::BIGINT AS n, max(doc_id)::BIGINT AS mx,
+        |                  sum(doc_id)::BIGINT AS s
+        |             FROM documents WHERE doc_id % 97 = 0),
+        |     b AS (SELECT count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS s
+        |             FROM documents WHERE doc_id % 2 = 1)
+        |SELECT (a.n + e.n + b.n) AS row_cnt,
+        |  (a.n + e.n + b.n) AS id_ndv,
+        |  1::BIGINT AS min_id,
+        |  (1000000 + e.mx + b.n)::BIGINT AS max_id,
+        |  (a.n * (a.n + 1) // 2 + 1000000 * e.n + e.s
+        |    + b.n * (1000000 + e.mx) + b.n * (b.n + 1) // 2)::BIGINT
+        |    AS sum_rid,
+        |  (a.s + e.s + b.s)::BIGINT AS sum_doc
+        | FROM a, e, b""".stripMargin.replace("\n", ""),
 
     "q_txn_cluster_sql" ->
       """SELECT doc_id, lang, n_chars FROM documents
