@@ -1011,6 +1011,42 @@ object LakeQueries extends QueryModule {
         sum("doc_id").as("sum_doc"))
     }),
 
+    // Schema evolution WITH a default (round-15 verdict): `ALTER
+    // TABLE … ADD COLUMNS (score BIGINT DEFAULT 777)` on a table with
+    // existing files. Pre-add rows read the frozen EXISTS_DEFAULT
+    // (their files physically lack the column; Spark's parquet reader
+    // fills schema-carried exists-defaults per file), a post-add
+    // write OMITTING the column materializes the CURRENT_DEFAULT, and
+    // a post-add write carrying explicit values keeps them. The
+    // oracle recomposes the three populations with the literal.
+    "q_txn_default_evolve" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/devns/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      s.conf.set("spark.sql.catalog.gdev",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gdev.root", base)
+      s.conf.set("spark.sql.catalog.gdev.writable", "true")
+      s.sql("CREATE TABLE gdev.devns.docs (doc_id BIGINT, lang STRING)")
+      val docs = Tables.documents(s, d)
+      TxnLog.append(s, table, docs.select("doc_id", "lang")) // pre-add files
+      s.sql("ALTER TABLE gdev.devns.docs " +
+        "ADD COLUMNS (score BIGINT DEFAULT 777)")
+      TxnLog.append(s, table, docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang")))
+      TxnLog.append(s, table, docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+          col("n_chars").as("score")))
+      TxnLog.read(s, table)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("score").as("sum_score"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
+
     // SYNC IDENTITY oracle-gated (round-15 verdict): GENERATED BY
     // DEFAULT identity, an engine-assigned batch (1..nA), EXPLICIT
     // high inserts (1000000 + doc_id — the standard contract leaves
@@ -1255,6 +1291,19 @@ object LakeQueries extends QueryModule {
         |    AS sum_rid,
         |  sum(doc_id)::BIGINT AS sum_doc
         | FROM documents""".stripMargin.replace("\n", ""),
+
+    "q_txn_default_evolve" ->
+      """WITH allr AS (
+        |  SELECT doc_id, lang, 777::BIGINT AS score FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, 777::BIGINT FROM documents
+        |   WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, lang, n_chars::BIGINT FROM documents
+        |   WHERE doc_id % 11 = 0)
+        |SELECT lang, count(*) AS row_cnt, sum(score)::BIGINT AS sum_score,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM allr GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
 
     "q_txn_identity_sync" ->
       """WITH a AS (SELECT count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS s

@@ -352,17 +352,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         if (cur.fieldNames.exists(_.equalsIgnoreCase(name)))
           throw new IllegalArgumentException(
             s"column '$name' already exists in $ident")
-        // A default on an ADDED column would need EXISTS_DEFAULT
-        // read-side semantics (pre-existing rows read the default, not
-        // null) that the plain parquet scan cannot honor soundly —
-        // refuse loudly rather than silently dropping the clause.
-        // CREATE-time defaults are fully supported (every file carries
-        // the column, filled at write).
-        if (a.defaultValue() != null) throw new UnsupportedOperationException(
-          s"ALTER TABLE ADD COLUMNS with DEFAULT is not supported on " +
-            s"graft txn tables (column '$name') — declare defaults at " +
-            "CREATE TABLE, or add the column and backfill with UPDATE")
-        StructField(name, a.dataType(), nullable = true)
+        // A DEFAULT on an ADDED column records BOTH of Spark's default
+        // keys (round-15 verdict): CURRENT_DEFAULT fills future writes
+        // (column-list INSERTs via Spark's own resolution, graft API
+        // writes via stage()), and EXISTS_DEFAULT gives pre-existing
+        // rows the Iceberg initial-default read semantics — Spark's
+        // parquet reader natively fills a schema column carrying
+        // EXISTS_DEFAULT metadata when the FILE physically lacks it
+        // (SPARK-39926), which is exactly the per-file criterion:
+        // files staged after the add always materialize the column
+        // (explicit NULLs included), files from before it fill the
+        // frozen default, on every read path (readTagged passes the
+        // recorded schema to the scan, DML/CDC/compaction included).
+        Option(a.defaultValue()).map { dv =>
+          val sql = Option(dv.getSql).getOrElse(
+            throw new UnsupportedOperationException(
+              s"DEFAULT for added column '$name' carries no SQL form"))
+          val k = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(k.CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+            .putString(k.EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql)
+            .build()
+          StructField(name, a.dataType(), nullable = true, metadata = md)
+        }.getOrElse(StructField(name, a.dataType(), nullable = true))
     }
     val rest = changes.filterNot(_.isInstanceOf[TableChange.AddColumn])
     // The merge against the tip happens INSIDE each commit loop

@@ -898,7 +898,7 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
   test("column DEFAULT values: CREATE-time declarations fill " +
        "column-list INSERTs, DEFAULT keywords, and graft-API writes " +
        "omitting the column; explicit NULL stays NULL; ALTER ADD " +
-       "with DEFAULT refuses") {
+       "with DEFAULT gives pre-existing rows the exists-default") {
     import dml.implicits._
     val dir = s"$root/ns/t_def"
     dml.sql("CREATE TABLE lake.ns.t_def (id BIGINT, " +
@@ -917,12 +917,28 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
         if (r.isNullAt(2)) "<null>" else r.getString(2))).toSeq
     assert(got === Seq((1L, 7L, "a"), (2L, 42L, "none"),
       (3L, 42L, "none"), (4L, 42L, "none"), (5L, -1L, "<null>")), s"$got")
-    // ADD COLUMNS with DEFAULT would need exists-default read
-    // semantics for pre-existing rows — refuses loudly.
-    val e = intercept[Exception] {
-      dml.sql("ALTER TABLE lake.ns.t_def ADD COLUMNS (extra BIGINT DEFAULT 9)")
-    }
-    assert(e.getMessage.contains("DEFAULT"))
+    // ADD COLUMNS with DEFAULT (round-15 verdict): pre-existing rows
+    // read the frozen exists-default (their files physically lack the
+    // column — Spark's reader fills EXISTS_DEFAULT schema metadata);
+    // new writes materialize it; an explicit NULL written AFTER the
+    // add is a value and stays NULL.
+    dml.sql("ALTER TABLE lake.ns.t_def ADD COLUMNS (extra BIGINT DEFAULT 9)")
+    assert(dml.sql("SELECT extra FROM lake.ns.t_def")
+      .collect().forall(r => !r.isNullAt(0) && r.getLong(0) === 9L),
+      "every pre-existing row must read the exists-default")
+    dml.sql("INSERT INTO lake.ns.t_def VALUES (6, 1, 'b', NULL)")
+    dml.sql("INSERT INTO lake.ns.t_def (id) VALUES (7)")
+    def extras: Seq[(Long, Long)] = dml.sql(
+      "SELECT id, coalesce(extra, -1) AS e FROM lake.ns.t_def " +
+        "WHERE id >= 5 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(extras === Seq((5L, 9L), (6L, -1L), (7L, 9L)),
+      s"pre-add=default, explicit NULL stays, omitted fills: $extras")
+    // A COW rewrite (compact) MATERIALIZES the fill — the semantics
+    // survive the old files leaving the snapshot.
+    TxnLog.compact(dml, dir, targetFiles = 1)
+    assert(extras === Seq((5L, 9L), (6L, -1L), (7L, 9L)),
+      "compaction must preserve exists-default fills and explicit NULLs")
   }
 
   test("GENERATED AS IDENTITY columns: engine-assigned unique values " +
