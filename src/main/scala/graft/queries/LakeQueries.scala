@@ -1047,6 +1047,41 @@ object LakeQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // TYPE WIDENING (round-15 verdict): INT data lands, `ALTER TABLE
+    // … ALTER COLUMN n_chars TYPE BIGINT` widens as a pure metadata
+    // commit, then a BIGINT append carries values past Int.MaxValue.
+    // Old files keep their INT32 encoding (readers promote per file),
+    // log stats stay canonical-long across the mix so the closing
+    // range scan still prunes, and the oracle recomposes both
+    // populations. Refuse-lossy and narrow-writer acceptance are
+    // GraftSqlDmlSpec's.
+    "q_txn_widen" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/wns/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      s.conf.set("spark.sql.catalog.gwid",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gwid.root", base)
+      s.conf.set("spark.sql.catalog.gwid.writable", "true")
+      s.sql("CREATE TABLE gwid.wns.docs (doc_id BIGINT, lang STRING, " +
+        "n_chars INT)")
+      val docs = Tables.documents(s, d)
+      TxnLog.append(s, table, docs.select(col("doc_id"), col("lang"),
+        col("n_chars").cast("int").as("n_chars")))
+      s.sql("ALTER TABLE gwid.wns.docs ALTER COLUMN n_chars TYPE BIGINT")
+      TxnLog.append(s, table, docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          (col("n_chars") + 3000000000L).as("n_chars")))
+      TxnLog.read(s, table).filter(col("n_chars") >= 400L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
+
     // SYNC IDENTITY oracle-gated (round-15 verdict): GENERATED BY
     // DEFAULT identity, an engine-assigned batch (1..nA), EXPLICIT
     // high inserts (1000000 + doc_id — the standard contract leaves
@@ -1304,6 +1339,17 @@ object LakeQueries extends QueryModule {
         |SELECT lang, count(*) AS row_cnt, sum(score)::BIGINT AS sum_score,
         |  sum(doc_id)::BIGINT AS sum_id
         | FROM allr GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_widen" ->
+      """WITH allr AS (
+        |  SELECT doc_id, lang, n_chars::BIGINT AS nc FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, n_chars + 3000000000
+        |    FROM documents WHERE doc_id % 5 = 0)
+        |SELECT lang, count(*) AS row_cnt, sum(nc)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM allr WHERE nc >= 400 GROUP BY 1 ORDER BY lang"""
+        .stripMargin.replace("\n", ""),
 
     "q_txn_identity_sync" ->
       """WITH a AS (SELECT count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS s

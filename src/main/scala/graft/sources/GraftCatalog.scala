@@ -391,9 +391,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val name = topLevel(d.fieldNames(), "DROP COLUMN")
         if (d.ifExists() && !cur.fieldNames.exists(_.equalsIgnoreCase(name))) ()
         else TxnLog.dropColumn(spark, dir, name)
+      case u: TableChange.UpdateColumnType =>
+        // Lossless widening only — a metadata commit; files keep their
+        // narrow physical encoding and readers promote per file.
+        TxnLog.widenColumn(spark, dir,
+          topLevel(u.fieldNames(), "ALTER COLUMN TYPE"), u.newDataType())
       case other => throw new UnsupportedOperationException(
-        s"graft txn ALTER supports ADD/RENAME/DROP COLUMN only (got " +
-          s"$other): retype would rewrite immutable data files")
+        s"graft txn ALTER supports ADD/RENAME/DROP COLUMN and lossless " +
+          s"ALTER COLUMN TYPE widening only (got $other): anything else " +
+          "would rewrite immutable data files")
     }
     txnTable(ident, None)
   }

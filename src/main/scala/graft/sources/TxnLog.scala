@@ -762,12 +762,19 @@ object TxnLog {
         df.schema.fields.foreach { fld =>
           cur.fields.find(_.name.equalsIgnoreCase(fld.name)) match {
             case Some(c) =>
-              if (c.dataType.catalogString != fld.dataType.catalogString)
+              // A frame whose column widens LOSSLESSLY into the table
+              // type is accepted as-is (the post-widen narrow-writer
+              // case): the file stores the narrow physical encoding
+              // and every reader promotes per file — no data change a
+              // reader could observe. Anything else still rejects.
+              if (c.dataType.catalogString != fld.dataType.catalogString &&
+                  !widens(fld.dataType, c.dataType))
                 throw new IllegalArgumentException(
                   s"$what to $table rejected: column '${fld.name}' is " +
                     s"${fld.dataType.catalogString} but the table schema has " +
                     s"${c.dataType.catalogString} — schema enforcement fails " +
-                    "the COMMIT; fix the writer (types never coerce silently)")
+                    "the COMMIT; fix the writer (types never coerce silently; " +
+                    "only lossless widenings are accepted in place)")
             case None =>
               if (!mergeSchema)
                 throw new IllegalArgumentException(
@@ -1464,6 +1471,68 @@ object TxnLog {
     * changes; reads translate at scan time, old snapshots time-travel
     * under the old name, new writes bind to the new one. Re-validated
     * against the tip per attempt like every schema commit. */
+  /** Lossless in-place type widenings (`ALTER COLUMN … TYPE`): the
+    * pairs where every value of `from` is exactly representable in
+    * `to` AND the parquet readers promote per file (SPARK-40876), so
+    * immutable files stay put and mixed-type snapshots read correctly.
+    * byte<short<int<long; float→double; byte/short/int→double (exact
+    * in the 53-bit mantissa). long→double is OUT (loses precision past
+    * 2^53); everything else would genuinely rewrite data. */
+  private[graft] def widens(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val rank = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    (from, to) match {
+      case (f, t) if rank.contains(f) && rank.contains(t) =>
+        rank(f) < rank(t)
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN … TYPE` — type widening as a pure
+    * METADATA commit: the recorded schema takes the wider type, every
+    * existing file keeps its narrow physical encoding, and reads
+    * promote PER FILE through the schema-bound scan (the same
+    * mechanism evolution uses for missing columns). Everything
+    * downstream is already canonical-form-stable across the integral
+    * chain: log STATS canonicalize integrals to long ([[canonLong]]),
+    * so range pruning keeps working over mixed narrow/wide files; the
+    * BLOOM index hashes integral columns through a cast to LONG
+    * (TxnBloom longProbe), so pre-widen segments still answer
+    * post-widen probes bit-identically; column MAPPING keeps the
+    * physical slot (only the type changes); IDENTITY/GENERATED/
+    * DEFAULT metadata rides the field copy — widening an INT identity
+    * column to BIGINT is exactly the documented overflow remedy.
+    * int→double widenings drop stats coverage on the column going
+    * forward (floats/doubles never record stats — NaN-poisoning), and
+    * never had bloom coverage; pruning only ever shrinks, so both are
+    * sound. Lossy or non-widening retypes refuse loudly. */
+  def widenColumn(spark: SparkSession, table: String, column: String,
+                  to: DataType): CommitResult =
+    mustCommit(commitLoop(spark, table, schema = {
+      val meta = resolve(spark, table, None)._2.getOrElse(
+        throw new UnsupportedOperationException(
+          s"$table predates schema tracking; ALTER COLUMN TYPE needs a " +
+            "log-recorded schema (append once to record one)"))
+      val f = meta.schema.fields.find(_.name.equalsIgnoreCase(column))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column '$column' in $table"))
+      if (f.dataType.catalogString == to.catalogString)
+        throw new IllegalArgumentException(
+          s"$table.'$column' already has type ${to.catalogString}")
+      require(widens(f.dataType, to),
+        s"ALTER COLUMN TYPE on $table.'$column': " +
+          s"${f.dataType.catalogString} -> ${to.catalogString} is not a " +
+          "lossless widening — only byte<short<int<long, float->double, " +
+          "and byte/short/int->double evolve in place (files are " +
+          "immutable; anything else would rewrite data or lose precision)")
+      Some(SchemaCommit(StructType(meta.schema.fields.map(x =>
+        if (x.name.equalsIgnoreCase(column)) x.copy(dataType = to) else x)),
+        meta.retired, meta.constraints))
+    })(_ => Some((Nil, Nil))), s"widen $table.$column")
+
   def renameColumn(spark: SparkSession, table: String,
                    from: String, to: String): CommitResult =
     mustCommit(commitLoop(spark, table, schema = {

@@ -1184,6 +1184,45 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("ALTER COLUMN TYPE widens losslessly in place: INT files promote " +
+       "to BIGINT per file, values past Int.MaxValue land, narrow " +
+       "writers still append, bloom probes survive the widen, and " +
+       "lossy retypes refuse (round-15 verdict)") {
+    import dml.implicits._
+    val dir = s"$root/ns/t_wid"
+    dml.sql("CREATE TABLE lake.ns.t_wid (id BIGINT, v INT)")
+    TxnLog.append(dml, dir, Seq((1L, 10), (2L, 20)).toDF("id", "v"))
+    dml.sql("ALTER TABLE lake.ns.t_wid ALTER COLUMN v TYPE BIGINT")
+    def vs: Set[Long] = dml.sql("SELECT v FROM lake.ns.t_wid")
+      .as[Long].collect().toSet
+    assert(vs === Set(10L, 20L), "pre-widen INT32 files must promote")
+    dml.sql("INSERT INTO lake.ns.t_wid VALUES (3, 3000000000)")
+    // A narrow (INT) writer is still accepted in place post-widen —
+    // the file stores INT32, readers promote.
+    TxnLog.append(dml, dir, Seq((4L, 40)).toDF("id", "v"))
+    assert(vs === Set(10L, 20L, 3000000000L, 40L))
+    // Lossy/narrowing retypes refuse loudly; nothing commits.
+    val vNow = TxnLog.latestVersion(dml, dir)
+    intercept[Exception] {
+      dml.sql("ALTER TABLE lake.ns.t_wid ALTER COLUMN v TYPE INT")
+    }
+    intercept[Exception] { // long -> double loses precision past 2^53
+      dml.sql("ALTER TABLE lake.ns.t_wid ALTER COLUMN id TYPE DOUBLE")
+    }
+    assert(TxnLog.latestVersion(dml, dir) === vNow)
+    // BLOOM continuity: integral probes hash through a cast to LONG,
+    // so segments built from INT values answer post-widen LONG probes.
+    val bt = s"$root/ns/t_widb"
+    TxnLog.createWithBloom(dml, bt,
+      (0 until 100).map(i => (i, s"n$i")).toDF("k", "s"), Seq("k"))
+    TxnLog.widenColumn(dml, bt, "k",
+      org.apache.spark.sql.types.LongType)
+    val got = TxnLog.readPrunedEq(dml, bt, "k", Seq(7L, 55L))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(7L, 55L),
+      "post-widen long probes must still hit pre-widen bloom segments")
+  }
+
   test("identity columns hold on EVERY write path (round-15 advice): " +
        "MERGE INSERT assigns, UPDATE SET on ALWAYS refuses, " +
        "replace-by-key merge assigns fresh ids, overwrite assigns " +
