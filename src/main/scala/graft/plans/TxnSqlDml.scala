@@ -609,6 +609,16 @@ case class GraftOptimizeCommand(dir: String, targetFiles: Option[Int],
       org.apache.spark.sql.catalyst.expressions.AttributeReference(
         n, org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val recorded = TxnLog.clusterColumnsOf(spark, dir)
+    // A BARE `OPTIMIZE` (no TARGET, no clause) on a CLUSTER BY table
+    // clusters INCREMENTALLY: only files not yet clustered at the
+    // recorded keys rewrite — the 100 TB maintenance shape (round-15
+    // verdict). An explicit TARGET (or clause) is the full rewrite.
+    if (targetFiles.isEmpty && clusterBy.isEmpty && recorded.nonEmpty) {
+      val r = TxnLog.clusterIncremental(spark, dir,
+        recorded.map(org.apache.spark.sql.functions.col))
+      return Seq(Row(r.version, r.added.toLong, r.removed.toLong))
+    }
     val target = targetFiles.getOrElse {
       val p = new org.apache.hadoop.fs.Path(dir)
       val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -618,9 +628,7 @@ case class GraftOptimizeCommand(dir: String, targetFiles: Option[Int],
         .sum
       math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
     }
-    val keys =
-      if (clusterBy.nonEmpty) clusterBy
-      else TxnLog.clusterColumnsOf(spark, dir)
+    val keys = if (clusterBy.nonEmpty) clusterBy else recorded
     val r = TxnLog.compact(spark, dir, target,
       keys.map(org.apache.spark.sql.functions.col))
     Seq(Row(r.version, r.added.toLong, r.removed.toLong))

@@ -112,7 +112,8 @@ object TxnLog {
                         txn: Option[String] = None,
                         stats: Map[String, FileStats] = Map.empty,
                         dvs: Map[String, String] = Map.empty,
-                        schema: Option[SchemaCommit] = None): Boolean = {
+                        schema: Option[SchemaCommit] = None,
+                        cls: Map[String, String] = Map.empty): Boolean = {
     val statsJson =
       if (stats.isEmpty) ""
       else ",\"stats\":{" + stats.toSeq.sortBy(_._1).map { case (path, st) =>
@@ -132,6 +133,13 @@ object TxnLog {
       if (dvs.isEmpty) ""
       else ",\"dvs\":{" + dvs.toSeq.sortBy(_._1).map { case (path, dv) =>
         JsonUtil.quote(path) + ":" + JsonUtil.quote(dv)
+      }.mkString(",") + "}"
+    // Clustered-at markers ride per file like DV bindings; absent on
+    // pre-marker log entries (parse treats missing as unmarked).
+    val clJson =
+      if (cls.isEmpty) ""
+      else ",\"cl\":{" + cls.toSeq.sortBy(_._1).map { case (path, sig) =>
+        JsonUtil.quote(path) + ":" + JsonUtil.quote(sig)
       }.mkString(",") + "}"
     // The schema rides base64-encoded: StructType.json is JSON-in-JSON
     // and the log's parser is deliberately regex-simple — encoding
@@ -161,7 +169,7 @@ object TxnLog {
     val body = "{\"adds\":[" + adds.map(JsonUtil.quote).mkString(",") +
       "],\"removes\":[" + removes.map(JsonUtil.quote).mkString(",") + "]" +
       txn.fold("")(t => ",\"txn\":" + JsonUtil.quote(t)) + statsJson + dvJson +
-      schemaJson + "}"
+      clJson + schemaJson + "}"
     val bytes = body.getBytes("UTF-8")
     if (exclusive && f.makeQualified(p).toUri.getScheme == "file") {
       // Hadoop's LocalFileSystem create(overwrite=false) is a
@@ -259,6 +267,13 @@ object TxnLog {
       .map(m => m.group(1) -> m.group(2)).toMap
   }
 
+  private def parseCls(body: String): Map[String, String] = {
+    val i = body.indexOf("\"cl\":{")
+    if (i < 0) return Map.empty
+    DvEntry.findAllMatchIn(balancedObject(body, i + 5))
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
   /** Deep-nullable normalization for the log-recorded schema. */
   private def nullableSchema(s: StructType): StructType =
     StructType(s.fields.map(f =>
@@ -335,9 +350,17 @@ object TxnLog {
                version: Option[Long] = None): Seq[String] =
     snapshotFull(spark, table, version).map(_._1)
 
-  /** One live file's full log-carried state: optional column stats and
-    * optional deletion-vector path (both None for plain appends). */
-  final case class FileState(stats: Option[FileStats], dv: Option[String])
+  /** One live file's full log-carried state: optional column stats,
+    * optional deletion-vector path (both None for plain appends), and
+    * the optional CLUSTERED-AT signature — the cluster-key set the
+    * file was laid out under when a clustered rewrite produced it
+    * (None for every other write), which is what lets a bare OPTIMIZE
+    * on a CLUSTER BY table cluster INCREMENTALLY: only unmarked files
+    * rewrite (the liquid-clustering discipline; cost ∝ new data,
+    * never the table). Any non-clustered rewrite of the file drops
+    * the marker with the entry, so its rows re-cluster next pass. */
+  final case class FileState(stats: Option[FileStats], dv: Option[String],
+                             cl: Option[String] = None)
 
   /** The live file set plus each file's log-carried stats (None where
     * the publishing commit recorded none — a stats-less file can never
@@ -389,8 +412,10 @@ object TxnLog {
     def apply(body: String): Unit = {
       val st = parseStats(body)
       val dv = parseDvs(body)
+      val cl = parseCls(body)
       parseArr(body, "removes").foreach(live -= _)
-      parseArr(body, "adds").foreach(p => live += p -> FileState(st.get(p), dv.get(p)))
+      parseArr(body, "adds").foreach(p =>
+        live += p -> FileState(st.get(p), dv.get(p), cl.get(p)))
       // DV re-bindings of files that stay live (not in this commit's adds).
       dv.foreach { case (p, d) =>
         live.get(p).foreach(s => live += p -> s.copy(dv = Some(d)))
@@ -982,7 +1007,8 @@ object TxnLog {
   private def commitLoop(spark: SparkSession, table: String, txn: Option[String] = None,
                          stats: Map[String, FileStats] = Map.empty,
                          dvs: Map[String, String] = Map.empty,
-                         schema: => Option[SchemaCommit] = None)
+                         schema: => Option[SchemaCommit] = None,
+                         cls: Map[String, String] = Map.empty)
                         (attempt: Long => Option[(Seq[String], Seq[String])]): Option[CommitResult] = {
     val f = fs(spark, logDir(table))
     while (true) {
@@ -991,7 +1017,7 @@ object TxnLog {
         case None => return None
         case Some((a, r)) =>
           if (writeJson(f, versionFile(table, next), a, r, exclusive = true, txn,
-              stats, dvs, schema)) {
+              stats, dvs, schema, cls)) {
             if (next % CheckpointInterval == 0 && next > 0) {
               // Checkpoints publish by RENAME: a crash mid-write must
               // never leave a truncated c*.json — replay parses the
@@ -1005,9 +1031,13 @@ object TxnLog {
               val tmp = new Path(logDir(table), f"c$next%08d.json.tmp")
               writeJson(f, tmp, full.map(_._1), Nil,
                 exclusive = false,
-                stats = full.collect { case (p, FileState(Some(st), _)) => p -> st }.toMap,
-                dvs = full.collect { case (p, FileState(_, Some(d))) => p -> d }.toMap,
-                schema = sch)
+                stats = full.collect {
+                  case (p, st) if st.stats.isDefined => p -> st.stats.get }.toMap,
+                dvs = full.collect {
+                  case (p, st) if st.dv.isDefined => p -> st.dv.get }.toMap,
+                schema = sch,
+                cls = full.collect {
+                  case (p, st) if st.cl.isDefined => p -> st.cl.get }.toMap)
               f.rename(tmp, checkpointFile(table, next))
             }
             return Some(CommitResult(next, a.size, r.size))
@@ -2593,8 +2623,12 @@ object TxnLog {
       s"cannot restore $table to v$toVersion: ${missing.size} of its " +
         s"files were vacuumed (first: ${missing.headOption.getOrElse("")})")
     mustCommit(commitLoop(spark, table,
-      stats = want.collect { case (p, FileState(Some(st), _)) => p -> st }.toMap,
-      dvs = want.collect { case (p, FileState(_, Some(d))) => p -> d }.toMap,
+      stats = want.collect {
+        case (p, st) if st.stats.isDefined => p -> st.stats.get }.toMap,
+      dvs = want.collect {
+        case (p, st) if st.dv.isDefined => p -> st.dv.get }.toMap,
+      cls = want.collect {
+        case (p, st) if st.cl.isDefined => p -> st.cl.get }.toMap,
       schema = wantSchema) { v =>
       val cur = snapshot(spark, table, Some(v - 1))
       Some((want.map(_._1), cur))
@@ -3555,6 +3589,62 @@ object TxnLog {
     if (sets.isEmpty) Nil else sets.reduce(_ intersect _).toSeq.sorted
   }
 
+  /** Canonical signature of a cluster-key set for the per-file
+    * clustered-at marker: the key expressions' text, order-sensitive
+    * (range-clustering on (a,b) and (b,a) lay out differently). */
+  private def clusterSig(cols: Seq[Column]): String =
+    cols.map(_.toString.toLowerCase).mkString(",")
+
+  /** INCREMENTAL clustering — what a bare `OPTIMIZE` runs on a
+    * `CLUSTER BY` table (the liquid-clustering discipline): rewrite
+    * ONLY the live files NOT yet marked clustered-at the current keys
+    * (new appends, DML rewrites, files clustered under different
+    * keys), range-clustered among themselves; already-clustered files
+    * never move. Cost ∝ un-clustered data — on a 100 TB table the
+    * daily maintenance pass clusters the day's ingest, not the
+    * petabytes a full rewrite would churn (round-15 verdict; the full
+    * rewrite remains available via explicit TARGET). A no-op (current
+    * version, nothing staged) when every file is already marked.
+    * Victim-identity checked like [[compactSmall]]: abandons if an
+    * un-clustered victim was replaced concurrently. */
+  def clusterIncremental(spark: SparkSession, table: String,
+                         keys: Seq[Column]): CommitResult = {
+    require(keys.nonEmpty, "clusterIncremental needs cluster keys")
+    val sig = clusterSig(keys)
+    val base = latestVersion(spark, table)
+    val (full, snapSchema) = resolveSnapshot(spark, table, Some(base))
+    val victims = full.filterNot(_._2.cl.contains(sig))
+    if (victims.isEmpty) return CommitResult(base, 0, 0)
+    val f = fs(spark, new Path(table))
+    val bytes = victims.map { case (rel, _) =>
+      scala.util.Try(f.getFileStatus(new Path(table, rel)).getLen)
+        .getOrElse(0L)
+    }.sum
+    val target = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+    val shaped = readState(spark, table, victims, snapSchema)
+      .repartitionByRange(target, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val staged = stage(spark, table, shaped, snapSchema)
+    val statCols = inheritedStatsCols(victims)
+    val stats =
+      if (statCols.isEmpty) Map.empty[String, FileStats]
+      else stagedStats(spark, table, staged, statCols, snapSchema)
+    commitLoop(spark, table, stats = stats,
+      cls = staged.map(_ -> sig).toMap) { v =>
+      val current = snapshotFull(spark, table, Some(v - 1)).toMap
+      if (victims.forall { case (p, st) => current.get(p).contains(st) })
+        Some((staged, victims.map(_._1)))
+      else None
+    } match {
+      case Some(r) => r
+      case None =>
+        dropStaged(spark, table, staged)
+        throw new IllegalStateException(
+          s"incremental clustering on $table abandoned: a victim file " +
+            "was replaced concurrently")
+    }
+  }
+
   /** Logical full compaction into `targetFiles` files. `clusterBy`
     * turns it into OPTIMIZE…ZORDER/ORDER on the ACID table: range
     * partition + local sort on the cluster keys, so every output
@@ -3602,7 +3692,10 @@ object TxnLog {
     val stats =
       if (statCols.isEmpty) Map.empty[String, FileStats]
       else stagedStats(spark, table, staged, statCols, snapSchema)
-    val result = commitLoop(spark, table, stats = stats) { v =>
+    val result = commitLoop(spark, table, stats = stats,
+      cls =
+        if (clusterBy.isEmpty) Map.empty[String, String]
+        else staged.map(_ -> clusterSig(clusterBy)).toMap) { v =>
       if (v != base + 1) None else Some((staged, victims))
     }
     if (result.isEmpty) dropStaged(spark, table, staged)

@@ -1184,6 +1184,58 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("bare OPTIMIZE on a CLUSTER BY table clusters INCREMENTALLY: " +
+       "a second pass rewrites nothing, a later append clusters at " +
+       "cost proportional to the new files, markers survive checkpoint " +
+       "replay, and explicit TARGET still full-rewrites") {
+    import dml.implicits._
+    val dir = s"$root/ns/t_inc"
+    dml.sql("CREATE TABLE lake.ns.t_inc (id BIGINT, v BIGINT) " +
+      "CLUSTER BY (v)")
+    (0 to 2).foreach { r =>
+      dml.sql(s"INSERT INTO lake.ns.t_inc SELECT id, id * 7 % 1000 " +
+        s"FROM range(0, 300) WHERE id % 3 = $r")
+    }
+    val n0 = TxnLog.snapshot(dml, dir).size
+    def opt(sql: String): (Long, Long, Long) =
+      dml.sql(sql).as[(Long, Long, Long)].head()
+    val first = opt("OPTIMIZE lake.ns.t_inc")
+    assert(first._3 === n0.toLong, "first bare OPTIMIZE clusters every file")
+    // Second pass: every live file is marked clustered-at(v) — no-op,
+    // no commit published.
+    val second = opt("OPTIMIZE lake.ns.t_inc")
+    assert(second === ((first._1, 0L, 0L)),
+      s"second bare OPTIMIZE must rewrite nothing: $second")
+    // New ingest is un-marked; the next pass rewrites ONLY it.
+    dml.sql("INSERT INTO lake.ns.t_inc SELECT id, id % 1000 " +
+      "FROM range(300, 400)")
+    val nAfter = TxnLog.snapshot(dml, dir).size
+    val third = opt("OPTIMIZE lake.ns.t_inc")
+    assert(third._3 === (nAfter - first._2.toInt).toLong,
+      s"incremental pass must rewrite exactly the new files: $third " +
+        s"(snapshot $nAfter, clustered ${first._2})")
+    assert(dml.sql("SELECT count(*), sum(id) FROM lake.ns.t_inc")
+      .as[(Long, Long)].head() === ((400L, 400L * 399 / 2)))
+    // Push past a checkpoint (interval 10) — the clustered-at markers
+    // must ride checkpoint replay, or the next bare OPTIMIZE would
+    // re-cluster the whole table.
+    (0 until TxnLog.CheckpointInterval).foreach { i =>
+      dml.sql(s"INSERT INTO lake.ns.t_inc VALUES (${1000 + i}, $i)")
+    }
+    val tail = opt("OPTIMIZE lake.ns.t_inc")
+    assert(tail._3 === TxnLog.CheckpointInterval.toLong,
+      s"post-checkpoint pass must rewrite only the tail inserts: $tail")
+    assert(opt("OPTIMIZE lake.ns.t_inc") === ((tail._1, 0L, 0L)),
+      "markers must survive checkpoint replay")
+    // Explicit TARGET remains the full rewrite.
+    val pre = TxnLog.snapshot(dml, dir).size
+    val full = opt("OPTIMIZE lake.ns.t_inc TARGET 1 FILES")
+    assert(full._2 === 1L && full._3 === pre.toLong,
+      s"explicit TARGET must full-rewrite: $full")
+    assert(dml.sql("SELECT count(*) FROM lake.ns.t_inc")
+      .as[Long].head() === 410L)
+  }
+
   test("ALTER COLUMN TYPE widens losslessly in place: INT files promote " +
        "to BIGINT per file, values past Int.MaxValue land, narrow " +
        "writers still append, bloom probes survive the widen, and " +

@@ -608,12 +608,19 @@ class TxnLogSpec extends AnyFunSuite with SparkSpec {
     // Nothing published, the table still reads clean.
     assert(TxnLog.latestVersion(spark, t) === before)
     assert(TxnLog.read(spark, t).count() === docs.count())
-    // Case-insensitive names resolve to the same column (Spark default).
+    // Case-insensitive names resolve to the same column (Spark
+    // default) — probed with a STRING retype (an INT frame would now
+    // be accepted as a lossless widening into the BIGINT column).
     val e3 = intercept[IllegalArgumentException] {
       TxnLog.append(spark, t, docs.withColumnRenamed("n_chars", "N_CHARS")
-        .withColumn("N_CHARS", col("N_CHARS").cast("int")))
+        .withColumn("N_CHARS", col("N_CHARS").cast("string")))
     }
     assert(e3.getMessage.contains("N_CHARS"))
+    // ... and a genuinely narrower frame IS accepted in place: the
+    // file stores INT32, readers promote to the table's BIGINT.
+    TxnLog.append(spark, t, docs.limit(1)
+      .withColumn("n_chars", col("n_chars").cast("int")))
+    assert(TxnLog.read(spark, t).count() === docs.count() + 1)
     // The sanctioned evolution path still works and records the schema.
     TxnLog.append(spark, t, docs.withColumn("extra", lit(1L)), mergeSchema = true)
     assert(TxnLog.tableSchema(spark, t).exists(_.fieldNames.contains("extra")))
