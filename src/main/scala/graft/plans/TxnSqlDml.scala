@@ -45,6 +45,80 @@ import graft.sources.{GraftCatalog, TxnLog, TxnTable}
   * naming the target table/alias are stripped here. */
 object TxnSqlDml {
 
+  /** Index of the first TOP-LEVEL occurrence of any of `kws` in
+    * `text` — outside single/double-quoted strings (with doubled-
+    * quote and backslash escapes), backtick-quoted identifiers,
+    * parentheses, `--` line comments, and (nested) bracketed
+    * comments — matched case-insensitively at word boundaries.
+    * -1 when none occurs at the top level.
+    *
+    * This is the quote-aware statement splitter the regex-recognized
+    * extension statements need (round-15 verdict #8): a lazy regex
+    * split at `SELECT|VALUES|…` would fire INSIDE a string literal
+    * (`name = 'a SELECT b'`) or inside a parenthesized subquery
+    * (`k IN (SELECT …)`), mis-splitting the predicate from the query
+    * tail. The scanner walks the real lexical structure instead, so
+    * those positions are never split points. */
+  private[graft] def topLevelKeywordIndex(text: String,
+      kws: Seq[String]): Int = {
+    val upper = text.toUpperCase(java.util.Locale.ROOT)
+    val ks = kws.map(_.toUpperCase(java.util.Locale.ROOT))
+    def isWord(c: Char) = c == '_' || Character.isLetterOrDigit(c)
+    var i = 0
+    var depth = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      c match {
+        case '\'' | '"' =>
+          // String literal: doubled-quote ('') and backslash escapes
+          // both stay inside; an unterminated literal consumes the
+          // tail (no split point can hide past a broken literal).
+          val q = c; i += 1
+          var done = false
+          while (i < n && !done) {
+            val d = text.charAt(i)
+            if (d == '\\' && i + 1 < n) i += 2
+            else if (d == q && i + 1 < n && text.charAt(i + 1) == q) i += 2
+            else if (d == q) { i += 1; done = true }
+            else i += 1
+          }
+        case '`' =>
+          // Backtick identifier: `` escapes a literal backtick.
+          i += 1
+          var done = false
+          while (i < n && !done) {
+            if (text.charAt(i) == '`' && i + 1 < n &&
+              text.charAt(i + 1) == '`') i += 2
+            else if (text.charAt(i) == '`') { i += 1; done = true }
+            else i += 1
+          }
+        case '-' if i + 1 < n && text.charAt(i + 1) == '-' =>
+          while (i < n && text.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < n && text.charAt(i + 1) == '*' =>
+          // Bracketed comment — NESTED, the Spark grammar's rule.
+          var cd = 1; i += 2
+          while (i < n && cd > 0) {
+            if (i + 1 < n && text.charAt(i) == '/' &&
+              text.charAt(i + 1) == '*') { cd += 1; i += 2 }
+            else if (i + 1 < n && text.charAt(i) == '*' &&
+              text.charAt(i + 1) == '/') { cd -= 1; i += 2 }
+            else i += 1
+          }
+        case '(' => depth += 1; i += 1
+        case ')' => depth = math.max(0, depth - 1); i += 1
+        case _ =>
+          if (depth == 0 && isWord(c) && (i == 0 || !isWord(text.charAt(i - 1)))) {
+            val hit = ks.exists(k => upper.startsWith(k, i) &&
+              (i + k.length == n || !isWord(text.charAt(i + k.length))))
+            if (hit) return i
+          }
+          i += 1
+      }
+    }
+    -1
+  }
+
   /** The txn-table directory behind a multipart name, when the name
     * resolves through a [[GraftCatalog]] to a `_log`-carrying
     * directory; None otherwise (the statement is left untouched).
@@ -1103,11 +1177,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   /** `INSERT INTO <tgt> REPLACE WHERE <cond> <query>` — OSS Spark has
     * no grammar production for replaceWhere (Delta ships it as a
     * writer option only), so the statement is recognized here: the
-    * predicate runs to the first query-start keyword, the query tail
-    * parses through the session grammar. */
+    * predicate runs to the first TOP-LEVEL query-start keyword (found
+    * by [[TxnSqlDml.topLevelKeywordIndex]]'s quote/comment/paren-aware
+    * scan, so a keyword inside a string literal or a parenthesized
+    * IN-subquery never splits the statement — round-15 verdict #8),
+    * the query tail parses through the session grammar. */
   private val replaceWhereRe =
     (s"""(?is)^\\s*INSERT\\s+INTO\\s+$Tgt\\s+REPLACE\\s+WHERE\\s+""" +
-      """(.+?)\s+((?:SELECT|VALUES|WITH|TABLE|FROM)\b.*?)\s*;?\s*$""").r
+      """(.+?)\s*;?\s*$""").r
+  private val QueryStartKws = Seq("SELECT", "VALUES", "WITH", "TABLE", "FROM")
 
   private val explainRe = """(?is)^\s*EXPLAIN\s+(.*)$""".r
 
@@ -1173,10 +1251,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case addGeneratedRe(tgt, name, e) =>
         resolveTarget(tgt).map(d =>
           GraftAddGeneratedCommand(d, name, e.trim): LogicalPlan)
-      case replaceWhereRe(tgt, pred, query) =>
-        resolveTarget(tgt).map(d =>
-          GraftReplaceWhereCommand(d, pred.trim,
-            delegate.parseQuery(query)): LogicalPlan)
+      case replaceWhereRe(tgt, rest) =>
+        resolveTarget(tgt).map { d =>
+          val i = TxnSqlDml.topLevelKeywordIndex(rest, QueryStartKws)
+          require(i > 0,
+            s"INSERT INTO … REPLACE WHERE: no top-level query found " +
+              s"after the predicate in '$rest' — expected " +
+              s"${QueryStartKws.mkString("|")} outside quotes/parens")
+          GraftReplaceWhereCommand(d, rest.substring(0, i).trim,
+            delegate.parseQuery(rest.substring(i))): LogicalPlan
+        }
       case dropPartitionWhereRe(tgt, pred) =>
         resolveTarget(tgt).map(d =>
           GraftDropPartitionsWhereCommand(d, pred.trim): LogicalPlan)

@@ -1224,6 +1224,40 @@ object LakeQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // Decontamination-shaped replaceWhere (round-15 verdict #5): the
+    // predicate is `doc_id IN (SELECT … contaminated ids …)` — the
+    // engine materializes the subquery ONCE under a row cap into a
+    // literal IN-list (TxnLog.materializeInSubqueries), so the
+    // survivor negation, escapee validation, and stats-based victim
+    // pruning all operate on an ordinary predicate. One atomic
+    // commit: contaminated docs are replaced by their scrubbed
+    // even-id twins (odd-id contaminated docs simply disappear —
+    // replacement may cover any subset of the region). Driven through
+    // the API here because this session is extension-free by design
+    // (Spark's own INSERT INTO … REPLACE WHERE production refuses
+    // subquery conditions); the graft SQL statement form of the same
+    // subquery replace is spec-gated in GraftSqlDmlSpec.
+    "q_txn_replace_decon" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/rdns/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table, docs.repartition(3))
+      docs.createOrReplaceTempView("grd_src")
+      TxnLog.overwriteWhere(s, table,
+        expr("doc_id IN (SELECT doc_id FROM grd_src WHERE n_chars % 7 = 0)"),
+        docs.filter("n_chars % 7 = 0 AND doc_id % 2 = 0")
+          .withColumn("n_chars", lit(0L)))
+      TxnLog.read(s, table)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
+
     // Stats-driven data skipping: write the table partitioned by
     // source, ANALYZE n_chars into the _stats sidecar, then answer a
     // high-end range query through the sidecar — partitions whose
@@ -1396,6 +1430,17 @@ object LakeQueries extends QueryModule {
         |  UNION ALL
         |  SELECT doc_id, lang, n_chars + 100000 AS nc FROM documents
         |   WHERE n_chars >= 400 AND doc_id % 2 = 0)
+        | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_replace_decon" ->
+      """SELECT lang, count(*) AS row_cnt, sum(nc)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM (
+        |  SELECT doc_id, lang, n_chars AS nc FROM documents
+        |   WHERE n_chars % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, 0 AS nc FROM documents
+        |   WHERE n_chars % 7 = 0 AND doc_id % 2 = 0)
         | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
 
     "q_txn_insert_dynamic" ->

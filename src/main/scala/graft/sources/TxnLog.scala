@@ -1339,6 +1339,60 @@ object TxnLog {
     }, s"dynamic partition overwrite of $table")
   }
 
+  /** Rewrite every `IN (SELECT …)` in `predicate` to a literal
+    * IN-list by evaluating the subquery ONCE under a row cap
+    * (`spark.graft.replaceWhere.inSubqueryMaxRows`, default 100000;
+    * the capped-collect pattern the bloom IN-subquery probe rule
+    * established — `limit(cap+1)` bounds both driver memory and the
+    * job, and "more rows than the cap" abandons loudly rather than
+    * OOMing). The rewrite is EXACT: `In` over the collected literals
+    * (nulls included) has SQL IN's three-valued semantics, and an
+    * empty result folds to FALSE — `x IN (empty set)` for any x. The
+    * subquery must be deterministic (its plan-time value set IS the
+    * semantics; a nondeterministic one would replace an unknowable
+    * region). EXISTS/scalar subqueries have no IN-list form and still
+    * reject. Predicates without subqueries pass through untouched.
+    * NOTE the [[Bridge.catalystExpression]] conversion: a SQL-text
+    * predicate (`expr("k IN (SELECT …)")` — the REPLACE WHERE front
+    * door's form) reaches here as a lazy ColumnNodeExpression whose
+    * tree is opaque to `exists`/`transform`; the full conversion is
+    * what makes the subquery visible at all. */
+  private def materializeInSubqueries(spark: SparkSession,
+      predicate: Column, what: String): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{InSubquery, In,
+      Literal, SubqueryExpression}
+    val e = Bridge.catalystExpression(predicate)
+    if (!e.exists(_.isInstanceOf[SubqueryExpression])) return predicate
+    val cap = spark.conf
+      .getOption("spark.graft.replaceWhere.inSubqueryMaxRows")
+      .map(_.toInt).getOrElse(100000)
+    val out = e.transform {
+      case InSubquery(values, lq) =>
+        require(values.length == 1,
+          s"$what: multi-column IN subqueries are not supported — " +
+            "concatenate the key or use DELETE + append")
+        val sub = Bridge.ofRows(spark, lq.plan)
+        require(sub.queryExecution.analyzed.deterministic,
+          s"$what: the IN subquery must be deterministic (its one-time " +
+            "evaluation defines the replaced region)")
+        val rows = sub.limit(cap + 1).collect()
+        require(rows.length <= cap,
+          s"$what: the IN subquery returned more than $cap rows — " +
+            "raise spark.graft.replaceWhere.inSubqueryMaxRows or use " +
+            "DELETE + append")
+        val dt = sub.schema.fields.head.dataType
+        if (rows.isEmpty) Literal.create(false,
+          org.apache.spark.sql.types.BooleanType)
+        else In(values.head,
+          rows.toSeq.map(r => Literal.create(r.get(0), dt)))
+    }
+    require(!out.exists(_.isInstanceOf[SubqueryExpression]),
+      s"$what: only IN (SELECT …) subqueries are supported here " +
+        "(EXISTS/scalar subqueries have no IN-list materialization) — " +
+        "materialize the subquery, or DELETE then append")
+    Bridge.column(out)
+  }
+
   /** PREDICATE overwrite — Delta's `replaceWhere`: atomically replace
     * exactly the rows matching `predicate` with `df`'s rows, in ONE
     * commit (readers see the old region or the new one, never a mix).
@@ -1349,21 +1403,23 @@ object TxnLog {
     * survive, and `df` lands alongside. The Delta contract is
     * enforced: every replacement row must satisfy the predicate (a
     * row escaping it would silently widen the overwrite) — validated
-    * distributed, fails loudly before anything stages. Subquery
-    * predicates are rejected (their negation — needed for both the
-    * survivor filter and the validation — lands in an expression
-    * position Spark's subquery rewrite does not support; materialize
-    * the subquery or use DELETE + append). Abandons loudly if a
-    * victim file was replaced concurrently, like [[delete]]. */
-  def overwriteWhere(spark: SparkSession, table: String, predicate: Column,
+    * distributed, fails loudly before anything stages. `IN (SELECT …)`
+    * subquery predicates — the decontamination shape ("replace every
+    * row whose key is in <bad-keys>") — are MATERIALIZED up front by
+    * [[materializeInSubqueries]]: the subquery evaluates once under a
+    * row cap and rewrites to a literal IN-list, after which the
+    * survivor negation, the escapee validation, AND stats-based victim
+    * pruning all see an ordinary predicate (a raw subquery would have
+    * no negation position and would defeat file skipping). Other
+    * subquery shapes (EXISTS, scalar) still reject loudly. Abandons
+    * loudly if a victim file was replaced concurrently, like
+    * [[delete]]. */
+  def overwriteWhere(spark: SparkSession, table: String, predicate0: Column,
       df: DataFrame,
       maxCollectedVictims: Int = MaxCollectedVictims): CommitResult = {
     import org.apache.spark.sql.functions.col
-    require(!Bridge.expression(predicate).exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
-      s"overwriteWhere on $table: subquery predicates are not supported " +
-        "(the survivor/validation negation has no subquery-rewrite " +
-        "position) — materialize the subquery, or DELETE then append")
+    val predicate = materializeInSubqueries(spark, predicate0,
+      s"overwriteWhere on $table")
     val cur = tableSchema(spark, table)
     enforceSchema(spark, table, df, mergeSchema = false,
       "replaceWhere overwrite")
@@ -3341,7 +3397,10 @@ object TxnLog {
     val victimRead = readState(spark, table,
       victims.map(p => p -> states(p)), snapSchema)
     val survivors =
-      if (!Bridge.expression(predicate).exists(
+      // catalystExpression, not expression: a SQL-text predicate
+      // (functions.expr) wraps in a lazy node whose tree `exists`
+      // can't see — the wrong branch here would negate a raw subquery.
+      if (!Bridge.catalystExpression(predicate).exists(
           _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
         victimRead.filter(!(predicate.cast("boolean") <=> true))
       else {

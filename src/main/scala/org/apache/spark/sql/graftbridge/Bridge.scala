@@ -12,6 +12,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The FULLY-CONVERTED catalyst expression behind a Column. Unlike
+    * [[expression]] — which leaves a SQL-text column
+    * (`functions.expr("…")`) wrapped in a lazy `ColumnNodeExpression`
+    * whose tree is opaque — this runs the classic converter, so the
+    * real parsed shape comes back. Callers that INSPECT the tree
+    * (subquery detection, predicate rewrites) must use this form: an
+    * `exists`/`transform` over the lazy wrapper silently sees nothing. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** A single-row/single-column DataFrame as a scalar-subquery Column —
     * the runtime-filter shape: the subquery runs once on the driver and
     * its value is substituted as a LITERAL into the consuming plan.

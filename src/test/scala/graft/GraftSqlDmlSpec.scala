@@ -1137,6 +1137,94 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.latestVersion(dml, dir) === v0 + 1)
   }
 
+  test("statement splitter: top-level keyword scan ignores string " +
+       "literals, backtick identifiers, parens, and comments") {
+    import graft.plans.TxnSqlDml.topLevelKeywordIndex
+    val kws = Seq("SELECT", "VALUES", "WITH", "TABLE", "FROM")
+    // Keyword inside a string literal never splits.
+    val s1 = "name = 'a SELECT b' VALUES (1)"
+    assert(topLevelKeywordIndex(s1, kws) === s1.indexOf("VALUES"))
+    // Doubled-quote escape stays inside the literal.
+    val s2 = "s = 'it''s SELECT x' SELECT 1"
+    assert(topLevelKeywordIndex(s2, kws) === s2.lastIndexOf("SELECT"))
+    // A parenthesized subquery's SELECT is not top-level.
+    val s3 = "k IN (SELECT id FROM bad) SELECT k, v FROM src"
+    assert(topLevelKeywordIndex(s3, kws) === s3.indexOf("SELECT k"))
+    // Backticked identifier containing a keyword.
+    val s4 = "`select` = 3 VALUES (9)"
+    assert(topLevelKeywordIndex(s4, kws) === s4.indexOf("VALUES"))
+    // Comments (line and nested bracketed) are skipped.
+    val s5 = "a = 1 -- SELECT not here\n/* VALUES /* TABLE */ */ SELECT 2"
+    assert(topLevelKeywordIndex(s5, kws) === s5.lastIndexOf("SELECT"))
+    // Word boundary: SELECTED is not SELECT.
+    val s6 = "selected = 1 VALUES (1)"
+    assert(topLevelKeywordIndex(s6, kws) === s6.indexOf("VALUES"))
+    // No top-level keyword at all → -1.
+    assert(topLevelKeywordIndex("a = 'SELECT'", kws) === -1)
+  }
+
+  test("REPLACE WHERE predicate containing a keyword inside a string " +
+       "literal splits at the real query start") {
+    val dir = freshTable("t_rwlit",
+      Seq((1L, "a SELECT b"), (2L, "plain")))
+    dml.sql("INSERT INTO lake.ns.t_rwlit REPLACE WHERE s = 'a SELECT b' " +
+      "VALUES (9, 'a SELECT b')")
+    assert(content("t_rwlit") === Set((9L, "a SELECT b"), (2L, "plain")))
+    assert(TxnLog.latestVersion(dml, dir) === 1L, "one atomic commit")
+  }
+
+  test("REPLACE WHERE id IN (SELECT …) — the decontamination shape — " +
+       "materializes the subquery and replaces exactly the listed " +
+       "region; EXISTS and over-cap subqueries refuse loudly") {
+    import dml.implicits._
+    val dir = freshTable("t_rwsub",
+      (0L to 9L).map(i => (i, s"v$i")))
+    Seq(2L, 5L, 7L).toDF("bad_id").createOrReplaceTempView("rw_bad")
+    dml.sql("INSERT INTO lake.ns.t_rwsub " +
+      "REPLACE WHERE id IN (SELECT bad_id FROM rw_bad) " +
+      "SELECT bad_id, 'clean' FROM rw_bad WHERE bad_id <> 7")
+    assert(content("t_rwsub") ===
+      ((0L to 9L).filterNot(Set(2L, 5L, 7L)).map(i => (i, s"v$i")).toSet ++
+        Set((2L, "clean"), (5L, "clean"))),
+      "listed rows replaced (7 dropped — subset replacement); others survive")
+    assert(TxnLog.latestVersion(dml, dir) === 1L, "one atomic commit")
+    // A replacement row OUTSIDE the materialized list refuses.
+    val esc = intercept[Exception] {
+      dml.sql("INSERT INTO lake.ns.t_rwsub " +
+        "REPLACE WHERE id IN (SELECT bad_id FROM rw_bad) " +
+        "VALUES (1, 'escapee')")
+    }
+    assert(esc.getMessage.contains("satisfy the predicate"))
+    // An EMPTY subquery folds the predicate to FALSE: any replacement
+    // row is then an escapee — refused, nothing committed.
+    val empty = intercept[Exception] {
+      dml.sql("INSERT INTO lake.ns.t_rwsub " +
+        "REPLACE WHERE id IN (SELECT bad_id FROM rw_bad WHERE bad_id < 0) " +
+        "VALUES (1, 'x')")
+    }
+    assert(empty.getMessage.contains("satisfy the predicate"))
+    // EXISTS has no IN-list materialization — loud refusal.
+    val ex = intercept[Exception] {
+      dml.sql("INSERT INTO lake.ns.t_rwsub " +
+        "REPLACE WHERE EXISTS (SELECT 1 FROM rw_bad) " +
+        "VALUES (1, 'x')")
+    }
+    assert(ex.getMessage.contains("IN (SELECT"))
+    // Over the row cap: abandons loudly instead of collecting a dim
+    // that does not fit the driver.
+    dml.conf.set("spark.graft.replaceWhere.inSubqueryMaxRows", "2")
+    try {
+      val cap = intercept[Exception] {
+        dml.sql("INSERT INTO lake.ns.t_rwsub " +
+          "REPLACE WHERE id IN (SELECT bad_id FROM rw_bad) " +
+          "SELECT bad_id, 'y' FROM rw_bad")
+      }
+      assert(cap.getMessage.contains("more than 2 rows"))
+    } finally dml.conf.unset("spark.graft.replaceWhere.inSubqueryMaxRows")
+    assert(TxnLog.latestVersion(dml, dir) === 1L,
+      "every refusal left the log untouched")
+  }
+
   test("RESTORE a merge-on-read UPDATE away and back: the DV binding " +
        "reverts and re-applies with the snapshot") {
     import dml.implicits._
