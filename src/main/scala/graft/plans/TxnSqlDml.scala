@@ -644,6 +644,26 @@ case class GraftVacuumCommand(dir: String, retainVersions: Int,
 /** `CONVERT TO TXN '<path>'` — the SQL face of [[TxnLog.adopt]]:
   * in-place adoption of a plain parquet directory; returns
   * (version, added). */
+/** `CLONE <src> TO '<dst>' [VERSION AS OF n]` →
+  * [[TxnLog.clone]] (zero-copy shallow clone: a version-0 commit at
+  * `dst` referencing `src`'s files in place — see there for the read/
+  * DML/vacuum semantics). `dst` is a quoted path BY DESIGN, like
+  * CONVERT: the target is a directory that is not a catalog table
+  * yet (clone it under a [[graft.sources.GraftCatalog]] root and it
+  * becomes name-addressable immediately). */
+case class GraftCloneCommand(src: String, dst: String,
+                             version: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq("version", "added").map(n =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        n, org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = TxnLog.clone(spark, src, dst, version)
+    Seq(Row(r.version, r.added.toLong))
+  }
+}
+
 case class GraftConvertCommand(dir: String) extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq("version", "added").map(n =>
@@ -1134,6 +1154,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     s"""(?is)^\\s*REINDEX\\s+BLOOM\\s+$Tgt\\s*;?\\s*$$""".r
   private val convertRe =
     s"""(?is)^\\s*CONVERT\\s+TO\\s+TXN\\s+'([^']+)'\\s*;?\\s*$$""".r
+  private val cloneRe =
+    (s"""(?is)^\\s*CLONE\\s+$Tgt\\s+TO\\s+'([^']+)'""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
   private val optimizeRe =
     (s"""(?is)^\\s*OPTIMIZE\\s+$Tgt""" +
       """(?:\s+PARTITION\s*\(([^)]*)\))?""" +
@@ -1224,6 +1247,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         // CONVERT stays path-only BY DESIGN: its target is a plain
         // parquet directory that is not a catalog table yet.
         Some(GraftConvertCommand(path))
+      case cloneRe(src, dst, v) =>
+        Some(GraftCloneCommand(resolveOrThrow(src), dst,
+          Option(v).map(_.toLong)))
       case optimizeRe(tgt, pbody, n, cols) if pbody != null =>
         // Partition-scoped OPTIMIZE: compact (and optionally cluster)
         // ONE partition slice's files; multi-column specs allowed.

@@ -1258,6 +1258,44 @@ object LakeQueries extends QueryModule {
         .orderBy("lang")
     }),
 
+    // SHALLOW CLONE lifecycle (round-15 verdict #6): clone a table
+    // zero-copy (version-0 commit referencing the source's files in
+    // place), then DIVERGE both sides — the clone drops one region
+    // and appends scrubbed rows, the source deletes a different
+    // region — and read source, clone, and the clone's own v0 (time
+    // travel on the two logs is independent by construction). The
+    // physical contracts (no data copied, copy-on-write localization,
+    // vacuum isolation, DV/partition-segment encoding) are pinned in
+    // CloneSpec; this query oracle-gates the VISIBLE semantics.
+    "q_txn_clone" -> ((s, d) => {
+      val base = scratch(s, d)
+      val src = s"$base/clns/src"
+      val dst = s"$base/clns/dup"
+      Seq(src, dst).foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(p)) fsys.delete(p, true)
+      }
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, src, docs.repartition(3))
+      TxnLog.clone(s, src, dst)
+      TxnLog.delete(s, dst, col("lang") === "en")
+      TxnLog.append(s, dst,
+        docs.filter(col("lang") === "en").withColumn("n_chars", lit(0L)))
+      TxnLog.delete(s, src, col("doc_id") % 3 === 0)
+      def agg(df: DataFrame, tag: String): DataFrame =
+        df.groupBy("lang")
+          .agg(count(lit(1)).as("row_cnt"),
+            sum("n_chars").as("sum_chars"),
+            sum("doc_id").as("sum_id"))
+          .withColumn("via", lit(tag))
+      agg(TxnLog.read(s, src), "src")
+        .unionByName(agg(TxnLog.read(s, dst), "clone"))
+        .unionByName(agg(TxnLog.read(s, dst, Some(0)), "clone_v0"))
+        .select("via", "lang", "row_cnt", "sum_chars", "sum_id")
+        .orderBy("via", "lang")
+    }),
+
     // Stats-driven data skipping: write the table partitioned by
     // source, ANALYZE n_chars into the _stats sidecar, then answer a
     // high-end range query through the sidecar — partitions whose
@@ -1442,6 +1480,26 @@ object LakeQueries extends QueryModule {
         |  SELECT doc_id, lang, 0 AS nc FROM documents
         |   WHERE n_chars % 7 = 0 AND doc_id % 2 = 0)
         | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_clone" ->
+      """SELECT via, lang, row_cnt, sum_chars, sum_id FROM (
+        |  SELECT 'src' AS via, lang, count(*) AS row_cnt,
+        |    sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_id
+        |   FROM documents WHERE doc_id % 3 <> 0 GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'clone' AS via, lang, count(*) AS row_cnt,
+        |    sum(nc)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_id
+        |   FROM (
+        |    SELECT doc_id, lang, n_chars AS nc FROM documents
+        |     WHERE lang <> 'en'
+        |    UNION ALL
+        |    SELECT doc_id, lang, 0 AS nc FROM documents WHERE lang = 'en')
+        |   GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'clone_v0' AS via, lang, count(*) AS row_cnt,
+        |    sum(n_chars)::BIGINT AS sum_chars, sum(doc_id)::BIGINT AS sum_id
+        |   FROM documents GROUP BY lang)
+        | ORDER BY via, lang""".stripMargin.replace("\n", ""),
 
     "q_txn_insert_dynamic" ->
       """SELECT lang, count(*) AS row_cnt, sum(nc)::BIGINT AS sum_chars,

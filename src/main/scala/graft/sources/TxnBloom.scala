@@ -181,7 +181,8 @@ object TxnBloom {
   private def footerRows(spark: SparkSession, table: String, rel: String): Long = {
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new Path(table, rel), spark.sparkContext.hadoopConfiguration))
+        TxnLog.dataPathObj(table, rel),
+        spark.sparkContext.hadoopConfiguration))
     try r.getRecordCount finally r.close()
   }
 

@@ -483,7 +483,7 @@ object TxnLog {
       paths: Seq[String], schema: StructType): DataFrame =
     toLogical(attachPartitionCols(
       spark.read.schema(nullableSchema(physicalSchema(schema)))
-        .parquet(paths.map(p => s"$table/$p"): _*), schema, paths), schema)
+        .parquet(paths.map(p => dataPath(table, p)): _*), schema, paths), schema)
 
   /** Rename a batch's logical columns to their physical names before
     * staging — files ALWAYS carry physical names; columns unknown to
@@ -574,11 +574,17 @@ object TxnLog {
       .map(_.substring(pfx.length)).nextOption()
   }
 
-  /** The DECODED partition value of `column` in a rel path — None when
-    * the path has no such segment, Some(null) for the null sentinel. */
+  /** The DECODED partition value of `column` in a log entry — None
+    * when the path has no such segment, Some(null) for the null
+    * sentinel. EXTERNAL (shallow-clone) entries went through one
+    * extra `Path.toUri` encoding when the clone recorded them, so
+    * their segments unescape TWICE (the sentinel has no escapable
+    * chars, so it survives either way). */
   private[graft] def partValueOf(rel: String, column: String): Option[String] =
-    rawPartValue(rel, column).map(v =>
-      if (v == NullPartName) null else unescapePathName(v))
+    rawPartValue(rel, column).map { v0 =>
+      val v = if (isExternal(rel)) unescapePathName(v0) else v0
+      if (v == NullPartName) null else unescapePathName(v)
+    }
 
   /** Attach partition columns to a raw file scan: each partition
     * field's value is derived from the scanned file's PATH (the same
@@ -604,16 +610,23 @@ object TxnLog {
     if (parts.isEmpty) return df
     parts.foldLeft(df) { (d, f) =>
       val phys = physicalName(f)
-      val distinctRaw = rels.flatMap(rawPartValue(_, phys)).distinct
       // `input_file_name()` reports the Path-URI string form (the same
       // SparkPath.urlEncoded contract relPathCol documents), so the
       // hive-escaped on-disk segment (`with%20space`) appears
       // URI-encoded AGAIN (`with%2520space`) — the table keys must be
       // in THAT encoding or special-char values silently read null.
+      // EXTERNAL (shallow-clone) entries were recorded in the URI
+      // string form already, so their raw segment is the scan-visible
+      // key AS-IS and the decoded value unescapes twice.
       def uriEncode(seg: String): String =
         new java.net.URI(null, null, "/" + seg, null).getRawPath.substring(1)
-      val pairs = distinctRaw.filter(_ != NullPartName)
-        .map(v => uriEncode(v) -> unescapePathName(v)).toArray
+      val pairs = rels
+        .flatMap(r => rawPartValue(r, phys).map(v => (isExternal(r), v)))
+        .distinct.filter(_._2 != NullPartName)
+        .map { case (ext, v) =>
+          if (ext) v -> unescapePathName(unescapePathName(v))
+          else uriEncode(v) -> unescapePathName(v)
+        }.distinct.toArray
       val v =
         if (pairs.isEmpty) lit(null).cast(f.dataType)
         else Bridge.column(graft.functions.PartValueDecodeExpr(
@@ -655,6 +668,34 @@ object TxnLog {
     if (hasDv) df.drop("_gf_rel", "_gf_idx") else df
   }
 
+  /** True when a log entry addresses a file OUTSIDE the table root —
+    * an absolute qualified URI recorded by [[clone]] (shallow-clone
+    * entries reference the SOURCE table's files in place). Engine-
+    * generated rel paths (under `stage-` and `col=value` segments)
+    * never start with '/' nor carry a scheme, so the test is unambiguous
+    * (partition values hive-escape ':' to %3A before they reach a
+    * path segment). */
+  private[graft] def isExternal(p: String): Boolean =
+    p.startsWith("/") || p.contains(":/")
+
+  /** The readable path of a log entry: external entries decode from
+    * their stored URI form back to the RAW path (the stored string is
+    * `Path.toUri.toString` so it byte-matches `input_file_name()`;
+    * readers want the unencoded name — a space in a partition value is
+    * `%20` in the key but a literal space on disk); table-relative
+    * entries resolve under the table root. Every read of
+    * entry-addressed data must go through here — a bare
+    * `s"$table/$p"` concat turns a shallow-clone entry into garbage. */
+  private[graft] def dataPath(table: String, p: String): String =
+    if (isExternal(p)) new Path(new java.net.URI(p)).toString
+    else s"$table/$p"
+
+  /** [[dataPath]] as a filesystem Path — for the metadata probes
+    * (sizes, footers, existence) that address entries directly. */
+  private[graft] def dataPathObj(table: String, p: String): Path =
+    if (isExternal(p)) new Path(new java.net.URI(p))
+    else new Path(table, p)
+
   /** The scan-visible, URL-ENCODED qualified table prefix:
     * `input_file_name()` reports the scan file's Path-URI string form
     * (SparkPath.urlEncoded), so any per-row match against the table
@@ -668,17 +709,33 @@ object TxnLog {
     fs(spark, p).makeQualified(p).toUri.toString
   }
 
-  /** Table-relative path of each scanned row's file, derived from
+  /** Entries per external-membership `isin` guard before it falls back
+    * to trusting the file name: past this, the guard is dropped rather
+    * than shipping a plan-sized literal list. */
+  private val MaxExternalGuard = 10000
+
+  /** The log-entry KEY of each scanned row's file, derived from
     * [[encodedTablePrefix]]; FAILS LOUDLY on a non-matching file —
     * a silent null would make DV joins and victim binding quietly
-    * empty, turning a DELETE into a successful no-op. */
-  private def relPathCol(spark: SparkSession, table: String): Column = {
+    * empty, turning a DELETE into a successful no-op. For EXTERNAL
+    * (shallow-clone) entries the stored string IS the scan's reported
+    * name (both derive from `Path.toUri` over the same path), so the
+    * key is the file name itself — guarded by membership in the
+    * snapshot's external set (which keeps the loud-failure property
+    * for encoding drift) up to [[MaxExternalGuard]] entries. */
+  private def relPathCol(spark: SparkSession, table: String,
+      files: Seq[String]): Column = {
     import org.apache.spark.sql.functions.{concat, input_file_name, lit, raise_error, when}
     val pfx = encodedTablePrefix(spark, table) + "/"
     val f = input_file_name()
-    when(f.startsWith(pfx), f.substr(lit(pfx.length + 1), lit(1 << 20)))
-      .otherwise(raise_error(concat(
-        lit(s"scan file outside table $table (prefix $pfx): "), f)))
+    val local = when(f.startsWith(pfx), f.substr(lit(pfx.length + 1), lit(1 << 20)))
+    val ext = files.filter(isExternal)
+    val err = raise_error(concat(
+      lit(s"scan file outside table $table (prefix $pfx): "), f))
+    if (ext.isEmpty) local.otherwise(err)
+    else if (ext.size <= MaxExternalGuard)
+      local.when(f.isin(ext: _*), f).otherwise(err)
+    else local.otherwise(f)
   }
 
   /** [[readState]] keeping the mask keys (`_gf_rel` relative path,
@@ -699,7 +756,7 @@ object TxnLog {
     // keys after the fact).
     val reader = schema.fold(spark.read.option("mergeSchema", "true"))(s =>
       spark.read.schema(nullableSchema(physicalSchema(s))))
-    val raw = reader.parquet(files.map { case (p, _) => s"$table/$p" }: _*)
+    val raw = reader.parquet(files.map { case (p, _) => dataPath(table, p) }: _*)
     // Partitioned tables: the files do not CARRY the partition
     // columns (hive layout) — they derive from the file paths here,
     // before masking/projection, so every downstream consumer (DV
@@ -711,12 +768,13 @@ object TxnLog {
     if (!hasDv && !tagAlways)
       (schema.fold(base)(toLogical(base, _)), false)
     else {
-      val tagged = base.withColumn("_gf_rel", relPathCol(spark, table))
+      val tagged = base.withColumn("_gf_rel",
+        relPathCol(spark, table, files.map(_._1)))
         .withColumn("_gf_idx", col("_metadata.row_index"))
       val masked =
         if (!hasDv) tagged
         else tagged.join(
-          spark.read.parquet(dvDirs.map(p => s"$table/$p"): _*)
+          spark.read.parquet(dvDirs.map(p => dataPath(table, p)): _*)
             .select(col("file").as("_gf_rel"), col("idx").as("_gf_idx")),
           Seq("_gf_rel", "_gf_idx"), "left_anti")
       (schema.fold(masked)(
@@ -1760,6 +1818,97 @@ object TxnLog {
     }, s"adopt $table")
   }
 
+  /** SHALLOW CLONE: publish `dst` as a NEW transaction-log table whose
+    * version-0 commit REFERENCES `src`'s live files (at `version`,
+    * default latest) without copying a byte of data — the zero-copy
+    * test/dev fork of a 100 TB table (the Delta `SHALLOW CLONE`
+    * design; ADOPT's commit shape pointed outward). Entries are
+    * recorded as fully-qualified URI strings, which the read path
+    * recognizes as EXTERNAL ([[isExternal]]): scans read them in
+    * place, DML rewrites replace them with local copies
+    * (copy-on-write localization), OPTIMIZE/compact localizes
+    * wholesale, and vacuum on the clone can never touch them (it only
+    * ever deletes under its own root). Everything the source's schema
+    * commit carries — column mapping, constraints, generated/DEFAULT/
+    * identity metadata with the allocation watermark, partition spec,
+    * CLUSTER BY property — rides into the clone's version 0, as do
+    * per-file stats and clustered-at markers (translated to the
+    * external keys), so skipping and incremental clustering work from
+    * the first read. Deletion vectors are the one physical copy: DV
+    * objects are TINY (∝ deleted rows) and their mask keys must match
+    * the clone's scan-derived keys, so each referenced DV dir is
+    * rewritten under `dst` with remapped keys. The clone's history
+    * starts at version 0 — time travel on the two tables is
+    * independent by construction.
+    *
+    * VACUUM CONTRACT (documented, matches Delta): the clone PINS
+    * NOTHING in the source — a vacuum on `src` that physically
+    * reclaims files the clone still references breaks the clone.
+    * Run `OPTIMIZE` on the clone (full localization) before vacuuming
+    * a source whose clones must survive it. `REINDEX BLOOM` likewise
+    * requires a localized clone (the sidecar build scans under the
+    * table root and refuses external entries LOUDLY); clone entries
+    * keep the SOURCE's log-carried stats, so min/max skipping needs
+    * no rebuild. */
+  def clone(spark: SparkSession, src: String, dst: String,
+      version: Option[Long] = None): CommitResult = {
+    val (files, sc) = resolve(spark, src, version)
+    require(files.nonEmpty || sc.isDefined,
+      s"cannot clone $src: not a transaction-log table")
+    val dlf = fs(spark, logDir(dst))
+    require(!dlf.exists(logDir(dst)),
+      s"cannot clone into $dst: it already carries a transaction log")
+    val srcFs = fs(spark, new Path(src))
+    val qualifiedSrc = srcFs.makeQualified(new Path(src)).toUri.toString
+    // The external key MUST byte-match input_file_name()'s report for
+    // the file (SparkPath.urlEncoded = Path.toUri.toString over the
+    // LISTED, fs-qualified path) — `makeQualified` is the one
+    // construction that preserves the filesystem's authority form
+    // (`file:///…`; a bare Path(parent, child) resolve normalizes it
+    // away to `file:/…` and the keys silently stop matching). An
+    // already-external entry (clone of a clone) re-qualifies through
+    // its OWN filesystem, which canonicalizes it unchanged.
+    def extern(rel: String): String = {
+      val p = if (isExternal(rel)) new Path(rel) else new Path(src, rel)
+      val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      pfs.makeQualified(p).toUri.toString
+    }
+    val translated = files.map { case (rel, st) => extern(rel) -> st }
+    val dvDirs = files.flatMap(_._2.dv).distinct
+    val dvSubs: Map[String, String] = dvDirs.map { d =>
+      import org.apache.spark.sql.functions.{col, udf}
+      val sub = s"stage-${java.util.UUID.randomUUID().toString.take(12)}"
+      val qs = qualifiedSrc
+      // Executor-side twin of extern() for the mask keys: the same
+      // per-segment URI quoting Path.toUri applies (attachPartition-
+      // Cols' uriEncode), concatenated under the qualified source
+      // root — no FileSystem handle needed on the executor.
+      val remap = udf((rel: String) =>
+        if (isExternal(rel)) rel
+        else qs + "/" + rel.split('/').map(seg =>
+          new java.net.URI(null, null, "/" + seg, null)
+            .getRawPath.substring(1)).mkString("/"))
+      spark.read.parquet(dataPath(src, d))
+        .select(remap(col("file")).as("file"), col("idx"))
+        .write.parquet(s"$dst/$sub")
+      d -> sub
+    }.toMap
+    val dvs = files.collect { case (rel, st) if st.dv.isDefined =>
+      extern(rel) -> dvSubs(st.dv.get)
+    }.toMap
+    dlf.mkdirs(logDir(dst))
+    mustCommit(commitLoop(spark, dst,
+      stats = translated.collect {
+        case (p, st) if st.stats.isDefined => p -> st.stats.get }.toMap,
+      dvs = dvs,
+      schema = sc,
+      cls = translated.collect {
+        case (p, st) if st.cl.isDefined => p -> st.cl.get }.toMap) { v =>
+      if (v != 0) None
+      else Some((translated.map(_._1), Nil))
+    }, s"clone $src into $dst")
+  }
+
   /** Record an explicit full schema as a data-less commit — the
     * internal form the catalog's ADD COLUMNS built on before
     * [[addColumns]]; preserves the retired-slot set. The caller owns
@@ -2251,7 +2400,7 @@ object TxnLog {
     staged.map { rel =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new Path(table, rel), conf))
+          dataPathObj(table, rel), conf))
       try {
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
         val rows = blocks.map(_.getRowCount).sum
@@ -2674,7 +2823,7 @@ object TxnLog {
     val (want, wantSchema) = resolve(spark, table, Some(toVersion))
     val f = fs(spark, new Path(table))
     val missing = want.map(_._1)
-      .filterNot(rel => f.exists(new Path(table, rel)))
+      .filterNot(rel => f.exists(dataPathObj(table, rel)))
     require(missing.isEmpty,
       s"cannot restore $table to v$toVersion: ${missing.size} of its " +
         s"files were vacuumed (first: ${missing.headOption.getOrElse("")})")
@@ -2770,7 +2919,7 @@ object TxnLog {
         // (round-13 advice, low).
         val sizes = snapshot(spark, table)
           .flatMap(rel => scala.util.Try(
-            f.getFileStatus(new Path(table, rel)).getLen).toOption)
+            f.getFileStatus(dataPathObj(table, rel)).getLen).toOption)
           .filter(_ < maxBytes)
         if (sizes.size >= minFiles)
           scala.util.Try(compactSmall(spark, table, maxBytes,
@@ -3524,7 +3673,7 @@ object TxnLog {
     val newDv =
       if (oldDvDirs.isEmpty) victims
       else victims.unionByName(
-        spark.read.parquet(oldDvDirs.map(p => s"$table/$p"): _*)
+        spark.read.parquet(oldDvDirs.map(p => dataPath(table, p)): _*)
           .select("file", "idx"))
     val sub = s"stage-${java.util.UUID.randomUUID().toString.take(12)}"
     newDv.write.parquet(s"$table/$sub")
@@ -3676,7 +3825,7 @@ object TxnLog {
     if (victims.isEmpty) return CommitResult(base, 0, 0)
     val f = fs(spark, new Path(table))
     val bytes = victims.map { case (rel, _) =>
-      scala.util.Try(f.getFileStatus(new Path(table, rel)).getLen)
+      scala.util.Try(f.getFileStatus(dataPathObj(table, rel)).getLen)
         .getOrElse(0L)
     }.sum
     val target = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
@@ -3781,7 +3930,7 @@ object TxnLog {
     // commit loop's victim-identity check re-verifies anyway; probing
     // it must not crash the maintenance pass (round-13 advice, low).
     val victims = full.filter { case (p, _) =>
-      scala.util.Try(f.getFileStatus(new Path(table, p)).getLen)
+      scala.util.Try(f.getFileStatus(dataPathObj(table, p)).getLen)
         .toOption.exists(_ < maxFileBytes)
     }
     if (victims.size < 2) return None
@@ -3891,7 +4040,7 @@ object TxnLog {
         // -1 = physically missing (vacuumed under a time-travel
         // version, or swept in the listing window) — inventory rows
         // must report, not crash (round-13 advice, low).
-        scala.util.Try(f.getFileStatus(new Path(table, rel)).getLen)
+        scala.util.Try(f.getFileStatus(dataPathObj(table, rel)).getLen)
           .getOrElse(-1L),
         st.stats.map(_.count).getOrElse(-1L),
         st.stats.map(_.cols.size.toLong).getOrElse(0L),

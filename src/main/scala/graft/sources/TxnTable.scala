@@ -84,7 +84,7 @@ class TxnTable(identName: String, val dir: String, val snapshotVersion: Option[L
         "tracking — no schema can be resolved; recreate the table (or " +
         "append once) to record one")
     spark.read.option("mergeSchema", "true")
-      .parquet(files.map { case (p, _) => s"$dir/$p" }: _*).schema
+      .parquet(files.map { case (p, _) => TxnLog.dataPath(dir, p) }: _*).schema
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -94,7 +94,7 @@ class TxnTable(identName: String, val dir: String, val snapshotVersion: Option[L
   private def parquetDelegate: ParquetTable =
     ParquetTable(name(), spark,
       new CaseInsensitiveStringMap(Map("path" -> dir).asJava),
-      files.map { case (p, _) => s"$dir/$p" },
+      files.map { case (p, _) => TxnLog.dataPath(dir, p) },
       userSpecifiedSchema = Some(schema), classOf[ParquetFileFormat])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

@@ -1225,6 +1225,31 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
       "every refusal left the log untouched")
   }
 
+  test("CLONE <name> TO '<path>' publishes a zero-copy shallow clone; " +
+       "VERSION AS OF pins the snapshot; a clone under the catalog " +
+       "root is immediately name-addressable") {
+    import dml.implicits._
+    val dir = freshTable("t_clsrc", Seq((1L, "a"), (2L, "b")))   // v0
+    dml.sql("INSERT INTO lake.ns.t_clsrc VALUES (3, 'c')")       // v1
+    val dst = s"$root/ns/t_cldup"
+    val row = dml.sql(s"CLONE lake.ns.t_clsrc TO '$dst'").head()
+    assert(row.getLong(0) === 0L && row.getLong(1) > 0L,
+      "the clone's first commit is version 0 referencing the source files")
+    assert(dml.sql("SELECT id, s FROM lake.ns.t_cldup")
+      .as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // Diverge through SQL on the clone; the source stays put.
+    dml.sql("DELETE FROM lake.ns.t_cldup WHERE id = 2")
+    assert(content("t_clsrc") === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // VERSION AS OF clones the pinned snapshot.
+    val dst0 = s"$root/ns/t_clv0"
+    dml.sql(s"CLONE lake.ns.t_clsrc TO '$dst0' VERSION AS OF 0").collect()
+    assert(dml.sql("SELECT id, s FROM lake.ns.t_clv0")
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    assert(TxnLog.latestVersion(dml, dir) === 1L,
+      "cloning never commits to the source")
+  }
+
   test("RESTORE a merge-on-read UPDATE away and back: the DV binding " +
        "reverts and re-applies with the snapshot") {
     import dml.implicits._
