@@ -1155,7 +1155,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val convertRe =
     s"""(?is)^\\s*CONVERT\\s+TO\\s+TXN\\s+'([^']+)'\\s*;?\\s*$$""".r
   private val cloneRe =
-    (s"""(?is)^\\s*CLONE\\s+$Tgt\\s+TO\\s+'([^']+)'""" +
+    (s"""(?is)^\\s*CLONE\\s+$Tgt\\s+TO\\s+$Tgt""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
   private val optimizeRe =
     (s"""(?is)^\\s*OPTIMIZE\\s+$Tgt""" +
@@ -1232,6 +1232,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         "a graft catalog — qualify it as <catalog>.<ns>.<table> or " +
         "address the table by a quoted '<path>'"))
 
+  /** A statement target that names a table to be CREATED (clone
+    * destinations): quoted paths pass through; bare multipart names
+    * resolve to the directory the named table WOULD live at under a
+    * graft catalog — refusing names that already exist. */
+  private def resolveNewTarget(raw: String): String = {
+    val t = raw.trim
+    if (t.startsWith("'")) t.stripPrefix("'").stripSuffix("'")
+    else scala.util.Try(delegate.parseMultipartIdentifier(t)).toOption
+      .filter(_.length >= 2)
+      .flatMap(parts => Bridge.catalogPlugin(spark, parts.head).collect {
+        case g: GraftCatalog => g.txnDirForNew(
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            parts.slice(1, parts.length - 1).toArray, parts.last))
+      })
+      .getOrElse(throw new IllegalArgumentException(
+        s"$t does not name a creatable table under a graft catalog — " +
+          "qualify it as <catalog>.<ns>.<table> or use a quoted '<path>'"))
+  }
+
   /** The extension statements, recognized by shape BEFORE the session
     * grammar sees the text (which has no production for them). Both
     * sql() entry points must consult this — Spark 4 routes sql() via
@@ -1248,7 +1267,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         // parquet directory that is not a catalog table yet.
         Some(GraftConvertCommand(path))
       case cloneRe(src, dst, v) =>
-        Some(GraftCloneCommand(resolveOrThrow(src), dst,
+        Some(GraftCloneCommand(resolveOrThrow(src), resolveNewTarget(dst),
           Option(v).map(_.toLong)))
       case optimizeRe(tgt, pbody, n, cols) if pbody != null =>
         // Partition-scoped OPTIMIZE: compact (and optionally cluster)

@@ -128,6 +128,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private[graft] def txnDirIfExists(ident: Identifier): Option[String] =
     if (isTxnTable(ident)) Some(txnPath(ident).toString) else None
 
+  /** The directory a NEW txn table named `ident` would live at —
+    * refuses when anything already claims the name. The CLONE
+    * statement resolves name-addressed DESTINATIONS through this
+    * (`CLONE src TO lake.ns.dup`): the clone publishes into the
+    * catalog layout and is name-addressable from its first commit. */
+  private[graft] def txnDirForNew(ident: Identifier): String = {
+    require(!tableExists(ident),
+      s"cannot clone into ${ident.namespace().mkString(".")}." +
+        s"${ident.name}: the table already exists")
+    txnPath(ident).toString
+  }
+
   override def tableExists(ident: Identifier): Boolean = {
     val p = tablePath(ident)
     fs(p).exists(p) || isTxnTable(ident)

@@ -1896,6 +1896,21 @@ object TxnLog {
     val dvs = files.collect { case (rel, st) if st.dv.isDefined =>
       extern(rel) -> dvSubs(st.dv.get)
     }.toMap
+    // TABLE-LEVEL sidecars ride along (both tiny): the bloom COLUMN
+    // CONFIG (so the clone's own writes keep publishing point-lookup
+    // sidecars — external files simply lack segments and always scan,
+    // which is sound) and the `_stats` partition-aggregate sidecar
+    // (incrementally maintained under the clone's appends exactly as
+    // under the source's). Bloom SEGMENTS are keyed by source-rel
+    // data paths and deliberately do NOT copy — REINDEX after
+    // localization rebuilds them.
+    val bloomCols = TxnBloom.configuredCols(spark, src)
+    if (bloomCols.nonEmpty) TxnBloom.writeConfig(spark, dst, bloomCols)
+    val srcStats = new Path(src, "_stats")
+    if (srcFs.exists(srcStats))
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, srcStats,
+        fs(spark, new Path(dst)), new Path(dst, "_stats"),
+        false, spark.sparkContext.hadoopConfiguration)
     dlf.mkdirs(logDir(dst))
     mustCommit(commitLoop(spark, dst,
       stats = translated.collect {

@@ -140,6 +140,57 @@ class CloneSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.read(spark, src).count() === 5)
   }
 
+  test("the clone composes with the rest of the surface: CDC reports " +
+       "its v0 as inserts and the streaming source tails it — both " +
+       "through external entries") {
+    val src = freshDir("cdc_src")
+    val dst = freshDir("cdc_dst")
+    TxnLog.create(spark, src, docs.limit(40).repartition(2))
+    TxnLog.clone(spark, src, dst)
+    // CDC across a clone-side COW delete: the diff reads the EXTERNAL
+    // victim files (pre-image) against their local survivor copies.
+    val toDelete = TxnLog.read(spark, dst)
+      .filter(col("doc_id") % 4 === 0).count()
+    TxnLog.delete(spark, dst, col("doc_id") % 4 === 0)
+    val cdc = TxnLog.changes(spark, dst, 0, 1)
+    assert(cdc.filter(col("_change") === "delete").count() === toDelete)
+    assert(cdc.filter(col("_change") === "insert").count() === 0,
+      "survivor copies must cancel against their external pre-images")
+    // The streaming source tails the clone from its v0 — the initial
+    // batch reads the external entries, later commits are local.
+    val afterDelete = 40 - toDelete
+    val q = spark.readStream.format("graft-txn").load(dst)
+      .writeStream.format("memory").queryName("clone_tail").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("clone_tail").count() >= afterDelete,
+        "the source must deliver at least the clone-point rows")
+      TxnLog.append(spark, dst, docs.limit(3)
+        .withColumn("doc_id", col("doc_id") + 900000))
+      q.processAllAvailable()
+      val n = spark.table("clone_tail").count()
+      assert(n >= afterDelete + 3, s"append batch missing: $n")
+    } finally q.stop()
+  }
+
+  test("table-level sidecars ride along: the clone's own writes keep " +
+       "publishing bloom sidecars under the inherited column config") {
+    val src = freshDir("bloom_src")
+    val dst = freshDir("bloom_dst")
+    TxnLog.createWithBloom(spark, src, docs.repartition(2), Seq("doc_id"))
+    TxnLog.clone(spark, src, dst)
+    assert(graft.sources.TxnBloom.configuredCols(spark, dst) ===
+      Seq("doc_id"), "the bloom column config must ride into the clone")
+    // A fresh append to the CLONE publishes sidecars for its files —
+    // the external files have none and always scan (sound), so the
+    // probe must prune to at most the appended file count for an
+    // appended-only key.
+    TxnLog.append(spark, dst,
+      docs.limit(1).withColumn("doc_id", lit(777000111L)))
+    val hit = TxnLog.readPrunedEq(spark, dst, "doc_id", Seq(777000111L))
+    assert(hit.count() === 1)
+  }
+
   test("clone pins a VERSION, a clone clones, and the refusals are " +
        "loud: existing destination log, non-txn source") {
     val src = freshDir("v_src")

@@ -1241,13 +1241,19 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkSpec {
     // Diverge through SQL on the clone; the source stays put.
     dml.sql("DELETE FROM lake.ns.t_cldup WHERE id = 2")
     assert(content("t_clsrc") === Set((1L, "a"), (2L, "b"), (3L, "c")))
-    // VERSION AS OF clones the pinned snapshot.
-    val dst0 = s"$root/ns/t_clv0"
-    dml.sql(s"CLONE lake.ns.t_clsrc TO '$dst0' VERSION AS OF 0").collect()
+    // VERSION AS OF clones the pinned snapshot; the destination may be
+    // a catalog NAME — the clone lands in the catalog layout directly.
+    dml.sql("CLONE lake.ns.t_clsrc TO lake.ns.t_clv0 VERSION AS OF 0")
+      .collect()
     assert(dml.sql("SELECT id, s FROM lake.ns.t_clv0")
       .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
     assert(TxnLog.latestVersion(dml, dir) === 1L,
       "cloning never commits to the source")
+    // A name that already exists refuses before anything stages.
+    val taken = intercept[Exception] {
+      dml.sql("CLONE lake.ns.t_clsrc TO lake.ns.t_cldup")
+    }
+    assert(taken.getMessage.contains("already exists"))
   }
 
   test("RESTORE a merge-on-read UPDATE away and back: the DV binding " +

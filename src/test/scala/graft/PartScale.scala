@@ -126,7 +126,34 @@ object PartScale {
       sum(length(col("p5k")))).head.getLong(0))
     require(legacyC.asInstanceOf[Long] == 2000000L)
 
+    // (g) round-16: SHALLOW CLONE at corpus scale. The claim: clone
+    // cost is a METADATA commit (∝ entries, zero data I/O) while the
+    // deep alternative (read + rewrite) pays the full table; reading
+    // through the clone costs the same scan as the source; DML on the
+    // clone localizes only its victims. The plain table at this point
+    // carries the replaceWhere history — clone the tip.
+    val cloneSrc = s"$root/plain"
+    val srcRows = TxnLog.read(spark, cloneSrc).count()
+    val (cloneS, cloneR) = timed(
+      TxnLog.clone(spark, cloneSrc, s"$root/clone"))
+    val (deepS, _) = timed(
+      TxnLog.create(spark, s"$root/deepcopy", TxnLog.read(spark, cloneSrc)))
+    val (srcReadS, srcSum) = timed(agg(TxnLog.read(spark, cloneSrc)))
+    val (cloneReadS, cloneSum) = timed(agg(TxnLog.read(spark, s"$root/clone")))
+    require(srcSum == cloneSum, s"clone read disagrees: $srcSum vs $cloneSum")
+    val (cloneDmlS, cloneDmlR) = timed(
+      TxnLog.delete(spark, s"$root/clone", col("lang") === "zh").get)
+    require(TxnLog.read(spark, cloneSrc).count() == srcRows,
+      "DML on the clone must never move source rows")
+
     println(s"""{"metric":"part_scale","sf_dir":"$sfDir","files":$nFiles,""" +
+      s""""clone_sec":${cloneS.formatted("%.3f")},""" +
+      s""""clone_entries":${cloneR.asInstanceOf[TxnLog.CommitResult].added},""" +
+      s""""deep_copy_sec":${deepS.formatted("%.1f")},""" +
+      s""""src_read_sec":${srcReadS.formatted("%.2f")},""" +
+      s""""clone_read_sec":${cloneReadS.formatted("%.2f")},""" +
+      s""""clone_delete_sec":${cloneDmlS.formatted("%.1f")},""" +
+      s""""clone_delete_removed":${cloneDmlR.asInstanceOf[TxnLog.CommitResult].removed},""" +
       s""""attach_rows":2000000,""" +
       s""""scan_only_5part_sec":${scan5S.formatted("%.2f")},""" +
       s""""attach_5part_sec":${a5S.formatted("%.2f")},""" +
