@@ -269,21 +269,18 @@ object TxnSqlDml {
             // ([[TxnLog.mergeEvolve]]).
             GraftMergeCommand(dir, source, equiKeys.get,
               evolve = withSchemaEvolution): LogicalPlan
-          else if (withSchemaEvolution)
-            // Per-clause partial evolution has no sound default.
-            throw new UnsupportedOperationException(
-              "graft txn MERGE WITH SCHEMA EVOLUTION supports only the " +
-                "equi-key UPDATE SET * / INSERT * shape — evolve the " +
-                "table first (ALTER TABLE ADD COLUMNS) for clause forms")
           else
             // General path: conditional / column-listed / DELETE /
             // NOT MATCHED BY SOURCE clauses, arbitrary ON condition —
             // the log's clause-form merge executor. Expressions are
             // carried raw and translated against BOTH schemas at run
-            // time (the source's schema needs analysis).
+            // time (the source's schema needs analysis). WITH SCHEMA
+            // EVOLUTION adds the source's extra columns to the table
+            // in the merge's own commit (see TxnLog.mergeClauses).
             GraftMergeClausesCommand(dir, source,
               new MergeRaw(mergeCond, matched, notMatched, bySource),
-              tgtQuals(parts, alias), srcQuals(source)): LogicalPlan
+              tgtQuals(parts, alias), srcQuals(source),
+              evolve = withSchemaEvolution): LogicalPlan
         }
       }.getOrElse(plan)
 
@@ -661,6 +658,24 @@ case class GraftCloneCommand(src: String, dst: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val r = TxnLog.clone(spark, src, dst, version)
     Seq(Row(r.version, r.added.toLong))
+  }
+}
+
+/** `COPY INTO <tgt> FROM '<src>' [FILEFORMAT <fmt>] [PATTERN '<glob>']
+  * [FORCE]` → [[TxnLog.copyInto]] (idempotent file ingestion: loads
+  * only source files not in the table's ingest ledger — see there
+  * for the exactly-once contract). */
+case class GraftCopyIntoCommand(dir: String, source: String,
+                                format: String, pattern: Option[String],
+                                force: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq("version", "files_loaded", "files_skipped").map(n =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        n, org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = TxnLog.copyInto(spark, dir, source, pattern, format, force)
+    Seq(Row(r.version, r.loaded, r.skipped))
   }
 }
 
@@ -1052,7 +1067,8 @@ final class MergeRaw(val cond: Expression, val matched: Seq[MergeAction],
   * (both sides = the standard's ambiguity error). */
 case class GraftMergeClausesCommand(dir: String, source: LogicalPlan,
     raw: MergeRaw, tgtQuals: Seq[Seq[String]],
-    srcQuals: Seq[Seq[String]]) extends LeafRunnableCommand {
+    srcQuals: Seq[Seq[String]],
+    evolve: Boolean = false) extends LeafRunnableCommand {
 
   private def cond: Expression = raw.cond
   private def matched: Seq[MergeAction] = raw.matched
@@ -1093,13 +1109,22 @@ case class GraftMergeClausesCommand(dir: String, source: LogicalPlan,
     // SET * / INSERT *: every target column from the same-named source
     // column — the star contract requires full coverage (a silently
     // null-filled column on a star action is a data-corruption foot-gun).
-    lazy val starSet: Map[String, Column] = tgtSchema.fields.map { f =>
-      val sc = srcCols.find(_.equalsIgnoreCase(f.name)).getOrElse(
-        throw new IllegalArgumentException(
-          s"MERGE star action into $dir: source lacks table column " +
-            s"'${f.name}' — list columns explicitly for a partial merge"))
-      f.name -> col(TxnLog.SourcePrefix + sc)
-    }.toMap
+    // WITH SCHEMA EVOLUTION the star expands over the EVOLVED shape:
+    // target columns plus the source's extras (which trivially have a
+    // source counterpart — they ARE source columns).
+    lazy val starSet: Map[String, Column] = {
+      val evolvedExtra =
+        if (!evolve) Nil
+        else srcCols.filterNot(c =>
+          tgtSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      (tgtSchema.fieldNames.toSeq.map { n =>
+        val sc = srcCols.find(_.equalsIgnoreCase(n)).getOrElse(
+          throw new IllegalArgumentException(
+            s"MERGE star action into $dir: source lacks table column " +
+              s"'$n' — list columns explicitly for a partial merge"))
+        n -> col(TxnLog.SourcePrefix + sc)
+      } ++ evolvedExtra.map(c => c -> col(TxnLog.SourcePrefix + c))).toMap
+    }
     def assignName(k: Expression): String = k match {
       case a: UnresolvedAttribute => a.nameParts.last
       case other => throw new UnsupportedOperationException(
@@ -1124,7 +1149,8 @@ case class GraftMergeClausesCommand(dir: String, source: LogicalPlan,
     TxnLog.mergeClauses(spark, dir, srcDf, tc(cond),
       matched = matched.map(updateClause),
       notMatched = notMatched.map(insertClause),
-      bySource = bySource.map(updateClause))
+      bySource = bySource.map(updateClause),
+      evolve = evolve)
     Seq.empty
   }
 }
@@ -1157,6 +1183,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val cloneRe =
     (s"""(?is)^\\s*CLONE\\s+$Tgt\\s+TO\\s+$Tgt""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+  private val copyIntoRe =
+    (s"""(?is)^\\s*COPY\\s+INTO\\s+$Tgt\\s+FROM\\s+'([^']+)'""" +
+      """(?:\s+FILEFORMAT\s*=?\s*([A-Za-z]+))?""" +
+      """(?:\s+PATTERN\s*=?\s*'([^']+)')?""" +
+      """(\s+FORCE)?\s*;?\s*$""").r
   private val optimizeRe =
     (s"""(?is)^\\s*OPTIMIZE\\s+$Tgt""" +
       """(?:\s+PARTITION\s*\(([^)]*)\))?""" +
@@ -1269,6 +1300,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case cloneRe(src, dst, v) =>
         Some(GraftCloneCommand(resolveOrThrow(src), resolveNewTarget(dst),
           Option(v).map(_.toLong)))
+      case copyIntoRe(tgt, src, fmt, pat, force) =>
+        Some(GraftCopyIntoCommand(resolveOrThrow(tgt), src,
+          Option(fmt).getOrElse("parquet"), Option(pat), force != null))
       case optimizeRe(tgt, pbody, n, cols) if pbody != null =>
         // Partition-scoped OPTIMIZE: compact (and optionally cluster)
         // ONE partition slice's files; multi-column specs allowed.

@@ -1267,6 +1267,71 @@ object LakeQueries extends QueryModule {
     // physical contracts (no data copied, copy-on-write localization,
     // vacuum isolation, DV/partition-segment encoding) are pinned in
     // CloneSpec; this query oracle-gates the VISIBLE semantics.
+    // MERGE WITH SCHEMA EVOLUTION, clause form: the target starts
+    // WITHOUT n_chars; the merge adds it in its own commit, a
+    // conditional UPDATE fills it on the qualifying matches, a DELETE
+    // clause removes the rest of the matches, and every untouched row
+    // reads the evolved column as NULL (additive-evolution read). The
+    // clause/star/refusal matrix is pinned in MergeEvolveSpec.
+    "q_txn_merge_evolve" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/mevns/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.create(s, table, docs.select("doc_id", "lang"))
+      s.conf.set("spark.sql.catalog.mev",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.mev.root", base)
+      docs.createOrReplaceTempView("mev_src")
+      s.sql("""MERGE WITH SCHEMA EVOLUTION INTO mev.mevns.docs t
+              |USING (SELECT doc_id, n_chars FROM mev_src
+              |       WHERE doc_id % 4 = 0) u
+              |ON t.doc_id = u.doc_id
+              |WHEN MATCHED AND u.n_chars >= 500
+              |  THEN UPDATE SET n_chars = u.n_chars
+              |WHEN MATCHED THEN DELETE""".stripMargin)
+      s.sql("""SELECT lang, count(*) AS row_cnt,
+              |  coalesce(sum(n_chars), 0) AS sum_chars,
+              |  sum(doc_id) AS sum_id
+              |FROM mev.mevns.docs GROUP BY lang ORDER BY lang"""
+        .stripMargin)
+    }),
+
+    // COPY INTO lifecycle: three "uploads" land in a plain parquet
+    // landing zone; the first COPY ingests the two already-landed
+    // batches, a re-run ingests NOTHING (the ledger), the third lands
+    // and an incremental COPY picks up only it. The aggregate equals
+    // the plain documents table exactly — any duplicate (broken
+    // ledger) or miss (broken listing) fails the hash. Ledger
+    // survival across checkpoints/cleanup and the FORCE/PATTERN/csv
+    // faces are pinned in CopyIntoSpec.
+    "q_txn_copy_into" -> ((s, d) => {
+      val base = scratch(s, d)
+      val land = s"$base/cpy/landing"
+      val tbl = s"$base/cpy/tbl"
+      Seq(land, tbl).foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fsys.exists(p)) fsys.delete(p, true)
+      }
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      docs.filter(col("doc_id") % 3 === 0).write.parquet(s"$land/u1")
+      docs.filter(col("doc_id") % 3 === 1).write.parquet(s"$land/u2")
+      TxnLog.create(s, tbl, docs.limit(0))
+      TxnLog.copyInto(s, tbl, land)
+      TxnLog.copyInto(s, tbl, land) // idempotent: loads nothing
+      docs.filter(col("doc_id") % 3 === 2).write.parquet(s"$land/u3")
+      TxnLog.copyInto(s, tbl, land) // incremental: loads only u3
+      TxnLog.read(s, tbl)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
+
     "q_txn_clone" -> ((s, d) => {
       val base = scratch(s, d)
       val src = s"$base/clns/src"
@@ -1480,6 +1545,21 @@ object LakeQueries extends QueryModule {
         |  SELECT doc_id, lang, 0 AS nc FROM documents
         |   WHERE n_chars % 7 = 0 AND doc_id % 2 = 0)
         | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_merge_evolve" ->
+      """SELECT lang, count(*) AS row_cnt,
+        |  coalesce(sum(CASE WHEN doc_id % 4 = 0 AND n_chars >= 500
+        |    THEN n_chars END), 0)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM documents
+        | WHERE NOT (doc_id % 4 = 0 AND n_chars < 500)
+        | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_copy_into" ->
+      """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+        .replace("\n", ""),
 
     "q_txn_clone" ->
       """SELECT via, lang, row_cnt, sum_chars, sum_id FROM (

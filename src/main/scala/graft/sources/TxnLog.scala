@@ -113,7 +113,8 @@ object TxnLog {
                         stats: Map[String, FileStats] = Map.empty,
                         dvs: Map[String, String] = Map.empty,
                         schema: Option[SchemaCommit] = None,
-                        cls: Map[String, String] = Map.empty): Boolean = {
+                        cls: Map[String, String] = Map.empty,
+                        copied: Seq[String] = Nil): Boolean = {
     val statsJson =
       if (stats.isEmpty) ""
       else ",\"stats\":{" + stats.toSeq.sortBy(_._1).map { case (path, st) =>
@@ -141,6 +142,15 @@ object TxnLog {
       else ",\"cl\":{" + cls.toSeq.sortBy(_._1).map { case (path, sig) =>
         JsonUtil.quote(path) + ":" + JsonUtil.quote(sig)
       }.mkString(",") + "}"
+    // COPY INTO's ingest ledger: source-file URIs this commit loaded
+    // (newline-joined, base64 for the same JSON-in-JSON reason as the
+    // schema). Replay unions them; checkpoints re-record the FULL
+    // accumulated set, so idempotence survives log cleanup. Ledger
+    // size is ∝ ingested source files — log metadata, never rows.
+    val copiedJson =
+      if (copied.isEmpty) ""
+      else ",\"copied64\":\"" + java.util.Base64.getEncoder.encodeToString(
+        copied.sorted.mkString("\n").getBytes("UTF-8")) + "\""
     // The schema rides base64-encoded: StructType.json is JSON-in-JSON
     // and the log's parser is deliberately regex-simple — encoding
     // sidesteps every escaping corner instead of hand-rolling them.
@@ -169,7 +179,7 @@ object TxnLog {
     val body = "{\"adds\":[" + adds.map(JsonUtil.quote).mkString(",") +
       "],\"removes\":[" + removes.map(JsonUtil.quote).mkString(",") + "]" +
       txn.fold("")(t => ",\"txn\":" + JsonUtil.quote(t)) + statsJson + dvJson +
-      clJson + schemaJson + "}"
+      clJson + copiedJson + schemaJson + "}"
     val bytes = body.getBytes("UTF-8")
     if (exclusive && f.makeQualified(p).toUri.getScheme == "file") {
       // Hadoop's LocalFileSystem create(overwrite=false) is a
@@ -292,6 +302,33 @@ object TxnLog {
   private val Schema64 = """"schema64":"([A-Za-z0-9+/=]+)"""".r
   private val Retired64 = """"retired64":"([A-Za-z0-9+/=]+)"""".r
   private val Constraints64 = """"constraints64":"([A-Za-z0-9+/=]+)"""".r
+  private val Copied64 = """"copied64":"([A-Za-z0-9+/=]+)"""".r
+
+  private def parseCopied(body: String): Seq[String] =
+    Copied64.findFirstMatchIn(body).toSeq.flatMap(m =>
+      new String(java.util.Base64.getDecoder.decode(m.group(1)), "UTF-8")
+        .split("\n").toSeq.filter(_.nonEmpty))
+
+  /** The accumulated COPY INTO ingest ledger at `version` (default
+    * latest): every source-file URI any copy commit at-or-before it
+    * loaded. Replays the newest checkpoint's full recording plus the
+    * commit tail's deltas — the same O(checkpoint + tail) resolution
+    * as [[snapshot]], read ONLY by COPY INTO itself (normal reads
+    * never pay for it). */
+  def ingestLedger(spark: SparkSession, table: String,
+      version: Option[Long] = None): Set[String] = {
+    val f = fs(spark, logDir(table))
+    val versions = listVersions(f, table, "v")
+    if (versions.isEmpty) return Set.empty
+    val v = version.getOrElse(versions.last)
+    val ckpt = listVersions(f, table, "c").filter(_ <= v).lastOption
+    val acc = scala.collection.mutable.HashSet.empty[String]
+    ckpt.foreach(cv =>
+      acc ++= parseCopied(readBody(f, checkpointFile(table, cv))))
+    versions.filter(tv => tv <= v && ckpt.forall(tv > _))
+      .foreach(tv => acc ++= parseCopied(readBody(f, versionFile(table, tv))))
+    acc.toSet
+  }
 
   private def parseSchema(body: String): Option[SchemaCommit] =
     Schema64.findFirstMatchIn(body).map { m =>
@@ -1066,7 +1103,8 @@ object TxnLog {
                          stats: Map[String, FileStats] = Map.empty,
                          dvs: Map[String, String] = Map.empty,
                          schema: => Option[SchemaCommit] = None,
-                         cls: Map[String, String] = Map.empty)
+                         cls: Map[String, String] = Map.empty,
+                         copied: Seq[String] = Nil)
                         (attempt: Long => Option[(Seq[String], Seq[String])]): Option[CommitResult] = {
     val f = fs(spark, logDir(table))
     while (true) {
@@ -1075,7 +1113,7 @@ object TxnLog {
         case None => return None
         case Some((a, r)) =>
           if (writeJson(f, versionFile(table, next), a, r, exclusive = true, txn,
-              stats, dvs, schema, cls)) {
+              stats, dvs, schema, cls, copied)) {
             if (next % CheckpointInterval == 0 && next > 0) {
               // Checkpoints publish by RENAME: a crash mid-write must
               // never leave a truncated c*.json — replay parses the
@@ -1095,7 +1133,8 @@ object TxnLog {
                   case (p, st) if st.dv.isDefined => p -> st.dv.get }.toMap,
                 schema = sch,
                 cls = full.collect {
-                  case (p, st) if st.cl.isDefined => p -> st.cl.get }.toMap)
+                  case (p, st) if st.cl.isDefined => p -> st.cl.get }.toMap,
+                copied = ingestLedger(spark, table, Some(next)).toSeq.sorted)
               f.rename(tmp, checkpointFile(table, next))
             }
             return Some(CommitResult(next, a.size, r.size))
@@ -1818,6 +1857,137 @@ object TxnLog {
     }, s"adopt $table")
   }
 
+  /** What one COPY INTO did: the published version (the table's tip
+    * when nothing was loaded), source files loaded this call, and
+    * source files skipped because the ledger already holds them. */
+  final case class CopyResult(version: Long, loaded: Long, skipped: Long)
+
+  /** COPY INTO: idempotent file ingestion — the re-runnable landing
+    * verb of a production pipeline (the Delta `COPY INTO` design).
+    * Scans `source` for data files, loads ONLY those not already
+    * recorded in the table's ingest ledger ([[ingestLedger]] — one
+    * entry per source URI, carried by the commit that loaded it and
+    * re-recorded in full by checkpoints), and publishes the batch
+    * through the normal append path, so schema enforcement, CHECK
+    * constraints, identity assignment, DEFAULT/GENERATED fill,
+    * hive partition layout, per-file stats, and bloom sidecars all
+    * apply exactly as to any write. Re-running the same statement
+    * loads nothing; a crashed run that never committed left no
+    * ledger entries, so the retry loads everything — exactly-once
+    * per source file either way. Exactly-once holds under RACES too:
+    * the commit attempt re-reads the ledger at the tip it is about
+    * to extend (create-exclusive guarantees it saw every commit at
+    * or before that tip), and abandons if a concurrent COPY landed
+    * any of its files.
+    *
+    * `pattern` is a glob over the source-RELATIVE path (`*` stays
+    * within a directory, `**` crosses); `format` is parquet (source
+    * files self-describe) or csv/json (bound to the table's recorded
+    * schema — csv with a header line; GENERATED and identity columns
+    * are engine-owned and excluded from the binding); `force`
+    * re-loads matching files regardless of the ledger (and still
+    * records them, so a later non-force run skips them).
+    *
+    * At 100 TB: the ledger is driver-side metadata ∝ ingested source
+    * FILES (the same order as the log's own file listing — one
+    * checkpoint read); the data load is an ordinary distributed scan
+    * of only the new files. */
+  def copyInto(spark: SparkSession, table: String, source: String,
+               pattern: Option[String] = None, format: String = "parquet",
+               force: Boolean = false): CopyResult = {
+    val srcRoot = new Path(source)
+    val sf = fs(spark, srcRoot)
+    require(sf.exists(srcRoot), s"COPY INTO: no such source: $source")
+    val fmt = format.toLowerCase
+    val exts: Set[String] = fmt match {
+      case "parquet" => Set(".parquet")
+      case "csv" => Set(".csv", ".tsv")
+      case "json" => Set(".json", ".jsonl")
+      case other => throw new IllegalArgumentException(
+        s"COPY INTO: unsupported FILEFORMAT '$other' (parquet|csv|json)")
+    }
+    val matcher = pattern.map(p =>
+      java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + p))
+    val prefix = sf.makeQualified(srcRoot).toString + "/"
+    val found = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(d: Path): Unit =
+      sf.listStatus(d).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) ()
+        else if (st.isDirectory) walk(st.getPath)
+        else if (exts.exists(n.endsWith)) {
+          val q = sf.makeQualified(st.getPath).toString
+          if (matcher.forall(_.matches(
+              java.nio.file.Paths.get(q.stripPrefix(prefix))))) found += q
+        }
+      }
+    walk(srcRoot)
+    val matched = found.toSeq.sorted
+    // Engine-owned columns never bind from csv/json source text.
+    val cur = tableSchema(spark, table)
+    val bindSchema = cur.map(s => nullableSchema(StructType(s.fields
+      .filterNot(f => f.metadata.contains(GeneratedExprKey) ||
+        f.metadata.contains(IdentityStartKey))
+      .map(stripMapping))))
+    var attemptNo = 0
+    while (true) {
+      val ledger = if (force) Set.empty[String] else ingestLedger(spark, table)
+      val fresh = matched.filterNot(ledger)
+      if (fresh.isEmpty)
+        return CopyResult(latestVersion(spark, table), 0, matched.size.toLong)
+      val reader = fmt match {
+        case "parquet" => spark.read.format(fmt)
+        case "csv" => spark.read.format(fmt).option("header", "true")
+          .schema(bindSchema.getOrElse(throw new IllegalArgumentException(
+            s"COPY INTO csv needs a schema-recording table: $table")))
+        case _ => spark.read.format(fmt)
+          .schema(bindSchema.getOrElse(throw new IllegalArgumentException(
+            s"COPY INTO json needs a schema-recording table: $table")))
+      }
+      val df = reader.load(fresh: _*)
+      val (df0, alloc) = cur match {
+        case Some(s) => assignIdentity(spark, table, df, s)
+        case None => (df, None)
+      }
+      // Ingestion-time clustering applies to COPY INTO exactly like
+      // append — the landing verb is where it earns the most.
+      val (df2, clsSig) = clusterWriteShape(spark, cur, df0)
+      enforceSchema(spark, table, df2, mergeSchema = false, "COPY INTO")
+      val staged = stage(spark, table, df2, cur)
+      val committed = commitLoop(spark, table,
+        stats = stagedStats(spark, table, staged,
+          defaultStatsCols(cur.getOrElse(df2.schema)), cur),
+        cls = clsSig.fold(Map.empty[String, String])(sig =>
+          staged.map(_ -> sig).toMap),
+        schema = alloc match {
+          case Some((_, newNext)) => schemaWithWatermark(spark, table,
+            newNext, enforceSchema(spark, table, df2, false, "COPY INTO"))
+          case None => enforceSchema(spark, table, df2, false, "COPY INTO")
+        },
+        copied = fresh) { _ =>
+        // Re-checks at the tip this attempt extends: identity
+        // watermark still ours, AND (unless forcing) none of our
+        // source files landed via a concurrent COPY.
+        if (alloc.exists { case (from, _) =>
+            !tipIdentityNext(spark, table).contains(from) }) None
+        else if (!force &&
+            fresh.exists(ingestLedger(spark, table))) None
+        else Some((staged, Nil))
+      }
+      committed match {
+        case Some(c) =>
+          return CopyResult(c.version, fresh.size.toLong,
+            (matched.size - fresh.size).toLong)
+        case None =>
+          dropStaged(spark, table, staged)
+          attemptNo += 1
+          require(attemptNo < 20,
+            s"COPY INTO $table: lost $attemptNo ledger/identity races")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** SHALLOW CLONE: publish `dst` as a NEW transaction-log table whose
     * version-0 commit REFERENCES `src`'s live files (at `version`,
     * default latest) without copying a byte of data — the zero-copy
@@ -2241,15 +2411,29 @@ object TxnLog {
     var attempt = 0
     while (true) {
       val cur = tableSchema(spark, table)
-      val (df2, alloc) = cur match {
+      val (df0, alloc) = cur match {
         case Some(s) => assignIdentity(spark, table, df, s)
         case None => (df, None)
       }
+      // CLUSTER-ON-WRITE (opt-in): on a CLUSTER BY table, lay the
+      // batch out range-clustered on the recorded keys and stamp the
+      // staged files clustered-at — ingestion-time clustering, the
+      // liquid-clustering discipline's write half: stats-in-log
+      // pruning bites from the FIRST read, and the bare (incremental)
+      // OPTIMIZE finds nothing to rewrite for these files, so steady-
+      // state maintenance cost on a well-configured ingest is ~zero.
+      // repartitionByRange with no explicit count lets AQE coalesce
+      // the range partitions to its advisory size — right-sized files
+      // without knowing the batch's bytes up front. Off by default:
+      // the extra exchange is a per-batch cost the operator opts into.
+      val (df2, clsSig) = clusterWriteShape(spark, cur, df0)
       enforceSchema(spark, table, df2, mergeSchema, "append") // fail fast
       val staged = stage(spark, table, df2, cur)
       val committed = commitLoop(spark, table,
         stats = stagedStats(spark, table, staged,
           defaultStatsCols(cur.getOrElse(df2.schema)), cur),
+        cls = clsSig.fold(Map.empty[String, String])(sig =>
+          staged.map(_ -> sig).toMap),
         schema = alloc match {
           case Some((_, newNext)) => schemaWithWatermark(spark, table,
             newNext, enforceSchema(spark, table, df2, mergeSchema, "append"))
@@ -2272,6 +2456,33 @@ object TxnLog {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Session flag enabling ingestion-time clustering on CLUSTER BY
+    * tables (see [[append]]). */
+  val ClusterOnWriteConf = "spark.graft.write.clusterOnWrite"
+
+  /** When cluster-on-write applies to this batch (flag on, table
+    * declares CLUSTER BY, frame carries every key), the range-
+    * clustered reshape of `df` plus the clustered-at signature its
+    * staged files earn; otherwise the frame untouched. The signature
+    * construction mirrors the bare-OPTIMIZE path exactly — a mismatch
+    * would make incremental clustering rewrite freshly-clustered
+    * ingest forever. */
+  private def clusterWriteShape(spark: SparkSession,
+      schema: Option[StructType],
+      df: DataFrame): (DataFrame, Option[String]) = {
+    import org.apache.spark.sql.functions.col
+    val keys = schema.map(clusterColumns).getOrElse(Nil)
+    val on = spark.conf.getOption(ClusterOnWriteConf).exists(_.toBoolean)
+    if (!on || keys.isEmpty ||
+        !keys.forall(k => df.columns.exists(_.equalsIgnoreCase(k))))
+      (df, None)
+    else {
+      val cols = keys.map(col)
+      (df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*),
+        Some(clusterSig(cols)))
+    }
   }
 
   /** Per-file (count, min/max per stat column) over just-staged files —
@@ -3279,14 +3490,25 @@ object TxnLog {
     * unmatched is only provable against the whole join). Commits are
     * serializable exactly like [[merge]]: pinned base, abandon on any
     * concurrent commit, bounded rebase loop. Returns None when no
-    * clause affected any row (nothing published). */
+    * clause affected any row (nothing published).
+    *
+    * `evolve` = WITH SCHEMA EVOLUTION: every source-only column is
+    * ADDED to the target (nullable, additive — the same recording an
+    * ALTER ADD COLUMNS makes, in the merge's own commit), star
+    * actions expand over the evolved shape, explicit clauses may
+    * assign the new columns, and rows no clause touches read them as
+    * NULL (old files simply lack the column — the standard additive-
+    * evolution read). Evolution is all-or-nothing over the source's
+    * extras, the coarse (and monotone) end of the reference
+    * lakehouse's per-action rule. */
   def mergeClauses(spark: SparkSession, table: String, source: DataFrame,
                    condition: Column,
                    matched: Seq[MergeClause] = Nil,
                    notMatched: Seq[MergeInsert] = Nil,
                    bySource: Seq[MergeClause] = Nil,
                    maxAttempts: Int = 20,
-                   maxCollectedVictims: Int = MaxCollectedVictims): Option[CommitResult] = {
+                   maxCollectedVictims: Int = MaxCollectedVictims,
+                   evolve: Boolean = false): Option[CommitResult] = {
     require(matched.forall(!_.isInstanceOf[MergeInsert]),
       "WHEN MATCHED supports UPDATE/DELETE only")
     require(bySource.forall(!_.isInstanceOf[MergeInsert]),
@@ -3307,7 +3529,7 @@ object TxnLog {
       while (attempts < maxAttempts) {
         mergeClausesAttempt(spark, table, src, condition, matched,
           notMatched, bySource, maxCollectedVictims,
-          latestVersion(spark, table)) match {
+          latestVersion(spark, table), evolve) match {
           case Right(r) => return r
           case Left(()) => attempts += 1 // rebase
         }
@@ -3335,7 +3557,7 @@ object TxnLog {
       src: DataFrame, condition: Column, matched: Seq[MergeClause],
       notMatched: Seq[MergeInsert], bySource: Seq[MergeClause],
       maxCollectedVictims: Int,
-      base: Long): Either[Unit, Option[CommitResult]] = {
+      base: Long, evolve: Boolean = false): Either[Unit, Option[CommitResult]] = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, count, lit, max, row_number, when}
     val (full, baseSchemaC) = resolve(spark, table, Some(base))
@@ -3343,7 +3565,22 @@ object TxnLog {
     val states = full.toMap
     def taggedRead(files: Seq[(String, FileState)]): DataFrame =
       readTagged(spark, table, files, baseSchema, tagAlways = true)._1
-    val tgt = taggedRead(full)
+    // WITH SCHEMA EVOLUTION: the target's working shape gains every
+    // source-only column as NULL (old rows have no value until a
+    // clause assigns one); the commit's mergeSchema recording below
+    // makes the addition durable.
+    val extras: Seq[StructField] =
+      if (!evolve) Nil
+      else src.schema.fields.toSeq
+        .filter(_.name.startsWith(SourcePrefix))
+        .map(f => f.copy(name = f.name.stripPrefix(SourcePrefix),
+          nullable = true))
+        .filterNot(f => baseSchema.exists(_.fieldNames
+          .exists(_.equalsIgnoreCase(f.name))))
+    def withExtras(d: DataFrame): DataFrame =
+      extras.foldLeft(d)((x, f) =>
+        x.withColumn(f.name, lit(null).cast(f.dataType)))
+    val tgt = withExtras(taggedRead(full))
     val tableCols = tgt.columns.filterNot(Set("_gf_rel", "_gf_idx")).toSeq
     val colType = tgt.schema.fields.map(f => f.name -> f.dataType).toMap
     matched.collect { case MergeUpdate(_, set) => set.keys }.flatten
@@ -3398,7 +3635,7 @@ object TxnLog {
     val rewritten: Option[DataFrame] =
       if (victims.isEmpty) None
       else {
-        val vj = taggedRead(victims.map(p => p -> states(p)))
+        val vj = withExtras(taggedRead(victims.map(p => p -> states(p))))
           .join(src, condition, "left_outer")
           .withColumn("_ma", clauseIndex(matched, sPresent))
           .withColumn("_ba", clauseIndex(bySource, !sPresent))
@@ -3473,7 +3710,7 @@ object TxnLog {
       case None => Right(None)
       case Some(resolved) =>
         if (victims.isEmpty && resolved.isEmpty) return Right(None)
-        enforceSchema(spark, table, resolved, mergeSchema = false, "merge")
+        enforceSchema(spark, table, resolved, mergeSchema = evolve, "merge")
         // `resolved` carries LOGICAL names (taggedRead projected them):
         // stage under `baseSchema` so the files land with PHYSICAL names
         // — `mapping = None` would stage logical-named files a mapped
@@ -3486,9 +3723,12 @@ object TxnLog {
           else Map.empty[String, FileStats]
         val committed = commitLoop(spark, table, stats = stats,
           schema = alloc match {
-            case Some((_, newNext)) =>
-              schemaWithWatermark(spark, table, newNext, None)
-            case None => None
+            case Some((_, newNext)) => schemaWithWatermark(spark, table,
+              newNext, enforceSchema(spark, table, resolved,
+                mergeSchema = evolve, "merge"))
+            case None =>
+              enforceSchema(spark, table, resolved,
+                mergeSchema = evolve, "merge")
           }) { v =>
           if (v != base + 1) None else Some((staged, victims))
         }

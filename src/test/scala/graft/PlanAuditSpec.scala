@@ -25,7 +25,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSpec {
         "q_txn_insert_dynamic", "q_txn_replace_where",
         "q_txn_gen_partition", "q_txn_cluster_sql",
         "q_txn_identity", "q_txn_identity_sync", "q_txn_default",
-        "q_txn_default_evolve", "q_txn_widen")(name))
+        "q_txn_default_evolve", "q_txn_widen",
+        "q_txn_merge_evolve")(name))
       GraftSqlDmlSpec.session
     else spark
 
