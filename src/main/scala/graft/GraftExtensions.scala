@@ -152,6 +152,17 @@ object GraftExtensions {
       org.apache.spark.sql.graftbridge.Bridge.planOf(
         graft.sources.TxnLog.partitions(spark, tableArg(children(0), u),
           children.lift(1).map(literalLong(_, u))))
+    }),
+    ("table_ingests", { children =>
+      // COPY INTO's ledger, one row per ingested source file — the
+      // audit face of exactly-once ingestion ("did upload X land, and
+      // in which commit?").
+      val u = "usage: table_ingests('/path/to/txn/table'[, version])"
+      require(children.nonEmpty && children.length <= 2, u)
+      val spark = org.apache.spark.sql.SparkSession.active
+      org.apache.spark.sql.graftbridge.Bridge.planOf(
+        graft.sources.TxnLog.ingests(spark, tableArg(children(0), u),
+          children.lift(1).map(literalLong(_, u))))
     }))
 
   /** Fold a literal argument to Int with a clean analysis-time error

@@ -1016,9 +1016,13 @@ object TxnLog {
     // small-file spray instead of repairing it). Opt-in because it
     // inserts a shuffle: correct for wide writers (a 16-task stream
     // sink spraying 16 tiny files per batch), wasted for writers that
-    // already partition deliberately.
+    // already partition deliberately. Cluster-on-write takes
+    // PRECEDENCE: a batch the caller just range-shaped (and is about
+    // to stamp clustered-at) must not be re-scattered — AQE still
+    // right-sizes the range partitions, so nothing is lost.
     val shaped =
-      if (spark.conf.getOption("spark.graft.write.rebalance").contains("true"))
+      if (spark.conf.getOption("spark.graft.write.rebalance").contains("true")
+          && !clusterWriteApplies(spark, mapping, df))
         guarded.hint("REBALANCE")
       else guarded
     // PARTITIONED tables stage hive-style (`stage-x/col=value/…`): the
@@ -2469,17 +2473,25 @@ object TxnLog {
     * construction mirrors the bare-OPTIMIZE path exactly — a mismatch
     * would make incremental clustering rewrite freshly-clustered
     * ingest forever. */
+  /** Whether cluster-on-write applies to this (table, batch) pair —
+    * shared with [[stage]], which must NOT rebalance a range-shaped
+    * batch (the optimize-write hint would undo the clustering the
+    * commit is about to stamp). */
+  private def clusterWriteApplies(spark: SparkSession,
+      schema: Option[StructType], df: DataFrame): Boolean = {
+    val keys = schema.map(clusterColumns).getOrElse(Nil)
+    spark.conf.getOption(ClusterOnWriteConf).exists(_.toBoolean) &&
+      keys.nonEmpty &&
+      keys.forall(k => df.columns.exists(_.equalsIgnoreCase(k)))
+  }
+
   private def clusterWriteShape(spark: SparkSession,
       schema: Option[StructType],
       df: DataFrame): (DataFrame, Option[String]) = {
     import org.apache.spark.sql.functions.col
-    val keys = schema.map(clusterColumns).getOrElse(Nil)
-    val on = spark.conf.getOption(ClusterOnWriteConf).exists(_.toBoolean)
-    if (!on || keys.isEmpty ||
-        !keys.forall(k => df.columns.exists(_.equalsIgnoreCase(k))))
-      (df, None)
+    if (!clusterWriteApplies(spark, schema, df)) (df, None)
     else {
-      val cols = keys.map(col)
+      val cols = schema.map(clusterColumns).getOrElse(Nil).map(col)
       (df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*),
         Some(clusterSig(cols)))
     }
@@ -4304,6 +4316,29 @@ object TxnLog {
     }
     rows.toDF("path", "size_bytes", "row_count", "n_stat_cols",
       "dv_binding", "bloom_cols")
+  }
+
+  /** COPY INTO's ingest ledger as a relation: one row per loaded
+    * source-file URI with the commit version that recorded it
+    * (entries folded into a checkpoint report the CHECKPOINT's
+    * version — "loaded at or before"; tail entries report exactly).
+    * The audit face of exactly-once ingestion — the SQL TVF
+    * `table_ingests('<path>')` serves it. */
+  def ingests(spark: SparkSession, table: String,
+              version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, logDir(table))
+    val versions = listVersions(f, table, "v")
+    require(versions.nonEmpty, s"not a TxnLog table: $table")
+    val v = version.getOrElse(versions.last)
+    val ckpt = listVersions(f, table, "c").filter(_ <= v).lastOption
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    ckpt.foreach(cv => parseCopied(readBody(f, checkpointFile(table, cv)))
+      .foreach(p => acc.getOrElseUpdate(p, cv)))
+    versions.filter(tv => tv <= v && ckpt.forall(tv > _))
+      .foreach(tv => parseCopied(readBody(f, versionFile(table, tv)))
+        .foreach(p => acc.getOrElseUpdate(p, tv)))
+    acc.toSeq.toDF("source_file", "loaded_at_version")
   }
 
   def history(spark: SparkSession, table: String): DataFrame = {

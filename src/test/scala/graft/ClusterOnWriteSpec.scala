@@ -120,6 +120,19 @@ class ClusterOnWriteSpec extends AnyFunSuite with SparkSpec {
       "no CLUSTER BY declaration → no markers, flag or not")
   }
 
+  test("cluster-on-write takes precedence over the optimize-write " +
+       "rebalance hint: files stay range-clustered AND marked") {
+    val t = clusteredTable("prec")
+    spark.conf.set("spark.graft.write.rebalance", "true")
+    try withClusterWrite { TxnLog.append(spark, t, batch(4000)) }
+    finally spark.conf.unset("spark.graft.write.rebalance")
+    val spans = TxnLog.snapshotWithStats(spark, t).flatMap(_._2)
+      .flatMap(_.cols.get("k")).map(cs => cs.max - cs.min).filter(_ > 1)
+    assert(spans.nonEmpty && spans.forall(_ < 3000),
+      s"rebalance must not scatter a write-clustered batch, spans $spans")
+    assert(TxnLog.snapshotFull(spark, t).exists(_._2.cl.isDefined))
+  }
+
   test("COPY INTO with the flag on stamps the ingested files") {
     import spark.implicits._
     val t = clusteredTable("copy")

@@ -132,6 +132,25 @@ class CopyIntoSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.read(spark, tbl).filter(col("k") === 1L).count() === 4L)
   }
 
+  test("table_ingests exposes the ledger with loading versions") {
+    val dml = GraftSqlDmlSpec.session
+    val src = freshDir("tvf_src")
+    val tbl = freshDir("tvf_tbl")
+    land(src, "u1", 0, 5)
+    TxnLog.create(dml, tbl, batch(0, 0))
+    val v1 = TxnLog.copyInto(dml, tbl, src).version
+    land(src, "u2", 5, 9)
+    val v2 = TxnLog.copyInto(dml, tbl, src).version
+    val rows = dml.sql(s"SELECT * FROM table_ingests('$tbl')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.length === 2)
+    assert(rows.map(_._2).sorted === Seq(v1, v2))
+    assert(rows.forall(_._1.contains("tvf_src")))
+    // Version-pinned view: only the first load is visible at v1.
+    assert(dml.sql(s"SELECT * FROM table_ingests('$tbl', $v1)")
+      .count() === 1L)
+  }
+
   test("COPY INTO is a SQL statement with version/loaded/skipped output") {
     val dml = GraftSqlDmlSpec.session
     val src = freshDir("sql_src")
