@@ -931,7 +931,8 @@ object TxnLog {
     * columns to their PHYSICAL slots first — files always carry
     * physical names. */
   private def stage(spark: SparkSession, table: String, df: DataFrame,
-                    mapping: Option[StructType]): Seq[String] = {
+                    mapping: Option[StructType],
+                    preserveShape: Boolean = false): Seq[String] = {
     val sub = s"stage-${java.util.UUID.randomUUID().toString.take(12)}"
     // Column DEFAULTS fill first (a generated expression may reference
     // a defaulted column): a frame OMITTING a defaulted column gets
@@ -1016,13 +1017,14 @@ object TxnLog {
     // small-file spray instead of repairing it). Opt-in because it
     // inserts a shuffle: correct for wide writers (a 16-task stream
     // sink spraying 16 tiny files per batch), wasted for writers that
-    // already partition deliberately. Cluster-on-write takes
-    // PRECEDENCE: a batch the caller just range-shaped (and is about
-    // to stamp clustered-at) must not be re-scattered — AQE still
-    // right-sizes the range partitions, so nothing is lost.
+    // already partition deliberately. DELIBERATELY-SHAPED frames take
+    // PRECEDENCE: a batch the caller just range-clustered (cluster-on-
+    // write, OPTIMIZE…CLUSTER BY, incremental clustering — all about
+    // to stamp clustered-at markers) must not be re-scattered; AQE
+    // still right-sizes the range partitions, so nothing is lost.
     val shaped =
       if (spark.conf.getOption("spark.graft.write.rebalance").contains("true")
-          && !clusterWriteApplies(spark, mapping, df))
+          && !preserveShape && !clusterWriteApplies(spark, mapping, df))
         guarded.hint("REBALANCE")
       else guarded
     // PARTITIONED tables stage hive-style (`stage-x/col=value/…`): the
@@ -1980,6 +1982,7 @@ object TxnLog {
       }
       committed match {
         case Some(c) =>
+          maybeAutoCompact(spark, table)
           return CopyResult(c.version, fresh.size.toLong,
             (matched.size - fresh.size).toLong)
         case None =>
@@ -2451,7 +2454,9 @@ object TxnLog {
         else Some((staged, Nil))
       }
       committed match {
-        case Some(c) => return c
+        case Some(c) =>
+          maybeAutoCompact(spark, table)
+          return c
         case None =>
           dropStaged(spark, table, staged)
           attempt += 1
@@ -3143,30 +3148,32 @@ object TxnLog {
     // best-effort here: a lost race just leaves the files for the
     // next batch. Old versions still resolve the fragments until
     // vacuum, so exactly-once replay semantics are untouched.
-    if (r.isDefined) {
-      spark.conf.getOption("spark.graft.autoCompact.minFiles")
-        .map(_.toInt).foreach { minFiles =>
-        val maxBytes = spark.conf
-          .getOption("spark.graft.autoCompact.maxFileBytes")
-          .map(_.toLong).getOrElse(32L << 20)
-        val f = fs(spark, new Path(table))
-        // Best-effort by intent: this probe runs AFTER the batch's
-        // commit published, so a file a concurrent vacuum/DML removed
-        // in the window must not crash the (already-committed) stream
-        // — a missing file simply isn't a compaction candidate
-        // (round-13 advice, low).
-        val sizes = snapshot(spark, table)
-          .flatMap(rel => scala.util.Try(
-            f.getFileStatus(dataPathObj(table, rel)).getLen).toOption)
-          .filter(_ < maxBytes)
-        if (sizes.size >= minFiles)
-          scala.util.Try(compactSmall(spark, table, maxBytes,
-            targetFiles = math.max(1,
-              ((sizes.sum + maxBytes - 1) / maxBytes).toInt)))
-      }
-    }
+    if (r.isDefined) maybeAutoCompact(spark, table)
     r
   }
+
+  /** The post-commit auto-compaction probe shared by the streaming
+    * sink, batch [[append]], and [[copyInto]] — every verb that can be
+    * a small-file factory. Entirely conf-gated and best-effort: a
+    * lost race or a file a concurrent vacuum/DML removed in the
+    * probe window just leaves the work for the next write (the
+    * caller's commit already published; round-13 advice, low). */
+  private def maybeAutoCompact(spark: SparkSession, table: String): Unit =
+    spark.conf.getOption("spark.graft.autoCompact.minFiles")
+      .map(_.toInt).foreach { minFiles =>
+      val maxBytes = spark.conf
+        .getOption("spark.graft.autoCompact.maxFileBytes")
+        .map(_.toLong).getOrElse(32L << 20)
+      val f = fs(spark, new Path(table))
+      val sizes = snapshot(spark, table)
+        .flatMap(rel => scala.util.Try(
+          f.getFileStatus(dataPathObj(table, rel)).getLen).toOption)
+        .filter(_ < maxBytes)
+      if (sizes.size >= minFiles)
+        scala.util.Try(compactSmall(spark, table, maxBytes,
+          targetFiles = math.max(1,
+            ((sizes.sum + maxBytes - 1) / maxBytes).toInt)))
+    }
 
   /** The stream's committed high-water mark: max batchId across every
     * commit carrying this stream's txn marker. */
@@ -4099,7 +4106,7 @@ object TxnLog {
     val shaped = readState(spark, table, victims, snapSchema)
       .repartitionByRange(target, keys: _*)
       .sortWithinPartitions(keys: _*)
-    val staged = stage(spark, table, shaped, snapSchema)
+    val staged = stage(spark, table, shaped, snapSchema, preserveShape = true)
     val statCols = inheritedStatsCols(victims)
     val stats =
       if (statCols.isEmpty) Map.empty[String, FileStats]
@@ -4162,7 +4169,7 @@ object TxnLog {
       if (clusterBy.isEmpty) resolved.repartition(targetFiles)
       else resolved.repartitionByRange(targetFiles, clusterBy: _*)
         .sortWithinPartitions(clusterBy: _*)
-    val staged = stage(spark, table, shaped, snapSchema)
+    val staged = stage(spark, table, shaped, snapSchema, preserveShape = true)
     val statCols = inheritedStatsCols(full)
     val stats =
       if (statCols.isEmpty) Map.empty[String, FileStats]
@@ -4203,7 +4210,7 @@ object TxnLog {
     if (victims.size < 2) return None
     val staged = stage(spark, table,
       readState(spark, table, victims, snapSchema).repartition(targetFiles),
-      snapSchema)
+      snapSchema, preserveShape = true)
     val statCols = inheritedStatsCols(victims)
     val stats =
       if (statCols.isEmpty) Map.empty[String, FileStats]
@@ -4266,7 +4273,7 @@ object TxnLog {
       if (clusterBy.isEmpty) resolved.repartition(targetFiles)
       else resolved.repartitionByRange(targetFiles, clusterBy: _*)
         .sortWithinPartitions(clusterBy: _*)
-    val staged = stage(spark, table, shaped, snapSchema)
+    val staged = stage(spark, table, shaped, snapSchema, preserveShape = true)
     val statCols = inheritedStatsCols(victims)
     val stats =
       if (statCols.isEmpty) Map.empty[String, FileStats]

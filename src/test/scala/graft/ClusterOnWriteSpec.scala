@@ -133,6 +133,29 @@ class ClusterOnWriteSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.snapshotFull(spark, t).exists(_._2.cl.isDefined))
   }
 
+  test("maintenance rewrites also dodge the rebalance hint: a " +
+       "clustered OPTIMIZE under write.rebalance stays clustered") {
+    val t = clusteredTable("maint")
+    TxnLog.append(spark, t, batch(4000))
+    spark.conf.set("spark.graft.write.rebalance", "true")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      "1024")
+    try TxnLog.compact(spark, t, targetFiles = 4, Seq(col("k")))
+    finally {
+      spark.conf.unset("spark.graft.write.rebalance")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.unset(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    }
+    val spans = TxnLog.snapshotWithStats(spark, t).flatMap(_._2)
+      .flatMap(_.cols.get("k")).map(cs => cs.max - cs.min).filter(_ > 1)
+    assert(spans.nonEmpty && spans.forall(_ < 3000),
+      s"rebalance hint must not scatter a clustered rewrite, spans $spans")
+    assert(TxnLog.snapshotFull(spark, t).forall(_._2.cl.isDefined),
+      "every post-OPTIMIZE live file must carry the marker")
+  }
+
   test("COPY INTO with the flag on stamps the ingested files") {
     import spark.implicits._
     val t = clusteredTable("copy")

@@ -132,6 +132,31 @@ class CopyIntoSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.read(spark, tbl).filter(col("k") === 1L).count() === 4L)
   }
 
+  test("auto-compaction folds in after batch appends and COPY INTO — " +
+       "small-file count stays bounded") {
+    import spark.implicits._
+    val src = freshDir("ac_src")
+    val tbl = freshDir("ac_tbl")
+    TxnLog.create(spark, tbl, batch(0, 0))
+    spark.conf.set("spark.graft.autoCompact.minFiles", "4")
+    try {
+      (0 until 6).foreach(i =>
+        TxnLog.append(spark, tbl, batch(i * 10, i * 10 + 10).coalesce(1)))
+      val afterAppends = TxnLog.snapshot(spark, tbl).size
+      assert(afterAppends < 6,
+        s"6 tiny appends must auto-compact below 6 files, got $afterAppends")
+      (0 until 4).foreach(i => land(src, s"u$i", 100 + i * 5, 105 + i * 5))
+      TxnLog.copyInto(spark, tbl, src)
+      val afterCopy = TxnLog.snapshot(spark, tbl).size
+      assert(afterCopy < afterAppends + 4,
+        s"COPY INTO of 4 tiny uploads must auto-compact, got $afterCopy")
+    } finally spark.conf.unset("spark.graft.autoCompact.minFiles")
+    import org.apache.spark.sql.functions.col
+    assert(TxnLog.read(spark, tbl).select(col("id")).as[Long]
+      .collect().toSet === ((0L until 60L) ++ (100L until 120L)).toSet,
+      "auto-compaction must never change the row population")
+  }
+
   test("table_ingests exposes the ledger with loading versions") {
     val dml = GraftSqlDmlSpec.session
     val src = freshDir("tvf_src")
