@@ -364,6 +364,77 @@ object VectorQueries extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // Product quantization with asymmetric distance (IVF-PQ's
+    // compression half; Jégou, Douze, Schmid, "Product Quantization
+    // for Nearest Neighbor Search", TPAMI 2011): the embedding splits
+    // into pqM=4 subspaces of 16 components; each subspace trains its
+    // own 16-codeword book (the SAME integer micro-unit Lloyd the
+    // coarse quantizer uses, so argmin/tie/mean never pass through a
+    // rounded double); every vector encodes to 4 small codes. Search
+    // is the ADC scan: each probe precomputes one 16-entry lookup
+    // table per subspace (its exact sub-vector dotted with every
+    // codeword), and a candidate then costs FOUR table lookups —
+    // the compressed-domain full scan whose memory footprint is
+    // codes (4 bytes-ish/vector), not floats (256 bytes), which is
+    // the entire reason PQ serves billion-vector indexes. Top-10
+    // shortlist per probe by ADC (map-side-combined top-k), then
+    // exact cosine rerank of the survivors — the standard serving
+    // pipeline. Books are a driver-side literal (4×16 codewords);
+    // encode is a pure map over the corpus scan (CentroidIndex per
+    // subspace, codegen'd, zero exchange).
+    "q_ann_pq" -> ((s, d) => {
+      val books = trainPqBooks(s, d)
+      val idxs = books.map(b => graft.functions.CentroidIndex.buildCached(b))
+      def bookArr(m: Int) = typedlit((0L until pqK).map(c =>
+        books(m).find(_._1 == c).map(_._2.toSeq).getOrElse(Seq.fill(pqSub)(0L))))
+      def bookN2(m: Int) = typedlit((0L until pqK).map(c =>
+        books(m).find(_._1 == c).map(_._3).getOrElse(0L)))
+      val e = embWithEu(s, d)
+        .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
+      // Encode every vector: per-subspace argmin codeword, map-only.
+      val enc0 = (0 until pqM).foldLeft(e) { (df, m) =>
+        val su = slice(col("e_u"), m * pqSub + 1, pqSub)
+        df.withColumn(s"code$m", graft.functions.CentroidIndex
+          .nearest(su, VectorFunctions.dotLong(su, su), idxs(m))
+          .getField("cid"))
+      }
+      val cands = enc0.withColumn("rn2u",
+          (0 until pqM).map(m => element_at(bookN2(m),
+            col(s"code$m").cast("int") + 1)).reduce(_ + _))
+        .select(Seq(col("vec_id").as("cand_id"), col("rn2u")) ++
+          (0 until pqM).map(m => col(s"code$m")): _*)
+      // Probes carry their per-subspace ADC lookup tables.
+      val probes = e.filter(col("vec_id") % 25 === 0)
+        .select(Seq(col("vec_id").as("probe_id"), col("nrm").as("pnrm")) ++
+          (0 until pqM).map(m => transform(bookArr(m), cw =>
+            VectorFunctions.dotLong(slice(col("e_u"), m * pqSub + 1, pqSub),
+              cw)).as(s"lut$m")): _*)
+      val short10 = cands.join(broadcast(probes),
+          col("probe_id") =!= col("cand_id"))
+        .withColumn("adc_u", (0 until pqM).map(m =>
+          element_at(col(s"lut$m"), col(s"code$m").cast("int") + 1))
+          .reduce(_ + _))
+        .withColumn("rnrm", sqrt(col("rn2u").cast("double")) / lit(1e6))
+        .withColumn("score_q", round(col("adc_u").cast("double") / lit(1e12)
+          / col("pnrm") / col("rnrm"), 6))
+        .groupBy("probe_id")
+        .agg(graft.functions.TopKPairsAgg
+          .topk(col("score_q"), col("cand_id"), 10).as("tk"))
+        .select(col("probe_id"), explode(col("tk.id")).as("cand_id"))
+      // Exact rerank of the ≤10 survivors, by id against the raw scan.
+      val pvecs = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          col("nrm").as("pnrm"))
+      val cvecs = e.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv"), col("nrm").as("cnrm"))
+      topK(short10
+        .join(broadcast(pvecs), "probe_id")
+        .join(cvecs, "cand_id")
+        .select(col("probe_id"), col("cand_id"),
+          round(VectorFunctions.dot(col("pv"), col("cv"))
+            / (col("pnrm") * col("cnrm")), 6).as("cos_sim")))
+    }),
+
     // Embedding-cosine near-dup pairs: same (capped) LSH bucket ∧
     // cosine ≥ 0.35.
     "q_embed_near_dup" -> ((s, d) => {
@@ -531,6 +602,50 @@ object VectorQueries extends QueryModule {
     * the old (2, 1)). The oracle CTE chain mirrors these values. */
   private[graft] val ivfNProbe = 4
   private[graft] val ivfLloydIters = 3
+
+  /** Product-quantization shape: pqM subspaces of pqSub components,
+    * pqK codewords per subspace, pqIters Lloyd iterations per book.
+    * pqK is FIXED (the codebook is the compressed alphabet — its size
+    * is a format constant, not a corpus property; 16 here where a
+    * production index uses 256, same structure). */
+  private[graft] val pqM = 4
+  private[graft] val pqSub = dim / pqM
+  private[graft] val pqK = 16
+  private[graft] val pqIters = 2
+
+  /** Train the pqM per-subspace codebooks — for each subspace, the
+    * SAME integer micro-unit Lloyd chain as [[trainCentroidsOn]]
+    * (seed = the first-pqK vectors' sub-slices, assignment through
+    * the pruned exact [[graft.functions.CentroidIndex]], per-cell
+    * half-away integer means), run over the sub-vector columns by
+    * renaming them into the shared assign/recompute machinery.
+    * Training scans the full corpus: with pqK fixed the per-iteration
+    * cost is pqK·n sub-dots — linear in the corpus at any scale.
+    * Returns per subspace the (cid, codeword_u, c2u) rows. */
+  private def trainPqBooks(s: SparkSession,
+      d: String): Seq[Seq[(Long, Array[Long], Long)]] = {
+    import s.implicits._
+    val e = embWithEu(s, d).select(col("vec_id"), col("e_u"))
+    (0 until pqM).map { m =>
+      val sub = StagedCache.persist(
+        e.select(col("vec_id"),
+            slice(col("e_u"), m * pqSub + 1, pqSub).as("e_u"))
+          .withColumn("n2u", VectorFunctions.dotLong(col("e_u"), col("e_u"))))
+      var model: Seq[(Long, Array[Long], Long)] =
+        sub.filter(col("vec_id") < pqK)
+          .select(col("vec_id"), col("e_u"), col("n2u"))
+          .as[(Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+          .map { case (cid, cu, c2) => (cid, cu.toArray, c2) }
+      for (_ <- 1 to pqIters) {
+        val index = graft.functions.CentroidIndex.build(model)
+        model = recomputeCentroids(assignMinIndexed(sub, index))
+          .select(col("cid"), col("c_u"), col("c2u"))
+          .as[(Long, Seq[Long], Long)].collect().toSeq.sortBy(_._1)
+          .map { case (cid, cu, c2) => (cid, cu.toArray, c2) }
+      }
+      model
+    }
+  }
 
   /** SemDeDup drop threshold + within-cell cap. τ matches
     * q_embed_near_dup's 0.35 (the fixture's planted-near-dup band);
@@ -1042,6 +1157,53 @@ object VectorQueries extends QueryModule {
        |      (64 * greatest(16, count(*) // $targetCell))) FROM base) = 0)"""
       .stripMargin
 
+  /** One subspace's PQ chain: sub-slice carrier, first-pqK seed,
+    * pqIters integer Lloyd iterations (the exact mirror of
+    * [[trainPqBooks]]'s per-subspace chain), and the per-vector
+    * encode (argmin codeword, (dist, cid) tie-break — the same total
+    * order [[graft.functions.CentroidIndex]] computes). */
+  private def pqSubspaceSql(m: Int): String = {
+    val lo = m * pqSub + 1
+    val hi = (m + 1) * pqSub
+    val carrier =
+      s""" p${m}b AS (SELECT vec_id, e_u[$lo:$hi] AS s_u FROM base),
+         | p${m}b2 AS (SELECT vec_id, s_u,
+         |   ${dotLong("s_u", "s_u", pqSub)} AS s2u FROM p${m}b),
+         | p${m}t0 AS (SELECT vec_id AS cid, s_u AS c_u, s2u AS c2u
+         |   FROM p${m}b2 WHERE vec_id < $pqK)""".stripMargin
+    val iters = (1 to pqIters).map { i =>
+      s""" p${m}d$i AS (SELECT b.vec_id, b.s_u, cid,
+         |    (b.s2u + c2u - 2 * ${dotLong("b.s_u", "c_u", pqSub)})::BIGINT
+         |      AS dist_u
+         |   FROM p${m}b2 b CROSS JOIN p${m}t${i - 1}),
+         | p${m}a$i AS (SELECT vec_id, s_u, cell0 FROM (
+         |    SELECT vec_id, s_u, cid AS cell0, row_number() OVER
+         |      (PARTITION BY vec_id ORDER BY dist_u, cid) AS rn
+         |    FROM p${m}d$i) WHERE rn = 1),
+         | p${m}m$i AS (SELECT cell0, pos, sum(v_u)::BIGINT AS sq,
+         |    count(*) AS n
+         |   FROM (SELECT cell0, unnest(s_u) AS v_u,
+         |      unnest(generate_series(1, $pqSub)) AS pos FROM p${m}a$i)
+         |   GROUP BY cell0, pos),
+         | p${m}u$i AS (SELECT cell0, pos,
+         |    (CASE WHEN sq >= 0 THEN (sq * 2 + n) // (2 * n)
+         |      ELSE -((-sq * 2 + n) // (2 * n)) END)::BIGINT AS cvp_u
+         |   FROM p${m}m$i),
+         | p${m}t$i AS (SELECT cid, c_u, ${dotLong("c_u", "c_u", pqSub)} AS c2u
+         |   FROM (SELECT cell0 AS cid, list(cvp_u ORDER BY pos) AS c_u
+         |     FROM p${m}u$i GROUP BY cell0))""".stripMargin
+    }.mkString(",")
+    val encode =
+      s""" p${m}e AS (SELECT vec_id, cid AS code$m, c_u AS cw$m, c2u AS c2_$m
+         |  FROM (SELECT b.vec_id, t.cid, t.c_u, t.c2u, row_number() OVER
+         |     (PARTITION BY b.vec_id ORDER BY
+         |       (b.s2u + t.c2u - 2 * ${dotLong("b.s_u", "t.c_u", pqSub)})::BIGINT,
+         |       t.cid) AS rn
+         |    FROM p${m}b2 b CROSS JOIN p${m}t$pqIters t) WHERE rn = 1)"""
+        .stripMargin
+    s"$carrier,$iters,$encode"
+  }
+
   /** IVF oracle at the shipped training depth: the shared
     * [[lloydIterSql]] quantizer chain (the same CTEs the q_kmeans
     * oracle trains), then reassignment — probes take their `nprobe`
@@ -1228,6 +1390,39 @@ object VectorQueries extends QueryModule {
          |   FROM ap) WHERE rq <= 10),
          | scored AS (SELECT probe_id, cand_id, ${cosSql("pv", "cv")} AS cos_sim
          |   FROM t10),
+         |$topKSql""".stripMargin.replace("\n", ""),
+
+    // The PQ mirror: per-subspace integer Lloyd books, argmin encode,
+    // exact-int ADC, the same rounded score and (DESC, cand_id) ties.
+    "q_ann_pq" ->
+      s"""$baseSeedSql,
+         |${(0 until pqM).map(pqSubspaceSql).mkString(",")},
+         | encj AS (SELECT e0.vec_id,
+         |    e0.cw0, e0.c2_0, e1.cw1, e1.c2_1,
+         |    e2.cw2, e2.c2_2, e3.cw3, e3.c2_3
+         |  FROM p0e e0 JOIN p1e e1 USING (vec_id)
+         |  JOIN p2e e2 USING (vec_id) JOIN p3e e3 USING (vec_id)),
+         | cands AS (SELECT vec_id AS cand_id, cw0, cw1, cw2, cw3,
+         |    (c2_0 + c2_1 + c2_2 + c2_3)::BIGINT AS rn2u FROM encj),
+         | pr AS (SELECT vec_id AS probe_id, e_u,
+         |    ${l2Norm("embedding", dim)} AS pnrm
+         |   FROM base WHERE vec_id % 25 = 0),
+         | ap AS (SELECT probe_id, cand_id,
+         |    (${dotLong("p.e_u[1:16]", "c.cw0", pqSub)}
+         |     + ${dotLong("p.e_u[17:32]", "c.cw1", pqSub)}
+         |     + ${dotLong("p.e_u[33:48]", "c.cw2", pqSub)}
+         |     + ${dotLong("p.e_u[49:64]", "c.cw3", pqSub)})::BIGINT AS adc_u,
+         |    pnrm, sqrt(rn2u::DOUBLE) / 1e6 AS rnrm
+         |   FROM pr p CROSS JOIN cands c WHERE probe_id != cand_id),
+         | ap2 AS (SELECT probe_id, cand_id,
+         |    round(adc_u::DOUBLE / 1e12 / pnrm / rnrm, 6) AS score_q FROM ap),
+         | t10 AS (SELECT probe_id, cand_id FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY score_q DESC, cand_id) AS rq
+         |   FROM ap2) WHERE rq <= 10),
+         | scored AS (SELECT t.probe_id, t.cand_id,
+         |    ${cosSql("pe.embedding", "ce.embedding")} AS cos_sim
+         |   FROM t10 t JOIN embeddings pe ON pe.vec_id = t.probe_id
+         |   JOIN embeddings ce ON ce.vec_id = t.cand_id),
          |$topKSql""".stripMargin.replace("\n", ""),
 
     "q_quantize_embed" ->
