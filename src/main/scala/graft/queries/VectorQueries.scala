@@ -367,19 +367,22 @@ object VectorQueries extends QueryModule {
     // Product quantization with asymmetric distance (IVF-PQ's
     // compression half; Jégou, Douze, Schmid, "Product Quantization
     // for Nearest Neighbor Search", TPAMI 2011): the embedding splits
-    // into pqM=4 subspaces of 16 components; each subspace trains its
-    // own 16-codeword book (the SAME integer micro-unit Lloyd the
+    // into pqM=8 subspaces of 8 components; each subspace trains its
+    // own pqK=32-codeword book (the SAME integer micro-unit Lloyd the
     // coarse quantizer uses, so argmin/tie/mean never pass through a
-    // rounded double); every vector encodes to 4 small codes. Search
-    // is the ADC scan: each probe precomputes one 16-entry lookup
-    // table per subspace (its exact sub-vector dotted with every
-    // codeword), and a candidate then costs FOUR table lookups —
-    // the compressed-domain full scan whose memory footprint is
-    // codes (4 bytes-ish/vector), not floats (256 bytes), which is
-    // the entire reason PQ serves billion-vector indexes. Top-10
-    // shortlist per probe by ADC (map-side-combined top-k), then
-    // exact cosine rerank of the survivors — the standard serving
-    // pipeline. Books are a driver-side literal (4×16 codewords);
+    // rounded double); every vector encodes to 8 small codes (40
+    // bits). Search is the ADC scan: each probe precomputes one
+    // 32-entry lookup table per subspace (its exact sub-vector dotted
+    // with every codeword), and a candidate then costs EIGHT table
+    // lookups — the compressed-domain full scan whose memory
+    // footprint is codes (~5 bytes/vector), not floats (256 bytes),
+    // which is the entire reason PQ serves billion-vector indexes.
+    // Top-pqShort shortlist per probe by ADC (map-side-combined
+    // top-k), then exact cosine rerank of the survivors — the
+    // standard serving pipeline; the (8, 32, 32) operating point is
+    // the measured knee of the Recall sweep (recall@3 0.542 at sf0.1,
+    // ABOVE the uncompressed IVF/SQ8 pair's 0.525 — PLANS.md
+    // round-16). Books are a driver-side literal (8×32 codewords);
     // encode is a pure map over the corpus scan (CentroidIndex per
     // subspace, codegen'd, zero exchange).
     "q_ann_pq" -> ((s, d) => {
@@ -419,9 +422,9 @@ object VectorQueries extends QueryModule {
           / col("pnrm") / col("rnrm"), 6))
         .groupBy("probe_id")
         .agg(graft.functions.TopKPairsAgg
-          .topk(col("score_q"), col("cand_id"), 10).as("tk"))
+          .topk(col("score_q"), col("cand_id"), pqShort).as("tk"))
         .select(col("probe_id"), explode(col("tk.id")).as("cand_id"))
-      // Exact rerank of the ≤10 survivors, by id against the raw scan.
+      // Exact rerank of the ≤pqShort survivors, by id against the raw scan.
       val pvecs = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
           col("nrm").as("pnrm"))
@@ -608,10 +611,11 @@ object VectorQueries extends QueryModule {
     * pqK is FIXED (the codebook is the compressed alphabet — its size
     * is a format constant, not a corpus property; 16 here where a
     * production index uses 256, same structure). */
-  private[graft] val pqM = 4
+  private[graft] val pqM = 8
   private[graft] val pqSub = dim / pqM
-  private[graft] val pqK = 16
+  private[graft] val pqK = 32
   private[graft] val pqIters = 2
+  private[graft] val pqShort = 32
 
   /** Train the pqM per-subspace codebooks — for each subspace, the
     * SAME integer micro-unit Lloyd chain as [[trainCentroidsOn]]
@@ -625,8 +629,18 @@ object VectorQueries extends QueryModule {
   private def trainPqBooks(s: SparkSession,
       d: String): Seq[Seq[(Long, Array[Long], Long)]] = {
     import s.implicits._
-    val e = embWithEu(s, d).select(col("vec_id"), col("e_u"))
-    (0 until pqM).map { m =>
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val e = StagedCache.persist(embWithEu(s, d).select(col("vec_id"), col("e_u")))
+    // The pqM book trainings are INDEPENDENT (disjoint sub-slices,
+    // private models) — submit them as concurrent driver threads so
+    // the 2·pqM tiny assign/recompute jobs overlap instead of
+    // queueing; each book's own chain stays strictly sequential, so
+    // results are bit-identical to the serial loop. Thread-pool
+    // bounded to pqM; Spark job submission is thread-safe by design.
+    implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+      ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(pqM))
+    val futures = (0 until pqM).map { m => Future {
       val sub = StagedCache.persist(
         e.select(col("vec_id"),
             slice(col("e_u"), m * pqSub + 1, pqSub).as("e_u"))
@@ -644,7 +658,10 @@ object VectorQueries extends QueryModule {
           .map { case (cid, cu, c2) => (cid, cu.toArray, c2) }
       }
       model
-    }
+    } }
+    try Await.result(Future.sequence(futures),
+      scala.concurrent.duration.Duration(10, "min"))
+    finally ec.shutdown()
   }
 
   /** SemDeDup drop threshold + within-cell cap. τ matches
@@ -1398,27 +1415,27 @@ object VectorQueries extends QueryModule {
       s"""$baseSeedSql,
          |${(0 until pqM).map(pqSubspaceSql).mkString(",")},
          | encj AS (SELECT e0.vec_id,
-         |    e0.cw0, e0.c2_0, e1.cw1, e1.c2_1,
-         |    e2.cw2, e2.c2_2, e3.cw3, e3.c2_3
-         |  FROM p0e e0 JOIN p1e e1 USING (vec_id)
-         |  JOIN p2e e2 USING (vec_id) JOIN p3e e3 USING (vec_id)),
-         | cands AS (SELECT vec_id AS cand_id, cw0, cw1, cw2, cw3,
-         |    (c2_0 + c2_1 + c2_2 + c2_3)::BIGINT AS rn2u FROM encj),
+         |    ${(0 until pqM).map(m => s"e$m.cw$m, e$m.c2_$m").mkString(", ")}
+         |  FROM p0e e0 ${(1 until pqM).map(m =>
+              s"JOIN p${m}e e$m USING (vec_id)").mkString(" ")}),
+         | cands AS (SELECT vec_id AS cand_id,
+         |    ${(0 until pqM).map(m => s"cw$m").mkString(", ")},
+         |    (${(0 until pqM).map(m => s"c2_$m").mkString(" + ")})::BIGINT
+         |      AS rn2u FROM encj),
          | pr AS (SELECT vec_id AS probe_id, e_u,
          |    ${l2Norm("embedding", dim)} AS pnrm
          |   FROM base WHERE vec_id % 25 = 0),
          | ap AS (SELECT probe_id, cand_id,
-         |    (${dotLong("p.e_u[1:16]", "c.cw0", pqSub)}
-         |     + ${dotLong("p.e_u[17:32]", "c.cw1", pqSub)}
-         |     + ${dotLong("p.e_u[33:48]", "c.cw2", pqSub)}
-         |     + ${dotLong("p.e_u[49:64]", "c.cw3", pqSub)})::BIGINT AS adc_u,
+         |    (${(0 until pqM).map(m => dotLong(
+              s"p.e_u[${m * pqSub + 1}:${(m + 1) * pqSub}]", s"c.cw$m",
+              pqSub)).mkString(" + ")})::BIGINT AS adc_u,
          |    pnrm, sqrt(rn2u::DOUBLE) / 1e6 AS rnrm
          |   FROM pr p CROSS JOIN cands c WHERE probe_id != cand_id),
          | ap2 AS (SELECT probe_id, cand_id,
          |    round(adc_u::DOUBLE / 1e12 / pnrm / rnrm, 6) AS score_q FROM ap),
          | t10 AS (SELECT probe_id, cand_id FROM (SELECT *, row_number() OVER
          |    (PARTITION BY probe_id ORDER BY score_q DESC, cand_id) AS rq
-         |   FROM ap2) WHERE rq <= 10),
+         |   FROM ap2) WHERE rq <= $pqShort),
          | scored AS (SELECT t.probe_id, t.cand_id,
          |    ${cosSql("pe.embedding", "ce.embedding")} AS cos_sim
          |   FROM t10 t JOIN embeddings pe ON pe.vec_id = t.probe_id
