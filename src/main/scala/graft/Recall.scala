@@ -56,7 +56,7 @@ object Recall {
       }
     }
     for (name <- Seq("q_ann_lsh", "q_ann_lsh_mp_self", "q_ann_lsh_multiprobe",
-      "q_ann_ivf", "q_ann_quantized", "q_ann_pq")) {
+      "q_ann_ivf", "q_ann_quantized", "q_ann_pq", "q_ann_ivfpq")) {
       val got = pairs(name).filter(p => probes(p._1))
       val recall = truth.count(got) / truth.size.toDouble
       println(f"$name%-24s recall@3 = $recall%.3f  (pairs kept on probe set: ${got.size})")

@@ -438,6 +438,69 @@ object VectorQueries extends QueryModule {
             / (col("pnrm") * col("cnrm")), 6).as("cos_sim")))
     }),
 
+    // IVF-PQ — the COMPOSED billion-vector serving shape (Jégou et
+    // al. 2011 §IV): the trained coarse quantizer restricts each
+    // probe's search to its nprobe nearest cells (corpus/K per cell),
+    // and WITHIN the visited cells candidates score through the PQ
+    // code + per-probe lookup tables of q_ann_pq — so per-probe cost
+    // is nprobe·(corpus/K) code lookups, and the scanned bytes are
+    // codes, not vectors. Vectors encode against the GLOBAL books
+    // (not per-cell residuals — the flat-encoding variant; documented
+    // deviation from the paper's residual refinement). Shortlist +
+    // exact rerank exactly as q_ann_pq.
+    "q_ann_ivfpq" -> ((s, d) => {
+      val trained = StagedCache.persist(trainCentroids(s, d, ivfLloydIters))
+      val books = trainPqBooks(s, d)
+      val idxs = books.map(b => graft.functions.CentroidIndex.buildCached(b))
+      def bookArr(m: Int) = typedlit((0L until pqK).map(c =>
+        books(m).find(_._1 == c).map(_._2.toSeq).getOrElse(Seq.fill(pqSub)(0L))))
+      def bookN2(m: Int) = typedlit((0L until pqK).map(c =>
+        books(m).find(_._1 == c).map(_._3).getOrElse(0L)))
+      val e = StagedCache.persist(embWithEu(s, d)
+        .withColumn("nrm", VectorFunctions.l2Norm(col("embedding"))))
+      val enc0 = (0 until pqM).foldLeft(assignMin(e, trained)) { (df, m) =>
+        val su = slice(col("e_u"), m * pqSub + 1, pqSub)
+        df.withColumn(s"code$m", graft.functions.CentroidIndex
+          .nearest(su, VectorFunctions.dotLong(su, su), idxs(m))
+          .getField("cid"))
+      }
+      val cands = enc0.withColumn("rn2u",
+          (0 until pqM).map(m => element_at(bookN2(m),
+            col(s"code$m").cast("int") + 1)).reduce(_ + _))
+        .select(Seq(col("cid").as("cell"), col("vec_id").as("cand_id"),
+          col("rn2u")) ++ (0 until pqM).map(m => col(s"code$m")): _*)
+      val probes = assignNearest(e.filter(col("vec_id") % 25 === 0),
+          trained, keep = ivfNProbe)
+        .select(Seq(col("cid").as("cell"), col("vec_id").as("probe_id"),
+          col("nrm").as("pnrm")) ++
+          (0 until pqM).map(m => transform(bookArr(m), cw =>
+            VectorFunctions.dotLong(slice(col("e_u"), m * pqSub + 1, pqSub),
+              cw)).as(s"lut$m")): _*)
+      val short = cands.join(probes, "cell")
+        .filter(col("probe_id") =!= col("cand_id"))
+        .withColumn("adc_u", (0 until pqM).map(m =>
+          element_at(col(s"lut$m"), col(s"code$m").cast("int") + 1))
+          .reduce(_ + _))
+        .withColumn("rnrm", sqrt(col("rn2u").cast("double")) / lit(1e6))
+        .withColumn("score_q", round(col("adc_u").cast("double") / lit(1e12)
+          / col("pnrm") / col("rnrm"), 6))
+        .groupBy("probe_id")
+        .agg(graft.functions.TopKPairsAgg
+          .topk(col("score_q"), col("cand_id"), pqShort).as("tk"))
+        .select(col("probe_id"), explode(col("tk.id")).as("cand_id"))
+      val pvecs = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          col("nrm").as("pnrm"))
+      val cvecs = e.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv"), col("nrm").as("cnrm"))
+      topK(short
+        .join(broadcast(pvecs), "probe_id")
+        .join(cvecs, "cand_id")
+        .select(col("probe_id"), col("cand_id"),
+          round(VectorFunctions.dot(col("pv"), col("cv"))
+            / (col("pnrm") * col("cnrm")), 6).as("cos_sim")))
+    }),
+
     // Embedding-cosine near-dup pairs: same (capped) LSH bucket ∧
     // cosine ≥ 0.35.
     "q_embed_near_dup" -> ((s, d) => {
@@ -1431,6 +1494,51 @@ object VectorQueries extends QueryModule {
               pqSub)).mkString(" + ")})::BIGINT AS adc_u,
          |    pnrm, sqrt(rn2u::DOUBLE) / 1e6 AS rnrm
          |   FROM pr p CROSS JOIN cands c WHERE probe_id != cand_id),
+         | ap2 AS (SELECT probe_id, cand_id,
+         |    round(adc_u::DOUBLE / 1e12 / pnrm / rnrm, 6) AS score_q FROM ap),
+         | t10 AS (SELECT probe_id, cand_id FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY score_q DESC, cand_id) AS rq
+         |   FROM ap2) WHERE rq <= $pqShort),
+         | scored AS (SELECT t.probe_id, t.cand_id,
+         |    ${cosSql("pe.embedding", "ce.embedding")} AS cos_sim
+         |   FROM t10 t JOIN embeddings pe ON pe.vec_id = t.probe_id
+         |   JOIN embeddings ce ON ce.vec_id = t.cand_id),
+         |$topKSql""".stripMargin.replace("\n", ""),
+
+    // IVF-PQ mirror: the shared coarse Lloyd chain restricts cells,
+    // the PQ chains encode, ADC + rerank exactly as q_ann_pq.
+    "q_ann_ivfpq" ->
+      s"""$baseSeedSql,
+         |${lloydTrainSql(ivfLloydIters)},
+         |${(0 until pqM).map(pqSubspaceSql).mkString(",")},
+         | encj AS (SELECT e0.vec_id,
+         |    ${(0 until pqM).map(m => s"e$m.cw$m, e$m.c2_$m").mkString(", ")}
+         |  FROM p0e e0 ${(1 until pqM).map(m =>
+              s"JOIN p${m}e e$m USING (vec_id)").mkString(" ")}),
+         | codes AS (SELECT vec_id,
+         |    ${(0 until pqM).map(m => s"cw$m").mkString(", ")},
+         |    (${(0 until pqM).map(m => s"c2_$m").mkString(" + ")})::BIGINT
+         |      AS rn2u FROM encj),
+         | dfin AS (SELECT b.vec_id, cid,
+         |    (b.n2u + c2u - 2 * ${dotLong("b.e_u", "c_u", dim)})::BIGINT
+         |      AS dist_u
+         |   FROM base b CROSS JOIN t$ivfLloydIters),
+         | r1 AS (SELECT vec_id, cid AS cell, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY dist_u, cid) AS rn FROM dfin),
+         | ca AS (SELECT cell, r.vec_id AS cand_id,
+         |    ${(0 until pqM).map(m => s"cw$m").mkString(", ")}, rn2u
+         |  FROM r1 r JOIN codes q ON q.vec_id = r.vec_id WHERE rn = 1),
+         | pr AS (SELECT cell, r.vec_id AS probe_id, b.e_u,
+         |    ${l2Norm("b.embedding", dim)} AS pnrm
+         |  FROM r1 r JOIN base b ON b.vec_id = r.vec_id
+         |  WHERE r.vec_id % 25 = 0 AND rn <= $ivfNProbe),
+         | ap AS (SELECT probe_id, cand_id,
+         |    (${(0 until pqM).map(m => dotLong(
+              s"p.e_u[${m * pqSub + 1}:${(m + 1) * pqSub}]", s"c.cw$m",
+              pqSub)).mkString(" + ")})::BIGINT AS adc_u,
+         |    pnrm, sqrt(rn2u::DOUBLE) / 1e6 AS rnrm
+         |   FROM pr p JOIN ca c ON c.cell = p.cell
+         |     AND c.cand_id != p.probe_id),
          | ap2 AS (SELECT probe_id, cand_id,
          |    round(adc_u::DOUBLE / 1e12 / pnrm / rnrm, 6) AS score_q FROM ap),
          | t10 AS (SELECT probe_id, cand_id FROM (SELECT *, row_number() OVER
