@@ -439,54 +439,76 @@ object VectorQueries extends QueryModule {
     }),
 
     // IVF-PQ — the COMPOSED billion-vector serving shape (Jégou et
-    // al. 2011 §IV): the trained coarse quantizer restricts each
-    // probe's search to its nprobe nearest cells (corpus/K per cell),
-    // and WITHIN the visited cells candidates score through the PQ
-    // code + per-probe lookup tables of q_ann_pq — so per-probe cost
-    // is nprobe·(corpus/K) code lookups, and the scanned bytes are
-    // codes, not vectors. Vectors encode against the GLOBAL books
-    // (not per-cell residuals — the flat-encoding variant; documented
-    // deviation from the paper's residual refinement). Shortlist +
-    // exact rerank exactly as q_ann_pq.
+    // al. 2011 §IV, WITH the paper's residual refinement): the
+    // trained coarse quantizer restricts each probe's search to its
+    // nprobe nearest cells (corpus/K per cell); vectors encode their
+    // RESIDUAL against their cell centroid (integer subtraction —
+    // the micro-unit determinism survives), which is what makes a
+    // small codebook sharp (residual energy ≪ vector energy); each
+    // probe builds, per visited cell, per-subspace lookup tables of
+    // the exact per-codeword L2 term, so a candidate costs pqM
+    // lookups and the summed entries are ‖pr − q(r)‖² — asymmetric
+    // distance computation, ranked ascending. Shortlist + exact
+    // cosine rerank exactly as q_ann_pq.
     "q_ann_ivfpq" -> ((s, d) => {
       val trained = StagedCache.persist(trainCentroids(s, d, ivfLloydIters))
-      val books = trainPqBooks(s, d)
+      val cents = trained.select(col("cid").as("cell"),
+        col("c_u").as("cent_u"))
+      val e = StagedCache.persist(embWithEu(s, d)
+        .withColumn("nrm", VectorFunctions.l2Norm(col("embedding"))))
+      // Every vector's RESIDUAL against its own cell centroid — exact
+      // integer subtraction, so the whole residual chain inherits the
+      // micro-unit determinism.
+      val assigned = StagedCache.persist(
+        assignMin(e, trained).withColumnRenamed("cid", "cell")
+          .join(broadcast(cents), "cell")
+          .withColumn("r_u", zip_with(col("e_u"), col("cent_u"),
+            (a, b) => a - b)))
+      // Books train over the residual population (pooled across
+      // cells — the standard IVF-PQ regime).
+      val books = trainPqBooksOn(s,
+        assigned.select(col("vec_id"), col("r_u").as("e_u")))
       val idxs = books.map(b => graft.functions.CentroidIndex.buildCached(b))
       def bookArr(m: Int) = typedlit((0L until pqK).map(c =>
         books(m).find(_._1 == c).map(_._2.toSeq).getOrElse(Seq.fill(pqSub)(0L))))
       def bookN2(m: Int) = typedlit((0L until pqK).map(c =>
         books(m).find(_._1 == c).map(_._3).getOrElse(0L)))
-      val e = StagedCache.persist(embWithEu(s, d)
-        .withColumn("nrm", VectorFunctions.l2Norm(col("embedding"))))
-      val enc0 = (0 until pqM).foldLeft(assignMin(e, trained)) { (df, m) =>
-        val su = slice(col("e_u"), m * pqSub + 1, pqSub)
-        df.withColumn(s"code$m", graft.functions.CentroidIndex
-          .nearest(su, VectorFunctions.dotLong(su, su), idxs(m))
-          .getField("cid"))
-      }
-      val cands = enc0.withColumn("rn2u",
-          (0 until pqM).map(m => element_at(bookN2(m),
-            col(s"code$m").cast("int") + 1)).reduce(_ + _))
-        .select(Seq(col("cid").as("cell"), col("vec_id").as("cand_id"),
-          col("rn2u")) ++ (0 until pqM).map(m => col(s"code$m")): _*)
-      val probes = assignNearest(e.filter(col("vec_id") % 25 === 0),
+      val cands = (0 until pqM).foldLeft(assigned) { (df, m) =>
+          val su = slice(col("r_u"), m * pqSub + 1, pqSub)
+          df.withColumn(s"code$m", graft.functions.CentroidIndex
+            .nearest(su, VectorFunctions.dotLong(su, su), idxs(m))
+            .getField("cid"))
+        }
+        .select(Seq(col("cell"), col("vec_id").as("cand_id")) ++
+          (0 until pqM).map(m => col(s"code$m")): _*)
+      // Probes: one row per visited cell, residual against THAT cell,
+      // and per-subspace lookup tables of the per-codeword L2 term
+      // (pr2 + cw2 − 2·pr·cw) — so a candidate costs pqM lookups and
+      // the summed table entries ARE ‖pr − q(r)‖², the paper's ADC.
+      val probes0 = assignNearest(e.filter(col("vec_id") % 25 === 0),
           trained, keep = ivfNProbe)
-        .select(Seq(col("cid").as("cell"), col("vec_id").as("probe_id"),
-          col("nrm").as("pnrm")) ++
-          (0 until pqM).map(m => transform(bookArr(m), cw =>
-            VectorFunctions.dotLong(slice(col("e_u"), m * pqSub + 1, pqSub),
-              cw)).as(s"lut$m")): _*)
+        .withColumnRenamed("cid", "cell")
+        .join(broadcast(cents), "cell")
+        .withColumn("pr_u", zip_with(col("e_u"), col("cent_u"),
+          (a, b) => a - b))
+      val probes = (0 until pqM).foldLeft(probes0) { (df, m) =>
+          val su = slice(col("pr_u"), m * pqSub + 1, pqSub)
+          df.withColumn(s"pr2_$m", VectorFunctions.dotLong(su, su))
+            .withColumn(s"lut$m", zip_with(bookArr(m), bookN2(m),
+              (cw, c2) => col(s"pr2_$m") + c2
+                - lit(2L) * VectorFunctions.dotLong(su, cw)))
+        }
+        .select(Seq(col("cell"), col("vec_id").as("probe_id")) ++
+          (0 until pqM).map(m => col(s"lut$m")): _*)
       val short = cands.join(probes, "cell")
         .filter(col("probe_id") =!= col("cand_id"))
-        .withColumn("adc_u", (0 until pqM).map(m =>
+        .withColumn("d_u", (0 until pqM).map(m =>
           element_at(col(s"lut$m"), col(s"code$m").cast("int") + 1))
           .reduce(_ + _))
-        .withColumn("rnrm", sqrt(col("rn2u").cast("double")) / lit(1e6))
-        .withColumn("score_q", round(col("adc_u").cast("double") / lit(1e12)
-          / col("pnrm") / col("rnrm"), 6))
         .groupBy("probe_id")
         .agg(graft.functions.TopKPairsAgg
-          .topk(col("score_q"), col("cand_id"), pqShort).as("tk"))
+          .topk((-col("d_u")).cast("double"), col("cand_id"), pqShort)
+          .as("tk"))
         .select(col("probe_id"), explode(col("tk.id")).as("cand_id"))
       val pvecs = e.filter(col("vec_id") % 25 === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
@@ -690,10 +712,16 @@ object VectorQueries extends QueryModule {
     * cost is pqK·n sub-dots — linear in the corpus at any scale.
     * Returns per subspace the (cid, codeword_u, c2u) rows. */
   private def trainPqBooks(s: SparkSession,
-      d: String): Seq[Seq[(Long, Array[Long], Long)]] = {
+      d: String): Seq[Seq[(Long, Array[Long], Long)]] =
+    trainPqBooksOn(s, embWithEu(s, d))
+
+  /** [[trainPqBooks]] over an explicit (vec_id, e_u) corpus — the
+    * residual-encoding variant trains over residual vectors. */
+  private def trainPqBooksOn(s: SparkSession,
+      corpus: DataFrame): Seq[Seq[(Long, Array[Long], Long)]] = {
     import s.implicits._
     import scala.concurrent.{Await, ExecutionContext, Future}
-    val e = StagedCache.persist(embWithEu(s, d).select(col("vec_id"), col("e_u")))
+    val e = StagedCache.persist(corpus.select(col("vec_id"), col("e_u")))
     // The pqM book trainings are INDEPENDENT (disjoint sub-slices,
     // private models) — submit them as concurrent driver threads so
     // the 2·pqM tiny assign/recompute jobs overlap instead of
@@ -1242,11 +1270,11 @@ object VectorQueries extends QueryModule {
     * [[trainPqBooks]]'s per-subspace chain), and the per-vector
     * encode (argmin codeword, (dist, cid) tie-break — the same total
     * order [[graft.functions.CentroidIndex]] computes). */
-  private def pqSubspaceSql(m: Int): String = {
+  private def pqSubspaceSql(m: Int, src: String = "base"): String = {
     val lo = m * pqSub + 1
     val hi = (m + 1) * pqSub
     val carrier =
-      s""" p${m}b AS (SELECT vec_id, e_u[$lo:$hi] AS s_u FROM base),
+      s""" p${m}b AS (SELECT vec_id, e_u[$lo:$hi] AS s_u FROM $src),
          | p${m}b2 AS (SELECT vec_id, s_u,
          |   ${dotLong("s_u", "s_u", pqSub)} AS s2u FROM p${m}b),
          | p${m}t0 AS (SELECT vec_id AS cid, s_u AS c_u, s2u AS c2u
@@ -1476,7 +1504,7 @@ object VectorQueries extends QueryModule {
     // exact-int ADC, the same rounded score and (DESC, cand_id) ties.
     "q_ann_pq" ->
       s"""$baseSeedSql,
-         |${(0 until pqM).map(pqSubspaceSql).mkString(",")},
+         |${(0 until pqM).map(m => pqSubspaceSql(m)).mkString(",")},
          | encj AS (SELECT e0.vec_id,
          |    ${(0 until pqM).map(m => s"e$m.cw$m, e$m.c2_$m").mkString(", ")}
          |  FROM p0e e0 ${(1 until pqM).map(m =>
@@ -1506,44 +1534,47 @@ object VectorQueries extends QueryModule {
          |$topKSql""".stripMargin.replace("\n", ""),
 
     // IVF-PQ mirror: the shared coarse Lloyd chain restricts cells,
-    // the PQ chains encode, ADC + rerank exactly as q_ann_pq.
+    // residuals (exact integer subtraction) feed the PQ chains, and
+    // the ADC is the summed per-subspace ‖pr − cw‖² term, ascending.
     "q_ann_ivfpq" ->
       s"""$baseSeedSql,
          |${lloydTrainSql(ivfLloydIters)},
-         |${(0 until pqM).map(pqSubspaceSql).mkString(",")},
-         | encj AS (SELECT e0.vec_id,
-         |    ${(0 until pqM).map(m => s"e$m.cw$m, e$m.c2_$m").mkString(", ")}
-         |  FROM p0e e0 ${(1 until pqM).map(m =>
-              s"JOIN p${m}e e$m USING (vec_id)").mkString(" ")}),
-         | codes AS (SELECT vec_id,
-         |    ${(0 until pqM).map(m => s"cw$m").mkString(", ")},
-         |    (${(0 until pqM).map(m => s"c2_$m").mkString(" + ")})::BIGINT
-         |      AS rn2u FROM encj),
          | dfin AS (SELECT b.vec_id, cid,
          |    (b.n2u + c2u - 2 * ${dotLong("b.e_u", "c_u", dim)})::BIGINT
          |      AS dist_u
          |   FROM base b CROSS JOIN t$ivfLloydIters),
          | r1 AS (SELECT vec_id, cid AS cell, row_number() OVER
          |    (PARTITION BY vec_id ORDER BY dist_u, cid) AS rn FROM dfin),
-         | ca AS (SELECT cell, r.vec_id AS cand_id,
-         |    ${(0 until pqM).map(m => s"cw$m").mkString(", ")}, rn2u
-         |  FROM r1 r JOIN codes q ON q.vec_id = r.vec_id WHERE rn = 1),
-         | pr AS (SELECT cell, r.vec_id AS probe_id, b.e_u,
-         |    ${l2Norm("b.embedding", dim)} AS pnrm
-         |  FROM r1 r JOIN base b ON b.vec_id = r.vec_id
+         | resid AS (SELECT r.vec_id, r.cell,
+         |    list_transform(generate_series(1, $dim),
+         |      i -> b.e_u[i] - t.c_u[i]) AS e_u
+         |   FROM r1 r JOIN t$ivfLloydIters t ON t.cid = r.cell
+         |   JOIN base b ON b.vec_id = r.vec_id WHERE rn = 1),
+         |${(0 until pqM).map(m => pqSubspaceSql(m, "resid")).mkString(",")},
+         | encj AS (SELECT e0.vec_id,
+         |    ${(0 until pqM).map(m => s"e$m.cw$m, e$m.c2_$m").mkString(", ")}
+         |  FROM p0e e0 ${(1 until pqM).map(m =>
+              s"JOIN p${m}e e$m USING (vec_id)").mkString(" ")}),
+         | ca AS (SELECT r.cell, q.vec_id AS cand_id,
+         |    ${(0 until pqM).map(m => s"cw$m, c2_$m").mkString(", ")}
+         |  FROM encj q JOIN resid r ON r.vec_id = q.vec_id),
+         | pr AS (SELECT r.cell, r.vec_id AS probe_id,
+         |    list_transform(generate_series(1, $dim),
+         |      i -> b.e_u[i] - t.c_u[i]) AS pr_u
+         |  FROM r1 r JOIN t$ivfLloydIters t ON t.cid = r.cell
+         |  JOIN base b ON b.vec_id = r.vec_id
          |  WHERE r.vec_id % 25 = 0 AND rn <= $ivfNProbe),
          | ap AS (SELECT probe_id, cand_id,
-         |    (${(0 until pqM).map(m => dotLong(
-              s"p.e_u[${m * pqSub + 1}:${(m + 1) * pqSub}]", s"c.cw$m",
-              pqSub)).mkString(" + ")})::BIGINT AS adc_u,
-         |    pnrm, sqrt(rn2u::DOUBLE) / 1e6 AS rnrm
+         |    (${(0 until pqM).map { m =>
+                val sl = s"p.pr_u[${m * pqSub + 1}:${(m + 1) * pqSub}]"
+                s"(${dotLong(sl, sl, pqSub)} + c.c2_$m" +
+                  s" - 2 * ${dotLong(sl, s"c.cw$m", pqSub)})"
+              }.mkString(" + ")})::BIGINT AS d_u
          |   FROM pr p JOIN ca c ON c.cell = p.cell
          |     AND c.cand_id != p.probe_id),
-         | ap2 AS (SELECT probe_id, cand_id,
-         |    round(adc_u::DOUBLE / 1e12 / pnrm / rnrm, 6) AS score_q FROM ap),
          | t10 AS (SELECT probe_id, cand_id FROM (SELECT *, row_number() OVER
-         |    (PARTITION BY probe_id ORDER BY score_q DESC, cand_id) AS rq
-         |   FROM ap2) WHERE rq <= $pqShort),
+         |    (PARTITION BY probe_id ORDER BY d_u, cand_id) AS rq
+         |   FROM ap) WHERE rq <= $pqShort),
          | scored AS (SELECT t.probe_id, t.cand_id,
          |    ${cosSql("pe.embedding", "ce.embedding")} AS cos_sim
          |   FROM t10 t JOIN embeddings pe ON pe.vec_id = t.probe_id

@@ -97,16 +97,16 @@ class MergeEvolveSpec extends AnyFunSuite with SparkSpec {
     val dml = GraftSqlDmlSpec.session
     import dml.implicits._
     val root = freshDir("sqlroot")
-    dml.conf.set("spark.sql.catalog.mev",
+    dml.conf.set("spark.sql.catalog.mevspec",
       classOf[graft.sources.GraftCatalog].getName)
-    dml.conf.set("spark.sql.catalog.mev.root", root)
+    dml.conf.set("spark.sql.catalog.mevspec.root", root)
     val t = s"$root/ns/tm"
     TxnLog.create(dml, t,
       Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
     Seq((2L, "B", 20L), (5L, "E", 50L)).toDF("id", "s", "extra")
       .createOrReplaceTempView("mevo_sql_src")
     dml.sql(
-      """MERGE WITH SCHEMA EVOLUTION INTO mev.ns.tm t
+      """MERGE WITH SCHEMA EVOLUTION INTO mevspec.ns.tm t
         |USING mevo_sql_src u ON t.id = u.id
         |WHEN MATCHED AND u.extra > 10 THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
