@@ -8,8 +8,8 @@ import graft.sources.TxnLog
 
 /** Model-based check of the transaction log's whole DML surface: a
   * seeded random program of append / overwrite / merge / COW-delete /
-  * MoR-delete / MoR-update / compact / vacuum / RESTORE / log-cleanup
-  * runs against BOTH the
+  * MoR-delete / MoR-update / compact / vacuum / RESTORE / log-cleanup /
+  * replaceWhere / COPY INTO runs against BOTH the
   * real log and a driver-side reference model (a plain Map keyed by
   * id), and after EVERY op the table read must equal the model exactly.
   * Ops compose in ways the per-op specs never enumerate (update over a
@@ -34,13 +34,17 @@ class TxnModelSpec extends AnyFunSuite with SparkSpec {
     val rnd = new scala.util.Random(seed)
     val t = s"${sys.props("java.io.tmpdir")}/graft_txnmodel_${seed}_${System.nanoTime()}"
     var nextId = 100L
+    val land = s"${t}_landing"
+    new org.apache.hadoop.fs.Path(land)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(new org.apache.hadoop.fs.Path(land))
     var model: Model = (0L until 20L).map(i => i -> i * 10).toMap
     TxnLog.create(spark, t, df(model))
     val versions = scala.collection.mutable.ArrayBuffer[(Long, Model)](
       (TxnLog.latestVersion(spark, t), model))
 
     for (step <- 1 to 12) {
-      val op = rnd.nextInt(11)
+      val op = rnd.nextInt(12)
       op match {
         case 0 => // append fresh ids
           val rows = (0 until 1 + rnd.nextInt(5)).map { _ =>
@@ -112,6 +116,24 @@ class TxnModelSpec extends AnyFunSuite with SparkSpec {
           }
           TxnLog.overwriteWhere(spark, t, col("v") >= thr, df(rows))
           model = model.filter(_._2 < thr) ++ rows
+        case 11 => // COPY INTO: land an upload then copy, or re-run
+          // idempotently. The ledger is MONOTONE across RESTORE by
+          // design (a processed file stays processed — the Delta
+          // contract), which this composition exercises: a restore
+          // that rolls copied rows away must NOT see them resurrected
+          // by a later copy.
+          if (rnd.nextBoolean()) {
+            val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
+              nextId += 1; nextId -> rnd.nextLong(1000)
+            }
+            df(rows).coalesce(1).write.parquet(s"$land/u$step")
+            val r = TxnLog.copyInto(spark, t, land)
+            assert(r.loaded >= 1L, s"fresh upload must load (seed=$seed)")
+            model = model ++ rows
+          } else {
+            assert(TxnLog.copyInto(spark, t, land).loaded === 0L,
+              s"idempotent re-run must load nothing (seed=$seed)")
+          }
       }
       // Deletes can empty the table; the log read contract requires a
       // non-empty snapshot, so re-seed when a program empties it.
