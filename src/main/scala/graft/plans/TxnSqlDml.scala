@@ -662,19 +662,21 @@ case class GraftCloneCommand(src: String, dst: String,
 }
 
 /** `COPY INTO <tgt> FROM '<src>' [FILEFORMAT <fmt>] [PATTERN '<glob>']
-  * [FORCE]` → [[TxnLog.copyInto]] (idempotent file ingestion: loads
+  * [MERGE SCHEMA] [FORCE]` → [[TxnLog.copyInto]] (idempotent file
+  * ingestion: loads
   * only source files not in the table's ingest ledger — see there
   * for the exactly-once contract). */
 case class GraftCopyIntoCommand(dir: String, source: String,
                                 format: String, pattern: Option[String],
-                                force: Boolean)
+                                force: Boolean, mergeSchema: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq("version", "files_loaded", "files_skipped").map(n =>
       org.apache.spark.sql.catalyst.expressions.AttributeReference(
         n, org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val r = TxnLog.copyInto(spark, dir, source, pattern, format, force)
+    val r = TxnLog.copyInto(spark, dir, source, pattern, format, force,
+      mergeSchema)
     Seq(Row(r.version, r.loaded, r.skipped))
   }
 }
@@ -1187,7 +1189,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     (s"""(?is)^\\s*COPY\\s+INTO\\s+$Tgt\\s+FROM\\s+'([^']+)'""" +
       """(?:\s+FILEFORMAT\s*=?\s*([A-Za-z]+))?""" +
       """(?:\s+PATTERN\s*=?\s*'([^']+)')?""" +
-      """(\s+FORCE)?\s*;?\s*$""").r
+      """(\s+MERGE\s+SCHEMA)?(\s+FORCE)?\s*;?\s*$""").r
   private val optimizeRe =
     (s"""(?is)^\\s*OPTIMIZE\\s+$Tgt""" +
       """(?:\s+PARTITION\s*\(([^)]*)\))?""" +
@@ -1300,9 +1302,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case cloneRe(src, dst, v) =>
         Some(GraftCloneCommand(resolveOrThrow(src), resolveNewTarget(dst),
           Option(v).map(_.toLong)))
-      case copyIntoRe(tgt, src, fmt, pat, force) =>
+      case copyIntoRe(tgt, src, fmt, pat, mrg, force) =>
         Some(GraftCopyIntoCommand(resolveOrThrow(tgt), src,
-          Option(fmt).getOrElse("parquet"), Option(pat), force != null))
+          Option(fmt).getOrElse("parquet"), Option(pat), force != null,
+          mergeSchema = mrg != null))
       case optimizeRe(tgt, pbody, n, cols) if pbody != null =>
         // Partition-scoped OPTIMIZE: compact (and optionally cluster)
         // ONE partition slice's files; multi-column specs allowed.

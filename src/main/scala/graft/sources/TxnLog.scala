@@ -1892,7 +1892,10 @@ object TxnLog {
     * schema — csv with a header line; GENERATED and identity columns
     * are engine-owned and excluded from the binding); `force`
     * re-loads matching files regardless of the ledger (and still
-    * records them, so a later non-force run skips them).
+    * records them, so a later non-force run skips them); `mergeSchema`
+    * admits source-only columns as additive evolution recorded in the
+    * loading commit (parquet sources only — csv/json bind the
+    * recorded schema).
     *
     * At 100 TB: the ledger is driver-side metadata ∝ ingested source
     * FILES (the same order as the log's own file listing — one
@@ -1900,7 +1903,8 @@ object TxnLog {
     * of only the new files. */
   def copyInto(spark: SparkSession, table: String, source: String,
                pattern: Option[String] = None, format: String = "parquet",
-               force: Boolean = false): CopyResult = {
+               force: Boolean = false,
+               mergeSchema: Boolean = false): CopyResult = {
     val srcRoot = new Path(source)
     val sf = fs(spark, srcRoot)
     require(sf.exists(srcRoot), s"COPY INTO: no such source: $source")
@@ -1958,7 +1962,7 @@ object TxnLog {
       // Ingestion-time clustering applies to COPY INTO exactly like
       // append — the landing verb is where it earns the most.
       val (df2, clsSig) = clusterWriteShape(spark, cur, df0)
-      enforceSchema(spark, table, df2, mergeSchema = false, "COPY INTO")
+      enforceSchema(spark, table, df2, mergeSchema, "COPY INTO")
       val staged = stage(spark, table, df2, cur)
       val committed = commitLoop(spark, table,
         stats = stagedStats(spark, table, staged,
@@ -1967,8 +1971,10 @@ object TxnLog {
           staged.map(_ -> sig).toMap),
         schema = alloc match {
           case Some((_, newNext)) => schemaWithWatermark(spark, table,
-            newNext, enforceSchema(spark, table, df2, false, "COPY INTO"))
-          case None => enforceSchema(spark, table, df2, false, "COPY INTO")
+            newNext, enforceSchema(spark, table, df2, mergeSchema,
+              "COPY INTO"))
+          case None =>
+            enforceSchema(spark, table, df2, mergeSchema, "COPY INTO")
         },
         copied = fresh) { _ =>
         // Re-checks at the tip this attempt extends: identity

@@ -132,6 +132,56 @@ class CopyIntoSpec extends AnyFunSuite with SparkSpec {
     assert(TxnLog.read(spark, tbl).filter(col("k") === 1L).count() === 4L)
   }
 
+  test("MERGE SCHEMA admits source-only columns as additive evolution " +
+       "in the loading commit; without it the load refuses") {
+    import spark.implicits._
+    val src = freshDir("ms_src")
+    val tbl = freshDir("ms_tbl")
+    Seq((1L, "a", 9L)).toDF("id", "s", "extra")
+      .coalesce(1).write.parquet(s"$src/u1")
+    TxnLog.create(spark, tbl, batch(0, 0).select("id", "s"))
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.copyInto(spark, tbl, src)
+    }
+    assert(e.getMessage.contains("extra"))
+    // The refused attempt recorded NOTHING: the mergeSchema retry
+    // still sees the file as fresh.
+    val r = TxnLog.copyInto(spark, tbl, src, mergeSchema = true)
+    assert(r.loaded === 1L)
+    assert(TxnLog.tableSchema(spark, tbl).get.fieldNames.toSeq
+      === Seq("id", "s", "extra"))
+    assert(TxnLog.read(spark, tbl).select("id", "extra")
+      .as[(Long, Option[Long])].collect().toSet === Set((1L, Some(9L))))
+    val sql = GraftSqlDmlSpec.session
+    Seq((2L, "b", 8L, true)).toDF("id", "s", "extra", "flag")
+      .coalesce(1).write.parquet(s"$src/u2")
+    val out = sql.sql(s"COPY INTO '$tbl' FROM '$src' MERGE SCHEMA")
+      .collect().head
+    assert(out.getLong(1) === 1L)
+    assert(TxnLog.tableSchema(sql, tbl).get.fieldNames.toSeq
+      === Seq("id", "s", "extra", "flag"))
+  }
+
+  test("COPY INTO commits flow through the incremental stream source " +
+       "like any append") {
+    import spark.implicits._
+    val src = freshDir("st_src")
+    val tbl = freshDir("st_tbl")
+    TxnLog.create(spark, tbl, batch(0, 5))
+    land(src, "u1", 10, 20)
+    TxnLog.copyInto(spark, tbl, src)
+    val q = spark.readStream.format("graft-txn").load(tbl)
+      .writeStream.format("memory")
+      .queryName("copy_stream_sink").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id FROM copy_stream_sink")
+        .as[Long].collect().toSet
+      assert(got === (0L until 5L).toSet ++ (10L until 20L).toSet,
+        "the copy commit's files must arrive as one incremental batch")
+    } finally q.stop()
+  }
+
   test("auto-compaction folds in after batch appends and COPY INTO — " +
        "small-file count stays bounded") {
     import spark.implicits._
