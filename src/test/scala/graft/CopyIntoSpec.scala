@@ -207,6 +207,31 @@ class CopyIntoSpec extends AnyFunSuite with SparkSpec {
       "auto-compaction must never change the row population")
   }
 
+  test("concurrent COPY INTO of the same landing zone stays " +
+       "exactly-once per file — the ledger re-check inside the " +
+       "commit attempt") {
+    import spark.implicits._
+    val src = freshDir("race_src")
+    val tbl = freshDir("race_tbl")
+    (0 until 6).foreach(i => land(src, s"u$i", i * 10, i * 10 + 10))
+    TxnLog.create(spark, tbl, batch(0, 0))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val loaded = new java.util.concurrent.atomic.AtomicLong(0)
+    val threads = (0 until 3).map(_ => new Thread(() =>
+      try loaded.addAndGet(TxnLog.copyInto(spark, tbl, src).loaded)
+      catch { case e: Throwable => errors.add(e) }))
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(errors.isEmpty,
+      s"copy race surfaced: ${errors.toArray.mkString("; ")}")
+    assert(loaded.get() === 6L,
+      s"the three racers must load each file exactly once, loaded ${loaded.get()}")
+    assert(TxnLog.read(spark, tbl).count() === 60L,
+      "no row may load twice under the race")
+    assert(TxnLog.read(spark, tbl).select("id").as[Long].collect().toSet
+      === (0L until 60L).toSet)
+    assert(TxnLog.ingestLedger(spark, tbl).size === 6)
+  }
+
   test("table_ingests exposes the ledger with loading versions") {
     val dml = GraftSqlDmlSpec.session
     val src = freshDir("tvf_src")
