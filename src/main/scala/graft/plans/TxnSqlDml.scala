@@ -692,6 +692,19 @@ case class GraftConvertCommand(dir: String) extends LeafRunnableCommand {
   }
 }
 
+/** `FSCK REPAIR <tgt> [DRY RUN]` — the SQL face of [[TxnLog.fsck]]:
+  * drop log references to physically-missing data files (one metadata
+  * commit) so the table reads again after external loss; returns the
+  * dead table-relative paths, one row each. */
+case class GraftFsckCommand(dir: String, dryRun: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "path", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    TxnLog.fsck(spark, dir, dryRun).map(Row(_))
+}
+
 /** `REINDEX BLOOM '<path>'` — the SQL face of [[TxnLog.indexBloom]]:
   * backfill sidecars for live files lacking coverage on any
   * configured column; returns the re-indexed paths. */
@@ -1180,6 +1193,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val reindexRe =
     s"""(?is)^\\s*REINDEX\\s+BLOOM\\s+$Tgt\\s*;?\\s*$$""".r
+  private val fsckRe =
+    s"""(?is)^\\s*FSCK\\s+REPAIR\\s+$Tgt(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""".r
   private val convertRe =
     s"""(?is)^\\s*CONVERT\\s+TO\\s+TXN\\s+'([^']+)'\\s*;?\\s*$$""".r
   private val cloneRe =
@@ -1295,6 +1310,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Option(n).map(_.toInt).getOrElse(1), dryRun = dry != null))
       case reindexRe(tgt) =>
         Some(GraftReindexCommand(resolveOrThrow(tgt)))
+      case fsckRe(tgt, dry) =>
+        Some(GraftFsckCommand(resolveOrThrow(tgt), dryRun = dry != null))
       case convertRe(path) =>
         // CONVERT stays path-only BY DESIGN: its target is a plain
         // parquet directory that is not a catalog table yet.

@@ -1267,6 +1267,31 @@ object LakeQueries extends QueryModule {
     // physical contracts (no data copied, copy-on-write localization,
     // vacuum isolation, DV/partition-segment encoding) are pinned in
     // CloneSpec; this query oracle-gates the VISIBLE semantics.
+    // FSCK REPAIR: lose one partition's data files OUTSIDE the engine
+    // (deterministic loss — the whole lang=de slice), repair, and read
+    // what survives. The oracle is the source table minus the lost
+    // partition: repair must drop exactly the dead references and
+    // nothing else. Scan-breakage, dry-run, and DV composition are
+    // FsckSpec's.
+    "q_txn_fsck" -> ((s, d) => {
+      val base = scratch(s, d)
+      val table = s"$base/fsck/docs"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(p)) fsys.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      TxnLog.createPartitioned(s, table, docs, Seq("lang"))
+      TxnLog.snapshot(s, table).filter(_.contains("lang=de")).foreach(rel =>
+        fsys.delete(new org.apache.hadoop.fs.Path(table, rel), false))
+      TxnLog.fsck(s, table)
+      TxnLog.read(s, table)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("row_cnt"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
+
     // MERGE WITH SCHEMA EVOLUTION, clause form: the target starts
     // WITHOUT n_chars; the merge adds it in its own commit, a
     // conditional UPDATE fills it on the qualifying matches, a DELETE
@@ -1544,6 +1569,12 @@ object LakeQueries extends QueryModule {
         |  UNION ALL
         |  SELECT doc_id, lang, 0 AS nc FROM documents
         |   WHERE n_chars % 7 = 0 AND doc_id % 2 = 0)
+        | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
+
+    "q_txn_fsck" ->
+      """SELECT lang, count(*) AS row_cnt, sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(doc_id)::BIGINT AS sum_id
+        | FROM documents WHERE lang <> 'de'
         | GROUP BY 1 ORDER BY lang""".stripMargin.replace("\n", ""),
 
     "q_txn_merge_evolve" ->

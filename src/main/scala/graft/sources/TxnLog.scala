@@ -4331,6 +4331,34 @@ object TxnLog {
       "dv_binding", "bloom_cols")
   }
 
+  /** FSCK REPAIR: drop log references to data files that are
+    * PHYSICALLY missing (deleted or lost outside the engine — the
+    * one failure vacuum's referenced-file discipline can't prevent),
+    * so the table reads again instead of failing every scan on the
+    * first dead path. One metadata commit removing the dead entries
+    * (their DV bindings ride out with them); the rows those files
+    * held are gone — repair makes the LOSS consistent, it cannot
+    * undo it, which is why the returned path list is the audit
+    * record. `dryRun` reports without committing. The commit attempt
+    * re-resolves at the tip: entries a concurrent commit already
+    * removed (or whose files reappeared) drop out of the repair.
+    * O(live files) existence probes, zero data I/O. */
+  def fsck(spark: SparkSession, table: String,
+           dryRun: Boolean = false): Seq[String] = {
+    val f = fs(spark, new Path(table))
+    def missingNow(): Seq[String] =
+      snapshot(spark, table).filterNot(rel =>
+        f.exists(dataPathObj(table, rel)))
+    val missing = missingNow()
+    if (dryRun || missing.isEmpty) return missing
+    commitLoop(spark, table) { _ =>
+      val still = missingNow().toSet
+      val dead = missing.filter(still)
+      if (dead.isEmpty) None else Some((Nil, dead))
+    }
+    missing
+  }
+
   /** COPY INTO's ingest ledger as a relation: one row per loaded
     * source-file URI with the commit version that recorded it
     * (entries folded into a checkpoint report the CHECKPOINT's
