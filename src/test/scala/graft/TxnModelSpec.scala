@@ -9,7 +9,8 @@ import graft.sources.TxnLog
 /** Model-based check of the transaction log's whole DML surface: a
   * seeded random program of append / overwrite / merge / COW-delete /
   * MoR-delete / MoR-update / compact / vacuum / RESTORE / log-cleanup /
-  * replaceWhere / COPY INTO runs against BOTH the
+  * replaceWhere / COPY INTO / external-loss-plus-FSCK runs against
+  * BOTH the
   * real log and a driver-side reference model (a plain Map keyed by
   * id), and after EVERY op the table read must equal the model exactly.
   * Ops compose in ways the per-op specs never enumerate (update over a
@@ -44,7 +45,7 @@ class TxnModelSpec extends AnyFunSuite with SparkSpec {
       (TxnLog.latestVersion(spark, t), model))
 
     for (step <- 1 to 12) {
-      val op = rnd.nextInt(12)
+      val op = rnd.nextInt(13)
       op match {
         case 0 => // append fresh ids
           val rows = (0 until 1 + rnd.nextInt(5)).map { _ =>
@@ -133,6 +134,21 @@ class TxnModelSpec extends AnyFunSuite with SparkSpec {
           } else {
             assert(TxnLog.copyInto(spark, t, land).loaded === 0L,
               s"idempotent re-run must load nothing (seed=$seed)")
+          }
+        case 12 => // lose one live file EXTERNALLY, then FSCK REPAIR:
+          // the model loses exactly the victim's LIVE rows (its
+          // DV-masked rows are already absent from both sides).
+          val full = TxnLog.snapshotFull(spark, t)
+          val (victim, st) = full(rnd.nextInt(full.size))
+          val liveRows = TxnLog.readState(spark, t, Seq(victim -> st))
+            .select("id", "v").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val vp = new org.apache.hadoop.fs.Path(t, victim)
+          vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(vp, false)
+          assert(TxnLog.fsck(spark, t) === Seq(victim))
+          model = model.filter { case (id, v) =>
+            !liveRows.get(id).contains(v)
           }
       }
       // Deletes can empty the table; the log read contract requires a
