@@ -1,0 +1,100 @@
+package graft.sources
+
+import scala.reflect.ClassTag
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+
+/** Adaptive serial-vs-distributed fan-out for driver-side filesystem
+  * METADATA loops — the general form of the bloom probe's
+  * sample-then-decide crossover ([[TxnBloom]]), extracted so every
+  * verb with an O(files) metadata loop (FSCK's existence probe, COPY
+  * INTO's source listing) shares ONE measured policy instead of
+  * re-growing the serial-driver scale-killer the r13 bloom probe had:
+  * a handful of ops run serially on the driver (cheap on every
+  * store), the remainder is projected from the measured ms/op, and
+  * past a fixed budget OR the projected-wall crossover the rest fans
+  * out as ONE Spark job. On a local FS an op is ~0.1 ms and the
+  * serial path always wins; on an object store at 10–50 ms per
+  * metadata round-trip, 100k files would cost the driver ~an hour —
+  * the distributed path turns that into one short, wide job. */
+private[graft] object MetaFanout {
+
+  /** Hadoop `Configuration` is not `java.io.Serializable`; this is
+    * the standard Writable-over-ObjectStream wrapper (the same
+    * pattern Spark uses internally) so distributed tasks can rebuild
+    * a correctly-credentialed FileSystem on executors. */
+  final class SerConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** TEST-ONLY injected latency per metadata op (ms) — MetaFanoutBench
+    * models object-store round-trips (10–50 ms per GET/LIST) on a
+    * local filesystem, measuring where the distributed path crosses
+    * over the serial one. A static volatile (not a conf) so local-mode
+    * executor tasks see it too; always 0 outside the bench. */
+  @volatile private[graft] var testOpDelayMs: Long = 0L
+  private[graft] def simulatedLatency(): Unit =
+    if (testOpDelayMs > 0L) Thread.sleep(testOpDelayMs)
+
+  /** Run `op` over `items`: serially on the driver when a measured
+    * sample projects that as cheap, as ONE Spark job otherwise.
+    * `budgetKey` (default 64) caps serial ops — ≤0 forces the
+    * distributed path; `crossoverKey` (default 250 ms) is the
+    * projected-serial-wall threshold past which the job launch
+    * overhead pays for itself. `op` must be pure and idempotent
+    * (Spark may retry tasks) and rebuild filesystem handles from the
+    * passed Configuration (`FileSystem.get` caches per scheme, so
+    * per-item lookups are cheap). Output preserves item order
+    * (parallelize+collect returns partitions in order). */
+  def adaptiveMap[T: ClassTag, R: ClassTag](spark: SparkSession,
+      items: Seq[T], budgetKey: String, crossoverKey: String)
+      (op: (Configuration, T) => Iterable[R]): Seq[R] = {
+    if (items.isEmpty) return Nil
+    val budget = spark.conf.getOption(budgetKey).map(_.toInt).getOrElse(64)
+    val crossoverMs = spark.conf.getOption(crossoverKey).map(_.toDouble)
+      .getOrElse(250.0)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def serial(xs: Seq[T]): Seq[R] = xs.flatMap(op(hconf, _))
+    if (budget <= 0) return distribute(spark, items)(op)
+    // Sample-then-decide: run a few serially (cheap on every store),
+    // project the remainder from the measured ms/op, and distribute
+    // when EITHER the fixed budget or the projected wall says the
+    // driver loop would stall.
+    val sampleN = math.min(math.min(8, budget), items.size)
+    val t0 = System.nanoTime()
+    val sampled = serial(items.take(sampleN))
+    val sampleMs = (System.nanoTime() - t0) / 1e6
+    val rest = items.drop(sampleN)
+    val projectedMs = if (sampleN == 0) 0.0 else sampleMs / sampleN * rest.size
+    val restResults =
+      if (rest.isEmpty) Nil
+      else if (rest.size <= budget - sampleN && projectedMs <= crossoverMs)
+        serial(rest)
+      else distribute(spark, rest)(op)
+    sampled ++ restResults
+  }
+
+  /** The distributed leg: one Spark job, ≤ 2× defaultParallelism
+    * tasks, results collected to the driver (callers pass metadata
+    * items — verdicts, paths — never data rows, so the collect is
+    * bounded by the item count that was already driver-resident). */
+  def distribute[T: ClassTag, R: ClassTag](spark: SparkSession,
+      items: Seq[T])(op: (Configuration, T) => Iterable[R]): Seq[R] = {
+    if (items.isEmpty) return Nil
+    val sc = spark.sparkContext
+    val confB = sc.broadcast(new SerConf(sc.hadoopConfiguration))
+    val tasks = math.min(items.size, math.max(1, sc.defaultParallelism * 2))
+    sc.parallelize(items, tasks)
+      .flatMap(x => op(confB.value.value, x))
+      .collect().toSeq
+  }
+}

@@ -1868,6 +1868,85 @@ object TxnLog {
     * source files skipped because the ledger already holds them. */
   final case class CopyResult(version: Long, loaded: Long, skipped: Long)
 
+  /** One directory listing, split into (subdirs, candidate files):
+    * `_`/`.`-prefixed names pruned, files extension-filtered. Runs
+    * identically on the driver (serial leg) and inside distributed
+    * walk tasks — one implementation, so the legs cannot disagree. */
+  private def listDirOnce(f: FileSystem, d: Path,
+      exts: Set[String]): (Seq[Path], Seq[String]) = {
+    MetaFanout.simulatedLatency()
+    val dirs = Seq.newBuilder[Path]
+    val files = Seq.newBuilder[String]
+    f.listStatus(d).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) ()
+      else if (st.isDirectory) dirs += st.getPath
+      else if (exts.exists(n.endsWith)) files += st.getPath.toString
+    }
+    (dirs.result(), files.result())
+  }
+
+  /** COPY INTO's source discovery: every candidate data file (by
+    * extension) under `source`, qualified. The r16 form was a serial
+    * recursive `listStatus` on the driver over the ENTIRE source tree
+    * on EVERY run — the scale-killer shape at object-store LIST
+    * latency × a mature landing zone. Now an adaptive breadth-first
+    * walk: a few directories list serially (the measured sample), and
+    * once the fixed budget (`spark.graft.copy.list.localOps`, 64) or
+    * the projected remaining wall (`spark.graft.copy.list.crossoverMs`,
+    * 250 ms — from the measured ms/LIST) is exceeded, the remaining
+    * frontier fans out as ONE Spark job whose tasks walk their
+    * subtrees with executor-side listings. On a local FS the serial
+    * leg always wins (sub-ms listings never cross 250 ms); on an
+    * object store a wide landing zone lists at task parallelism. */
+  private[graft] def listSourceFiles(spark: SparkSession, source: String,
+      exts: Set[String]): Seq[String] = {
+    val srcRoot = new Path(source)
+    val sf = fs(spark, srcRoot)
+    val budget = spark.conf.getOption("spark.graft.copy.list.localOps")
+      .map(_.toInt).getOrElse(64)
+    val crossoverMs = spark.conf.getOption("spark.graft.copy.list.crossoverMs")
+      .map(_.toDouble).getOrElse(250.0)
+    val found = scala.collection.mutable.ArrayBuffer.empty[String]
+    var frontier = List(sf.makeQualified(srcRoot))
+    var ops = 0
+    var spentNs = 0L
+    // Even a forced-distributed run (budget ≤ 0) lists the root once
+    // serially: the frontier IS the distribution unit.
+    val sampleN = math.max(1, math.min(8, budget))
+    while (frontier.nonEmpty) {
+      val projectedMs =
+        if (ops == 0) 0.0 else spentNs / 1e6 / ops * frontier.size
+      if (ops >= sampleN && (budget <= 0 || ops + frontier.size > budget ||
+          projectedMs > crossoverMs)) {
+        found ++= MetaFanout.distribute(spark, frontier.map(_.toString)) {
+          (conf, ds) =>
+            val p = new Path(ds)
+            val ef = p.getFileSystem(conf)
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            def walk(d: Path): Unit = {
+              val (dirs, fls) = listDirOnce(ef, d, exts)
+              out ++= fls
+              dirs.foreach(walk)
+            }
+            walk(p)
+            out
+        }
+        frontier = Nil
+      } else {
+        val d = frontier.head
+        frontier = frontier.tail
+        val t0 = System.nanoTime()
+        val (dirs, fls) = listDirOnce(sf, d, exts)
+        spentNs += System.nanoTime() - t0
+        ops += 1
+        frontier = dirs.toList ::: frontier
+        found ++= fls
+      }
+    }
+    found.toSeq
+  }
+
   /** COPY INTO: idempotent file ingestion — the re-runnable landing
     * verb of a production pipeline (the Delta `COPY INTO` design).
     * Scans `source` for data files, loads ONLY those not already
@@ -1919,20 +1998,13 @@ object TxnLog {
     val matcher = pattern.map(p =>
       java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + p))
     val prefix = sf.makeQualified(srcRoot).toString + "/"
-    val found = scala.collection.mutable.ArrayBuffer.empty[String]
-    def walk(d: Path): Unit =
-      sf.listStatus(d).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) ()
-        else if (st.isDirectory) walk(st.getPath)
-        else if (exts.exists(n.endsWith)) {
-          val q = sf.makeQualified(st.getPath).toString
-          if (matcher.forall(_.matches(
-              java.nio.file.Paths.get(q.stripPrefix(prefix))))) found += q
-        }
-      }
-    walk(srcRoot)
-    val matched = found.toSeq.sorted
+    // The walk distributes past the measured crossover ([[listSourceFiles]]);
+    // glob filtering stays on the driver (PathMatcher isn't serializable,
+    // and the candidate list is already ∝ matching files).
+    val matched = listSourceFiles(spark, source, exts)
+      .filter(q => matcher.forall(_.matches(
+        java.nio.file.Paths.get(q.stripPrefix(prefix)))))
+      .sorted
     // Engine-owned columns never bind from csv/json source text.
     val cur = tableSchema(spark, table)
     val bindSchema = cur.map(s => nullableSchema(StructType(s.fields
@@ -4342,13 +4414,26 @@ object TxnLog {
     * record. `dryRun` reports without committing. The commit attempt
     * re-resolves at the tip: entries a concurrent commit already
     * removed (or whose files reappeared) drop out of the repair.
-    * O(live files) existence probes, zero data I/O. */
+    * O(live files) existence probes, zero data I/O — and the probes
+    * go through [[MetaFanout.adaptiveMap]] (sample-then-decide, the
+    * bloom probe's crossover), so at object-store latency × many
+    * files they run as ONE short Spark job instead of a serial
+    * driver loop (at 100k files × 50 ms/probe the serial form is
+    * ~85 minutes; the distributed form is one wide metadata job). */
   def fsck(spark: SparkSession, table: String,
            dryRun: Boolean = false): Seq[String] = {
-    val f = fs(spark, new Path(table))
-    def missingNow(): Seq[String] =
-      snapshot(spark, table).filterNot(rel =>
-        f.exists(dataPathObj(table, rel)))
+    def missingNow(): Seq[String] = {
+      val live = snapshot(spark, table)
+      val dead = MetaFanout.adaptiveMap(spark, live,
+        "spark.graft.fsck.probe.localOps",
+        "spark.graft.fsck.probe.crossoverMs") { (conf, rel) =>
+        MetaFanout.simulatedLatency()
+        val p = dataPathObj(table, rel)
+        if (p.getFileSystem(conf).exists(p)) Nil else Seq(rel)
+      }.toSet
+      // Report in snapshot order regardless of which leg probed.
+      live.filter(dead)
+    }
     val missing = missingNow()
     if (dryRun || missing.isEmpty) return missing
     commitLoop(spark, table) { _ =>
