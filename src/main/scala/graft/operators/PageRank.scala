@@ -55,11 +55,19 @@ object PageRank {
     * exact), unordered — presentation sorts are the caller's. */
   def apply(pairs: DataFrame, aCol: String, bCol: String, iters: Int): DataFrame = {
     require(iters >= 1, s"pagerank needs iters >= 1, got $iters")
-    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Staged: `sym` is read by deg, by the edge build, AND by ranks0
+    // (through deg) — without the cache the upstream candidate
+    // pipeline (for near-dup graphs: the banded-LSH join + verify)
+    // recomputes for the ranks0 consumer (r17 A/B at sf0.1, 7-sample
+    // medians: 2.37 s → 2.03 s, and the recompute's extra jobs were
+    // the query's widest noise amplifier — full-suite spread max 33 s
+    // before, bounded after).
+    val sym = StagedCache.persist(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     // Staged: every round re-reads (src, dst, deg); recomputing would
-    // re-run the candidate pipeline upstream per round.
+    // re-run the degree join per round.
     val edges = StagedCache.persist(sym.join(deg, "src"))
     val ranks0 = deg.select(col("src").as("node_id"), lit(OneU).as("rank_u"))
     (1 to iters).foldLeft(ranks0) { (ranks, _) =>

@@ -47,19 +47,23 @@ private[graft] object MetaFanout {
 
   /** Run `op` over `items`: serially on the driver when a measured
     * sample projects that as cheap, as ONE Spark job otherwise.
-    * `budgetKey` (default 64) caps serial ops — ≤0 forces the
-    * distributed path; `crossoverKey` (default 250 ms) is the
-    * projected-serial-wall threshold past which the job launch
-    * overhead pays for itself. `op` must be pure and idempotent
-    * (Spark may retry tasks) and rebuild filesystem handles from the
-    * passed Configuration (`FileSystem.get` caches per scheme, so
-    * per-item lookups are cheap). Output preserves item order
-    * (parallelize+collect returns partitions in order). */
+    * The PROJECTION is the decision-maker — `crossoverKey` (default
+    * 250 ms) is the projected-serial-wall threshold past which the
+    * job-launch overhead pays for itself; on a local FS at ~0.05 ms/op
+    * thousands of items rightly stay serial, on an object store at
+    * 10–50 ms/op a few hundred rightly fan out. `budgetKey` is the
+    * HARD serial cap (default 100k ops) guarding against a sample
+    * that under-measures (e.g. the first 8 answered from a metadata
+    * cache); ≤0 forces the distributed path. `op` must be pure and
+    * idempotent (Spark may retry tasks) and rebuild filesystem
+    * handles from the passed Configuration (`FileSystem.get` caches
+    * per scheme, so per-item lookups are cheap). Output preserves
+    * item order (parallelize+collect returns partitions in order). */
   def adaptiveMap[T: ClassTag, R: ClassTag](spark: SparkSession,
       items: Seq[T], budgetKey: String, crossoverKey: String)
       (op: (Configuration, T) => Iterable[R]): Seq[R] = {
     if (items.isEmpty) return Nil
-    val budget = spark.conf.getOption(budgetKey).map(_.toInt).getOrElse(64)
+    val budget = spark.conf.getOption(budgetKey).map(_.toInt).getOrElse(100000)
     val crossoverMs = spark.conf.getOption(crossoverKey).map(_.toDouble)
       .getOrElse(250.0)
     val hconf = spark.sparkContext.hadoopConfiguration

@@ -1868,6 +1868,25 @@ object TxnLog {
     * source files skipped because the ledger already holds them. */
   final case class CopyResult(version: Long, loaded: Long, skipped: Long)
 
+  /** File length for every log entry in `rels` (−1 = physically
+    * missing), probed through [[MetaFanout.adaptiveMap]] — the shared
+    * fix for the O(live files) serial driver loops the size-sensitive
+    * verbs ran (auto-compaction's candidate scan, compactSmall's
+    * victim filter, clusterIncremental's byte sizing, RESTORE's
+    * existence gate, the `table_files` inventory): each was one
+    * blocking getFileStatus per file on the driver, ~an hour at 100k
+    * files × object-store latency. Input order preserved. */
+  private def probeLens(spark: SparkSession, table: String,
+      rels: Seq[String]): Seq[(String, Long)] =
+    MetaFanout.adaptiveMap(spark, rels,
+      "spark.graft.txn.probe.localOps",
+      "spark.graft.txn.probe.crossoverMs") { (conf, rel) =>
+      MetaFanout.simulatedLatency()
+      val p = dataPathObj(table, rel)
+      Seq(rel -> scala.util.Try(
+        p.getFileSystem(conf).getFileStatus(p).getLen).getOrElse(-1L))
+    }
+
   /** One directory listing, split into (subdirs, candidate files):
     * `_`/`.`-prefixed names pruned, files extension-filtered. Runs
     * identically on the driver (serial leg) and inside distributed
@@ -1892,19 +1911,20 @@ object TxnLog {
     * on EVERY run — the scale-killer shape at object-store LIST
     * latency × a mature landing zone. Now an adaptive breadth-first
     * walk: a few directories list serially (the measured sample), and
-    * once the fixed budget (`spark.graft.copy.list.localOps`, 64) or
-    * the projected remaining wall (`spark.graft.copy.list.crossoverMs`,
-    * 250 ms — from the measured ms/LIST) is exceeded, the remaining
-    * frontier fans out as ONE Spark job whose tasks walk their
-    * subtrees with executor-side listings. On a local FS the serial
-    * leg always wins (sub-ms listings never cross 250 ms); on an
-    * object store a wide landing zone lists at task parallelism. */
+    * once the projected remaining wall
+    * (`spark.graft.copy.list.crossoverMs`, 250 ms — from the measured
+    * ms/LIST) or the hard serial cap (`spark.graft.copy.list.localOps`,
+    * 100k) is exceeded, the remaining frontier fans out as ONE Spark
+    * job whose tasks walk their subtrees with executor-side listings.
+    * On a local FS the serial leg wins (sub-ms listings only cross
+    * 250 ms at very deep trees); on an object store a wide landing
+    * zone lists at task parallelism. */
   private[graft] def listSourceFiles(spark: SparkSession, source: String,
       exts: Set[String]): Seq[String] = {
     val srcRoot = new Path(source)
     val sf = fs(spark, srcRoot)
     val budget = spark.conf.getOption("spark.graft.copy.list.localOps")
-      .map(_.toInt).getOrElse(64)
+      .map(_.toInt).getOrElse(100000)
     val crossoverMs = spark.conf.getOption("spark.graft.copy.list.crossoverMs")
       .map(_.toDouble).getOrElse(250.0)
     val found = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -2716,9 +2736,30 @@ object TxnLog {
     val columns = columns0.filter(c =>
       mapping.isEmpty || phys.contains(c.toLowerCase))
     if (columns.isEmpty || staged.isEmpty) return Map.empty
-    def physOf(c: String): String = phys.getOrElse(c.toLowerCase, c)
-    val conf = spark.sparkContext.hadoopConfiguration
-    staged.map { rel =>
+    val physOf: Map[String, String] =
+      columns.map(c => c -> phys.getOrElse(c.toLowerCase, c)).toMap
+    // One footer open per staged file — a metadata loop ∝ the write's
+    // file count, which on an object store at 10–50 ms per open would
+    // serialize a wide write's commit on the driver. Adaptive fan-out
+    // exactly like FSCK's existence probe: small writes stay serial
+    // (local footer reads are ~1 ms), wide writes read their footers
+    // in ONE Spark job.
+    MetaFanout.adaptiveMap(spark, staged,
+      "spark.graft.stats.footer.localOps",
+      "spark.graft.stats.footer.crossoverMs") { (conf, rel) =>
+      MetaFanout.simulatedLatency()
+      Seq(rel -> footerStats(table, rel, columns, physOf, conf))
+    }.toMap
+  }
+
+  /** Footer-sourced [[FileStats]] for one staged file — the per-file
+    * body of [[stagedStats]], shared verbatim by its serial and
+    * distributed legs. */
+  private def footerStats(table: String, rel: String, columns: Seq[String],
+      physOf: Map[String, String],
+      conf: org.apache.hadoop.conf.Configuration): FileStats = {
+    import scala.jdk.CollectionConverters._
+    {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           dataPathObj(table, rel), conf))
@@ -2766,9 +2807,9 @@ object TxnLog {
             else None
           }
         }.toMap
-        rel -> FileStats(rows, cols)
+        FileStats(rows, cols)
       } finally reader.close()
-    }.toMap
+    }
   }
 
   /** [[create]] with per-file stats on `statsCols` recorded in the log. */
@@ -3142,9 +3183,8 @@ object TxnLog {
     * wins semantics of RESTORE. */
   def restore(spark: SparkSession, table: String, toVersion: Long): CommitResult = {
     val (want, wantSchema) = resolve(spark, table, Some(toVersion))
-    val f = fs(spark, new Path(table))
-    val missing = want.map(_._1)
-      .filterNot(rel => f.exists(dataPathObj(table, rel)))
+    val missing = probeLens(spark, table, want.map(_._1))
+      .collect { case (rel, len) if len < 0 => rel }
     require(missing.isEmpty,
       s"cannot restore $table to v$toVersion: ${missing.size} of its " +
         s"files were vacuumed (first: ${missing.headOption.getOrElse("")})")
@@ -3242,11 +3282,8 @@ object TxnLog {
       val maxBytes = spark.conf
         .getOption("spark.graft.autoCompact.maxFileBytes")
         .map(_.toLong).getOrElse(32L << 20)
-      val f = fs(spark, new Path(table))
-      val sizes = snapshot(spark, table)
-        .flatMap(rel => scala.util.Try(
-          f.getFileStatus(dataPathObj(table, rel)).getLen).toOption)
-        .filter(_ < maxBytes)
+      val sizes = probeLens(spark, table, snapshot(spark, table))
+        .map(_._2).filter(l => l >= 0 && l < maxBytes)
       if (sizes.size >= minFiles)
         scala.util.Try(compactSmall(spark, table, maxBytes,
           targetFiles = math.max(1,
@@ -4175,11 +4212,8 @@ object TxnLog {
     val (full, snapSchema) = resolveSnapshot(spark, table, Some(base))
     val victims = full.filterNot(_._2.cl.contains(sig))
     if (victims.isEmpty) return CommitResult(base, 0, 0)
-    val f = fs(spark, new Path(table))
-    val bytes = victims.map { case (rel, _) =>
-      scala.util.Try(f.getFileStatus(dataPathObj(table, rel)).getLen)
-        .getOrElse(0L)
-    }.sum
+    val bytes = probeLens(spark, table, victims.map(_._1))
+      .map { case (_, l) => math.max(0L, l) }.sum
     val target = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
     val shaped = readState(spark, table, victims, snapSchema)
       .repartitionByRange(target, keys: _*)
@@ -4276,14 +4310,14 @@ object TxnLog {
                    targetFiles: Int): Option[CommitResult] = {
     val base = latestVersion(spark, table)
     val (full, snapSchema) = resolveSnapshot(spark, table, Some(base))
-    val f = fs(spark, new Path(table))
     // A file a concurrent DML replaced (and vacuum already swept) in
     // the window since the snapshot resolved is not a candidate — the
     // commit loop's victim-identity check re-verifies anyway; probing
-    // it must not crash the maintenance pass (round-13 advice, low).
+    // it must not crash the maintenance pass (round-13 advice, low;
+    // probeLens reports such files as −1).
+    val lens = probeLens(spark, table, full.map(_._1)).toMap
     val victims = full.filter { case (p, _) =>
-      scala.util.Try(f.getFileStatus(dataPathObj(table, p)).getLen)
-        .toOption.exists(_ < maxFileBytes)
+      val l = lens.getOrElse(p, -1L); l >= 0 && l < maxFileBytes
     }
     if (victims.size < 2) return None
     val staged = stage(spark, table,
@@ -4385,15 +4419,17 @@ object TxnLog {
   def files(spark: SparkSession, table: String,
             version: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val f = fs(spark, new Path(table))
     val bloomCols = TxnBloom.configuredCols(spark, table)
-    val rows = snapshotFull(spark, table, version).map { case (rel, st) =>
+    val full = snapshotFull(spark, table, version)
+    // -1 = physically missing (vacuumed under a time-travel version,
+    // or swept in the listing window) — inventory rows must report,
+    // not crash (round-13 advice, low). probeLens distributes the
+    // size probe past the crossover instead of one driver
+    // getFileStatus per live file.
+    val lens = probeLens(spark, table, full.map(_._1)).toMap
+    val rows = full.map { case (rel, st) =>
       (rel,
-        // -1 = physically missing (vacuumed under a time-travel
-        // version, or swept in the listing window) — inventory rows
-        // must report, not crash (round-13 advice, low).
-        scala.util.Try(f.getFileStatus(dataPathObj(table, rel)).getLen)
-          .getOrElse(-1L),
+        lens.getOrElse(rel, -1L),
         st.stats.map(_.count).getOrElse(-1L),
         st.stats.map(_.cols.size.toLong).getOrElse(0L),
         st.dv.orNull,
@@ -4532,19 +4568,40 @@ object TxnLog {
     val liveDvDirs = full.flatMap(_._2.dv).toSet
     val cutoff = System.currentTimeMillis() - retainMillis
     val onDisk = LakeMaintenanceFiles.list(spark, table)
-    val dead = onDisk.filterNot { p =>
-      live.contains(p) || liveDvDirs.exists(d => p.startsWith(d + "/")) ||
-        // The age guard: an in-flight writer's staged-but-uncommitted
-        // file is younger than the window by construction. A candidate
-        // that vanished between listing and probe (a racing vacuum, or
-        // dropStaged on an abandoned commit) is not ours to delete —
-        // treat it as retained rather than aborting the whole pass.
-        (retainMillis > 0 &&
-          scala.util.Try(f.getFileStatus(new Path(table, p))
-            .getModificationTime).toOption.forall(_ > cutoff))
-    }
+    val candidates = onDisk.filterNot(p =>
+      live.contains(p) || liveDvDirs.exists(d => p.startsWith(d + "/")))
+    // The age guard: an in-flight writer's staged-but-uncommitted
+    // file is younger than the window by construction. A candidate
+    // that vanished between listing and probe (a racing vacuum, or
+    // dropStaged on an abandoned commit) is not ours to delete —
+    // treat it as retained rather than aborting the whole pass.
+    // One mtime probe per candidate — adaptively distributed, like
+    // every other per-file metadata loop in the log.
+    val dead =
+      if (retainMillis <= 0 || candidates.isEmpty) candidates
+      else {
+        val retained = MetaFanout.adaptiveMap(spark, candidates,
+          "spark.graft.txn.probe.localOps",
+          "spark.graft.txn.probe.crossoverMs") { (conf, p) =>
+          MetaFanout.simulatedLatency()
+          val fp = new Path(table, p)
+          Seq(p -> scala.util.Try(fp.getFileSystem(conf)
+            .getFileStatus(fp).getModificationTime).toOption
+            .forall(_ > cutoff))
+        }.toMap
+        candidates.filterNot(retained)
+      }
     if (dryRun) return dead // report the candidates, touch nothing
-    dead.foreach(p => scala.util.Try(f.delete(new Path(table, p), false)))
+    // Deletes fan out too (one RPC per dead file; idempotent — a
+    // retried task's second delete of the same path is a no-op).
+    MetaFanout.adaptiveMap(spark, dead,
+      "spark.graft.txn.probe.localOps",
+      "spark.graft.txn.probe.crossoverMs") { (conf, p) =>
+      MetaFanout.simulatedLatency()
+      val fp = new Path(table, p)
+      scala.util.Try(fp.getFileSystem(conf).delete(fp, false))
+      Nil: Seq[Int]
+    }
     // Emptied staging/partition directories go with their files — a
     // partitioned table's vacuum otherwise litters one empty
     // `stage-x/col=value/` chain per reclaimed partition. Non-recursive

@@ -58,6 +58,35 @@ object MetaFanoutBench {
           f"winner=${if (distMs < serialMs) "distributed" else "serial"}")
       }
 
+      println("-- table_files size probe / probeLens (ops = live files; " +
+        "same helper serves auto-compact, compactSmall, clusterIncremental, " +
+        "RESTORE, vacuum, stagedStats) --")
+      for (k <- Seq(32, 128, 512)) {
+        val t = s"$root/fsck$k" // reuse the FSCK fixture tables
+        def run(budget: String): (Double, Long) = {
+          spark.conf.set("spark.graft.txn.probe.localOps", budget)
+          spark.conf.set("spark.graft.txn.probe.crossoverMs", "1e18")
+          val t0 = System.nanoTime()
+          val n = TxnLog.files(spark, t).where("size_bytes >= 0").count()
+          ((System.nanoTime() - t0) / 1e6, n)
+        }
+        MetaFanout.testOpDelayMs = delayMs
+        val (serialMs, nS) = run(Int.MaxValue.toString)
+        val (distMs, nD) = run("0")
+        spark.conf.unset("spark.graft.txn.probe.localOps")
+        spark.conf.unset("spark.graft.txn.probe.crossoverMs")
+        val tA = System.nanoTime()
+        val nA = TxnLog.files(spark, t).where("size_bytes >= 0").count()
+        val adaptiveMs = (System.nanoTime() - tA) / 1e6
+        MetaFanout.testOpDelayMs = 0L
+        val expect = TxnLog.snapshot(spark, t).size - 2L // 2 lost above
+        require(nS == nD && nS == nA && nS == expect,
+          s"size-probe parity violated at k=$k ($nS/$nD/$nA vs $expect)")
+        println(f"files=$k%5d  serial=${serialMs}%8.0f ms  " +
+          f"distributed=${distMs}%8.0f ms  adaptive=${adaptiveMs}%8.0f ms  " +
+          f"winner=${if (distMs < serialMs) "distributed" else "serial"}")
+      }
+
       println("-- COPY INTO source listing (ops = directory LISTs) --")
       for (d <- Seq(16, 64, 256)) {
         val src = s"$root/land$d"
