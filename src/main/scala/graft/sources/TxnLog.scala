@@ -431,21 +431,97 @@ object TxnLog {
     (files, sc.map(_.schema))
   }
 
+  /** Bounded LRU of fully-resolved snapshots, keyed by the EXACT
+    * identity — name + (mtime, length) — of every file the replay
+    * reads. Version/checkpoint files are create-exclusive (immutable),
+    * so a hit can never be stale; a table deleted and RECREATED at the
+    * same path gets fresh mtimes and misses; a `cleanupLog`-removed
+    * version still fails loudly, because the fresh listing's require
+    * runs before any lookup. One DML statement resolves the tip
+    * several times (schema enforcement, constraint lookup, the commit
+    * loop's re-resolve) — this turns every repeat into a map hit, and
+    * the prefix-seeding below turns each NEW commit's resolve into
+    * "cached state at v−1 + parse one commit" instead of a full
+    * checkpoint-plus-tail re-parse (O(table) JSON per statement at
+    * 100k files). Capacity is file-state-bounded, not entry-bounded,
+    * so wide tables cannot pin driver memory. */
+  private object ResolveCache {
+    private val maxEntries = 64
+    private val maxFileStates = 512 * 1024
+    private var files = 0L
+    private val map = new java.util.LinkedHashMap[String,
+      (Seq[(String, FileState)], Option[SchemaCommit])](16, 0.75f, true)
+    def get(k: String): Option[(Seq[(String, FileState)], Option[SchemaCommit])] =
+      synchronized(Option(map.get(k)))
+    def put(k: String, v: (Seq[(String, FileState)], Option[SchemaCommit])): Unit =
+      synchronized {
+        if (!map.containsKey(k)) {
+          map.put(k, v)
+          files += v._1.size
+          val it = map.entrySet().iterator()
+          while ((map.size > maxEntries || files > maxFileStates) && it.hasNext) {
+            val e = it.next(); files -= e.getValue._1.size; it.remove()
+          }
+        }
+      }
+    def clear(): Unit = synchronized { map.clear(); files = 0L }
+  }
+
+  /** Test hook: drop the snapshot cache (cold-path measurements). */
+  private[graft] def clearResolveCache(): Unit = ResolveCache.clear()
+
   private def resolve(spark: SparkSession, table: String,
       version: Option[Long]): (Seq[(String, FileState)], Option[SchemaCommit]) = {
     val f = fs(spark, logDir(table))
-    val versions = listVersions(f, table, "v")
+    val dir = logDir(table)
+    // ONE listing serves version discovery, checkpoint discovery, and
+    // the cache-identity map (the pre-cache form listed the dir twice).
+    val statuses =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq.filterNot(_.isDirectory)
+    def nums(prefix: String): Seq[Long] = statuses.map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.endsWith(".json"))
+      .map(n => n.stripPrefix(prefix).stripSuffix(".json").toLong)
+      .sorted
+    val versions = nums("v")
     require(versions.nonEmpty, s"not a TxnLog table: $table")
     val v = version.getOrElse(versions.last)
-    val ckpts = listVersions(f, table, "c")
+    val ckpts = nums("c")
     // A checkpoint-only version (its v-file cleaned by [[cleanupLog]])
     // still resolves — the checkpoint IS its full state.
     require(versions.contains(v) || ckpts.contains(v),
       s"version $v not in log (have ${versions.mkString(",")}; " +
         "older entries may have been cleaned — see cleanupLog)")
     val ckpt = ckpts.filter(_ <= v).lastOption
+    val tail = versions.filter(tv => tv <= v && ckpt.forall(tv > _))
+    val ident: Map[String, String] = statuses.map(s =>
+      s.getPath.getName -> s"${s.getModificationTime}:${s.getLen}").toMap
+    def fileId(name: String) = name + "@" + ident.getOrElse(name, "?")
+    // The key of the state at `upTo` under THIS replay chain — by
+    // construction identical to the key resolve(table, Some(upTo))
+    // computes itself (no checkpoint sits in (ckpt, v], so upTo's own
+    // checkpoint choice is the same one).
+    def keyAt(upTo: Long): String =
+      table + "|" + (ckpt.map(cv => fileId(f"c$cv%08d.json")).toSeq ++
+        tail.filter(_ <= upTo).map(tv => fileId(f"v$tv%08d.json")))
+        .mkString("|")
+    val key = keyAt(v)
+    ResolveCache.get(key) match {
+      case Some(hit) => return hit
+      case None =>
+    }
     val live = scala.collection.mutable.LinkedHashMap.empty[String, FileState]
     var schema: Option[SchemaCommit] = None
+    // Seed from the longest cached prefix of the same chain: immutable
+    // files make "cached state at w" + "apply (w, v]" ≡ full replay.
+    var seeded = -1L
+    tail.filter(_ < v).reverse.take(16).find { w =>
+      ResolveCache.get(keyAt(w)) match {
+        case Some((fseq, sc)) =>
+          fseq.foreach(live += _); schema = sc; seeded = w; true
+        case None => false
+      }
+    }
     def apply(body: String): Unit = {
       val st = parseStats(body)
       val dv = parseDvs(body)
@@ -459,10 +535,13 @@ object TxnLog {
       }
       parseSchema(body).foreach(s => schema = Some(s))
     }
-    ckpt.foreach(cv => apply(readBody(f, checkpointFile(table, cv))))
-    versions.filter(tv => tv <= v && ckpt.forall(tv > _))
-      .foreach(tv => apply(readBody(f, versionFile(table, tv))))
-    (live.toSeq, schema)
+    if (seeded < 0)
+      ckpt.foreach(cv => apply(readBody(f, checkpointFile(table, cv))))
+    tail.filter(_ > seeded).foreach(tv =>
+      apply(readBody(f, versionFile(table, tv))))
+    val out = (live.toSeq, schema)
+    ResolveCache.put(key, out)
+    out
   }
 
   // ---- column mapping ------------------------------------------------------
