@@ -63,18 +63,36 @@ object ConnectedComponents {
     r.labels
   }
 
+  /** Rows per label partition inside the propagation loop: (long, long)
+    * label rows are 16 bytes, so 4 M rows ≈ 64 MB — the small end of the
+    * 100 MB–1 GB healthy-partition band, chosen low because every round
+    * pays per-partition fixed cost THREE times (shuffle task + eager
+    * checkpoint block + changed-count scan). */
+  private val RowsPerLabelPartition = 4L * 1024 * 1024
+
   /** [[apply]] with a machine-readable outcome instead of a stderr line. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           maxRounds: Int = 20): Result = {
     val sym = StagedCache.persist(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
+    // Pin the label table's partition count to the DATA, not the box:
+    // per-round cost (shuffle tasks, eager-checkpoint blocks, the
+    // changed-count scan) is proportional to this count, and deriving it
+    // from `spark.sql.shuffle.partitions` (= core count here) made
+    // rounds SLOWER on bigger boxes at fixed data size. The count also
+    // materializes the staged edge table once, before the loop.
+    val edgeRows = sym.count()
+    val labelParts = math.max(1L, math.min(
+      sym.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      (edgeRows + RowsPerLabelPartition - 1) / RowsPerLabelPartition)).toInt
     // Initial labels already fold in one propagation step — min(self,
     // direct neighbors) — without a changed-count job: star-shaped
     // components (the common near-dup cluster) converge immediately
     // and pay only the single confirming round.
     var labels = sym.select(col("src").as("node_id"), col("dst").as("cluster_id"))
       .union(sym.select(col("src").as("node_id"), col("src").as("cluster_id")))
+      .repartition(labelParts, col("node_id"))
       .groupBy("node_id").agg(min("cluster_id").as("cluster_id"))
       .localCheckpoint(true)
     var converged = false
@@ -83,42 +101,26 @@ object ConnectedComponents {
       val viaNbr = sym
         .join(labels.select(col("node_id").as("dst"), col("cluster_id")), "dst")
         .select(col("src").as("node_id"), col("cluster_id"))
-      // ONE job per round: the changed-count rides the eager
-      // checkpoint's materialization as an observed metric instead of a
-      // second join+count action (halves the per-round fixed job
-      // overhead that dominates this operator at bench scale — the
-      // data-volume cost is unchanged). The prev-label join keys are
-      // both hash-partitioned on node_id, so the fusion adds no
-      // corpus-sized exchange.
-      val obs = org.apache.spark.sql.Observation()
+      // The changed-count rides the checkpointed rows as a `chg` column:
+      // the eager checkpoint materializes it, and the count is then one
+      // trivial aggregation over the cached blocks — no shuffle of data,
+      // no listener-bus dependency. (The previous implementation awaited
+      // an `Observation` future here; observed-metric delivery rides the
+      // asynchronous listener bus, which under a busy 32-core suite can
+      // lag or drop the query-end event, turning a ~1 s round into a
+      // 30 s Await timeout plus a fallback count — the measured
+      // [1.3 s, 34 s] spread on the same query.)
       val next = labels.select(col("node_id"), col("cluster_id")).union(viaNbr)
+        .repartition(labelParts, col("node_id"))
         .groupBy("node_id").agg(min("cluster_id").as("cluster_id"))
         .join(labels.select(col("node_id"), col("cluster_id").as("prev")), "node_id")
-        .observe(obs, sum(when(col("cluster_id") =!= col("prev"), 1L)
-          .otherwise(0L)).as("changed"))
-        .select("node_id", "cluster_id")
+        .select(col("node_id"), col("cluster_id"),
+          (col("cluster_id") =!= col("prev")).as("chg"))
         .localCheckpoint(true)
-      // Defensive fallback: if the checkpoint action ever stops
-      // delivering observed metrics (an internal-wiring property, not a
-      // contract), fall back to the explicit count rather than hanging
-      // on a blocking get() or mis-reporting convergence.
-      // NonFatal, not just TimeoutException: a SparkException delivered
-      // through the metrics future must also take the fallback path, and an
-      // interrupt falls back too after restoring the thread's interrupt
-      // status (NonFatal deliberately excludes InterruptedException).
-      val changed: Long = (try {
-        Option(scala.concurrent.Await.result(obs.future,
-          scala.concurrent.duration.Duration(30, "s")).getAs[Any]("changed"))
-      } catch {
-        case scala.util.control.NonFatal(_) => None
-        case _: InterruptedException => Thread.currentThread().interrupt(); None
-      }) match {
-        case Some(n: java.lang.Long) => n.longValue()
-        case _ => next
-          .join(labels.withColumnRenamed("cluster_id", "prev"), "node_id")
-          .filter(col("cluster_id") =!= col("prev")).count()
-      }
-      labels = next
+      val changed: Long = next
+        .agg(count(when(col("chg"), lit(1))).as("changed"))
+        .first().getLong(0)
+      labels = next.select("node_id", "cluster_id")
       converged = changed == 0
       rounds += 1
     }

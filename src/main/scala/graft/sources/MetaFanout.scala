@@ -51,10 +51,12 @@ private[graft] object MetaFanout {
     * 250 ms) is the projected-serial-wall threshold past which the
     * job-launch overhead pays for itself; on a local FS at ~0.05 ms/op
     * thousands of items rightly stay serial, on an object store at
-    * 10–50 ms/op a few hundred rightly fan out. `budgetKey` is the
-    * HARD serial cap (default 100k ops) guarding against a sample
-    * that under-measures (e.g. the first 8 answered from a metadata
-    * cache); ≤0 forces the distributed path. `op` must be pure and
+    * 10–50 ms/op a few hundred rightly fan out. The projection is
+    * re-measured every 64 ops DURING the serial leg, so a sample
+    * answered from a warm metadata cache only mis-commits the driver
+    * to one chunk, not the whole loop. `budgetKey` is the HARD serial
+    * cap (default 100k ops) — an absolute backstop on top of the
+    * re-projection; ≤0 forces the distributed path. `op` must be pure and
     * idempotent (Spark may retry tasks) and rebuild filesystem
     * handles from the passed Configuration (`FileSystem.get` caches
     * per scheme, so per-item lookups are cheap). Output preserves
@@ -77,14 +79,36 @@ private[graft] object MetaFanout {
     val t0 = System.nanoTime()
     val sampled = serial(items.take(sampleN))
     val sampleMs = (System.nanoTime() - t0) / 1e6
-    val rest = items.drop(sampleN)
-    val projectedMs = if (sampleN == 0) 0.0 else sampleMs / sampleN * rest.size
-    val restResults =
-      if (rest.isEmpty) Nil
-      else if (rest.size <= budget - sampleN && projectedMs <= crossoverMs)
-        serial(rest)
-      else distribute(spark, rest)(op)
-    sampled ++ restResults
+    val rest = items.drop(sampleN).toIndexedSeq
+    // The serial leg RE-PROJECTS as it goes (like listSourceFiles): a
+    // sample answered from a warm metadata cache must not commit the
+    // driver to the whole loop — every chunk re-measures ms/op over
+    // everything done so far and bails to the distributed path the
+    // moment the projected remaining wall crosses over (round-17
+    // advice: the hard cap alone still allowed up to budget × ms/op of
+    // serial driver wall when the sample under-measured).
+    val out = Seq.newBuilder[R]
+    var done = sampleN
+    var spentMs = sampleMs
+    var i = 0
+    var bailed = false
+    while (i < rest.size && !bailed) {
+      val remaining = rest.size - i
+      if (remaining > budget - done ||
+          (done > 0 && spentMs / done * remaining > crossoverMs)) {
+        out ++= distribute(spark, rest.drop(i))(op)
+        bailed = true
+      } else {
+        val chunk = math.min(64, remaining)
+        val t1 = System.nanoTime()
+        var j = 0
+        while (j < chunk) { out ++= op(hconf, rest(i + j)); j += 1 }
+        spentMs += (System.nanoTime() - t1) / 1e6
+        done += chunk
+        i += chunk
+      }
+    }
+    sampled ++ out.result()
   }
 
   /** The distributed leg: one Spark job, ≤ 2× defaultParallelism

@@ -447,25 +447,62 @@ object TxnLog {
     * so wide tables cannot pin driver memory. */
   private object ResolveCache {
     private val maxEntries = 64
-    private val maxFileStates = 512 * 1024
-    private var files = 0L
+    // Capacity is approximate BYTES, not a file count: a FileState can
+    // carry a wide stats map with string min/max bounds, so a count cap
+    // alone could pin hundreds of MB of driver heap behind a nominally
+    // "bounded" cache (round-17 advice).
+    private val maxApproxBytes = 64L * 1024 * 1024
+    private var bytes = 0L
     private val map = new java.util.LinkedHashMap[String,
       (Seq[(String, FileState)], Option[SchemaCommit])](16, 0.75f, true)
+    private def weigh(v: (Seq[(String, FileState)], Option[SchemaCommit])): Long =
+      v._1.iterator.map { case (p, st) =>
+        64L + 2L * p.length +
+          st.stats.fold(0L)(fs => fs.cols.iterator.map { case (c, cs) =>
+            80L + 2L * c.length +
+              (if (cs.minStr != null) 2L * cs.minStr.length else 0L) +
+              (if (cs.maxStr != null) 2L * cs.maxStr.length else 0L)
+          }.sum) +
+          st.dv.fold(0L)(d => 2L * d.length) +
+          st.cl.fold(0L)(c => 2L * c.length)
+      }.sum + v._2.fold(0L)(sc => 256L * math.max(1, sc.schema.fields.length))
     def get(k: String): Option[(Seq[(String, FileState)], Option[SchemaCommit])] =
       synchronized(Option(map.get(k)))
     def put(k: String, v: (Seq[(String, FileState)], Option[SchemaCommit])): Unit =
       synchronized {
         if (!map.containsKey(k)) {
           map.put(k, v)
-          files += v._1.size
+          bytes += weigh(v)
           val it = map.entrySet().iterator()
-          while ((map.size > maxEntries || files > maxFileStates) && it.hasNext) {
-            val e = it.next(); files -= e.getValue._1.size; it.remove()
+          while ((map.size > maxEntries || bytes > maxApproxBytes) && it.hasNext) {
+            val e = it.next(); bytes -= weigh(e.getValue); it.remove()
           }
         }
       }
-    def clear(): Unit = synchronized { map.clear(); files = 0L }
+    /** Drop every cached snapshot of `table` — called when version 0
+      * publishes at a path: a drop-and-recreate within one mtime
+      * granule (object stores report second-granularity Last-Modified)
+      * with same-length log files would otherwise collide with the old
+      * incarnation's keys and serve a stale snapshot (round-17 advice).
+      * Covers every in-process recreate; cross-process recreates remain
+      * guarded by the (mtime, length) identity, as before. */
+    def invalidate(table: String): Unit = synchronized {
+      val pfx = table + "|"
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(pfx)) { bytes -= weigh(e.getValue); it.remove() }
+      }
+    }
+    def clear(): Unit = synchronized { map.clear(); bytes = 0L }
+    /** Test hook: current approximate byte accounting. */
+    def approxBytes: Long = synchronized(bytes)
+    def entryCount: Int = synchronized(map.size)
   }
+
+  /** Test hooks: cache accounting for the eviction spec. */
+  private[graft] def resolveCacheApproxBytes: Long = ResolveCache.approxBytes
+  private[graft] def resolveCacheEntryCount: Int = ResolveCache.entryCount
 
   /** Test hook: drop the snapshot cache (cold-path measurements). */
   private[graft] def clearResolveCache(): Unit = ResolveCache.clear()
@@ -1199,6 +1236,11 @@ object TxnLog {
         case Some((a, r)) =>
           if (writeJson(f, versionFile(table, next), a, r, exclusive = true, txn,
               stats, dvs, schema, cls, copied)) {
+            // A fresh v0 at this path means any cached snapshot belongs
+            // to a previous incarnation (drop + recreate): invalidate
+            // so a same-mtime-granule recreate can never serve stale
+            // state (see [[ResolveCache.invalidate]]).
+            if (next == 0) ResolveCache.invalidate(table)
             if (next % CheckpointInterval == 0 && next > 0) {
               // Checkpoints publish by RENAME: a crash mid-write must
               // never leave a truncated c*.json — replay parses the
@@ -1962,8 +2004,12 @@ object TxnLog {
       "spark.graft.txn.probe.crossoverMs") { (conf, rel) =>
       MetaFanout.simulatedLatency()
       val p = dataPathObj(table, rel)
-      Seq(rel -> scala.util.Try(
-        p.getFileSystem(conf).getFileStatus(p).getLen).getOrElse(-1L))
+      // ONLY FileNotFound means "physically missing" (−1): a transient
+      // store/auth error must propagate, not masquerade as a vacuumed
+      // file — FSCK would quarantine live files and RESTORE would
+      // refuse with a misleading message (round-17 advice).
+      Seq(rel -> (try p.getFileSystem(conf).getFileStatus(p).getLen
+        catch { case _: java.io.FileNotFoundException => -1L }))
     }
 
   /** One directory listing, split into (subdirs, candidate files):
@@ -4582,32 +4628,74 @@ object TxnLog {
     acc.toSeq.toDF("source_file", "loaded_at_version")
   }
 
+  /** Parsed history rows keyed by each version file's EXACT identity
+    * (name + mtime + length) — version files are create-exclusive
+    * (immutable), so a hit can never be stale and a recreated table
+    * misses on fresh identities. Repeated [[history]] calls (the
+    * table_history TVF, audit loops) then read only NEW commit bodies:
+    * O(new commits) instead of O(log) per call. Rows are seven small
+    * scalars, so a plain entry cap bounds memory. */
+  private object HistoryCache {
+    private val maxEntries = 8192
+    private val map = new java.util.LinkedHashMap[String,
+      (Long, Long, String, Long, Long, Long, String)](16, 0.75f, true)
+    def get(k: String): Option[(Long, Long, String, Long, Long, Long, String)] =
+      synchronized(Option(map.get(k)))
+    def put(k: String, v: (Long, Long, String, Long, Long, Long, String)): Unit =
+      synchronized {
+        map.put(k, v)
+        val it = map.entrySet().iterator()
+        while (map.size > maxEntries && it.hasNext) { it.next(); it.remove() }
+      }
+    def clear(): Unit = synchronized(map.clear())
+  }
+
+  private[graft] def clearHistoryCache(): Unit = HistoryCache.clear()
+
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val f = fs(spark, logDir(table))
-    val rows = listVersions(f, table, "v").map { v =>
-      val p = versionFile(table, v)
-      val body = readBody(f, p)
-      val (adds, removes) = (parseArr(body, "adds"), parseArr(body, "removes"))
-      val dvs = parseDvs(body)
-      val txn = {
-        val i = body.indexOf("\"txn\":\"")
-        if (i < 0) None
-        else Some(body.substring(i + 7, body.indexOf("\"", i + 7)))
+    val dir = logDir(table)
+    // ONE listing serves version discovery AND the mtime column (the
+    // previous form listed the dir, then re-probed getFileStatus per
+    // version file — a second serial O(versions) metadata loop).
+    val statuses =
+      if (!f.exists(dir)) Seq.empty[org.apache.hadoop.fs.FileStatus]
+      else f.listStatus(dir).toSeq.filterNot(_.isDirectory)
+    val rows = statuses
+      .filter(st => st.getPath.getName.startsWith("v") &&
+        st.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val name = st.getPath.getName
+        val v = name.stripPrefix("v").stripSuffix(".json").toLong
+        val key = s"$table|$name@${st.getModificationTime}:${st.getLen}"
+        HistoryCache.get(key).getOrElse {
+          val body = readBody(f, st.getPath)
+          val (adds, removes) = (parseArr(body, "adds"), parseArr(body, "removes"))
+          val dvs = parseDvs(body)
+          val txn = {
+            val i = body.indexOf("\"txn\":\"")
+            if (i < 0) None
+            else Some(body.substring(i + 7, body.indexOf("\"", i + 7)))
+          }
+          val op =
+            if (v == 0) "CREATE"
+            else if (txn.isDefined) "STREAMING APPEND"
+            else if (dvs.nonEmpty && adds.nonEmpty) "UPDATE (merge-on-read)"
+            else if (dvs.nonEmpty) "DELETE (merge-on-read)"
+            else if (adds.nonEmpty && removes.nonEmpty) "REWRITE (merge/compact/delete)"
+            else if (removes.nonEmpty) "REMOVE"
+            else if (adds.isEmpty && body.contains("\"schema64\":")) "EVOLVE SCHEMA"
+            else "APPEND"
+          val row = (v, st.getModificationTime, op, adds.size.toLong,
+            removes.size.toLong, dvs.size.toLong, txn.orNull)
+          HistoryCache.put(key, row)
+          row
+        }
       }
-      val op =
-        if (v == 0) "CREATE"
-        else if (txn.isDefined) "STREAMING APPEND"
-        else if (dvs.nonEmpty && adds.nonEmpty) "UPDATE (merge-on-read)"
-        else if (dvs.nonEmpty) "DELETE (merge-on-read)"
-        else if (adds.nonEmpty && removes.nonEmpty) "REWRITE (merge/compact/delete)"
-        else if (removes.nonEmpty) "REMOVE"
-        else if (adds.isEmpty && body.contains("\"schema64\":")) "EVOLVE SCHEMA"
-        else "APPEND"
-      (v, new java.sql.Timestamp(f.getFileStatus(p).getModificationTime),
-        op, adds.size.toLong, removes.size.toLong, dvs.size.toLong,
-        txn.orNull)
-    }.sortBy(-_._1)
+      .sortBy(-_._1)
+      .map { case (v, ms, op, a, r, d, txn) =>
+        (v, new java.sql.Timestamp(ms), op, a, r, d, txn) }
     rows.toDF("version", "commit_ts", "operation",
       "n_added", "n_removed", "n_dv_bindings", "stream_txn")
   }

@@ -56,6 +56,28 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("label partition count is data-proportional, not core-count-proportional") {
+    // At bench scale the per-round cost is fixed overhead × partition
+    // count; tiny inputs must collapse to ONE label partition no matter
+    // how many cores (or input partitions) the box has.
+    val s = spark
+    import s.implicits._
+    val edges = (1L to 50L).map(i => (i, i + 1000L)).toDF("a", "b").repartition(8)
+    val r = ConnectedComponents.run(edges, "a", "b")
+    assert(r.converged)
+    assert(r.labels.rdd.getNumPartitions == 1,
+      s"expected 1 pinned label partition, got ${r.labels.rdd.getNumPartitions}")
+  }
+
+  test("empty edge set converges with no labels") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val r = ConnectedComponents.run(empty, "a", "b")
+    assert(r.converged)
+    assert(r.labels.collect().isEmpty)
+  }
+
   test("run() reports non-convergence machine-readably; strict apply throws") {
     val s = spark
     import s.implicits._
