@@ -952,7 +952,19 @@ object TxnLog {
     * changes (or when a legacy log has none yet), None otherwise. */
   private def enforceSchema(spark: SparkSession, table: String, df: DataFrame,
                             mergeSchema: Boolean, what: String): Option[SchemaCommit] =
-    resolve(spark, table, None)._2 match {
+    enforceSchemaOn(spark, table, resolve(spark, table, None)._2, df,
+      mergeSchema, what)
+
+  /** [[enforceSchema]] against a caller-resolved tip: DML verbs that
+    * already replayed the snapshot pass their SchemaCommit through so
+    * one statement does not re-resolve (re-LIST, at object-store
+    * latency) per internal step. The commit loop's by-name re-check
+    * still re-resolves — that one is load-bearing (concurrent
+    * evolution). */
+  private def enforceSchemaOn(spark: SparkSession, table: String,
+                            meta: Option[SchemaCommit], df: DataFrame,
+                            mergeSchema: Boolean, what: String): Option[SchemaCommit] =
+    meta match {
       case None => Some(SchemaCommit(df.schema)) // pre-tracking log: adopt from here on.
       case Some(SchemaCommit(cur, retired, constraints)) =>
         // PARTITIONED tables: every user data write must CARRY the
@@ -1048,7 +1060,8 @@ object TxnLog {
     * physical names. */
   private def stage(spark: SparkSession, table: String, df: DataFrame,
                     mapping: Option[StructType],
-                    preserveShape: Boolean = false): Seq[String] = {
+                    preserveShape: Boolean = false,
+                    resolvedMeta: Option[Option[SchemaCommit]] = None): Seq[String] = {
     val sub = s"stage-${java.util.UUID.randomUUID().toString.take(12)}"
     // Column DEFAULTS fill first (a generated expression may reference
     // a defaulted column): a frame OMITTING a defaulted column gets
@@ -1107,8 +1120,12 @@ object TxnLog {
     // schema-enforced before staging, so a missing column here is
     // by-design, not a hole. SQL semantics: NULL passes, FALSE raises.
     val guarded = {
-      val cs = scala.util.Try(resolve(spark, table, None)._2)
-        .toOption.flatten.map(_.constraints).getOrElse(Map.empty)
+      // `resolvedMeta`: the caller's already-replayed tip (DML verbs
+      // resolve once per statement and thread it through); absent for
+      // create/first-write paths, which resolve here.
+      val cs = resolvedMeta.getOrElse(
+          scala.util.Try(resolve(spark, table, None)._2).toOption.flatten)
+        .map(_.constraints).getOrElse(Map.empty)
       val names = gen.schema.fieldNames.map(_.toLowerCase).toSet
       cs.foldLeft(gen) { case (d, (n, e)) =>
         val refs = scala.util.Try(spark.sessionState.sqlParser
@@ -2640,7 +2657,12 @@ object TxnLog {
              mergeSchema: Boolean = false): CommitResult = {
     var attempt = 0
     while (true) {
-      val cur = tableSchema(spark, table)
+      // ONE tip replay per attempt serves the schema read, the
+      // fail-fast enforcement, and stage's constraint lookup; the
+      // commit loop's by-name schema re-evaluation below still
+      // re-resolves (load-bearing under concurrent evolution).
+      val meta = resolve(spark, table, None)._2
+      val cur = meta.map(_.schema)
       val (df0, alloc) = cur match {
         case Some(s) => assignIdentity(spark, table, df, s)
         case None => (df, None)
@@ -2657,8 +2679,8 @@ object TxnLog {
       // without knowing the batch's bytes up front. Off by default:
       // the extra exchange is a per-batch cost the operator opts into.
       val (df2, clsSig) = clusterWriteShape(spark, cur, df0)
-      enforceSchema(spark, table, df2, mergeSchema, "append") // fail fast
-      val staged = stage(spark, table, df2, cur)
+      enforceSchemaOn(spark, table, meta, df2, mergeSchema, "append") // fail fast
+      val staged = stage(spark, table, df2, cur, resolvedMeta = Some(meta))
       val committed = commitLoop(spark, table,
         stats = stagedStats(spark, table, staged,
           defaultStatsCols(cur.getOrElse(df2.schema)), cur),
@@ -3617,7 +3639,8 @@ object TxnLog {
     // to record WITH this commit (computed against the pinned base —
     // the commit only publishes at base+1, so it cannot clobber a
     // concurrent evolution; a lost race recomputes from the new tip).
-    val evolved = enforceSchema(spark, table, delta2, mergeSchema, "merge")
+    val evolved = enforceSchemaOn(spark, table, baseSchemaC, delta2,
+      mergeSchema, "merge")
     // One agg pass: per key column, the delta's TYPED [min,max] (long
     // canonical for numeric/date/time keys, raw string for string
     // keys — matching the stats kind) and a null count. Pruning is
@@ -3675,7 +3698,8 @@ object TxnLog {
           .filter(col("_src") === 1 || col("_hasDelta") === 0)
           .drop("_src", "_hasDelta")
       }
-    val staged = stage(spark, table, resolved, baseSchema)
+    val staged = stage(spark, table, resolved, baseSchema,
+      resolvedMeta = Some(baseSchemaC))
     // Re-emit stats for the rewrite on every column the base carried —
     // otherwise every merge decays the table's skipping coverage and
     // the NEXT merge can no longer prune its own output.
@@ -3969,12 +3993,17 @@ object TxnLog {
       case None => Right(None)
       case Some(resolved) =>
         if (victims.isEmpty && resolved.isEmpty) return Right(None)
-        enforceSchema(spark, table, resolved, mergeSchema = evolve, "merge")
+        // Fail-fast enforcement and staging reuse the pinned base's
+        // replay; the commit loop's by-name re-check below still
+        // re-resolves the tip (load-bearing under concurrent evolution).
+        enforceSchemaOn(spark, table, baseSchemaC, resolved,
+          mergeSchema = evolve, "merge")
         // `resolved` carries LOGICAL names (taggedRead projected them):
         // stage under `baseSchema` so the files land with PHYSICAL names
         // — `mapping = None` would stage logical-named files a mapped
         // reader silently returns as all-null.
-        val staged = stage(spark, table, resolved, baseSchema)
+        val staged = stage(spark, table, resolved, baseSchema,
+          resolvedMeta = Some(baseSchemaC))
         val statCols = inheritedStatsCols(full)
         val stats =
           if (statCols.nonEmpty)
@@ -4037,8 +4066,10 @@ object TxnLog {
     // LOGICAL names, so a column-mapped table must read through its
     // recorded schema (physical scan, logical projection) — a schema-
     // less read would present physical names and the predicate on a
-    // renamed column would fail to resolve.
-    val (full, snapSchema) = resolveSnapshot(spark, table)
+    // renamed column would fail to resolve. The full SchemaCommit is
+    // kept so stage's constraint lookup reuses THIS replay.
+    val (full, meta) = resolve(spark, table, None)
+    val snapSchema = meta.map(_.schema)
     val states = full.toMap
     // Victim detection keys on the scan-computed relative path
     // (tagAlways): input_file_name() cannot be added AFTER the DV
@@ -4080,7 +4111,8 @@ object TxnLog {
         vKeyed.join(matchedKeys, Seq("_gf_rel", "_gf_idx"), "left_anti")
           .drop("_gf_rel", "_gf_idx")
       }
-    val staged = stage(spark, table, survivors, snapSchema)
+    val staged = stage(spark, table, survivors, snapSchema,
+      resolvedMeta = Some(meta))
     // Re-emit stats on every column the victims carried — without
     // this each delete decays the table's skipping coverage (the same
     // inheritance merge and compact already do).
@@ -4152,7 +4184,9 @@ object TxnLog {
     // Schema from the same replay as the file set: predicate and SET
     // clauses bind to LOGICAL names, so a column-mapped table reads
     // through its recorded schema and stages back under physical names.
-    val (full, snapSchema) = resolveSnapshot(spark, table, pin)
+    // The full SchemaCommit threads into enforcement and staging below.
+    val (full, meta) = resolve(spark, table, pin)
+    val snapSchema = meta.map(_.schema)
     val states = full.toMap
     // Victims among MoR-VISIBLE rows only (the tagged read applies
     // current DVs, so already-deleted rows can't be re-deleted into
@@ -4171,8 +4205,8 @@ object TxnLog {
       // A SET expression can silently retype a column — the staged
       // copies must still satisfy the table schema (same enforcement
       // contract as append: fail the commit, not the read).
-      enforceSchema(spark, table, updated, mergeSchema = false, what)
-      stage(spark, table, updated, snapSchema)
+      enforceSchemaOn(spark, table, meta, updated, mergeSchema = false, what)
+      stage(spark, table, updated, snapSchema, resolvedMeta = Some(meta))
     }
     // The updated copies inherit stats coverage like every rewrite —
     // an UPDATE stream must not erode the table's skipping columns.
