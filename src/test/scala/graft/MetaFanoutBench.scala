@@ -87,6 +87,56 @@ object MetaFanoutBench {
           f"winner=${if (distMs < serialMs) "distributed" else "serial"}")
       }
 
+      println("-- raw metadata probe at 10k files (ops = getFileStatus; " +
+        "the 100 TB-table scale point the r17 sweep only projected) --")
+      locally {
+        val big = s"$root/big10k"
+        val n = 10000
+        val paths = (0 until n).map(i => new Path(big, f"f$i%05d.bin"))
+        paths.foreach { p => val o = f.create(p, true); o.writeBytes("x"); o.close() }
+        f.delete(paths(17), false); f.delete(paths(4242), false) // 2 lost
+        def probe(budget: String): (Double, Long) = {
+          spark.conf.set("spark.graft.bench.probe.localOps", budget)
+          spark.conf.set("spark.graft.bench.probe.crossoverMs", "1e18")
+          val t0 = System.nanoTime()
+          val res = MetaFanout.adaptiveMap(spark, paths.map(_.toString),
+            "spark.graft.bench.probe.localOps",
+            "spark.graft.bench.probe.crossoverMs") { (conf, ps) =>
+            MetaFanout.simulatedLatency()
+            val p = new Path(ps)
+            Seq(ps -> (try p.getFileSystem(conf).getFileStatus(p).getLen
+              catch { case _: java.io.FileNotFoundException => -1L }))
+          }
+          ((System.nanoTime() - t0) / 1e6, res.count(_._2 < 0L))
+        }
+        MetaFanout.testOpDelayMs = delayMs
+        val (serialMs, mS) = probe(Int.MaxValue.toString)
+        val (distMs, mD) = probe("0")
+        spark.conf.unset("spark.graft.bench.probe.localOps")
+        spark.conf.unset("spark.graft.bench.probe.crossoverMs")
+        // Adaptive with DEFAULT budget/crossover: the measured sample
+        // must route a 10k-file × object-store-latency probe to the
+        // distributed leg on its own.
+        val tA = System.nanoTime()
+        val resA = MetaFanout.adaptiveMap(spark, paths.map(_.toString),
+          "spark.graft.bench.probe.localOps",
+          "spark.graft.bench.probe.crossoverMs") { (conf, ps) =>
+          MetaFanout.simulatedLatency()
+          val p = new Path(ps)
+          Seq(ps -> (try p.getFileSystem(conf).getFileStatus(p).getLen
+            catch { case _: java.io.FileNotFoundException => -1L }))
+        }
+        val adaptiveMs = (System.nanoTime() - tA) / 1e6
+        val mA = resA.count(_._2 < 0L).toLong
+        MetaFanout.testOpDelayMs = 0L
+        require(mS == 2L && mD == 2L && mA == 2L && resA.size == n,
+          s"10k probe parity violated ($mS/$mD/$mA, n=${resA.size})")
+        println(f"files=$n%5d  serial=${serialMs}%8.0f ms  " +
+          f"distributed=${distMs}%8.0f ms  adaptive=${adaptiveMs}%8.0f ms  " +
+          f"winner=${if (distMs < serialMs) "distributed" else "serial"}")
+        f.delete(new Path(big), true)
+      }
+
       println("-- COPY INTO source listing (ops = directory LISTs) --")
       for (d <- Seq(16, 64, 256)) {
         val src = s"$root/land$d"
