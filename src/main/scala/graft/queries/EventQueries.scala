@@ -184,10 +184,30 @@ object EventQueries extends QueryModule {
       val ev = Tables.events(s, d)
         .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
           col("event_id"), col("value"))
-      val hourly = ev.groupBy("user_id", "hr")
+      // ONE event scan instead of two when the scan is big enough to
+      // beat the staging write: the hourly aggregate stages and the
+      // spine bounds derive from IT (min/max of hourly.hr ≡ min/max of
+      // ev.hr — hourly groups by hr, so the bounds are identical).
+      // Measured ×10-inflation A/B (9 samples, 32 cores): two-scan
+      // 19.97 s vs staged 8.63 s median; at sf0.1 the staging write
+      // costs more than the saved 2 MB re-scan (r17 A/B: 1.88 → 2.00),
+      // so the crossover is conf-parameterized with a local default
+      // between the two measured points — the sf0.1 bench plan stays
+      // byte-identical, and a 100 TB events table (far past any
+      // threshold) always takes the one-scan path.
+      val stageBytes = s.conf.getOption("spark.graft.gapfill.stageBytes")
+        .map(_.toLong).getOrElse(8L * 1024 * 1024)
+      val big = ev.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        BigInt(stageBytes)
+      val hourlyPlain = ev.groupBy("user_id", "hr")
         .agg(count(lit(1)).as("n_events"),
           max_by(col("value"), col("event_id")).as("last_val"))
-      val spine = ev.groupBy("user_id")
+      val hourly =
+        if (big) graft.queries.StagedCache.persist(hourlyPlain) else hourlyPlain
+      val spineSrc =
+        if (big) hourly.select(col("user_id"), col("hr"))
+        else ev.select(col("user_id"), col("hr"))
+      val spine = spineSrc.groupBy("user_id")
         .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
         .select(col("user_id"),
           explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
