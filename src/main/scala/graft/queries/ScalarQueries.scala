@@ -380,6 +380,13 @@ object ScalarQueries extends QueryModule {
     // is exact under any association order.
     "q_map_funcs" -> ((s, d) =>
       Tables.lineitem(s, d)
+        // ONE exchange for both aggregations (guide §2.4): hash on
+        // l_orderkey alone satisfies the (l_orderkey, k) clustering of
+        // the inner aggregate AND the outer groupBy's, so the per-line
+        // dedup and the map build run in the same stage. The (okey,
+        // line) keys are near-unique, so the map-side partial agg this
+        // trades away was not reducing the shuffle anyway.
+        .repartition(col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("l_linenumber").cast("long").as("k"))
         .agg(sum(col("l_quantity")).as("v"))
         .groupBy("l_orderkey")
