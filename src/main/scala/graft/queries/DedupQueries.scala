@@ -115,10 +115,29 @@ object DedupQueries extends QueryModule {
     // is still required. SkewGuard cap bounds a popular key's group
     // (uncapped measured ~n^1.5 at 10×); the shingle-hash domain is
     // unbounded, so the size table is NOT broadcast-hinted.
-    val sampled = graft.operators.SkewGuard.capBuckets(
+    // STAGED past a size threshold, for the same reason
+    // [[minhashCandidates]] stages its band table: BOTH self-join sides
+    // read it, and un-staged each side re-runs the explode AND
+    // SkewGuard's per-key count shuffle (the two subtrees don't
+    // exchange-reuse — r18 plan audit). Measured ×10-inflation A/B
+    // (32 c, 7–9 samples): q_containment_pairs 6.59 → 4.84 s,
+    // q_ngram_jaccard 3.56 → 2.35 s staged; at sf0.1 the cache write
+    // costs more than the saved re-compute (2.72 → 3.05 / 1.40 → 1.89),
+    // so the crossover is conf-parameterized with the local default
+    // between the two measured base-stats points (166 KB / 2.2 MB) —
+    // the sf0.1 bench plan stays byte-identical, and a 100 TB corpus
+    // (far past any threshold) always stages.
+    val stageBytes = base.sparkSession.conf
+      .getOption("spark.graft.dedup.candStageBytes")
+      .map(_.toLong).getOrElse(1L * 1024 * 1024)
+    val sampledPlain = graft.operators.SkewGuard.capBuckets(
       base.select(col("doc_id"), explode(col("hs")).as("h"))
         .filter(col("h") % 8 === 0),
       "h", col("doc_id"), 64, broadcastSizes = false)
+    val sampled =
+      if (base.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        BigInt(stageBytes)) StagedCache.persist(sampledPlain)
+      else sampledPlain
     sampled.as("a")
       .join(sampled.as("b"), col("a.h") === col("b.h")
         && col("a.doc_id") < col("b.doc_id"))
