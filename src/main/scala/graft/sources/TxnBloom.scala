@@ -178,11 +178,11 @@ object TxnBloom {
     }
   }
 
-  private def footerRows(spark: SparkSession, table: String, rel: String): Long = {
+  private def footerRows(conf: org.apache.hadoop.conf.Configuration,
+      table: String, rel: String): Long = {
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        TxnLog.dataPathObj(table, rel),
-        spark.sparkContext.hadoopConfiguration))
+        TxnLog.dataPathObj(table, rel), conf))
     try r.getRecordCount finally r.close()
   }
 
@@ -227,8 +227,18 @@ object TxnBloom {
       }
     }
     if (resolved.isEmpty) return
+    // One footer open per staged file — the same driver-serial metadata
+    // loop class as TxnLog.stagedStats, routed through the same
+    // adaptive fan-out: local-FS footer reads (~1 ms) stay serial and
+    // byte-identical, a wide object-store write reads its footers in
+    // ONE Spark job instead of O(files) blocking driver RPCs.
     val mByRel: Map[String, Long] =
-      staged.map(rel => rel -> mBitsFor(footerRows(spark, table, rel))).toMap
+      MetaFanout.adaptiveMap(spark, staged,
+        "spark.graft.bloom.footer.localOps",
+        "spark.graft.bloom.footer.crossoverMs") { (conf, rel) =>
+        MetaFanout.simulatedLatency()
+        Seq(rel -> mBitsFor(footerRows(conf, table, rel)))
+      }.toMap
     val absolute = staged.map(rel => new Path(table, rel).toString)
     // Table-relative path by QUALIFIED-prefix strip (the same contract
     // as the DV mask keys): input_file_name() reports the Path-URI

@@ -166,6 +166,41 @@ object MetaFanoutBench {
           f"distributed=${distMs}%8.0f ms  adaptive=${adaptiveMs}%8.0f ms  " +
           f"winner=${if (distMs < serialMs) "distributed" else "serial"}")
       }
+
+      println("-- bloom sidecar footer reads (ops = footer opens per " +
+        "staged file; the write itself is a shared constant per leg) --")
+      for (k <- Seq(32, 128)) {
+        import spark.implicits._
+        def write(tag: String, budget: Option[String]): (Double, Seq[Long]) = {
+          val t = s"$root/bloomftr_${k}_$tag"
+          budget.foreach(b =>
+            spark.conf.set("spark.graft.bloom.footer.localOps", b))
+          spark.conf.set("spark.graft.bloom.footer.crossoverMs",
+            if (budget.isDefined) "1e18" else "250")
+          val t0 = System.nanoTime()
+          TxnLog.createWithBloom(spark, t,
+            spark.range(k * 50L).map(i => (i, s"s$i")).toDF("id", "s")
+              .repartition(k), Seq("id"))
+          val ms = (System.nanoTime() - t0) / 1e6
+          spark.conf.unset("spark.graft.bloom.footer.localOps")
+          spark.conf.unset("spark.graft.bloom.footer.crossoverMs")
+          val kept = graft.sources.TxnBloom.filterByBloom(spark, t, "id",
+            Seq(7L, k * 25L), TxnLog.snapshotFull(spark, t))
+          val ids = spark.read.parquet(kept.map(r => s"$t/${r._1}"): _*)
+            .select("id").as[Long].collect().toSeq.sorted
+          (ms, ids)
+        }
+        MetaFanout.testOpDelayMs = delayMs
+        val (serialMs, iS) = write("serial", Some(Int.MaxValue.toString))
+        val (distMs, iD) = write("dist", Some("0"))
+        val (adaptiveMs, iA) = write("adaptive", None)
+        MetaFanout.testOpDelayMs = 0L
+        require(iS == iD && iS == iA,
+          s"bloom footer parity violated at k=$k")
+        println(f"files=$k%5d  serial=${serialMs}%8.0f ms  " +
+          f"distributed=${distMs}%8.0f ms  adaptive=${adaptiveMs}%8.0f ms  " +
+          f"winner=${if (distMs < serialMs) "distributed" else "serial"}")
+      }
     } finally {
       MetaFanout.testOpDelayMs = 0L
       f.delete(new Path(root), true)

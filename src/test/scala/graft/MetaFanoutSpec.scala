@@ -35,6 +35,34 @@ class MetaFanoutSpec extends AnyFunSuite with SparkSpec {
     assert(serial === items.filter(_ % 3 != 0).map(_ * 2))
   }
 
+  test("bloom sidecar footer reads: distributed leg builds identical segments") {
+    import spark.implicits._
+    def build(tag: String): (String, Seq[Long]) = {
+      val t = root(s"bloomftr_$tag")
+      val p = new Path(t)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val df = (0L until 400L).map(i => (i, s"n$i")).toDF("id", "s")
+      TxnLog.createWithBloom(spark, t, df.repartition(8), Seq("id"))
+      val probes = Seq(3L, 77L, 399L)
+      val kept = graft.sources.TxnBloom.filterByBloom(spark, t, "id",
+        probes, TxnLog.snapshotFull(spark, t))
+      // The m-bit widths derive from the footer row counts the fan-out
+      // read: identical widths ⇒ identical bitsets ⇒ the same rows
+      // survive the file screen (rel names differ per table — compare
+      // the surviving row ids, not paths).
+      val ids = spark.read.parquet(kept.map(r => s"$t/${r._1}"): _*)
+        .select("id").as[Long].collect().toSeq.sorted
+      (t, ids)
+    }
+    val (_, serialKept) = build("serial")
+    spark.conf.set("spark.graft.bloom.footer.localOps", "0")
+    val (_, distKept) =
+      try build("dist")
+      finally spark.conf.unset("spark.graft.bloom.footer.localOps")
+    assert(serialKept === distKept)
+  }
+
   test("FSCK reports the same missing files on the distributed probe") {
     import spark.implicits._
     val t = root("fsck")
